@@ -11,13 +11,11 @@ object SparkEntry {
     Relational.aggGroupBy(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_groupby" -> Relational.aggGroupBy,
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "agg_groupby" -> Relational.aggGroupBySql,
-  )
+  def oracleSql: Map[String, String] =
+    Relational.oracleSql
 }

@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{Det, Tables}
+import graft.core.{Det, DetSql, Tables}
 
 /** Relational operator inventory (SURVEY.md §2B).
   *
@@ -13,8 +14,265 @@ import graft.core.{Det, Tables}
   * declarative DataFrame pipelines. Everything here is plain Catalyst —
   * pushdown, pruning, join strategy selection, AQE — so the same code
   * scales from the sf0.01 oracle runs to a 1000-executor cluster.
+  *
+  * Scale notes are attached per operator; the common rules:
+  *   - dimensions (region/nation/customer/supplier/part at TPC-H ratios)
+  *     are broadcast; only fact-fact joins shuffle, on their join key.
+  *   - aggregations rely on partial (map-side) aggregation, so shuffle
+  *     volume is O(groups × partitions), not O(rows).
+  *   - every query ends in a total-order sort only because the oracle
+  *     hash-compare is order-sensitive; at production scale the sort is
+  *     the consumer's choice and everything upstream is order-agnostic.
   */
 object Relational {
+
+  private def rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  // ---------------------------------------------------------------- scans
+
+  /** Full scan: parquet → DataFrame, vectorized reader, no shuffle
+    * except the oracle-mandated final sort. */
+  def scanParquet(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val scanParquetSql: String =
+    "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber"
+
+  /** Scan with column pruning + predicate pushdown: only 4 columns leave
+    * the parquet reader and the shipdate/quantity predicates reach
+    * PushedFilters (verified in PlanSpec). */
+  def scanFilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") < lit("2000-01-01").cast("timestamp") &&
+             col("l_quantity") > 30.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val scanFilterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '2000-01-01' AND l_quantity > 30.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------- filters / projections
+
+  /** Conjunctive/disjunctive predicates, IN, BETWEEN, LIKE, null-safe
+    * equality — all codegen'd comparisons, all pushdown-eligible. */
+  def filterPred(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .where(
+        (col("o_orderstatus") === "F" || col("o_totalprice").between(50000.0, 150000.0)) &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderpriority").like("%H%") &&
+        col("o_custkey") <=> col("o_custkey") &&
+        !col("o_orderkey").isNull)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  val filterPredSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE (o_orderstatus = 'F' OR o_totalprice BETWEEN 50000.0 AND 150000.0)
+      |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  AND o_orderpriority LIKE '%H%'
+      |  AND o_custkey IS NOT DISTINCT FROM o_custkey
+      |  AND o_orderkey IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Arithmetic + conditional projection. Per-row double arithmetic is
+    * IEEE-deterministic, so no Det wrapping is needed (no aggregation). */
+  def projectExpr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (rev).as("revenue"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"),
+        when(col("l_quantity") >= 40.0, "bulk")
+          .when(col("l_quantity") >= 15.0, "mid")
+          .otherwise("small").as("qty_band"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val projectExprSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1.0 - l_discount) AS revenue,
+      |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+      |  CASE WHEN l_quantity >= 40.0 THEN 'bulk'
+      |       WHEN l_quantity >= 15.0 THEN 'mid'
+      |       ELSE 'small' END AS qty_band
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- joins
+
+  /** Equi-join orders⋈customer. customer is the small side → explicit
+    * broadcast; at 100 TB the orders side streams through the broadcast
+    * hash join with zero shuffle. */
+  def joinInnerHash(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+              col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val joinInnerHashSql: String =
+    """SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Left outer join with null preservation on the probe side. */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).where(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  val joinOuterSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM customer LEFT OUTER JOIN
+      |  (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin
+
+  /** Semi/anti join: customers with vs without high-value orders,
+    * tagged and unioned. Both rewrite to broadcast/shuffled hash
+    * semi-joins — no row multiplication on the big side. */
+  def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).where(col("o_totalprice") > 200000.0)
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_big_order").as("tag"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_big_order").as("tag"))
+    semi.unionByName(anti).orderBy(col("c_custkey"), col("tag"))
+  }
+
+  val joinSemiAntiSql: String =
+    """SELECT c_custkey, 'has_big_order' AS tag FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |UNION ALL
+      |SELECT c_custkey, 'no_big_order' AS tag FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |ORDER BY c_custkey, tag""".stripMargin
+
+  /** 5-way star join: fact (lineitem⋈orders shuffles on orderkey) plus
+    * three broadcast dimensions, aggregated to revenue per region. */
+  def joinMultiway(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(Det.dsum(rev).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  val joinMultiwaySql: String =
+    s"""SELECT r_name,
+       |  ${DetSql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name
+       |ORDER BY r_name""".stripMargin
+
+  /** Theta/range self-join: pairs of events of the same user within a
+    * 5-minute forward window. The user_id equi-key keeps it a hash join
+    * with a range residual — never a cartesian — so it shuffles by user
+    * and scales with per-user event counts, not total rows. */
+  def joinThetaRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val a = e.select(col("event_id").as("id_a"), col("user_id").as("u_a"),
+                     col("ts").as("ts_a"))
+    val b = e.select(col("event_id").as("id_b"), col("user_id").as("u_b"),
+                     col("ts").as("ts_b"))
+    a.join(b, col("u_a") === col("u_b") &&
+              col("ts_b") > col("ts_a") &&
+              col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+      .select(col("id_a"), col("id_b"), col("u_a").as("user_id"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val joinThetaRangeSql: String =
+    """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id AS user_id
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts
+      | AND b.ts <= a.ts + INTERVAL 5 MINUTE
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** As-of join: for each event, the user's latest order at-or-before
+    * the event timestamp. Batch Spark has no native as-of operator, so:
+    * equi-join on the key, then keep row_number()=1 over (event,
+    * order_ts desc). Shuffles once on user_id; the window is per-event
+    * so state stays bounded. Tie-break on o_orderkey desc for a total
+    * order. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val joined = e.join(o, e("user_id") === o("o_custkey") &&
+                           o("o_orderdate") <= e("ts"), "left_outer")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+    joined.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val joinAsofSql: String =
+    """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+      |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+      |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |           ORDER BY o.o_orderdate DESC NULLS LAST,
+      |                    o.o_orderkey DESC NULLS LAST) AS rn
+      |  FROM events e LEFT OUTER JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      |) WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
+  // ----------------------------------------------------------- aggregates
+
+  /** Global (grand-total) aggregate: one partial agg per partition, one
+    * exchange of a single row each. */
+  def aggGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.davg(col("l_extendedprice")).as("avg_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+
+  val aggGlobalSql: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  ${DetSql.dsum("l_quantity")} AS sum_qty,
+       |  ${DetSql.davg("l_extendedprice")} AS avg_price,
+       |  MIN(l_extendedprice) AS min_price,
+       |  MAX(l_extendedprice) AS max_price,
+       |  MIN(l_shipdate) AS min_ship,
+       |  MAX(l_shipdate) AS max_ship
+       |FROM lineitem""".stripMargin
 
   /** TPC-H-Q1-style aggregation over lineitem: hash partial+final agg,
     * map-side combine; shuffles only |groups| rows per partition. */
@@ -24,7 +282,7 @@ object Relational {
       .agg(
         Det.dsum(col("l_quantity")).as("sum_qty"),
         Det.dsum(col("l_extendedprice")).as("sum_base_price"),
-        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        Det.dsum(rev).as("sum_disc_price"),
         Det.davg(col("l_quantity")).as("avg_qty"),
         Det.davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -33,13 +291,185 @@ object Relational {
 
   val aggGroupBySql: String =
     s"""SELECT l_returnflag, l_linestatus,
-       |  ${graft.core.DetSql.dsum("l_quantity")} AS sum_qty,
-       |  ${graft.core.DetSql.dsum("l_extendedprice")} AS sum_base_price,
-       |  ${graft.core.DetSql.dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-       |  ${graft.core.DetSql.davg("l_quantity")} AS avg_qty,
-       |  ${graft.core.DetSql.davg("l_discount")} AS avg_disc,
+       |  ${DetSql.dsum("l_quantity")} AS sum_qty,
+       |  ${DetSql.dsum("l_extendedprice")} AS sum_base_price,
+       |  ${DetSql.dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${DetSql.davg("l_quantity")} AS avg_qty,
+       |  ${DetSql.davg("l_discount")} AS avg_disc,
        |  COUNT(*) AS count_order
        |FROM lineitem
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Exact distinct: dropDuplicates on the pair + count(distinct).
+    * Both are shuffle-by-key exact dedups; count(distinct) expands to
+    * a two-phase aggregate under Catalyst. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.agg(
+      countDistinct(col("l_partkey")).as("nd_part"),
+      countDistinct(col("l_suppkey")).as("nd_supp"),
+      countDistinct(col("l_returnflag"), col("l_linestatus")).as("nd_flag_status"))
+  }
+
+  val aggDistinctSql: String =
+    """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+      |  CAST(COUNT(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS nd_flag_status
+      |FROM lineitem""".stripMargin
+
+  /** Approximate distinct via HyperLogLog++ — the scale path for
+    * count(distinct) at 100 TB (no exact shuffle of all keys). No
+    * DuckDB oracle: approximate results are engine-specific; bounds
+    * are asserted in ScalaTest instead. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_part"))
+
+  /** CUBE over mktsegment × nation with grouping id; exercises
+    * grouping-sets expansion (one shuffle, expanded grouping keys). */
+  def aggRollupCube(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(grouping_id(col("c_mktsegment"), col("n_name")).as("gid"),
+           count(lit(1)).as("n_cust"), Det.dsum(col("c_acctbal")).as("sum_bal"))
+      .select(col("gid"), col("c_mktsegment"), col("n_name"),
+              col("n_cust"), col("sum_bal"))
+      .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
+               col("n_name").asc_nulls_first)
+  }
+
+  val aggRollupCubeSql: String =
+    s"""SELECT CAST(GROUPING(c_mktsegment, n_name) AS BIGINT) AS gid,
+       |  c_mktsegment, n_name,
+       |  COUNT(*) AS n_cust,
+       |  ${DetSql.dsum("c_acctbal")} AS sum_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY CUBE (c_mktsegment, n_name)
+       |ORDER BY gid, c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------- sorts / top-k
+
+  /** Global top-10: planner uses TakeOrderedAndProject — per-partition
+    * heap + driver merge of 10 rows, never a full sort at scale. */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val sortLimitSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+      |""".stripMargin
+
+  /** Top-3 orders per customer via ranked window — one shuffle on the
+    * partition key; rank predicate prunes before any downstream work. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+      |  FROM orders
+      |) WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  // -------------------------------------------------------------- set ops
+
+  /** UNION (distinct) of two key sets — hash dedup after a cheap scan. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val a = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val b = c.where(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+    a.union(b).distinct().orderBy(col("c_custkey"))
+  }
+
+  val setUnionSql: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+      |ORDER BY c_custkey""".stripMargin
+
+  /** INTERSECT / EXCEPT on customer key sets, tagged and unioned into
+    * one deterministic result. */
+  def setIntersectExcept(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val rich = c.where(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+    val both = building.intersect(rich).withColumn("tag", lit("both"))
+    val onlyB = building.except(rich).withColumn("tag", lit("building_only"))
+    both.unionByName(onlyB).orderBy(col("tag"), col("c_custkey"))
+  }
+
+  val setIntersectExceptSql: String =
+    """SELECT c_custkey, 'both' AS tag FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+      |UNION ALL
+      |SELECT c_custkey, 'building_only' AS tag FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  /** Query registry fragment contributed by this module. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> scanParquet,
+    "scan_filter_project" -> scanFilterProject,
+    "filter_pred" -> filterPred,
+    "project_expr" -> projectExpr,
+    "join_inner_hash" -> joinInnerHash,
+    "join_outer" -> joinOuter,
+    "join_semi_anti" -> joinSemiAnti,
+    "join_multiway" -> joinMultiway,
+    "join_theta_range" -> joinThetaRange,
+    "join_asof" -> joinAsof,
+    "agg_global" -> aggGlobal,
+    "agg_groupby" -> aggGroupBy,
+    "agg_distinct" -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_rollup_cube" -> aggRollupCube,
+    "sort_limit" -> sortLimit,
+    "topk_per_group" -> topkPerGroup,
+    "set_union" -> setUnion,
+    "set_intersect_except" -> setIntersectExcept,
+  )
+
+  /** Oracle SQL fragment contributed by this module (agg_approx_distinct
+    * intentionally omitted — approximate, verified by ScalaTest bounds). */
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" -> scanParquetSql,
+    "scan_filter_project" -> scanFilterProjectSql,
+    "filter_pred" -> filterPredSql,
+    "project_expr" -> projectExprSql,
+    "join_inner_hash" -> joinInnerHashSql,
+    "join_outer" -> joinOuterSql,
+    "join_semi_anti" -> joinSemiAntiSql,
+    "join_multiway" -> joinMultiwaySql,
+    "join_theta_range" -> joinThetaRangeSql,
+    "join_asof" -> joinAsofSql,
+    "agg_global" -> aggGlobalSql,
+    "agg_groupby" -> aggGroupBySql,
+    "agg_distinct" -> aggDistinctSql,
+    "agg_rollup_cube" -> aggRollupCubeSql,
+    "sort_limit" -> sortLimitSql,
+    "topk_per_group" -> topkPerGroupSql,
+    "set_union" -> setUnionSql,
+    "set_intersect_except" -> setIntersectExceptSql,
+  )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite with SparkSpec {
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("all registered queries execute and return rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    val approx = Relational.aggApproxDistinct(spark, sfDir)
+      .head().getLong(0).toDouble
+    val exact = Tables.lineitem(spark, sfDir)
+      .select(countDistinct(col("l_partkey"))).head().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("scan_filter_project pushes predicates and prunes columns") {
+    val plan = Relational.scanFilterProject(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+           (plan.contains("l_shipdate") || plan.contains("l_quantity")),
+      s"no pushed filters in plan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("l_extendedprice"),
+      "projection not pruned to 4 columns")
+  }
+
+  test("join_inner_hash broadcasts the customer side") {
+    val plan = Relational.joinInnerHash(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("join_theta_range never plans a cartesian product") {
+    val plan = Relational.joinThetaRange(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
+  test("sort_limit plans TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.sortLimit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("asof join picks at most one order per event, at-or-before ts") {
+    val out = Relational.joinAsof(spark, sfDir)
+    val events = Tables.events(spark, sfDir).count()
+    assert(out.count() == events, "exactly one row per event")
+    val bad = out.where(col("o_orderdate") > col("ts")).count()
+    assert(bad == 0, "order after event ts")
+  }
+}
