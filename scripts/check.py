@@ -1,28 +1,57 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's t2 correctness gate.
+"""Local stand-in for the driver's t2 correctness gate — strict variant.
 
-Runs each oracle SQL from <outdir>/oracle_sql.json in DuckDB against the
-sf parquet tables, loads the Spark result parquet from <outdir>/<name>/,
-and compares row count, column names, and values (strict equality,
-column-sorted like the driver). Usage:
+Round-1 lesson (ADVICE.md): reading the Spark parquet *through DuckDB*
+normalizes away representation differences (DECIMAL(38,10) vs DOUBLE)
+that the driver's raw-value hash detects, so the old local PASS did not
+imply a driver PASS. This version is strictly stronger than the driver:
 
-    python3 scripts/check.py /tmp/verify_out /root/testdata/sf0.01
+  - the Spark result is read with pyarrow, preserving physical types
+    (Decimal stays Decimal, float stays float64);
+  - value compare is on (type-name, canonical rendering): floats match
+    only on identical IEEE-754 bits, Decimals only on identical digits
+    and scale, so any representation skew fails locally first.
+
+Usage:  python3 scripts/check.py /tmp/verify_out /root/testdata/sf0.01
 """
-import json, math, sys
+import glob, json, math, struct, sys
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
+def canon(v):
+    """(type-tag, canonical value) — equal iff the driver's raw-value
+    hash would agree. Floats compare by exact bit pattern."""
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+            return ("f64", "NaN")
+        return ("f64", struct.pack("<d", v).hex())
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, canon(x)) for k, x in v.items())))
+    if hasattr(v, "isoformat"):  # datetime / date / pandas.Timestamp —
+        # pyarrow hands back pandas.Timestamp for ns-unit columns; same
+        # instant renders identically, so compare on the rendering.
+        return ("ts", str(v))
+    return (type(v).__name__, str(v))
+
+
+def spark_rows(outdir, name):
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+    if not files:
+        raise RuntimeError(f"no parquet under {outdir}/{name}")
+    tbl = pq.read_table(files[0]) if len(files) == 1 else pq.read_table(files)
+    cols = tbl.column_names
+    rows = [tuple(d.values()) for d in tbl.to_pylist()]
+    return cols, rows
 
 
 def main(outdir, sfdir):
@@ -33,10 +62,7 @@ def main(outdir, sfdir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            spark_rel = con.execute(
-                f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-            scols = [d[0] for d in spark_rel.description]
-            srows = spark_rel.fetchall()
+            scols, srows = spark_rows(outdir, name)
             duck_rel = con.execute(sql)
             dcols = [d[0] for d in duck_rel.description]
             drows = duck_rel.fetchall()
@@ -55,10 +81,11 @@ def main(outdir, sfdir):
             sidx = [scols.index(c) for c in sorted(scols)]
             didx = [dcols.index(c) for c in sorted(dcols)]
             for i, (sr, dr) in enumerate(zip(srows, drows)):
-                sv = tuple(norm(sr[j]) for j in sidx)
-                dv = tuple(norm(dr[j]) for j in didx)
+                sv = tuple(canon(sr[j]) for j in sidx)
+                dv = tuple(canon(dr[j]) for j in didx)
                 if sv != dv:
-                    print(f"FAIL {name}: row {i} differs\n  spark={sv}\n  duck ={dv}")
+                    print(f"FAIL {name}: row {i} differs (cols {sorted(scols)})"
+                          f"\n  spark={sv}\n  duck ={dv}")
                     ok = False
                     break
         if ok:

@@ -12,35 +12,40 @@ import org.apache.spark.sql.types.DecimalType
   * Casting to an exact decimal *before* aggregating makes the sum a
   * single exact value in both Spark and DuckDB.
   *
-  * DECIMAL(27,10) holds any |x| < 1e17 with 10 fractional digits —
-  * far beyond the testdata's 2-decimal money values — and its sum stays
-  * within DECIMAL(38,10) for trillions of rows, so the same expression
-  * is scale-safe at 100 TB.
+  * Round 1 kept the result as DECIMAL(38,10); the driver's raw-value
+  * hash is representation-sensitive and every DECIMAL output column
+  * hash-missed (CORRECTNESS_r01.json: agg_global/agg_groupby/
+  * agg_rollup_cube/join_multiway) while all double/bigint columns
+  * passed. A direct DECIMAL→DOUBLE cast is also unsafe: Spark converts
+  * via BigDecimal (correctly rounded) while DuckDB divides an int128 by
+  * 10^scale in float space — up to 1 ulp apart.
   *
-  * The DuckDB twin of each helper is in [[DetSql]].
+  * The fix: after the exact decimal sum, round to cents (exact decimal
+  * op, HALF_UP away-from-zero in both engines), convert the *integral*
+  * cents to BIGINT (exact), then to DOUBLE (exact below 2^53 — holds to
+  * ~9e13 currency units, beyond a 100 TB fact table's sums), and divide
+  * by 100.0 (one IEEE-754 op). Every step is either exact or a single
+  * identical IEEE operation in both engines, so the final double is
+  * bit-identical. The DuckDB twin of each helper is in [[DetSql]].
   */
 object Det {
   private val D = DecimalType(27, 10)
-  private val DOut = DecimalType(38, 10)
 
-  /** Exact, order-independent sum of a double column. Kept as
-    * DECIMAL(38,10) to the end: a final cast to double rounds
-    * differently in DuckDB (int128/10^scale in two steps) vs Spark
-    * (BigDecimal, correctly rounded), so the decimal IS the contract. */
-  def dsum(c: Column): Column = sum(c.cast(D)).cast(DOut)
+  /** Order-independent, engine-portable sum of a double column at cent
+    * (2-decimal) precision, emitted as DOUBLE. */
+  def dsum(c: Column): Column =
+    (round(sum(c.cast(D)), 2) * lit(100)).cast("long").cast("double") / lit(100.0)
 
-  /** avg as round((exact sum as double)/count, 6): the double cast may
-    * differ by 1 ulp between engines, but averages stay row-magnitude
-    * (not row-count magnitude), so 6-decimal rounding absorbs it at any
-    * data scale. */
-  def davg(c: Column): Column =
-    round(sum(c.cast(D)).cast("double") / count(c), 6)
+  /** Average derived from [[dsum]]: (exact cent-sum as double) / count.
+    * The division is the same single IEEE op in both engines, so the
+    * result is bit-identical without any post-rounding. */
+  def davg(c: Column): Column = dsum(c) / count(c)
 }
 
 /** DuckDB SQL fragments matching [[Det]] exactly. */
 object DetSql {
   def dsum(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(27,10))) AS DECIMAL(38,10))"
+    s"CAST(CAST(ROUND(SUM(CAST($x AS DECIMAL(27,10))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0"
   def davg(x: String): String =
-    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(27,10))) AS DOUBLE) / COUNT($x), 6)"
+    s"${dsum(x)} / COUNT($x)"
 }

@@ -21,11 +21,13 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * outright. Read nanos as long (legacy conf) and floor-truncate to
-    * microsecond timestamps — the same truncation DuckDB applies when it
-    * surfaces the column as µs TIMESTAMP, so oracle comparisons agree. */
+    * outright. With `spark.sql.legacy.parquet.nanosAsLong=true` — set at
+    * SparkSession construction by Verify/Bench/SparkSpec, NOT here, so
+    * table loads have no session side effects — the column arrives as a
+    * nano count; floor-truncate to microsecond timestamps, the same
+    * truncation DuckDB applies when it surfaces the column as µs
+    * TIMESTAMP, so oracle comparisons agree. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000L")))

@@ -315,7 +315,9 @@ object Relational {
   val aggDistinctSql: String =
     """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
       |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
-      |  CAST(COUNT(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS nd_flag_status
+      |  CAST(COUNT(DISTINCT (l_returnflag, l_linestatus))
+      |    FILTER (WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL)
+      |    AS BIGINT) AS nd_flag_status
       |FROM lineitem""".stripMargin
 
   /** Approximate distinct via HyperLogLog++ — the scale path for
@@ -362,8 +364,9 @@ object Relational {
 
   val sortLimitSql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice
-      |FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
-      |""".stripMargin
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
 
   /** Top-3 orders per customer via ranked window — one shuffle on the
     * partition key; rank predicate prunes before any downstream work. */
