@@ -40,6 +40,13 @@ object Det {
     * The division is the same single IEEE op in both engines, so the
     * result is bit-identical without any post-rounding. */
   def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Per-row exact integer cents of a 2-decimal money double — the
+    * building block for order-sensitive exact arithmetic (running sums,
+    * windowed totals) where the rounding must happen per row, before
+    * the aggregation, instead of after it as in [[dsum]]. */
+  def cents(c: Column): Column =
+    (round(c.cast(D), 2) * lit(100)).cast("long")
 }
 
 /** DuckDB SQL fragments matching [[Det]] exactly. */
@@ -48,4 +55,6 @@ object DetSql {
     s"CAST(CAST(ROUND(SUM(CAST($x AS DECIMAL(27,10))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0"
   def davg(x: String): String =
     s"${dsum(x)} / COUNT($x)"
+  def cents(x: String): String =
+    s"CAST(ROUND(CAST($x AS DECIMAL(27,10)), 2) * 100 AS BIGINT)"
 }

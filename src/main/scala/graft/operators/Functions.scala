@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Scalar-function inventory (SURVEY.md §2B `fn_*`): string, date,
+  * math, array/higher-order, and JSON functions — the reference's D7
+  * (per-record projection) and D8 (JSON lift) generalized to the whole
+  * `org.apache.spark.sql.functions` surface. Everything here is a
+  * built-in Catalyst expression (whole-stage codegen'd, pushdown-
+  * friendly); no UDFs.
+  *
+  * Cross-engine determinism rules (vs the DuckDB oracle):
+  *   - integer-valued results are emitted as the same width both sides
+  *     (Spark size()/year() are INT, DuckDB's are BIGINT → CAST);
+  *   - float results come from either correctly-rounded ops (sqrt, +,
+  *     *, /) or are rounded to a scale finer than the data's intrinsic
+  *     decimal scale, which is boundary-safe;
+  *   - libm-dependent ops (ln, pow) are rounded to 4 decimals: the two
+  *     engines agree to ~1 ulp and true values are irrational, so the
+  *     probability of straddling a rounding boundary is ~1e-10/row.
+  */
+object Functions {
+
+  /** String functions on customer: case, substring, concat, trim-set,
+    * pad, reverse, regex extract/replace, predicates. */
+  def fnString(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_up"),
+        lower(col("c_name")).as("name_lo"),
+        substring(col("c_name"), 10, 6).as("id_mid"),
+        concat_ws("_", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        trim(col("c_name"), "Customer#").as("trimmed"),
+        lpad(col("c_mktsegment"), 12, "*").as("seg_pad"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("id_num"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("shortname"),
+        length(col("c_name")).as("name_len"),
+        startswith(col("c_name"), lit("Customer")).as("is_cust"))
+      .orderBy(col("c_custkey"))
+
+  val fnStringSql: String =
+    """SELECT c_custkey,
+      |  UPPER(c_mktsegment) AS seg_up,
+      |  LOWER(c_name) AS name_lo,
+      |  SUBSTR(c_name, 10, 6) AS id_mid,
+      |  CONCAT_WS('_', c_mktsegment, c_name) AS seg_name,
+      |  TRIM(c_name, 'Customer#') AS trimmed,
+      |  LPAD(c_mktsegment, 12, '*') AS seg_pad,
+      |  REVERSE(c_mktsegment) AS seg_rev,
+      |  CAST(REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS BIGINT) AS id_num,
+      |  REGEXP_REPLACE(c_name, 'Customer', 'Cust') AS shortname,
+      |  CAST(LENGTH(c_name) AS INT) AS name_len,
+      |  STARTS_WITH(c_name, 'Customer') AS is_cust
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Date/time functions on orders: extract fields, truncate, diff,
+    * day-of-week (DuckDB isodow remapped to Spark's Sunday=1), last
+    * day of month. */
+  def fnDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        trunc(col("o_orderdate"), "month").as("month_start"),
+        datediff(lit("2020-01-01").cast("date"), col("o_orderdate")).as("days_to_2020"),
+        last_day(col("o_orderdate")).as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  val fnDateSql: String =
+    """SELECT o_orderkey,
+      |  CAST(YEAR(o_orderdate) AS INT) AS yr,
+      |  CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+      |  CAST(MONTH(o_orderdate) AS INT) AS mo,
+      |  CAST(DAY(o_orderdate) AS INT) AS dom,
+      |  CAST(ISODOW(o_orderdate) % 7 + 1 AS INT) AS dow,
+      |  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(DATEDIFF('day', o_orderdate, DATE '2020-01-01') AS INT) AS days_to_2020,
+      |  LAST_DAY(o_orderdate) AS month_end
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Math functions on lineitem. abs/sub/mult/div and sqrt are
+    * correctly-rounded IEEE ops (bit-identical across engines); ln and
+    * pow are libm-dependent, hence the round-to-4. */
+  def fnMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - lit(50000.0)).as("absd"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        ceil(col("l_discount") * lit(100)).as("disc_pct_ceil"),
+        floor(col("l_tax") * lit(100)).as("tax_pct_floor"),
+        round(col("l_extendedprice") * lit(0.1), 3).as("tithe"),
+        round(log(col("l_extendedprice")), 4).as("ln_price"),
+        round(pow(col("l_quantity"), lit(2.0)), 4).as("qty_sq"),
+        (col("l_orderkey") % 7).as("key_mod"),
+        signum(col("l_extendedprice") - lit(50000.0)).as("sign_d"),
+        greatest(col("l_quantity"), lit(25.0)).as("qty_floor25"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val fnMathSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  ABS(l_extendedprice - 50000.0) AS absd,
+      |  SQRT(l_extendedprice) AS sqrt_price,
+      |  CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+      |  CAST(FLOOR(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+      |  ROUND(l_extendedprice * 0.1, 3) AS tithe,
+      |  ROUND(LN(l_extendedprice), 4) AS ln_price,
+      |  ROUND(POWER(l_quantity, 2.0), 4) AS qty_sq,
+      |  l_orderkey % 7 AS key_mod,
+      |  CAST(SIGN(l_extendedprice - 50000.0) AS DOUBLE) AS sign_d,
+      |  GREATEST(l_quantity, 25.0) AS qty_floor25
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Array + higher-order functions on documents: tokenize, size,
+    * element access, membership, sort/distinct, slice, lambda filter.
+    * All stay inside codegen (no UDF) — the 100 TB path for per-row
+    * collection work. */
+  def fnArrayMap(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        element_at(toks, 1).as("first_tok"),
+        array_contains(toks, "spark").as("has_spark"),
+        slice(array_sort(array_distinct(toks)), 1, 3).as("first3_uniq"),
+        size(array_distinct(toks)).as("n_uniq"),
+        size(filter(toks, t => t === "the")).as("the_count"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fnArrayMapSql: String =
+    """SELECT doc_id,
+      |  CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  string_split(text, ' ')[1] AS first_tok,
+      |  LIST_CONTAINS(string_split(text, ' '), 'spark') AS has_spark,
+      |  LIST_SORT(LIST_DISTINCT(string_split(text, ' ')))[1:3] AS first3_uniq,
+      |  CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS INT) AS n_uniq,
+      |  CAST(LEN(LIST_FILTER(string_split(text, ' '), t -> t = 'the')) AS INT) AS the_count
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** JSON functions on events.props (the reference's D8 JSON lift,
+    * TemplateApp.scala:62, per-field instead of whole-record): path
+    * extraction, schema-full parse, and re-serialization. */
+  def fnJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_parsed"),
+        to_json(struct(col("event_id"), col("event_type"))).as("as_json"))
+      .orderBy(col("event_id"))
+
+  val fnJsonSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_parsed,
+      |  CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS as_json
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> fnString,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_array_map" -> fnArrayMap,
+    "fn_json" -> fnJson,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "fn_string" -> fnStringSql,
+    "fn_date" -> fnDateSql,
+    "fn_math" -> fnMathSql,
+    "fn_array_map" -> fnArrayMapSql,
+    "fn_json" -> fnJsonSql,
+  )
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, DetSql, Tables}
+
+/** Time-window inventory over the `events` table (SURVEY.md §2B
+  * `stream_*`). The reference has no streaming surface; these are the
+  * north-star extension, expressed as the *batch* forms of the exact
+  * windows Structured Streaming uses — `window()` and
+  * `session_window()` produce the same window assignment in batch and
+  * streaming plans, so the DuckDB oracle checks the streaming
+  * semantics. The readStream → writeStream path with watermarks and
+  * custom state lives in [[graft.streaming.EventStreams]] and is
+  * exercised by MemoryStream tests (no oracle possible there).
+  *
+  * Scale: window+groupBy is a plain hash aggregate keyed by (window,
+  * key) — partial agg map-side, one shuffle of group rows. Session
+  * windows shuffle by user key and merge sorted runs per key.
+  */
+object Streams {
+
+  /** Per-event-type counts and value sums in 1-hour tumbling windows. */
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  val streamTumblingSql: String =
+    s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+       |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS wend,
+       |  event_type, COUNT(*) AS n,
+       |  ${DetSql.dsum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2, 3
+       |ORDER BY wstart, event_type""".stripMargin
+
+  /** 1-hour windows sliding every 15 minutes: each event lands in 4
+    * windows. The oracle reproduces Spark's window set by shifting the
+    * 15-minute bucket k ∈ [0,4) slides back. */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  val streamSlidingSql: String =
+    """SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS wstart,
+      |  time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+      |    + INTERVAL '1 hour' AS wend,
+      |  event_type, COUNT(*) AS n
+      |FROM events CROSS JOIN range(0, 4) t(k)
+      |GROUP BY 1, 2, 3
+      |ORDER BY wstart, event_type""".stripMargin
+
+  /** Session windows per user, 30-minute inactivity gap. Spark's
+    * session semantics: an event extends the session while
+    * ts < prev_ts + gap; the session end is last_ts + gap. The oracle
+    * is the classic gaps-and-islands rewrite with the same >= break. */
+  def streamSession(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sstart"),
+        col("session_window.end").as("send"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("sstart"))
+
+  val streamSessionSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN LAG(ts) OVER w IS NULL
+       |           OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), islands AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |                     ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM flagged
+       |)
+       |SELECT MIN(ts) AS sstart,
+       |  MAX(ts) + INTERVAL '30 minutes' AS send,
+       |  user_id, COUNT(*) AS n_events,
+       |  ${DetSql.dsum("value")} AS sum_value
+       |FROM islands
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, sstart""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling" -> streamTumblingSql,
+    "stream_sliding" -> streamSlidingSql,
+    "stream_session" -> streamSessionSql,
+  )
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import scala.math.BigDecimal.RoundingMode
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** User-defined function surface (SURVEY.md §2B `udf_*`/`udaf_*`/
+  * `udtf_*`): the reference's D6 "any ETL in Scala" hook expressed as
+  * the three extension APIs Spark offers — scalar UDF, typed
+  * Aggregator UDAF, and generator (built-in explode, which is what a
+  * UDTF is in Catalyst).
+  *
+  * Scale note: a Scala UDF is a codegen black box (no pushdown through
+  * it, no vectorization inside it) — built-ins are always preferred
+  * (see Functions); these exist to prove the extension surface. The
+  * Aggregator runs as a partial+final typed aggregate, so it keeps
+  * map-side combine and shuffles one buffer per group per partition.
+  */
+object Udx {
+
+  /** Buffer for [[GeoMean]]: exact decimal sum of per-row ln values +
+    * count. BigDecimal addition is associative, so the merge order
+    * Spark picks (partial aggregates, any partition order) cannot
+    * change the result — the double-summation pitfall Det exists for,
+    * solved the same way inside a custom aggregate. */
+  case class GeoBuf(sumLn: BigDecimal, n: Long)
+
+  /** Typed geometric-mean aggregator: exp(avg(ln(x))). Each ln value
+    * is fixed to scale 18 (HALF_UP) before summing; the finish step
+    * rounds to 4 decimals, absorbing the ≤1-ulp libm difference
+    * between Java's Math.log/exp and DuckDB's libm. */
+  object GeoMean extends Aggregator[Double, GeoBuf, Double] {
+    private val Scale = 18
+    def zero: GeoBuf = GeoBuf(BigDecimal(0).setScale(Scale), 0L)
+    def reduce(b: GeoBuf, x: Double): GeoBuf =
+      GeoBuf(b.sumLn + BigDecimal(math.log(x)).setScale(Scale, RoundingMode.HALF_UP),
+        b.n + 1)
+    def merge(a: GeoBuf, b: GeoBuf): GeoBuf = GeoBuf(a.sumLn + b.sumLn, a.n + b.n)
+    def finish(b: GeoBuf): Double =
+      if (b.n == 0L) 0.0
+      else BigDecimal(math.exp(b.sumLn.toDouble / b.n))
+        .setScale(4, RoundingMode.HALF_UP).toDouble
+    def bufferEncoder: Encoder[GeoBuf] = Encoders.product[GeoBuf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Scalar Scala UDF labelling discount bands, then a group-count on
+    * the label — exercises registration + use inside an aggregation. */
+  def udfScalar(spark: SparkSession, dir: String): DataFrame = {
+    val band = udf((d: Double) =>
+      if (d < 0.03) "low" else if (d < 0.07) "mid" else "high")
+    Tables.lineitem(spark, dir)
+      .select(band(col("l_discount")).as("disc_band"))
+      .groupBy(col("disc_band"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("disc_band"))
+  }
+
+  val udfScalarSql: String =
+    """SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+      |            WHEN l_discount < 0.07 THEN 'mid'
+      |            ELSE 'high' END AS disc_band,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY disc_band""".stripMargin
+
+  /** Typed UDAF: geometric mean of extended price per return flag. */
+  def udafTyped(spark: SparkSession, dir: String): DataFrame = {
+    val geo = udaf(GeoMean, Encoders.scalaDouble)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(geo(col("l_extendedprice")).as("geo_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val udafTypedSql: String =
+    """SELECT l_returnflag,
+      |  ROUND(EXP(CAST(SUM(CAST(LN(l_extendedprice) AS DECIMAL(27,18))) AS DOUBLE)
+      |            / COUNT(l_extendedprice)), 4) AS geo_price,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Generator (UDTF): explode tokenized document text to one row per
+    * token. Catalyst's Generate operator — rows fan out inside the
+    * stage, no shuffle until the final oracle sort. */
+  def udtfGen(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+      .orderBy(col("doc_id"), col("token"))
+
+  val udtfGenSql: String =
+    """SELECT doc_id,
+      |  UNNEST(LIST_FILTER(string_split(text, ' '), t -> t <> '')) AS token
+      |FROM documents
+      |ORDER BY doc_id, token""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "udf_scalar" -> udfScalar,
+    "udaf_typed" -> udafTyped,
+    "udtf_gen" -> udtfGen,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "udf_scalar" -> udfScalarSql,
+    "udaf_typed" -> udafTypedSql,
+    "udtf_gen" -> udtfGenSql,
+  )
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, DetSql, Tables}
+
+/** Window-function inventory (SURVEY.md §2B `win_*`).
+  *
+  * The reference exposes windows only through its latent SparkSQL
+  * surface (TemplateApp.scala:52); these make the capability concrete.
+  * Scale notes: a window shuffles once on its partition key and sorts
+  * within partitions — state per task is bounded by the largest single
+  * key group (customers here, thousands of rows at most), so the same
+  * plan holds on a 1000-executor cluster. Rank predicates and frame
+  * sums never materialize the full partition on the driver.
+  */
+object Windows {
+
+  /** rank / dense_rank / row_number of orders by totalprice within each
+    * customer. One shuffle on o_custkey; WindowExec streams each group. */
+  def winRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        row_number().over(w).as("rn"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val winRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(RANK() OVER w AS INT) AS rk,
+      |  CAST(DENSE_RANK() OVER w AS INT) AS drk,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** lag/lead/first_value + running sum per customer in order-date
+    * order. The running sum runs over exact per-row cents
+    * ([[Det.cents]]) so the sequential accumulation is integer-exact in
+    * both engines regardless of their cumulative-sum algorithm. */
+  def winAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(wo).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(wo).as("next_price"),
+        first(col("o_totalprice")).over(wf).as("first_price"),
+        (sum(Det.cents(col("o_totalprice"))).over(wf)
+          .cast("double") / lit(100.0)).as("run_sum"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val winAnalyticSql: String =
+    s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  LAG(o_totalprice) OVER wo AS prev_price,
+       |  LEAD(o_totalprice) OVER wo AS next_price,
+       |  FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+       |  CAST(CAST(SUM(${DetSql.cents("o_totalprice")}) OVER wf AS BIGINT) AS DOUBLE) / 100.0 AS run_sum
+       |FROM orders
+       |WINDOW
+       |  wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank" -> winRank,
+    "win_analytic" -> winAnalytic,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "win_rank" -> winRankSql,
+    "win_analytic" -> winAnalyticSql,
+  )
+}
