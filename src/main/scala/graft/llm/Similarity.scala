@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Similarity search + multimodal-column operators (SURVEY.md §2B
+  * `llm_sim_search` / `llm_multimodal`).
+  *
+  * Vector math rule: dot products and norms are fixed left-associative
+  * 64-term chains of float→double casts, multiplies and adds — the
+  * same IEEE sequence in Spark and DuckDB, so cosines (and the ranks
+  * derived from them) are bit-identical and safely hashable.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (cost
+  * |Q|·n — fine for a bounded query set). The scale path is the IVF
+  * pattern in [[Dedup.dedupEmbed]]: bucket by a coarse quantizer
+  * (label) and search within the cell, turning n² into Σ cell². An
+  * LSH alternative (random-hyperplane sign bits) is the same plan as
+  * [[Dedup.dedupSimhash]] over vectors.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-5 neighbors for the first 10 vectors.
+    * The per-query candidate stream is a broadcast-able small side
+    * (queries) against the full embedding scan — the planner keeps the
+    * big side unshuffled. */
+  def simSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.withNorm(spark, dir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (Dedup.dotExpr("ea", "eb") / (col("na") * col("nb"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simSearchSql: String =
+    s"""WITH e AS (${Dedup.withNormSql}),
+       |q AS (SELECT vec_id AS query_id, embedding AS ea, nrm AS na
+       |      FROM e WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    (${Dedup.dotSql("q.ea", "c.embedding")}) / (q.na * c.nrm) AS cosine
+       |  FROM q JOIN e c ON q.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, cand_id) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, cand_id, cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Typed multimodal columns: join text docs to their embedding
+    * vectors (vec_id = doc_id), emit vector metadata (dim, L2 norm)
+    * and the unit-normalized vector as array<double> — per-element
+    * IEEE division, order-preserving in both engines. */
+  def multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val e = Dedup.withNorm(spark, dir)
+    d.join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+        size(col("embedding")).as("dim"),
+        col("nrm"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("unit_vec"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalSql: String =
+    s"""WITH e AS (${Dedup.withNormSql})
+       |SELECT doc_id, lang, n_chars, label,
+       |  CAST(LEN(embedding) AS INT) AS dim,
+       |  nrm,
+       |  [CAST(x AS DOUBLE) / nrm FOR x IN embedding] AS unit_vec
+       |FROM documents JOIN e ON doc_id = vec_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Opaque-binary multimodal plumbing: media payload as a binary
+    * column with typed metadata. The corpus has no real media, so the
+    * payload is the UTF-8 text bytes; the *pipeline shape* — binary
+    * column + byte length + content digest + hex head — is what a
+    * decode/feature-extract stage consumes (see
+    * [[graft.llm.MultimodalPipeline]] for the mapPartitions stage with
+    * a stubbed decoder). */
+  def multimodalBinary(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        substring(hex(col("payload")), 1, 16).as("head_hex"))
+      .orderBy(col("doc_id"))
+
+  val multimodalBinarySql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  md5(text) AS digest,
+      |  substr(upper(hex(encode(text))), 1, 16) AS head_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sim_search" -> simSearch,
+    "llm_multimodal" -> multimodal,
+    "llm_multimodal_binary" -> multimodalBinary,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_sim_search" -> simSearchSql,
+    "llm_multimodal" -> multimodalSql,
+    "llm_multimodal_binary" -> multimodalBinarySql,
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Similarity}
+
+/** Semantic invariants of the LLM-pipeline operators beyond the
+  * DuckDB hash gate: dedup ladder consistency, similarity sanity. */
+class LlmSpec extends AnyFunSuite with SparkSpec {
+
+  test("jaccard-verified pairs are a subset of LSH candidates") {
+    val cand = Dedup.dedupFuzzy(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.dedupJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty, "expected planted near-dups")
+    assert(verified.subsetOf(cand))
+  }
+
+  test("near-dup pairs have close simhash fingerprints") {
+    val fp = Dedup.dedupSimhash(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.dedupJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hams = pairs.map { case (a, b) =>
+      java.lang.Long.bitCount(fp(a) ^ fp(b))
+    }
+    // 16-bit fingerprints: near-dup docs should differ in few bits;
+    // random pairs average 8.
+    assert(hams.forall(_ <= 6), s"hamming distances: ${hams.toSeq}")
+  }
+
+  test("exact dedup is idempotent") {
+    val once = Dedup.dedupExact(spark, sfDir)
+    assert(once.groupBy(col("text_hash")).count().where(col("count") > 1).count() == 0)
+  }
+
+  test("sim search: self-similarity excluded, cosine within [-1,1], k respected") {
+    val rows = Similarity.simSearch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, rank, cand, cos) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      assert(q != cand)
+      assert(rank >= 1 && rank <= 5)
+      assert(cos >= -1.0000001 && cos <= 1.0000001)
+    }
+    val perQuery = rows.groupBy(_.getLong(0))
+    assert(perQuery.values.forall(_.length == 5))
+    // ranks ordered by descending cosine within each query
+    perQuery.values.foreach { rs =>
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("approx distinct within 5% of exact") {
+    val approx = graft.operators.Relational.aggApproxDistinct(spark, sfDir)
+      .collect()(0).getLong(0).toDouble
+    val exact = graft.core.Tables.lineitem(spark, sfDir)
+      .select(countDistinct(col("l_partkey"))).collect()(0).getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
