@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Det
+
+/** Structured Streaming pipelines over the event stream (SURVEY.md
+  * §2B streaming rows; north-star extension — the reference has no
+  * streaming surface).
+  *
+  * Design: every transform takes/returns a DataFrame or Dataset, so
+  * the same code binds to `spark.readStream` sources in production and
+  * to `MemoryStream` in tests (StreamingSpec). The window transforms
+  * are the *same* `window()`/`session_window()` expressions whose
+  * batch forms are oracle-checked in [[graft.operators.Streams]] —
+  * batch/stream parity is Spark's own guarantee for these operators.
+  *
+  * Scale: stateful operators key their state by (window, type) or
+  * user — state size is bounded by active keys × window horizon, and
+  * the watermark bounds the horizon. State lives in the executor state
+  * store (RocksDB at production scale), partitioned by key — nothing
+  * driver-side.
+  */
+object EventStreams {
+
+  /** Streamed event record (mirrors the events table columns). */
+  final case class Event(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  /** A completed user session emitted by [[sessionize]]. */
+  final case class SessionOut(
+      user_id: Long,
+      sstart: Timestamp,
+      send: Timestamp,
+      n_events: Long,
+      sum_cents: Long)
+
+  /** Running session state: bounds + counters, money in exact cents. */
+  final case class SessionState(
+      startMs: Long,
+      lastMs: Long,
+      n: Long,
+      cents: Long)
+
+  /** Per-type counts in 1-hour tumbling windows. With a 1-hour
+    * watermark: late events within an hour still land in their window;
+    * older ones are dropped; in append mode a window emits once the
+    * watermark passes its end. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** 1-hour windows sliding every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"))
+
+  /** Built-in session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sstart"),
+        col("session_window.end").as("send"), col("user_id"), col("n_events"))
+
+  /** Stateful exact dedup by event_id, state bounded by the watermark
+    * horizon — the streaming twin of llm_dedup_exact's semantics. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  private val GapMs: Long = 30L * 60 * 1000
+
+  /** Custom sessionization with explicit state:
+    * flatMapGroupsWithState keyed by user, event-time timeout at
+    * last-event + gap. Emits a [[SessionOut]] when the watermark
+    * passes the session's gap boundary (i.e. the session is provably
+    * closed), matching `session_window` semantics: send = last + gap.
+    *
+    * This is the template for arbitrary keyed state machines the
+    * built-in windows can't express (e.g. per-user funnels). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId,
+              new Timestamp(s.startMs), new Timestamp(s.lastMs + GapMs),
+              s.n, s.cents))
+          } else {
+            // Fold the micro-batch into the running session. Events
+            // within a micro-batch are not ordered — take min/max.
+            val evs = batch.toSeq
+            val cents = evs.map(e => math.round(e.value * 100)).sum
+            val lo = evs.map(_.ts.getTime).min
+            val hi = evs.map(_.ts.getTime).max
+            val (emit, next) = state.getOption match {
+              case Some(s) if lo < s.lastMs + GapMs =>
+                // extends the open session (micro-batch granularity:
+                // a batch that touches the session merges into it)
+                (Iterator.empty[SessionOut],
+                  SessionState(math.min(s.startMs, lo), math.max(s.lastMs, hi),
+                    s.n + evs.size, s.cents + cents))
+              case Some(s) =>
+                // gap exceeded within the data itself: emit the old
+                // session now and start a new one
+                (Iterator.single(SessionOut(userId,
+                    new Timestamp(s.startMs), new Timestamp(s.lastMs + GapMs),
+                    s.n, s.cents)),
+                  SessionState(lo, hi, evs.size.toLong, cents))
+              case None =>
+                (Iterator.empty[SessionOut],
+                  SessionState(lo, hi, evs.size.toLong, cents))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastMs + GapMs)
+            emit
+          }
+      }
+  }
+}

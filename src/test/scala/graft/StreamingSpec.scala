@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** MemoryStream-driven tests for the streaming pipelines — watermark
+  * behavior, late-data drop, stateful dedup, and custom sessionization
+  * (none of which the DuckDB oracle can check). Batch/stream parity of
+  * the window transforms is covered by the oracle via the batch twins
+  * in graft.operators.Streams. */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+                 typ: String = "click", v: Double = 1.0): Event =
+    Event(id, ts(minute), user, typ, v)
+
+  /** Run a streaming transform over a MemoryStream in batches,
+    * returning the memory-sink table after all batches. */
+  private def runBatches(name: String, mode: String,
+                         transform: DataFrame => DataFrame,
+                         batches: Seq[Seq[Event]]): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[Event]
+    val q = transform(in.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window append emits only watermark-closed windows and drops late data") {
+    val out = runBatches("tumb", "append", EventStreams.tumblingCounts, Seq(
+      Seq(ev(1, 5), ev(2, 10), ev(3, 70)),     // windows [0h,1h), [1h,2h)
+      Seq(ev(4, 200)),                          // watermark -> 200-60=140min: closes [0h,1h) and [1h,2h)
+      Seq(ev(5, 7)),                            // 129min late: dropped entirely
+      Seq(ev(6, 400))                           // close remaining
+    ))
+    val rows = out.select(col("wstart"), col("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(rows(ts(0)) == 2L, "first-hour window should hold 2 events (late one dropped)")
+    assert(rows(ts(60)) == 1L)
+    assert(rows(ts(180)) == 1L)
+  }
+
+  test("sliding windows assign each event to 4 overlapping windows") {
+    val out = runBatches("slide", "complete", EventStreams.slidingCounts, Seq(
+      Seq(ev(1, 30))))
+    val starts = out.select(col("wstart")).collect().map(_.getTimestamp(0)).sortBy(_.getTime)
+    // event at 00:30 belongs to windows starting -00:30, -00:15, 00:00, 00:15
+    assert(starts.length == 4)
+    assert(starts.last == ts(30))
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per event_id") {
+    val out = runBatches("dedup", "append", EventStreams.dedupWithinWatermark, Seq(
+      Seq(ev(1, 0), ev(1, 0), ev(2, 1)),
+      Seq(ev(1, 2), ev(3, 3))))                 // id 1 again within watermark: dropped
+    val ids = out.select(col("event_id")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("flatMapGroupsWithState sessionize matches session_window semantics") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: events at 0,10min (one session); user 2: at 5min
+      in.addData(Seq(ev(1, 0, user = 1), ev(2, 10, user = 1), ev(3, 5, user = 2)))
+      q.processAllAvailable()
+      // advance event time far enough to time out both sessions
+      // (watermark = max ts - 1h; 40+30=70min session deadline → need > 190min)
+      in.addData(Seq(ev(4, 300, user = 3)))
+      q.processAllAvailable()
+      in.addData(Seq(ev(5, 301, user = 3))) // extra batch so new watermark fires timeouts
+      q.processAllAvailable()
+      val sessions = spark.table("sess")
+        .select(col("user_id"), col("sstart"), col("send"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(sessions.length == 2, s"got ${sessions.toSeq}")
+      assert(sessions(0) == ((1L, ts(0), ts(40), 2L)))   // end = last(10min) + 30min gap
+      assert(sessions(1) == ((2L, ts(5), ts(35), 1L)))
+    } finally q.stop()
+  }
+
+  test("session state splits on in-data gap") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess2").outputMode("append").start()
+    try {
+      in.addData(Seq(ev(1, 0, user = 1)))
+      q.processAllAvailable()
+      in.addData(Seq(ev(2, 100, user = 1))) // 100min later: new session, old emitted
+      q.processAllAvailable()
+      val rows = spark.table("sess2").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Timestamp]("sstart") == ts(0))
+      assert(rows(0).getAs[Timestamp]("send") == ts(30))
+    } finally q.stop()
+  }
+}
