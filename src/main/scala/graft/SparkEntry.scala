@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.compact.CompactQuery
 import graft.llm.{Dedup, Similarity, Text}
 import graft.operators.{Functions, Relational, Streams, Udx, Windows}
 
@@ -15,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Functions.queries ++
       Udx.queries ++ Streams.queries ++
-      Dedup.queries ++ Text.queries ++ Similarity.queries
+      Dedup.queries ++ Text.queries ++ Similarity.queries ++
+      CompactQuery.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Windows.oracleSql ++ Functions.oracleSql ++
       Udx.oracleSql ++ Streams.oracleSql ++
-      Dedup.oracleSql ++ Text.oracleSql ++ Similarity.oracleSql
+      Dedup.oracleSql ++ Text.oracleSql ++ Similarity.oracleSql ++
+      CompactQuery.oracleSql
 }

@@ -1,0 +1,46 @@
+package graft.compact
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, DetSql, Tables}
+
+/** Oracle-checked end-to-end compaction parity (SURVEY.md §2B
+  * `compact_roundtrip`, reference D1→D3→D5): fragment lineitem into
+  * many small files, compact through [[Compactor]], re-read, and
+  * aggregate. The oracle aggregates the *source* table — equality
+  * proves the compacted copy carries exactly the source rows. */
+object CompactQuery {
+
+  def compactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_compact_rt").toString
+    val src = s"$base/src"
+    val tgt = s"$base/tgt"
+    Tables.lineitem(spark, dir).repartition(8)
+      .write.mode("overwrite").parquet(src)
+    val res = Compactor.run(spark, Compactor.Config(
+      sourceFolder = src, targetFolder = tgt,
+      fileCount = 2, tmpFolder = s"$base/tmp"))
+    require(res.ok, s"compaction failed: ${res.log.toTsv}")
+    spark.read.parquet(tgt).agg(
+      count(lit(1)).as("n_rows"),
+      Det.dsum(col("l_quantity")).as("sum_qty"),
+      Det.dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val compactRoundtripSql: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  ${DetSql.dsum("l_quantity")} AS sum_qty,
+       |  ${DetSql.dsum("l_extendedprice")} AS sum_price
+       |FROM lineitem""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compact_roundtrip" -> compactRoundtrip,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "compact_roundtrip" -> compactRoundtripSql,
+  )
+}
