@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (codegen, parquet reader, shuffle paths) so the
+    // first measured query doesn't carry one-time JIT cost.
+    spark.range(1 << 20).groupBy((org.apache.spark.sql.functions.col("id") % 7)
+      .as("k")).count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

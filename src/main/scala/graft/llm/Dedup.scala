@@ -95,17 +95,21 @@ object Dedup {
       |GROUP BY 1
       |ORDER BY text_hash""".stripMargin
 
-  /** MinHash+LSH near-dup candidates: trigram → 8 minhashes → 4 bands
-    * of 2 → bucket self-join on (band, signature) → distinct pairs. */
-  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
-    val bd = bands(signatures(trigrams(spark, dir)))
+  /** Distinct candidate pairs from a bands frame (unordered output —
+    * callers sort). */
+  private def candidatePairs(bd: DataFrame): DataFrame = {
     val a = bd.select(col("doc_id").as("doc_a"), col("b"), col("v"))
     val b = bd.select(col("doc_id").as("doc_b"), col("b").as("b2"), col("v").as("v2"))
     a.join(b, col("b") === col("b2") && col("v") === col("v2") &&
               col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** MinHash+LSH near-dup candidates: trigram → 8 minhashes → 4 bands
+    * of 2 → bucket self-join on (band, signature) → distinct pairs. */
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(bands(signatures(trigrams(spark, dir))))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   val dedupFuzzySql: String =
     s"""WITH tg AS ($trigramsSql),
@@ -120,9 +124,9 @@ object Dedup {
     * verify step of the dedup ladder — never all-pairs). The division
     * is exact-int / exact-int, bit-identical across engines. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val tg = trigrams(spark, dir).cache()
+    val tg = trigrams(spark, dir).cache() // shared by signatures + verify
     val sizes = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = dedupFuzzy(spark, dir)
+    val cand = candidatePairs(bands(signatures(tg)))
     val ga = tg.select(col("doc_id").as("ga_id"), col("g").as("ga_g"))
     val gb = tg.select(col("doc_id").as("gb_id"), col("g").as("gb_g"))
     val inter = cand
