@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Similarity}
+import graft.operators.{Relational, Streams, Windows}
+
+/** Physical-plan shape assertions for the new operator families — the
+  * properties that matter at 100 TB: dimensions broadcast, no
+  * accidental cartesian products, partial aggregation before shuffles,
+  * bounded shuffle counts, whole-stage codegen coverage. */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("join_multiway broadcasts all three dimensions") {
+    val p = plan(Relational.joinMultiway(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("minhash LSH candidate join is an equi-join, not cartesian") {
+    val p = plan(Dedup.dedupFuzzy(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("embedding near-dup join shuffles on the coarse label, not all-pairs") {
+    val p = plan(Dedup.dedupEmbed(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim search broadcasts the bounded query side") {
+    val p = plan(Similarity.simSearch(spark, sfDir))
+    // non-equi top-k probe: nested-loop is expected, but the broadcast
+    // must be the 10-row query side (plan should contain a broadcast)
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("windowed rank shuffles once on the partition key") {
+    val p = plan(Windows.winRank(spark, sfDir))
+    // one exchange for the window partition, one range partition for
+    // the final oracle sort — nothing else
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("groupBy aggregation is partial+final (map-side combine)") {
+    val p = plan(Relational.aggGroupBy(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("tumbling window batch form is a plain hash aggregate") {
+    val p = plan(Streams.streamTumbling(spark, sfDir))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("relational pipelines run inside whole-stage codegen") {
+    for (q <- Seq(
+        Relational.scanFilterProject(spark, sfDir),
+        Relational.aggGroupBy(spark, sfDir),
+        Windows.winAnalytic(spark, sfDir))) {
+      // pre-execution plans hide behind AdaptiveSparkPlan; codegen
+      // explain compiles the stages and names the codegen subtrees
+      val p = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      assert(p.contains("WholeStageCodegen"), p.take(2000))
+    }
+  }
+
+  test("exact dedup aggregates by hash without sorting the corpus") {
+    val p = plan(Dedup.dedupExact(spark, sfDir))
+    assert(p.contains("HashAggregate"), p)
+  }
+}
