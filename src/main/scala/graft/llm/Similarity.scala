@@ -112,14 +112,39 @@ object Similarity {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** [[simSearch]] with the fused native kernel
+    * [[graft.functions.CosineSimilarity]] instead of the
+    * zip_with/aggregate folds: one loop per pair computes dot and both
+    * norms, zero intermediate arrays, whole-stage codegen. Shares
+    * simSearch's oracle — the sequential fold order makes the native,
+    * built-in, and DuckDB cosines bit-identical. */
+  def simSearchNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("eb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(ea, eb)").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_search" -> simSearch,
+    "llm_sim_search_native" -> simSearchNative,
     "llm_multimodal" -> multimodal,
     "llm_multimodal_binary" -> multimodalBinary,
   )
 
   val oracleSql: Map[String, String] = Map(
     "llm_sim_search" -> simSearchSql,
+    "llm_sim_search_native" -> simSearchSql, // same contract, native kernel
     "llm_multimodal" -> multimodalSql,
     "llm_multimodal_binary" -> multimodalBinarySql,
   )

@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarity
+
+/** Session extension point for the engine's native functions —
+  * production registration is declarative:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * after which `graft_cosine(a, b)` resolves in SQL and `expr()` on
+  * every session of that context. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineDescriptor)
+}
+
+object GraftExtensions {
+  private val cosineDescriptor =
+    (new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children.head, children(1)): Expression)
+
+  /** Imperative twin of the declarative config — registers into an
+    * already-built session (idempotent); lets the query registry work
+    * against sessions whose builder didn't set spark.sql.extensions. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(cosineDescriptor._1)) {
+      reg.registerFunction(cosineDescriptor._1, cosineDescriptor._2,
+        cosineDescriptor._3)
+    }
+  }
+}
