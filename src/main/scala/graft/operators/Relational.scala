@@ -56,6 +56,29 @@ object Relational {
       |WHERE l_shipdate < TIMESTAMP '2000-01-01' AND l_quantity > 30.0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Hive-style partition pruning (reference §1.1 partitioned-folder
+    * model): lineitem written partitioned by l_returnflag, then read
+    * with a partition predicate — the scan's PartitionFilters prune to
+    * one directory and never list the others' files (PlanSpec asserts
+    * this). At 100 TB partition pruning is the first and cheapest
+    * cardinality cut — metadata-only, before any IO. */
+  def scanPartitionPruned(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.lineitem(spark, dir)
+      .write.partitionBy("l_returnflag").parquet(s"$root/lineitem")
+    spark.read.parquet(s"$root/lineitem")
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val scanPartitionPrunedSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // ------------------------------------------------- filters / projections
 
   /** Conjunctive/disjunctive predicates, IN, BETWEEN, LIKE, null-safe
@@ -434,6 +457,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_parquet" -> scanParquet,
     "scan_filter_project" -> scanFilterProject,
+    "scan_partition_pruned" -> scanPartitionPruned,
     "filter_pred" -> filterPred,
     "project_expr" -> projectExpr,
     "join_inner_hash" -> joinInnerHash,
@@ -458,6 +482,7 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "scan_parquet" -> scanParquetSql,
     "scan_filter_project" -> scanFilterProjectSql,
+    "scan_partition_pruned" -> scanPartitionPrunedSql,
     "filter_pred" -> filterPredSql,
     "project_expr" -> projectExprSql,
     "join_inner_hash" -> joinInnerHashSql,

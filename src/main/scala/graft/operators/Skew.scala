@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for joins whose key distribution is
+  * pathological (one hot key owning a large fraction of a 100 TB fact
+  * table — the case AQE's skew-join split handles for sort-merge
+  * joins, provided here as an explicit, planner-independent tool).
+  *
+  * Salting pattern: the skewed (big) side gets a uniform salt in
+  * [0, n); the small side is replicated n× with every salt value; the
+  * join key becomes (key, salt), spreading each hot key over n
+  * reducers. Cost: small side inflates n× — use only when the small
+  * side is broadcast-size and the big side's key histogram is skewed.
+  */
+object Skew {
+
+  /** Inner equi-join with an n-way salt on the big side's hot keys. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int): DataFrame = {
+    require(n > 0, "salt fan-out must be positive")
+    // Salt assignment only needs to be uniform-ish, not stable across
+    // runs: derive it from the row's own key plus a per-row nonce.
+    val salted = big.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(n)))
+    val replicated = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(n - 1))))
+    salted.join(replicated,
+        salted(key) === replicated(key) && salted("_salt") === replicated("_salt"))
+      .drop(replicated(key)).drop("_salt")
+  }
+
+  /** Key histogram — the diagnostic used to decide whether to salt:
+    * top-k keys by row count with their share of the table. */
+  def keyHistogram(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    val total = df.count()
+    df.groupBy(key).agg(count(lit(1)).as("rows"))
+      .withColumn("share", col("rows") / lit(total.toDouble))
+      .orderBy(col("rows").desc)
+      .limit(topK)
+  }
+}

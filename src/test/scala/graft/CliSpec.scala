@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.compact.CompactorCli
+
+/** Option-surface parity with the reference's scopt parser
+  * (DefragmentAvroInputParams.scala): required folders, typed
+  * fileCount, flag options, unknown-option rejection. */
+class CliSpec extends AnyFunSuite {
+
+  test("parses the full option set") {
+    val Right((c, local)) = CompactorCli.parse(Array(
+      "--sourceFolder", "/in", "--targetFolder", "/out",
+      "--fileCount", "4", "--overwriteTarget",
+      "--trashFolder", "/trash", "--tmpFolder", "/tmp/x",
+      "--format", "avro", "--externalSchemaFile", "/s.avsc",
+      "--runningLocally")): @unchecked
+    assert(c.sourceFolder == "/in" && c.targetFolder == "/out")
+    assert(c.fileCount == 4 && c.overwriteTarget)
+    assert(c.trashFolder == "/trash" && c.tmpFolder == "/tmp/x")
+    assert(c.format == "avro" && c.schemaFile.contains("/s.avsc"))
+    assert(local)
+  }
+
+  test("rejects missing required folders") {
+    assert(CompactorCli.parse(Array("--targetFolder", "/out"))
+      .left.exists(_.contains("--sourceFolder is required")))
+    assert(CompactorCli.parse(Array("--sourceFolder", "/in"))
+      .left.exists(_.contains("--targetFolder is required")))
+  }
+
+  test("rejects malformed and unknown options") {
+    assert(CompactorCli.parse(Array(
+      "--sourceFolder", "/in", "--targetFolder", "/out",
+      "--fileCount", "zero")).left.exists(_.contains("--fileCount")))
+    assert(CompactorCli.parse(Array(
+      "--sourceFolder", "/in", "--targetFolder", "/out", "--wat"))
+      .left.exists(_.contains("unknown option")))
+    assert(CompactorCli.parse(Array(
+      "--sourceFolder", "/in", "--targetFolder", "/out",
+      "--format", "orc")).left.exists(_.contains("unsupported --format")))
+  }
+
+  test("defaults: dynamic file count, parquet, no overwrite") {
+    val Right((c, local)) = CompactorCli.parse(Array(
+      "--sourceFolder", "/in", "--targetFolder", "/out")): @unchecked
+    assert(c.fileCount == 0 && c.format == "parquet" && !c.overwriteTarget && !local)
+  }
+}

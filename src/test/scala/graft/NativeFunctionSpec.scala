@@ -33,19 +33,22 @@ class NativeFunctionSpec extends AnyFunSuite with SparkSpec {
 
   test("codegen and interpreted paths agree bitwise") {
     import graft.core.Tables
-    val pairs = Tables.embeddings(spark, sfDir).limit(50)
-      .select(col("vec_id"), col("embedding").as("ea"))
-      .crossJoin(Tables.embeddings(spark, sfDir).limit(5)
-        .select(col("embedding").as("eb")))
-    val viaCodegen = pairs.select(expr("graft_cosine(ea, eb)").as("c"))
-      .collect().map(_.getDouble(0))
+    val pairs = Tables.embeddings(spark, sfDir).where(col("vec_id") < 50)
+      .select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .crossJoin(Tables.embeddings(spark, sfDir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("vb"), col("embedding").as("eb")))
+    def run(): Seq[(Long, Long, Long)] =
+      pairs.select(col("va"), col("vb"), expr("graft_cosine(ea, eb)").as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val viaCodegen = run()
     val prev = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
-      val interpreted = pairs.select(expr("graft_cosine(ea, eb)").as("c"))
-        .collect().map(_.getDouble(0))
-      assert(viaCodegen.map(java.lang.Double.doubleToLongBits(_)).toSeq ==
-        interpreted.map(java.lang.Double.doubleToLongBits(_)).toSeq)
+      val interpreted = run()
+      assert(viaCodegen == interpreted)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
