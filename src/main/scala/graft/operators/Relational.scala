@@ -272,6 +272,27 @@ object Relational {
       |) WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  /** [[joinAsof]] on the native sort-merge as-of operator
+    * (org.apache.spark.sql.graft.AsofJoinExec — custom LogicalPlan +
+    * Strategy + SparkPlan): one shuffle per side on the key, one sort,
+    * one streaming merge holding a single retained right row — no
+    * (event × order-history) intermediate, which is what makes as-of
+    * viable against deep per-key history at 100 TB. Same oracle as the
+    * window emulation. */
+  def joinAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    org.apache.spark.sql.graft.AsofJoinApi.join(
+        e, o, Seq("user_id" -> "o_custkey"), "ts", "o_orderdate",
+        rightTieBreakCols = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
   // ----------------------------------------------------------- aggregates
 
   /** Global (grand-total) aggregate: one partial agg per partition, one
@@ -466,6 +487,7 @@ object Relational {
     "join_multiway" -> joinMultiway,
     "join_theta_range" -> joinThetaRange,
     "join_asof" -> joinAsof,
+    "join_asof_native" -> joinAsofNative,
     "agg_global" -> aggGlobal,
     "agg_groupby" -> aggGroupBy,
     "agg_distinct" -> aggDistinct,
@@ -491,6 +513,7 @@ object Relational {
     "join_multiway" -> joinMultiwaySql,
     "join_theta_range" -> joinThetaRangeSql,
     "join_asof" -> joinAsofSql,
+    "join_asof_native" -> joinAsofSql, // same contract, native operator
     "agg_global" -> aggGlobalSql,
     "agg_groupby" -> aggGroupBySql,
     "agg_distinct" -> aggDistinctSql,

@@ -1,0 +1,183 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join: for every left row, the latest right row with
+  * the same key and `rightTime <= leftTime` (left-outer; ties on equal
+  * times resolved by the right-side tie-break columns, largest wins).
+  *
+  * Batch Spark has no as-of operator; the composable emulation
+  * (equi-join on key + time inequality, then `row_number() = 1`,
+  * see graft.operators.Relational.joinAsof) materializes every
+  * (left, right-at-or-before) pair before discarding all but one — at
+  * 100 TB with deep per-key history that intermediate is the dominant
+  * cost. This operator is the ladder's rung (c): a custom LogicalPlan
+  * + SparkStrategy + SparkPlan that sorts both sides once per shuffle
+  * partition and streams them through a single merge pass — no row
+  * explosion, state = one retained right row per key.
+  *
+  * Physical contract: children are hash-clustered on the join keys
+  * (EnsureRequirements inserts the co-partitioned exchanges) and
+  * sorted by (keys, time[, tie-break]); the merge keeps the last right
+  * row whose (key, time) is ≤ the current left row's, which under the
+  * ascending sort is exactly the as-of winner.
+  *
+  * This package sits under org.apache.spark.sql to reach the two
+  * `private[sql]` seams every Spark extension of this kind needs:
+  * Dataset.ofRows (DataFrame from a custom LogicalPlan) and the
+  * classic session internals.
+  */
+case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: AsofJoin → AsofJoinExec (injected via
+  * [[graft.plans.GraftExtensions]]). */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt, tb) =>
+      AsofJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys ++ (rightTime +: rightTieBreak)).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val keyTypes = leftKeys.map(_.dataType)
+    val rWidth = rOut.size
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeEval = BindReferences.bindReference(lTimeExpr, lOut)
+      val rTimeEval = BindReferences.bindReference(rTimeExpr, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val nullRight = new GenericInternalRow(rWidth)
+      val joined = new JoinedRow
+      // downstream consumers (incl. SparkPlan.getByteArrayRdd at the
+      // plan root) require UnsafeRow output
+      val toUnsafe = UnsafeProjection.create(
+        (lOut.map(_.dataType) ++ rOut.map(_.dataType)).toArray)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _          // unconsumed right row
+        private var lastMatch: InternalRow = _      // copy: best right so far
+        private var lastMatchKey: UnsafeRow = _     // copy: its key
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTime = lTimeEval.eval(l)
+          var done = false
+          while (!done) {
+            if (rHead == null) {
+              if (rIter.hasNext) rHead = rIter.next() else done = true
+            }
+            if (rHead != null) {
+              val c = keyOrd.compare(rKeyProj(rHead), lKey)
+              if (c < 0) {
+                rHead = null // right key is behind every remaining left
+              } else if (c > 0) {
+                done = true // right key is ahead; retain for later lefts
+              } else {
+                val rTime = rTimeEval.eval(rHead)
+                if (rTime == null) {
+                  rHead = null // null time can never be an as-of match
+                } else if (lTime != null &&
+                    // TimestampType evaluates to Long micros
+                    rTime.asInstanceOf[Long] <= lTime.asInstanceOf[Long]) {
+                  lastMatch = rHead.copy() // rows are reused buffers
+                  lastMatchKey = lKey.copy()
+                  rHead = null
+                } else {
+                  done = true // too new for this left row, maybe not the next
+                }
+              }
+            }
+          }
+          val matched = lastMatch != null && lastMatchKey != null &&
+            keyOrd.compare(lastMatchKey, lKey) == 0
+          toUnsafe(joined(l, if (matched) lastMatch else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Builder: resolves column names against the analyzed child plans and
+  * lifts the logical node back into a DataFrame. */
+object AsofJoinApi {
+  def join(
+      leftDf: DataFrame, rightDf: DataFrame,
+      keys: Seq[(String, String)],
+      leftTimeCol: String, rightTimeCol: String,
+      rightTieBreakCols: Seq[String]): DataFrame = {
+    val spark = leftDf.sparkSession
+    val lp = leftDf.queryExecution.analyzed
+    val rp = rightDf.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val node = AsofJoin(lp, rp,
+      keys.map(k => attr(lp, k._1)), keys.map(k => attr(rp, k._2)),
+      attr(lp, leftTimeCol), attr(rp, rightTimeCol),
+      rightTieBreakCols.map(attr(rp, _)))
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
+  }
+}

@@ -18,8 +18,10 @@ import graft.functions.CosineSimilarity
   * every session of that context. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -37,6 +39,11 @@ object GraftExtensions {
     if (!reg.functionExists(cosineDescriptor._1)) {
       reg.registerFunction(cosineDescriptor._1, cosineDescriptor._2,
         cosineDescriptor._3)
+    }
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(org.apache.spark.sql.graft.AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        strategies :+ org.apache.spark.sql.graft.AsofJoinStrategy
     }
   }
 }

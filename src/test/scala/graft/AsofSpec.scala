@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Native as-of join operator vs the window emulation: identical
+  * results row-for-row, expected physical plan, and edge cases the
+  * testdata can't produce (empty right side, ties, all-late rows). */
+class AsofSpec extends AnyFunSuite with SparkSpec {
+
+  test("native as-of equals the window emulation on the testdata") {
+    val emulated = Relational.joinAsof(spark, sfDir)
+      .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)).map(_.toString)))
+    val native = Relational.joinAsofNative(spark, sfDir)
+      .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)).map(_.toString)))
+    assert(native.toSeq == emulated.toSeq)
+  }
+
+  test("plans the custom AsofJoinExec, not a join+window") {
+    val df = Relational.joinAsofNative(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec missing:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"), "should not fall back to the window emulation")
+  }
+
+  test("edge cases: no match, exact tie on time, tie-break by second column") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lefts = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // before any right row -> null
+      (2L, 10L, ts("2024-01-01 12:00:00")), // exact tie -> matched, max tiebreak
+      (3L, 10L, ts("2024-01-01 13:00:00")), // later -> still the 12:00 pair
+      (4L, 99L, ts("2024-01-01 13:00:00"))  // key with no right rows -> null
+    ).toDF("id", "k", "t")
+    val rights = Seq(
+      (10L, 100L, ts("2024-01-01 12:00:00")),
+      (10L, 101L, ts("2024-01-01 12:00:00")), // same instant, larger id wins
+      (10L, 102L, ts("2024-01-01 14:00:00")), // future row, never picked here
+      (55L, 103L, ts("2024-01-01 00:00:00"))  // unrelated key
+    ).toDF("rk", "rid", "rt")
+    val out = org.apache.spark.sql.graft.AsofJoinApi.join(
+        lefts, rights, Seq("k" -> "rk"), "t", "rt", Seq("rid"))
+      .select(col("id"), col("rid")).orderBy(col("id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(out.toSeq == Seq(
+      1L -> None, 2L -> Some(101L), 3L -> Some(101L), 4L -> None))
+  }
+
+  test("empty right side leaves every left row unmatched") {
+    import spark.implicits._
+    val lefts = Seq((1L, 5L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "k", "t")
+    val rights = Seq.empty[(Long, Long, Timestamp)].toDF("rk", "rid", "rt")
+    val out = org.apache.spark.sql.graft.AsofJoinApi.join(
+        lefts, rights, Seq("k" -> "rk"), "t", "rt", Seq("rid"))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(4))
+  }
+}
