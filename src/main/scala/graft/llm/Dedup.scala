@@ -247,15 +247,17 @@ object Dedup {
     * coarse quantizer, pairwise only inside a cell. Cost is
     * Σ cell², not n², and the join shuffles on label. */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(spark, dir)
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
     val a = e.select(col("vec_id").as("va"), col("label"),
-      col("embedding").as("ea"), col("nrm").as("na"))
+      col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vb"), col("label").as("label2"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
+      col("embedding").as("eb"))
     val w = Window.partitionBy(col("va")).orderBy(col("cosine").desc, col("vb"))
     a.join(b, col("label") === col("label2") && col("va") =!= col("vb"))
       .select(col("va"), col("vb"), col("label"),
-        (dotExpr("ea", "eb") / (col("na") * col("nb"))).as("cosine"))
+        // fused native kernel — bit-identical to the fold + oracle chain
+        expr("graft_cosine(ea, eb)").as("cosine"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("va").as("vec_id"), col("vb").as("nn_id"), col("label"),
