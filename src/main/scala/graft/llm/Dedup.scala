@@ -48,21 +48,34 @@ object Dedup {
   private val nHashes = 8
   private val nBands = 4 // 2 hashes per band
 
-  /** MinHash signature columns h0..h7: min over trigrams of
-    * md5(seed:gram) — a deterministic permutation family shared with
-    * the oracle (min of uniformly-hashed hex strings ≡ min under a
-    * random permutation of the trigram universe). */
-  private def signatures(tg: DataFrame): DataFrame =
-    tg.groupBy(col("doc_id"))
+  /** MinHash signature columns h0..h7: two md5 digests per trigram,
+    * each split into four independent 8-hex (32-bit) chunks — the min
+    * of a uniformly-hashed hex string over the trigram set ≡ min under
+    * a random permutation of the trigram universe, and 32 bits keeps
+    * chunk-collision probability negligible at realistic shingle-set
+    * sizes. One digest per seed would be 8 md5 evaluations per gram;
+    * chunking needs 2. */
+  private def signatures(tg: DataFrame): DataFrame = {
+    val withDigests = tg.select(col("doc_id"),
+      md5(col("g")).as("m1"),
+      md5(concat(lit("x:"), col("g"))).as("m2"))
+    withDigests.groupBy(col("doc_id"))
       .agg(
-        min(md5(concat(lit("0:"), col("g")))).as("h0"),
-        (1 until nHashes).map(s =>
-          min(md5(concat(lit(s"$s:"), col("g")))).as(s"h$s")): _*)
+        min(substring(col("m1"), 1, 8)).as("h0"),
+        ((1 until 4).map(s =>
+          min(substring(col("m1"), 8 * s + 1, 8)).as(s"h$s")) ++
+          (0 until 4).map(s =>
+            min(substring(col("m2"), 8 * s + 1, 8)).as(s"h${4 + s}"))): _*)
+  }
 
   private val signaturesSql: String = {
-    val mins = (0 until nHashes)
-      .map(s => s"min(md5('$s:' || g)) AS h$s").mkString(", ")
-    s"SELECT doc_id, $mins FROM tg GROUP BY doc_id"
+    val mins = (0 until nHashes).map { s =>
+      val (m, off) = if (s < 4) ("m1", 8 * s + 1) else ("m2", 8 * (s - 4) + 1)
+      s"min(substr($m, $off, 8)) AS h$s"
+    }.mkString(", ")
+    s"""SELECT doc_id, $mins
+       |FROM (SELECT doc_id, md5(g) AS m1, md5('x:' || g) AS m2 FROM tg)
+       |GROUP BY doc_id""".stripMargin
   }
 
   /** (doc_id, band_idx, band_signature) — bands of 2 hashes each. */

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Det
+
+/** Properties of the cross-engine exact-aggregation discipline:
+  * dsum equals the true BigDecimal cent-sum regardless of values or
+  * partitioning, and repeated evaluation is bit-stable (the property
+  * the driver's hash gate depends on). */
+class DetSpec extends AnyFunSuite with SparkSpec {
+
+  private val money: Gen[Double] =
+    Gen.chooseNum(-99999999L, 99999999L).map(_ / 100.0) // exact 2-dp doubles
+
+  test("dsum equals the exact BigDecimal cent-sum for arbitrary 2-dp data") {
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val xs = Gen.nonEmptyListOf(money)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val expected = xs.map(x => BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val got = xs.toDF("v").repartition(5)
+        .agg(Det.dsum(col("v")).as("s")).head.getDouble(0)
+      assert(got == (expected * 100).toLongExact.toDouble / 100.0,
+        s"dsum=$got expected=$expected for n=${xs.size} seed=$seed")
+    }
+  }
+
+  test("dsum is partitioning-invariant bit-for-bit") {
+    import spark.implicits._
+    val xs = (1 to 5000).map(i => ((i * 7919 % 100000) - 50000) / 100.0)
+    val bits = Seq(1, 3, 8, 32).map { n =>
+      java.lang.Double.doubleToLongBits(
+        xs.toDF("v").repartition(n).agg(Det.dsum(col("v"))).head.getDouble(0))
+    }
+    assert(bits.distinct.size == 1, s"partitioning changed the sum: $bits")
+  }
+
+  test("davg is dsum/count exactly") {
+    import spark.implicits._
+    val xs = Seq(1.23, 4.56, 7.89, -2.34)
+    val df = xs.toDF("v")
+    val s = df.agg(Det.dsum(col("v"))).head.getDouble(0)
+    val a = df.agg(Det.davg(col("v"))).head.getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(a) ==
+      java.lang.Double.doubleToLongBits(s / xs.size))
+  }
+
+  test("cents is the exact per-row integer-cent value") {
+    import spark.implicits._
+    val out = Seq(0.01, -0.01, 123.45, 99999.99).toDF("v")
+      .select(Det.cents(col("v")).as("c")).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, -1L, 12345L, 9999999L))
+  }
+}
