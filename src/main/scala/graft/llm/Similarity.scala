@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -135,7 +135,86 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // -------- LSH-bucketed ANN (the third rung: brute force → IVF → LSH)
+
+  /** 8 deterministic random-hyperplane normals (64-dim), generated by
+    * a fixed LCG so the Spark expressions and the oracle SQL embed the
+    * *same literals* — both engines parse e.g. -0.417 to the identical
+    * nearest double, keeping dot signs bit-consistent. */
+  private[llm] val planes: Seq[Seq[Double]] =
+    (0 until 8).map(k => (0 until 64).map(i =>
+      (((k * 131 + i * 7919) % 1999) - 999) / 1000.0))
+
+  private def bucketExpr: Column = {
+    val signs = planes.zipWithIndex.map { case (p, k) =>
+      val dot = aggregate(
+        zip_with(col("embedding"), array(p.map(lit): _*),
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0.0, lit(1 << k)).otherwise(lit(0))
+    }
+    signs.reduce(_ + _)
+  }
+
+  private def bucketSql: String =
+    planes.zipWithIndex.map { case (p, k) =>
+      val dot = p.zipWithIndex
+        .map { case (w, i) => s"CAST(embedding[${i + 1}] AS DOUBLE) * ($w)" }
+        .mkString(" + ")
+      s"(CASE WHEN $dot >= 0.0 THEN ${1 << k} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** ANN via random-hyperplane LSH: bucket every vector by its 8 dot
+    * signs (256 cells), then search only the query's own cell — the
+    * data-independent counterpart of the IVF/label path in
+    * [[Dedup.dedupEmbed]]. Candidate cost is n/256 per query instead
+    * of n; recall is probabilistic (angle-close vectors agree on most
+    * signs), which is the standard ANN trade. */
+  def simSearchLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+        col("bucket"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("eb"),
+      col("bucket").as("bucket2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(q).join(c, col("bucket") === col("bucket2") &&
+        col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("bucket"), col("cand_id"),
+        expr("graft_cosine(ea, eb)").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("bucket"), col("rank"), col("cand_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simSearchLshSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |n AS (${Dedup.withNormSql}),
+       |en AS (SELECT e.vec_id, e.embedding, e.bucket, n.nrm
+       |       FROM e JOIN n ON e.vec_id = n.vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS ea, bucket, nrm AS na
+       |      FROM en WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT q.query_id, q.bucket, c.vec_id AS cand_id,
+       |    (${Dedup.dotSql("q.ea", "c.embedding")}) / (q.na * c.nrm) AS cosine
+       |  FROM q JOIN en c ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, bucket, cand_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, cand_id) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, bucket, rank, cand_id, cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sim_search_lsh" -> simSearchLsh,
     "llm_sim_search" -> simSearch,
     "llm_sim_search_native" -> simSearchNative,
     "llm_multimodal" -> multimodal,
@@ -143,6 +222,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_sim_search_lsh" -> simSearchLshSql,
     "llm_sim_search" -> simSearchSql,
     "llm_sim_search_native" -> simSearchSql, // same contract, native kernel
     "llm_multimodal" -> multimodalSql,
