@@ -169,7 +169,32 @@ object Functions {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Null-semantics functions: NULLIF/COALESCE/null predicates/
+    * null-safe equality over synthesized nulls (no nullable columns in
+    * the testdata, so NULLIF manufactures them). */
+  def fnNull(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"))
+      .select(col("o_orderkey"), col("status_or_null"),
+        coalesce(col("status_or_null"), lit("none")).as("status_filled"),
+        col("status_or_null").isNull.as("was_open"),
+        col("status_or_null").isNotNull.as("was_closed"),
+        (col("status_or_null") <=> lit("F")).as("finished_nullsafe"))
+      .orderBy(col("o_orderkey"))
+
+  val fnNullSql: String =
+    """SELECT o_orderkey,
+      |  NULLIF(o_orderstatus, 'O') AS status_or_null,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), 'none') AS status_filled,
+      |  NULLIF(o_orderstatus, 'O') IS NULL AS was_open,
+      |  NULLIF(o_orderstatus, 'O') IS NOT NULL AS was_closed,
+      |  NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS finished_nullsafe
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_null" -> fnNull,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -178,6 +203,7 @@ object Functions {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fn_null" -> fnNullSql,
     "fn_string" -> fnStringSql,
     "fn_date" -> fnDateSql,
     "fn_math" -> fnMathSql,

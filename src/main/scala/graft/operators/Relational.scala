@@ -372,6 +372,31 @@ object Relational {
     Tables.lineitem(spark, dir)
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_part"))
 
+  /** Exact quantiles of l_quantity (integer-valued, so the linear
+    * interpolation at (n-1)p is exact arithmetic in both engines —
+    * fractional-money quantiles would need the Det treatment). At
+    * 100 TB exact percentile sorts per group; approx_percentile is the
+    * scale path (same shape as agg_approx_distinct). */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val aggPercentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS q50,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** CUBE over mktsegment × nation with grouping id; exercises
     * grouping-sets expansion (one shuffle, expanded grouping keys). */
   def aggRollupCube(spark: SparkSession, dir: String): DataFrame = {
@@ -492,6 +517,7 @@ object Relational {
     "agg_groupby" -> aggGroupBy,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_percentile" -> aggPercentile,
     "agg_rollup_cube" -> aggRollupCube,
     "sort_limit" -> sortLimit,
     "topk_per_group" -> topkPerGroup,
@@ -517,6 +543,7 @@ object Relational {
     "agg_global" -> aggGlobalSql,
     "agg_groupby" -> aggGroupBySql,
     "agg_distinct" -> aggDistinctSql,
+    "agg_percentile" -> aggPercentileSql,
     "agg_rollup_cube" -> aggRollupCubeSql,
     "sort_limit" -> sortLimitSql,
     "topk_per_group" -> topkPerGroupSql,

@@ -94,13 +94,61 @@ object Streams {
        |GROUP BY user_id, sid
        |ORDER BY user_id, sstart""".stripMargin
 
+  /** Funnel analysis: per user, first signup and the first purchase
+    * that follows it within 24h — the sequence-match shape of product
+    * analytics. One shuffle on user_id; conditional aggregation, no
+    * self-join (the join formulation would pay |signups|×|purchases|
+    * per user at scale). */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val perUser = e.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "signup", col("ts"))).as("first_signup"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    perUser.join(purchases,
+        col("user_id") === col("pu") &&
+        col("pts") >= col("first_signup") &&
+        col("pts") <= col("first_signup") + expr("INTERVAL 24 HOURS"),
+        "left_outer")
+      .groupBy(col("user_id"), col("first_signup"))
+      .agg(min(col("pts")).as("first_purchase"))
+      .where(col("first_signup").isNotNull)
+      .select(col("user_id"), col("first_signup"), col("first_purchase"),
+        col("first_purchase").isNotNull.as("converted"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamFunnelSql: String =
+    """SELECT s.user_id, s.first_signup, p.first_purchase,
+      |  p.first_purchase IS NOT NULL AS converted
+      |FROM (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+      |  FROM events GROUP BY user_id) s
+      |LEFT OUTER JOIN (
+      |  SELECT s2.user_id, MIN(e.ts) AS first_purchase
+      |  FROM (
+      |    SELECT user_id,
+      |      MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+      |    FROM events GROUP BY user_id) s2
+      |  JOIN events e
+      |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      |   AND e.ts >= s2.first_signup
+      |   AND e.ts <= s2.first_signup + INTERVAL 24 HOURS
+      |  GROUP BY s2.user_id) p
+      |ON s.user_id = p.user_id
+      |WHERE s.first_signup IS NOT NULL
+      |ORDER BY s.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_funnel" -> streamFunnel,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_funnel" -> streamFunnelSql,
     "stream_tumbling" -> streamTumblingSql,
     "stream_sliding" -> streamSlidingSql,
     "stream_session" -> streamSessionSql,

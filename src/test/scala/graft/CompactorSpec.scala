@@ -206,6 +206,31 @@ class CompactorSpec extends AnyFunSuite with SparkSpec {
     assert(recs.count(_._3 == null) == 2) // v1 rows carry the default
   }
 
+  test("avro ingestion lifts to an inferred DataFrame (TemplateApp parity)") {
+    // the reference's template route (TemplateApp.scala:54-64):
+    // AvroKeyInputFormat RDD → datum().toString JSON → read.json inference
+    import org.apache.avro.mapreduce.{AvroKeyInputFormat => AKIF}
+    import org.apache.avro.mapred.{AvroKey => AK}
+    import org.apache.hadoop.io.NullWritable
+    import spark.implicits._
+    val base = tmpBase()
+    writeAvro(s"$base/src/part-0.avro", avroV1, Seq((1L, "a", None), (2L, "b", None)))
+    writeAvro(s"$base/src/part-1.avro", avroV1, Seq((3L, "c", None)))
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(conf)
+    org.apache.hadoop.mapreduce.lib.input.FileInputFormat
+      .setInputPaths(job, s"$base/src")
+    val rdd = spark.sparkContext.newAPIHadoopRDD(job.getConfiguration,
+      classOf[AKIF[GenericRecord]], classOf[AK[GenericRecord]],
+      classOf[NullWritable])
+    val json = rdd.map(_._1.datum().toString)
+    val df = spark.read.json(spark.createDataset(json))
+    assert(df.count() == 3)
+    assert(df.columns.toSet == Set("id", "name"))
+    assert(df.agg(sum(col("id"))).head.getLong(0) == 6L)
+  }
+
   test("multiset preserved for arbitrary file counts (property)") {
     val base0 = tmpBase()
     sampleDf(240).repartition(4).write.parquet(s"$base0/src0")
