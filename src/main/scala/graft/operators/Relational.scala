@@ -421,6 +421,81 @@ object Relational {
        |GROUP BY CUBE (c_mktsegment, n_name)
        |ORDER BY gid, c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Pivot: order counts per status × priority. Explicit pivot values
+    * keep the plan a single pass (no distinct-values pre-query) —
+    * mandatory at scale. Spark leaves absent cells null; coalesce to 0
+    * to match the oracle's FILTER counts. */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+    p.select(col("o_orderstatus") +:
+        priorities.map(c => coalesce(col(s"`$c`"), lit(0L)).as(c)): _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val aggPivotSql: String = {
+    val cols = priorities.map(p =>
+      s"""COUNT(*) FILTER (WHERE o_orderpriority = '$p') AS "$p"""")
+      .mkString(",\n  ")
+    s"""SELECT o_orderstatus,
+       |  $cols
+       |FROM orders
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+  }
+
+  /** Unpivot (melt): lineitem's three rate columns stacked to
+    * (metric, value) rows — pure row expansion inside the stage, no
+    * shuffle until the oracle sort. */
+  def aggUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  val aggUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  /** The reference's latent full-SQL surface (D10, TemplateApp's
+    * SQLContext) exercised end-to-end: temp views + a CTE + a
+    * correlated scalar subquery, planned by Catalyst's decorrelation
+    * into a join. */
+  def sqlCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """WITH rich AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer_v
+        |  WHERE c_acctbal > 1000.0)
+        |SELECT c_custkey, c_name,
+        |  (SELECT MAX(o_totalprice) FROM orders_v o
+        |   WHERE o.o_custkey = rich.c_custkey) AS max_order
+        |FROM rich
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val sqlCorrelatedSql: String =
+    """WITH rich AS (
+      |  SELECT c_custkey, c_name, c_acctbal FROM customer
+      |  WHERE c_acctbal > 1000.0)
+      |SELECT c_custkey, c_name,
+      |  (SELECT MAX(o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = rich.c_custkey) AS max_order
+      |FROM rich
+      |ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------------------------- sorts / top-k
 
   /** Global top-10: planner uses TakeOrderedAndProject — per-partition
@@ -519,6 +594,9 @@ object Relational {
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_percentile" -> aggPercentile,
     "agg_rollup_cube" -> aggRollupCube,
+    "agg_pivot" -> aggPivot,
+    "agg_unpivot" -> aggUnpivot,
+    "sql_correlated" -> sqlCorrelated,
     "sort_limit" -> sortLimit,
     "topk_per_group" -> topkPerGroup,
     "set_union" -> setUnion,
@@ -545,6 +623,9 @@ object Relational {
     "agg_distinct" -> aggDistinctSql,
     "agg_percentile" -> aggPercentileSql,
     "agg_rollup_cube" -> aggRollupCubeSql,
+    "agg_pivot" -> aggPivotSql,
+    "agg_unpivot" -> aggUnpivotSql,
+    "sql_correlated" -> sqlCorrelatedSql,
     "sort_limit" -> sortLimitSql,
     "topk_per_group" -> topkPerGroupSql,
     "set_union" -> setUnionSql,
