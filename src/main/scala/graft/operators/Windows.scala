@@ -72,13 +72,56 @@ object Windows {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Time-series gap filling: daily revenue joined onto a complete
+    * calendar spine (sequence/explode — no driver-side date loop),
+    * zero-fill plus a forward-fill via last(ignoreNulls) over an
+    * ordered frame. The global window is safe here because the spine
+    * is one row per day — at scale the same pattern partitions by
+    * entity (per-key spines), keeping windows bounded. */
+  def tsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("revenue"))
+    val spine = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val wf = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("day"), "left_outer")
+      .select(col("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        last(col("revenue"), ignoreNulls = true).over(wf).as("revenue_ffill"))
+      .orderBy(col("day"))
+  }
+
+  val tsGapfillSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+       |    ${DetSql.dsum("o_totalprice")} AS revenue
+       |  FROM orders GROUP BY 1),
+       |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+       |spine AS (
+       |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM bounds)
+       |SELECT s.day,
+       |  COALESCE(d.n, 0) AS n_orders,
+       |  COALESCE(d.revenue, 0.0) AS revenue,
+       |  LAST_VALUE(d.revenue IGNORE NULLS) OVER (ORDER BY s.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_ffill
+       |FROM spine s LEFT OUTER JOIN daily d ON s.day = d.day
+       |ORDER BY s.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
+    "ts_gapfill" -> tsGapfill,
   )
 
   val oracleSql: Map[String, String] = Map(
     "win_rank" -> winRankSql,
     "win_analytic" -> winAnalyticSql,
+    "ts_gapfill" -> tsGapfillSql,
   )
 }
