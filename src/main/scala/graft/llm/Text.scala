@@ -160,7 +160,82 @@ object Text {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  private val ChunkSize = 50
+
+  /** Document chunking — the unit-of-training-data operator: split
+    * each document into fixed-token-count chunks, one output row per
+    * chunk. Pure per-row array algebra (sequence → explode → dynamic
+    * slice), so it scales as a projection + generator with no shuffle
+    * until the sink. */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), greatest(
+          ceil(size(col("t")) / lit(ChunkSize.toDouble)).cast("int") - 1,
+          lit(0)))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("t"), col("chunk_id") * ChunkSize + 1,
+          lit(ChunkSize)), " ").as("chunk_text"),
+        size(slice(col("t"), col("chunk_id") * ChunkSize + 1,
+          lit(ChunkSize))).as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val chunkSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    LIST_FILTER(string_split(lower(text), ' '), t -> t <> '') AS t
+       |  FROM documents)
+       |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       |  array_to_string(t[k*$ChunkSize+1 : (k+1)*$ChunkSize], ' ') AS chunk_text,
+       |  CAST(len(t[k*$ChunkSize+1 : (k+1)*$ChunkSize]) AS INT) AS chunk_tokens
+       |FROM toks,
+       |  unnest(range(0, greatest(CAST(ceil(len(t) / $ChunkSize.0) AS BIGINT), 1))) AS u(k)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** PII redaction: scrub emails and phone-shaped digits. The corpus
+    * has none, so a deterministic contact header is prepended first —
+    * the query shows detection counts and the scrubbed text. Simple
+    * ASCII regexes chosen to mean the same thing in Java regex (Spark)
+    * and RE2 (DuckDB). */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("contact: user"), col("doc_id"), lit("@example.com phone 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" "),
+      col("text"))
+    // escape-free patterns: identical bytes survive Spark SQL string
+    // parsing, Scala strings, and DuckDB SQL strings
+    val emailPat = "[a-z0-9.]+@[a-z0-9.]+"
+    val phonePat = "[0-9]{3}-[0-9]{4}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(raw, '$emailPat', 0)")).as("n_emails"),
+        size(expr(s"regexp_extract_all(raw, '$phonePat', 0)")).as("n_phones"),
+        substring(
+          regexp_replace(regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>"), 1, 80).as("redacted_head"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    'contact: user' || doc_id || '@example.com phone 555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+      |  substr(regexp_replace(regexp_replace(raw,
+      |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), 1, 80) AS redacted_head
+      |FROM raw
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_chunk" -> chunk,
+    "llm_pii_redact" -> piiRedact,
     "llm_text_stats" -> textStats,
     "llm_lang_id" -> langId,
     "llm_quality_score" -> qualityScore,
@@ -169,6 +244,8 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_chunk" -> chunkSql,
+    "llm_pii_redact" -> piiRedactSql,
     "llm_text_stats" -> textStatsSql,
     "llm_lang_id" -> langIdSql,
     "llm_quality_score" -> qualityScoreSql,
