@@ -51,6 +51,33 @@ case class AsofJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: column pruning through [[AsofJoin]]. Catalyst's
+  * ColumnPruning only understands built-in nodes, so without this a
+  * custom operator silently defeats one of the most valuable scan
+  * optimizations — every column of both inputs would be read and
+  * shuffled even if the query selects two of them. When a Project
+  * above an AsofJoin uses a strict subset of its output, push Projects
+  * onto both children keeping only the referenced columns plus the
+  * operator's own keys/time/tie-break inputs; the pruned projection
+  * then reaches the parquet scan (ReadSchema — asserted in PlanSpec). */
+object PruneAsofJoinColumns
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, aj @ AsofJoin(l, r, lk, rk, lt, rt, tb))
+        if (aj.outputSet -- p.references).nonEmpty =>
+      val needed = p.references
+      val lKeep = l.output.filter(a => needed.contains(a) ||
+        (lk :+ lt).exists(_.references.contains(a)))
+      val rKeep = r.output.filter(a => needed.contains(a) ||
+        (rk ++ (rt +: tb)).exists(_.references.contains(a)))
+      if (lKeep.size == l.output.size && rKeep.size == r.output.size) p
+      else p.copy(child = aj.copy(
+        left = Project(lKeep, l), right = Project(rKeep, r)))
+  }
+}
+
 /** Planner rule: AsofJoin → AsofJoinExec (injected via
   * [[graft.plans.GraftExtensions]]). */
 object AsofJoinStrategy extends SparkStrategy {

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.PruneAsofJoinColumns)
   }
 }
 
@@ -44,6 +45,11 @@ object GraftExtensions {
     if (!strategies.contains(org.apache.spark.sql.graft.AsofJoinStrategy)) {
       spark.experimental.extraStrategies =
         strategies :+ org.apache.spark.sql.graft.AsofJoinStrategy
+    }
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.contains(org.apache.spark.sql.graft.PruneAsofJoinColumns)) {
+      spark.experimental.extraOptimizations =
+        rules :+ org.apache.spark.sql.graft.PruneAsofJoinColumns
     }
   }
 }

@@ -52,6 +52,21 @@ class AsofSpec extends AnyFunSuite with SparkSpec {
       1L -> None, 2L -> Some(101L), 3L -> Some(101L), 4L -> None))
   }
 
+  test("column pruning pushes through the custom node to the scan") {
+    import graft.core.Tables
+    // unprojected inputs: without PruneAsofJoinColumns the orders scan
+    // would read all six columns
+    val out = org.apache.spark.sql.graft.AsofJoinApi.join(
+        Tables.events(spark, sfDir), Tables.orders(spark, sfDir),
+        Seq("user_id" -> "o_custkey"), "ts", "o_orderdate", Seq("o_orderkey"))
+      .select(col("event_id"), col("o_orderkey"))
+    val scans = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(!scans.contains("o_totalprice") && !scans.contains("o_orderstatus"),
+      s"orders scan not pruned:\n$scans")
+    assert(out.count() > 0)
+  }
+
   test("empty right side leaves every left row unmatched") {
     import spark.implicits._
     val lefts = Seq((1L, 5L, Timestamp.valueOf("2024-01-01 10:00:00")))
