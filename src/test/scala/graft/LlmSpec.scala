@@ -55,6 +55,33 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("chunks reconstruct the original token stream") {
+    import org.apache.spark.sql.Row
+    val toks = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat_ws(" ", filter(split(lower(col("text")), " "), t => t =!= ""))
+          .as("joined"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rebuilt = graft.llm.Text.chunk(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows: Array[Row]) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getString(2)).mkString(" ")
+      }
+    assert(rebuilt == toks)
+  }
+
+  test("pii redaction removes every planted email and phone") {
+    val rows = graft.llm.Text.piiRedact(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 1 && r.getInt(2) == 1,
+        s"expected 1 planted email+phone: $r")
+      val head = r.getString(3)
+      assert(head.contains("<EMAIL>") && head.contains("<PHONE>"))
+      assert(!head.contains("@"))
+    }
+  }
+
   test("approx distinct within 5% of exact") {
     val approx = graft.operators.Relational.aggApproxDistinct(spark, sfDir)
       .collect()(0).getLong(0).toDouble

@@ -52,6 +52,18 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("orc round-trip preserves rows and types") {
+    val base = tmp()
+    val src = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    src.write.orc(s"$base/li_orc")
+    val back = spark.read.orc(s"$base/li_orc")
+    assert(back.schema == src.schema)
+    val a = src.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    val b = back.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("partitioned scan prunes to the selected partition") {
     val df = Relational.scanPartitionPruned(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
