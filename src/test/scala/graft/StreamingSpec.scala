@@ -99,6 +99,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch maintains a keyed upsert table across micro-batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val state = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val in = MemoryStream[Event]
+    val q = in.toDF()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the upsert sink pattern: each micro-batch merges changed keys
+        batch.collect().foreach(r => state.put(r.getString(0), r.getLong(1)))
+        ()
+      }
+      .start()
+    try {
+      in.addData(Seq(ev(1, 0, typ = "a"), ev(2, 1, typ = "b")))
+      q.processAllAvailable()
+      in.addData(Seq(ev(3, 2, typ = "a")))
+      q.processAllAvailable()
+      assert(state.get("a") == 2L && state.get("b") == 1L)
+    } finally q.stop()
+  }
+
+  test("observe() exposes per-batch data-quality metrics") {
+    import spark.implicits._
+    val observed = graft.core.Tables.lineitem(spark, sfDir)
+      .observe("dq", count(lit(1)).as("rows"),
+        sum(when(col("l_quantity") <= 0, 1).otherwise(0)).as("nonpositive_qty"))
+    observed.collect()
+    val metrics = observed.queryExecution.observedMetrics("dq")
+    assert(metrics.getAs[Long]("rows") > 0)
+    assert(metrics.getAs[Long]("nonpositive_qty") == 0L)
+  }
+
   test("session state splits on in-data gap") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext =
