@@ -119,9 +119,13 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup candidates: trigram → 8 minhashes → 4 bands
-    * of 2 → bucket self-join on (band, signature) → distinct pairs. */
+    * of 2 → bucket self-join on (band, signature) → distinct pairs.
+    * The bands frame is cached: a DataFrame self-join re-executes its
+    * subplan per side (no common-subplan reuse in Catalyst), and the
+    * subplan here is the whole shingle+signature pipeline — caching
+    * the tiny (4 rows/doc) band table halves the query. */
   def dedupFuzzy(spark: SparkSession, dir: String): DataFrame =
-    candidatePairs(bands(signatures(trigrams(spark, dir))))
+    candidatePairs(bands(signatures(trigrams(spark, dir))).cache())
       .orderBy(col("doc_a"), col("doc_b"))
 
   val dedupFuzzySql: String =
@@ -139,7 +143,7 @@ object Dedup {
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     val tg = trigrams(spark, dir).cache() // shared by signatures + verify
     val sizes = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = candidatePairs(bands(signatures(tg)))
+    val cand = candidatePairs(bands(signatures(tg)).cache())
     val ga = tg.select(col("doc_id").as("ga_id"), col("g").as("ga_g"))
     val gb = tg.select(col("doc_id").as("gb_id"), col("g").as("gb_g"))
     val inter = cand
