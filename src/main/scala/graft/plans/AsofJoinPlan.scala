@@ -146,13 +146,19 @@ case class AsofJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lTime = lTimeEval.eval(l)
-          var done = false
+          // SQL equi-join semantics: a null key matches nothing
+          var done = lKey.anyNull
           while (!done) {
             if (rHead == null) {
               if (rIter.hasNext) rHead = rIter.next() else done = true
             }
             if (rHead != null) {
-              val c = keyOrd.compare(rKeyProj(rHead), lKey)
+              val rKey = rKeyProj(rHead)
+              if (rKey.anyNull) {
+                // null-keyed right rows (sorted first) can never match
+                rHead = null
+              } else {
+              val c = keyOrd.compare(rKey, lKey)
               if (c < 0) {
                 rHead = null // right key is behind every remaining left
               } else if (c > 0) {
@@ -170,6 +176,7 @@ case class AsofJoinExec(
                 } else {
                   done = true // too new for this left row, maybe not the next
                 }
+              }
               }
             }
           }

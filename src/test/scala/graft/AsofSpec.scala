@@ -67,6 +67,24 @@ class AsofSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("null keys never match (SQL equi-join semantics)") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lefts = Seq(
+      (1L, Some(10L), ts("2024-01-01 13:00:00")),
+      (2L, None, ts("2024-01-01 13:00:00")) // null key -> unmatched
+    ).toDF("id", "k", "t")
+    val rights = Seq(
+      (Some(10L), 100L, ts("2024-01-01 12:00:00")),
+      (Option.empty[Long], 101L, ts("2024-01-01 12:00:00")) // never matches
+    ).toDF("rk", "rid", "rt")
+    val out = org.apache.spark.sql.graft.AsofJoinApi.join(
+        lefts, rights, Seq("k" -> "rk"), "t", "rt", Seq("rid"))
+      .select(col("id"), col("rid")).orderBy(col("id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(out.toSeq == Seq(1L -> Some(100L), 2L -> None))
+  }
+
   test("empty right side leaves every left row unmatched") {
     import spark.implicits._
     val lefts = Seq((1L, 5L, Timestamp.valueOf("2024-01-01 10:00:00")))
