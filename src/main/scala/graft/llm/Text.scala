@@ -233,7 +233,58 @@ object Text {
       |FROM raw
       |ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination — the pretraining-hygiene operator:
+    * flag training documents whose word-8-gram sets overlap a held-out
+    * set (here: source='src0' stands in for the benchmark corpus).
+    * Distinct 8-grams per doc, semi-join against the benchmark gram
+    * set, containment = matched/total. One gram-keyed shuffle; 8-grams
+    * are rare enough that the join stays sparse at corpus scale (the
+    * same reason real pipelines use 8–13-grams). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, greatest(size(t)-8, 0)),
+          |  i -> array_join(slice(t, i+1, 8), ' '))""".stripMargin)).as("g"))
+      .where(length(col("g")) > 0)
+      .distinct()
+    val bench = grams.where(col("source") === "src0").select(col("g").as("bg")).distinct()
+    val cand = grams.where(col("source") =!= "src0")
+    val totals = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val matched = cand.join(bench, col("g") === col("bg"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    totals.join(matched, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("containment", col("n_matched") / col("n_grams"))
+      .withColumn("contaminated", col("containment") >= 0.1)
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH grams AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    unnest([array_to_string(t[i+1 : i+8], ' ')
+      |            for i in range(0, greatest(len(t)-7, 1))]) AS g
+      |  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t
+      |        FROM documents)),
+      |grams2 AS (SELECT * FROM grams WHERE length(g) > 0),
+      |bench AS (SELECT DISTINCT g FROM grams2 WHERE source = 'src0'),
+      |cand AS (SELECT doc_id, g FROM grams2 WHERE source <> 'src0'),
+      |totals AS (SELECT doc_id, count(*) AS n_grams FROM cand GROUP BY doc_id),
+      |matched AS (
+      |  SELECT doc_id, count(*) AS n_matched FROM cand
+      |  WHERE EXISTS (SELECT 1 FROM bench WHERE bench.g = cand.g)
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_grams,
+      |  COALESCE(m.n_matched, 0) AS n_matched,
+      |  COALESCE(m.n_matched, 0) / t.n_grams AS containment,
+      |  COALESCE(m.n_matched, 0) / t.n_grams >= 0.1 AS contaminated
+      |FROM totals t LEFT OUTER JOIN matched m ON t.doc_id = m.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_decontaminate" -> decontaminate,
     "llm_chunk" -> chunk,
     "llm_pii_redact" -> piiRedact,
     "llm_text_stats" -> textStats,
@@ -244,6 +295,7 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_decontaminate" -> decontaminateSql,
     "llm_chunk" -> chunkSql,
     "llm_pii_redact" -> piiRedactSql,
     "llm_text_stats" -> textStatsSql,
