@@ -188,7 +188,12 @@ object Dedup {
     * oracle. At scale: one explode + one groupBy shuffle keyed by doc;
     * near-dup pairs then band on fingerprint nibbles (pigeonhole for
     * hamming ≤ 3), never all-pairs. */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFingerprints(spark, dir).orderBy(col("doc_id"))
+
+  /** Unordered (doc_id, simhash) fingerprint frame — shared by the
+    * fingerprint dump and the nearest-neighbor query. */
+  private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
@@ -205,7 +210,65 @@ object Dedup {
       .map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
     bitSums.select(col("doc_id"), fp.cast("long").as("simhash"))
+  }
+
+  /** Nearest simhash neighbor per doc: candidates from two byte-wide
+    * bands (pigeonhole: hamming ≤ 1 guarantees a shared byte; wider
+    * recall is probabilistic), ranked by hamming distance. Band width
+    * is the bucket-occupancy knob: nibble bands (16 buckets) melt into
+    * ~n²/16 candidate pairs on a redundant corpus, byte bands (256)
+    * keep buckets sparse. Rank-limited rather than thresholded — this
+    * corpus's token sets overlap so heavily that a hamming cutoff
+    * returns thousands of pairs; per-doc top-1 stays bounded at scale
+    * regardless of redundancy. */
+  def dedupSimhashNn(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhashFingerprints(spark, dir).cache() // self-join reuse
+    def bands(idCol: String, fpCol: String) =
+      fp.select(col("doc_id").as(idCol), col("simhash").as(fpCol),
+        explode(array((0 until 2).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*))
+          .as("band"))
+        .select(col(idCol), col(fpCol), col("band.b").as(s"b_$idCol"),
+          col("band.v").as(s"v_$idCol"))
+    val a = bands("doc_a", "fp_a")
+    val b = bands("doc_b", "fp_b")
+    val w = Window.partitionBy(col("doc_a"))
+      .orderBy(col("hamming"), col("doc_b"))
+    a.join(b, col("b_doc_a") === col("b_doc_b") &&
+              col("v_doc_a") === col("v_doc_b") &&
+              col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("nn_id"), col("hamming"))
       .orderBy(col("doc_id"))
+  }
+
+  lazy val dedupSimhashNnSql: String = {
+    val inner = dedupSimhashSql.linesIterator.toSeq
+      .dropRight(1) // strip the trailing ORDER BY of the fingerprint query
+      .mkString("\n")
+    s"""WITH fp AS (
+       |$inner
+       |),
+       |bands AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS v
+       |  FROM fp, unnest([0,1]) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.v = b.v AND a.doc_id <> b.doc_id),
+       |ranked AS (
+       |  SELECT doc_a, doc_b, hamming,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY hamming, doc_b) AS rn
+       |  FROM cand)
+       |SELECT doc_a AS doc_id, doc_b AS nn_id, hamming
+       |FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
   }
 
   val dedupSimhashSql: String = {
@@ -302,6 +365,7 @@ object Dedup {
     "llm_dedup_fuzzy" -> dedupFuzzy,
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_simhash" -> dedupSimhash,
+    "llm_dedup_simhash_nn" -> dedupSimhashNn,
     "llm_dedup_embed" -> dedupEmbed,
   )
 
@@ -310,6 +374,7 @@ object Dedup {
     "llm_dedup_fuzzy" -> dedupFuzzySql,
     "llm_dedup_jaccard" -> dedupJaccardSql,
     "llm_dedup_simhash" -> dedupSimhashSql,
+    "llm_dedup_simhash_nn" -> dedupSimhashNnSql,
     "llm_dedup_embed" -> dedupEmbedSql,
   )
 }
