@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.GenericRecord
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.mapreduce.Job
+import org.apache.hadoop.mapreduce.lib.input.FileInputFormat
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** DataFrame-level Avro source over the reference's Hadoop-RDD route
+  * (DefragmentAvroFolder.scala:267-271) — the spark-avro datasource is
+  * not shipped in this environment, so this bridges
+  * `AvroKeyInputFormat` into Catalyst: Avro schema → StructType, each
+  * GenericRecord → Row, `spark.createDataFrame` on top. With an
+  * explicit reader schema it is also the schema-evolution reader the
+  * reference built the compactor for (old files surface under the new
+  * schema, missing fields null).
+  *
+  * Conversion happens inside the scan task, record by record, before
+  * anything could serialize or cache the Avro objects — which are
+  * container-reused by the record reader and not Java-serializable
+  * (the reference needed Kryo for exactly this, M15).
+  *
+  * Supported type lattice: primitives, string/enum, bytes/fixed,
+  * union-with-null (→ nullable), record (→ struct), array, map.
+  */
+object AvroSource {
+
+  /** Avro schema → Catalyst type. */
+  def toCatalyst(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.LONG => LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.STRING | Schema.Type.ENUM => StringType
+    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.NULL => NullType
+    case Schema.Type.RECORD =>
+      StructType(s.getFields.asScala.toSeq.map(f =>
+        StructField(f.name(), toCatalyst(f.schema()),
+          nullable = isNullable(f.schema()))))
+    case Schema.Type.ARRAY =>
+      ArrayType(toCatalyst(nonNull(s.getElementType)),
+        containsNull = isNullable(s.getElementType))
+    case Schema.Type.MAP =>
+      MapType(StringType, toCatalyst(nonNull(s.getValueType)),
+        valueContainsNull = isNullable(s.getValueType))
+    case Schema.Type.UNION => toCatalyst(nonNull(s))
+  }
+
+  private def isNullable(s: Schema): Boolean =
+    s.getType == Schema.Type.UNION &&
+      s.getTypes.asScala.exists(_.getType == Schema.Type.NULL)
+
+  /** The non-null branch of a union (only unions of [null, X] and
+    * plain types are supported — the lattice the reference's data
+    * model needs). */
+  private def nonNull(s: Schema): Schema =
+    if (s.getType != Schema.Type.UNION) s
+    else {
+      val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(branches.size == 1,
+        s"unsupported union with ${branches.size} non-null branches: $s")
+      branches.head
+    }
+
+  /** Avro datum → Row-compatible value (deep-copies strings/bytes so
+    * nothing aliases the reader's reused container). */
+  def toValue(v: Any, s: Schema): Any = v match {
+    case null => null
+    case _ => nonNull(s).getType match {
+      case Schema.Type.STRING | Schema.Type.ENUM => v.toString
+      case Schema.Type.BYTES =>
+        val bb = v.asInstanceOf[ByteBuffer]
+        val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+      case Schema.Type.FIXED =>
+        v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes().clone()
+      case Schema.Type.RECORD =>
+        val rs = nonNull(s)
+        val rec = v.asInstanceOf[GenericRecord]
+        Row.fromSeq(rs.getFields.asScala.toSeq.map(f =>
+          toValue(rec.get(f.pos()), f.schema())))
+      case Schema.Type.ARRAY =>
+        val es = nonNull(s).getElementType
+        v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq
+          .map(toValue(_, es))
+      case Schema.Type.MAP =>
+        val vs = nonNull(s).getValueType
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
+          case (k, x) => k.toString -> toValue(x, vs)
+        }.toMap
+      case _ => v // primitives pass through
+    }
+  }
+
+  /** Read an Avro folder as a DataFrame; `readerSchema` projects every
+    * file onto one schema (schema evolution), None uses each file's
+    * writer schema for decoding but requires them equal for the frame. */
+  def read(spark: SparkSession, dir: String,
+           readerSchema: Option[Schema] = None): DataFrame = {
+    val resolved = readerSchema.getOrElse {
+      val fsOps = new graft.compact.FsOps(spark.sparkContext.hadoopConfiguration)
+      val latest = fsOps.listDataFiles(dir, ".avro")
+        .maxBy(_.getModificationTime).getPath
+      val in = new org.apache.avro.mapred.FsInput(latest, fsOps.fs.getConf)
+      val r = org.apache.avro.file.DataFileReader.openReader(
+        in, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try r.getSchema finally r.close()
+    }
+    val job = Job.getInstance(new Configuration(spark.sparkContext.hadoopConfiguration))
+    FileInputFormat.setInputPaths(job, dir)
+    AvroJob.setInputKeySchema(job, resolved)
+    val schemaJson = resolved.toString // Schema is not serializable-stable; ship JSON
+    val structType = toCatalyst(resolved).asInstanceOf[StructType]
+    val rows = spark.sparkContext.newAPIHadoopRDD(
+        job.getConfiguration,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable])
+      .mapPartitions { it =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        it.map { case (k, _) => toValue(k.datum(), schema).asInstanceOf[Row] }
+      }
+    spark.createDataFrame(rows, structType)
+  }
+}
