@@ -61,20 +61,27 @@ object CompactorCli {
     else Right((c, local))
   }
 
-  def main(args: Array[String]): Unit =
+  /** Session-injected core, exit code as return value — testable
+    * without tearing down a shared session. */
+  def run(args: Array[String], spark: SparkSession,
+          out: String => Unit = println): Int =
     parse(args) match {
       case Left(err) =>
-        System.err.println(err)
-        sys.exit(1)
-      case Right((config, local)) =>
-        val builder = SparkSession.builder().appName("graft-compactor")
-        val spark = (if (local) builder.master("local[*]") else builder).getOrCreate()
-        try {
-          val result = Compactor.run(spark, config)
-          result.partitions.foreach(p =>
-            println(s"${if (p.ok) "OK  " else "FAIL"} ${if (p.partition.isEmpty) "/" else p.partition} " +
-              s"${p.inputFiles} -> ${p.outputFiles} files, ${p.rows} rows: ${p.message}"))
-          if (!result.ok) sys.exit(2)
-        } finally spark.stop()
+        out(err)
+        1
+      case Right((config, _)) =>
+        val result = Compactor.run(spark, config)
+        result.partitions.foreach(p =>
+          out(s"${if (p.ok) "OK  " else "FAIL"} ${if (p.partition.isEmpty) "/" else p.partition} " +
+            s"${p.inputFiles} -> ${p.outputFiles} files, ${p.rows} rows: ${p.message}"))
+        if (result.ok) 0 else 2
     }
+
+  def main(args: Array[String]): Unit = {
+    val local = args.contains("--runningLocally")
+    val builder = SparkSession.builder().appName("graft-compactor")
+    val spark = (if (local) builder.master("local[*]") else builder).getOrCreate()
+    val code = try run(args, spark) finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
 }

@@ -42,6 +42,25 @@ class CliSpec extends AnyFunSuite {
       "--format", "orc")).left.exists(_.contains("unsupported --format")))
   }
 
+  test("run() compacts end-to-end and reports per-partition lines") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cli_e2e").toString
+    (1 to 100).toDF("id").repartition(4).write.parquet(s"$base/src")
+    val lines = scala.collection.mutable.Buffer[String]()
+    val code = CompactorCli.run(Array(
+      "--sourceFolder", s"$base/src", "--targetFolder", s"$base/tgt",
+      "--fileCount", "1", "--tmpFolder", s"$base/tmp"),
+      spark, lines.append(_))
+    assert(code == 0, lines.mkString("\n"))
+    assert(lines.exists(_.startsWith("OK")))
+    assert(spark.read.parquet(s"$base/tgt").count() == 100)
+    // bad args propagate a nonzero exit code and usage text
+    val badLines = scala.collection.mutable.Buffer[String]()
+    assert(CompactorCli.run(Array("--nope"), spark, badLines.append(_)) == 1)
+    assert(badLines.exists(_.contains("unknown option")))
+  }
+
   test("defaults: dynamic file count, parquet, no overwrite") {
     val Right((c, local)) = CompactorCli.parse(Array(
       "--sourceFolder", "/in", "--targetFolder", "/out")): @unchecked
