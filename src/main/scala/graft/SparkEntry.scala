@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.compact.CompactQuery
 import graft.llm.{Dedup, Similarity, Text}
-import graft.operators.{Functions, Relational, Streams, Udx, Windows}
+import graft.operators.{Functions, Relational, Streams, Typed, Udx, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Functions.queries ++
-      Udx.queries ++ Streams.queries ++
+      Udx.queries ++ Streams.queries ++ Typed.queries ++
       Dedup.queries ++ Text.queries ++ Similarity.queries ++
       CompactQuery.queries
 
@@ -23,7 +23,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Windows.oracleSql ++ Functions.oracleSql ++
-      Udx.oracleSql ++ Streams.oracleSql ++
+      Udx.oracleSql ++ Streams.oracleSql ++ Typed.oracleSql ++
       Dedup.oracleSql ++ Text.oracleSql ++ Similarity.oracleSql ++
       CompactQuery.oracleSql
 }

@@ -50,6 +50,16 @@ class DetSpec extends AnyFunSuite with SparkSpec {
       java.lang.Double.doubleToLongBits(s / xs.size))
   }
 
+  test("dsum stays exact at 100TB-scale magnitudes (cents below 2^53)") {
+    import spark.implicits._
+    // 500 rows of ~1.6e11 each → sum ~8e13, cents ~8e15 < 2^53 ≈ 9e15
+    val big = 160000000000.25
+    val got = Seq.fill(500)(big).toDF("v").repartition(7)
+      .agg(Det.dsum(col("v"))).head.getDouble(0)
+    val expectedCents = (BigDecimal(big).setScale(10) * 500 * 100).toLongExact
+    assert(got == expectedCents.toDouble / 100.0)
+  }
+
   test("cents is the exact per-row integer-cent value") {
     import spark.implicits._
     val out = Seq(0.01, -0.01, 123.45, 99999.99).toDF("v")
