@@ -193,7 +193,32 @@ object Functions {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Bitwise functions on integer keys: shifts, and/or/xor, popcount —
+    * exact integer ops, identical in any engine. */
+  def fnBitwise(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        shiftright(col("o_orderkey"), 2).as("shr2"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+        col("o_orderkey").bitwiseOR(lit(1L)).as("odd_or"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("key_xor"),
+        bit_count(col("o_orderkey")).as("popcount"))
+      .orderBy(col("o_orderkey"))
+
+  val fnBitwiseSql: String =
+    """SELECT o_orderkey,
+      |  o_orderkey << 3 AS shl3,
+      |  o_orderkey >> 2 AS shr2,
+      |  o_orderkey & 255 AS low_byte,
+      |  o_orderkey | 1 AS odd_or,
+      |  xor(o_orderkey, o_custkey) AS key_xor,
+      |  CAST(bit_count(o_orderkey) AS INT) AS popcount
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_bitwise" -> fnBitwise,
     "fn_null" -> fnNull,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
@@ -203,6 +228,7 @@ object Functions {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fn_bitwise" -> fnBitwiseSql,
     "fn_null" -> fnNullSql,
     "fn_string" -> fnStringSql,
     "fn_date" -> fnDateSql,

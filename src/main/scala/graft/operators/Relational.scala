@@ -372,6 +372,52 @@ object Relational {
     Tables.lineitem(spark, dir)
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_part"))
 
+  /** Distribution moments from exact decimal sums: population
+    * variance/stddev of quantity and quantity↔price correlation per
+    * return flag. Plain stddev/corr aggregates are double-summation
+    * order-dependent; here Σx, Σx², Σxy are exact decimals (2-dp
+    * inputs → 4-dp products), the closed-form moment formulas run once
+    * per group in double, and the result is rounded coarsely enough to
+    * absorb the ≤1-ulp decimal→double cast skew between engines. */
+  def aggMoments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def s(c: Column): Column = sum(c.cast(DecimalType(27, 10))).cast("double")
+    def s2(a: Column, b: Column): Column =
+      sum(a.cast(DecimalType(18, 4)) * b.cast(DecimalType(18, 4))).cast("double")
+    val (x, y) = (col("l_quantity"), col("l_extendedprice"))
+    val n = count(lit(1))
+    val varp = (s2(x, x) - s(x) * s(x) / n) / n
+    val corrNum = n * s2(x, y) - s(x) * s(y)
+    val corrDen = sqrt(n * s2(x, x) - s(x) * s(x)) * sqrt(n * s2(y, y) - s(y) * s(y))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(n.as("n"),
+        round(varp, 2).as("var_qty"),
+        round(sqrt(varp), 2).as("std_qty"),
+        round(corrNum / corrDen, 6).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggMomentsSql: String = {
+    def s(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(27,10))) AS DOUBLE)"
+    // DECIMAL(19) forces DuckDB onto int128 — 18×18 would overflow its
+    // int64 multiply; the *values* stay the same exact 4-dp products
+    def s2(a: String, b: String) =
+      s"CAST(SUM(CAST($a AS DECIMAL(19,4)) * CAST($b AS DECIMAL(19,4))) AS DOUBLE)"
+    val (x, y) = ("l_quantity", "l_extendedprice")
+    val varp = s"(${s2(x, x)} - ${s(x)} * ${s(x)} / COUNT(*)) / COUNT(*)"
+    val num = s"COUNT(*) * ${s2(x, y)} - ${s(x)} * ${s(y)}"
+    val den = s"SQRT(COUNT(*) * ${s2(x, x)} - ${s(x)} * ${s(x)}) * " +
+      s"SQRT(COUNT(*) * ${s2(y, y)} - ${s(y)} * ${s(y)})"
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ROUND($varp, 2) AS var_qty,
+       |  ROUND(SQRT($varp), 2) AS std_qty,
+       |  ROUND(($num) / ($den), 6) AS corr_qty_price
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Exact quantiles of l_quantity (integer-valued, so the linear
     * interpolation at (n-1)p is exact arithmetic in both engines —
     * fractional-money quantiles would need the Det treatment). At
@@ -593,6 +639,7 @@ object Relational {
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_percentile" -> aggPercentile,
+    "agg_moments" -> aggMoments,
     "agg_rollup_cube" -> aggRollupCube,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
@@ -622,6 +669,7 @@ object Relational {
     "agg_groupby" -> aggGroupBySql,
     "agg_distinct" -> aggDistinctSql,
     "agg_percentile" -> aggPercentileSql,
+    "agg_moments" -> aggMomentsSql,
     "agg_rollup_cube" -> aggRollupCubeSql,
     "agg_pivot" -> aggPivotSql,
     "agg_unpivot" -> aggUnpivotSql,

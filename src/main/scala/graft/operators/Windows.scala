@@ -27,7 +27,12 @@ object Windows {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         rank().over(w).as("rk"),
         dense_rank().over(w).as("drk"),
-        row_number().over(w).as("rn"))
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("quartile"),
+        // both engines define these as (rank-1)/(n-1) and
+        // peers_ahead/n over exact ints — bit-identical divisions
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -35,7 +40,10 @@ object Windows {
     """SELECT o_custkey, o_orderkey, o_totalprice,
       |  CAST(RANK() OVER w AS INT) AS rk,
       |  CAST(DENSE_RANK() OVER w AS INT) AS drk,
-      |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
