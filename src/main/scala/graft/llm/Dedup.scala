@@ -293,6 +293,64 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Near-dup clustering: connected components over the LSH candidate
+    * pairs by iterative min-label propagation — the step real dedup
+    * pipelines need after pair generation (keep one representative per
+    * component, not per pair). The driver loop only counts changed
+    * labels per round; labels and edges stay distributed, and rounds
+    * are bounded by component diameter (log-ish for near-dup blobs).
+    * The oracle reproduces the fixpoint with a recursive CTE. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(bands(signatures(trigrams(spark, dir))).cache())
+      .cache()
+    val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, col("doc_a") === col("node"))
+        .select(col("doc_b").as("node"), col("label"))
+      // localCheckpoint truncates the per-iteration lineage growth —
+      // with plain cache the plan (and its analysis cost) doubles
+      // every round
+      val next = labels.select(col("node"), col("label")).union(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $iter rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val dedupClustersSql: String =
+    s"""WITH RECURSIVE tg AS ($trigramsSql),
+       |mh AS ($signaturesSql),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+       |reach AS (
+       |  SELECT node, node AS label FROM nodes
+       |  UNION
+       |  SELECT e.doc_b AS node, r.label
+       |  FROM reach r JOIN edges e ON e.doc_a = r.node)
+       |SELECT node AS doc_id, MIN(label) AS cluster_id
+       |FROM reach GROUP BY node
+       |ORDER BY doc_id""".stripMargin
+
   /** 64-dim dot product as a single-pass left fold:
     * aggregate(zip_with(a, b, *), 0.0, +). The fold adds products in
     * element order, the same IEEE sequence as the oracle's explicit
@@ -364,6 +422,7 @@ object Dedup {
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_fuzzy" -> dedupFuzzy,
     "llm_dedup_jaccard" -> dedupJaccard,
+    "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_simhash_nn" -> dedupSimhashNn,
     "llm_dedup_embed" -> dedupEmbed,
@@ -373,6 +432,7 @@ object Dedup {
     "llm_dedup_exact" -> dedupExactSql,
     "llm_dedup_fuzzy" -> dedupFuzzySql,
     "llm_dedup_jaccard" -> dedupJaccardSql,
+    "llm_dedup_clusters" -> dedupClustersSql,
     "llm_dedup_simhash" -> dedupSimhashSql,
     "llm_dedup_simhash_nn" -> dedupSimhashNnSql,
     "llm_dedup_embed" -> dedupEmbedSql,

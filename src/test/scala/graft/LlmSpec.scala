@@ -31,6 +31,21 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(hams.forall(_ <= 6), s"hamming distances: ${hams.toSeq}")
   }
 
+  test("near-dup clusters assign both endpoints of every pair the same id") {
+    val clusters = Dedup.dedupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.dedupFuzzy(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // every cluster id is the minimum member of its component
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = Dedup.dedupExact(spark, sfDir)
     assert(once.groupBy(col("text_hash")).count().where(col("count") > 1).count() == 0)
