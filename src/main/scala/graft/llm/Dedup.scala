@@ -351,6 +351,41 @@ object Dedup {
        |FROM reach GROUP BY node
        |ORDER BY doc_id""".stripMargin
 
+  /** The apply step that closes the dedup ladder: every document
+    * flagged keep/drop — drop iff it belongs to a near-dup component
+    * and is not its representative (the min doc_id). This is the row
+    * that actually filters a training corpus; at scale it is one
+    * broadcast-able join of the (small) cluster table against the
+    * corpus. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+      .select(col("doc_id").as("cid_doc"), col("cluster_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(clusters), col("doc_id") === col("cid_doc"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        (col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val dedupApplySql: String = {
+    // reuse the recursive-CTE fixpoint, then left-join the corpus
+    val fixpoint = dedupClustersSql.linesIterator.toSeq
+      .dropRight(3) // strip the final SELECT of the clusters query
+      .mkString("\n")
+    s"""$fixpoint,
+       |comp AS (
+       |  SELECT node AS cid_doc, MIN(label) AS cluster_id
+       |  FROM reach GROUP BY node)
+       |SELECT d.doc_id, d.source,
+       |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       |  (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS kept
+       |FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.cid_doc
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** 64-dim dot product as a single-pass left fold:
     * aggregate(zip_with(a, b, *), 0.0, +). The fold adds products in
     * element order, the same IEEE sequence as the oracle's explicit
@@ -423,6 +458,7 @@ object Dedup {
     "llm_dedup_fuzzy" -> dedupFuzzy,
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_clusters" -> dedupClusters,
+    "llm_dedup_apply" -> dedupApply,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_simhash_nn" -> dedupSimhashNn,
     "llm_dedup_embed" -> dedupEmbed,
@@ -433,6 +469,7 @@ object Dedup {
     "llm_dedup_fuzzy" -> dedupFuzzySql,
     "llm_dedup_jaccard" -> dedupJaccardSql,
     "llm_dedup_clusters" -> dedupClustersSql,
+    "llm_dedup_apply" -> dedupApplySql,
     "llm_dedup_simhash" -> dedupSimhashSql,
     "llm_dedup_simhash_nn" -> dedupSimhashNnSql,
     "llm_dedup_embed" -> dedupEmbedSql,
