@@ -17,10 +17,22 @@ object Bench {
     // first measured query doesn't carry one-time JIT cost.
     spark.range(1 << 20).groupBy((org.apache.spark.sql.functions.col("id") % 7)
       .as("k")).count().collect()
+    // Median of N runs per query (SURVEY §9.7): single-shot timings on a
+    // shared machine carry ±15% noise, which round-over-round diffs then
+    // misread as regressions. Caches are drained between runs — Spark's
+    // CacheManager matches by logical plan, so without the drain run 2
+    // would silently hit run 1's cached intermediates.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Caches.drain(spark)
+        if (ok) dt else -1.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(runs / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

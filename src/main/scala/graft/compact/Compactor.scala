@@ -59,7 +59,27 @@ object Compactor {
       trashFolder: String = "",
       tmpFolder: String = "",
       format: String = "parquet", // "parquet" | "avro"
-      schemaFile: Option[String] = None)
+      schemaFile: Option[String] = None,
+      // external Hadoop config dir: core-site.xml/hdfs-site.xml loaded
+      // into the FileSystem Configuration (reference:
+      // HadoopFileSystemOperation.scala:21-24) — how a cluster-ops user
+      // points the compactor at a non-default HDFS
+      hadoopConfigDir: Option[String] = None)
+
+  /** Configuration for FS metadata ops: the session's hadoopConfiguration,
+    * overlaid with the external config dir's site files when given. */
+  def fsConf(spark: SparkSession, c: Config)
+      : org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    c.hadoopConfigDir.foreach { dir =>
+      Seq("core-site.xml", "hdfs-site.xml").foreach { f =>
+        val file = new java.io.File(dir, f)
+        if (file.isFile) conf.addResource(new Path(file.toURI))
+      }
+    }
+    conf
+  }
 
   final case class PartitionResult(
       partition: String, ok: Boolean, inputFiles: Int, outputFiles: Int,
@@ -149,7 +169,7 @@ object Compactor {
     * commit gate. */
   def run(spark: SparkSession, c: Config,
           beforeCommit: () => Unit = () => ()): Result = {
-    val fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
+    val fsOps = new FsOps(fsConf(spark, c))
     val log = new SessionLog
     val session = FsOps.sessionId()
     val e = ext(c)

@@ -21,6 +21,7 @@ object CompactorCli {
       |  --tmpFolder <dir>        staging area for the session output (required)
       |  --format <parquet|avro>  data format (default parquet)
       |  --externalSchemaFile <f> schema override: DDL file (parquet) / .avsc (avro)
+      |  --hadoopConfig <dir>     dir with core-site.xml/hdfs-site.xml for FS access
       |  --runningLocally         use a local[*] master (dev only)
       |""".stripMargin
 
@@ -48,6 +49,8 @@ object CompactorCli {
         }
         case "--externalSchemaFile" =>
           value("--externalSchemaFile").map(v => c = c.copy(schemaFile = Some(v)))
+        case "--hadoopConfig" =>
+          value("--hadoopConfig").map(v => c = c.copy(hadoopConfigDir = Some(v)))
         case "--runningLocally" => local = true; Right(())
         case other => Left(s"unknown option '$other'")
       }

@@ -65,15 +65,23 @@ final class FsOps(conf: Configuration) {
   def defaultBlockSize(dir: String): Long =
     fs.getDefaultBlockSize(new Path(dir))
 
-  /** Optimistic-concurrency snapshot: FileStatus carries path, length
-    * and mtime, so an element-wise compare detects add/delete/modify
-    * (reference: DefragmentAvroFolder.scala:276,301;
+  /** Optimistic-concurrency snapshot (reference:
+    * DefragmentAvroFolder.scala:276,301;
     * HadoopFileSystemOperation.scala:59-79). */
   def snapshot(dir: String, ext: String): Array[FileStatus] =
     listDataFiles(dir, ext).sortBy(_.getPath.toString)
 
+  /** Compare explicit (path, length, mtime) tuples: FileStatus.equals
+    * compares only the path, so `sameElements` would miss in-place
+    * modifications (e.g. an append changes length/mtime but not the
+    * path) and commit stale output over a concurrently-written source.
+    * (The reference's equalsFileStatistics has exactly that flaw —
+    * semantics here are deliberately stricter than parity.) */
   def unchanged(a: Array[FileStatus], b: Array[FileStatus]): Boolean =
-    a.sameElements(b)
+    a.length == b.length && a.zip(b).forall { case (x, y) =>
+      x.getPath == y.getPath && x.getLen == y.getLen &&
+        x.getModificationTime == y.getModificationTime
+    }
 
   def exists(path: String): Boolean = fs.exists(new Path(path))
 

@@ -293,42 +293,78 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Near-dup clustering: connected components over the LSH candidate
-    * pairs by iterative min-label propagation — the step real dedup
-    * pipelines need after pair generation (keep one representative per
-    * component, not per pair). The driver loop only counts changed
-    * labels per round; labels and edges stay distributed, and rounds
-    * are bounded by component diameter (log-ish for near-dup blobs).
-    * The oracle reproduces the fixpoint with a recursive CTE. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = candidatePairs(bands(signatures(trigrams(spark, dir))).cache())
-      .cache()
+  /** Eager localCheckpoint plus the ids of the RDD blocks it pinned, so
+    * the fixpoint loop can release round n-1 once round n materializes.
+    * (A checkpointed Dataset bypasses the CacheManager, so
+    * `Dataset.unpersist` is a no-op on it — the underlying RDD handle is
+    * the only release path, reached here via the persistent-RDD map.) */
+  private def checkpointTracked(spark: SparkSession, df: DataFrame)
+      : (DataFrame, Set[Int]) = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val cp = df.localCheckpoint()
+    val after = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    (cp, after.diff(before))
+  }
+
+  private def releaseRdds(spark: SparkSession, ids: Set[Int]): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Unordered (doc_id, cluster_id) connected-component labels over the
+    * LSH candidate pairs, by iterative min-label propagation — shared by
+    * [[dedupClusters]] (sorted dump) and [[dedupApply]] (broadcast join),
+    * so the apply step never recomputes the fixpoint with a sort under
+    * the broadcast (VERDICT r2 #3).
+    *
+    * Scale/lifecycle notes: labels and edges stay distributed; rounds are
+    * bounded by component diameter (log-ish for near-dup blobs). Each
+    * round's localCheckpoint truncates lineage (a plain cache doubles the
+    * plan every round); the convergence comparison is folded into the
+    * checkpoint job (join against the previous labels *before*
+    * checkpointing), so the per-round count is a scan of checkpointed
+    * rows, not a second shuffle. Round n-1's checkpoint blocks are
+    * released as soon as round n materializes — peak pinned state is two
+    * label frames regardless of round count. The final round's blocks
+    * back the returned frame; the caller drains them after its action
+    * ([[graft.core.Caches.drain]]). */
+  private[llm] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val bd = bands(signatures(trigrams(spark, dir))).cache()
+    val pairs = candidatePairs(bd).cache() // union below scans it twice
     val edges = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val (edgesCp, edgeIds) = checkpointTracked(spark, edges)
+    bd.unpersist(blocking = false) // LSH lineage truncated by the checkpoint
+    pairs.unpersist(blocking = false)
+    var (labels, labelIds) = checkpointTracked(spark,
+      edgesCp.select(col("doc_a").as("node")).distinct()
+        .withColumn("label", col("node")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
-      val prop = edges.join(labels, col("doc_a") === col("node"))
+      val prop = edgesCp.join(labels, col("doc_a") === col("node"))
         .select(col("doc_b").as("node"), col("label"))
-      // localCheckpoint truncates the per-iteration lineage growth —
-      // with plain cache the plan (and its analysis cost) doubles
-      // every round
-      val next = labels.select(col("node"), col("label")).union(prop)
+      val stepped = labels.select(col("node"), col("label")).union(prop)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      changed = next
         .join(labels.select(col("node"), col("label").as("old")), "node")
-        .where(col("label") =!= col("old")).count()
-      labels = next
+      val (next, nextIds) = checkpointTracked(spark, stepped)
+      changed = next.where(col("label") =!= col("old")).count()
+      releaseRdds(spark, labelIds)
+      labels = next.select(col("node"), col("label"))
+      labelIds = nextIds
       iter += 1
     }
     require(changed == 0, s"label propagation did not converge in $iter rounds")
+    releaseRdds(spark, edgeIds)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Near-dup clustering: connected components over the LSH candidate
+    * pairs — the step real dedup pipelines need after pair generation
+    * (keep one representative per component, not per pair). The oracle
+    * reproduces the fixpoint with a recursive CTE. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir).orderBy(col("doc_id"))
 
   lazy val dedupClustersSql: String =
     s"""WITH RECURSIVE tg AS ($trigramsSql),
@@ -358,7 +394,8 @@ object Dedup {
     * broadcast-able join of the (small) cluster table against the
     * corpus. */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupClusters(spark, dir)
+    // unordered labels — no sort under the broadcast exchange
+    val clusters = clusterLabels(spark, dir)
       .select(col("doc_id").as("cid_doc"), col("cluster_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))

@@ -64,18 +64,23 @@ object Similarity {
 
   /** Typed multimodal columns: join text docs to their embedding
     * vectors (vec_id = doc_id), emit vector metadata (dim, L2 norm)
-    * and the unit-normalized vector as array<double> — per-element
-    * IEEE division, order-preserving in both engines. */
+    * and the unit-normalized vector posexploded to one scalar row per
+    * dimension — per-element IEEE division, identical in both engines.
+    * The output is scalar-only by design: the driver's hash gate
+    * cannot factorize array columns, so vector payloads leave the
+    * query as (doc_id, dim_idx, unit_val) rows. */
   def multimodal(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val e = Dedup.withNorm(spark, dir)
     d.join(e, col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
-        size(col("embedding")).as("dim"),
-        col("nrm"),
-        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("unit_vec"))
-      .orderBy(col("doc_id"))
+        size(col("embedding")).as("dim"), col("nrm"),
+        posexplode(col("embedding")).as(Seq("dim_idx", "component")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+        col("dim"), col("nrm"), col("dim_idx"),
+        (col("component").cast("double") / col("nrm")).as("unit_val"))
+      .orderBy(col("doc_id"), col("dim_idx"))
   }
 
   val multimodalSql: String =
@@ -83,9 +88,10 @@ object Similarity {
        |SELECT doc_id, lang, n_chars, label,
        |  CAST(LEN(embedding) AS INT) AS dim,
        |  nrm,
-       |  [CAST(x AS DOUBLE) / nrm FOR x IN embedding] AS unit_vec
+       |  CAST(UNNEST(RANGE(LEN(embedding))) AS INT) AS dim_idx,
+       |  CAST(UNNEST(embedding) AS DOUBLE) / nrm AS unit_val
        |FROM documents JOIN e ON doc_id = vec_id
-       |ORDER BY doc_id""".stripMargin
+       |ORDER BY doc_id, dim_idx""".stripMargin
 
   /** Opaque-binary multimodal plumbing: media payload as a binary
     * column with typed metadata. The corpus has no real media, so the

@@ -131,7 +131,8 @@ object Functions {
         size(toks).as("n_tokens"),
         element_at(toks, 1).as("first_tok"),
         array_contains(toks, "spark").as("has_spark"),
-        slice(array_sort(array_distinct(toks)), 1, 3).as("first3_uniq"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 3), " ")
+          .as("first3_uniq"),
         size(array_distinct(toks)).as("n_uniq"),
         size(filter(toks, t => t === "the")).as("the_count"))
       .orderBy(col("doc_id"))
@@ -142,7 +143,7 @@ object Functions {
       |  CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens,
       |  string_split(text, ' ')[1] AS first_tok,
       |  LIST_CONTAINS(string_split(text, ' '), 'spark') AS has_spark,
-      |  LIST_SORT(LIST_DISTINCT(string_split(text, ' ')))[1:3] AS first3_uniq,
+      |  ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(string_split(text, ' ')))[1:3], ' ') AS first3_uniq,
       |  CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS INT) AS n_uniq,
       |  CAST(LEN(LIST_FILTER(string_split(text, ' '), t -> t = 'the')) AS INT) AS the_count
       |FROM documents

@@ -63,15 +63,31 @@ object Relational {
     * this). At 100 TB partition pruning is the first and cheapest
     * cardinality cut — metadata-only, before any IO. */
   def scanPartitionPruned(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_part").toString
-    Tables.lineitem(spark, dir)
-      .write.partitionBy("l_returnflag").parquet(s"$root/lineitem")
-    spark.read.parquet(s"$root/lineitem")
+    spark.read.parquet(partitionedLineitem(spark, dir))
       .where(col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
+
+  /** Stage the partitioned lineitem copy once per source dir at a
+    * deterministic path and reuse it — both within a session (memo map)
+    * and across JVM runs (`_SUCCESS` marker on disk). Repeated
+    * Bench/Verify invocations then measure the partition-pruned *read*,
+    * not the fixture write, and no temp directories accumulate
+    * (VERDICT r2 #5). */
+  private val partFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def partitionedLineitem(spark: SparkSession, dir: String): String =
+    partFixtures.getOrElseUpdate(dir, {
+      val target = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_part_" + Integer.toHexString(dir.hashCode) + "/lineitem").toString
+      if (!new java.io.File(target, "_SUCCESS").exists()) {
+        Tables.lineitem(spark, dir).write.mode("overwrite")
+          .partitionBy("l_returnflag").parquet(target)
+      }
+      target
+    })
 
   val scanPartitionPrunedSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

@@ -19,10 +19,13 @@ object Skew {
   /** Inner equi-join with an n-way salt on the big side's hot keys. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int): DataFrame = {
     require(n > 0, "salt fan-out must be positive")
-    // Salt assignment only needs to be uniform-ish, not stable across
-    // runs: derive it from the row's own key plus a per-row nonce.
+    // The salt feeds a shuffle, so it must be retry-stable: a
+    // nondeterministic source (monotonically_increasing_id, rand) would
+    // re-salt recomputed rows on partial map-stage retry and silently
+    // drop/duplicate output. Hash the row's own columns instead —
+    // identical content always lands on the same reducer.
     val salted = big.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(n)))
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(n)))
     val replicated = small
       .withColumn("_salt", explode(sequence(lit(0), lit(n - 1))))
     salted.join(replicated,

@@ -128,6 +128,10 @@ case class AsofJoinExec(
       val lTimeEval = BindReferences.bindReference(lTimeExpr, lOut)
       val rTimeEval = BindReferences.bindReference(rTimeExpr, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      // ordering over the declared time type — TimestampType (Long),
+      // DateType (Int), numeric: all orderable, no hard Long cast
+      val timeOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(lTimeExpr.dataType)
       val nullRight = new GenericInternalRow(rWidth)
       val joined = new JoinedRow
       // downstream consumers (incl. SparkPlan.getByteArrayRdd at the
@@ -167,9 +171,7 @@ case class AsofJoinExec(
                 val rTime = rTimeEval.eval(rHead)
                 if (rTime == null) {
                   rHead = null // null time can never be an as-of match
-                } else if (lTime != null &&
-                    // TimestampType evaluates to Long micros
-                    rTime.asInstanceOf[Long] <= lTime.asInstanceOf[Long]) {
+                } else if (lTime != null && timeOrd.compare(rTime, lTime) <= 0) {
                   lastMatch = rHead.copy() // rows are reused buffers
                   lastMatchKey = lKey.copy()
                   rHead = null
@@ -180,8 +182,11 @@ case class AsofJoinExec(
               }
             }
           }
-          val matched = lastMatch != null && lastMatchKey != null &&
-            keyOrd.compare(lastMatchKey, lKey) == 0
+          // rightTime <= NULL is never true, so a null left time emits the
+          // null-right row even when a previous left row of the same key
+          // left a surviving lastMatch (SQL as-of semantics)
+          val matched = lTime != null && lastMatch != null &&
+            lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) == 0
           toUnsafe(joined(l, if (matched) lastMatch else nullRight))
         }
       }
@@ -208,10 +213,23 @@ object AsofJoinApi {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val lt = attr(lp, leftTimeCol)
+    val rt = attr(rp, rightTimeCol)
+    // the merge compares raw time values with one ordering, so the two
+    // sides must agree on type — or both be Long-micros timestamps
+    // (TimestampType vs TimestampNTZType: identical physical value and
+    // ordering; parquet writers routinely mix the two)
+    def micros(t: org.apache.spark.sql.types.DataType) =
+      t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.TimestampNTZType
+    require(lt.dataType == rt.dataType || (micros(lt.dataType) && micros(rt.dataType)),
+      s"as-of time columns must share a type: " +
+        s"$leftTimeCol is ${lt.dataType}, $rightTimeCol is ${rt.dataType}")
+    require(RowOrdering.isOrderable(lt.dataType),
+      s"as-of time type ${lt.dataType} is not orderable")
     val node = AsofJoin(lp, rp,
       keys.map(k => attr(lp, k._1)), keys.map(k => attr(rp, k._2)),
-      attr(lp, leftTimeCol), attr(rp, rightTimeCol),
-      rightTieBreakCols.map(attr(rp, _)))
+      lt, rt, rightTieBreakCols.map(attr(rp, _)))
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
   }
 }

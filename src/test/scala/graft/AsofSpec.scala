@@ -85,6 +85,50 @@ class AsofSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq(1L -> Some(100L), 2L -> None))
   }
 
+  test("null left time emits the null-right row (rightTime <= NULL is never true)") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lefts = Seq(
+      (1L, 10L, Option.empty[Timestamp]),          // null time -> unmatched
+      (2L, 10L, Some(ts("2024-01-01 13:00:00")))   // real time -> matched
+    ).toDF("id", "k", "t")
+    val rights = Seq((10L, 100L, ts("2024-01-01 12:00:00"))).toDF("rk", "rid", "rt")
+    val out = org.apache.spark.sql.graft.AsofJoinApi.join(
+        lefts, rights, Seq("k" -> "rk"), "t", "rt", Seq("rid"))
+      .select(col("id"), col("rid")).orderBy(col("id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(out.toSeq == Seq(1L -> None, 2L -> Some(100L)))
+  }
+
+  test("DateType time columns work (ordering over the declared type, no Long cast)") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val lefts = Seq((1L, 10L, d("2024-03-05")), (2L, 10L, d("2024-01-01")))
+      .toDF("id", "k", "t")
+    val rights = Seq(
+      (10L, 100L, d("2024-02-01")),
+      (10L, 101L, d("2024-03-01"))
+    ).toDF("rk", "rid", "rt")
+    val out = org.apache.spark.sql.graft.AsofJoinApi.join(
+        lefts, rights, Seq("k" -> "rk"), "t", "rt", Seq("rid"))
+      .select(col("id"), col("rid")).orderBy(col("id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(out.toSeq == Seq(1L -> Some(101L), 2L -> None))
+  }
+
+  test("mismatched time column types are rejected up front") {
+    import spark.implicits._
+    val lefts = Seq((1L, 10L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "k", "t")
+    val rights = Seq((10L, 100L, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("rk", "rid", "rt")
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.AsofJoinApi.join(
+        lefts, rights, Seq("k" -> "rk"), "t", "rt", Seq("rid"))
+    }
+    assert(e.getMessage.contains("must share a type"))
+  }
+
   test("empty right side leaves every left row unmatched") {
     import spark.implicits._
     val lefts = Seq((1L, 5L, Timestamp.valueOf("2024-01-01 10:00:00")))

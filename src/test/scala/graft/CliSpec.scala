@@ -61,6 +61,27 @@ class CliSpec extends AnyFunSuite {
     assert(badLines.exists(_.contains("unknown option")))
   }
 
+  test("--hadoopConfig loads site files into the FS Configuration") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hconf")
+    java.nio.file.Files.writeString(dir.resolve("core-site.xml"),
+      """<?xml version="1.0"?>
+        |<configuration>
+        |  <property><name>fs.defaultFS</name><value>file:///graft-test-root</value></property>
+        |  <property><name>graft.test.marker</name><value>loaded</value></property>
+        |</configuration>""".stripMargin)
+    val Right((c, _)) = CompactorCli.parse(Array(
+      "--sourceFolder", "/in", "--targetFolder", "/out",
+      "--hadoopConfig", dir.toString)): @unchecked
+    assert(c.hadoopConfigDir.contains(dir.toString))
+    val conf = graft.compact.Compactor.fsConf(SparkSpec.session, c)
+    assert(conf.get("fs.defaultFS") == "file:///graft-test-root")
+    assert(conf.get("graft.test.marker") == "loaded")
+    // without the option the session's defaults stand
+    val plain = graft.compact.Compactor.fsConf(SparkSpec.session,
+      c.copy(hadoopConfigDir = None))
+    assert(plain.get("graft.test.marker") == null)
+  }
+
   test("defaults: dynamic file count, parquet, no overwrite") {
     val Right((c, local)) = CompactorCli.parse(Array(
       "--sourceFolder", "/in", "--targetFolder", "/out")): @unchecked

@@ -9,6 +9,34 @@ import graft.llm.{Dedup, Similarity}
   * DuckDB hash gate: dedup ladder consistency, similarity sanity. */
 class LlmSpec extends AnyFunSuite with SparkSpec {
 
+  test("cache hygiene: no pinned RDDs survive the cache-heavy queries + drain") {
+    graft.core.Caches.drain(spark) // isolate from earlier suites' caches
+    // the cache-heavy ladder: LSH caches, fixpoint localCheckpoints,
+    // simhash self-join cache, broadcast-under-apply
+    Seq(Dedup.dedupFuzzy _, Dedup.dedupJaccard _, Dedup.dedupClusters _,
+        Dedup.dedupApply _, Dedup.dedupSimhashNn _).foreach { q =>
+      q(spark, sfDir).count()
+      graft.core.Caches.drain(spark)
+    }
+    val pinned = spark.sparkContext.getPersistentRDDs
+    assert(pinned.isEmpty,
+      s"leaked pinned RDDs: ${pinned.values.map(_.toString).mkString("; ")}")
+  }
+
+  test("fixpoint releases round n-1 checkpoints while running (bounded pinned state)") {
+    graft.core.Caches.drain(spark) // isolate from earlier suites' caches
+    // during clusterLabels itself, in-loop release keeps pinned blocks to
+    // O(edges + 2 label frames); after the query's action + drain → zero
+    Dedup.dedupClusters(spark, sfDir).count()
+    // pre-drain: only the final round's checkpoint (+ the apply-side
+    // frames for this invocation) may be pinned — not one per round.
+    // The fixpoint at sf0.001 runs >=2 rounds, so a leak would pin >=3.
+    val live = spark.sparkContext.getPersistentRDDs.size
+    assert(live <= 2, s"expected <=2 pinned RDDs pre-drain, found $live")
+    graft.core.Caches.drain(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("jaccard-verified pairs are a subset of LSH candidates") {
     val cand = Dedup.dedupFuzzy(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
