@@ -98,6 +98,39 @@ final class FsOps(conf: Configuration) {
 
   def delete(path: String): Boolean = fs.delete(new Path(path), true)
 
+  // ---- misc single-file utilities (reference:
+  // HadoopFileSystemOperation.scala:95-155), completing the wrapper's
+  // surface beyond what the compactor itself calls
+
+  /** Copy a local file into a directory (reference `copyFromLocal`:
+    * no-op unless src is a file and dst an existing directory). */
+  def copyFromLocal(srcFile: String, targetFolder: String,
+                    overwrite: Boolean): Unit = {
+    val src = new Path(srcFile)
+    val dst = new Path(targetFolder)
+    if (fs.getFileStatus(src).isFile && fs.getFileStatus(dst).isDirectory)
+      fs.copyFromLocalFile(false, overwrite, src, dst)
+  }
+
+  /** Delete a single file — never a directory (reference `delete`). */
+  def deleteFile(path: String): Boolean = {
+    val p = new Path(path)
+    fs.exists(p) && fs.getFileStatus(p).isFile && fs.delete(p, false)
+  }
+
+  /** Open a file as a stream (reference `getFile`) — caller closes. */
+  def openStream(path: String): java.io.InputStream = fs.open(new Path(path))
+
+  def isFile(path: String): Boolean = {
+    val p = new Path(path)
+    fs.exists(p) && fs.getFileStatus(p).isFile
+  }
+
+  def isDirectory(path: String): Boolean = {
+    val p = new Path(path)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
   def removeLastSlash(p: String): String =
     if (p.length > 1 && p.endsWith("/")) p.dropRight(1) else p
 }

@@ -283,7 +283,110 @@ object Text {
       |FROM totals t LEFT OUTER JOIN matched m ON t.doc_id = m.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** BM25 keyword scoring over the corpus for a fixed query-term set —
+    * the inverted-index shape: tokenize → term frequencies keyed by
+    * (doc, term) → document frequencies keyed by term → score. At
+    * 100 TB the tf aggregation is the only corpus-wide shuffle (keyed
+    * by doc, map-side combined); df and the corpus stats are tiny and
+    * broadcast. The score formula is one shared SQL string evaluated
+    * by both engines (identical parse → identical IEEE op order);
+    * ROUND(...,4) absorbs the ≤1-ulp libm skew LN can introduce,
+    * the discipline fn_math established. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = tok.where(col("term").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        expr(bm25ScoreExpr).as("score"))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
+  private val bm25Terms = Seq("spark", "query", "vector")
+
+  /** k1=1.2, b=0.75; shared verbatim between Spark and DuckDB. */
+  private val bm25ScoreExpr: String =
+    """ROUND(
+      |  LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |            / (CAST(df AS DOUBLE) + 0.5))
+      |  * ((CAST(tf AS DOUBLE) * 2.2)
+      |     / (CAST(tf AS DOUBLE)
+      |        + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+      |                 / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+      |4)""".stripMargin
+
+  val bm25Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |       GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+       |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.dl,
+       |  $bm25ScoreExpr AS score
+       |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN corpus
+       |ORDER BY term, doc_id""".stripMargin
+
+  /** Repetition ratio — the duplicate-n-gram quality signal corpus
+    * filters use (heavily repeated boilerplate predicts low quality):
+    * per doc, the fraction of duplicate words and duplicate word
+    * bigrams. Pure projection (no shuffle beyond the oracle sort);
+    * ratios are exact-int / exact-int IEEE divisions. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        size(array_distinct(col("t"))).cast("long").as("n_uniq_words"),
+        expr(
+          """filter(transform(sequence(0, greatest(size(t)-2, 0)),
+            |  i -> concat(element_at(t, i+1), ' ', element_at(t, i+2))),
+            |  x -> x IS NOT NULL)""".stripMargin).as("bg"))
+      .select(col("doc_id"), col("n_words"), col("n_uniq_words"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_uniq_bigrams"))
+      .withColumn("dup_word_frac",
+        (col("n_words") - col("n_uniq_words")).cast("double") / col("n_words"))
+      .withColumn("dup_bigram_frac",
+        (col("n_bigrams") - col("n_uniq_bigrams")).cast("double") / col("n_bigrams"))
+      .withColumn("is_repetitive", col("dup_bigram_frac") >= 0.2)
+      .orderBy(col("doc_id"))
+
+  val repetitionSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t,
+      |    list_filter([t[i+1] || ' ' || t[i+2]
+      |                 for i in range(0, greatest(len(t)-1, 1))],
+      |                x -> x IS NOT NULL) AS b
+      |  FROM base)
+      |SELECT doc_id,
+      |  CAST(LEN(t) AS BIGINT) AS n_words,
+      |  CAST(LEN(LIST_DISTINCT(t)) AS BIGINT) AS n_uniq_words,
+      |  CAST(LEN(b) AS BIGINT) AS n_bigrams,
+      |  CAST(LEN(LIST_DISTINCT(b)) AS BIGINT) AS n_uniq_bigrams,
+      |  CAST(LEN(t) - LEN(LIST_DISTINCT(t)) AS DOUBLE) / LEN(t) AS dup_word_frac,
+      |  CAST(LEN(b) - LEN(LIST_DISTINCT(b)) AS DOUBLE) / LEN(b) AS dup_bigram_frac,
+      |  CAST(LEN(b) - LEN(LIST_DISTINCT(b)) AS DOUBLE) / LEN(b) >= 0.2 AS is_repetitive
+      |FROM bg
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bm25" -> bm25,
+    "llm_repetition" -> repetition,
     "llm_decontaminate" -> decontaminate,
     "llm_chunk" -> chunk,
     "llm_pii_redact" -> piiRedact,
@@ -295,6 +398,8 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_bm25" -> bm25Sql,
+    "llm_repetition" -> repetitionSql,
     "llm_decontaminate" -> decontaminateSql,
     "llm_chunk" -> chunkSql,
     "llm_pii_redact" -> piiRedactSql,

@@ -95,6 +95,58 @@ object Relational {
       |WHERE l_returnflag = 'R'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Shuffle-free co-located join via bucketing — the 100 TB answer to
+    * a fact↔fact join that recurs on the same key: both tables stored
+    * bucketed (8 buckets on orderkey) so the sort-merge join reads
+    * bucket i against bucket i with NO shuffle exchange on either side
+    * (PlanSpec asserts no hashpartitioning Exchange; the only exchange
+    * left is the oracle-mandated output sort). The bucketed copies are
+    * staged once per (session, dir), exactly like the partition-pruning
+    * fixture; `hint("merge")` pins SMJ so a small scale factor doesn't
+    * flip to broadcast and mask the property under test. */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, ltab) = stagedBucketed(spark, dir)
+    spark.table(ot).hint("merge")
+      .join(spark.table(ltab).hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("o_totalprice"),
+        col("l_quantity"))
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
+  }
+
+  private val bucketFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+
+  private def stagedBucketed(spark: SparkSession, dir: String): (String, String) =
+    bucketFixtures.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val tag = Integer.toHexString(dir.hashCode)
+      val (ot, ltab) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+      // a previous JVM's warehouse dir survives while the in-memory
+      // catalog does not — clear the stale location before re-staging
+      def dropStale(table: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      if (!spark.catalog.tableExists(ot)) {
+        dropStale(ot)
+        Tables.orders(spark, dir).write
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      }
+      if (!spark.catalog.tableExists(ltab)) {
+        dropStale(ltab)
+        Tables.lineitem(spark, dir).write
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(ltab)
+      }
+      (ot, ltab)
+    })
+
+  val joinBucketedSql: String =
+    """SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+
   // ------------------------------------------------- filters / projections
 
   /** Conjunctive/disjunctive predicates, IN, BETWEEN, LIKE, null-safe
@@ -459,6 +511,22 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Approximate percentiles via the mergeable quantile sketch behind
+    * `approx_percentile` — the 100 TB scale path named by
+    * [[aggPercentile]]'s scaladoc: one sketch per partition merged at
+    * the driver side of the aggregation instead of a per-group sort of
+    * the corpus. No DuckDB oracle (sketch contents are
+    * engine-specific); RelationalSpec bounds it against the exact
+    * percentile. */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(l_quantity, 0.95, 1000)").as("p95_approx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** CUBE over mktsegment × nation with grouping id; exercises
     * grouping-sets expansion (one shuffle, expanded grouping keys). */
   def aggRollupCube(spark: SparkSession, dir: String): DataFrame = {
@@ -644,6 +712,7 @@ object Relational {
     "filter_pred" -> filterPred,
     "project_expr" -> projectExpr,
     "join_inner_hash" -> joinInnerHash,
+    "join_bucketed" -> joinBucketed,
     "join_outer" -> joinOuter,
     "join_semi_anti" -> joinSemiAnti,
     "join_multiway" -> joinMultiway,
@@ -655,6 +724,7 @@ object Relational {
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_percentile" -> aggPercentile,
+    "agg_approx_percentile" -> aggApproxPercentile,
     "agg_moments" -> aggMoments,
     "agg_rollup_cube" -> aggRollupCube,
     "agg_pivot" -> aggPivot,
@@ -667,7 +737,8 @@ object Relational {
   )
 
   /** Oracle SQL fragment contributed by this module (agg_approx_distinct
-    * intentionally omitted — approximate, verified by ScalaTest bounds). */
+    * and agg_approx_percentile intentionally omitted — approximate,
+    * verified by ScalaTest bounds). */
   val oracleSql: Map[String, String] = Map(
     "scan_parquet" -> scanParquetSql,
     "scan_filter_project" -> scanFilterProjectSql,
@@ -675,6 +746,7 @@ object Relational {
     "filter_pred" -> filterPredSql,
     "project_expr" -> projectExprSql,
     "join_inner_hash" -> joinInnerHashSql,
+    "join_bucketed" -> joinBucketedSql,
     "join_outer" -> joinOuterSql,
     "join_semi_anti" -> joinSemiAntiSql,
     "join_multiway" -> joinMultiwaySql,

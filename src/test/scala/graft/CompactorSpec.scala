@@ -231,6 +231,25 @@ class CompactorSpec extends AnyFunSuite with SparkSpec {
     assert(df.agg(sum(col("id"))).head.getLong(0) == 6L)
   }
 
+  test("single-file utilities: copyFromLocal, stream read, file-only delete") {
+    val ops = fsOps
+    val base = java.nio.file.Files.createTempDirectory("graft_fsops")
+    val src = base.resolve("payload.txt")
+    java.nio.file.Files.writeString(src, "graft-fs-utils")
+    val dstDir = base.resolve("dst")
+    java.nio.file.Files.createDirectory(dstDir)
+    ops.copyFromLocal(src.toString, dstDir.toString, overwrite = true)
+    val copied = s"$dstDir/payload.txt"
+    assert(ops.isFile(copied) && !ops.isDirectory(copied))
+    val in = ops.openStream(copied)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(text == "graft-fs-utils")
+    // deleteFile refuses directories and deletes only the named file
+    assert(!ops.deleteFile(dstDir.toString) && ops.isDirectory(dstDir.toString))
+    assert(ops.deleteFile(copied) && !ops.exists(copied))
+    assert(!ops.deleteFile(copied)) // idempotent: missing file is false
+  }
+
   test("multiset preserved for arbitrary file counts (property)") {
     val base0 = tmpBase()
     sampleDf(240).repartition(4).write.parquet(s"$base0/src0")

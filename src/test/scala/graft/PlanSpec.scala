@@ -20,6 +20,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("join_bucketed: sort-merge with no shuffle on either side") {
+    val p = plan(Relational.joinBucketed(spark, sfDir))
+    assert(p.contains("SortMergeJoin"), p)
+    // bucketed co-location: the only exchange is the final output sort
+    // (rangepartitioning); a hashpartitioning exchange would mean the
+    // join re-shuffled a side and bucketing bought nothing
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("minhash LSH candidate join is an equi-join, not cartesian") {
     val p = plan(Dedup.dedupFuzzy(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)

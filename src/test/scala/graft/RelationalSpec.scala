@@ -33,6 +33,20 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx_percentile tracks the exact percentile per group") {
+    val exact = Relational.aggPercentile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap // q50
+    Relational.aggApproxPercentile(spark, sfDir).collect().foreach { r =>
+      val (flag, p50) = (r.getString(0), r.getDouble(1))
+      // l_quantity is integer-valued in [1,50]; with accuracy=1000 the
+      // sketch's median lands within one unit of the exact interpolation
+      assert(math.abs(p50 - exact(flag)) <= 1.0,
+        s"$flag: approx p50=$p50 exact=${exact(flag)}")
+      val p95 = r.getDouble(2)
+      assert(p95 >= p50 && p95 <= 50.0, s"$flag: p95=$p95 out of range")
+    }
+  }
+
   test("scan_filter_project pushes predicates and prunes columns") {
     val plan = Relational.scanFilterProject(spark, sfDir)
       .queryExecution.executedPlan.toString
