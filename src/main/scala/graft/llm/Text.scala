@@ -337,6 +337,43 @@ object Text {
        |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN corpus
        |ORDER BY term, doc_id""".stripMargin
 
+  /** Deterministic train/val/test split — the held-out-split operator
+    * every training pipeline needs. The assignment hashes the document
+    * id (md5, engine-identical) into a 16-bit bucket and thresholds at
+    * 90/5/5, so the split is stable across runs, machines, and engines
+    * — no `rand()`, whose sample is neither reproducible cross-engine
+    * nor stable under partial task retry (same hazard as the salted
+    * join). Pure projection: at 100 TB the split costs one map pass.
+    * The nibble→int algebra is the same instr trick the SimHash
+    * pipeline established for both engines. */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", expr("md5('split:' || CAST(doc_id AS STRING))"))
+      .select(col("doc_id"), expr(splitBucketExpr).as("bucket"))
+      .withColumn("split", expr(splitCaseExpr))
+      .orderBy(col("doc_id"))
+
+  /** First 4 md5 nibbles → 0..65535, shared verbatim between engines. */
+  private val splitBucketExpr: String =
+    """CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+      |   + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+      |   + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+      |   + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) AS BIGINT)""".stripMargin
+
+  private val splitCaseExpr: String =
+    """CASE WHEN bucket < 58982 THEN 'train'
+      |     WHEN bucket < 62259 THEN 'val'
+      |     ELSE 'test' END""".stripMargin
+
+  val splitSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, md5('split:' || CAST(doc_id AS STRING)) AS h
+       |  FROM documents),
+       |b AS (SELECT doc_id, $splitBucketExpr AS bucket FROM h)
+       |SELECT doc_id, bucket, $splitCaseExpr AS split
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+
   /** Repetition ratio — the duplicate-n-gram quality signal corpus
     * filters use (heavily repeated boilerplate predicts low quality):
     * per doc, the fraction of duplicate words and duplicate word
@@ -387,6 +424,7 @@ object Text {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bm25" -> bm25,
     "llm_repetition" -> repetition,
+    "llm_split" -> trainTestSplit,
     "llm_decontaminate" -> decontaminate,
     "llm_chunk" -> chunk,
     "llm_pii_redact" -> piiRedact,
@@ -400,6 +438,7 @@ object Text {
   val oracleSql: Map[String, String] = Map(
     "llm_bm25" -> bm25Sql,
     "llm_repetition" -> repetitionSql,
+    "llm_split" -> splitSql,
     "llm_decontaminate" -> decontaminateSql,
     "llm_chunk" -> chunkSql,
     "llm_pii_redact" -> piiRedactSql,

@@ -95,6 +95,100 @@ object Relational {
       |WHERE l_returnflag = 'R'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** JSON source scan with an explicit schema (reference D8: the
+    * TemplateApp JSON lift, TemplateApp.scala:62, made a first-class
+    * source): nation staged once as JSON lines, read back typed. An
+    * explicit schema matters at scale — inference reads the data
+    * twice. */
+  def scanJson(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .json(stagedTextCopy(spark, dir, "json"))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+
+  /** CSV source scan: header + explicit schema (no inference pass). */
+  def scanCsv(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("header", "true")
+      .csv(stagedTextCopy(spark, dir, "csv"))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+
+  /** Both text scans share one oracle: the staged copies carry exactly
+    * the parquet table's rows, so DuckDB reads the original. */
+  val scanTextSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
+  private val textFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def stagedTextCopy(spark: SparkSession, dir: String,
+                             fmt: String): String =
+    textFixtures.getOrElseUpdate((dir, fmt), {
+      val target = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_${fmt}_" + Integer.toHexString(dir.hashCode) + "/nation").toString
+      if (!new java.io.File(target, "_SUCCESS").exists()) {
+        Tables.nation(spark, dir).write.mode("overwrite")
+          .option("header", "true").format(fmt).save(target)
+      }
+      target
+    })
+
+  /** MERGE-style upsert without a table format: apply a change batch
+    * (updates + inserts, derived deterministically from orders itself)
+    * to the target via one full-outer join keyed on orderkey — the
+    * plan shape a MERGE compiles to. At 100 TB this is a single
+    * key-shuffled join (or broadcast, when the change batch is small);
+    * change capture then rewrites only matched files, but the join
+    * semantics are exactly these. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val updates = t.where(col("o_orderkey") % 100 < 5)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"))
+    val inserts = t.where((col("o_orderkey") % 100).isin(5, 6))
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
+    val c = updates.union(inserts)
+      .select(col("o_orderkey").as("c_key"), col("o_custkey").as("c_cust"),
+        col("o_orderstatus").as("c_status"), col("o_totalprice").as("c_price"))
+    t.join(c, col("o_orderkey") === col("c_key"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("c_key")).as("key"),
+        coalesce(col("c_cust"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+        coalesce(col("c_price"), col("o_totalprice")).as("totalprice"),
+        when(col("o_orderkey").isNull, "insert")
+          .when(col("c_key").isNull, "keep").otherwise("update").as("op"))
+      .orderBy(col("key"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+      |c AS (
+      |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |    o_totalprice + 1000.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 100 < 5
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+      |  FROM t WHERE o_orderkey % 100 IN (5, 6))
+      |SELECT
+      |  COALESCE(t.o_orderkey, c.o_orderkey) AS key,
+      |  COALESCE(c.o_custkey, t.o_custkey) AS custkey,
+      |  COALESCE(c.o_orderstatus, t.o_orderstatus) AS status,
+      |  COALESCE(c.o_totalprice, t.o_totalprice) AS totalprice,
+      |  CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+      |       WHEN c.o_orderkey IS NULL THEN 'keep'
+      |       ELSE 'update' END AS op
+      |FROM t FULL OUTER JOIN c ON t.o_orderkey = c.o_orderkey
+      |ORDER BY key""".stripMargin
+
   /** Shuffle-free co-located join via bucketing — the 100 TB answer to
     * a fact↔fact join that recurs on the same key: both tables stored
     * bucketed (8 buckets on orderkey) so the sort-merge join reads
@@ -709,6 +803,9 @@ object Relational {
     "scan_parquet" -> scanParquet,
     "scan_filter_project" -> scanFilterProject,
     "scan_partition_pruned" -> scanPartitionPruned,
+    "scan_json" -> scanJson,
+    "scan_csv" -> scanCsv,
+    "merge_upsert" -> mergeUpsert,
     "filter_pred" -> filterPred,
     "project_expr" -> projectExpr,
     "join_inner_hash" -> joinInnerHash,
@@ -743,6 +840,9 @@ object Relational {
     "scan_parquet" -> scanParquetSql,
     "scan_filter_project" -> scanFilterProjectSql,
     "scan_partition_pruned" -> scanPartitionPrunedSql,
+    "scan_json" -> scanTextSql,
+    "scan_csv" -> scanTextSql,
+    "merge_upsert" -> mergeUpsertSql,
     "filter_pred" -> filterPredSql,
     "project_expr" -> projectExprSql,
     "join_inner_hash" -> joinInnerHashSql,
