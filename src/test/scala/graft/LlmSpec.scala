@@ -125,6 +125,56 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("train/val/test split is deterministic, complete, and near 90/5/5") {
+    import graft.llm.Text
+    val a = Text.trainTestSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    val b = Text.trainTestSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    assert(a.toSeq == b.toSeq) // stable across invocations
+    val n = a.length.toDouble
+    val frac = a.groupBy(_._2).view.mapValues(_.length / n).toMap
+    assert(frac.keySet.subsetOf(Set("train", "val", "test")))
+    // 500 docs: binomial noise on 5% strata is a few points
+    assert(frac("train") > 0.8 && frac("train") < 0.97, frac)
+  }
+
+  test("bm25: document frequencies consistent, scores positive and tf-sensitive") {
+    import graft.llm.Text
+    val rows = Text.bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // df = number of rows (docs) carrying each term
+    val byTerm = rows.groupBy(_._2)
+    byTerm.foreach { case (term, rs) =>
+      assert(rs.map(_._4).distinct.sizeIs == 1, s"$term df not constant")
+      assert(rs.head._4 == rs.length, s"$term df != doc count")
+    }
+    assert(rows.forall(_._6 > 0.0), "BM25 scores must be positive here")
+    // within a term, at (near-)equal doc length the higher tf scores higher
+    byTerm.foreach { case (_, rs) =>
+      rs.groupBy(_._5).filter(_._2.length > 1).foreach { case (_, same) =>
+        val sorted = same.sortBy(_._3)
+        assert(sorted.zip(sorted.tail).forall { case (lo, hi) =>
+          lo._3 == hi._3 || lo._6 < hi._6 })
+      }
+    }
+  }
+
+  test("repetition ratios are well-formed fractions") {
+    import graft.llm.Text
+    Text.repetition(spark, sfDir).collect().foreach { r =>
+      val (nw, uw, nb, ub) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(uw >= 1 && uw <= nw)
+      assert(ub >= 1 && ub <= nb)
+      assert(nb == nw - 1, "every doc here has >=2 words")
+      val (dw, db) = (r.getDouble(5), r.getDouble(6))
+      assert(dw >= 0.0 && dw < 1.0 && db >= 0.0 && db < 1.0)
+    }
+  }
+
   test("approx distinct within 5% of exact") {
     val approx = graft.operators.Relational.aggApproxDistinct(spark, sfDir)
       .collect()(0).getLong(0).toDouble

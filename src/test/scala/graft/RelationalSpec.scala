@@ -33,6 +33,28 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("merge_upsert: row accounting and op tags are consistent") {
+    val orders = Tables.orders(spark, sfDir)
+    val nOrders = orders.count()
+    val nUpd = orders.where(col("o_orderkey") % 100 < 5).count()
+    val nIns = orders.where((col("o_orderkey") % 100).isin(5, 6)).count()
+    val out = Relational.mergeUpsert(spark, sfDir)
+      .groupBy(col("op")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("update") == nUpd)
+    assert(out("insert") == nIns)
+    assert(out("keep") == nOrders - nUpd)
+    assert(out.values.sum == nOrders + nIns)
+  }
+
+  test("text-source scans agree with the parquet original") {
+    val parquetRows = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey")).collect().toSeq
+    assert(Relational.scanJson(spark, sfDir).collect().toSeq == parquetRows)
+    assert(Relational.scanCsv(spark, sfDir).collect().toSeq == parquetRows)
+  }
+
   test("approx_percentile tracks the exact percentile per group") {
     val exact = Relational.aggPercentile(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap // q50
