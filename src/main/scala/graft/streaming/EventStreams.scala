@@ -87,6 +87,31 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: the canonical dimension join. The
+    * static side re-plans per micro-batch (picking up dimension
+    * updates) and broadcasts when small — no stream-side state at
+    * all, so it scales with the stream, not the dimension history. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left_outer")
+
+  /** Stream-stream interval join: purchases matched to the same user's
+    * signups within the preceding 24 h — the funnel pattern as a true
+    * two-stream join. Both sides carry watermarks and the join
+    * condition bounds event time on both, so each side's buffered
+    * state is evictable once the watermark passes the interval (state
+    * ∝ users active in the horizon, not the stream's history). */
+  def purchaseAttribution(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    p.join(s,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
+  }
+
   private val GapMs: Long = 30L * 60 * 1000
 
   /** Custom sessionization with explicit state:

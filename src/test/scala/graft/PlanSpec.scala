@@ -29,6 +29,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB this is the optimizer feature that saves the scan: a
+    // selective dimension filter injects a bloom filter into the fact
+    // side's scan stage before the shuffle. Local thresholds are far
+    // below the defaults, so pin the behavior with test-scaled confs.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force shuffle join
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import graft.core.Tables
+      val o = Tables.orders(spark, sfDir)
+        .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val l = Tables.lineitem(spark, sfDir)
+      val p = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(l("l_orderkey"), l("l_quantity"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BloomFilterMightContain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("minhash LSH candidate join is an equi-join, not cartesian") {
     val p = plan(Dedup.dedupFuzzy(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)

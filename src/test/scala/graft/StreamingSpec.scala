@@ -99,6 +99,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dimension per micro-batch") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = runBatches("enrich", "append",
+      df => EventStreams.enriched(df, dim),
+      Seq(Seq(ev(1, 0, user = 1), ev(2, 0, user = 3))))
+    val rows = out.select(col("event_id"), col("tier")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L).contains("gold"))
+    assert(rows(2L).isEmpty) // left outer: unknown user kept, tier null
+  }
+
+  test("stream-stream interval join attributes purchases to prior signups") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val signups = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStreams.purchaseAttribution(
+      signups.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory")
+      .queryName("attrib").outputMode("append").start()
+    try {
+      signups.addData(ev(1, 0, user = 1), ev(2, 0, user = 2))
+      q.processAllAvailable()
+      purchases.addData(
+        ev(10, 30, user = 1, v = 9.0),   // 30 min after signup -> match
+        ev(11, 30, user = 3, v = 5.0))   // no signup -> dropped (inner)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attrib")
+      .select(col("p_user"), col("p_value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 9.0)))
+  }
+
   test("foreachBatch maintains a keyed upsert table across micro-batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext =
