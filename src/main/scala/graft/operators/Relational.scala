@@ -455,6 +455,38 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of with tolerance on the native operator: for each
+    * event, the user's *next* order within 7 days (earliest
+    * at-or-after; ties → smallest orderkey). Same merge pass and state
+    * bound as the backward mode — direction only flips which side of
+    * the time comparison is retained. */
+  def joinAsofFwd(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    org.apache.spark.sql.graft.AsofJoinApi.join(
+        e, o, Seq("user_id" -> "o_custkey"), "ts", "o_orderdate",
+        rightTieBreakCols = Seq("o_orderkey"),
+        forward = true, tolerance = 7L * 24 * 3600 * 1000000) // 7 days in µs
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val joinAsofFwdSql: String =
+    """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+      |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+      |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |           ORDER BY o.o_orderdate ASC NULLS LAST,
+      |                    o.o_orderkey ASC NULLS LAST) AS rn
+      |  FROM events e LEFT OUTER JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+      |   AND o.o_orderdate <= e.ts + INTERVAL 7 DAY
+      |) WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   // ----------------------------------------------------------- aggregates
 
   /** Global (grand-total) aggregate: one partial agg per partition, one
@@ -816,6 +848,7 @@ object Relational {
     "join_theta_range" -> joinThetaRange,
     "join_asof" -> joinAsof,
     "join_asof_native" -> joinAsofNative,
+    "join_asof_fwd" -> joinAsofFwd,
     "agg_global" -> aggGlobal,
     "agg_groupby" -> aggGroupBy,
     "agg_distinct" -> aggDistinct,
@@ -853,6 +886,7 @@ object Relational {
     "join_theta_range" -> joinThetaRangeSql,
     "join_asof" -> joinAsofSql,
     "join_asof_native" -> joinAsofSql, // same contract, native operator
+    "join_asof_fwd" -> joinAsofFwdSql,
     "agg_global" -> aggGlobalSql,
     "agg_groupby" -> aggGroupBySql,
     "agg_distinct" -> aggDistinctSql,

@@ -41,7 +41,13 @@ case class AsofJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Seq[Expression]) extends BinaryNode {
+    rightTieBreak: Seq[Expression],
+    // pandas merge_asof surface: backward (default) = latest right with
+    // rightTime <= leftTime; forward = earliest right with
+    // rightTime >= leftTime. tolerance bounds |Δtime| in the time
+    // type's native units (µs for timestamps, days for dates); -1 = ∞.
+    forward: Boolean = false,
+    tolerance: Long = -1L) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -65,7 +71,7 @@ object PruneAsofJoinColumns
   import org.apache.spark.sql.catalyst.plans.logical.Project
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case p @ Project(_, aj @ AsofJoin(l, r, lk, rk, lt, rt, tb))
+    case p @ Project(_, aj @ AsofJoin(l, r, lk, rk, lt, rt, tb, _, _))
         if (aj.outputSet -- p.references).nonEmpty =>
       val needed = p.references
       val lKeep = l.output.filter(a => needed.contains(a) ||
@@ -82,8 +88,9 @@ object PruneAsofJoinColumns
   * [[graft.plans.GraftExtensions]]). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, tb) =>
-      AsofJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, tb, fwd, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, tb, fwd, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -94,6 +101,8 @@ case class AsofJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
+    forward: Boolean,
+    tolerance: Long,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -139,10 +148,16 @@ case class AsofJoinExec(
       val toUnsafe = UnsafeProjection.create(
         (lOut.map(_.dataType) ++ rOut.map(_.dataType)).toArray)
 
+      // |Δtime| in native units for the tolerance test: timestamps and
+      // dates both evaluate to boxed integral types
+      def units(v: Any): Long = v.asInstanceOf[Number].longValue
+      val tol = tolerance
+
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _          // unconsumed right row
         private var lastMatch: InternalRow = _      // copy: best right so far
         private var lastMatchKey: UnsafeRow = _     // copy: its key
+        private var lastMatchTime: Any = _          // its time value
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -171,9 +186,20 @@ case class AsofJoinExec(
                 val rTime = rTimeEval.eval(rHead)
                 if (rTime == null) {
                   rHead = null // null time can never be an as-of match
+                } else if (forward) {
+                  if (lTime == null) {
+                    done = true // unmatched; keep rHead for later lefts
+                  } else if (timeOrd.compare(rTime, lTime) < 0) {
+                    // strictly before this left — and lefts only grow, so
+                    // before every remaining left of this key too
+                    rHead = null
+                  } else {
+                    done = true // first at-or-after: the forward winner
+                  }
                 } else if (lTime != null && timeOrd.compare(rTime, lTime) <= 0) {
                   lastMatch = rHead.copy() // rows are reused buffers
                   lastMatchKey = lKey.copy()
+                  lastMatchTime = rTime
                   rHead = null
                 } else {
                   done = true // too new for this left row, maybe not the next
@@ -185,9 +211,24 @@ case class AsofJoinExec(
           // rightTime <= NULL is never true, so a null left time emits the
           // null-right row even when a previous left row of the same key
           // left a surviving lastMatch (SQL as-of semantics)
-          val matched = lTime != null && lastMatch != null &&
-            lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) == 0
-          toUnsafe(joined(l, if (matched) lastMatch else nullRight))
+          val matched =
+            if (forward) {
+              lTime != null && !lKey.anyNull && rHead != null && {
+                val rk = rKeyProj(rHead)
+                !rk.anyNull && keyOrd.compare(rk, lKey) == 0 && {
+                  val rt = rTimeEval.eval(rHead)
+                  rt != null && timeOrd.compare(rt, lTime) >= 0 &&
+                    (tol < 0 || units(rt) - units(lTime) <= tol)
+                }
+              }
+            } else {
+              lTime != null && lastMatch != null && lastMatchKey != null &&
+                keyOrd.compare(lastMatchKey, lKey) == 0 &&
+                (tol < 0 || units(lTime) - units(lastMatchTime) <= tol)
+            }
+          val r = if (matched) { if (forward) rHead else lastMatch }
+                  else nullRight
+          toUnsafe(joined(l, r))
         }
       }
     }
@@ -201,11 +242,19 @@ case class AsofJoinExec(
 /** Builder: resolves column names against the analyzed child plans and
   * lifts the logical node back into a DataFrame. */
 object AsofJoinApi {
+  /** `forward = false` (default): latest right row with
+    * rightTime <= leftTime. `forward = true`: earliest right row with
+    * rightTime >= leftTime (ties → smallest tie-break, mirroring the
+    * backward mode's largest-wins under the shared ascending sort).
+    * `tolerance` bounds |Δtime| in the time type's native units
+    * (µs for timestamps, days for dates); negative = unbounded. */
   def join(
       leftDf: DataFrame, rightDf: DataFrame,
       keys: Seq[(String, String)],
       leftTimeCol: String, rightTimeCol: String,
-      rightTieBreakCols: Seq[String]): DataFrame = {
+      rightTieBreakCols: Seq[String],
+      forward: Boolean = false,
+      tolerance: Long = -1L): DataFrame = {
     val spark = leftDf.sparkSession
     val lp = leftDf.queryExecution.analyzed
     val rp = rightDf.queryExecution.analyzed
@@ -229,7 +278,7 @@ object AsofJoinApi {
       s"as-of time type ${lt.dataType} is not orderable")
     val node = AsofJoin(lp, rp,
       keys.map(k => attr(lp, k._1)), keys.map(k => attr(rp, k._2)),
-      lt, rt, rightTieBreakCols.map(attr(rp, _)))
+      lt, rt, rightTieBreakCols.map(attr(rp, _)), forward, tolerance)
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
   }
 }

@@ -129,6 +129,74 @@ class AsofSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("must share a type"))
   }
 
+  test("forward direction picks the earliest at-or-after row; tie -> smallest tiebreak") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lefts = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // before both rights -> first (12:00, min rid)
+      (2L, 10L, ts("2024-01-01 12:00:00")), // exact tie -> matched, min tiebreak
+      (3L, 10L, ts("2024-01-01 15:00:00")), // after all rights -> null
+      (4L, 99L, ts("2024-01-01 10:00:00"))  // key with no rights -> null
+    ).toDF("id", "k", "t")
+    val rights = Seq(
+      (10L, 101L, ts("2024-01-01 12:00:00")),
+      (10L, 100L, ts("2024-01-01 12:00:00")), // same instant, smaller id wins
+      (10L, 102L, ts("2024-01-01 14:00:00"))
+    ).toDF("rk", "rid", "rt")
+    val out = org.apache.spark.sql.graft.AsofJoinApi.join(
+        lefts, rights, Seq("k" -> "rk"), "t", "rt", Seq("rid"),
+        forward = true)
+      .select(col("id"), col("rid")).orderBy(col("id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(out.toSeq == Seq(
+      1L -> Some(100L), 2L -> Some(100L), 3L -> None, 4L -> None))
+  }
+
+  test("tolerance bounds the match distance in both directions") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val hourUs = 3600L * 1000000
+    val lefts = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
+    val rights = Seq((10L, 100L, ts("2024-01-01 09:00:00"))).toDF("rk", "rid", "rt")
+    def run(fwd: Boolean, tol: Long) =
+      org.apache.spark.sql.graft.AsofJoinApi.join(
+          lefts, rights, Seq("k" -> "rk"), "t", "rt", Seq("rid"),
+          forward = fwd, tolerance = tol)
+        .select(col("rid")).collect().map(r => Option(r.get(0))).toSeq
+    assert(run(fwd = false, tol = 4 * hourUs) == Seq(Some(100L))) // 3h back, within 4h
+    assert(run(fwd = false, tol = 2 * hourUs) == Seq(None))       // 3h back, beyond 2h
+    // forward from 12:00 finds nothing at-or-after regardless of tolerance
+    assert(run(fwd = true, tol = 24 * hourUs) == Seq(None))
+    val rights2 = Seq((10L, 200L, ts("2024-01-01 13:30:00"))).toDF("rk", "rid", "rt")
+    def run2(tol: Long) =
+      org.apache.spark.sql.graft.AsofJoinApi.join(
+          lefts, rights2, Seq("k" -> "rk"), "t", "rt", Seq("rid"),
+          forward = true, tolerance = tol)
+        .select(col("rid")).collect().map(r => Option(r.get(0))).toSeq
+    assert(run2(2 * hourUs) == Seq(Some(200L))) // 1.5h ahead, within 2h
+    assert(run2(hourUs) == Seq(None))           // 1.5h ahead, beyond 1h
+  }
+
+  test("forward matches the window emulation on the testdata (7-day tolerance)") {
+    import graft.core.Tables
+    val e = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val joined = e.join(o, col("user_id") === col("o_custkey") &&
+          col("o_orderdate") >= col("ts") &&
+          col("o_orderdate") <= col("ts") + expr("INTERVAL 7 DAYS"), "left_outer")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+    val emulated = joined.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey")).orderBy(col("event_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    val native = graft.operators.Relational.joinAsofFwd(spark, sfDir)
+      .select(col("event_id"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(native.toSeq == emulated.toSeq)
+  }
+
   test("empty right side leaves every left row unmatched") {
     import spark.implicits._
     val lefts = Seq((1L, 5L, Timestamp.valueOf("2024-01-01 10:00:00")))
