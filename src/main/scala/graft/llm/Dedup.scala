@@ -23,18 +23,27 @@ import graft.core.Tables
   */
 object Dedup {
 
-  /** Distinct (doc_id, word-trigram) pairs of lower-cased text. Word
-    * trigrams (not char shingles) keep random-document similarity low
-    * while near-dups stay ≫ band threshold. */
-  private def trigrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** (doc_id, word-trigram) pairs of lower-cased text. Word trigrams
+    * (not char shingles) keep random-document similarity low while
+    * near-dups stay ≫ band threshold.
+    *
+    * `dedupe` adds the set-semantics shuffle only where it matters
+    * (Jaccard's intersection/size counts). MinHash signatures are
+    * invariant to duplicate shingles — min over a multiset equals min
+    * over its set — so the signature path skips the distinct and saves
+    * a corpus-wide (doc, gram) shuffle; the oracle keeps its DISTINCT
+    * and the mins agree by construction. */
+  private def trigrams(spark: SparkSession, dir: String,
+                       dedupe: Boolean = true): DataFrame = {
+    val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, greatest(size(t)-3, 0)),
           |  i -> concat(element_at(t, i+1), ' ', element_at(t, i+2), ' ',
           |              element_at(t, i+3)))""".stripMargin)).as("g"))
       .where(col("g").isNotNull)
-      .distinct()
+    if (dedupe) grams.distinct() else grams
+  }
 
   private val trigramsSql: String =
     """SELECT DISTINCT doc_id,
@@ -125,7 +134,7 @@ object Dedup {
     * subplan here is the whole shingle+signature pipeline — caching
     * the tiny (4 rows/doc) band table halves the query. */
   def dedupFuzzy(spark: SparkSession, dir: String): DataFrame =
-    candidatePairs(bands(signatures(trigrams(spark, dir))).cache())
+    candidatePairs(bands(signatures(trigrams(spark, dir, dedupe = false))).cache())
       .orderBy(col("doc_a"), col("doc_b"))
 
   val dedupFuzzySql: String =
@@ -329,7 +338,7 @@ object Dedup {
     * back the returned frame; the caller drains them after its action
     * ([[graft.core.Caches.drain]]). */
   private[llm] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val bd = bands(signatures(trigrams(spark, dir))).cache()
+    val bd = bands(signatures(trigrams(spark, dir, dedupe = false))).cache()
     val pairs = candidatePairs(bd).cache() // union below scans it twice
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
