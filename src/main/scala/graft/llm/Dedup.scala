@@ -34,9 +34,14 @@ object Dedup {
     * a corpus-wide (doc, gram) shuffle; the oracle keeps its DISTINCT
     * and the mins agree by construction. */
   private def trigrams(spark: SparkSession, dir: String,
-                       dedupe: Boolean = true): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+                       dedupe: Boolean = true): DataFrame =
+    trigramsOf(Tables.documents(spark, dir), "doc_id", "text", dedupe)
+
+  /** Corpus-generic shingling: any (id, text) frame → (doc_id, g). */
+  private def trigramsOf(docs: DataFrame, idCol: String, textCol: String,
+                         dedupe: Boolean): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("t"))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, greatest(size(t)-3, 0)),
           |  i -> concat(element_at(t, i+1), ' ', element_at(t, i+2), ' ',
@@ -339,11 +344,30 @@ object Dedup {
     * ([[graft.core.Caches.drain]]). */
   private[llm] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val bd = bands(signatures(trigrams(spark, dir, dedupe = false))).cache()
-    val pairs = candidatePairs(bd).cache() // union below scans it twice
+    val labels = connectedComponents(spark, candidatePairs(bd))
+    bd.unpersist(blocking = false) // edges checkpointed inside the fixpoint
+    labels
+  }
+
+  /** PUBLIC corpus-generic surface: MinHash+LSH near-dup candidate
+    * pairs over any (id, text) frame — the same trigram → 8-minhash →
+    * 4-band pipeline the registry queries run on `documents`. Returns
+    * unordered distinct (doc_a, doc_b); internal caches are released
+    * by the caller's [[graft.core.Caches.drain]] after its action. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    candidatePairs(bands(signatures(
+      trigramsOf(docs, idCol, textCol, dedupe = false))).cache())
+
+  /** PUBLIC generic surface: connected-component labels over any
+    * undirected (doc_a, doc_b) pair frame, by the same min-label
+    * propagation / checkpoint-release fixpoint the registry's clusters
+    * query uses. The returned frame is backed by the final round's
+    * localCheckpoint; drain after consuming it. */
+  def connectedComponents(spark: SparkSession, pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.cache() // union below scans it twice
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val (edgesCp, edgeIds) = checkpointTracked(spark, edges)
-    bd.unpersist(blocking = false) // LSH lineage truncated by the checkpoint
     pairs.unpersist(blocking = false)
     var (labels, labelIds) = checkpointTracked(spark,
       edgesCp.select(col("doc_a").as("node")).distinct()

@@ -219,6 +219,28 @@ object Similarity {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** PUBLIC generic surface: cosine top-k neighbors of each query
+    * vector against a candidate frame, on the fused native kernel.
+    * `queries` should be the bounded side (it is broadcast); at scale
+    * route candidates through an LSH/IVF bucketing first (see
+    * [[simSearchLsh]] / [[Dedup.dedupEmbed]]) and pass each bucket's
+    * slice here. Inputs: (id, vec) columns named by the callers. */
+  def cosineTopK(queryDf: DataFrame, queryId: String, queryVec: String,
+                 candDf: DataFrame, candId: String, candVec: String,
+                 k: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(queryDf.sparkSession)
+    val q = queryDf.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+    val c = candDf.select(col(candId).as("cand_id"), col(candVec).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(qv, cv)").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_search_lsh" -> simSearchLsh,
     "llm_sim_search" -> simSearch,

@@ -175,6 +175,42 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("generic API: minhash candidates + components + cosineTopK on a custom frame") {
+    import spark.implicits._
+    // a corpus that is NOT the documents table: 2 near-dup pairs + noise.
+    // Long shared prefixes keep trigram Jaccard ~0.9 so the 4x2 bands
+    // catch both pairs (deterministic here: fixed text, fixed md5).
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+    val base2 = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen " +
+      "twenty twentyone twentytwo twentythree"
+    val docs = Seq(
+      (101L, base1 + " omega"),
+      (102L, base1 + " OMEGA2"), // near-dup of 101 (differs in last word)
+      (103L, base2 + " twentyfour"),
+      (104L, base2 + " twentyfive"), // near-dup of 103
+      (105L, "totally different words appear here only once in this corpus")
+    ).toDF("id", "body")
+    val pairs = Dedup.minhashCandidates(docs, "id", "body")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((101L, 102L)) && got.contains((103L, 104L)), got)
+    assert(!got.exists(p => p._1 == 105L || p._2 == 105L), got)
+    val labels = Dedup.connectedComponents(spark, pairs)
+    val byDoc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc(101L) == byDoc(102L) && byDoc(103L) == byDoc(104L))
+    assert(byDoc(101L) != byDoc(103L))
+    // generic cosine top-k over a custom embedding frame
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vid", "v")
+    val nn = graft.llm.Similarity
+      .cosineTopK(vecs.where(col("vid") === 1L), "vid", "v", vecs, "vid", "v", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(nn.toSeq == Seq((1L, 2L)))
+    graft.core.Caches.drain(spark)
+  }
+
   test("approx distinct within 5% of exact") {
     val approx = graft.operators.Relational.aggApproxDistinct(spark, sfDir)
       .collect()(0).getLong(0).toDouble
