@@ -121,15 +121,47 @@ object Windows {
        |FROM spine s LEFT OUTER JOIN daily d ON s.day = d.day
        |ORDER BY s.day""".stripMargin
 
+  /** Per-row trailing 24-hour RANGE frame per user: event count and
+    * exact-cents value sum over the window ending at each event. RANGE
+    * (value-bounded) differs from ROWS (count-bounded): ties in the
+    * order key all share one frame, so the result is deterministic
+    * even with duplicate timestamps — both engines agree by the SQL
+    * standard. The frame bound is micros on the epoch, the native unit
+    * of the µs-precision events.ts. One shuffle on user_id; frame
+    * state is bounded by events per key per day. */
+  def winRollingRange(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us")).rangeBetween(-dayUs, 0L)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_24h"),
+        (sum(Det.cents(col("value"))).over(w)
+          .cast("double") / lit(100.0)).as("sum_24h"))
+      .orderBy(col("event_id"))
+  }
+
+  val winRollingRangeSql: String =
+    s"""SELECT event_id, user_id, ts,
+       |  COUNT(*) OVER w AS n_24h,
+       |  CAST(CAST(SUM(${DetSql.cents("value")}) OVER w AS BIGINT) AS DOUBLE) / 100.0 AS sum_24h
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
+    "win_rolling_range" -> winRollingRange,
     "ts_gapfill" -> tsGapfill,
   )
 
   val oracleSql: Map[String, String] = Map(
     "win_rank" -> winRankSql,
     "win_analytic" -> winAnalyticSql,
+    "win_rolling_range" -> winRollingRangeSql,
     "ts_gapfill" -> tsGapfillSql,
   )
 }
