@@ -151,11 +151,64 @@ object Windows {
        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
        |ORDER BY event_id""".stripMargin
 
+  /** Downsample the event stream to 15-minute OHLC bars per user:
+    * open/close are the first/last values by (ts, event_id) within the
+    * bucket — made deterministic under timestamp ties by the explicit
+    * row_number tie-break, the same trick both engines share. Values
+    * pass through untouched (hash-safe); the volume sum is exact
+    * cents. One shuffle on (user, bucket); the canonical resample
+    * shape for time-series feature pipelines. */
+  def tsResample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = window(col("ts"), "15 minutes").getField("start").as("bucket")
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), bucket)
+    val wa = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wd = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base
+      .withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_d", row_number().over(wd))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        min(col("value")).as("lo"),
+        max(col("value")).as("hi"),
+        count(lit(1)).as("n_events"),
+        Det.dsum(col("value")).as("volume"))
+      .orderBy(col("user_id"), col("bucket"))
+  }
+
+  val tsResampleSql: String =
+    s"""WITH x AS (
+       |  SELECT event_id, user_id, ts, value,
+       |    time_bucket(INTERVAL 15 MINUTE, ts) AS bucket
+       |  FROM events),
+       |r AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+       |      ORDER BY ts ASC, event_id ASC) AS rn_a,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+       |      ORDER BY ts DESC, event_id DESC) AS rn_d
+       |  FROM x)
+       |SELECT user_id, bucket,
+       |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       |  MIN(value) AS lo,
+       |  MAX(value) AS hi,
+       |  COUNT(*) AS n_events,
+       |  ${DetSql.dsum("value")} AS volume
+       |FROM r
+       |GROUP BY user_id, bucket
+       |ORDER BY user_id, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
     "win_rolling_range" -> winRollingRange,
     "ts_gapfill" -> tsGapfill,
+    "ts_resample" -> tsResample,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -163,5 +216,6 @@ object Windows {
     "win_analytic" -> winAnalyticSql,
     "win_rolling_range" -> winRollingRangeSql,
     "ts_gapfill" -> tsGapfillSql,
+    "ts_resample" -> tsResampleSql,
   )
 }
