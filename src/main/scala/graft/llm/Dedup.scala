@@ -38,14 +38,16 @@ object Dedup {
     trigramsOf(Tables.documents(spark, dir), "doc_id", "text", dedupe)
 
   /** Corpus-generic shingling: any (id, text) frame → (doc_id, g). */
-  private def trigramsOf(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def trigramsOf(docs: DataFrame, idCol: String, textCol: String,
                          dedupe: Boolean): DataFrame = {
     val grams = docs
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("t"))
+      // try_element_at: out-of-range → NULL (matching DuckDB's t[i]);
+      // plain element_at throws under ANSI on sub-3-token docs
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, greatest(size(t)-3, 0)),
-          |  i -> concat(element_at(t, i+1), ' ', element_at(t, i+2), ' ',
-          |              element_at(t, i+3)))""".stripMargin)).as("g"))
+          |  i -> concat(try_element_at(t, i+1), ' ', try_element_at(t, i+2), ' ',
+          |              try_element_at(t, i+3)))""".stripMargin)).as("g"))
       .where(col("g").isNotNull)
     if (dedupe) grams.distinct() else grams
   }
@@ -69,7 +71,7 @@ object Dedup {
     * chunk-collision probability negligible at realistic shingle-set
     * sizes. One digest per seed would be 8 md5 evaluations per gram;
     * chunking needs 2. */
-  private def signatures(tg: DataFrame): DataFrame = {
+  private[graft] def signatures(tg: DataFrame): DataFrame = {
     val withDigests = tg.select(col("doc_id"),
       md5(col("g")).as("m1"),
       md5(concat(lit("x:"), col("g"))).as("m2"))
@@ -93,12 +95,36 @@ object Dedup {
   }
 
   /** (doc_id, band_idx, band_signature) — bands of 2 hashes each. */
-  private def bands(sig: DataFrame): DataFrame =
+  private[graft] def bands(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), explode(array(
       (0 until nBands).map(b => struct(
         lit(b).as("b"),
         concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("v"))): _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+
+  /** Band frame via the single-pass native kernel
+    * [[graft.functions.MinHash8]]: scan → `graft_minhash8` projection →
+    * band explode. No shingle explode, no groupBy — the (doc, gram)
+    * aggregation shuffle disappears from the LSH path entirely
+    * (MinHashSpec pins bit-equality against [[signatures]], so the
+    * oracle's md5 algebra is untouched). */
+  private[graft] def bandsNative(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"graft_minhash8(lower(`$textCol`))").as("sig"))
+      .select(col("doc_id"), explode(array(
+        (0 until nBands).map(b => struct(
+          lit(b).as("b"),
+          concat(element_at(col("sig"), 2 * b + 1),
+                 element_at(col("sig"), 2 * b + 2)).as("v"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+      // trigram-less docs surface as null band values (element_at on a
+      // null sig). Filtering v — not sig — keeps the kernel evaluated
+      // once: an isnotnull(sig) predicate would be pushed into the scan
+      // and recompute graft_minhash8 per row in the filter.
+      .where(col("v").isNotNull)
+  }
 
   private val bandsSql: String =
     (0 until nBands)
@@ -139,7 +165,8 @@ object Dedup {
     * subplan here is the whole shingle+signature pipeline — caching
     * the tiny (4 rows/doc) band table halves the query. */
   def dedupFuzzy(spark: SparkSession, dir: String): DataFrame =
-    candidatePairs(bands(signatures(trigrams(spark, dir, dedupe = false))).cache())
+    candidatePairs(
+      bandsNative(Tables.documents(spark, dir), "doc_id", "text").cache())
       .orderBy(col("doc_a"), col("doc_b"))
 
   val dedupFuzzySql: String =
@@ -155,9 +182,10 @@ object Dedup {
     * verify step of the dedup ladder — never all-pairs). The division
     * is exact-int / exact-int, bit-identical across engines. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val tg = trigrams(spark, dir).cache() // shared by signatures + verify
+    val tg = trigrams(spark, dir).cache() // distinct grams for the verify step
     val sizes = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = candidatePairs(bands(signatures(tg)).cache())
+    val cand = candidatePairs(
+      bandsNative(Tables.documents(spark, dir), "doc_id", "text").cache())
     val ga = tg.select(col("doc_id").as("ga_id"), col("g").as("ga_g"))
     val gb = tg.select(col("doc_id").as("gb_id"), col("g").as("gb_g"))
     val inter = cand
@@ -343,7 +371,7 @@ object Dedup {
     * back the returned frame; the caller drains them after its action
     * ([[graft.core.Caches.drain]]). */
   private[llm] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val bd = bands(signatures(trigrams(spark, dir, dedupe = false))).cache()
+    val bd = bandsNative(Tables.documents(spark, dir), "doc_id", "text").cache()
     val labels = connectedComponents(spark, candidatePairs(bd))
     bd.unpersist(blocking = false) // edges checkpointed inside the fixpoint
     labels
@@ -355,8 +383,7 @@ object Dedup {
     * unordered distinct (doc_a, doc_b); internal caches are released
     * by the caller's [[graft.core.Caches.drain]] after its action. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    candidatePairs(bands(signatures(
-      trigramsOf(docs, idCol, textCol, dedupe = false))).cache())
+    candidatePairs(bandsNative(docs, idCol, textCol).cache())
 
   /** PUBLIC generic surface: connected-component labels over any
     * undirected (doc_a, doc_b) pair frame, by the same min-label

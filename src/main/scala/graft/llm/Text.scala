@@ -385,9 +385,11 @@ object Text {
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_words"),
         size(array_distinct(col("t"))).cast("long").as("n_uniq_words"),
+        // try_element_at: out-of-range → NULL (as DuckDB's t[i]);
+        // plain element_at throws under ANSI on 1-token docs
         expr(
           """filter(transform(sequence(0, greatest(size(t)-2, 0)),
-            |  i -> concat(element_at(t, i+1), ' ', element_at(t, i+2))),
+            |  i -> concat(try_element_at(t, i+1), ' ', try_element_at(t, i+2))),
             |  x -> x IS NOT NULL)""".stripMargin).as("bg"))
       .select(col("doc_id"), col("n_words"), col("n_uniq_words"),
         size(col("bg")).cast("long").as("n_bigrams"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHash8Expr}
 
 /** Session extension point for the engine's native functions —
   * production registration is declarative:
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.minhashDescriptor)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.PruneAsofJoinColumns)
   }
@@ -32,14 +33,20 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         CosineSimilarity(children.head, children(1)): Expression)
 
+  private val minhashDescriptor =
+    (new FunctionIdentifier("graft_minhash8"),
+      new ExpressionInfo(classOf[MinHash8Expr].getName, "graft_minhash8"),
+      (children: Seq[Expression]) => MinHash8Expr(children.head): Expression)
+
   /** Imperative twin of the declarative config — registers into an
     * already-built session (idempotent); lets the query registry work
     * against sessions whose builder didn't set spark.sql.extensions. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(cosineDescriptor._1)) {
-      reg.registerFunction(cosineDescriptor._1, cosineDescriptor._2,
-        cosineDescriptor._3)
+    Seq(cosineDescriptor, minhashDescriptor).foreach { d =>
+      if (!reg.functionExists(d._1)) {
+        reg.registerFunction(d._1, d._2, d._3)
+      }
     }
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(org.apache.spark.sql.graft.AsofJoinStrategy)) {

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.llm.Dedup
+
+/** The native single-pass MinHash kernel must be bit-identical to the
+  * composable explode → md5 → groupBy-min pipeline (whose algebra the
+  * DuckDB oracle reproduces) — the equality that lets the LSH path
+  * swap in the kernel without touching any oracle SQL. */
+class MinHashSpec extends AnyFunSuite with SparkSpec {
+
+  test("native kernel band frame equals the composable pipeline's") {
+    val docs = Tables.documents(spark, sfDir)
+    val composable = Dedup
+      .bands(Dedup.signatures(Dedup.trigramsOf(docs, "doc_id", "text", dedupe = false)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val native = Dedup.bandsNative(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(native == composable)
+    assert(native.nonEmpty)
+  }
+
+  test("kernel null/edge semantics match the composable pipeline") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val docs = Seq(
+      (1L, "only two"),              // < 3 tokens -> no signature
+      (2L, "exactly three tokens"),  // one trigram
+      (3L, "a  b c"),                // empty token kept by split semantics
+      (4L, "UPPER case NORMALIZED lower")
+    ).toDF("doc_id", "text")
+    val composable = Dedup
+      .bands(Dedup.signatures(Dedup.trigramsOf(docs, "doc_id", "text", dedupe = false)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val native = Dedup.bandsNative(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(native == composable)
+    assert(!native.exists(_._1 == 1L)) // doc with no trigram is absent
+    assert(native.exists(_._1 == 3L))
+  }
+
+  test("whole-stage codegen keeps the kernel projection inline, no aggregate") {
+    val df = Dedup.bandsNative(Tables.documents(spark, sfDir), "doc_id", "text")
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(2000))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("hashaggregate"),
+      s"native path must not aggregate:\n$p")
+    // the kernel must appear exactly once per plan branch: a pushed-down
+    // isnotnull(sig) filter would clone it into the scan
+    assert("graft_minhash8".r.findAllIn(p).size <= 2, p)
+  }
+}
