@@ -67,6 +67,88 @@ object MinHash8 {
   }
 }
 
+/** Single-pass SimHash kernel: the 16-bit fingerprint of a document in
+  * one traversal of its distinct tokens — replaces the composable
+  * explode → distinct → md5 → 16-bit-sum groupBy (two corpus-wide
+  * shuffles) with a pure projection. Identical algebra: md5 hex of
+  * each distinct lower-cased token, per-bit ±1 sums over the first 4
+  * hex nibbles, sign bit per position (bit-equality pinned in
+  * MinHashSpec, so the DuckDB oracle is untouched). */
+object SimHash16 {
+  private val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Null when the text has no non-empty token (the doc is absent from
+    * the composable pipeline's aggregation too). */
+  def eval(text: UTF8String): Any = {
+    val seen = new java.util.HashSet[String]()
+    val toks = text.toString.split(" ", -1)
+    val sums = new Array[Int](16)
+    val md = digests.get()
+    var any = false
+    var ti = 0
+    while (ti < toks.length) {
+      val tok = toks(ti)
+      if (tok.nonEmpty && seen.add(tok)) {
+        any = true
+        val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // bit j lives in hex char j/4 (= nibble), position 3 - j%4
+        var j = 0
+        while (j < 16) {
+          val nibble =
+            if (j / 4 % 2 == 0) (d(j / 8) >> 4) & 15 else d(j / 8) & 15
+          val bit = (nibble >> (3 - j % 4)) & 1
+          sums(j) += (if (bit == 1) 1 else -1)
+          j += 1
+        }
+      }
+      ti += 1
+    }
+    if (!any) return null
+    var fp = 0L
+    var j = 0
+    while (j < 16) {
+      if (sums(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+}
+
+/** `graft_simhash16(text)` → BIGINT fingerprint, or NULL for texts
+  * with no non-empty token. */
+case class SimHash16Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash16 expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash16.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val fp = ctx.freshName("fp")
+      s"""
+         |Object $fp = graft.functions.SimHash16.eval($c);
+         |${ev.isNull} = $fp == null;
+         |${ev.value} = ${ev.isNull} ? -1L : ((Long) $fp).longValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16Expr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash16"
+}
+
 /** `graft_minhash8(text)` → array<string> of the 8 signature chunks
   * (h0..h7), or NULL for texts with no trigram. Registered via
   * [[graft.plans.GraftExtensions]]. */

@@ -234,8 +234,24 @@ object Dedup {
     simhashFingerprints(spark, dir).orderBy(col("doc_id"))
 
   /** Unordered (doc_id, simhash) fingerprint frame — shared by the
-    * fingerprint dump and the nearest-neighbor query. */
+    * fingerprint dump and the nearest-neighbor query. Native
+    * single-pass kernel ([[graft.functions.SimHash16]]): one
+    * projection instead of explode → distinct → bit-sum groupBy (two
+    * shuffles). The token-presence predicate reproduces the composable
+    * pipeline's absence semantics for token-less docs without putting
+    * the kernel itself into a pushdown-cloned filter. */
   private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .where(size(filter(split(lower(col("text")), " "), t => t =!= "")) > 0)
+      .select(col("doc_id"), expr("graft_simhash16(lower(text))").as("simhash"))
+  }
+
+  /** Composable twin of [[simhashFingerprints]] — retained as the
+    * bit-equality reference for MinHashSpec (the algebra the DuckDB
+    * oracle reproduces). */
+  private[graft] def simhashFingerprintsComposable(
+      spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
@@ -264,7 +280,14 @@ object Dedup {
     * returns thousands of pairs; per-doc top-1 stays bounded at scale
     * regardless of redundancy. */
   def dedupSimhashNn(spark: SparkSession, dir: String): DataFrame = {
-    val fp = simhashFingerprints(spark, dir).cache() // self-join reuse
+    // Repartition before caching: the native-kernel fingerprint frame is
+    // a projection over the scan, so on a small/few-file corpus the
+    // cache inherits 1-2 partitions and the candidate join's map side
+    // runs single-threaded. The shuffle moves only (id, fp) — measured
+    // 4.1s -> 1.1s at sf0.1 — and is partition-count-portable
+    // (repartition by column uses spark.sql.shuffle.partitions).
+    val fp = simhashFingerprints(spark, dir)
+      .repartition(col("doc_id")).cache() // self-join reuse
     def bands(idCol: String, fpCol: String) =
       fp.select(col("doc_id").as(idCol), col("simhash").as(fpCol),
         explode(array((0 until 2).map(b =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHash8Expr}
+import graft.functions.{CosineSimilarity, MinHash8Expr, SimHash16Expr}
 
 /** Session extension point for the engine's native functions —
   * production registration is declarative:
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.minhashDescriptor)
+    ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.PruneAsofJoinColumns)
   }
@@ -38,12 +39,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHash8Expr].getName, "graft_minhash8"),
       (children: Seq[Expression]) => MinHash8Expr(children.head): Expression)
 
+  private val simhashDescriptor =
+    (new FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[SimHash16Expr].getName, "graft_simhash16"),
+      (children: Seq[Expression]) => SimHash16Expr(children.head): Expression)
+
   /** Imperative twin of the declarative config — registers into an
     * already-built session (idempotent); lets the query registry work
     * against sessions whose builder didn't set spark.sql.extensions. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineDescriptor, minhashDescriptor).foreach { d =>
+    Seq(cosineDescriptor, minhashDescriptor, simhashDescriptor).foreach { d =>
       if (!reg.functionExists(d._1)) {
         reg.registerFunction(d._1, d._2, d._3)
       }

@@ -42,6 +42,21 @@ class MinHashSpec extends AnyFunSuite with SparkSpec {
     assert(native.exists(_._1 == 3L))
   }
 
+  test("native simhash fingerprints equal the composable pipeline's") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val composable = Dedup.simhashFingerprintsComposable(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("graft_simhash16(lower(text))").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composable)
+    assert(native.nonEmpty)
+    // registry query agrees too (it routes through the native kernel)
+    val viaQuery = Dedup.dedupSimhash(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaQuery == composable)
+  }
+
   test("whole-stage codegen keeps the kernel projection inline, no aggregate") {
     val df = Dedup.bandsNative(Tables.documents(spark, sfDir), "doc_id", "text")
     val codegen = df.queryExecution.explainString(
