@@ -251,8 +251,13 @@ object Dedup {
     * bit-equality reference for MinHashSpec (the algebra the DuckDB
     * oracle reproduces). */
   private[graft] def simhashFingerprintsComposable(
-      spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+      spark: SparkSession, dir: String): DataFrame =
+    simhashComposableOf(Tables.documents(spark, dir), "doc_id", "text")
+
+  private[graft] def simhashComposableOf(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
       .distinct()

