@@ -423,7 +423,42 @@ object Text {
       |FROM bg
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus n-gram frequency table: top-100 word bigrams by occurrence
+    * with document frequency — the data product behind n-gram LMs,
+    * contamination indexes, and boilerplate lists. One gram-keyed
+    * shuffle (map-side combined); the top-k cut is a TakeOrdered, not
+    * a global sort materialization. Deterministic cut: total order on
+    * (count desc, gram). */
+  def ngramCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(sequence(0, greatest(size(t)-2, 0)),
+          |  i -> concat(try_element_at(t, i+1), ' ', try_element_at(t, i+2))),
+          |  x -> x IS NOT NULL)""".stripMargin)).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("g"))
+      .limit(100)
+
+  val ngramCountsSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter([t[i+1] || ' ' || t[i+2]
+      |                        for i in range(0, greatest(len(t)-1, 1))],
+      |                       x -> x IS NOT NULL)) AS g
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))
+      |SELECT g, count(*) AS n_occurrences,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM grams
+      |GROUP BY g
+      |ORDER BY n_occurrences DESC, g
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ngram_counts" -> ngramCounts,
     "llm_bm25" -> bm25,
     "llm_repetition" -> repetition,
     "llm_split" -> trainTestSplit,
@@ -438,6 +473,7 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_ngram_counts" -> ngramCountsSql,
     "llm_bm25" -> bm25Sql,
     "llm_repetition" -> repetitionSql,
     "llm_split" -> splitSql,

@@ -149,6 +149,35 @@ object Functions {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** MapType surface: build a map from arrays, key lookup, cardinality,
+    * key enumeration — emitted as scalars (lookup values, size, joined
+    * key list) per the output discipline. DuckDB's map subscript yields
+    * a single-element list, unwrapped with [1]. */
+  def fnMap(spark: SparkSession, dir: String): DataFrame = {
+    val m = map_from_arrays(
+      array(lit("status"), lit("priority")),
+      array(col("o_orderstatus"), col("o_orderpriority")))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), m.as("m"))
+      .select(col("o_orderkey"),
+        element_at(col("m"), "status").as("status_val"),
+        element_at(col("m"), "priority").as("prio_val"),
+        size(col("m")).as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val fnMapSql: String =
+    """SELECT o_orderkey,
+      |  m['status'][1] AS status_val,
+      |  m['priority'][1] AS prio_val,
+      |  CAST(cardinality(m) AS INT) AS n_keys,
+      |  array_to_string(map_keys(m), ',') AS keys_csv
+      |FROM (SELECT o_orderkey,
+      |        map(['status','priority'], [o_orderstatus, o_orderpriority]) AS m
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** JSON functions on events.props (the reference's D8 JSON lift,
     * TemplateApp.scala:62, per-field instead of whole-record): path
     * extraction, schema-full parse, and re-serialization. */
@@ -226,6 +255,7 @@ object Functions {
     "fn_math" -> fnMath,
     "fn_array_map" -> fnArrayMap,
     "fn_json" -> fnJson,
+    "fn_map" -> fnMap,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -236,5 +266,6 @@ object Functions {
     "fn_math" -> fnMathSql,
     "fn_array_map" -> fnArrayMapSql,
     "fn_json" -> fnJsonSql,
+    "fn_map" -> fnMapSql,
   )
 }
