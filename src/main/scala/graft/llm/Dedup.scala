@@ -182,10 +182,19 @@ object Dedup {
     * verify step of the dedup ladder — never all-pairs). The division
     * is exact-int / exact-int, bit-identical across engines. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val tg = trigrams(spark, dir).cache() // distinct grams for the verify step
+    val docs = Tables.documents(spark, dir)
+    val cand = candidatePairs(bandsNative(docs, "doc_id", "text").cache()).cache()
+    // Shingle ONLY the candidate docs: the verify step never needs the
+    // rest of the corpus's trigram sets, and candidates ≪ corpus at any
+    // scale — the distinct-gram shuffle shrinks from corpus-wide to
+    // candidate-wide (the shape that keeps verify affordable at 100 TB).
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val tg = trigramsOf(
+        docs.join(candIds, Seq("doc_id"), "left_semi"),
+        "doc_id", "text", dedupe = true)
+      .cache()
     val sizes = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = candidatePairs(
-      bandsNative(Tables.documents(spark, dir), "doc_id", "text").cache())
     val ga = tg.select(col("doc_id").as("ga_id"), col("g").as("ga_g"))
     val gb = tg.select(col("doc_id").as("gb_id"), col("g").as("gb_g"))
     val inter = cand
