@@ -233,6 +233,48 @@ object Dedup {
        |WHERE i.common / (x.n + y.n - i.common) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** MinHash Jaccard estimator over the LSH candidates — the cheap rung
+    * between candidate generation and exact verification: est = fraction
+    * of the 8 signature chunks that agree (E[est] = true Jaccard, the
+    * MinHash property; 1/8 granularity at this signature width). At
+    * scale this prunes candidate pairs before the trigram-intersection
+    * verify without touching document text again — pairs join two
+    * 8-string signatures, nothing else. */
+  def dedupJaccardEst(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+    val cand = candidatePairs(bandsNative(docs, "doc_id", "text").cache())
+    val sigs = docs.select(col("doc_id"),
+      expr("graft_minhash8(lower(text))").as("sig"))
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))")
+          .as("n_agree"))
+      .withColumn("jaccard_est", col("n_agree").cast("double") / lit(8.0))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  lazy val dedupJaccardEstSql: String = {
+    val agree = (0 until nHashes)
+      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH tg AS ($trigramsSql),
+       |mh AS ($signaturesSql),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST($agree AS INT) AS n_agree,
+       |  CAST($agree AS DOUBLE) / 8.0 AS jaccard_est
+       |FROM cand c
+       |JOIN mh a ON a.doc_id = c.doc_a
+       |JOIN mh b ON b.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** 16-bit SimHash fingerprint per document: md5 each distinct token,
     * take the first 16 bits, sum ±1 per bit position over tokens, keep
     * the sign bit. Pure integer/string ops — bit-identical in the
@@ -591,6 +633,7 @@ object Dedup {
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_fuzzy" -> dedupFuzzy,
     "llm_dedup_jaccard" -> dedupJaccard,
+    "llm_dedup_jaccard_est" -> dedupJaccardEst,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_apply" -> dedupApply,
     "llm_dedup_simhash" -> dedupSimhash,
@@ -602,6 +645,7 @@ object Dedup {
     "llm_dedup_exact" -> dedupExactSql,
     "llm_dedup_fuzzy" -> dedupFuzzySql,
     "llm_dedup_jaccard" -> dedupJaccardSql,
+    "llm_dedup_jaccard_est" -> dedupJaccardEstSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_dedup_apply" -> dedupApplySql,
     "llm_dedup_simhash" -> dedupSimhashSql,

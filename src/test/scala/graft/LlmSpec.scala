@@ -46,6 +46,26 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(verified.subsetOf(cand))
   }
 
+  test("minhash estimator tracks exact Jaccard on verified pairs") {
+    val exact = Dedup.dedupJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    val est = Dedup.dedupJaccardEst(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // every verified (exact >= 0.5) pair is an LSH candidate, so the
+    // estimator covers it; with 8 hashes the estimate is coarse but
+    // must sit in the right half for strongly-similar pairs
+    assert(exact.keySet.subsetOf(est.keySet))
+    exact.foreach { case (pair, j) =>
+      assert(math.abs(est(pair) - j) <= 0.5, s"$pair est=${est(pair)} exact=$j")
+    }
+    val meanExact = exact.values.sum / exact.size
+    // toSeq before mapping: keys is a Set, and the coarse 1/8-grained
+    // estimator values would dedup away in a mapped Set
+    val meanEst = exact.keys.toSeq.map(est).sum / exact.size
+    assert(math.abs(meanEst - meanExact) < 0.25,
+      s"meanEst=$meanEst meanExact=$meanExact")
+  }
+
   test("near-dup pairs have close simhash fingerprints") {
     val fp = Dedup.dedupSimhash(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
