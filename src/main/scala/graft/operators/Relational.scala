@@ -349,6 +349,41 @@ object Relational {
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
       |ORDER BY c_custkey, tag""".stripMargin
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE, UNION ALL semantics):
+    * a monthly calendar spine derived by recursion from the data's own
+    * bounds, left-joined to per-month order counts. The SQL body below
+    * is pure ANSI and runs VERBATIM on both engines — the strongest
+    * form of D10 parity (the oracle is the identical string modulo
+    * table names). Recursion is acyclic and bounded by the data's date
+    * range (~84 months ≪ Spark's 100-level default guard); cyclic
+    * closure (connected components) deliberately stays on the
+    * driver-loop fixpoint, since UNION-distinct recursion is not yet
+    * supported and UNION ALL would cycle forever. */
+  def sqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(sqlRecursiveBody("orders_v"))
+  }
+
+  private def sqlRecursiveBody(ordersTable: String): String =
+    s"""WITH RECURSIVE b AS (
+       |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE) AS lo,
+       |         CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS DATE) AS hi
+       |  FROM $ordersTable),
+       |months(m) AS (
+       |  SELECT lo AS m FROM b
+       |  UNION ALL
+       |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m
+       |  FROM months, b WHERE m < hi),
+       |rev AS (
+       |  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m,
+       |         COUNT(*) AS n_orders
+       |  FROM $ordersTable GROUP BY 1)
+       |SELECT months.m AS m, COALESCE(rev.n_orders, 0) AS n_orders
+       |FROM months LEFT OUTER JOIN rev ON months.m = rev.m
+       |ORDER BY 1""".stripMargin
+
+  val sqlRecursiveSql: String = sqlRecursiveBody("orders")
+
   /** 5-way star join: fact (lineitem⋈orders shuffles on orderkey) plus
     * three broadcast dimensions, aggregated to revenue per region. */
   def joinMultiway(spark: SparkSession, dir: String): DataFrame = {
@@ -860,6 +895,7 @@ object Relational {
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "sql_correlated" -> sqlCorrelated,
+    "sql_recursive" -> sqlRecursive,
     "sort_limit" -> sortLimit,
     "topk_per_group" -> topkPerGroup,
     "set_union" -> setUnion,
@@ -896,6 +932,7 @@ object Relational {
     "agg_pivot" -> aggPivotSql,
     "agg_unpivot" -> aggUnpivotSql,
     "sql_correlated" -> sqlCorrelatedSql,
+    "sql_recursive" -> sqlRecursiveSql,
     "sort_limit" -> sortLimitSql,
     "topk_per_group" -> topkPerGroupSql,
     "set_union" -> setUnionSql,
