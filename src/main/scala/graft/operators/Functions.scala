@@ -149,6 +149,24 @@ object Functions {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** VARIANT (Spark 4's semi-structured type): parse the JSON props
+    * into a variant, typed path extraction, and NULL on a missing path
+    * — the open-schema alternative to from_json(schema) when event
+    * payloads evolve. Scalar outputs only. */
+  def fnVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k_var"),
+        expr("variant_get(parse_json(props), '$.missing', 'string')").as("absent"))
+      .orderBy(col("event_id"))
+
+  val fnVariantSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_var,
+      |  json_extract_string(props, '$.missing') AS absent
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   /** MapType surface: build a map from arrays, key lookup, cardinality,
     * key enumeration — emitted as scalars (lookup values, size, joined
     * key list) per the output discipline. DuckDB's map subscript yields
@@ -256,6 +274,7 @@ object Functions {
     "fn_array_map" -> fnArrayMap,
     "fn_json" -> fnJson,
     "fn_map" -> fnMap,
+    "fn_variant" -> fnVariant,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -267,5 +286,6 @@ object Functions {
     "fn_array_map" -> fnArrayMapSql,
     "fn_json" -> fnJsonSql,
     "fn_map" -> fnMapSql,
+    "fn_variant" -> fnVariantSql,
   )
 }

@@ -384,6 +384,27 @@ object Relational {
 
   val sqlRecursiveSql: String = sqlRecursiveBody("orders")
 
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    * top-k-per-key shape written the SQL way (Catalyst decorrelates it
+    * to the same windowed plan `topk_per_group` builds by hand). The
+    * body is ANSI and runs verbatim on both engines modulo table
+    * names; customers without orders drop (cross lateral). */
+  def joinLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(joinLateralBody("customer_v", "orders_v"))
+  }
+
+  private def joinLateralBody(customer: String, orders: String): String =
+    s"""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+       |FROM $customer c, LATERAL (
+       |  SELECT o_orderkey, o_totalprice FROM $orders o
+       |  WHERE o.o_custkey = c.c_custkey
+       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+       |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey""".stripMargin
+
+  val joinLateralSql: String = joinLateralBody("customer", "orders")
+
   /** 5-way star join: fact (lineitem⋈orders shuffles on orderkey) plus
     * three broadcast dimensions, aggregated to revenue per region. */
   def joinMultiway(spark: SparkSession, dir: String): DataFrame = {
@@ -884,6 +905,7 @@ object Relational {
     "join_asof" -> joinAsof,
     "join_asof_native" -> joinAsofNative,
     "join_asof_fwd" -> joinAsofFwd,
+    "join_lateral" -> joinLateral,
     "agg_global" -> aggGlobal,
     "agg_groupby" -> aggGroupBy,
     "agg_distinct" -> aggDistinct,
@@ -923,6 +945,7 @@ object Relational {
     "join_asof" -> joinAsofSql,
     "join_asof_native" -> joinAsofSql, // same contract, native operator
     "join_asof_fwd" -> joinAsofFwdSql,
+    "join_lateral" -> joinLateralSql,
     "agg_global" -> aggGlobalSql,
     "agg_groupby" -> aggGroupBySql,
     "agg_distinct" -> aggDistinctSql,
