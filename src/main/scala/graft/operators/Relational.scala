@@ -350,39 +350,45 @@ object Relational {
       |ORDER BY c_custkey, tag""".stripMargin
 
   /** Recursive CTE (Spark 4's WITH RECURSIVE, UNION ALL semantics):
-    * a monthly calendar spine derived by recursion from the data's own
-    * bounds, left-joined to per-month order counts. The SQL body below
-    * is pure ANSI and runs VERBATIM on both engines — the strongest
-    * form of D10 parity (the oracle is the identical string modulo
-    * table names). Recursion is acyclic and bounded by the data's date
-    * range (~84 months ≪ Spark's 100-level default guard); cyclic
+    * a yearly calendar spine derived by recursion from the data's own
+    * bounds, left-joined to per-year order counts. The SQL body is
+    * ANSI and identical on both engines modulo relation names — D10
+    * parity at the string level. Two recursion-cost lessons encoded
+    * here: (a) each recursion level re-evaluates every relation the
+    * step references, so the bounds aggregate is precomputed into a
+    * cached one-row view (a monthly spine over inline bounds measured
+    * 11 s — 84 levels × a full orders scan); (b) levels are Spark jobs,
+    * so the spine recursion is yearly (≈7 levels), not monthly. Cyclic
     * closure (connected components) deliberately stays on the
-    * driver-loop fixpoint, since UNION-distinct recursion is not yet
+    * driver-loop fixpoint: UNION-distinct recursion is not yet
     * supported and UNION ALL would cycle forever. */
   def sqlRecursive(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
-    spark.sql(sqlRecursiveBody("orders_v"))
+    val orders = Tables.orders(spark, dir)
+    orders.createOrReplaceTempView("orders_v")
+    orders.agg(
+        min(year(col("o_orderdate"))).as("lo"),
+        max(year(col("o_orderdate"))).as("hi"))
+      .cache().createOrReplaceTempView("year_bounds_v")
+    spark.sql(sqlRecursiveBody("orders_v", "year_bounds_v"))
   }
 
-  private def sqlRecursiveBody(ordersTable: String): String =
-    s"""WITH RECURSIVE b AS (
-       |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE) AS lo,
-       |         CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS DATE) AS hi
-       |  FROM $ordersTable),
-       |months(m) AS (
-       |  SELECT lo AS m FROM b
+  private def sqlRecursiveBody(ordersTable: String, bounds: String): String =
+    s"""WITH RECURSIVE years(y) AS (
+       |  SELECT lo AS y FROM $bounds
        |  UNION ALL
-       |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m
-       |  FROM months, b WHERE m < hi),
+       |  SELECT y + 1 AS y FROM years, $bounds WHERE y < hi),
        |rev AS (
-       |  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m,
-       |         COUNT(*) AS n_orders
+       |  SELECT CAST(YEAR(o_orderdate) AS INT) AS y, COUNT(*) AS n_orders
        |  FROM $ordersTable GROUP BY 1)
-       |SELECT months.m AS m, COALESCE(rev.n_orders, 0) AS n_orders
-       |FROM months LEFT OUTER JOIN rev ON months.m = rev.m
+       |SELECT years.y AS y, COALESCE(rev.n_orders, 0) AS n_orders
+       |FROM years LEFT OUTER JOIN rev ON years.y = rev.y
        |ORDER BY 1""".stripMargin
 
-  val sqlRecursiveSql: String = sqlRecursiveBody("orders")
+  val sqlRecursiveSql: String = {
+    val boundsCte = "(SELECT CAST(MIN(YEAR(o_orderdate)) AS INT) AS lo, " +
+      "CAST(MAX(YEAR(o_orderdate)) AS INT) AS hi FROM orders) b"
+    sqlRecursiveBody("orders", boundsCte)
+  }
 
   /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
     * top-k-per-key shape written the SQL way (Catalyst decorrelates it
