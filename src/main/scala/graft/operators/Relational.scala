@@ -715,6 +715,32 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Fixed-width histogram of order totals: floor-division bucketing
+    * (shared arithmetic — DuckDB lacks width_bucket), per-bucket count
+    * and share of total via an unpartitioned window sum (one row per
+    * bucket, so the global window is a few dozen rows, not a data
+    * move). Exact-int counts; share is the same IEEE division both
+    * engines. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / lit(25000.0)).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+      .orderBy(col("bucket"))
+  }
+
+  val aggHistogramSql: String =
+    """WITH h AS (
+      |  SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bucket,
+      |         COUNT(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT bucket, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+      |FROM h
+      |ORDER BY bucket""".stripMargin
+
   /** CUBE over mktsegment × nation with grouping id; exercises
     * grouping-sets expansion (one shuffle, expanded grouping keys). */
   def aggRollupCube(spark: SparkSession, dir: String): DataFrame = {
@@ -918,6 +944,7 @@ object Relational {
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_percentile" -> aggPercentile,
     "agg_approx_percentile" -> aggApproxPercentile,
+    "agg_histogram" -> aggHistogram,
     "agg_moments" -> aggMoments,
     "agg_rollup_cube" -> aggRollupCube,
     "agg_pivot" -> aggPivot,
@@ -956,6 +983,7 @@ object Relational {
     "agg_groupby" -> aggGroupBySql,
     "agg_distinct" -> aggDistinctSql,
     "agg_percentile" -> aggPercentileSql,
+    "agg_histogram" -> aggHistogramSql,
     "agg_moments" -> aggMomentsSql,
     "agg_rollup_cube" -> aggRollupCubeSql,
     "agg_pivot" -> aggPivotSql,
