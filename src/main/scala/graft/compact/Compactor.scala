@@ -169,6 +169,19 @@ object Compactor {
     * commit gate. */
   def run(spark: SparkSession, c: Config,
           beforeCommit: () => Unit = () => ()): Result = {
+    // The external config must reach BOTH planes: FsOps (metadata RPCs)
+    // gets its own Configuration, and the session's hadoopConfiguration
+    // absorbs the site files so spark.read/write resolve the same
+    // filesystems (an HA nameservice known only to the external config
+    // would otherwise list fine but fail every partition read).
+    c.hadoopConfigDir.foreach { dir =>
+      Seq("core-site.xml", "hdfs-site.xml").foreach { f =>
+        val file = new java.io.File(dir, f)
+        if (file.isFile)
+          spark.sparkContext.hadoopConfiguration.addResource(
+            new Path(file.toURI))
+      }
+    }
     val fsOps = new FsOps(fsConf(spark, c))
     val log = new SessionLog
     val session = FsOps.sessionId()

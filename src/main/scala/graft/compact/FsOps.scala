@@ -103,12 +103,13 @@ final class FsOps(conf: Configuration) {
   // surface beyond what the compactor itself calls
 
   /** Copy a local file into a directory (reference `copyFromLocal`:
-    * no-op unless src is a file and dst an existing directory). */
+    * no-op unless src is a file and dst an existing directory —
+    * existence-checked, so missing paths no-op rather than throw). */
   def copyFromLocal(srcFile: String, targetFolder: String,
                     overwrite: Boolean): Unit = {
     val src = new Path(srcFile)
     val dst = new Path(targetFolder)
-    if (fs.getFileStatus(src).isFile && fs.getFileStatus(dst).isDirectory)
+    if (isFile(srcFile) && isDirectory(targetFolder))
       fs.copyFromLocalFile(false, overwrite, src, dst)
   }
 

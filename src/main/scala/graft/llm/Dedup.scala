@@ -33,10 +33,6 @@ object Dedup {
     * over its set — so the signature path skips the distinct and saves
     * a corpus-wide (doc, gram) shuffle; the oracle keeps its DISTINCT
     * and the mins agree by construction. */
-  private def trigrams(spark: SparkSession, dir: String,
-                       dedupe: Boolean = true): DataFrame =
-    trigramsOf(Tables.documents(spark, dir), "doc_id", "text", dedupe)
-
   /** Corpus-generic shingling: any (id, text) frame → (doc_id, g). */
   private[graft] def trigramsOf(docs: DataFrame, idCol: String, textCol: String,
                          dedupe: Boolean): DataFrame = {
@@ -108,11 +104,20 @@ object Dedup {
     * aggregation shuffle disappears from the LSH path entirely
     * (MinHashSpec pins bit-equality against [[signatures]], so the
     * oracle's md5 algebra is untouched). */
-  private[graft] def bandsNative(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (doc_id, sig) projection on the native kernel; sig is null for
+    * trigram-less docs (dropped downstream at the band filter). */
+  private[graft] def signaturesNative(docs: DataFrame, idCol: String,
+                                      textCol: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
-    docs
-      .select(col(idCol).as("doc_id"),
-        expr(s"graft_minhash8(lower(`$textCol`))").as("sig"))
+    docs.select(col(idCol).as("doc_id"),
+      expr(s"graft_minhash8(lower(`$textCol`))").as("sig"))
+  }
+
+  private[graft] def bandsNative(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandsOfSigs(signaturesNative(docs, idCol, textCol))
+
+  private[graft] def bandsOfSigs(sigs: DataFrame): DataFrame = {
+    sigs
       .select(col("doc_id"), explode(array(
         (0 until nBands).map(b => struct(
           lit(b).as("b"),
@@ -241,11 +246,12 @@ object Dedup {
     * verify without touching document text again — pairs join two
     * 8-string signatures, nothing else. */
   def dedupJaccardEst(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftExtensions.ensureRegistered(spark)
     val docs = Tables.documents(spark, dir)
-    val cand = candidatePairs(bandsNative(docs, "doc_id", "text").cache())
-    val sigs = docs.select(col("doc_id"),
-      expr("graft_minhash8(lower(text))").as("sig"))
+    // one kernel pass: the cached signature frame feeds both the band
+    // derivation and the pair join (uncached, graft_minhash8 would
+    // re-hash every document's trigrams a second time)
+    val sigs = signaturesNative(docs, "doc_id", "text").cache()
+    val cand = candidatePairs(bandsOfSigs(sigs).cache())
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")

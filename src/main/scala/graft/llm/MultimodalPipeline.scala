@@ -89,10 +89,24 @@ object MultimodalPipeline {
     val pngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     if (payload.length >= 24 && payload.take(8).sameElements(pngMagic))
       ("png", be32(16), be32(20), -1)
-    else if (payload.length >= 36 &&
+    else if (payload.length >= 12 &&
         payload.take(4).sameElements("RIFF".getBytes) &&
-        payload.slice(8, 12).sameElements("WAVE".getBytes))
-      ("wav", le16(22), le16(34), le32(24))
+        payload.slice(8, 12).sameElements("WAVE".getBytes)) {
+      // walk the chunk list for 'fmt ' — it need not be first (pro
+      // audio tools emit bext/LIST/JUNK chunks ahead of it); chunks are
+      // [tag:4][size:LE32][payload, word-aligned]
+      var o = 12
+      var found = -1
+      while (found < 0 && o + 8 <= payload.length) {
+        val size = le32(o + 4)
+        if (payload.slice(o, o + 4).sameElements("fmt ".getBytes)) found = o
+        else if (size < 0) o = payload.length // corrupt size: stop
+        else o += 8 + size + (size & 1)
+      }
+      if (found >= 0 && found + 24 <= payload.length)
+        ("wav", le16(found + 10), le16(found + 22), le32(found + 12))
+      else ("unknown", -1, -1, -1)
+    }
     else ("unknown", -1, -1, -1)
   }
 

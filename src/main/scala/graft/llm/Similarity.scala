@@ -224,16 +224,25 @@ object Similarity {
     * `queries` should be the bounded side (it is broadcast); at scale
     * route candidates through an LSH/IVF bucketing first (see
     * [[simSearchLsh]] / [[Dedup.dedupEmbed]]) and pass each bucket's
-    * slice here. Inputs: (id, vec) columns named by the callers. */
+    * slice here. Inputs: (id, vec) columns named by the callers.
+    *
+    * `excludeSelf` (default true) drops candidates whose id equals the
+    * query id — right when both frames share an id space (self-search);
+    * pass false for unrelated frames, where an accidental id collision
+    * would otherwise silently hide a true neighbor. Rows with a null
+    * id on either side never rank (standard join-predicate null
+    * semantics). */
   def cosineTopK(queryDf: DataFrame, queryId: String, queryVec: String,
                  candDf: DataFrame, candId: String, candVec: String,
-                 k: Int): DataFrame = {
+                 k: Int, excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(queryDf.sparkSession)
     val q = queryDf.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
     val c = candDf.select(col(candId).as("cand_id"), col(candVec).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+    val cond =
+      if (excludeSelf) col("query_id") =!= col("cand_id") else lit(true)
+    broadcast(q).join(c, cond)
       .select(col("query_id"), col("cand_id"),
         expr("graft_cosine(qv, cv)").as("cosine"))
       .withColumn("rank", row_number().over(w))

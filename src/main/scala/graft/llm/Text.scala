@@ -295,7 +295,10 @@ object Text {
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks).as("term"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // cache the tiny per-doc length frame: both the join and the corpus
+    // aggregate read it, which uncached would re-tokenize the corpus
+    // and repeat the doc-keyed shuffle (caller drains per discipline)
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")).cache()
     val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = tok.where(col("term").isin(bm25Terms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -394,10 +397,16 @@ object Text {
       .select(col("doc_id"), col("n_words"), col("n_uniq_words"),
         size(col("bg")).cast("long").as("n_bigrams"),
         size(array_distinct(col("bg"))).cast("long").as("n_uniq_bigrams"))
+      // zero-denominator guard: a doc with no words/bigrams has no
+      // duplicates → fraction 0.0. Spark's ANSI double division throws
+      // DIVIDE_BY_ZERO and DuckDB yields inf — the CASE keeps both
+      // engines defined and equal on degenerate docs.
       .withColumn("dup_word_frac",
-        (col("n_words") - col("n_uniq_words")).cast("double") / col("n_words"))
+        when(col("n_words") === 0, lit(0.0)).otherwise(
+          (col("n_words") - col("n_uniq_words")).cast("double") / col("n_words")))
       .withColumn("dup_bigram_frac",
-        (col("n_bigrams") - col("n_uniq_bigrams")).cast("double") / col("n_bigrams"))
+        when(col("n_bigrams") === 0, lit(0.0)).otherwise(
+          (col("n_bigrams") - col("n_uniq_bigrams")).cast("double") / col("n_bigrams")))
       .withColumn("is_repetitive", col("dup_bigram_frac") >= 0.2)
       .orderBy(col("doc_id"))
 
@@ -417,9 +426,12 @@ object Text {
       |  CAST(LEN(LIST_DISTINCT(t)) AS BIGINT) AS n_uniq_words,
       |  CAST(LEN(b) AS BIGINT) AS n_bigrams,
       |  CAST(LEN(LIST_DISTINCT(b)) AS BIGINT) AS n_uniq_bigrams,
-      |  CAST(LEN(t) - LEN(LIST_DISTINCT(t)) AS DOUBLE) / LEN(t) AS dup_word_frac,
-      |  CAST(LEN(b) - LEN(LIST_DISTINCT(b)) AS DOUBLE) / LEN(b) AS dup_bigram_frac,
-      |  CAST(LEN(b) - LEN(LIST_DISTINCT(b)) AS DOUBLE) / LEN(b) >= 0.2 AS is_repetitive
+      |  CASE WHEN LEN(t) = 0 THEN 0.0
+      |       ELSE CAST(LEN(t) - LEN(LIST_DISTINCT(t)) AS DOUBLE) / LEN(t) END AS dup_word_frac,
+      |  CASE WHEN LEN(b) = 0 THEN 0.0
+      |       ELSE CAST(LEN(b) - LEN(LIST_DISTINCT(b)) AS DOUBLE) / LEN(b) END AS dup_bigram_frac,
+      |  (CASE WHEN LEN(b) = 0 THEN 0.0
+      |        ELSE CAST(LEN(b) - LEN(LIST_DISTINCT(b)) AS DOUBLE) / LEN(b) END) >= 0.2 AS is_repetitive
       |FROM bg
       |ORDER BY doc_id""".stripMargin
 

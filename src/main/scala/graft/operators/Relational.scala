@@ -151,8 +151,11 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"),
         lit("U").as("o_orderstatus"),
         (col("o_totalprice") + 1000.0).as("o_totalprice"))
+    // insert keys are the source key negated (minus one for key 0):
+    // disjoint from the positive key space at ANY scale factor, where
+    // a fixed additive offset would collide once real keys pass it
     val inserts = t.where((col("o_orderkey") % 100).isin(5, 6))
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((-col("o_orderkey") - 1L).as("o_orderkey"),
         col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
     val c = updates.union(inserts)
       .select(col("o_orderkey").as("c_key"), col("o_custkey").as("c_cust"),
@@ -176,7 +179,7 @@ object Relational {
       |    o_totalprice + 1000.0 AS o_totalprice
       |  FROM t WHERE o_orderkey % 100 < 5
       |  UNION ALL
-      |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+      |  SELECT -o_orderkey - 1, o_custkey, 'N', o_totalprice
       |  FROM t WHERE o_orderkey % 100 IN (5, 6))
       |SELECT
       |  COALESCE(t.o_orderkey, c.o_orderkey) AS key,

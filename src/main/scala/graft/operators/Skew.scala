@@ -22,10 +22,16 @@ object Skew {
     // The salt feeds a shuffle, so it must be retry-stable: a
     // nondeterministic source (monotonically_increasing_id, rand) would
     // re-salt recomputed rows on partial map-stage retry and silently
-    // drop/duplicate output. Hash the row's own columns instead —
-    // identical content always lands on the same reducer.
+    // drop/duplicate output. Hash the row's own columns plus the input
+    // partition id: content-identical rows (exact-duplicate documents —
+    // the very workload hot keys come from) then still spread across
+    // reducers by their source partition, while a retried partition
+    // reproduces the same pid and rows, hence the same salts. Residual
+    // caveat: duplicates co-located in ONE input partition share a
+    // salt, bounding spread by the input partitioning, not defeating it.
     val salted = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(n)))
+      pmod(hash((big.columns.map(col) :+ spark_partition_id()).toIndexedSeq: _*),
+        lit(n)))
     val replicated = small
       .withColumn("_salt", explode(sequence(lit(0), lit(n - 1))))
     salted.join(replicated,

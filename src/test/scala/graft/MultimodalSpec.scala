@@ -51,16 +51,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     wav(22) = 2 // channels (LE16)
     wav(24) = 0x44.toByte; wav(25) = 0xAC.toByte // 44100 (LE32)
     wav(34) = 16 // bits/sample (LE16)
+    // WAV with a JUNK chunk BEFORE fmt (pro-audio layout): the parser
+    // must walk the chunk list, not assume fmt at offset 12
+    val wav2 = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(wav2, 0)
+    "WAVE".getBytes.copyToArray(wav2, 8)
+    "JUNK".getBytes.copyToArray(wav2, 12)
+    wav2(16) = 4 // JUNK size (LE32) -> fmt starts at 24
+    "fmt ".getBytes.copyToArray(wav2, 24)
+    wav2(28) = 16 // fmt size
+    wav2(34) = 1 // mono (LE16 at fmt+10)
+    wav2(36) = 0x80.toByte; wav2(37) = 0x3E.toByte // 16000 Hz (LE32 at fmt+12)
+    wav2(46) = 24 // bits/sample (LE16 at fmt+22)
     val media = Seq(
       MediaRecord(1L, "image", png),
       MediaRecord(2L, "audio", wav),
-      MediaRecord(3L, "text", "not a container".getBytes)).toDS()
+      MediaRecord(3L, "text", "not a container".getBytes),
+      MediaRecord(4L, "audio", wav2)).toDS()
     val meta = MultimodalPipeline.extractMeta(media).collect()
       .map(m => m.media_id -> m).toMap
     assert(meta(1L).format == "png" && meta(1L).width == 640 && meta(1L).height == 480)
     assert(meta(2L).format == "wav" && meta(2L).width == 2 &&
       meta(2L).height == 16 && meta(2L).sample_rate == 44100)
     assert(meta(3L).format == "unknown" && meta(3L).sample_rate == -1)
+    assert(meta(4L).format == "wav" && meta(4L).width == 1 &&
+      meta(4L).height == 24 && meta(4L).sample_rate == 16000)
   }
 
   test("synthetic binary payloads round-trip the typed schema") {
