@@ -20,6 +20,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("lateral top-k decorrelates to a windowed plan, never a per-row loop") {
+    val p = plan(Relational.joinLateral(spark, sfDir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("join_bucketed: sort-merge with no shuffle on either side") {
     val p = plan(Relational.joinBucketed(spark, sfDir))
     assert(p.contains("SortMergeJoin"), p)
