@@ -532,6 +532,30 @@ object Dedup {
        |FROM reach GROUP BY node
        |ORDER BY doc_id""".stripMargin
 
+  /** Cluster-size report — the summarization a dedup operator reads
+    * before picking thresholds: per near-dup component, member count
+    * and representative (min doc_id). Same shared fixpoint as
+    * clusters/apply plus one tiny keyed aggregation. */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("rep_doc"))
+      .orderBy(col("cluster_id"))
+
+  lazy val dedupClusterStatsSql: String = {
+    val fixpoint = dedupClustersSql.linesIterator.toSeq
+      .dropRight(3) // strip the final SELECT of the clusters query
+      .mkString("\n")
+    s"""$fixpoint,
+       |comp AS (
+       |  SELECT node AS doc_id, MIN(label) AS cluster_id
+       |  FROM reach GROUP BY node)
+       |SELECT cluster_id, COUNT(*) AS n_members, MIN(doc_id) AS rep_doc
+       |FROM comp
+       |GROUP BY cluster_id
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   /** The apply step that closes the dedup ladder: every document
     * flagged keep/drop — drop iff it belongs to a near-dup component
     * and is not its representative (the min doc_id). This is the row
@@ -641,6 +665,7 @@ object Dedup {
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_jaccard_est" -> dedupJaccardEst,
     "llm_dedup_clusters" -> dedupClusters,
+    "llm_dedup_cluster_stats" -> dedupClusterStats,
     "llm_dedup_apply" -> dedupApply,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_simhash_nn" -> dedupSimhashNn,
@@ -653,6 +678,7 @@ object Dedup {
     "llm_dedup_jaccard" -> dedupJaccardSql,
     "llm_dedup_jaccard_est" -> dedupJaccardEstSql,
     "llm_dedup_clusters" -> dedupClustersSql,
+    "llm_dedup_cluster_stats" -> dedupClusterStatsSql,
     "llm_dedup_apply" -> dedupApplySql,
     "llm_dedup_simhash" -> dedupSimhashSql,
     "llm_dedup_simhash_nn" -> dedupSimhashNnSql,
