@@ -66,18 +66,21 @@ object Compactor {
       // points the compactor at a non-default HDFS
       hadoopConfigDir: Option[String] = None)
 
+  /** Load the external dir's site files into a Configuration. */
+  private def addSiteFiles(conf: org.apache.hadoop.conf.Configuration,
+                           dir: String): Unit =
+    Seq("core-site.xml", "hdfs-site.xml").foreach { f =>
+      val file = new java.io.File(dir, f)
+      if (file.isFile) conf.addResource(new Path(file.toURI))
+    }
+
   /** Configuration for FS metadata ops: the session's hadoopConfiguration,
     * overlaid with the external config dir's site files when given. */
   def fsConf(spark: SparkSession, c: Config)
       : org.apache.hadoop.conf.Configuration = {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
-    c.hadoopConfigDir.foreach { dir =>
-      Seq("core-site.xml", "hdfs-site.xml").foreach { f =>
-        val file = new java.io.File(dir, f)
-        if (file.isFile) conf.addResource(new Path(file.toURI))
-      }
-    }
+    c.hadoopConfigDir.foreach(addSiteFiles(conf, _))
     conf
   }
 
@@ -174,14 +177,12 @@ object Compactor {
     // absorbs the site files so spark.read/write resolve the same
     // filesystems (an HA nameservice known only to the external config
     // would otherwise list fine but fail every partition read).
-    c.hadoopConfigDir.foreach { dir =>
-      Seq("core-site.xml", "hdfs-site.xml").foreach { f =>
-        val file = new java.io.File(dir, f)
-        if (file.isFile)
-          spark.sparkContext.hadoopConfiguration.addResource(
-            new Path(file.toURI))
-      }
-    }
+    // NOTE: this mutates SESSION-GLOBAL state for the session's
+    // lifetime — by design for the CLI (which owns its session); an
+    // embedding application sharing a session with other work should
+    // pass the config via its own builder instead of hadoopConfigDir.
+    c.hadoopConfigDir.foreach(
+      addSiteFiles(spark.sparkContext.hadoopConfiguration, _))
     val fsOps = new FsOps(fsConf(spark, c))
     val log = new SessionLog
     val session = FsOps.sessionId()

@@ -104,13 +104,15 @@ final class FsOps(conf: Configuration) {
 
   /** Copy a local file into a directory (reference `copyFromLocal`:
     * no-op unless src is a file and dst an existing directory —
-    * existence-checked, so missing paths no-op rather than throw). */
+    * existence-checked, so missing paths no-op rather than throw).
+    * The source check runs against the LOCAL filesystem, matching
+    * `copyFromLocalFile`'s own source semantics — checking it on a
+    * remote `fs` would silently skip every copy. */
   def copyFromLocal(srcFile: String, targetFolder: String,
                     overwrite: Boolean): Unit = {
-    val src = new Path(srcFile)
-    val dst = new Path(targetFolder)
-    if (isFile(srcFile) && isDirectory(targetFolder))
-      fs.copyFromLocalFile(false, overwrite, src, dst)
+    if (new java.io.File(srcFile).isFile && isDirectory(targetFolder))
+      fs.copyFromLocalFile(false, overwrite,
+        new Path(srcFile), new Path(targetFolder))
   }
 
   /** Delete a single file — never a directory (reference `delete`). */

@@ -23,17 +23,17 @@ import graft.core.Tables
   */
 object Dedup {
 
-  /** (doc_id, word-trigram) pairs of lower-cased text. Word trigrams
-    * (not char shingles) keep random-document similarity low while
-    * near-dups stay ≫ band threshold.
+  /** Corpus-generic shingling: (doc_id, word-trigram) pairs of
+    * lower-cased text from any (id, text) frame. Word trigrams (not
+    * char shingles) keep random-document similarity low while near-dups
+    * stay ≫ band threshold.
     *
     * `dedupe` adds the set-semantics shuffle only where it matters
     * (Jaccard's intersection/size counts). MinHash signatures are
     * invariant to duplicate shingles — min over a multiset equals min
-    * over its set — so the signature path skips the distinct and saves
-    * a corpus-wide (doc, gram) shuffle; the oracle keeps its DISTINCT
-    * and the mins agree by construction. */
-  /** Corpus-generic shingling: any (id, text) frame → (doc_id, g). */
+    * over its set — so signature paths skip the distinct and save a
+    * corpus-wide (doc, gram) shuffle; the oracle keeps its DISTINCT and
+    * the mins agree by construction. */
   private[graft] def trigramsOf(docs: DataFrame, idCol: String, textCol: String,
                          dedupe: Boolean): DataFrame = {
     val grams = docs
@@ -98,14 +98,9 @@ object Dedup {
         concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("v"))): _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
 
-  /** Band frame via the single-pass native kernel
-    * [[graft.functions.MinHash8]]: scan → `graft_minhash8` projection →
-    * band explode. No shingle explode, no groupBy — the (doc, gram)
-    * aggregation shuffle disappears from the LSH path entirely
-    * (MinHashSpec pins bit-equality against [[signatures]], so the
-    * oracle's md5 algebra is untouched). */
-  /** (doc_id, sig) projection on the native kernel; sig is null for
-    * trigram-less docs (dropped downstream at the band filter). */
+  /** (doc_id, sig) projection on the single-pass native kernel
+    * [[graft.functions.MinHash8]]; sig is null for trigram-less docs
+    * (dropped downstream at the band filter). */
   private[graft] def signaturesNative(docs: DataFrame, idCol: String,
                                       textCol: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
@@ -113,6 +108,11 @@ object Dedup {
       expr(s"graft_minhash8(lower(`$textCol`))").as("sig"))
   }
 
+  /** Band frame via the native kernel: scan → `graft_minhash8`
+    * projection → band explode. No shingle explode, no groupBy — the
+    * (doc, gram) aggregation shuffle disappears from the LSH path
+    * entirely (MinHashSpec pins bit-equality against [[signatures]],
+    * so the oracle's md5 algebra is untouched). */
   private[graft] def bandsNative(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     bandsOfSigs(signaturesNative(docs, idCol, textCol))
 
@@ -534,12 +534,15 @@ object Dedup {
 
   /** Cluster-size report — the summarization a dedup operator reads
     * before picking thresholds: per near-dup component, member count
-    * and representative (min doc_id). Same shared fixpoint as
-    * clusters/apply plus one tiny keyed aggregation. */
+    * and id span. (The representative is the cluster_id itself — the
+    * min-label fixpoint labels each component by its min doc_id, so a
+    * separate min column would be pure redundancy; max_doc is the
+    * non-derivable bound.) Same shared fixpoint as clusters/apply plus
+    * one tiny keyed aggregation. */
   def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
     clusterLabels(spark, dir)
       .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("rep_doc"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("cluster_id"))
 
   lazy val dedupClusterStatsSql: String = {
@@ -550,7 +553,7 @@ object Dedup {
        |comp AS (
        |  SELECT node AS doc_id, MIN(label) AS cluster_id
        |  FROM reach GROUP BY node)
-       |SELECT cluster_id, COUNT(*) AS n_members, MIN(doc_id) AS rep_doc
+       |SELECT cluster_id, COUNT(*) AS n_members, MAX(doc_id) AS max_doc
        |FROM comp
        |GROUP BY cluster_id
        |ORDER BY cluster_id""".stripMargin

@@ -95,16 +95,20 @@ object MultimodalPipeline {
       // walk the chunk list for 'fmt ' — it need not be first (pro
       // audio tools emit bext/LIST/JUNK chunks ahead of it); chunks are
       // [tag:4][size:LE32][payload, word-aligned]
-      var o = 12
-      var found = -1
+      // offsets tracked in Long: a declared chunk size near Int.MaxValue
+      // must walk off the end (→ "unknown"), not wrap negative and index
+      // out of bounds — corrupt containers are data, not exceptions
+      var o = 12L
+      var found = -1L
       while (found < 0 && o + 8 <= payload.length) {
-        val size = le32(o + 4)
-        if (payload.slice(o, o + 4).sameElements("fmt ".getBytes)) found = o
-        else if (size < 0) o = payload.length // corrupt size: stop
+        val size = le32(o.toInt + 4).toLong & 0xffffffffL
+        if (payload.slice(o.toInt, o.toInt + 4).sameElements("fmt ".getBytes))
+          found = o
         else o += 8 + size + (size & 1)
       }
+      val fmtAt = found.toInt
       if (found >= 0 && found + 24 <= payload.length)
-        ("wav", le16(found + 10), le16(found + 22), le32(found + 12))
+        ("wav", le16(fmtAt + 10), le16(fmtAt + 22), le32(fmtAt + 12))
       else ("unknown", -1, -1, -1)
     }
     else ("unknown", -1, -1, -1)

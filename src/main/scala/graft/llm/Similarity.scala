@@ -230,14 +230,16 @@ object Similarity {
     * query id — right when both frames share an id space (self-search);
     * pass false for unrelated frames, where an accidental id collision
     * would otherwise silently hide a true neighbor. Rows with a null
-    * id on either side never rank (standard join-predicate null
-    * semantics). */
+    * id on either side never rank (filtered explicitly, so the
+    * guarantee holds in both modes). */
   def cosineTopK(queryDf: DataFrame, queryId: String, queryVec: String,
                  candDf: DataFrame, candId: String, candVec: String,
                  k: Int, excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(queryDf.sparkSession)
     val q = queryDf.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .where(col("query_id").isNotNull)
     val c = candDf.select(col(candId).as("cand_id"), col(candVec).as("cv"))
+      .where(col("cand_id").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     val cond =

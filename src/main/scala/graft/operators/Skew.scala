@@ -26,9 +26,13 @@ object Skew {
     // partition id: content-identical rows (exact-duplicate documents —
     // the very workload hot keys come from) then still spread across
     // reducers by their source partition, while a retried partition
-    // reproduces the same pid and rows, hence the same salts. Residual
-    // caveat: duplicates co-located in ONE input partition share a
-    // salt, bounding spread by the input partitioning, not defeating it.
+    // reproduces the same pid and rows, hence the same salts.
+    // CONTRACT: `big`'s row→partition assignment must be deterministic
+    // (scans and hash-partitioned shuffles are; a round-robin
+    // repartition over a nondeterministic upstream is not — there the
+    // pid term would reintroduce the retry hazard). Residual caveat:
+    // duplicates co-located in ONE input partition share a salt,
+    // bounding spread by the input partitioning, not defeating it.
     val salted = big.withColumn("_salt",
       pmod(hash((big.columns.map(col) :+ spark_partition_id()).toIndexedSeq: _*),
         lit(n)))
