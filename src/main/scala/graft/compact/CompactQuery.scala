@@ -24,10 +24,18 @@ object CompactQuery {
       sourceFolder = src, targetFolder = tgt,
       fileCount = 2, tmpFolder = s"$base/tmp"))
     require(res.ok, s"compaction failed: ${res.log.toTsv}")
-    spark.read.parquet(tgt).agg(
+    // The verification aggregate is one row: materialize it eagerly so
+    // the temp tree can be deleted here instead of leaking one
+    // fixture per invocation across Bench/Verify runs (the write-
+    // compact-read under test has fully executed by this point).
+    val out = spark.read.parquet(tgt).agg(
       count(lit(1)).as("n_rows"),
       Det.dsum(col("l_quantity")).as("sum_qty"),
-      Det.dsum(col("l_extendedprice")).as("sum_price"))
+      Det.dsum(col("l_extendedprice")).as("sum_price")).collect()(0)
+    new FsOps(spark.sparkContext.hadoopConfiguration).delete(base)
+    import spark.implicits._
+    Seq((out.getLong(0), out.getDouble(1), out.getDouble(2)))
+      .toDF("n_rows", "sum_qty", "sum_price")
   }
 
   val compactRoundtripSql: String =
