@@ -2,22 +2,32 @@ package graft.operators
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
 /** Typed Dataset[T] pipeline (SURVEY §1.4: `Dataset[T]` where type
   * safety helps): the TPC-H-Q1 shape re-expressed over a case class —
-  * compile-time-checked field access, typed filter, groupByKey, and a
-  * typed aggregation that carries exact integer cents through the
-  * shuffle (the Det discipline, enforced by types rather than column
+  * compile-time-checked field access, typed filter, and a typed
+  * `Aggregator` that carries exact integer cents through the shuffle
+  * (the Det discipline, enforced by types rather than column
   * expressions).
   *
-  * Trade-off, honestly: typed lambdas are opaque to Catalyst (no
-  * pushdown through the filter closure, encoders serialize each row),
-  * so the untyped twin agg_groupby remains the scale path; this entry
-  * proves the API surface and its exact-arithmetic variant. */
+  * The aggregation goes through `groupByKey(...).agg(typedAgg)`, NOT
+  * `mapGroups`: an Aggregator compiles to an ordinary Catalyst
+  * Aggregate with partial (map-side) + final modes, so only per-flag
+  * buffers cross the shuffle — at 100× scale that is the difference
+  * between shuffling 3 buffers per partition and shuffling every
+  * filtered fact row to its group's task (the r3 mapGroups shape,
+  * VERDICT r3 #2). PlanSpec pins the partial+final plan shape.
+  *
+  * Trade-off that remains, honestly: the typed filter/map lambdas are
+  * opaque to Catalyst (no pushdown through the closure, encoders
+  * deserialize each row), so the untyped twin agg_groupby is still the
+  * scale path for the scan side; this entry proves the typed API
+  * surface with aggregation semantics that do scale. */
 object Typed {
 
   final case class Line(
@@ -27,6 +37,24 @@ object Typed {
       l_returnflag: String,
       l_linestatus: String,
       l_shipdate: Timestamp)
+
+  /** (row count, Σ quantity cents, Σ price cents) — long addition is
+    * associative/commutative, so partial-aggregate merge order cannot
+    * change the result. */
+  final case class CentsBuf(n: Long, qtyCents: Long, priceCents: Long)
+
+  /** Typed sum-of-exact-cents aggregator over the mapped row triple
+    * (flag, qtyCents, priceCents). */
+  object SumCents extends Aggregator[(String, Long, Long), CentsBuf, CentsBuf] {
+    def zero: CentsBuf = CentsBuf(0L, 0L, 0L)
+    def reduce(b: CentsBuf, t: (String, Long, Long)): CentsBuf =
+      CentsBuf(b.n + 1, b.qtyCents + t._2, b.priceCents + t._3)
+    def merge(a: CentsBuf, b: CentsBuf): CentsBuf =
+      CentsBuf(a.n + b.n, a.qtyCents + b.qtyCents, a.priceCents + b.priceCents)
+    def finish(b: CentsBuf): CentsBuf = b
+    def bufferEncoder: Encoder[CentsBuf] = Encoders.product[CentsBuf]
+    def outputEncoder: Encoder[CentsBuf] = Encoders.product[CentsBuf]
+  }
 
   def typedAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -39,17 +67,11 @@ object Typed {
         math.round(l.l_quantity * 100), // exact integer cents per row
         math.round(l.l_extendedprice * 100)))
       .groupByKey(_._1)
-      .mapGroups { (flag, it) =>
-        var n = 0L
-        var qtyCents = 0L
-        var priceCents = 0L
-        it.foreach { t => n += 1; qtyCents += t._2; priceCents += t._3 }
-        (flag, n, qtyCents, priceCents)
-      }
-      .toDF("l_returnflag", "n_rows", "qty_cents", "price_cents")
-      .select(col("l_returnflag"), col("n_rows"),
-        (col("qty_cents").cast("double") / 100.0).as("sum_qty"),
-        (col("price_cents").cast("double") / 100.0).as("sum_price"))
+      .agg(SumCents.toColumn.name("c"))
+      .toDF("l_returnflag", "c")
+      .select(col("l_returnflag"), col("c.n").as("n_rows"),
+        (col("c.qtyCents").cast("double") / 100.0).as("sum_qty"),
+        (col("c.priceCents").cast("double") / 100.0).as("sum_price"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.llm.{Dedup, Similarity}
-import graft.operators.{Relational, Streams, Windows}
+import graft.operators.{Relational, Streams, Typed, Windows}
 
 /** Physical-plan shape assertions for the new operator families — the
   * properties that matter at 100 TB: dimensions broadcast, no
@@ -91,6 +91,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("groupBy aggregation is partial+final (map-side combine)") {
     val p = plan(Relational.aggGroupBy(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("typed Aggregator keeps partial aggregation (no mapGroups shuffle)") {
+    val p = plan(Typed.typedAgg(spark, sfDir))
+    // the typed SumCents must compile to a partial+final Aggregate pair
+    // (object-hash for the case-class buffer), not a whole-row shuffle
+    // into mapGroups (VERDICT r3 #2)
+    assert("Aggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("MapGroups"), p)
   }
 
   test("tumbling window batch form is a plain hash aggregate") {
