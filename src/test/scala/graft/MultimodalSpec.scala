@@ -5,9 +5,91 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.llm.MultimodalPipeline
 import graft.llm.MultimodalPipeline.{MediaFeatures, MediaRecord}
 
-/** Spark-side plumbing tests for the stub-decoder multimodal pipeline:
-  * schema, batch shape, determinism, partition independence. */
+/** Multimodal pipeline tests: real PNG/WAV decode through the JDK
+  * codecs, plus Spark-side plumbing — schema, batch shape, determinism,
+  * partition independence. */
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  /** Encode a 2x2 PNG with known pixel colors via the JDK codec. */
+  private def pngBytes(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, pixels, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode 16-bit mono PCM samples as a WAV via the JDK writer. */
+  private def wavBytes(samples: Array[Short], rate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false) // signed LE mono
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode extracts pixel statistics") {
+    // 2x2: red, green, blue, white — channel means are exactly
+    // (1+0+0+1)/4 = 0.5 each, width/height 2, aspect 1
+    val png = pngBytes(Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff), 2, 2)
+    val f = MultimodalPipeline.decodeImage(png).get
+    assert(f(0) == 2.0f && f(1) == 2.0f, "width/height")
+    assert(math.abs(f(2) - 0.5f) < 1e-6, s"mean R ${f(2)}")
+    assert(math.abs(f(3) - 0.5f) < 1e-6, s"mean G ${f(3)}")
+    assert(math.abs(f(4) - 0.5f) < 1e-6, s"mean B ${f(4)}")
+    assert(f(6) > 0.0f, "luma stddev positive for mixed pixels")
+    assert(f(7) == 1.0f, "aspect ratio")
+  }
+
+  test("real WAV decode extracts sample statistics") {
+    // Full-scale square wave at 8 kHz alternating every sample:
+    // RMS = peak = 1 (32768/32768 on the negative rail dominates
+    // rounding), zero-crossing rate = 1 (every adjacent pair crosses)
+    val n = 800
+    val samples = Array.tabulate[Short](n)(i =>
+      if (i % 2 == 0) 32767 else -32768)
+    val wav = wavBytes(samples, 8000f)
+    val f = MultimodalPipeline.decodeAudio(wav).get
+    assert(f(0) == 1.0f, "mono")
+    assert(f(1) == 8000f, "sample rate")
+    assert(f(2) == 16f, "bits per sample")
+    assert(f(3) == n.toFloat, "frame count")
+    assert(math.abs(f(4) - 1.0f) < 1e-3, s"RMS ${f(4)}")
+    assert(math.abs(f(5) - 1.0f) < 1e-3, s"peak ${f(5)}")
+    assert(math.abs(f(6) - 1.0f) < 1e-2, s"zero-crossing rate ${f(6)}")
+    assert(math.abs(f(7) - 0.1f) < 1e-6, s"duration ${f(7)}")
+    // silence for contrast: RMS/peak/zcr all zero
+    val silent = MultimodalPipeline.decodeAudio(
+      wavBytes(Array.fill[Short](100)(0), 8000f)).get
+    assert(silent(4) == 0f && silent(5) == 0f && silent(6) == 0f)
+  }
+
+  test("extractFeatures decodes media payloads end-to-end in Spark") {
+    import spark.implicits._
+    val png = pngBytes(Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff), 2, 2)
+    val wav = wavBytes(Array.tabulate[Short](800)(i =>
+      if (i % 2 == 0) 32767 else -32768), 8000f)
+    val in = spark.createDataset(Seq(
+      MediaRecord(1L, "image", png),
+      MediaRecord(2L, "audio", wav),
+      MediaRecord(3L, "text", "plain text payload".getBytes)))
+    val out = MultimodalPipeline.extractFeatures(in)
+      .collect().map(f => f.media_id -> f).toMap
+    // image row carries pixel-derived features, not a byte histogram
+    assert(out(1L).features(0) == 2.0f && out(1L).features(1) == 2.0f)
+    // audio row carries sample-derived features
+    assert(out(2L).features(1) == 8000f && math.abs(out(2L).features(4) - 1f) < 1e-3)
+    // text row falls back to the normalized byte histogram
+    assert(math.abs(out(3L).features.map(_.toDouble).sum - 1.0) < 0.01)
+  }
 
   test("extractFeatures preserves ids and emits fixed-width vectors") {
     val media = MultimodalPipeline.documentsAsMedia(spark, sfDir)
@@ -18,7 +100,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(feats.map(_.media_id).distinct.length == feats.length)
   }
 
-  test("decode stub is deterministic and partition-count independent") {
+  test("decode is deterministic and partition-count independent") {
     val media = MultimodalPipeline.documentsAsMedia(spark, sfDir)
     val once = MultimodalPipeline.extractFeatures(media)
       .collect().map(f => f.media_id -> f.checksum).toMap
@@ -27,7 +109,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(once == repartitioned)
   }
 
-  test("feature histogram is normalized") {
+  test("text payload fallback histogram is normalized") {
     val feats = MultimodalPipeline.extractFeatures(
       MultimodalPipeline.documentsAsMedia(spark, sfDir)).head(20)
     feats.foreach { f =>
