@@ -219,6 +219,92 @@ object Similarity {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Deterministic pseudo-random hyperplane component for multi-table
+    * LSH (splitmix64-style integer finalizer → [-1, 1)) — unlike the
+    * small linear pattern behind [[planes]] (kept for the oracled
+    * single-table query, where literals must embed into SQL), these are
+    * well-mixed, so per-table sign bits behave like independent random
+    * projections. */
+  private def planeVal(table: Int, bit: Int, dim: Int): Double = {
+    var x = table * 1000003L + bit * 8191L + dim * 131L + 0x9E3779B97F4A7C15L
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33
+    (x >>> 11).toDouble / (1L << 52).toDouble - 1.0
+  }
+
+  private val EmbedDim = 64
+
+  /** PUBLIC ANN surface: multi-table random-hyperplane LSH cosine
+    * top-k — the standard OR-construction that makes LSH usable when
+    * neighbors are not extremely close. Each vector is indexed into
+    * `tables` independent hash tables of `bitsPerTable` sign bits; a
+    * pair is a candidate if it collides in ANY table, so per-neighbor
+    * recall is 1-(1-p^b)^L for per-plane agreement p = 1-θ/π, at
+    * candidate cost ~L·n/2^b. The (b, L) knob trades recall against
+    * cost: on this diffuse fixture (top-5 cosine ≈ 0.3, p ≈ 0.6) the
+    * default (4, 8) measures ~0.7 recall@5 at half-of-brute-force
+    * cost, while a concentrated real corpus (p ≥ 0.9) gets ≥0.95 at
+    * a fraction of a percent. `oneBitProbe` additionally probes the
+    * b one-bit-flip buckets per table (multi-probe LSH), lifting
+    * per-table hit probability to p^b + b·p^(b-1)(1-p) without
+    * growing the index. AnnRecallSpec measures all of this against
+    * [[simSearch]] and pins floors; numbers in SURVEY §8.
+    *
+    * Scale shape: the index is an explode to L postings per vector
+    * (the materialized form a real system stores), the join is
+    * per-(table, bucket) equi-colocated, and pairs are deduped before
+    * any cosine is computed — the expensive kernel runs once per
+    * distinct candidate pair. */
+  def lshTopK(spark: SparkSession, dir: String, k: Int,
+              bitsPerTable: Int = 4, tables: Int = 8,
+              oneBitProbe: Boolean = false): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    def bucketOf(t: Int): Column = {
+      val signs = (0 until bitsPerTable).map { j =>
+        val normal = (0 until EmbedDim).map(i => planeVal(t, j, i))
+        val dot = aggregate(
+          zip_with(col("embedding"), array(normal.map(lit): _*),
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0.0, lit(1 << j)).otherwise(lit(0))
+      }
+      signs.reduce(_ + _)
+    }
+    val e = Tables.embeddings(spark, dir)
+    // the index: L postings per vector, keyed (table, bucket)
+    val postings = e.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(bucketOf): _*))
+        .as(Seq("tbl", "bucket")))
+    val candSide = postings.select(col("vec_id").as("cand_id"),
+      col("tbl").as("tbl2"), col("bucket").as("bucket2"))
+    // query side: own bucket, plus the b one-bit flips when probing
+    val probeBuckets =
+      if (!oneBitProbe) array(col("bucket"))
+      else array(col("bucket") +: (0 until bitsPerTable).map(j =>
+        col("bucket").bitwiseXOR(lit(1 << j))): _*)
+    val q = postings.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("tbl"),
+        explode(probeBuckets).as("probe_bucket"))
+    // dedupe pairs across tables BEFORE the cosine kernel
+    val pairs = broadcast(q)
+      .join(candSide, col("tbl") === col("tbl2") &&
+        col("probe_bucket") === col("bucket2") &&
+        col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+    val qv = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"))
+    val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("eb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    pairs.join(broadcast(qv), "query_id").join(cv, "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(ea, eb)").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+
   /** PUBLIC generic surface: cosine top-k neighbors of each query
     * vector against a candidate frame, on the fused native kernel.
     * `queries` should be the bounded side (it is broadcast); at scale

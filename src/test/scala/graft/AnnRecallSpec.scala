@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+
+/** Recall of the ANN scale path ([[Similarity.lshTopK]], 8 hyperplanes
+  * → 256 buckets) against the brute-force baseline
+  * ([[Similarity.simSearch]]) — the quality metric that decides
+  * whether the bucketed plan is usable at 100 TB, measured on the
+  * fixture and pinned so a regression in the hyperplane set or the
+  * bucketing plan fails loudly. Measured numbers are recorded in
+  * SURVEY §8. */
+class AnnRecallSpec extends AnyFunSuite with SparkSpec {
+
+  /** recall@5 = |LSH top-5 ∩ brute top-5| / |brute top-5|, macro over
+    * queries (each query weighs equally, the standard ANN report). */
+  private def recallAt5(lsh: Map[Long, Set[Long]],
+                        brute: Map[Long, Set[Long]]): Double = {
+    val per = brute.map { case (q, truth) =>
+      val got = lsh.getOrElse(q, Set.empty)
+      (got & truth).size.toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .map(r => r.getLong(r.fieldIndex("query_id")) ->
+        r.getLong(r.fieldIndex("cand_id")))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+  test("multi-table LSH recall@5 clears floors; probing raises it") {
+    // Fixture geometry: top-5 neighbors sit at cosine ≈ 0.3 (θ ≈ 72°,
+    // per-plane agreement p ≈ 0.6) — LSH's worst case, so the floors
+    // below are the DIFFUSE-data guarantees of the OR-construction
+    // (1-(1-p^b)^L), with ~3σ margin over 50 query-neighbor trials:
+    //   one 8-bit table:        p^8            ≈ 0.02–0.04
+    //   8 tables × 4 bits:      1-(1-p^4)^8    ≈ 0.67  → floor 0.45
+    //   + one-bit probe/table:  per-table p^4+4p^3(1-p) ≈ 0.48
+    //                           → 1-(1-.48)^8  ≈ 0.99  → floor 0.85
+    // A concentrated real corpus (p ≥ 0.9) clears far higher at far
+    // lower candidate cost; this spec pins the structure, not luck.
+    val brute = topSets(Similarity.simSearch(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("rank") <= 5))
+    val oneTable = topSets(Similarity.lshTopK(spark, sfDir, 5,
+      bitsPerTable = 8, tables = 1))
+    val multi = topSets(Similarity.lshTopK(spark, sfDir, 5))
+    val probed = topSets(Similarity.lshTopK(spark, sfDir, 5, oneBitProbe = true))
+    val rOne = recallAt5(oneTable, brute)
+    val rMulti = recallAt5(multi, brute)
+    val rProbed = recallAt5(probed, brute)
+    info(f"recall@5 — 1 table x 8 bits: $rOne%.3f, " +
+      f"8 tables x 4 bits: $rMulti%.3f, + one-bit probe: $rProbed%.3f")
+    assert(rMulti > rOne,
+      f"multi-table $rMulti%.3f not above single-table $rOne%.3f")
+    assert(rMulti >= 0.45, f"multi-table recall@5 $rMulti%.3f below floor")
+    assert(rProbed >= rMulti,
+      f"probed recall $rProbed%.3f below unprobed $rMulti%.3f")
+    assert(rProbed >= 0.85, f"probed recall@5 $rProbed%.3f below floor")
+  }
+}
