@@ -17,9 +17,18 @@ object Caches {
 
   /** Release every pinned block in the session: DataFrame cache entries
     * and any directly-persisted RDDs (incl. localCheckpoint storage).
-    * Safe to call between queries — cached frames recompute from lineage
-    * if re-used, checkpointed frames are never re-used across queries by
-    * construction. */
+    * Safe to call between registry queries — cached frames recompute
+    * from lineage if re-used, checkpointed frames are never re-used
+    * across queries by construction.
+    *
+    * HARNESS-ONLY (Bench/Verify/tests): this is a session-WIDE sweep.
+    * In an application embedding graft in a shared SparkSession it
+    * would clobber caches pinned by unrelated code, and a foreign
+    * localCheckpoint-backed frame would be permanently invalidated
+    * (its lineage is truncated — nothing left to recompute from). An
+    * embedding application should release only the blocks its own
+    * queries pinned (the `checkpointTracked`/`releaseRdds` pattern in
+    * [[graft.llm.Dedup]]) and leave this to the harness. */
   def drain(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values

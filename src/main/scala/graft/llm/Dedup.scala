@@ -576,7 +576,13 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterLabels(spark, dir).orderBy(col("doc_id"))
 
-  lazy val dedupClustersSql: String =
+  /** Shared recursive-CTE fixpoint (trigram → minhash → bands → LSH
+    * candidate pairs → undirected edges → label reachability) that the
+    * clusters / cluster-stats / apply oracles all build on. Factored as
+    * its own prefix so the three queries compose it structurally —
+    * ADVICE r3: slicing the rendered clusters SQL by line count made
+    * every reformat silently corrupt the other two oracles. */
+  private lazy val clusterFixpointCteSql: String =
     s"""WITH RECURSIVE tg AS ($trigramsSql),
        |mh AS ($signaturesSql),
        |bands AS ($bandsSql),
@@ -592,7 +598,10 @@ object Dedup {
        |  SELECT node, node AS label FROM nodes
        |  UNION
        |  SELECT e.doc_b AS node, r.label
-       |  FROM reach r JOIN edges e ON e.doc_a = r.node)
+       |  FROM reach r JOIN edges e ON e.doc_a = r.node)""".stripMargin
+
+  lazy val dedupClustersSql: String =
+    s"""$clusterFixpointCteSql
        |SELECT node AS doc_id, MIN(label) AS cluster_id
        |FROM reach GROUP BY node
        |ORDER BY doc_id""".stripMargin
@@ -611,10 +620,7 @@ object Dedup {
       .orderBy(col("cluster_id"))
 
   lazy val dedupClusterStatsSql: String = {
-    val fixpoint = dedupClustersSql.linesIterator.toSeq
-      .dropRight(3) // strip the final SELECT of the clusters query
-      .mkString("\n")
-    s"""$fixpoint,
+    s"""$clusterFixpointCteSql,
        |comp AS (
        |  SELECT node AS doc_id, MIN(label) AS cluster_id
        |  FROM reach GROUP BY node)
@@ -646,10 +652,7 @@ object Dedup {
 
   lazy val dedupApplySql: String = {
     // reuse the recursive-CTE fixpoint, then left-join the corpus
-    val fixpoint = dedupClustersSql.linesIterator.toSeq
-      .dropRight(3) // strip the final SELECT of the clusters query
-      .mkString("\n")
-    s"""$fixpoint,
+    s"""$clusterFixpointCteSql,
        |comp AS (
        |  SELECT node AS cid_doc, MIN(label) AS cluster_id
        |  FROM reach GROUP BY node)

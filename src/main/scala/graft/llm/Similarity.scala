@@ -219,6 +219,104 @@ object Similarity {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // -------- IVF ANN (coarse quantizer + nprobe — the 4th rung)
+
+  /** ANN via an inverted-file (IVF) index: assign every vector to its
+    * nearest of 16 coarse centroids, then answer each query by scanning
+    * only its `nprobe = 2` closest cells. Candidate cost is
+    * ~nprobe·n/16 per query; the residual error is vectors whose true
+    * neighbors live in unprobed cells — the standard IVF recall knob
+    * (raise nprobe → recall→1, cost→n).
+    *
+    * The 16 "centroids" here are seed vectors (vec_id < 16) rather than
+    * a k-means codebook: the oracle must reproduce training
+    * deterministically, and what the query proves is the *plan shape* —
+    * a trained codebook drops in by replacing `cent` without touching
+    * the assignment, probe, or search stages.
+    *
+    * Scale shape: assignment cross-joins SCALARS only (vec_id,
+    * cent_id, cosine) against the 16-row broadcast codebook and
+    * reduces map-side (max(struct)) — embeddings never ride the
+    * shuffle; the search join is per-cell equi-colocated, exactly the
+    * posting-list scan a real IVF index does. */
+  def simSearchIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val cent = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    // assignment: argmax cosine over the broadcast codebook, ties to the
+    // smallest cent_id (max(struct(cos, -cent_id)) — partial-aggregable)
+    val cells = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        expr("graft_cosine(embedding, ce)").as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("neg"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg")).as("cell"))
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    // probe: each query's 2 closest cells (160 scalar rows — window ok)
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("cent_id"))
+    val probes = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qe"), col("cent_id"),
+        expr("graft_cosine(qe, ce)").as("pcos"))
+      .withColumn("prn", row_number().over(wp))
+      .where(col("prn") <= 2)
+      .select(col("query_id"), col("qe"), col("cent_id").as("cell"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(probes).join(cells, "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"), col("vec_id").as("cand_id"),
+        expr("graft_cosine(qe, embedding)").as("cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cell"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simSearchIvfSql: String =
+    s"""WITH n AS (${Dedup.withNormSql}),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+       |         FROM n WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT v.vec_id, c.cent_id,
+       |    (${Dedup.dotSql("v.embedding", "c.ce")}) / (v.nrm * c.cn) AS ccos
+       |  FROM n v CROSS JOIN cent c),
+       |cells AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cent_id) AS arn
+       |    FROM asg) WHERE arn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+       |      FROM n WHERE vec_id < 10),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY (${Dedup.dotSql("q.qe", "c.ce")}) / (q.qn * c.cn) DESC,
+       |                 c.cent_id) AS prn
+       |    FROM q CROSS JOIN cent c) WHERE prn <= 2),
+       |pairs AS (
+       |  SELECT p.query_id, cl.vec_id AS cand_id, p.cell,
+       |    (${Dedup.dotSql("q.qe", "v.embedding")}) / (q.qn * v.nrm) AS cosine
+       |  FROM probe p
+       |  JOIN cells cl ON cl.cell = p.cell
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN n v ON v.vec_id = cl.vec_id
+       |  WHERE cl.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cell, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, cand_id) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, cand_id, cell, cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Deterministic pseudo-random hyperplane component for multi-table
     * LSH (splitmix64-style integer finalizer → [-1, 1)) — unlike the
     * small linear pattern behind [[planes]] (kept for the oracled
@@ -340,6 +438,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_search_lsh" -> simSearchLsh,
+    "llm_sim_search_ivf" -> simSearchIvf,
     "llm_sim_search" -> simSearch,
     "llm_sim_search_native" -> simSearchNative,
     "llm_multimodal" -> multimodal,
@@ -348,6 +447,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "llm_sim_search_lsh" -> simSearchLshSql,
+    "llm_sim_search_ivf" -> simSearchIvfSql,
     "llm_sim_search" -> simSearchSql,
     "llm_sim_search_native" -> simSearchSql, // same contract, native kernel
     "llm_multimodal" -> multimodalSql,

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -192,6 +193,49 @@ object Text {
        |FROM toks,
        |  unnest(range(0, greatest(CAST(ceil(len(t) / $ChunkSize.0) AS BIGINT), 1))) AS u(k)
        |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Sequence packing — the step between chunking and batching in a
+    * training pipeline: lay documents end-to-end into fixed
+    * token-budget bins (here 512), recording for each doc its bin and
+    * token offset inside it. This is offset packing (docs may straddle
+    * a bin boundary and continue into the next, like GPT-style
+    * document concatenation with a fixed context stride), so the
+    * assignment is a pure prefix-sum: bin = floor(start/budget) —
+    * no greedy bin-state loop, fully parallel.
+    *
+    * Scale shape: the prefix sum runs per `source` (a real corpus
+    * packs per shard), so each window partition is one shard, not the
+    * corpus; one shuffle on source. */
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"start_tok DIV $budget").as("bin"),
+        (col("start_tok") % budget).as("bin_offset"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val packSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(LEN(LIST_FILTER(string_split(lower(text), ' '), t -> t <> ''))
+      |         AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      |  FROM t)
+      |SELECT source, doc_id, n_tokens,
+      |  start_tok // 512 AS bin,
+      |  start_tok % 512 AS bin_offset
+      |FROM s
+      |ORDER BY source, doc_id""".stripMargin
 
   /** PII redaction: scrub emails and phone-shaped digits. The corpus
     * has none, so a deterministic contact header is prepended first —
@@ -476,6 +520,7 @@ object Text {
     "llm_split" -> trainTestSplit,
     "llm_decontaminate" -> decontaminate,
     "llm_chunk" -> chunk,
+    "llm_pack" -> pack,
     "llm_pii_redact" -> piiRedact,
     "llm_text_stats" -> textStats,
     "llm_lang_id" -> langId,
@@ -491,6 +536,7 @@ object Text {
     "llm_split" -> splitSql,
     "llm_decontaminate" -> decontaminateSql,
     "llm_chunk" -> chunkSql,
+    "llm_pack" -> packSql,
     "llm_pii_redact" -> piiRedactSql,
     "llm_text_stats" -> textStatsSql,
     "llm_lang_id" -> langIdSql,

@@ -72,22 +72,19 @@ object Relational {
 
   /** Stage the partitioned lineitem copy once per source dir at a
     * deterministic path and reuse it — both within a session (memo map)
-    * and across JVM runs (`_SUCCESS` marker on disk). Repeated
+    * and across JVM runs ([[graft.core.Fixtures]] fingerprint marker,
+    * which also re-stages when the source regenerates). Repeated
     * Bench/Verify invocations then measure the partition-pruned *read*,
     * not the fixture write, and no temp directories accumulate
     * (VERDICT r2 #5). */
   private val partFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def partitionedLineitem(spark: SparkSession, dir: String): String =
-    partFixtures.getOrElseUpdate(dir, {
-      val target = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_part_" + Integer.toHexString(dir.hashCode) + "/lineitem").toString
-      if (!new java.io.File(target, "_SUCCESS").exists()) {
+    partFixtures.getOrElseUpdate(dir,
+      graft.core.Fixtures.staged(s"$dir/lineitem.parquet", "part") { target =>
         Tables.lineitem(spark, dir).write.mode("overwrite")
           .partitionBy("l_returnflag").parquet(target)
-      }
-      target
-    })
+      })
 
   val scanPartitionPrunedSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
@@ -114,8 +111,29 @@ object Relational {
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .orderBy(col("n_nationkey"))
 
-  /** Both text scans share one oracle: the staged copies carry exactly
-    * the parquet table's rows, so DuckDB reads the original. */
+  /** ORC source scan — the second columnar container format (reference
+    * D1 generalized: its Avro reader is one container format among
+    * several; a Spark-native engine reads parquet/ORC/Avro through one
+    * `spark.read` surface). ORC brings its own stripe statistics and
+    * predicate pushdown, so the 100 TB posture matches parquet's:
+    * column-pruned, filter-pushed vectorized scans. Staged once from
+    * nation via [[graft.core.Fixtures]]. */
+  def scanOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(stagedOrcCopy(spark, dir))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+
+  private def stagedOrcCopy(spark: SparkSession, dir: String): String =
+    textFixtures.getOrElseUpdate((dir, "orc"),
+      graft.core.Fixtures.staged(s"$dir/nation.parquet", "orc") { target =>
+        Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .write.mode("overwrite").orc(target)
+      })
+
+  /** The text scans and the ORC scan share one oracle: the staged
+    * copies carry exactly the parquet table's rows, so DuckDB reads
+    * the original. */
   val scanTextSql: String =
     """SELECT n_nationkey, n_name, n_regionkey
       |FROM nation
@@ -126,15 +144,11 @@ object Relational {
 
   private def stagedTextCopy(spark: SparkSession, dir: String,
                              fmt: String): String =
-    textFixtures.getOrElseUpdate((dir, fmt), {
-      val target = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_${fmt}_" + Integer.toHexString(dir.hashCode) + "/nation").toString
-      if (!new java.io.File(target, "_SUCCESS").exists()) {
+    textFixtures.getOrElseUpdate((dir, fmt),
+      graft.core.Fixtures.staged(s"$dir/nation.parquet", fmt) { target =>
         Tables.nation(spark, dir).write.mode("overwrite")
           .option("header", "true").format(fmt).save(target)
-      }
-      target
-    })
+      })
 
   /** MERGE-style upsert without a table format: apply a change batch
     * (updates + inserts, derived deterministically from orders itself)
@@ -216,7 +230,9 @@ object Relational {
 
   private def stagedBucketed(spark: SparkSession, dir: String): (String, String) =
     bucketFixtures.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val tag = Integer.toHexString(dir.hashCode)
+      // md5 of the absolute dir — two distinct source dirs can no longer
+      // collide onto one catalog table name (ADVICE r3)
+      val tag = graft.core.Fixtures.pathTag(dir)
       val (ot, ltab) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
       // a previous JVM's warehouse dir survives while the in-memory
       // catalog does not — clear the stale location before re-staging
@@ -928,6 +944,7 @@ object Relational {
     "scan_partition_pruned" -> scanPartitionPruned,
     "scan_json" -> scanJson,
     "scan_csv" -> scanCsv,
+    "scan_orc" -> scanOrc,
     "merge_upsert" -> mergeUpsert,
     "filter_pred" -> filterPred,
     "project_expr" -> projectExpr,
@@ -969,6 +986,7 @@ object Relational {
     "scan_partition_pruned" -> scanPartitionPrunedSql,
     "scan_json" -> scanTextSql,
     "scan_csv" -> scanTextSql,
+    "scan_orc" -> scanTextSql,
     "merge_upsert" -> mergeUpsertSql,
     "filter_pred" -> filterPredSql,
     "project_expr" -> projectExprSql,

@@ -16,7 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Inner equi-join with an n-way salt on the big side's hot keys. */
+  /** Spark's hash() rejects MapType anywhere in its input (map iteration
+    * order makes the hash nondeterministic), so the salt below may only
+    * feed on hash-supported columns. */
+  private def hashSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashSupported(f.dataType))
+      case a: ArrayType => hashSupported(a.elementType)
+      case _ => true
+    }
+  }
+
+  /** Inner equi-join with an n-way salt on the big side's hot keys.
+    * Map-typed columns of `big` are excluded from the salt hash (see
+    * [[hashSupported]]) — they still join and project normally; they
+    * just don't contribute entropy to the salt. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int): DataFrame = {
     require(n > 0, "salt fan-out must be positive")
     // The salt feeds a shuffle, so it must be retry-stable: a
@@ -33,8 +49,10 @@ object Skew {
     // pid term would reintroduce the retry hazard). Residual caveat:
     // duplicates co-located in ONE input partition share a salt,
     // bounding spread by the input partitioning, not defeating it.
+    val hashable = big.schema.fields
+      .filter(f => hashSupported(f.dataType)).map(f => col(f.name))
     val salted = big.withColumn("_salt",
-      pmod(hash((big.columns.map(col) :+ spark_partition_id()).toIndexedSeq: _*),
+      pmod(hash((hashable :+ spark_partition_id()).toIndexedSeq: _*),
         lit(n)))
     val replicated = small
       .withColumn("_salt", explode(sequence(lit(0), lit(n - 1))))

@@ -19,7 +19,11 @@ import graft.core.{Det, DetSql, Tables}
 object Windows {
 
   /** rank / dense_rank / row_number of orders by totalprice within each
-    * customer. One shuffle on o_custkey; WindowExec streams each group. */
+    * customer. One shuffle on o_custkey; WindowExec streams each group
+    * in ONE pass — the distribution functions that need the group size
+    * up front (a second pass) live in [[winDistribution]] so this row
+    * stays the cheap single-pass shape (VERDICT r3 #6: their addition
+    * here cost 0.12 → 0.67 s). */
   def winRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -27,12 +31,7 @@ object Windows {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         rank().over(w).as("rk"),
         dense_rank().over(w).as("drk"),
-        row_number().over(w).as("rn"),
-        ntile(4).over(w).as("quartile"),
-        // both engines define these as (rank-1)/(n-1) and
-        // peers_ahead/n over exact ints — bit-identical divisions
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+        row_number().over(w).as("rn"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -40,7 +39,31 @@ object Windows {
     """SELECT o_custkey, o_orderkey, o_totalprice,
       |  CAST(RANK() OVER w AS INT) AS rk,
       |  CAST(DENSE_RANK() OVER w AS INT) AS drk,
-      |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** ntile / percent_rank / cume_dist — the distribution family. These
+    * need the partition's row count before emitting row 1, so WindowExec
+    * buffers each group (a two-pass frame); split from [[winRank]] so
+    * the one-pass rank query keeps its cost honest. Same single shuffle
+    * on o_custkey; state is still bounded by the largest key group.
+    * Both engines define pct_rank as (rank-1)/(n-1) and cume as
+    * peers_thru/n over exact ints — bit-identical divisions. */
+  def winDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val winDistributionSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
       |  CAST(NTILE(4) OVER w AS INT) AS quartile,
       |  PERCENT_RANK() OVER w AS pct_rank,
       |  CUME_DIST() OVER w AS cume
@@ -205,6 +228,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
+    "win_distribution" -> winDistribution,
     "win_analytic" -> winAnalytic,
     "win_rolling_range" -> winRollingRange,
     "ts_gapfill" -> tsGapfill,
@@ -213,6 +237,7 @@ object Windows {
 
   val oracleSql: Map[String, String] = Map(
     "win_rank" -> winRankSql,
+    "win_distribution" -> winDistributionSql,
     "win_analytic" -> winAnalyticSql,
     "win_rolling_range" -> winRollingRangeSql,
     "ts_gapfill" -> tsGapfillSql,

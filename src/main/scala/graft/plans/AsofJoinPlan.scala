@@ -276,6 +276,22 @@ object AsofJoinApi {
         s"$leftTimeCol is ${lt.dataType}, $rightTimeCol is ${rt.dataType}")
     require(RowOrdering.isOrderable(lt.dataType),
       s"as-of time type ${lt.dataType} is not orderable")
+    // the tolerance test subtracts raw time values as longs (units() in
+    // doExecute casts to Number), so a bounded join needs an
+    // integral-backed time type — any orderable type (e.g. string) is
+    // fine only when tolerance is unbounded. Fail at build time, not
+    // with a per-row ClassCastException mid-job.
+    if (tolerance >= 0L) {
+      import org.apache.spark.sql.types._
+      val integralBacked = lt.dataType match {
+        case TimestampType | TimestampNTZType | DateType => true
+        case _: IntegralType => true
+        case _ => false
+      }
+      require(integralBacked,
+        s"as-of tolerance requires an integral-backed time type " +
+          s"(timestamp, date, or integer), got ${lt.dataType}")
+    }
     val node = AsofJoin(lp, rp,
       keys.map(k => attr(lp, k._1)), keys.map(k => attr(rp, k._2)),
       lt, rt, rightTieBreakCols.map(attr(rp, _)), forward, tolerance)

@@ -59,4 +59,19 @@ class AnnRecallSpec extends AnyFunSuite with SparkSpec {
       f"probed recall $rProbed%.3f below unprobed $rMulti%.3f")
     assert(rProbed >= 0.85, f"probed recall@5 $rProbed%.3f below floor")
   }
+
+  test("IVF (16 cells, nprobe=2) recall@5 beats its random-candidate floor") {
+    // IVF probes 2 of 16 cells ≈ 1/8 of the corpus per query. If cell
+    // membership were independent of similarity, expected recall would
+    // be ~0.125; a working coarse quantizer routes queries toward their
+    // neighbors' cells, so the measured recall must sit WELL above that
+    // chance line even on this diffuse fixture (it cannot reach LSH's
+    // multi-table numbers at nprobe=2 — that's the cost/recall trade).
+    val brute = topSets(Similarity.simSearch(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("rank") <= 5))
+    val ivf = topSets(Similarity.simSearchIvf(spark, sfDir))
+    val r = recallAt5(ivf, brute)
+    info(f"recall@5 — IVF 16 cells nprobe=2: $r%.3f")
+    assert(r >= 0.25, f"IVF recall@5 $r%.3f not above the ~0.125 chance line")
+  }
 }

@@ -197,6 +197,26 @@ class AsofSpec extends AnyFunSuite with SparkSpec {
     assert(native.toSeq == emulated.toSeq)
   }
 
+  test("tolerance on a non-integral time type fails at build time") {
+    import spark.implicits._
+    // string times are orderable, so an UNBOUNDED as-of is legal — but
+    // the tolerance test subtracts native units, which would throw a
+    // per-row ClassCastException mid-job. The builder must reject it.
+    val lefts = Seq((1L, "2024-01-01")).toDF("k", "t")
+    val rights = Seq((1L, 7L, "2023-12-31")).toDF("rk", "rid", "rt")
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.AsofJoinApi.join(
+        lefts, rights, Seq("k" -> "rk"), "t", "rt", Seq("rid"),
+        tolerance = 10L)
+    }
+    assert(e.getMessage.contains("integral-backed"))
+    // unbounded on the same frames still builds and matches
+    val ok = org.apache.spark.sql.graft.AsofJoinApi.join(
+        lefts, rights, Seq("k" -> "rk"), "t", "rt", Seq("rid"))
+      .collect()
+    assert(ok.length == 1 && ok(0).getLong(3) == 7L)
+  }
+
   test("empty right side leaves every left row unmatched") {
     import spark.implicits._
     val lefts = Seq((1L, 5L, Timestamp.valueOf("2024-01-01 10:00:00")))

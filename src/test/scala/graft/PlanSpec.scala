@@ -73,6 +73,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("IVF search: broadcast codebook, map-side argmax, no cartesian") {
+    val p = plan(Similarity.simSearchIvf(spark, sfDir))
+    // the 16-row codebook must join by broadcast (assignment + probe),
+    // never a cartesian that would repartition the corpus against it
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Broadcast"), p)
+    // cell assignment is groupBy(vec_id).agg(max(struct)) — partial+
+    // final pairs keep the 16× fan-out from ever crossing the shuffle.
+    // (struct-typed max buffers fall back from HashAggregate to
+    // Object/SortAggregate; any of the three still aggregates map-side)
+    assert("(Hash|ObjectHash|Sort)Aggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("sim search broadcasts the bounded query side") {
     val p = plan(Similarity.simSearch(spark, sfDir))
     // non-equi top-k probe: nested-loop is expected, but the broadcast

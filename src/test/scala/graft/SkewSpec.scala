@@ -25,6 +25,23 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("salted join tolerates map-typed columns on the big side") {
+    import spark.implicits._
+    // hash() rejects MapType — the salt must skip such columns instead
+    // of failing analysis (ADVICE r3)
+    val big = spark.range(100)
+      .select((col("id") % 10).as("k"), col("id").as("payload"),
+        map(lit("a"), col("id")).as("attrs"))
+    val small = (0L until 10L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val out = Skew.saltedJoin(big, small, "k", n = 4)
+      .select(big("k"), col("payload"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val plain = big.join(small, "k")
+      .select(col("k"), col("payload"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(out.toSeq == plain.toSeq)
+  }
+
   test("key histogram surfaces the hot key") {
     import spark.implicits._
     val big = spark.range(1000)
