@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Table-maintenance operators — the modern extensions of the
+  * reference's data-management charter (its one shipped tool is a
+  * small-file compactor, DefragmentAvroFolder.scala; these are the
+  * next two utilities a DBA of 100 TB parquet tables reaches for):
+  * multi-dimensional file clustering (z-order) and optimizer-stats
+  * collection (ANALYZE).
+  */
+object Maintenance {
+
+  /** Z-value bit math shared by both engines, rendered per dialect:
+    * interleave the low 16 bits of x (even positions) and y (odd
+    * positions) into one 32-bit key. Pure integer DIV/%/× — identical
+    * arithmetic in Spark (`DIV`) and DuckDB (`//`). */
+  private def zFormula(x: String, y: String, intDiv: String): String =
+    (0 until 16).map { k =>
+      val p = 1L << k
+      s"((($x) $intDiv $p) % 2) * ${1L << (2 * k)} + " +
+        s"((($y) $intDiv $p) % 2) * ${1L << (2 * k + 1)}"
+    }.mkString(" + ")
+
+  /** Z-order layout planning: cluster orders on (custkey, orderdate)
+    * by interleaved-bit z-value, cut into 5000-row files, and report
+    * each file's min/max on BOTH dimensions — the row-group skipping
+    * stats a scan's predicate pushdown reads. A linear sort on one key
+    * gives narrow ranges on that key only; the z-curve keeps ranges
+    * narrow on both, so 2-d predicates (customer AND date window) skip
+    * most files. This is Delta/Iceberg `OPTIMIZE ZORDER BY` re-derived
+    * on the open compactor surface.
+    *
+    * Scale shape: at production the file cut is
+    * `repartitionByRange(col("zval"))` + write (range exchange,
+    * fully parallel, no global window); the row_number here exists
+    * only because the oracle must assign the same deterministic
+    * file_id in both engines. The z-value itself is a pure per-row
+    * projection either way. */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    val rowsPerFile = 5000
+    val x = "o_custkey % 65536"
+    val y = "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') % 65536"
+    val w = Window.orderBy(col("zval"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_day"),
+        expr(zFormula(x, y, "DIV")).as("zval"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("o_custkey"), col("o_day"), col("zval"),
+        expr(s"(rn - 1) DIV $rowsPerFile").as("file_id"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("min_cust"),
+        max(col("o_custkey")).as("max_cust"),
+        min(col("o_day")).as("min_day"),
+        max(col("o_day")).as("max_day"),
+        min(col("zval")).as("min_z"),
+        max(col("zval")).as("max_z"))
+      .orderBy(col("file_id"))
+  }
+
+  val layoutZorderSql: String = {
+    val x = "o_custkey % 65536"
+    val y = "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536"
+    s"""WITH z AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CAST(o_orderdate AS DATE) AS o_day,
+       |    ${zFormula(x, y, "//")} AS zval
+       |  FROM orders),
+       |cut AS (
+       |  SELECT o_custkey, o_day, zval,
+       |    (ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) - 1) // 5000 AS file_id
+       |  FROM z)
+       |SELECT file_id, COUNT(*) AS n_rows,
+       |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       |  MIN(o_day) AS min_day, MAX(o_day) AS max_day,
+       |  MIN(zval) AS min_z, MAX(zval) AS max_z
+       |FROM cut
+       |GROUP BY file_id
+       |ORDER BY file_id""".stripMargin
+  }
+
+  /** ANALYZE-style statistics collection over lineitem's numeric
+    * columns: row count, null count, exact NDV, min/max — the stats a
+    * cost-based optimizer feeds on, one output row per column. Single
+    * scan: one aggregate computes every column's stats (the multi-
+    * count-distinct expands inside the aggregate, not as extra scans),
+    * then `inline` unpivots the wide row. At 100 TB the same plan runs
+    * with `approx_count_distinct` for NDV — sketch-mergeable, no
+    * expand — which is the documented production swap. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"))
+    }
+    val structs = cols.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_null"),
+        col(s"ndv_$c").as("ndv"),
+        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
+    }
+    Tables.lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(inline(array(structs: _*)))
+      .orderBy(col("col_name"))
+  }
+
+  val tableStatsSql: String = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS ndv,
+         |  CAST(MIN($c) AS DOUBLE) AS min_val,
+         |  CAST(MAX($c) AS DOUBLE) AS max_val
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> layoutZorder,
+    "table_stats" -> tableStats,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "layout_zorder" -> layoutZorderSql,
+    "table_stats" -> tableStatsSql,
+  )
+}
