@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.compact.CompactQuery
 import graft.llm.{Dedup, Similarity, Text}
-import graft.operators.{Functions, Maintenance, Relational, Streams, Typed, Udx, Windows}
+import graft.operators.{Functions, Maintenance, Relational, Skew, Streams, Typed, Udx, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -17,7 +17,7 @@ object SparkEntry {
     Relational.queries ++ Windows.queries ++ Functions.queries ++
       Udx.queries ++ Streams.queries ++ Typed.queries ++
       Dedup.queries ++ Text.queries ++ Similarity.queries ++
-      CompactQuery.queries ++ Maintenance.queries
+      CompactQuery.queries ++ Maintenance.queries ++ Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     Relational.oracleSql ++ Windows.oracleSql ++ Functions.oracleSql ++
       Udx.oracleSql ++ Streams.oracleSql ++ Typed.oracleSql ++
       Dedup.oracleSql ++ Text.oracleSql ++ Similarity.oracleSql ++
-      CompactQuery.oracleSql ++ Maintenance.oracleSql
+      CompactQuery.oracleSql ++ Maintenance.oracleSql ++ Skew.oracleSql
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.core.{Det, DetSql, Tables}
 
 /** Skew-mitigation utilities for joins whose key distribution is
   * pathological (one hot key owning a large fraction of a 100 TB fact
@@ -60,6 +62,37 @@ object Skew {
         salted(key) === replicated(key) && salted("_salt") === replicated("_salt"))
       .drop(replicated(key)).drop("_salt")
   }
+
+  /** Registry query: the salted join driven end-to-end against the
+    * oracle — lineitem (big side, salted 8 ways) ⋈ supplier on
+    * suppkey, aggregated per nation. Salting only redistributes rows
+    * across reducers; the result set is identical to the plain join,
+    * which is exactly what the oracle (a plain SQL join) proves. */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_quantity"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    saltedJoin(li, sup, "l_suppkey", n = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val joinSkewSaltedSql: String =
+    s"""SELECT s_nationkey, COUNT(*) AS n,
+       |  ${DetSql.dsum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey
+       |ORDER BY s_nationkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> joinSkewSalted,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "join_skew_salted" -> joinSkewSaltedSql,
+  )
 
   /** Key histogram — the diagnostic used to decide whether to salt:
     * top-k keys by row count with their share of the table. */
