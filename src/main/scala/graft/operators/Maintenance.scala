@@ -16,11 +16,14 @@ import graft.core.Tables
 object Maintenance {
 
   /** Z-value bit math shared by both engines, rendered per dialect:
-    * interleave the low 16 bits of x (even positions) and y (odd
-    * positions) into one 32-bit key. Pure integer DIV/%/× — identical
-    * arithmetic in Spark (`DIV`) and DuckDB (`//`). */
-  private def zFormula(x: String, y: String, intDiv: String): String =
-    (0 until 16).map { k =>
+    * interleave the low 8 bits of x (even positions) and y (odd
+    * positions) into one 16-bit key. Pure integer DIV/%/× — identical
+    * arithmetic in Spark (`DIV`) and DuckDB (`//`). Inputs must
+    * already be quantized to [0, 256): interleaving RAW values whose
+    * domains differ in magnitude degenerates the curve into a
+    * single-key sort (the wider domain owns every significant bit). */
+  private[graft] def zFormula(x: String, y: String, intDiv: String): String =
+    (0 until 8).map { k =>
       val p = 1L << k
       s"((($x) $intDiv $p) % 2) * ${1L << (2 * k)} + " +
         s"((($y) $intDiv $p) % 2) * ${1L << (2 * k + 1)}"
@@ -33,7 +36,13 @@ object Maintenance {
     * gives narrow ranges on that key only; the z-curve keeps ranges
     * narrow on both, so 2-d predicates (customer AND date window) skip
     * most files. This is Delta/Iceberg `OPTIMIZE ZORDER BY` re-derived
-    * on the open compactor surface.
+    * on the open compactor surface. Each dimension is first quantized
+    * to 256 buckets over its own min/max (one tiny broadcast bounds
+    * row) — the normalization production z-ordering does with
+    * range-partition ids, and the step that keeps the curve balanced
+    * when dimension domains differ by orders of magnitude
+    * (MaintenanceSpec measures the per-file span win over a
+    * single-key sort).
     *
     * Scale shape: at production the file cut is
     * `repartitionByRange(col("zval"))` + write (range exchange,
@@ -41,15 +50,23 @@ object Maintenance {
     * only because the oracle must assign the same deterministic
     * file_id in both engines. The z-value itself is a pure per-row
     * projection either way. */
-  def layoutZorder(spark: SparkSession, dir: String): DataFrame = {
-    val rowsPerFile = 5000
-    val x = "o_custkey % 65536"
-    val y = "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') % 65536"
-    val w = Window.orderBy(col("zval"), col("o_orderkey"))
-    Tables.orders(spark, dir)
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame =
+    layoutZorder(spark, dir, rowsPerFile = 5000)
+
+  private[graft] def layoutZorder(spark: SparkSession, dir: String,
+                                  rowsPerFile: Int): DataFrame = {
+    val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         to_date(col("o_orderdate")).as("o_day"),
-        expr(zFormula(x, y, "DIV")).as("zval"))
+        expr("datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')").as("dayn"))
+    val bounds = o.agg(min(col("o_custkey")).as("min_c"),
+      max(col("o_custkey")).as("max_c"),
+      min(col("dayn")).as("min_d"), max(col("dayn")).as("max_d"))
+    val w = Window.orderBy(col("zval"), col("o_orderkey"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("xn", expr("((o_custkey - min_c) * 256) DIV (max_c - min_c + 1)"))
+      .withColumn("yn", expr("((dayn - min_d) * 256) DIV (max_d - min_d + 1)"))
+      .withColumn("zval", expr(zFormula("xn", "yn", "DIV")))
       .withColumn("rn", row_number().over(w))
       .select(col("o_custkey"), col("o_day"), col("zval"),
         expr(s"(rn - 1) DIV $rowsPerFile").as("file_id"))
@@ -64,14 +81,25 @@ object Maintenance {
       .orderBy(col("file_id"))
   }
 
-  val layoutZorderSql: String = {
-    val x = "o_custkey % 65536"
-    val y = "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536"
-    s"""WITH z AS (
+  val layoutZorderSql: String =
+    s"""WITH o AS (
        |  SELECT o_orderkey, o_custkey,
        |    CAST(o_orderdate AS DATE) AS o_day,
-       |    ${zFormula(x, y, "//")} AS zval
+       |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dayn
        |  FROM orders),
+       |b AS (
+       |  SELECT MIN(o_custkey) AS min_c, MAX(o_custkey) AS max_c,
+       |         MIN(dayn) AS min_d, MAX(dayn) AS max_d
+       |  FROM o),
+       |q AS (
+       |  SELECT o_orderkey, o_custkey, o_day,
+       |    ((o_custkey - min_c) * 256) // (max_c - min_c + 1) AS xn,
+       |    ((dayn - min_d) * 256) // (max_d - min_d + 1) AS yn
+       |  FROM o CROSS JOIN b),
+       |z AS (
+       |  SELECT o_orderkey, o_custkey, o_day,
+       |    ${zFormula("xn", "yn", "//")} AS zval
+       |  FROM q),
        |cut AS (
        |  SELECT o_custkey, o_day, zval,
        |    (ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) - 1) // 5000 AS file_id
@@ -83,7 +111,6 @@ object Maintenance {
        |FROM cut
        |GROUP BY file_id
        |ORDER BY file_id""".stripMargin
-  }
 
   /** ANALYZE-style statistics collection over lineitem's numeric
     * columns: row count, null count, exact NDV, min/max — the stats a

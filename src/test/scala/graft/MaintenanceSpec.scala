@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Maintenance
+
+/** Properties of the z-order bit math and the stats/layout queries'
+  * structural claims — the parts the oracle hash can't see (it proves
+  * value equality, not that the z-curve actually clusters). */
+class MaintenanceSpec extends AnyFunSuite with SparkSpec {
+
+  /** Reference model: textbook bit interleave of two 8-bit values. */
+  private def zModel(x: Long, y: Long): Long =
+    (0 until 8).map { k =>
+      (((x >> k) & 1L) << (2 * k)) | (((y >> k) & 1L) << (2 * k + 1))
+    }.sum
+
+  test("zFormula matches the bit-interleave model on random 8-bit pairs") {
+    import spark.implicits._
+    val pairs = Gen.listOfN(200,
+        Gen.zip(Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 255L)))
+      .pureApply(Gen.Parameters.default, Seed(7L))
+    val got = pairs.toDF("x", "y")
+      .withColumn("z", expr(Maintenance.zFormula("x", "y", "DIV")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      assert(z == zModel(x, y), s"z($x,$y)=$z model=${zModel(x, y)}")
+    }
+  }
+
+  test("z-value is a bijection on the 8-bit grid") {
+    val pairs = for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y)
+    val zs = pairs.map { case (x, y) => zModel(x, y) }
+    assert(zs.distinct.size == pairs.size, "distinct pairs collided in z")
+    assert(zs.min == 0L && zs.max == 65535L)
+  }
+
+  test("z-order layout yields narrower per-file custkey ranges than date sort") {
+    // The point of the z-curve: a single-key sort gives each file the
+    // FULL range of the other dimension; z-ordering bounds both. Compare
+    // the mean per-file custkey span of the z-layout against a pure
+    // date-sorted cut of the same table — z must be materially narrower.
+    // cut into ~30 files whatever the fixture size — with only a few
+    // cuts every layout necessarily spans most of the key space and
+    // the clustering effect can't show
+    import org.apache.spark.sql.expressions.Window
+    val n = graft.core.Tables.orders(spark, sfDir).count()
+    val perFile = math.max(50L, n / 30L).toInt
+    val z = Maintenance.layoutZorder(spark, sfDir, rowsPerFile = perFile)
+      .select((col("max_cust") - col("min_cust")).as("span")).collect()
+    val zMean = z.map(_.getLong(0)).sum.toDouble / z.length
+    val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
+    val d = graft.core.Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("file_id", expr(s"(rn - 1) DIV $perFile"))
+      .groupBy(col("file_id"))
+      .agg((max(col("o_custkey")) - min(col("o_custkey"))).as("span"))
+      .collect()
+    val dMean = d.map(_.getLong(1)).sum.toDouble / d.length
+    info(f"mean per-file custkey span — zorder: $zMean%.0f, date-sorted: $dMean%.0f")
+    assert(zMean < dMean * 0.8,
+      f"z-order span $zMean%.0f not materially below date-sort span $dMean%.0f")
+  }
+
+  test("table_stats matches directly computed statistics") {
+    val rows = Maintenance.tableStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val qty = graft.core.Tables.lineitem(spark, sfDir)
+      .agg(count(col("l_quantity")), countDistinct(col("l_quantity")),
+        min(col("l_quantity")), max(col("l_quantity"))).head
+    val r = rows("l_quantity")
+    assert(r.getLong(1) == qty.getLong(0) + r.getLong(2)) // n_rows = cnt + nulls
+    assert(r.getLong(3) == qty.getLong(1))                // ndv
+    assert(r.getDouble(4) == qty.getDouble(2))            // min
+    assert(r.getDouble(5) == qty.getDouble(3))            // max
+  }
+}

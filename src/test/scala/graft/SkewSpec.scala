@@ -42,6 +42,32 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == plain.toSeq)
   }
 
+  test("salted join equals the plain join across random skews and fan-outs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val params = Gen.zip(
+          Gen.chooseNum(200, 2000),   // rows
+          Gen.chooseNum(0L, 20L),     // hot key
+          Gen.oneOf(1, 4, 16))        // salt fan-out
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val (rows, hot, n) = params
+      val big = spark.range(rows)
+        .select(when(col("id") % 3 =!= 0, lit(hot))
+          .otherwise(col("id") % 25).as("k"), col("id").as("payload"))
+      val small = (0L until 25L).map(k => (k, s"d_$k")).toDF("k", "name")
+      val plain = big.join(small, "k")
+        .select(col("k"), col("payload"), col("name"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      val salted = Skew.saltedJoin(big, small, "k", n)
+        .select(big("k"), col("payload"), col("name"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      assert(salted.toSeq == plain.toSeq,
+        s"mismatch at rows=$rows hot=$hot n=$n")
+    }
+  }
+
   test("key histogram surfaces the hot key") {
     import spark.implicits._
     val big = spark.range(1000)
