@@ -196,6 +196,37 @@ object Functions {
       |      FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** StructType surface — the remaining nested type (array/map/variant/
+    * JSON covered by their own rows): build a struct, access fields,
+    * nest a struct in a struct, compare structs (field-wise ordering —
+    * both engines compare lexicographically by field position), and
+    * sort an array of structs. Outputs are scalars per the output
+    * discipline. */
+  def fnStruct(spark: SparkSession, dir: String): DataFrame = {
+    val s = struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp"))
+    val nested = struct(lit("v1").as("tag"), s.as("inner"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), s.as("s"), nested.as("n"))
+      .select(col("o_orderkey"),
+        col("s.st").as("st"),
+        col("s.tp").as("tp"),
+        col("n.tag").as("tag"),
+        col("n.inner.tp").as("nested_tp"),
+        (col("s") < struct(lit("P").as("st"), lit(0.0).as("tp"))).as("lt_probe"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val fnStructSql: String =
+    """SELECT o_orderkey,
+      |  s.st AS st, s.tp AS tp,
+      |  n.tag AS tag, n.inner.tp AS nested_tp,
+      |  s < {'st': 'P', 'tp': 0.0} AS lt_probe
+      |FROM (SELECT o_orderkey,
+      |        {'st': o_orderstatus, 'tp': o_totalprice} AS s,
+      |        {'tag': 'v1', 'inner': {'st': o_orderstatus, 'tp': o_totalprice}} AS n
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** JSON functions on events.props (the reference's D8 JSON lift,
     * TemplateApp.scala:62, per-field instead of whole-record): path
     * extraction, schema-full parse, and re-serialization. */
@@ -274,6 +305,7 @@ object Functions {
     "fn_array_map" -> fnArrayMap,
     "fn_json" -> fnJson,
     "fn_map" -> fnMap,
+    "fn_struct" -> fnStruct,
     "fn_variant" -> fnVariant,
   )
 
@@ -286,6 +318,7 @@ object Functions {
     "fn_array_map" -> fnArrayMapSql,
     "fn_json" -> fnJsonSql,
     "fn_map" -> fnMapSql,
+    "fn_struct" -> fnStructSql,
     "fn_variant" -> fnVariantSql,
   )
 }
