@@ -184,13 +184,41 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Minimum signature-chunk agreements for a candidate pair to reach
-    * exact verification: est = n_agree/8 ≥ 3/8, well under the 0.5
-    * report threshold, so borderline-true pairs are kept for the exact
-    * rung while the bulk of false LSH positives (single-band
-    * coincidences, est ≤ 2/8) never get shingled. The oracle applies
-    * the identical md5-algebra cut, so both engines verify the same
-    * pair set. */
+    * exact verification: est = n_agree/8 ≥ 3/8, under the 0.5 report
+    * threshold, so most borderline-true pairs reach the exact rung
+    * while the bulk of false LSH positives (single-band coincidences,
+    * est ≤ 2/8) never get shingled. The oracle applies the identical
+    * md5-algebra cut, so both engines verify the same pair set.
+    *
+    * HONEST RECALL COST: n_agree is ~Binomial(8, J) for true Jaccard
+    * J, so the cut has estimator-induced false negatives the oracle
+    * compare cannot see (it applies the same cut): a pair at exactly
+    * J = 0.5 is pruned with probability P(X ≤ 2) ≈ 14.5%, falling to
+    * ≈ 5% at J = 0.6 and ≈ 1.1% at J = 0.7. That is the standard
+    * est-then-verify trade (prune cost ∝ candidate count, miss rate
+    * concentrated at the report boundary); set this to 1 to verify
+    * every multi-band candidate exactly and pay full shingling. */
   private val estPruneMinAgree = 3
+
+  /** Signature-agreement count per LSH candidate pair — the shared
+    * estimator rung: one native-kernel pass builds the cached
+    * signatures, bands derive from them (no re-hash), candidates come
+    * from the band self-join, and each pair joins two 8-chunk
+    * signatures to count agreements. Used by [[dedupJaccardEst]] (as
+    * the reported estimate) and [[dedupJaccard]] (as the prune). */
+  private def signatureAgreement(docs: DataFrame): DataFrame = {
+    val sigs = signaturesNative(docs, "doc_id", "text").cache()
+    candidatePairs(bandsOfSigs(sigs).cache())
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))")
+          .as("n_agree"))
+  }
+
+  /** DuckDB twin of [[signatureAgreement]]'s per-pair count. */
+  private lazy val agreeSql: String = (0 until nHashes)
+    .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
 
   /** Exact n-gram Jaccard — the full dedup ladder in one query:
     * LSH candidates → MinHash-estimator prune (signature-only, no text
@@ -202,14 +230,8 @@ object Dedup {
     * bit-identical across engines. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // one kernel pass feeds bands (candidate generation) and the
-    // estimator prune (signature agreement) — cached like dedupJaccardEst
-    val sigs = signaturesNative(docs, "doc_id", "text").cache()
-    val cand = candidatePairs(bandsOfSigs(sigs).cache())
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
-      .where(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))")
-        >= estPruneMinAgree)
+    val cand = signatureAgreement(docs)
+      .where(col("n_agree") >= estPruneMinAgree)
       .select(col("doc_a"), col("doc_b"))
       .cache()
     // Shingle ONLY the candidate docs: the verify step never needs the
@@ -239,8 +261,7 @@ object Dedup {
   }
 
   lazy val dedupJaccardSql: String = {
-    val agree = (0 until nHashes)
-      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    val agree = agreeSql
     s"""WITH tg AS ($trigramsSql),
        |mh AS ($signaturesSql),
        |bands AS ($bandsSql),
@@ -277,26 +298,13 @@ object Dedup {
     * scale this prunes candidate pairs before the trigram-intersection
     * verify without touching document text again — pairs join two
     * 8-string signatures, nothing else. */
-  def dedupJaccardEst(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // one kernel pass: the cached signature frame feeds both the band
-    // derivation and the pair join (uncached, graft_minhash8 would
-    // re-hash every document's trigrams a second time)
-    val sigs = signaturesNative(docs, "doc_id", "text").cache()
-    val cand = candidatePairs(bandsOfSigs(sigs).cache())
-    cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))")
-          .as("n_agree"))
+  def dedupJaccardEst(spark: SparkSession, dir: String): DataFrame =
+    signatureAgreement(Tables.documents(spark, dir))
       .withColumn("jaccard_est", col("n_agree").cast("double") / lit(8.0))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   lazy val dedupJaccardEstSql: String = {
-    val agree = (0 until nHashes)
-      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    val agree = agreeSql
     s"""WITH tg AS ($trigramsSql),
        |mh AS ($signaturesSql),
        |bands AS ($bandsSql),
@@ -477,14 +485,14 @@ object Dedup {
     * fixpoint (VERDICT r2 #3, r3 #7).
     *
     * The fixpoint runs ONCE per (session, source dir): its result is
-    * staged to a session-keyed tmp parquet and every call reads that
-    * fixture — the shape a real pipeline uses (compute labels once,
-    * consume them many times). Disk staging rather than a pinned cache
-    * keeps the registry's drain discipline intact: after any consumer's
-    * action + [[graft.core.Caches.drain]], zero RDDs stay pinned
-    * (LlmSpec), and the fixture dies with the JVM's tmpdir, never
-    * leaking across sessions (the key includes applicationId, so a
-    * regenerated source dir in a new session cannot hit a stale copy).
+    * staged to a source-keyed tmp parquet — overwritten on each JVM's
+    * first use, so a new session never reads a previous session's copy
+    * and /tmp holds at most one labels directory per source dir — and
+    * every call reads that fixture, the shape a real pipeline uses
+    * (compute labels once, consume them many times). Disk staging
+    * rather than a pinned cache keeps the registry's drain discipline
+    * intact: after any consumer's action + [[graft.core.Caches.drain]],
+    * zero RDDs stay pinned (LlmSpec).
     *
     * Scale/lifecycle notes for the fixpoint itself: labels and edges
     * stay distributed; rounds are bounded by component diameter (log-ish
@@ -506,11 +514,13 @@ object Dedup {
           .cache()
         val (labels, ids) = connectedComponentsTracked(spark, candidatePairs(bd))
         bd.unpersist(blocking = false) // edges checkpointed in the fixpoint
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest((spark.sparkContext.applicationId + "|" + dir)
-            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        // Stable per-SOURCE path, overwritten on each JVM's first use
+        // (the memo key still includes applicationId): staleness across
+        // sessions is impossible because this JVM just wrote it, and
+        // tmp accumulation is bounded to one directory per source dir —
+        // an appId-keyed path orphaned a new copy every session.
         val target = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_labels_$digest").toString
+          "graft_labels_" + graft.core.Fixtures.pathTag(dir)).toString
         labels.write.mode("overwrite").parquet(target)
         releaseRdds(spark, ids) // staged copy supersedes the checkpoint
         target

@@ -76,18 +76,26 @@ object MultimodalPipeline {
     * stddev luma, aspect ratio] with channel means in [0,1]. None if
     * the payload does not decode (wrong format, truncated file). */
   def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
+    // NonFatal, not just IOException: ImageIO throws unchecked errors on
+    // adversarial headers (e.g. IllegalArgumentException when IHDR
+    // declares width*height > Int.MaxValue). A corrupt container is data
+    // to quarantine, never a task-killing exception.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
       val w = im.getWidth
       val h = im.getHeight
       var sr, sg, sb, sl, sl2 = 0.0
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
+        // bulk scanline read — per-pixel getRGB(x, y) pays a ColorModel
+        // conversion call per pixel, several times slower for a full pass
+        im.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = im.getRGB(x, y)
+          val rgb = row(x)
           val r = (rgb >> 16) & 0xff
           val g = (rgb >> 8) & 0xff
           val b = rgb & 0xff

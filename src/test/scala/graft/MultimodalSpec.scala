@@ -20,6 +20,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     bos.toByteArray
   }
 
+  test("adversarial PNG header is quarantined, not a task-killing throw") {
+    // valid PNG signature + IHDR declaring 65500x65500: ImageIO throws
+    // an UNCHECKED IllegalArgumentException (width*height overflows the
+    // raster), which decode must swallow into the None/quarantine path
+    val good = pngBytes(Array(0xff0000), 1, 1)
+    val evil = good.clone()
+    // IHDR width at offset 16, height at 20 (big-endian)
+    def put(off: Int, v: Int): Unit = {
+      evil(off) = (v >>> 24).toByte; evil(off + 1) = (v >>> 16).toByte
+      evil(off + 2) = (v >>> 8).toByte; evil(off + 3) = v.toByte
+    }
+    put(16, 65500); put(20, 65500)
+    assert(MultimodalPipeline.decodeImage(evil).isEmpty,
+      "huge-dimension header must quarantine")
+  }
+
   /** Encode 16-bit mono PCM samples as a WAV via the JDK writer. */
   private def wavBytes(samples: Array[Short], rate: Float): Array[Byte] = {
     import javax.sound.sampled._
