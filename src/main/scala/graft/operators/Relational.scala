@@ -935,6 +935,37 @@ object Relational {
       |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
       |ORDER BY tag, c_custkey""".stripMargin
 
+  /** INTERSECT ALL / EXCEPT ALL — bag semantics, where the distinct
+    * variants above lose multiplicity: per key the result carries
+    * min(multA, multB) resp. max(multA − multB, 0) copies. Run on
+    * lineitem suppkey multisets (heavily duplicated), folded to
+    * per-key counts so the oracle hash sees the multiplicities
+    * directly. Same single-shuffle aggregate-shaped plans at scale. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val a = li.where(col("l_quantity") > 45.0).select(col("l_suppkey"))
+    val b = li.where(col("l_discount") > 0.08).select(col("l_suppkey"))
+    val ia = a.intersectAll(b).groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("intersect_all"))
+    val ea = a.exceptAll(b).groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all"))
+    ia.unionByName(ea)
+      .select(col("tag"), col("l_suppkey"), col("n"))
+      .orderBy(col("tag"), col("l_suppkey"))
+  }
+
+  val setOpsAllSql: String =
+    """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity > 45.0),
+      |b AS (SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08)
+      |SELECT 'intersect_all' AS tag, l_suppkey, COUNT(*) AS n
+      |FROM (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+      |GROUP BY l_suppkey
+      |UNION ALL
+      |SELECT 'except_all' AS tag, l_suppkey, COUNT(*) AS n
+      |FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+      |GROUP BY l_suppkey
+      |ORDER BY tag, l_suppkey""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   /** Query registry fragment contributed by this module. */
@@ -974,6 +1005,7 @@ object Relational {
     "sort_limit" -> sortLimit,
     "topk_per_group" -> topkPerGroup,
     "set_union" -> setUnion,
+    "set_ops_all" -> setOpsAll,
     "set_intersect_except" -> setIntersectExcept,
   )
 
@@ -1014,6 +1046,7 @@ object Relational {
     "sort_limit" -> sortLimitSql,
     "topk_per_group" -> topkPerGroupSql,
     "set_union" -> setUnionSql,
+    "set_ops_all" -> setOpsAllSql,
     "set_intersect_except" -> setIntersectExceptSql,
   )
 }
