@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Det, DetSql, Tables}
 
 /** Table-maintenance operators — the modern extensions of the
   * reference's data-management charter (its one shipped tool is a
@@ -154,13 +154,64 @@ object Maintenance {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Dynamic partition overwrite — the INSERT OVERWRITE semantics a
+    * partitioned 100 TB table needs (rewrite only the partitions the
+    * batch touches, leave the rest untouched): stage orders partitioned
+    * by status, overwrite ONLY the 'F' partition with discounted
+    * prices under `partitionOverwriteMode=dynamic`, read the whole
+    * table back and aggregate per partition. The oracle emulates the
+    * partial rewrite with a CASE on the source — equality proves the
+    * other partitions survived the overwrite byte-for-byte (a STATIC
+    * overwrite would have truncated them to zero rows and fail the
+    * compare). Fresh staging per run: the query IS the write path
+    * under test, so reusing a fixture would prove nothing. */
+  def writeDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dynover").toString
+    val t = s"$base/orders"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    o.write.partitionBy("o_orderstatus").parquet(t)
+    val patch = o.where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"),
+        (Det.cents(col("o_totalprice")) - lit(500L)).cast("double")
+          .divide(lit(100.0)).as("o_totalprice"),
+        col("o_orderstatus"))
+    patch.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(t)
+    val out = spark.read.parquet(t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+      .collect()
+    new graft.compact.FsOps(spark.sparkContext.hadoopConfiguration).delete(base)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      out.toSeq.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderstatus STRING, n BIGINT, sum_price DOUBLE"))
+  }
+
+  val writeDynamicOverwriteSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${DetSql.dsum(
+      "CASE WHEN o_orderstatus = 'F' " +
+        "THEN CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100 AS BIGINT) - 500 AS DOUBLE) / 100.0 " +
+        "ELSE o_totalprice END")} AS sum_price
+       |FROM orders
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder,
     "table_stats" -> tableStats,
+    "write_dynamic_overwrite" -> writeDynamicOverwrite,
   )
 
   val oracleSql: Map[String, String] = Map(
     "layout_zorder" -> layoutZorderSql,
     "table_stats" -> tableStatsSql,
+    "write_dynamic_overwrite" -> writeDynamicOverwriteSql,
   )
 }
