@@ -317,6 +317,57 @@ object Similarity {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Int8 embedding quantization — the storage/bandwidth step a
+    * 100 TB vector corpus takes before ANN (4× smaller than float32,
+    * SIMD-friendly dot products): per-vector symmetric scale
+    * max|x|/127, q = floor(x/scale + 0.5) (explicit half-up — Spark's
+    * round and DuckDB's round disagree on ties, floor(+0.5) is the
+    * same IEEE sequence in both), reporting the scale, the max
+    * dequantization error (bounded by scale/2), and an integer
+    * checksum of the codes. Pure projection — no shuffle but the
+    * oracle sort. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    e.select(col("vec_id"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
+          .as("absmax"))
+      .join(e, "vec_id")
+      .select(col("vec_id"),
+        (col("absmax") / lit(127.0)).as("scale"),
+        expr("""transform(embedding,
+          |  x -> CAST(floor(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS BIGINT))"""
+          .stripMargin).as("q"),
+        col("embedding"), col("absmax"))
+      .select(col("vec_id"), col("scale"),
+        expr("""aggregate(zip_with(embedding, q,
+          |  (x, c) -> abs(CAST(x AS DOUBLE) - c * (absmax / 127.0))),
+          |  CAST(0.0 AS DOUBLE), (m, d) -> greatest(m, d))""".stripMargin)
+          .as("max_err"),
+        expr("aggregate(q, 0L, (s, c) -> s + c)").as("code_sum"),
+        expr("aggregate(q, 0L, (s, c) -> s + abs(c))").as("code_abs_sum"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedQuantizeSql: String =
+    """WITH a AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS absmax
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, embedding, absmax,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS BIGINT)) AS q
+      |  FROM a)
+      |SELECT vec_id,
+      |  absmax / 127.0 AS scale,
+      |  list_max(list_transform(list_zip(embedding, q),
+      |    p -> abs(CAST(p[1] AS DOUBLE) - p[2] * (absmax / 127.0)))) AS max_err,
+      |  list_sum(q) AS code_sum,
+      |  list_sum(list_transform(q, c -> abs(c))) AS code_abs_sum
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
   /** Deterministic pseudo-random hyperplane component for multi-table
     * LSH (splitmix64-style integer finalizer → [-1, 1)) — unlike the
     * small linear pattern behind [[planes]] (kept for the oracled
@@ -439,6 +490,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_search_lsh" -> simSearchLsh,
     "llm_sim_search_ivf" -> simSearchIvf,
+    "llm_embed_quantize" -> embedQuantize,
     "llm_sim_search" -> simSearch,
     "llm_sim_search_native" -> simSearchNative,
     "llm_multimodal" -> multimodal,
@@ -448,6 +500,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "llm_sim_search_lsh" -> simSearchLshSql,
     "llm_sim_search_ivf" -> simSearchIvfSql,
+    "llm_embed_quantize" -> embedQuantizeSql,
     "llm_sim_search" -> simSearchSql,
     "llm_sim_search_native" -> simSearchSql, // same contract, native kernel
     "llm_multimodal" -> multimodalSql,
