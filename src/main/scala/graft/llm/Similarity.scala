@@ -368,6 +368,73 @@ object Similarity {
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
+  /** Top-5 cosine search over the INT8 codes of [[embedQuantize]] —
+    * the compute path that pairs with quantized storage: the pairwise
+    * kernel is an exact integer dot product and integer norms
+    * (symmetric per-vector scales cancel in the cosine), so unlike the
+    * float path no IEEE ordering discipline is needed at all — the
+    * oracle agreement is exact arithmetic end-to-end until one final
+    * sqrt/division pair. AnnRecallSpec measures how much ranking the
+    * 8-bit codes lose against the float brute force (recall@5). */
+  def simSearchInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
+          .as("absmax"), col("embedding"))
+      .select(col("vec_id"),
+        expr("""transform(embedding,
+          |  x -> CAST(floor(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS BIGINT))"""
+          .stripMargin).as("q"))
+      .select(col("vec_id"), col("q"),
+        expr("aggregate(q, 0L, (s, c) -> s + c * c)").as("nq"))
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
+    val c = e.select(col("vec_id").as("cand_id"), col("q").as("qb"),
+      col("nq").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(qs).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, p) -> s + p)")
+          .cast("double") / sqrt((col("na") * col("nb")).cast("double")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simSearchInt8Sql: String =
+    """WITH a AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS absmax,
+      |    embedding
+      |  FROM embeddings),
+      |qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS BIGINT)) AS q
+      |  FROM a),
+      |n AS (
+      |  SELECT vec_id, q,
+      |    list_sum(list_transform(q, c -> c * c)) AS nq
+      |  FROM qv),
+      |pairs AS (
+      |  SELECT qs.vec_id AS query_id, c.vec_id AS cand_id,
+      |    CAST(list_sum(list_transform(list_zip(qs.q, c.q),
+      |      p -> p[1] * p[2])) AS DOUBLE)
+      |      / sqrt(CAST(qs.nq * c.nq AS DOUBLE)) AS cosine
+      |  FROM n qs JOIN n c ON qs.vec_id < 10 AND qs.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |         ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      |  FROM pairs)
+      |SELECT query_id, rank, cand_id, cosine
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Deterministic pseudo-random hyperplane component for multi-table
     * LSH (splitmix64-style integer finalizer → [-1, 1)) — unlike the
     * small linear pattern behind [[planes]] (kept for the oracled
@@ -491,6 +558,7 @@ object Similarity {
     "llm_sim_search_lsh" -> simSearchLsh,
     "llm_sim_search_ivf" -> simSearchIvf,
     "llm_embed_quantize" -> embedQuantize,
+    "llm_sim_search_int8" -> simSearchInt8,
     "llm_sim_search" -> simSearch,
     "llm_sim_search_native" -> simSearchNative,
     "llm_multimodal" -> multimodal,
@@ -501,6 +569,7 @@ object Similarity {
     "llm_sim_search_lsh" -> simSearchLshSql,
     "llm_sim_search_ivf" -> simSearchIvfSql,
     "llm_embed_quantize" -> embedQuantizeSql,
+    "llm_sim_search_int8" -> simSearchInt8Sql,
     "llm_sim_search" -> simSearchSql,
     "llm_sim_search_native" -> simSearchSql, // same contract, native kernel
     "llm_multimodal" -> multimodalSql,

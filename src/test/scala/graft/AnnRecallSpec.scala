@@ -74,4 +74,17 @@ class AnnRecallSpec extends AnyFunSuite with SparkSpec {
     info(f"recall@5 — IVF 16 cells nprobe=2: $r%.3f")
     assert(r >= 0.25, f"IVF recall@5 $r%.3f not above the ~0.125 chance line")
   }
+
+  test("int8-quantized search preserves nearly all float top-5 ranking") {
+    // 8-bit symmetric codes perturb each cosine by O(1/127) — tiny
+    // against the fixture's neighbor gaps, so the quantized EXHAUSTIVE
+    // search must reproduce the float top-5 almost exactly. This is
+    // the quality bound that justifies storing int8 at corpus scale.
+    val brute = topSets(Similarity.simSearch(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("rank") <= 5))
+    val int8 = topSets(Similarity.simSearchInt8(spark, sfDir))
+    val r = recallAt5(int8, brute)
+    info(f"recall@5 — int8 exhaustive vs float: $r%.3f")
+    assert(r >= 0.9, f"int8 recall@5 $r%.3f below floor")
+  }
 }
