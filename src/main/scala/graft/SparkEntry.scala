@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.compact.CompactQuery
-import graft.llm.{Dedup, Similarity, Text}
+import graft.llm.{Dedup, Pipeline, Similarity, Text}
 import graft.operators.{Functions, Maintenance, Relational, Skew, Streams, Typed, Udx, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.queries ++ Windows.queries ++ Functions.queries ++
       Udx.queries ++ Streams.queries ++ Typed.queries ++
       Dedup.queries ++ Text.queries ++ Similarity.queries ++
-      CompactQuery.queries ++ Maintenance.queries ++ Skew.queries
+      CompactQuery.queries ++ Maintenance.queries ++ Skew.queries ++
+      Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     Relational.oracleSql ++ Windows.oracleSql ++ Functions.oracleSql ++
       Udx.oracleSql ++ Streams.oracleSql ++ Typed.oracleSql ++
       Dedup.oracleSql ++ Text.oracleSql ++ Similarity.oracleSql ++
-      CompactQuery.oracleSql ++ Maintenance.oracleSql ++ Skew.oracleSql
+      CompactQuery.oracleSql ++ Maintenance.oracleSql ++ Skew.oracleSql ++
+      Pipeline.oracleSql
 }

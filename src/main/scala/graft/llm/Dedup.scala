@@ -592,7 +592,7 @@ object Dedup {
     * its own prefix so the three queries compose it structurally —
     * ADVICE r3: slicing the rendered clusters SQL by line count made
     * every reformat silently corrupt the other two oracles. */
-  private lazy val clusterFixpointCteSql: String =
+  private[llm] lazy val clusterFixpointCteSql: String =
     s"""WITH RECURSIVE tg AS ($trigramsSql),
        |mh AS ($signaturesSql),
        |bands AS ($bandsSql),

@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus pipeline — the registry's operators
+  * COMPOSED the way a real data pipeline runs them, oracle-checked as
+  * one query:
+  *
+  *   1. quality gate   ([[Text.qualityScore]] `passed`)
+  *   2. near-dup dedup ([[Dedup.dedupApply]] `kept` — cluster
+  *      representatives only)
+  *   3. train split    ([[Text.trainTestSplit]] `split = 'train'`)
+  *   4. sequence pack  ([[Text.pack]]'s prefix-sum bin assignment over
+  *      the SURVIVING docs)
+  *
+  * emitting per (source, bin): doc count, token count, doc-id range.
+  * Each stage is the registry query itself (not a re-implementation),
+  * so the composition proves the operators actually chain — the
+  * "switch your pipeline to this library" claim in executable form.
+  * The oracle rebuilds the same four stages from the shared SQL
+  * fragments (fixpoint CTE, quality formula, md5 split algebra), so
+  * neither side can drift from its standalone twin.
+  *
+  * Scale shape: stage 1 and 3 are pure projections, stage 2 is the
+  * banded fixpoint + a broadcast join, stage 4 is a per-shard window —
+  * the composition adds NO new shuffle beyond its stages' own.
+  */
+object Pipeline {
+
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val passed = Text.qualityScore(spark, dir)
+      .where(col("passed")).select(col("doc_id"), col("n_tokens"))
+    val kept = Dedup.dedupApply(spark, dir)
+      .where(col("kept")).select(col("doc_id"), col("source"))
+    val train = Text.trainTestSplit(spark, dir)
+      .where(col("split") === "train").select(col("doc_id"))
+    val surv = passed.join(kept, "doc_id").join(train, "doc_id")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    surv
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"start_tok DIV $budget").as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  lazy val pipelineSql: String =
+    s"""${Dedup.clusterFixpointCteSql},
+       |comp AS (
+       |  SELECT node AS doc_id, MIN(label) AS cluster_id
+       |  FROM reach GROUP BY node),
+       |kept AS (
+       |  SELECT d.doc_id, d.source
+       |  FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.doc_id
+       |  WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id),
+       |qstats AS (
+       |  ${Text.qualityStatsSql}),
+       |q AS (
+       |  SELECT doc_id, n_tokens
+       |  FROM qstats
+       |  WHERE (${Text.qualityFormulaSql}) >= 0.4),
+       |sp AS (
+       |  SELECT doc_id, ${Text.splitBucketExpr} AS bucket
+       |  FROM (SELECT doc_id, md5('split:' || CAST(doc_id AS STRING)) AS h
+       |        FROM documents)),
+       |train AS (
+       |  SELECT doc_id FROM sp WHERE (${Text.splitCaseExpr}) = 'train'),
+       |surv AS (
+       |  SELECT k.source, q.doc_id, q.n_tokens
+       |  FROM q JOIN kept k ON q.doc_id = k.doc_id
+       |  JOIN train t ON q.doc_id = t.doc_id),
+       |packed AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM surv)
+       |SELECT source, start_tok // 512 AS bin, COUNT(*) AS n_docs,
+       |  SUM(n_tokens) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM packed
+       |GROUP BY source, bin
+       |ORDER BY source, bin""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline" -> pipeline,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_pipeline" -> pipelineSql,
+  )
+}

@@ -93,26 +93,34 @@ object Text {
       .withColumn("passed", col("score") >= 0.4)
       .orderBy(col("doc_id"))
 
-  val qualityScoreSql: String =
-    """SELECT doc_id, n_tokens,
-      |  LEAST(n_tokens / 100.0, 1.0) AS len_score,
-      |  n_letters / GREATEST(n_tokens, 1) AS mean_tok_len,
-      |  n_stop / GREATEST(n_tokens, 1) AS stop_ratio,
-      |  LEAST(n_tokens / 100.0, 1.0) * 0.5
+  /** The weighted composite, over (n_tokens, n_letters, n_stop) —
+    * single source for [[qualityScoreSql]] and the composed pipeline
+    * oracle, so the two can never drift. */
+  private[llm] val qualityFormulaSql: String =
+    """LEAST(n_tokens / 100.0, 1.0) * 0.5
       |    + (n_stop / GREATEST(n_tokens, 1)) * 0.3
-      |    + LEAST((n_letters / GREATEST(n_tokens, 1)) / 8.0, 1.0) * 0.2 AS score,
-      |  (LEAST(n_tokens / 100.0, 1.0) * 0.5
-      |    + (n_stop / GREATEST(n_tokens, 1)) * 0.3
-      |    + LEAST((n_letters / GREATEST(n_tokens, 1)) / 8.0, 1.0) * 0.2) >= 0.4 AS passed
-      |FROM (
-      |  SELECT doc_id,
+      |    + LEAST((n_letters / GREATEST(n_tokens, 1)) / 8.0, 1.0) * 0.2""".stripMargin
+
+  /** Per-doc token/letter/stopword counts feeding the formula. */
+  private[llm] val qualityStatsSql: String =
+    """SELECT doc_id,
       |    CAST(LEN(toks) AS BIGINT) AS n_tokens,
       |    CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_letters,
       |    CAST(LEN(LIST_FILTER(toks, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop
       |  FROM (SELECT doc_id, text,
       |          LIST_FILTER(string_split(lower(text), ' '), t -> t <> '') AS toks
-      |        FROM documents))
-      |ORDER BY doc_id""".stripMargin
+      |        FROM documents)""".stripMargin
+
+  lazy val qualityScoreSql: String =
+    s"""SELECT doc_id, n_tokens,
+       |  LEAST(n_tokens / 100.0, 1.0) AS len_score,
+       |  n_letters / GREATEST(n_tokens, 1) AS mean_tok_len,
+       |  n_stop / GREATEST(n_tokens, 1) AS stop_ratio,
+       |  $qualityFormulaSql AS score,
+       |  ($qualityFormulaSql) >= 0.4 AS passed
+       |FROM (
+       |  $qualityStatsSql)
+       |ORDER BY doc_id""".stripMargin
 
   /** Token counting three ways: whitespace split, regex word
     * extraction (BPE-ish pre-tokenizer), and the chars/4 estimate. */
@@ -401,13 +409,13 @@ object Text {
       .orderBy(col("doc_id"))
 
   /** First 4 md5 nibbles → 0..65535, shared verbatim between engines. */
-  private val splitBucketExpr: String =
+  private[llm] val splitBucketExpr: String =
     """CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
       |   + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
       |   + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
       |   + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) AS BIGINT)""".stripMargin
 
-  private val splitCaseExpr: String =
+  private[llm] val splitCaseExpr: String =
     """CASE WHEN bucket < 58982 THEN 'train'
       |     WHEN bucket < 62259 THEN 'val'
       |     ELSE 'test' END""".stripMargin
