@@ -228,16 +228,15 @@ object Dedup {
     * pairs only, and the estimator itself joins two 8-chunk signatures
     * per pair — nothing else. The division is exact-int / exact-int,
     * bit-identical across engines. */
-  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val cand = signatureAgreement(docs)
-      .where(col("n_agree") >= estPruneMinAgree)
-      .select(col("doc_a"), col("doc_b"))
-      .cache()
-    // Shingle ONLY the candidate docs: the verify step never needs the
-    // rest of the corpus's trigram sets, and candidates ≪ corpus at any
-    // scale — the distinct-gram shuffle shrinks from corpus-wide to
-    // candidate-wide (the shape that keeps verify affordable at 100 TB).
+  /** Exact trigram-Jaccard verification of a GIVEN candidate pair set —
+    * the verify rung as a reusable step. Shingles ONLY the candidate
+    * docs (left-semi first): the rest of the corpus's trigram sets are
+    * never built, and candidates ≪ corpus at any scale — the
+    * distinct-gram shuffle shrinks from corpus-wide to candidate-wide,
+    * the shape that keeps verify affordable at 100 TB. Shared by
+    * [[dedupJaccard]] and LlmSpec's unpruned-baseline measurement, so
+    * the test measures THIS verify, not a copy that can drift. */
+  private[graft] def exactJaccard(docs: DataFrame, cand: DataFrame): DataFrame = {
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val tg = trigramsOf(
@@ -247,15 +246,23 @@ object Dedup {
     val sizes = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val ga = tg.select(col("doc_id").as("ga_id"), col("g").as("ga_g"))
     val gb = tg.select(col("doc_id").as("gb_id"), col("g").as("gb_g"))
-    val inter = cand
+    cand
       .join(ga, col("doc_a") === col("ga_id"))
       .join(gb, col("doc_b") === col("gb_id") && col("gb_g") === col("ga_g"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
         (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+  }
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = signatureAgreement(docs)
+      .where(col("n_agree") >= estPruneMinAgree)
+      .select(col("doc_a"), col("doc_b"))
+      .cache()
+    exactJaccard(docs, cand)
       .where(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -610,10 +617,18 @@ object Dedup {
        |  SELECT e.doc_b AS node, r.label
        |  FROM reach r JOIN edges e ON e.doc_a = r.node)""".stripMargin
 
+  /** The component-label CTE over the fixpoint's `reach` — single
+    * source for every oracle that consumes cluster labels (clusters,
+    * stats, apply, and the composed pipeline). */
+  private[llm] val compCteSql: String =
+    """comp AS (
+      |  SELECT node AS doc_id, MIN(label) AS cluster_id
+      |  FROM reach GROUP BY node)""".stripMargin
+
   lazy val dedupClustersSql: String =
-    s"""$clusterFixpointCteSql
-       |SELECT node AS doc_id, MIN(label) AS cluster_id
-       |FROM reach GROUP BY node
+    s"""$clusterFixpointCteSql,
+       |$compCteSql
+       |SELECT doc_id, cluster_id FROM comp
        |ORDER BY doc_id""".stripMargin
 
   /** Cluster-size report — the summarization a dedup operator reads
@@ -629,16 +644,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("cluster_id"))
 
-  lazy val dedupClusterStatsSql: String = {
+  lazy val dedupClusterStatsSql: String =
     s"""$clusterFixpointCteSql,
-       |comp AS (
-       |  SELECT node AS doc_id, MIN(label) AS cluster_id
-       |  FROM reach GROUP BY node)
+       |$compCteSql
        |SELECT cluster_id, COUNT(*) AS n_members, MAX(doc_id) AS max_doc
        |FROM comp
        |GROUP BY cluster_id
        |ORDER BY cluster_id""".stripMargin
-  }
 
   /** The apply step that closes the dedup ladder: every document
     * flagged keep/drop — drop iff it belongs to a near-dup component
@@ -660,18 +672,15 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  lazy val dedupApplySql: String = {
-    // reuse the recursive-CTE fixpoint, then left-join the corpus
+  lazy val dedupApplySql: String =
+    // reuse the recursive-CTE fixpoint + shared comp, left-join the corpus
     s"""$clusterFixpointCteSql,
-       |comp AS (
-       |  SELECT node AS cid_doc, MIN(label) AS cluster_id
-       |  FROM reach GROUP BY node)
+       |$compCteSql
        |SELECT d.doc_id, d.source,
        |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
        |  (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS kept
-       |FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.cid_doc
+       |FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   /** 64-dim dot product as a single-pass left fold:
     * aggregate(zip_with(a, b, *), 0.0, +). The fold adds products in

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-corpus pipeline — the registry's operators
@@ -30,7 +29,6 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 512
     val passed = Text.qualityScore(spark, dir)
       .where(col("passed")).select(col("doc_id"), col("n_tokens"))
     val kept = Dedup.dedupApply(spark, dir)
@@ -38,12 +36,7 @@ object Pipeline {
     val train = Text.trainTestSplit(spark, dir)
       .where(col("split") === "train").select(col("doc_id"))
     val surv = passed.join(kept, "doc_id").join(train, "doc_id")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    surv
-      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("source"), col("doc_id"), col("n_tokens"),
-        expr(s"start_tok DIV $budget").as("bin"))
+    Text.packBins(surv.select(col("source"), col("doc_id"), col("n_tokens")))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("bin_tokens"),
@@ -54,9 +47,7 @@ object Pipeline {
 
   lazy val pipelineSql: String =
     s"""${Dedup.clusterFixpointCteSql},
-       |comp AS (
-       |  SELECT node AS doc_id, MIN(label) AS cluster_id
-       |  FROM reach GROUP BY node),
+       |${Dedup.compCteSql},
        |kept AS (
        |  SELECT d.doc_id, d.source
        |  FROM documents d LEFT OUTER JOIN comp c ON d.doc_id = c.doc_id
@@ -78,11 +69,8 @@ object Pipeline {
        |  FROM q JOIN kept k ON q.doc_id = k.doc_id
        |  JOIN train t ON q.doc_id = t.doc_id),
        |packed AS (
-       |  SELECT source, doc_id, n_tokens,
-       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
-       |  FROM surv)
-       |SELECT source, start_tok // 512 AS bin, COUNT(*) AS n_docs,
+       |  ${Text.packStartTokSql("surv")})
+       |SELECT source, start_tok // ${Text.PackBudget} AS bin, COUNT(*) AS n_docs,
        |  SUM(n_tokens) AS bin_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM packed

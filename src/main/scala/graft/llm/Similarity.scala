@@ -326,47 +326,52 @@ object Similarity {
     * dequantization error (bounded by scale/2), and an integer
     * checksum of the codes. Pure projection — no shuffle but the
     * oracle sort. */
-  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    e.select(col("vec_id"),
+  /** Division-safe quantization step: an all-zero vector has absmax 0,
+    * and x/(0/127) is NaN — Spark's non-ANSI cast would silently emit
+    * code 0 while DuckDB errors on CAST(NaN AS BIGINT). The CASE pins
+    * both engines to codes 0 / scale 0 / error 0 for the zero vector. */
+  private val qStepSql: String =
+    "(CASE WHEN absmax = 0.0 THEN 1.0 ELSE absmax / 127.0 END)"
+
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
         expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
-          .as("absmax"))
-      .join(e, "vec_id")
+          .as("absmax"),
+        col("embedding"))
+      .select(col("vec_id"), col("absmax"), col("embedding"),
+        expr(s"""transform(embedding,
+          |  x -> CAST(floor(CAST(x AS DOUBLE) / $qStepSql + 0.5) AS BIGINT))"""
+          .stripMargin).as("q"))
       .select(col("vec_id"),
         (col("absmax") / lit(127.0)).as("scale"),
-        expr("""transform(embedding,
-          |  x -> CAST(floor(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS BIGINT))"""
-          .stripMargin).as("q"),
-        col("embedding"), col("absmax"))
-      .select(col("vec_id"), col("scale"),
-        expr("""aggregate(zip_with(embedding, q,
-          |  (x, c) -> abs(CAST(x AS DOUBLE) - c * (absmax / 127.0))),
+        expr(s"""aggregate(zip_with(embedding, q,
+          |  (x, c) -> abs(CAST(x AS DOUBLE) - c * $qStepSql)),
           |  CAST(0.0 AS DOUBLE), (m, d) -> greatest(m, d))""".stripMargin)
           .as("max_err"),
         expr("aggregate(q, 0L, (s, c) -> s + c)").as("code_sum"),
         expr("aggregate(q, 0L, (s, c) -> s + abs(c))").as("code_abs_sum"))
       .orderBy(col("vec_id"))
-  }
 
   val embedQuantizeSql: String =
-    """WITH a AS (
-      |  SELECT vec_id, embedding,
-      |    list_max(list_transform(embedding,
-      |      x -> abs(CAST(x AS DOUBLE)))) AS absmax
-      |  FROM embeddings),
-      |q AS (
-      |  SELECT vec_id, embedding, absmax,
-      |    list_transform(embedding,
-      |      x -> CAST(floor(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS BIGINT)) AS q
-      |  FROM a)
-      |SELECT vec_id,
-      |  absmax / 127.0 AS scale,
-      |  list_max(list_transform(list_zip(embedding, q),
-      |    p -> abs(CAST(p[1] AS DOUBLE) - p[2] * (absmax / 127.0)))) AS max_err,
-      |  list_sum(q) AS code_sum,
-      |  list_sum(list_transform(q, c -> abs(c))) AS code_abs_sum
-      |FROM q
-      |ORDER BY vec_id""".stripMargin
+    s"""WITH a AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) AS absmax
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, embedding, absmax,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) / $qStepSql + 0.5) AS BIGINT)) AS q
+       |  FROM a)
+       |SELECT vec_id,
+       |  absmax / 127.0 AS scale,
+       |  list_max(list_transform(list_zip(embedding, q),
+       |    p -> abs(CAST(p[1] AS DOUBLE) - p[2] * $qStepSql))) AS max_err,
+       |  list_sum(q) AS code_sum,
+       |  list_sum(list_transform(q, c -> abs(c))) AS code_abs_sum
+       |FROM q
+       |ORDER BY vec_id""".stripMargin
 
   /** Top-5 cosine search over the INT8 codes of [[embedQuantize]] —
     * the compute path that pairs with quantized storage: the pairwise
@@ -382,8 +387,8 @@ object Similarity {
         expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
           .as("absmax"), col("embedding"))
       .select(col("vec_id"),
-        expr("""transform(embedding,
-          |  x -> CAST(floor(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS BIGINT))"""
+        expr(s"""transform(embedding,
+          |  x -> CAST(floor(CAST(x AS DOUBLE) / $qStepSql + 0.5) AS BIGINT))"""
           .stripMargin).as("q"))
       .select(col("vec_id"), col("q"),
         expr("aggregate(q, 0L, (s, c) -> s + c * c)").as("nq"))
@@ -395,8 +400,11 @@ object Similarity {
       .orderBy(col("cosine").desc, col("cand_id"))
     broadcast(qs).join(c, col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        (expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, p) -> s + p)")
-          .cast("double") / sqrt((col("na") * col("nb")).cast("double")))
+        // ANSI double division throws on 0/0 (all-zero vector → nq 0):
+        // pin that undefined cosine to 0 in both engines
+        when(col("na") * col("nb") === 0L, lit(0.0)).otherwise(
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, p) -> s + p)")
+            .cast("double") / sqrt((col("na") * col("nb")).cast("double")))
           .as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
@@ -405,7 +413,7 @@ object Similarity {
   }
 
   val simSearchInt8Sql: String =
-    """WITH a AS (
+    s"""WITH a AS (
       |  SELECT vec_id,
       |    list_max(list_transform(embedding,
       |      x -> abs(CAST(x AS DOUBLE)))) AS absmax,
@@ -414,7 +422,7 @@ object Similarity {
       |qv AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
-      |      x -> CAST(floor(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS BIGINT)) AS q
+      |      x -> CAST(floor(CAST(x AS DOUBLE) / $qStepSql + 0.5) AS BIGINT)) AS q
       |  FROM a),
       |n AS (
       |  SELECT vec_id, q,
@@ -422,9 +430,10 @@ object Similarity {
       |  FROM qv),
       |pairs AS (
       |  SELECT qs.vec_id AS query_id, c.vec_id AS cand_id,
-      |    CAST(list_sum(list_transform(list_zip(qs.q, c.q),
-      |      p -> p[1] * p[2])) AS DOUBLE)
-      |      / sqrt(CAST(qs.nq * c.nq AS DOUBLE)) AS cosine
+      |    CASE WHEN qs.nq * c.nq = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(list_zip(qs.q, c.q),
+      |                p -> p[1] * p[2])) AS DOUBLE)
+      |              / sqrt(CAST(qs.nq * c.nq AS DOUBLE)) END AS cosine
       |  FROM n qs JOIN n c ON qs.vec_id < 10 AND qs.vec_id <> c.vec_id),
       |ranked AS (
       |  SELECT query_id, cand_id, cosine,

@@ -214,36 +214,49 @@ object Text {
     * Scale shape: the prefix sum runs per `source` (a real corpus
     * packs per shard), so each window partition is one shard, not the
     * corpus; one shuffle on source. */
-  def pack(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 512
+  /** Token budget per packed bin — single source for [[pack]] and the
+    * composed pipeline (both engines' SQL embeds it). */
+  private[llm] val PackBudget = 512
+
+  /** The packing core over any (source, doc_id, n_tokens) frame:
+    * per-shard prefix sum → start_tok and bin columns. Shared by
+    * [[pack]] and [[Pipeline.pipeline]] so the two cannot drift. */
+  private[llm] def packBins(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_tokens"))
-      .withColumn("start_tok",
+    df.withColumn("start_tok",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("source"), col("doc_id"), col("n_tokens"),
-        expr(s"start_tok DIV $budget").as("bin"),
-        (col("start_tok") % budget).as("bin_offset"))
-      .orderBy(col("source"), col("doc_id"))
+      .withColumn("bin", expr(s"start_tok DIV $PackBudget"))
   }
 
-  val packSql: String =
-    """WITH t AS (
-      |  SELECT source, doc_id,
-      |    CAST(LEN(LIST_FILTER(string_split(lower(text), ' '), t -> t <> ''))
-      |         AS BIGINT) AS n_tokens
-      |  FROM documents),
-      |s AS (
-      |  SELECT source, doc_id, n_tokens,
-      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
-      |  FROM t)
-      |SELECT source, doc_id, n_tokens,
-      |  start_tok // 512 AS bin,
-      |  start_tok % 512 AS bin_offset
-      |FROM s
-      |ORDER BY source, doc_id""".stripMargin
+  /** DuckDB twin of [[packBins]]'s prefix sum, over relation `rel`. */
+  private[llm] def packStartTokSql(rel: String): String =
+    s"""SELECT source, doc_id, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM $rel""".stripMargin
+
+  def pack(spark: SparkSession, dir: String): DataFrame =
+    packBins(Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          size(toks).cast("long").as("n_tokens")))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("bin"),
+        (col("start_tok") % PackBudget).as("bin_offset"))
+      .orderBy(col("source"), col("doc_id"))
+
+  lazy val packSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(LEN(LIST_FILTER(string_split(lower(text), ' '), t -> t <> ''))
+       |         AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |s AS (
+       |  ${packStartTokSql("t")})
+       |SELECT source, doc_id, n_tokens,
+       |  start_tok // $PackBudget AS bin,
+       |  start_tok % $PackBudget AS bin_offset
+       |FROM s
+       |ORDER BY source, doc_id""".stripMargin
 
   /** PII redaction: scrub emails and phone-shaped digits. The corpus
     * has none, so a deterministic contact header is prepended first —

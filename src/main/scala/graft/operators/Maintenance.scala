@@ -168,36 +168,42 @@ object Maintenance {
   def writeDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files
       .createTempDirectory("graft_dynover").toString
-    val t = s"$base/orders"
-    val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-    o.write.partitionBy("o_orderstatus").parquet(t)
-    val patch = o.where(col("o_orderstatus") === "F")
-      .select(col("o_orderkey"),
-        (Det.cents(col("o_totalprice")) - lit(500L)).cast("double")
-          .divide(lit(100.0)).as("o_totalprice"),
-        col("o_orderstatus"))
-    patch.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("o_orderstatus").parquet(t)
-    val out = spark.read.parquet(t)
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
-      .orderBy(col("o_orderstatus"))
-      .collect()
-    new graft.compact.FsOps(spark.sparkContext.hadoopConfiguration).delete(base)
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-      out.toSeq.asJava,
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "o_orderstatus STRING, n BIGINT, sum_price DOUBLE"))
+    try {
+      val t = s"$base/orders"
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      o.write.partitionBy("o_orderstatus").parquet(t)
+      val patch = o.where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"),
+          (Det.cents(col("o_totalprice")) - lit(500L)).cast("double")
+            .divide(lit(100.0)).as("o_totalprice"),
+          col("o_orderstatus"))
+      patch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus").parquet(t)
+      val out = spark.read.parquet(t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+        .collect()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        out.toSeq.asJava,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderstatus STRING, n BIGINT, sum_price DOUBLE"))
+    } finally {
+      // a failed write/read must not orphan an sf-sized orders copy in
+      // /tmp across repeated Verify/Bench runs
+      new graft.compact.FsOps(spark.sparkContext.hadoopConfiguration)
+        .delete(base)
+    }
   }
 
   val writeDynamicOverwriteSql: String =
     s"""SELECT o_orderstatus, COUNT(*) AS n,
        |  ${DetSql.dsum(
       "CASE WHEN o_orderstatus = 'F' " +
-        "THEN CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100 AS BIGINT) - 500 AS DOUBLE) / 100.0 " +
+        s"THEN CAST(${DetSql.cents("o_totalprice")} - 500 AS DOUBLE) / 100.0 " +
         "ELSE o_totalprice END")} AS sum_price
        |FROM orders
        |GROUP BY o_orderstatus

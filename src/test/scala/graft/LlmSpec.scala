@@ -57,20 +57,10 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sfDir)
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text").cache()
-    val ids = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val tg = Dedup.trigramsOf(docs.join(ids, Seq("doc_id"), "left_semi"),
-      "doc_id", "text", dedupe = true).cache()
-    val sizes = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val ga = tg.select(col("doc_id").as("ga_id"), col("g").as("ga_g"))
-    val gb = tg.select(col("doc_id").as("gb_id"), col("g").as("gb_g"))
-    val unpruned = cand
-      .join(ga, col("doc_a") === col("ga_id"))
-      .join(gb, col("doc_b") === col("gb_id") && col("gb_g") === col("ga_g"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .where(col("common") / (col("n_a") + col("n_b") - col("common")) >= 0.5)
+    // the SAME verify rung the production query uses (Dedup.exactJaccard),
+    // fed every candidate instead of the pruned set
+    val unpruned = Dedup.exactJaccard(docs, cand)
+      .where(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pruned = Dedup.dedupJaccard(spark, sfDir)
