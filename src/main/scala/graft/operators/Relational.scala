@@ -150,6 +150,41 @@ object Relational {
           .option("header", "true").format(fmt).save(target)
       })
 
+  /** Schema-evolved scan: two parquet batches of one logical table,
+    * written before and after a column was added (the drift a 100 TB
+    * table accumulates over years of writers), read back as one frame
+    * via `mergeSchema` — old rows surface the new column as NULL. The
+    * parquet-side twin of the reference's Avro reader-schema
+    * resolution (HDFSAvroOperations.scala schema extraction / D9).
+    * mergeSchema costs a footer read per file at planning time — at
+    * scale you pin the merged schema in a catalog instead; the READ
+    * semantics are what this query pins. */
+  def scanMergedSchema(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(stagedEvolvedCopy(spark, dir))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+
+  private def stagedEvolvedCopy(spark: SparkSession, dir: String): String =
+    textFixtures.getOrElseUpdate((dir, "evolved"),
+      graft.core.Fixtures.staged(s"$dir/nation.parquet", "evolved") { target =>
+        val n = Tables.nation(spark, dir)
+        n.where(col("n_nationkey") < 10)
+          .select(col("n_nationkey"), col("n_name")) // pre-evolution schema
+          .write.mode("overwrite").parquet(s"$target/batch=0")
+        n.where(col("n_nationkey") >= 10)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .write.mode("overwrite").parquet(s"$target/batch=1")
+      })
+
+  val scanMergedSchemaSql: String =
+    """SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_regionkey
+      |FROM nation WHERE n_nationkey < 10
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey
+      |FROM nation WHERE n_nationkey >= 10
+      |ORDER BY n_nationkey""".stripMargin
+
   /** MERGE-style upsert without a table format: apply a change batch
     * (updates + inserts, derived deterministically from orders itself)
     * to the target via one full-outer join keyed on orderkey — the
@@ -976,6 +1011,7 @@ object Relational {
     "scan_json" -> scanJson,
     "scan_csv" -> scanCsv,
     "scan_orc" -> scanOrc,
+    "scan_merged_schema" -> scanMergedSchema,
     "merge_upsert" -> mergeUpsert,
     "filter_pred" -> filterPred,
     "project_expr" -> projectExpr,
@@ -1019,6 +1055,7 @@ object Relational {
     "scan_json" -> scanTextSql,
     "scan_csv" -> scanTextSql,
     "scan_orc" -> scanTextSql,
+    "scan_merged_schema" -> scanMergedSchemaSql,
     "merge_upsert" -> mergeUpsertSql,
     "filter_pred" -> filterPredSql,
     "project_expr" -> projectExprSql,
