@@ -655,6 +655,34 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Conditional (filtered) aggregation — several differently-filtered
+    * measures from ONE scan and one shuffle, where naive per-measure
+    * subqueries would scan the fact table once per measure. Spark's
+    * `count(when(cond, 1))` / conditional sum are the FILTER (WHERE)
+    * clause's plan shape; all stay inside the same partial+final hash
+    * aggregate. */
+  def aggFiltered(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("l_quantity") > 30.0, 1)).as("n_heavy"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+        Det.dsum(when(col("l_tax") > 0.04, col("l_extendedprice"))
+          .otherwise(0.0)).as("taxed_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val aggFilteredSql: String =
+    s"""SELECT l_returnflag,
+       |  COUNT(*) FILTER (WHERE l_quantity > 30.0) AS n_heavy,
+       |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       |  ${DetSql.dsum(
+      "CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END")} AS taxed_price,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   /** Exact distinct: dropDuplicates on the pair + count(distinct).
     * Both are shuffle-by-key exact dedups; count(distinct) expands to
     * a two-phase aggregate under Catalyst. */
@@ -1027,6 +1055,7 @@ object Relational {
     "join_lateral" -> joinLateral,
     "agg_global" -> aggGlobal,
     "agg_groupby" -> aggGroupBy,
+    "agg_filtered" -> aggFiltered,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_percentile" -> aggPercentile,
@@ -1071,6 +1100,7 @@ object Relational {
     "join_lateral" -> joinLateralSql,
     "agg_global" -> aggGlobalSql,
     "agg_groupby" -> aggGroupBySql,
+    "agg_filtered" -> aggFilteredSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_percentile" -> aggPercentileSql,
     "agg_histogram" -> aggHistogramSql,
