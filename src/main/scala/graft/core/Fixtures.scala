@@ -44,17 +44,31 @@ object Fixtures {
 
   /** Stage a fixture at `tmpdir/graft_<kind>_<pathTag(source)>` once
     * per source CONTENT: reused while the marker matches the source
-    * fingerprint, re-written (the `write` callback must overwrite) when
-    * the source changed or the fixture is absent/partial. The marker
-    * name starts with '_' so Spark file sources ignore it as metadata. */
-  def staged(sourcePath: String, kind: String)(write: String => Unit): String = {
+    * fingerprint, re-written when the source changed or the fixture is
+    * absent/partial. The marker name starts with '_' so Spark file
+    * sources ignore it as metadata.
+    *
+    * `codeTag`: extra salt folded into the marker for fixtures whose
+    * CONTENT also depends on code constants (a split boundary, a
+    * layout shape) — encode those constants here so a code change
+    * re-stages instead of silently reusing a stale copy whose source
+    * fingerprint still matches. The target dir is deleted before the
+    * callback runs, so multi-directory fixtures never mix batches
+    * from different stagings. */
+  def staged(sourcePath: String, kind: String, codeTag: String = "")
+            (write: String => Unit): String = {
     val target = new File(sys.props("java.io.tmpdir"),
       s"graft_${kind}_" + pathTag(sourcePath)).toString
     val marker = new File(target, "_GRAFT_SRC")
-    val fp = sourceFingerprint(sourcePath)
+    val fp = sourceFingerprint(sourcePath) + "|" + codeTag
     val fresh = marker.exists() &&
       new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8) == fp
     if (!fresh) {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(new File(target))
       write(target)
       Files.write(marker.toPath, fp.getBytes(StandardCharsets.UTF_8))
     }

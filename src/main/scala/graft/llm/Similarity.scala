@@ -326,27 +326,49 @@ object Similarity {
     * dequantization error (bounded by scale/2), and an integer
     * checksum of the codes. Pure projection — no shuffle but the
     * oracle sort. */
-  /** Division-safe quantization step: an all-zero vector has absmax 0,
-    * and x/(0/127) is NaN — Spark's non-ANSI cast would silently emit
-    * code 0 while DuckDB errors on CAST(NaN AS BIGINT). The CASE pins
-    * both engines to codes 0 / scale 0 / error 0 for the zero vector. */
-  private val qStepSql: String =
-    "(CASE WHEN absmax = 0.0 THEN 1.0 ELSE absmax / 127.0 END)"
+  /** Shared int8 quantization front-end for [[embedQuantize]] and
+    * [[simSearchInt8]] — ONE definition of (absmax fold → step → codes)
+    * per engine, so a formula change cannot drift between the quantize
+    * report and the quantized search. The division-safe `step` is
+    * computed ONCE per row (an all-zero vector has absmax 0, and
+    * x/(0/127) is NaN — Spark's non-ANSI cast would silently emit code
+    * 0 while DuckDB errors on CAST(NaN AS BIGINT); step 1.0 pins both
+    * engines to codes 0 / error 0), not re-evaluated per element
+    * inside the transform lambdas. */
+  private def withCodes(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
+          .as("absmax"))
+      .withColumn("step",
+        when(col("absmax") === 0.0, lit(1.0)).otherwise(col("absmax") / lit(127.0)))
+      .withColumn("q",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / step + 0.5) AS BIGINT))"))
+
+  /** DuckDB twin of [[withCodes]]: CTEs a (absmax) → s (step) → qv
+    * (codes), each row's step computed once. */
+  private val quantCteSql: String =
+    """a AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS absmax
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, embedding, absmax,
+      |    CASE WHEN absmax = 0.0 THEN 1.0 ELSE absmax / 127.0 END AS step
+      |  FROM a),
+      |qv AS (
+      |  SELECT vec_id, embedding, absmax, step,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) / step + 0.5) AS BIGINT)) AS q
+      |  FROM s)""".stripMargin
 
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
-          .as("absmax"),
-        col("embedding"))
-      .select(col("vec_id"), col("absmax"), col("embedding"),
-        expr(s"""transform(embedding,
-          |  x -> CAST(floor(CAST(x AS DOUBLE) / $qStepSql + 0.5) AS BIGINT))"""
-          .stripMargin).as("q"))
+    withCodes(spark, dir)
       .select(col("vec_id"),
         (col("absmax") / lit(127.0)).as("scale"),
-        expr(s"""aggregate(zip_with(embedding, q,
-          |  (x, c) -> abs(CAST(x AS DOUBLE) - c * $qStepSql)),
+        expr("""aggregate(zip_with(embedding, q,
+          |  (x, c) -> abs(CAST(x AS DOUBLE) - c * step)),
           |  CAST(0.0 AS DOUBLE), (m, d) -> greatest(m, d))""".stripMargin)
           .as("max_err"),
         expr("aggregate(q, 0L, (s, c) -> s + c)").as("code_sum"),
@@ -354,23 +376,14 @@ object Similarity {
       .orderBy(col("vec_id"))
 
   val embedQuantizeSql: String =
-    s"""WITH a AS (
-       |  SELECT vec_id, embedding,
-       |    list_max(list_transform(embedding,
-       |      x -> abs(CAST(x AS DOUBLE)))) AS absmax
-       |  FROM embeddings),
-       |q AS (
-       |  SELECT vec_id, embedding, absmax,
-       |    list_transform(embedding,
-       |      x -> CAST(floor(CAST(x AS DOUBLE) / $qStepSql + 0.5) AS BIGINT)) AS q
-       |  FROM a)
+    s"""WITH $quantCteSql
        |SELECT vec_id,
        |  absmax / 127.0 AS scale,
        |  list_max(list_transform(list_zip(embedding, q),
-       |    p -> abs(CAST(p[1] AS DOUBLE) - p[2] * $qStepSql))) AS max_err,
+       |    p -> abs(CAST(p[1] AS DOUBLE) - p[2] * step))) AS max_err,
        |  list_sum(q) AS code_sum,
        |  list_sum(list_transform(q, c -> abs(c))) AS code_abs_sum
-       |FROM q
+       |FROM qv
        |ORDER BY vec_id""".stripMargin
 
   /** Top-5 cosine search over the INT8 codes of [[embedQuantize]] —
@@ -382,14 +395,7 @@ object Similarity {
     * sqrt/division pair. AnnRecallSpec measures how much ranking the
     * 8-bit codes lose against the float brute force (recall@5). */
   def simSearchInt8(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
-          .as("absmax"), col("embedding"))
-      .select(col("vec_id"),
-        expr(s"""transform(embedding,
-          |  x -> CAST(floor(CAST(x AS DOUBLE) / $qStepSql + 0.5) AS BIGINT))"""
-          .stripMargin).as("q"))
+    val e = withCodes(spark, dir)
       .select(col("vec_id"), col("q"),
         expr("aggregate(q, 0L, (s, c) -> s + c * c)").as("nq"))
     val qs = e.where(col("vec_id") < 10)
@@ -413,17 +419,7 @@ object Similarity {
   }
 
   val simSearchInt8Sql: String =
-    s"""WITH a AS (
-      |  SELECT vec_id,
-      |    list_max(list_transform(embedding,
-      |      x -> abs(CAST(x AS DOUBLE)))) AS absmax,
-      |    embedding
-      |  FROM embeddings),
-      |qv AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding,
-      |      x -> CAST(floor(CAST(x AS DOUBLE) / $qStepSql + 0.5) AS BIGINT)) AS q
-      |  FROM a),
+    s"""WITH $quantCteSql,
       |n AS (
       |  SELECT vec_id, q,
       |    list_sum(list_transform(q, c -> c * c)) AS nq

@@ -165,25 +165,31 @@ object Relational {
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .orderBy(col("n_nationkey"))
 
+  /** The fixture's shape depends on this boundary as well as the
+    * source table, so it rides in the staging marker's codeTag —
+    * changing it re-stages instead of reusing a stale layout. */
+  private val EvolvedSplitKey = 10
+
   private def stagedEvolvedCopy(spark: SparkSession, dir: String): String =
     textFixtures.getOrElseUpdate((dir, "evolved"),
-      graft.core.Fixtures.staged(s"$dir/nation.parquet", "evolved") { target =>
+      graft.core.Fixtures.staged(s"$dir/nation.parquet", "evolved",
+          codeTag = s"split$EvolvedSplitKey") { target =>
         val n = Tables.nation(spark, dir)
-        n.where(col("n_nationkey") < 10)
+        n.where(col("n_nationkey") < EvolvedSplitKey)
           .select(col("n_nationkey"), col("n_name")) // pre-evolution schema
           .write.mode("overwrite").parquet(s"$target/batch=0")
-        n.where(col("n_nationkey") >= 10)
+        n.where(col("n_nationkey") >= EvolvedSplitKey)
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           .write.mode("overwrite").parquet(s"$target/batch=1")
       })
 
-  val scanMergedSchemaSql: String =
-    """SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_regionkey
-      |FROM nation WHERE n_nationkey < 10
-      |UNION ALL
-      |SELECT n_nationkey, n_name, n_regionkey
-      |FROM nation WHERE n_nationkey >= 10
-      |ORDER BY n_nationkey""".stripMargin
+  lazy val scanMergedSchemaSql: String =
+    s"""SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_regionkey
+       |FROM nation WHERE n_nationkey < $EvolvedSplitKey
+       |UNION ALL
+       |SELECT n_nationkey, n_name, n_regionkey
+       |FROM nation WHERE n_nationkey >= $EvolvedSplitKey
+       |ORDER BY n_nationkey""".stripMargin
 
   /** MERGE-style upsert without a table format: apply a change batch
     * (updates + inserts, derived deterministically from orders itself)
