@@ -73,6 +73,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("table_stats: pruned per-column branches, no whole-row expand") {
+    val p = plan(graft.operators.Maintenance.tableStats(spark, sfDir))
+    // the rejected shape expanded every row once per column before
+    // aggregating; the union shape must show no Expand and a partial+
+    // final aggregate pair per column branch
+    assert(!p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 10, p)
+  }
+
+  test("agg_filtered: all filtered measures in ONE aggregate pair") {
+    val p = plan(Relational.aggFiltered(spark, sfDir))
+    assert(!p.contains("Expand"), p)
+    // exactly one partial+final pair — conditional aggregation must not
+    // split into per-measure scans or joins
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("llm_pack: one shuffle on the shard key plus the oracle sort") {
+    val p = plan(graft.llm.Text.pack(spark, sfDir))
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("IVF search: broadcast codebook, map-side argmax, no cartesian") {
     val p = plan(Similarity.simSearchIvf(spark, sfDir))
     // the 16-row codebook must join by broadcast (assignment + probe),
