@@ -699,6 +699,11 @@ object Dedup {
       s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
   /** Embeddings with a precomputed L2 norm (same fold as [[dotExpr]]). */
+  /** Note: a zero vector has nrm 0 and an UNDEFINED cosine — the
+    * float cosine paths divide by nrm products, so corpora that may
+    * contain zero embeddings should filter `nrm > 0` before search
+    * (the int8 path pins that case to cosine 0 explicitly; the
+    * fixture generator never emits zero vectors). */
   private[llm] def withNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),

@@ -730,15 +730,23 @@ object Relational {
       sum(a.cast(DecimalType(18, 4)) * b.cast(DecimalType(18, 4))).cast("double")
     val (x, y) = (col("l_quantity"), col("l_extendedprice"))
     val n = count(lit(1))
-    val varp = (s2(x, x) - s(x) * s(x) / n) / n
+    // greatest(·, 0): the exact sums are cast to double BEFORE this
+    // arithmetic, so a constant column's variance can round to a tiny
+    // negative and sqrt would go NaN (engines disagree on NaN handling)
+    val varp = greatest((s2(x, x) - s(x) * s(x) / n) / n, lit(0.0))
     val corrNum = n * s2(x, y) - s(x) * s(y)
-    val corrDen = sqrt(n * s2(x, x) - s(x) * s(x)) * sqrt(n * s2(y, y) - s(y) * s(y))
+    val corrDen =
+      sqrt(greatest(n * s2(x, x) - s(x) * s(x), lit(0.0))) *
+        sqrt(greatest(n * s2(y, y) - s(y) * s(y), lit(0.0)))
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(n.as("n"),
         round(varp, 2).as("var_qty"),
         round(sqrt(varp), 2).as("std_qty"),
-        round(corrNum / corrDen, 6).as("corr_qty_price"))
+        // a constant column zeroes the denominator: correlation is
+        // undefined there — NULL in both engines, never a 0-division
+        when(corrDen === 0.0, lit(null).cast("double"))
+          .otherwise(round(corrNum / corrDen, 6)).as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -749,14 +757,19 @@ object Relational {
     def s2(a: String, b: String) =
       s"CAST(SUM(CAST($a AS DECIMAL(19,4)) * CAST($b AS DECIMAL(19,4))) AS DOUBLE)"
     val (x, y) = ("l_quantity", "l_extendedprice")
-    val varp = s"(${s2(x, x)} - ${s(x)} * ${s(x)} / COUNT(*)) / COUNT(*)"
+    // GREATEST/CASE guards mirror the engine side: clamp rounding-
+    // negative variances before SQRT, NULL the correlation of a
+    // constant column instead of dividing by zero
+    val varp =
+      s"GREATEST((${s2(x, x)} - ${s(x)} * ${s(x)} / COUNT(*)) / COUNT(*), 0.0)"
     val num = s"COUNT(*) * ${s2(x, y)} - ${s(x)} * ${s(y)}"
-    val den = s"SQRT(COUNT(*) * ${s2(x, x)} - ${s(x)} * ${s(x)}) * " +
-      s"SQRT(COUNT(*) * ${s2(y, y)} - ${s(y)} * ${s(y)})"
+    val den = s"SQRT(GREATEST(COUNT(*) * ${s2(x, x)} - ${s(x)} * ${s(x)}, 0.0)) * " +
+      s"SQRT(GREATEST(COUNT(*) * ${s2(y, y)} - ${s(y)} * ${s(y)}, 0.0))"
     s"""SELECT l_returnflag, COUNT(*) AS n,
        |  ROUND($varp, 2) AS var_qty,
        |  ROUND(SQRT($varp), 2) AS std_qty,
-       |  ROUND(($num) / ($den), 6) AS corr_qty_price
+       |  CASE WHEN ($den) = 0.0 THEN NULL
+       |       ELSE ROUND(($num) / ($den), 6) END AS corr_qty_price
        |FROM lineitem
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
