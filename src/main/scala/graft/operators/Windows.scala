@@ -174,6 +174,57 @@ object Windows {
        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
        |ORDER BY event_id""".stripMargin
 
+  /** Leave-one-out linear interpolation per user: each event's value
+    * re-estimated from its two neighbors at its own timestamp, plus
+    * the residual — the imputation/outlier-detection shape sensor and
+    * metrics pipelines run (a large |err| flags a spike; the same
+    * arithmetic fills a gap). Exact-µs integer time deltas feed one
+    * IEEE division and one fused linear step, written identically in
+    * both engines; duplicate timestamps (tn = tp) fall back to the
+    * neighbor midpoint instead of dividing by zero. One shuffle on
+    * user_id; lag/lead are single-pass frames. */
+  def tsInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val est = when(col("tn") === col("tp"),
+        (col("vp") + col("vn")) / lit(2.0))
+      .otherwise(col("vp") + (col("vn") - col("vp")) *
+        ((col("us") - col("tp")).cast("double") /
+          (col("tn") - col("tp")).cast("double")))
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("us"),
+        lag(col("value"), 1).over(wo).as("vp"),
+        lead(col("value"), 1).over(wo).as("vn"),
+        lag(col("us"), 1).over(wo).as("tp"),
+        lead(col("us"), 1).over(wo).as("tn"))
+      .where(col("vp").isNotNull && col("vn").isNotNull)
+      .withColumn("est", est)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("est"), (col("est") - col("value")).as("err"))
+      .orderBy(col("event_id"))
+  }
+
+  val tsInterpolateSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts, value, epoch_us(ts) AS us FROM events),
+      |x AS (
+      |  SELECT event_id, user_id, ts, value, us,
+      |    LAG(value) OVER w AS vp, LEAD(value) OVER w AS vn,
+      |    LAG(us) OVER w AS tp, LEAD(us) OVER w AS tn
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |y AS (
+      |  SELECT event_id, user_id, ts, value,
+      |    CASE WHEN tn = tp THEN (vp + vn) / 2.0
+      |         ELSE vp + (vn - vp) * (CAST(us - tp AS DOUBLE)
+      |                                / CAST(tn - tp AS DOUBLE)) END AS est
+      |  FROM x WHERE vp IS NOT NULL AND vn IS NOT NULL)
+      |SELECT event_id, user_id, ts, value, est, est - value AS err
+      |FROM y
+      |ORDER BY event_id""".stripMargin
+
   /** Downsample the event stream to 15-minute OHLC bars per user:
     * open/close are the first/last values by (ts, event_id) within the
     * bucket — made deterministic under timestamp ties by the explicit
@@ -233,6 +284,7 @@ object Windows {
     "win_rolling_range" -> winRollingRange,
     "ts_gapfill" -> tsGapfill,
     "ts_resample" -> tsResample,
+    "ts_interpolate" -> tsInterpolate,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -242,5 +294,6 @@ object Windows {
     "win_rolling_range" -> winRollingRangeSql,
     "ts_gapfill" -> tsGapfillSql,
     "ts_resample" -> tsResampleSql,
+    "ts_interpolate" -> tsInterpolateSql,
   )
 }
