@@ -225,6 +225,60 @@ object Windows {
       |FROM y
       |ORDER BY event_id""".stripMargin
 
+  /** Rolling z-score per event over the user's trailing 24 h — the
+    * windowed-moments outlier detector (|z| > k flags anomalies
+    * against each user's own recent behavior, not a global
+    * distribution). Both moment sums run on exact integer cents
+    * (Σc and Σc² as longs — c ≤ 10^5 cents keeps Σc² far below 2^63
+    * at any realistic per-user day volume), so mean/variance/z derive
+    * from identical exact integers through the same few IEEE ops in
+    * both engines. A zero-variance window (constant values) yields
+    * NULL, never a 0-division. One shuffle on user_id. */
+  def tsZscore(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us")).rangeBetween(-dayUs, 0L)
+    val meanC = col("sc").cast("double") / col("n")
+    val varC = col("scc").cast("double") / col("n") - meanC * meanC
+    val stdC = sqrt(greatest(varC, lit(0.0)))
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("c", Det.cents(col("value")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("c"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("c")).over(w).as("sc"),
+        sum(col("c") * col("c")).over(w).as("scc"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("n").as("n_24h"),
+        when(stdC === 0.0, lit(null).cast("double"))
+          .otherwise((col("c").cast("double") - meanC) / stdC).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val tsZscoreSql: String =
+    s"""WITH x AS (
+       |  SELECT event_id, user_id, ts, value,
+       |    ${DetSql.cents("value")} AS c, epoch_us(ts) AS us
+       |  FROM events),
+       |m AS (
+       |  SELECT event_id, user_id, ts, value, c,
+       |    COUNT(*) OVER w AS n,
+       |    SUM(c) OVER w AS sc,
+       |    SUM(c * c) OVER w AS scc
+       |  FROM x
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+       |               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+       |SELECT event_id, user_id, ts, value, n AS n_24h,
+       |  CASE WHEN SQRT(GREATEST(CAST(scc AS DOUBLE) / n
+       |         - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n), 0.0)) = 0.0
+       |       THEN NULL
+       |       ELSE (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / n)
+       |            / SQRT(GREATEST(CAST(scc AS DOUBLE) / n
+       |                - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n), 0.0)) END AS z
+       |FROM m
+       |ORDER BY event_id""".stripMargin
+
   /** Downsample the event stream to 15-minute OHLC bars per user:
     * open/close are the first/last values by (ts, event_id) within the
     * bucket — made deterministic under timestamp ties by the explicit
@@ -285,6 +339,7 @@ object Windows {
     "ts_gapfill" -> tsGapfill,
     "ts_resample" -> tsResample,
     "ts_interpolate" -> tsInterpolate,
+    "ts_zscore" -> tsZscore,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -295,5 +350,6 @@ object Windows {
     "ts_gapfill" -> tsGapfillSql,
     "ts_resample" -> tsResampleSql,
     "ts_interpolate" -> tsInterpolateSql,
+    "ts_zscore" -> tsZscoreSql,
   )
 }
