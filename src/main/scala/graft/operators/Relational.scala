@@ -661,6 +661,38 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Ordered string aggregation (LISTAGG/STRING_AGG): per nation, the
+    * sorted distinct market segments of its customers as one CSV plus
+    * their count. `collect_set` is partial-aggregating but returns an
+    * UNORDERED set — `array_sort` before the join is what makes the
+    * string deterministic (and hashable) on any partitioning; the
+    * oracle's `ORDER BY` inside STRING_AGG is the same pin. State per
+    * group is the distinct-segment set, bounded by the domain, not the
+    * row count. */
+  def aggListagg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_sort(collect_set(col("c_mktsegment"))).as("segs"),
+        count(lit(1)).as("n_cust"))
+      .select(col("n_name"),
+        array_join(col("segs"), ",").as("segments_csv"),
+        size(col("segs")).as("n_segments"),
+        col("n_cust"))
+      .orderBy(col("n_name"))
+  }
+
+  val aggListaggSql: String =
+    """SELECT n_name,
+      |  STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+      |    AS segments_csv,
+      |  CAST(COUNT(DISTINCT c_mktsegment) AS INT) AS n_segments,
+      |  COUNT(*) AS n_cust
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   /** Conditional (filtered) aggregation — several differently-filtered
     * measures from ONE scan and one shuffle, where naive per-measure
     * subqueries would scan the fact table once per measure. Spark's
@@ -1075,6 +1107,7 @@ object Relational {
     "agg_global" -> aggGlobal,
     "agg_groupby" -> aggGroupBy,
     "agg_filtered" -> aggFiltered,
+    "agg_listagg" -> aggListagg,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_percentile" -> aggPercentile,
@@ -1120,6 +1153,7 @@ object Relational {
     "agg_global" -> aggGlobalSql,
     "agg_groupby" -> aggGroupBySql,
     "agg_filtered" -> aggFilteredSql,
+    "agg_listagg" -> aggListaggSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_percentile" -> aggPercentileSql,
     "agg_histogram" -> aggHistogramSql,
