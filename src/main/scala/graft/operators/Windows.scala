@@ -184,8 +184,11 @@ object Windows {
     * neighbor midpoint instead of dividing by zero. One shuffle on
     * user_id; lag/lead are single-pass frames. */
   def tsInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    // explicit NULLS LAST: the schema allows NULL ts, and Spark's
+    // default (NULLS FIRST) differs from DuckDB's — the verify-skill
+    // gotcha this repo records for every nullable sort key
     val wo = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), col("event_id"))
+      .orderBy(col("us").asc_nulls_last, col("event_id").asc_nulls_last)
     val est = when(col("tn") === col("tp"),
         (col("vp") + col("vn")) / lit(2.0))
       .otherwise(col("vp") + (col("vn") - col("vp")) *
@@ -203,7 +206,7 @@ object Windows {
       .withColumn("est", est)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("est"), (col("est") - col("value")).as("err"))
-      .orderBy(col("event_id"))
+      .orderBy(col("event_id").asc_nulls_last)
   }
 
   val tsInterpolateSql: String =
@@ -214,7 +217,8 @@ object Windows {
       |    LAG(value) OVER w AS vp, LEAD(value) OVER w AS vn,
       |    LAG(us) OVER w AS tp, LEAD(us) OVER w AS tn
       |  FROM e
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY us NULLS LAST, event_id NULLS LAST)),
       |y AS (
       |  SELECT event_id, user_id, ts, value,
       |    CASE WHEN tn = tp THEN (vp + vn) / 2.0
@@ -223,7 +227,7 @@ object Windows {
       |  FROM x WHERE vp IS NOT NULL AND vn IS NOT NULL)
       |SELECT event_id, user_id, ts, value, est, est - value AS err
       |FROM y
-      |ORDER BY event_id""".stripMargin
+      |ORDER BY event_id NULLS LAST""".stripMargin
 
   /** Rolling z-score per event over the user's trailing 24 h — the
     * windowed-moments outlier detector (|z| > k flags anomalies
@@ -236,8 +240,10 @@ object Windows {
     * NULL, never a 0-division. One shuffle on user_id. */
   def tsZscore(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
+    // NULLS LAST as in tsInterpolate — the schema-nullable us key must
+    // order identically in both engines
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us")).rangeBetween(-dayUs, 0L)
+      .orderBy(col("us").asc_nulls_last).rangeBetween(-dayUs, 0L)
     val meanC = col("sc").cast("double") / col("n")
     val varC = col("scc").cast("double") / col("n") - meanC * meanC
     val stdC = sqrt(greatest(varC, lit(0.0)))
@@ -253,7 +259,7 @@ object Windows {
         col("n").as("n_24h"),
         when(stdC === 0.0, lit(null).cast("double"))
           .otherwise((col("c").cast("double") - meanC) / stdC).as("z"))
-      .orderBy(col("event_id"))
+      .orderBy(col("event_id").asc_nulls_last)
   }
 
   val tsZscoreSql: String =
@@ -267,17 +273,19 @@ object Windows {
        |    SUM(c) OVER w AS sc,
        |    SUM(c * c) OVER w AS scc
        |  FROM x
-       |  WINDOW w AS (PARTITION BY user_id ORDER BY us
-       |               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us NULLS LAST
+       |               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)),
+       |d AS (
+       |  SELECT event_id, user_id, ts, value, c, n,
+       |    CAST(sc AS DOUBLE) / n AS mean_c,
+       |    SQRT(GREATEST(CAST(scc AS DOUBLE) / n
+       |      - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n), 0.0)) AS std_c
+       |  FROM m)
        |SELECT event_id, user_id, ts, value, n AS n_24h,
-       |  CASE WHEN SQRT(GREATEST(CAST(scc AS DOUBLE) / n
-       |         - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n), 0.0)) = 0.0
-       |       THEN NULL
-       |       ELSE (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / n)
-       |            / SQRT(GREATEST(CAST(scc AS DOUBLE) / n
-       |                - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n), 0.0)) END AS z
-       |FROM m
-       |ORDER BY event_id""".stripMargin
+       |  CASE WHEN std_c = 0.0 THEN NULL
+       |       ELSE (CAST(c AS DOUBLE) - mean_c) / std_c END AS z
+       |FROM d
+       |ORDER BY event_id NULLS LAST""".stripMargin
 
   /** Downsample the event stream to 15-minute OHLC bars per user:
     * open/close are the first/last values by (ts, event_id) within the
