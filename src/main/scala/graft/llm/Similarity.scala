@@ -219,6 +219,66 @@ object Similarity {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Multi-probe LSH ANN — [[simSearchLsh]] with each query probing
+    * its own bucket PLUS the 8 one-bit-flip neighbors (a vector near a
+    * hyperplane lands on either side with ~equal probability, so the
+    * flipped buckets hold most of the misses). Probes are EXPLODED to
+    * rows so the candidate join stays an equi-join on bucket — an
+    * OR/XOR join predicate would force a nested loop over the corpus.
+    * Candidate cost rises 9× (still n·9/256 per query); recall rises
+    * correspondingly (AnnRecallSpec measures the same trade on the
+    * multi-table index: 0.74 → 1.00). Candidates cannot duplicate
+    * across probes: a vector lives in exactly one bucket and the 9
+    * probed buckets are distinct. */
+  def simSearchLshProbe(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+    val probes = array(lit(0) +: (0 until 8).map(k => lit(1 << k)): _*)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+        explode(probes).as("flip"), col("bucket"))
+      .select(col("query_id"), col("ea"),
+        expr("int(bucket ^ flip)").as("probe_bucket"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("eb"),
+      col("bucket").as("bucket2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(q).join(c, col("probe_bucket") === col("bucket2") &&
+        col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(ea, eb)").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simSearchLshProbeSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |n AS (${Dedup.withNormSql}),
+       |en AS (SELECT e.vec_id, e.embedding, e.bucket, n.nrm
+       |       FROM e JOIN n ON e.vec_id = n.vec_id),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS ea, nrm AS na,
+       |    xor(bucket, CAST(f AS INT)) AS probe_bucket
+       |  FROM en, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS u(f)
+       |  WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    (${Dedup.dotSql("q.ea", "c.embedding")}) / (q.na * c.nrm) AS cosine
+       |  FROM q JOIN en c ON q.probe_bucket = c.bucket
+       |                  AND q.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, cand_id) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, cand_id, cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   // -------- IVF ANN (coarse quantizer + nprobe — the 4th rung)
 
   /** ANN via an inverted-file (IVF) index: assign every vector to its
@@ -561,6 +621,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_search_lsh" -> simSearchLsh,
+    "llm_sim_search_lsh_probe" -> simSearchLshProbe,
     "llm_sim_search_ivf" -> simSearchIvf,
     "llm_embed_quantize" -> embedQuantize,
     "llm_sim_search_int8" -> simSearchInt8,
@@ -572,6 +633,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "llm_sim_search_lsh" -> simSearchLshSql,
+    "llm_sim_search_lsh_probe" -> simSearchLshProbeSql,
     "llm_sim_search_ivf" -> simSearchIvfSql,
     "llm_embed_quantize" -> embedQuantizeSql,
     "llm_sim_search_int8" -> simSearchInt8Sql,
