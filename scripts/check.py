@@ -16,6 +16,7 @@ Usage:  python3 scripts/check.py /tmp/verify_out /root/testdata/sf0.01
 """
 import glob, json, math, struct, sys
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -44,14 +45,48 @@ def canon(v):
     return (type(v).__name__, str(v))
 
 
+def type_family(t):
+    """Collapse an arrow type to the equivalence class the driver's
+    raw-value hash distinguishes. Integer width doesn't change a
+    Python int, so all ints collapse; but DuckDB types an uncast
+    integer SUM as HUGEINT, which arrow exports as decimal128(38,0) —
+    a DIFFERENT family than Spark's int64, caught here even when the
+    result has zero rows (round-4 lesson: the plain DuckDB client
+    erases HUGEINT back to `int`, hiding exactly this skew)."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return f"decimal(s{t.scale})"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_family(t.value_type)}>"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    return str(t)
+
+
+def table_rows(tbl):
+    cols = tbl.column_names
+    fams = {f.name: type_family(f.type) for f in tbl.schema}
+    rows = [tuple(d.values()) for d in tbl.to_pylist()]
+    return cols, fams, rows
+
+
 def spark_rows(outdir, name):
     files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not files:
         raise RuntimeError(f"no parquet under {outdir}/{name}")
     tbl = pq.read_table(files[0]) if len(files) == 1 else pq.read_table(files)
-    cols = tbl.column_names
-    rows = [tuple(d.values()) for d in tbl.to_pylist()]
-    return cols, rows
+    return table_rows(tbl)
 
 
 def main(outdir, sfdir):
@@ -62,17 +97,22 @@ def main(outdir, sfdir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            scols, srows = spark_rows(outdir, name)
-            duck_rel = con.execute(sql)
-            dcols = [d[0] for d in duck_rel.description]
-            drows = duck_rel.fetchall()
+            scols, sfams, srows = spark_rows(outdir, name)
+            # fetch through arrow: DuckDB HUGEINT/DECIMAL keep their
+            # physical type (the plain client would hand back `int`)
+            dcols, dfams, drows = table_rows(con.execute(sql).arrow())
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
         ok = True
+        fam_skew = {c: (sfams[c], dfams[c]) for c in sfams
+                    if c in dfams and sfams[c] != dfams[c]}
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        elif fam_skew:
+            print(f"FAIL {name}: type skew {fam_skew} (spark, duck)")
             ok = False
         elif len(srows) != len(drows):
             print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")

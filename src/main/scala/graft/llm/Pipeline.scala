@@ -71,7 +71,7 @@ object Pipeline {
        |packed AS (
        |  ${Text.packStartTokSql("surv")})
        |SELECT source, start_tok // ${Text.PackBudget} AS bin, COUNT(*) AS n_docs,
-       |  SUM(n_tokens) AS bin_tokens,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM packed
        |GROUP BY source, bin

@@ -441,8 +441,8 @@ object Similarity {
        |  absmax / 127.0 AS scale,
        |  list_max(list_transform(list_zip(embedding, q),
        |    p -> abs(CAST(p[1] AS DOUBLE) - p[2] * step))) AS max_err,
-       |  list_sum(q) AS code_sum,
-       |  list_sum(list_transform(q, c -> abs(c))) AS code_abs_sum
+       |  CAST(list_sum(q) AS BIGINT) AS code_sum,
+       |  CAST(list_sum(list_transform(q, c -> abs(c))) AS BIGINT) AS code_abs_sum
        |FROM qv
        |ORDER BY vec_id""".stripMargin
 

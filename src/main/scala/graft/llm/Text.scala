@@ -232,8 +232,9 @@ object Text {
   /** DuckDB twin of [[packBins]]'s prefix sum, over relation `rel`. */
   private[llm] def packStartTokSql(rel: String): String =
     s"""SELECT source, doc_id, n_tokens,
-       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_tok
        |  FROM $rel""".stripMargin
 
   def pack(spark: SparkSession, dir: String): DataFrame =
