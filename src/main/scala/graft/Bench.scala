@@ -23,7 +23,12 @@ object Bench {
     // CacheManager matches by logical plan, so without the drain run 2
     // would silently hit run 1's cached intermediates.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional arg: comma-separated query subset, for iterating on one
+    // query without paying the full-registry run.
+    val subset = args.headOption.map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -42,36 +42,58 @@ object Fixtures {
       .mkString("\n"))
   }
 
-  /** Stage a fixture at `tmpdir/graft_<kind>_<pathTag(source)>` once
-    * per source CONTENT: reused while the marker matches the source
-    * fingerprint, re-written when the source changed or the fixture is
-    * absent/partial. The marker name starts with '_' so Spark file
-    * sources ignore it as metadata.
+  /** Stage a fixture once per source CONTENT at
+    * `tmpdir/graft_<kind>_<pathTag(source)>_<fingerprint>` — the
+    * fingerprint is part of the NAME, so a staged dir is immutable:
+    * same name ⟺ same bytes, and a pre-existing copy (even from
+    * another session or a concurrently-running JVM) is safe to reuse
+    * by construction.
     *
-    * `codeTag`: extra salt folded into the marker for fixtures whose
-    * CONTENT also depends on code constants (a split boundary, a
-    * layout shape) — encode those constants here so a code change
+    * Concurrency (ADVICE r4): the old protocol rewrote a shared
+    * stable path in place, so two JVMs on the same source (SKILL.md
+    * notes concurrent Bench/Verify runs happen) could overwrite the
+    * parquet while the other was mid-read. Now the callback writes
+    * into a JVM-unique `.tmp` dir which is atomically RENAMED to the
+    * final name: a reader can never observe a partial fixture, and
+    * when two JVMs race, the rename loser just deletes its tmp copy
+    * and reads the winner's — identical content, deterministic write.
+    *
+    * `codeTag`: extra salt folded into the fingerprint for fixtures
+    * whose CONTENT also depends on code constants (a split boundary,
+    * a layout shape) — encode those constants here so a code change
     * re-stages instead of silently reusing a stale copy whose source
-    * fingerprint still matches. The target dir is deleted before the
-    * callback runs, so multi-directory fixtures never mix batches
-    * from different stagings. */
+    * fingerprint still matches.
+    *
+    * Superseded versions (same kind+source, different fingerprint)
+    * are purged best-effort once they are an hour old — old enough
+    * that no concurrent local run still holds them — so tmp
+    * accumulation stays bounded at ~one live dir per source. */
   def staged(sourcePath: String, kind: String, codeTag: String = "")
             (write: String => Unit): String = {
-    val target = new File(sys.props("java.io.tmpdir"),
-      s"graft_${kind}_" + pathTag(sourcePath)).toString
-    val marker = new File(target, "_GRAFT_SRC")
-    val fp = sourceFingerprint(sourcePath) + "|" + codeTag
-    val fresh = marker.exists() &&
-      new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8) == fp
-    if (!fresh) {
-      def rm(f: File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete()
-      }
-      rm(new File(target))
-      write(target)
-      Files.write(marker.toPath, fp.getBytes(StandardCharsets.UTF_8))
+    val prefix = s"graft_${kind}_" + pathTag(sourcePath) + "_"
+    val fp = md5Hex(sourceFingerprint(sourcePath) + "|" + codeTag)
+    val tmpRoot = new File(sys.props("java.io.tmpdir"))
+    val target = new File(tmpRoot, prefix + fp)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete()
     }
-    target
+    if (!target.isDirectory) {
+      val tmp = new File(tmpRoot,
+        prefix + fp + "." + java.util.UUID.randomUUID() + ".tmp")
+      try write(tmp.toString)
+      catch { case e: Throwable => rm(tmp); throw e }
+      try Files.move(tmp.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the staging race — the winner's copy is identical
+        case _: java.nio.file.FileSystemException if target.isDirectory =>
+          rm(tmp)
+      }
+    }
+    Option(tmpRoot.listFiles()).toSeq.flatten // purge superseded versions
+      .filter(f => f.getName.startsWith(prefix) && f.getName != prefix + fp)
+      .filter(f => System.currentTimeMillis - f.lastModified > 3600 * 1000L)
+      .foreach(rm)
+    target.toString
   }
 }

@@ -64,8 +64,13 @@ object Maintenance {
       min(col("dayn")).as("min_d"), max(col("dayn")).as("max_d"))
     val w = Window.orderBy(col("zval"), col("o_orderkey"))
     o.crossJoin(broadcast(bounds))
-      .withColumn("xn", expr("((o_custkey - min_c) * 256) DIV (max_c - min_c + 1)"))
-      .withColumn("yn", expr("((dayn - min_d) * 256) DIV (max_d - min_d + 1)"))
+      // explicit BIGINT before the ×256: the quantization must not
+      // depend on the column's physical width (a 32-bit key column
+      // would overflow the multiply before the DIV)
+      .withColumn("xn",
+        expr("((CAST(o_custkey AS BIGINT) - min_c) * 256) DIV (max_c - min_c + 1)"))
+      .withColumn("yn",
+        expr("((CAST(dayn AS BIGINT) - min_d) * 256) DIV (max_d - min_d + 1)"))
       .withColumn("zval", expr(zFormula("xn", "yn", "DIV")))
       .withColumn("rn", row_number().over(w))
       .select(col("o_custkey"), col("o_day"), col("zval"),
@@ -93,8 +98,8 @@ object Maintenance {
        |  FROM o),
        |q AS (
        |  SELECT o_orderkey, o_custkey, o_day,
-       |    ((o_custkey - min_c) * 256) // (max_c - min_c + 1) AS xn,
-       |    ((dayn - min_d) * 256) // (max_d - min_d + 1) AS yn
+       |    ((CAST(o_custkey AS BIGINT) - min_c) * 256) // (max_c - min_c + 1) AS xn,
+       |    ((CAST(dayn AS BIGINT) - min_d) * 256) // (max_d - min_d + 1) AS yn
        |  FROM o CROSS JOIN b),
        |z AS (
        |  SELECT o_orderkey, o_custkey, o_day,

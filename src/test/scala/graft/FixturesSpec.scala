@@ -44,9 +44,50 @@ class FixturesSpec extends AnyFunSuite {
     val f = new File(src, "data.txt")
     Files.write(f.toPath, "v2".getBytes(StandardCharsets.UTF_8))
     f.setLastModified(f.lastModified() + 5000)
-    stage()
+    val t3 = stage()
     assert(writes == 2, "changed source must re-stage")
+    assert(t3 != t1, "changed source must stage under a NEW versioned path")
     assert(new String(Files.readAllBytes(
-      new File(t1, "copy.txt").toPath), StandardCharsets.UTF_8) == "v2")
+      new File(t3, "copy.txt").toPath), StandardCharsets.UTF_8) == "v2")
+    // the superseded version stays immutable (a concurrent reader of
+    // t1 is unaffected; purge happens only after an hour)
+    assert(new String(Files.readAllBytes(
+      new File(t1, "copy.txt").toPath), StandardCharsets.UTF_8) == "v1")
+  }
+
+  test("a pre-existing versioned dir is reused without re-writing (race loser path)") {
+    val src = tmpSource()
+    var writes = 0
+    val t1 = Fixtures.staged(src.toString, "specrace") { target =>
+      writes += 1
+      new File(target).mkdirs()
+    }
+    // simulate a second JVM: same source content ⇒ same versioned
+    // name ⇒ the callback must not run at all
+    val t2 = Fixtures.staged(src.toString, "specrace") { target =>
+      writes += 1
+      new File(target).mkdirs()
+    }
+    assert(t1 == t2 && writes == 1)
+  }
+
+  test("a failed write leaves no visible fixture (atomic rename)") {
+    val src = tmpSource()
+    intercept[RuntimeException] {
+      Fixtures.staged(src.toString, "specfail") { target =>
+        new File(target).mkdirs()
+        Files.write(new File(target, "partial.txt").toPath,
+          "x".getBytes(StandardCharsets.UTF_8))
+        throw new RuntimeException("simulated write failure")
+      }
+    }
+    var ok = true
+    val staged = Fixtures.staged(src.toString, "specfail") { target =>
+      // re-invocation must stage cleanly — the partial copy was never
+      // renamed into place, so this callback runs on a fresh tmp dir
+      ok = !new File(target, "partial.txt").exists()
+      new File(target).mkdirs()
+    }
+    assert(ok && new File(staged).isDirectory)
   }
 }
