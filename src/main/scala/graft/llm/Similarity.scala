@@ -299,25 +299,31 @@ object Similarity {
     * reduces map-side (max(struct)) — embeddings never ride the
     * shuffle; the search join is per-cell equi-colocated, exactly the
     * posting-list scan a real IVF index does. */
-  def simSearchIvf(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftExtensions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-    val cent = e.where(col("vec_id") < 16)
+  /** The seed codebook: the first 16 vectors, the deterministic
+    * starting point both the seed-IVF query and the Lloyd training
+    * share. */
+  private def seedCentroids(e: DataFrame): DataFrame =
+    e.where(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    // assignment: argmax cosine over the broadcast codebook, ties to the
-    // smallest cent_id (max(struct(cos, -cent_id)) — partial-aggregable)
-    val cells = e.select(col("vec_id"), col("embedding"))
+
+  /** Cell assignment: argmax cosine over the broadcast codebook, ties
+    * to the smallest cent_id (max(struct(cos, -cent_id)) —
+    * partial-aggregable, so the 16× fan-out never crosses a shuffle). */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cent_id"),
         expr("graft_cosine(embedding, ce)").as("ccos"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("ccos"), (-col("cent_id")).as("neg"))).as("best"))
       .select(col("vec_id"), (-col("best.neg")).as("cell"))
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-    // probe: each query's 2 closest cells (160 scalar rows — window ok)
+
+  /** Probe selection: each query's 2 closest cells (160 scalar rows —
+    * window ok). */
+  private def probeCells(e: DataFrame, cent: DataFrame): DataFrame = {
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("cent_id"))
-    val probes = e.where(col("vec_id") < 10)
+    e.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .crossJoin(broadcast(cent))
       .select(col("query_id"), col("qe"), col("cent_id"),
@@ -325,6 +331,14 @@ object Similarity {
       .withColumn("prn", row_number().over(wp))
       .where(col("prn") <= 2)
       .select(col("query_id"), col("qe"), col("cent_id").as("cell"))
+  }
+
+  /** probe + per-cell search stages shared by the seed and trained IVF
+    * queries — only the codebook differs. */
+  private def ivfSearch(e: DataFrame, cent: DataFrame): DataFrame = {
+    val cells = assignCells(e, cent)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    val probes = probeCells(e, cent)
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     broadcast(probes).join(cells, "cell")
@@ -336,6 +350,12 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cell"),
         col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  def simSearchIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    ivfSearch(e, seedCentroids(e))
   }
 
   val simSearchIvfSql: String =
@@ -365,6 +385,144 @@ object Similarity {
        |    (${Dedup.dotSql("q.qe", "v.embedding")}) / (q.qn * v.nrm) AS cosine
        |  FROM probe p
        |  JOIN cells cl ON cl.cell = p.cell
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN n v ON v.vec_id = cl.vec_id
+       |  WHERE cl.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cell, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, cand_id) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, cand_id, cell, cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  // -------- trained IVF codebook (in-query Lloyd, cross-engine exact)
+
+  /** Centroid components are snapped to a 1/1024 grid before the mean:
+    * the per-cell sums become exact BIGINT arithmetic, which is
+    * ORDER-FREE — the one property a plain AVG(double) lacks (its
+    * result depends on partition/merge order, so Spark and DuckDB
+    * would drift in the last ulp and assignment ties would flip).
+    * 1024 = 2^10, so the v·2^10 multiply is IEEE-exact; the only
+    * rounding steps (floor(+0.5), one double division by n·1024, one
+    * float cast) are each correctly-rounded single operations —
+    * identical in both engines. */
+  private val CentGrid = 1024
+  private[graft] val IvfLloydRounds = 2
+
+  /** One Lloyd round: reassign every vector to its nearest centroid,
+    * then rebuild each centroid as the (grid-exact) element-wise mean
+    * of its members; cells that lost all members keep their previous
+    * centroid. Scale shape: assignment is the scalar broadcast
+    * cross-join of [[assignCells]]; the mean is one (cell, dim)-keyed
+    * partial-aggregable shuffle of scalars (posexplode before the
+    * aggregate — dim count × corpus rows, the same volume a
+    * distributed k-means step always reduces). */
+  private def lloydRound(e: DataFrame, cent: DataFrame): DataFrame = {
+    val means = assignCells(e, cent)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(expr(
+        s"""CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * $CentGrid + 0.5) AS BIGINT))
+           |  AS DOUBLE) / CAST(COUNT(1) * $CentGrid AS DOUBLE)""".stripMargin)
+        .as("m"))
+      .groupBy(col("cell"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, m))), s -> CAST(s.m AS FLOAT))")
+        .as("ne"))
+    cent.join(means, col("cent_id") === col("cell"), "left")
+      .select(col("cent_id"), coalesce(col("ne"), col("ce")).as("ce"))
+  }
+
+  /** [[simSearchIvf]] with a TRAINED codebook: the seed centroids
+    * refined by [[IvfLloydRounds]] Lloyd iterations computed INSIDE
+    * the query — deterministically enough that the DuckDB oracle
+    * re-derives the identical codebook from the identical parquet and
+    * the whole search stays hash-exact (see [[CentGrid]] for the
+    * integer-exact centroid update that makes that possible). The
+    * probe/search stages are [[ivfSearch]], unchanged — a trained
+    * codebook is a drop-in `cent` replacement, as the seed variant's
+    * scaladoc promised. At 100 TB the training runs once on a sample
+    * and the codebook is staged/broadcast; in-query training here is
+    * what keeps the oracle able to reproduce it. */
+  def simSearchIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val trained = (1 to IvfLloydRounds)
+      .foldLeft(seedCentroids(e))((c, _) => lloydRound(e, c))
+    ivfSearch(e, trained)
+  }
+
+  /** Candidates actually scanned by the nprobe=2 search (pre-ranking
+    * pair count) — the cost side of the recall/cost trade AnnRecallSpec
+    * reports for the seed vs trained codebook. */
+  private[graft] def ivfScannedPairs(spark: SparkSession, dir: String,
+                                     lloydRounds: Int): Long = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val cent = (1 to lloydRounds)
+      .foldLeft(seedCentroids(e))((c, _) => lloydRound(e, c))
+    probeCells(e, cent).join(assignCells(e, cent), "cell")
+      .where(col("vec_id") =!= col("query_id")).count()
+  }
+
+  /** argmax-cell snippet over codebook relation `cent` (ROW_NUMBER
+    * mirror of [[assignCells]]'s max(struct) — same ties). */
+  private def argmaxCellSql(cent: String): String =
+    s"""SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT v.vec_id, c.cent_id, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY (${Dedup.dotSql("v.embedding", "c.ce")}) / (v.nrm * c.cn) DESC,
+       |               c.cent_id) AS arn
+       |    FROM n v CROSS JOIN $cent c) WHERE arn = 1""".stripMargin
+
+  /** One Lloyd round as CTE text: `prev` codebook → `out` codebook.
+    * DuckDB's lockstep parallel unnest (embedding zipped with a
+    * 0-based range) is the posexplode mirror; `list(... ORDER BY
+    * pos)` re-packs in the same order as Spark's array_sort on
+    * (pos, m) structs. */
+  private def lloydRoundSql(prev: String, out: String): String =
+    s"""${out}_cell AS (
+       |  ${argmaxCellSql(prev)}),
+       |${out}_mean AS (
+       |  SELECT cell, pos,
+       |    CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * $CentGrid + 0.5) AS BIGINT))
+       |      AS DOUBLE) / CAST(COUNT(*) * $CentGrid AS DOUBLE) AS m
+       |  FROM (
+       |    SELECT a.cell, unnest(e.embedding) AS v, unnest(range(0, 64)) AS pos
+       |    FROM ${out}_cell a JOIN n e ON a.vec_id = e.vec_id)
+       |  GROUP BY cell, pos),
+       |${out}_packed AS (
+       |  SELECT cell, list(CAST(m AS REAL) ORDER BY pos) AS ne
+       |  FROM ${out}_mean GROUP BY cell),
+       |$out AS (
+       |  SELECT cent_id, ce, sqrt(${Dedup.dotSql("ce", "ce")}) AS cn FROM (
+       |    SELECT c.cent_id, COALESCE(p.ne, c.ce) AS ce
+       |    FROM $prev c LEFT JOIN ${out}_packed p ON c.cent_id = p.cell))""".stripMargin
+
+  val simSearchIvfTrainedSql: String =
+    s"""WITH n AS (${Dedup.withNormSql}),
+       |cent0 AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+       |          FROM n WHERE vec_id < 16),
+       |${lloydRoundSql("cent0", "cent1")},
+       |${lloydRoundSql("cent1", "cent2")},
+       |fcell AS (
+       |  ${argmaxCellSql("cent2")}),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+       |      FROM n WHERE vec_id < 10),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY (${Dedup.dotSql("q.qe", "c.ce")}) / (q.qn * c.cn) DESC,
+       |                 c.cent_id) AS prn
+       |    FROM q CROSS JOIN cent2 c) WHERE prn <= 2),
+       |pairs AS (
+       |  SELECT p.query_id, cl.vec_id AS cand_id, p.cell,
+       |    (${Dedup.dotSql("q.qe", "v.embedding")}) / (q.qn * v.nrm) AS cosine
+       |  FROM probe p
+       |  JOIN fcell cl ON cl.cell = p.cell
        |  JOIN q ON q.query_id = p.query_id
        |  JOIN n v ON v.vec_id = cl.vec_id
        |  WHERE cl.vec_id <> p.query_id),
@@ -623,6 +781,7 @@ object Similarity {
     "llm_sim_search_lsh" -> simSearchLsh,
     "llm_sim_search_lsh_probe" -> simSearchLshProbe,
     "llm_sim_search_ivf" -> simSearchIvf,
+    "llm_sim_search_ivf_trained" -> simSearchIvfTrained,
     "llm_embed_quantize" -> embedQuantize,
     "llm_sim_search_int8" -> simSearchInt8,
     "llm_sim_search" -> simSearch,
@@ -635,6 +794,7 @@ object Similarity {
     "llm_sim_search_lsh" -> simSearchLshSql,
     "llm_sim_search_lsh_probe" -> simSearchLshProbeSql,
     "llm_sim_search_ivf" -> simSearchIvfSql,
+    "llm_sim_search_ivf_trained" -> simSearchIvfTrainedSql,
     "llm_embed_quantize" -> embedQuantizeSql,
     "llm_sim_search_int8" -> simSearchInt8Sql,
     "llm_sim_search" -> simSearchSql,
