@@ -316,7 +316,8 @@ object Similarity {
         expr("graft_cosine(embedding, ce)").as("ccos"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("ccos"), (-col("cent_id")).as("neg"))).as("best"))
-      .select(col("vec_id"), (-col("best.neg")).as("cell"))
+      .select(col("vec_id"), (-col("best.neg")).as("cell"),
+        col("best.ccos").as("ccos"))
 
   /** Probe selection: each query's 2 closest cells (160 scalar rows —
     * window ok). */
@@ -336,7 +337,7 @@ object Similarity {
   /** probe + per-cell search stages shared by the seed and trained IVF
     * queries — only the codebook differs. */
   private def ivfSearch(e: DataFrame, cent: DataFrame): DataFrame = {
-    val cells = assignCells(e, cent)
+    val cells = assignCells(e, cent).select(col("vec_id"), col("cell"))
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
     val probes = probeCells(e, cent)
     val wr = Window.partitionBy(col("query_id"))
@@ -447,12 +448,36 @@ object Similarity {
     * scaladoc promised. At 100 TB the training runs once on a sample
     * and the codebook is staged/broadcast; in-query training here is
     * what keeps the oracle able to reproduce it. */
+  private def trainedCentroids(e: DataFrame): DataFrame =
+    (1 to IvfLloydRounds).foldLeft(seedCentroids(e))((c, _) => lloydRound(e, c))
+
   def simSearchIvfTrained(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
-    val trained = (1 to IvfLloydRounds)
-      .foldLeft(seedCentroids(e))((c, _) => lloydRound(e, c))
-    ivfSearch(e, trained)
+    ivfSearch(e, trainedCentroids(e))
+  }
+
+  /** Corpus clustering report — the "what is in this embedding
+    * corpus" summary a dataset curator reads before sampling: every
+    * vector assigned to its trained-codebook cell, then per cell the
+    * member count, the representative (closest to the centroid) and
+    * the mean centroid-cosine (cohesion). The per-cell mean is
+    * fixed-point quantized (×10⁶) so the aggregation is an exact
+    * BIGINT sum — the same order-free discipline as the Lloyd means.
+    * One scalar broadcast cross-join + one cell-keyed aggregate. */
+  def embedCluster(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    assignCells(e, trainedCentroids(e))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        max(struct(col("ccos"), (-col("vec_id")).as("neg"))).as("best"),
+        sum(expr("CAST(floor(ccos * 1000000 + 0.5) AS BIGINT)")).as("cq"))
+      .select(col("cell"), col("n_vecs"),
+        (-col("best.neg")).as("rep_id"), col("best.ccos").as("rep_cos"),
+        (col("cq").cast("double") / lit(1000000.0) /
+          col("n_vecs").cast("double")).as("mean_cos"))
+      .orderBy(col("cell"))
   }
 
   /** Candidates actually scanned by the nprobe=2 search (pre-ranking
@@ -501,12 +526,18 @@ object Similarity {
        |    SELECT c.cent_id, COALESCE(p.ne, c.ce) AS ce
        |    FROM $prev c LEFT JOIN ${out}_packed p ON c.cent_id = p.cell))""".stripMargin
 
-  val simSearchIvfTrainedSql: String =
-    s"""WITH n AS (${Dedup.withNormSql}),
+  /** Shared CTE prefix: norms, seed codebook, and the two unrolled
+    * Lloyd rounds ending in `cent2` — single source for the trained
+    * search and the clustering-report oracles. */
+  private lazy val trainedCentCteSql: String =
+    s"""n AS (${Dedup.withNormSql}),
        |cent0 AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
        |          FROM n WHERE vec_id < 16),
        |${lloydRoundSql("cent0", "cent1")},
-       |${lloydRoundSql("cent1", "cent2")},
+       |${lloydRoundSql("cent1", "cent2")}""".stripMargin
+
+  lazy val simSearchIvfTrainedSql: String =
+    s"""WITH $trainedCentCteSql,
        |fcell AS (
        |  ${argmaxCellSql("cent2")}),
        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
@@ -534,6 +565,28 @@ object Similarity {
        |SELECT query_id, rank, cand_id, cell, cosine
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  lazy val embedClusterSql: String =
+    s"""WITH $trainedCentCteSql,
+       |asg AS (
+       |  SELECT vec_id, cent_id AS cell, ccos FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |      (${Dedup.dotSql("v.embedding", "c.ce")}) / (v.nrm * c.cn) AS ccos,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY (${Dedup.dotSql("v.embedding", "c.ce")}) / (v.nrm * c.cn) DESC,
+       |                 c.cent_id) AS arn
+       |    FROM n v CROSS JOIN cent2 c) WHERE arn = 1),
+       |rep AS (
+       |  SELECT cell, vec_id AS rep_id, ccos AS rep_cos,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id) AS rrn
+       |  FROM asg)
+       |SELECT a.cell, COUNT(*) AS n_vecs, r.rep_id, r.rep_cos,
+       |  CAST(SUM(CAST(floor(a.ccos * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_cos
+       |FROM asg a JOIN (SELECT cell, rep_id, rep_cos FROM rep WHERE rrn = 1) r
+       |  ON a.cell = r.cell
+       |GROUP BY a.cell, r.rep_id, r.rep_cos
+       |ORDER BY a.cell""".stripMargin
 
   /** Int8 embedding quantization — the storage/bandwidth step a
     * 100 TB vector corpus takes before ANN (4× smaller than float32,
@@ -782,6 +835,7 @@ object Similarity {
     "llm_sim_search_lsh_probe" -> simSearchLshProbe,
     "llm_sim_search_ivf" -> simSearchIvf,
     "llm_sim_search_ivf_trained" -> simSearchIvfTrained,
+    "llm_embed_cluster" -> embedCluster,
     "llm_embed_quantize" -> embedQuantize,
     "llm_sim_search_int8" -> simSearchInt8,
     "llm_sim_search" -> simSearch,
@@ -795,6 +849,7 @@ object Similarity {
     "llm_sim_search_lsh_probe" -> simSearchLshProbeSql,
     "llm_sim_search_ivf" -> simSearchIvfSql,
     "llm_sim_search_ivf_trained" -> simSearchIvfTrainedSql,
+    "llm_embed_cluster" -> embedClusterSql,
     "llm_embed_quantize" -> embedQuantizeSql,
     "llm_sim_search_int8" -> simSearchInt8Sql,
     "llm_sim_search" -> simSearchSql,

@@ -45,6 +45,56 @@ object Text {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** Temperature-based source-mixing weights — the data-mixing step a
+    * multi-source training corpus runs before sampling: each source's
+    * sampling share ∝ n_docs^α with α = 1/2, so small sources are
+    * up-weighted relative to proportional sampling and large sources
+    * down-weighted (`boost` is that relative factor). α = 1/2 is
+    * deliberately sqrt: IEEE-754 requires sqrt correctly rounded, so
+    * both engines compute the identical double where a libm pow(x, α)
+    * could differ in the last ulp. The weight is then fixed-point
+    * quantized (×10⁴, half-up) so the normalizing sum is exact BIGINT
+    * arithmetic — order-free — and share/boost are single
+    * correctly-rounded divisions of exactly-equal operands. One
+    * groupBy shuffle on source; the normalization window runs over a
+    * handful of source rows. */
+  def sampleWeights(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy() // whole-frame: a few source rows
+    Tables.documents(spark, dir)
+      .select(col("source"), size(toks).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("weight_q", expr(
+        "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 10000 + 0.5) AS BIGINT)"))
+      .withColumn("share",
+        col("weight_q").cast("double") /
+          sum(col("weight_q")).over(w).cast("double"))
+      .withColumn("boost",
+        col("share") * sum(col("n_docs")).over(w).cast("double") /
+          col("n_docs").cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight_q"), col("share"), col("boost"))
+      .orderBy(col("source"))
+  }
+
+  val sampleWeightsSql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(LEN(LIST_FILTER(string_split(lower(text), ' '),
+      |      t -> t <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |q AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+      |      AS weight_q
+      |  FROM per)
+      |SELECT source, n_docs, n_tokens, weight_q,
+      |  CAST(weight_q AS DOUBLE) / CAST(SUM(weight_q) OVER () AS DOUBLE) AS share,
+      |  (CAST(weight_q AS DOUBLE) / CAST(SUM(weight_q) OVER () AS DOUBLE))
+      |    * CAST(SUM(n_docs) OVER () AS DOUBLE) / CAST(n_docs AS DOUBLE) AS boost
+      |FROM q
+      |ORDER BY source""".stripMargin
+
   /** Stopword-ratio language-ID heuristic. The synthetic corpus has an
     * English-stopword vocabulary only, so the heuristic is
     * intentionally simple: the-ratio ≥ 2% → 'en', else 'und'. A real
@@ -507,14 +557,25 @@ object Text {
     * shuffle (map-side combined); the top-k cut is a TakeOrdered, not
     * a global sort materialization. Deterministic cut: total order on
     * (count desc, gram). */
+  /** Word-bigram array over token array `t` — shared by
+    * [[ngramCounts]] and [[lmScore]] so the gram algebra cannot
+    * drift. */
+  private[llm] val bigramArrayExpr: String =
+    """filter(transform(sequence(0, greatest(size(t)-2, 0)),
+      |  i -> concat(try_element_at(t, i+1), ' ', try_element_at(t, i+2))),
+      |  x -> x IS NOT NULL)""".stripMargin
+
+  /** DuckDB twin of [[bigramArrayExpr]]. */
+  private[llm] val bigramArraySql: String =
+    """list_filter([t[i+1] || ' ' || t[i+2]
+      |                 for i in range(0, greatest(len(t)-1, 1))],
+      |                x -> x IS NOT NULL)""".stripMargin
+
   def ngramCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         split(lower(col("text")), " ").as("t"))
-      .select(col("doc_id"), explode(expr(
-        """filter(transform(sequence(0, greatest(size(t)-2, 0)),
-          |  i -> concat(try_element_at(t, i+1), ' ', try_element_at(t, i+2))),
-          |  x -> x IS NOT NULL)""".stripMargin)).as("g"))
+      .select(col("doc_id"), explode(expr(bigramArrayExpr)).as("g"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -522,21 +583,84 @@ object Text {
       .limit(100)
 
   val ngramCountsSql: String =
-    """WITH grams AS (
-      |  SELECT doc_id,
-      |    unnest(list_filter([t[i+1] || ' ' || t[i+2]
-      |                        for i in range(0, greatest(len(t)-1, 1))],
-      |                       x -> x IS NOT NULL)) AS g
-      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))
-      |SELECT g, count(*) AS n_occurrences,
-      |  count(DISTINCT doc_id) AS n_docs
-      |FROM grams
-      |GROUP BY g
-      |ORDER BY n_occurrences DESC, g
-      |LIMIT 100""".stripMargin
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest($bigramArraySql) AS g
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))
+       |SELECT g, count(*) AS n_occurrences,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM grams
+       |GROUP BY g
+       |ORDER BY n_occurrences DESC, g
+       |LIMIT 100""".stripMargin
+
+  /** Bigram language-model scoring — the perplexity-style quality
+    * signal an n-gram LM gives each document: mean add-one-smoothed
+    * log-probability of the doc's word bigrams under the corpus's own
+    * bigram/unigram counts, ln P(w2|w1) = ln((C(w1w2)+1)/(C(w1)+V)).
+    * Docs with fewer than 2 tokens have no bigrams and drop out.
+    *
+    * Determinism: each DISTINCT gram's log term is computed once and
+    * fixed-point quantized (×10⁶, half-up) in the gram table, so the
+    * per-doc aggregation is an exact BIGINT sum — order-free — and the
+    * mean is two correctly-rounded divisions. The one libm call (ln)
+    * runs on bit-identical doubles in both engines; a last-ulp libm
+    * disagreement would have to land within one ulp of a 10⁻⁶ rounding
+    * boundary to flip a hash — the same accepted exposure as
+    * [[bm25]]'s ROUND(…,4).
+    *
+    * Scale shape: two gram-keyed map-side-combined shuffles (unigram +
+    * bigram counts), the V scalar broadcast, one join back to the
+    * occurrence stream, one doc-keyed aggregate — the inverted-index
+    * build every n-gram LM pipeline runs. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    val occ = base.select(col("doc_id"), explode(expr(bigramArrayExpr)).as("g"))
+    val uni = base.select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c_a"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val grams = occ.groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+      .withColumn("w1", expr("try_element_at(split(g, ' '), 1)"))
+      .join(uni, "w1")
+      .crossJoin(broadcast(v))
+      .select(col("g"), expr(
+        "CAST(floor(ln((c_ab + 1.0) / (c_a + v)) * 1000000 + 0.5) AS BIGINT)")
+        .as("logq"))
+    occ.join(grams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logq")).as("ll_q"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("ll_q").cast("double") / lit(1000000.0) /
+          col("n_bigrams").cast("double")).as("avg_ll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |occ AS (
+       |  SELECT doc_id, unnest($bigramArraySql) AS g FROM base),
+       |uni AS (
+       |  SELECT w1, COUNT(*) AS c_a
+       |  FROM (SELECT unnest(t) AS w1 FROM base) GROUP BY w1),
+       |vc AS (SELECT COUNT(*) AS v FROM uni),
+       |grams AS (
+       |  SELECT b.g,
+       |    CAST(floor(ln((b.c_ab + 1.0) / (u.c_a + vc.v)) * 1000000 + 0.5)
+       |      AS BIGINT) AS logq
+       |  FROM (SELECT g, COUNT(*) AS c_ab FROM occ GROUP BY g) b
+       |  JOIN uni u ON string_split(b.g, ' ')[1] = u.w1
+       |  CROSS JOIN vc)
+       |SELECT o.doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(l.logq) AS DOUBLE) / 1000000.0
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_ll
+       |FROM occ o JOIN grams l ON o.g = l.g
+       |GROUP BY o.doc_id
+       |ORDER BY o.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ngram_counts" -> ngramCounts,
+    "llm_lm_score" -> lmScore,
     "llm_bm25" -> bm25,
     "llm_repetition" -> repetition,
     "llm_split" -> trainTestSplit,
@@ -545,6 +669,7 @@ object Text {
     "llm_pack" -> pack,
     "llm_pii_redact" -> piiRedact,
     "llm_text_stats" -> textStats,
+    "llm_sample_weights" -> sampleWeights,
     "llm_lang_id" -> langId,
     "llm_quality_score" -> qualityScore,
     "llm_token_count" -> tokenCount,
@@ -553,6 +678,7 @@ object Text {
 
   val oracleSql: Map[String, String] = Map(
     "llm_ngram_counts" -> ngramCountsSql,
+    "llm_lm_score" -> lmScoreSql,
     "llm_bm25" -> bm25Sql,
     "llm_repetition" -> repetitionSql,
     "llm_split" -> splitSql,
@@ -561,6 +687,7 @@ object Text {
     "llm_pack" -> packSql,
     "llm_pii_redact" -> piiRedactSql,
     "llm_text_stats" -> textStatsSql,
+    "llm_sample_weights" -> sampleWeightsSql,
     "llm_lang_id" -> langIdSql,
     "llm_quality_score" -> qualityScoreSql,
     "llm_token_count" -> tokenCountSql,

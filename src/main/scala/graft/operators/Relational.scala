@@ -131,6 +131,27 @@ object Relational {
           .write.mode("overwrite").orc(target)
       })
 
+  /** Avro source scan — the reference's own container format (D1),
+    * oracle-facing: nation staged to snappy Avro through
+    * [[graft.sources.AvroSource.write]] (the D5 sink on the DataFrame
+    * surface) and read back through the Hadoop-RDD bridge the
+    * reference uses. Closes the round-trip: every container format
+    * the engine reads (parquet/ORC/JSON/CSV/Avro) now has a
+    * hash-exact oracle entry. */
+  def scanAvro(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.AvroSource.read(spark, stagedAvroCopy(spark, dir))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+
+  private def stagedAvroCopy(spark: SparkSession, dir: String): String =
+    textFixtures.getOrElseUpdate((dir, "avro"),
+      graft.core.Fixtures.staged(s"$dir/nation.parquet", "avro") { target =>
+        graft.sources.AvroSource.write(
+          Tables.nation(spark, dir)
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+          target)
+      })
+
   /** The text scans and the ORC scan share one oracle: the staged
     * copies carry exactly the parquet table's rows, so DuckDB reads
     * the original. */
@@ -246,6 +267,51 @@ object Relational {
       |       ELSE 'update' END AS op
       |FROM t FULL OUTER JOIN c ON t.o_orderkey = c.o_orderkey
       |ORDER BY key""".stripMargin
+
+  /** SCD Type-2 dimension build — the other half of the MERGE family:
+    * turn a change stream (each customer's orders, ordered by time)
+    * into validity intervals. Consecutive rows with an UNCHANGED
+    * tracked attribute (order status) are collapsed (lag-compare
+    * change detection), survivors get [valid_from, valid_to) from
+    * lead(), the open row is flagged current. At 100 TB this is one
+    * shuffle on the dimension key; both windows share the partitioning
+    * so the change filter and the interval build ride the same
+    * exchange. */
+  def dimScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"))
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+        row_number().over(w).as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  val dimScd2Sql: String =
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+      |    LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |chg AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+      |  FROM seq WHERE prev IS NULL OR prev <> o_orderstatus)
+      |SELECT o_custkey, o_orderstatus,
+      |  o_orderdate AS valid_from,
+      |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS INT) AS version,
+      |  (LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey)) IS NULL AS is_current
+      |FROM chg
+      |ORDER BY o_custkey, version""".stripMargin
 
   /** Shuffle-free co-located join via bucketing — the 100 TB answer to
     * a fact↔fact join that recurs on the same key: both tables stored
@@ -1090,8 +1156,10 @@ object Relational {
     "scan_json" -> scanJson,
     "scan_csv" -> scanCsv,
     "scan_orc" -> scanOrc,
+    "scan_avro" -> scanAvro,
     "scan_merged_schema" -> scanMergedSchema,
     "merge_upsert" -> mergeUpsert,
+    "dim_scd2" -> dimScd2,
     "filter_pred" -> filterPred,
     "project_expr" -> projectExpr,
     "join_inner_hash" -> joinInnerHash,
@@ -1136,8 +1204,10 @@ object Relational {
     "scan_json" -> scanTextSql,
     "scan_csv" -> scanTextSql,
     "scan_orc" -> scanTextSql,
+    "scan_avro" -> scanTextSql,
     "scan_merged_schema" -> scanMergedSchemaSql,
     "merge_upsert" -> mergeUpsertSql,
+    "dim_scd2" -> dimScd2Sql,
     "filter_pred" -> filterPredSql,
     "project_expr" -> projectExprSql,
     "join_inner_hash" -> joinInnerHashSql,

@@ -7,11 +7,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.avro.Schema
 import org.apache.avro.generic.GenericRecord
 import org.apache.avro.mapred.AvroKey
-import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat}
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.io.NullWritable
 import org.apache.hadoop.mapreduce.Job
 import org.apache.hadoop.mapreduce.lib.input.FileInputFormat
+import org.apache.hadoop.mapreduce.lib.output.FileOutputFormat
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -131,5 +132,87 @@ object AvroSource {
         it.map { case (k, _) => toValue(k.datum(), schema).asInstanceOf[Row] }
       }
     spark.createDataFrame(rows, structType)
+  }
+
+  /** Catalyst type → Avro schema (inverse of [[toCatalyst]]; nullable
+    * fields become [null, T] unions, the reference's convention). */
+  def fromCatalyst(dt: DataType, nullable: Boolean = false,
+                   recordName: String = "GraftRecord"): Schema = {
+    val base = dt match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case ArrayType(et, cn) => Schema.createArray(fromCatalyst(et, cn))
+      case MapType(StringType, vt, vcn) =>
+        Schema.createMap(fromCatalyst(vt, vcn))
+      case st: StructType =>
+        val rec = Schema.createRecord(recordName, null, "graft.avro", false)
+        rec.setFields(st.fields.zipWithIndex.map { case (f, i) =>
+          new Schema.Field(f.name,
+            fromCatalyst(f.dataType, f.nullable, s"${recordName}_$i"),
+            null,
+            if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+        }.toList.asJava)
+        rec
+      case other =>
+        throw new IllegalArgumentException(s"unsupported Avro write type: $other")
+    }
+    if (nullable && base.getType != Schema.Type.NULL)
+      Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+    else base
+  }
+
+  /** Row value → Avro datum (inverse of [[toValue]]). */
+  def toDatum(v: Any, s: Schema): Any = v match {
+    case null => null
+    case _ => nonNull(s).getType match {
+      case Schema.Type.BYTES => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.RECORD =>
+        val rs = nonNull(s)
+        val row = v.asInstanceOf[Row]
+        val rec = new org.apache.avro.generic.GenericData.Record(rs)
+        rs.getFields.asScala.foreach(f =>
+          rec.put(f.pos(), toDatum(row.get(f.pos()), f.schema())))
+        rec
+      case Schema.Type.ARRAY =>
+        val es = nonNull(s).getElementType
+        // Row hands arrays back as mutable.ArraySeq — use the variant
+        // both collection branches share
+        v.asInstanceOf[scala.collection.Seq[Any]].map(toDatum(_, es)).asJava
+      case Schema.Type.MAP =>
+        val vs = nonNull(s).getValueType
+        v.asInstanceOf[scala.collection.Map[String, Any]].map { case (k, x) =>
+          k -> toDatum(x, vs)
+        }.toMap.asJava
+      case _ => v // primitives and strings pass through
+    }
+  }
+
+  /** Write a DataFrame as snappy-compressed Avro container files —
+    * the reference's sink (D5, DefragmentAvroFolder.scala:229-236,298)
+    * lifted to the DataFrame surface, making the source bidirectional.
+    * One container file per partition; no shuffle (the AvroKey objects
+    * are created inside the write task and never serialized by Spark,
+    * so no Kryo config is needed — same reasoning as [[read]]). */
+  def write(df: DataFrame, dir: String): Unit = {
+    val schema = fromCatalyst(df.schema)
+    val schemaJson = schema.toString
+    val job = Job.getInstance(
+      new Configuration(df.sparkSession.sparkContext.hadoopConfiguration))
+    AvroJob.setOutputKeySchema(job, schema)
+    job.setOutputFormatClass(classOf[AvroKeyOutputFormat[GenericRecord]])
+    FileOutputFormat.setOutputPath(job, new org.apache.hadoop.fs.Path(dir))
+    FileOutputFormat.setCompressOutput(job, true)
+    job.getConfiguration.set("avro.output.codec", "snappy")
+    df.rdd.mapPartitions { it =>
+      val s = new Schema.Parser().parse(schemaJson)
+      it.map(row =>
+        (new AvroKey[GenericRecord](toDatum(row, s).asInstanceOf[GenericRecord]),
+          NullWritable.get()))
+    }.saveAsNewAPIHadoopDataset(job.getConfiguration)
   }
 }
