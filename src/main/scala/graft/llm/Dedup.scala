@@ -183,6 +183,45 @@ object Dedup {
        |  ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cross-source near-dup matrix — which corpus shards leak into
+    * which: the LSH candidate pairs grouped by their docs' source
+    * pair (unordered, so the matrix is upper-triangular). The report
+    * a curator reads before deciding inter-shard dedup policy; at
+    * 100 TB the candidate volume is the same band-bounded set the
+    * dedup ladder already produces, plus two doc→source joins that
+    * broadcast at any realistic shard-table size. */
+  def docOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    candidatePairs(bandsNative(docs, "doc_id", "text").cache())
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  lazy val docOverlapSql: String =
+    s"""WITH tg AS ($trigramsSql),
+       |mh AS ($signaturesSql),
+       |bands AS ($bandsSql),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT LEAST(da.source, db.source) AS source_a,
+       |  GREATEST(da.source, db.source) AS source_b,
+       |  COUNT(*) AS n_pairs
+       |FROM pairs p
+       |JOIN documents da ON p.doc_a = da.doc_id
+       |JOIN documents db ON p.doc_b = db.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** Minimum signature-chunk agreements for a candidate pair to reach
     * exact verification: est = n_agree/8 ≥ 3/8, under the 0.5 report
     * threshold, so most borderline-true pairs reach the exact rung
@@ -762,6 +801,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_fuzzy" -> dedupFuzzy,
+    "llm_doc_overlap" -> docOverlap,
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_jaccard_est" -> dedupJaccardEst,
     "llm_dedup_clusters" -> dedupClusters,
@@ -775,6 +815,7 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "llm_dedup_exact" -> dedupExactSql,
     "llm_dedup_fuzzy" -> dedupFuzzySql,
+    "llm_doc_overlap" -> docOverlapSql,
     "llm_dedup_jaccard" -> dedupJaccardSql,
     "llm_dedup_jaccard_est" -> dedupJaccardEstSql,
     "llm_dedup_clusters" -> dedupClustersSql,

@@ -309,6 +309,47 @@ object Text {
        |FROM s
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Packing-efficiency report over [[pack]]'s bin assignment — the
+    * metric a training-data team actually watches: bins produced per
+    * shard, fill rate (token volume over bin capacity; offset packing
+    * leaves waste only in each shard's final bin), and how many docs
+    * straddle a bin boundary (pay a mid-document context break). Same
+    * single per-shard window as pack plus one source-keyed aggregate. */
+  def packStats(spark: SparkSession, dir: String): DataFrame =
+    packBins(Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          size(toks).cast("long").as("n_tokens")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("bin")) + 1L).as("n_bins"),
+        sum(when(col("start_tok") % PackBudget + col("n_tokens") > PackBudget,
+          1L).otherwise(0L)).as("n_straddlers"))
+      .withColumn("fill_rate",
+        col("total_tokens").cast("double") /
+          (col("n_bins") * PackBudget).cast("double"))
+      .orderBy(col("source"))
+
+  lazy val packStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(LEN(LIST_FILTER(string_split(lower(text), ' '), t -> t <> ''))
+       |         AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |s AS (
+       |  ${packStartTokSql("t")})
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  MAX(start_tok // $PackBudget) + 1 AS n_bins,
+       |  CAST(SUM(CASE WHEN start_tok % $PackBudget + n_tokens > $PackBudget
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+       |  CAST(SUM(n_tokens) AS DOUBLE)
+       |    / CAST((MAX(start_tok // $PackBudget) + 1) * $PackBudget AS DOUBLE)
+       |    AS fill_rate
+       |FROM s
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** PII redaction: scrub emails and phone-shaped digits. The corpus
     * has none, so a deterministic contact header is prepended first —
     * the query shows detection counts and the scrubbed text. Simple
@@ -667,6 +708,7 @@ object Text {
     "llm_decontaminate" -> decontaminate,
     "llm_chunk" -> chunk,
     "llm_pack" -> pack,
+    "llm_pack_stats" -> packStats,
     "llm_pii_redact" -> piiRedact,
     "llm_text_stats" -> textStats,
     "llm_sample_weights" -> sampleWeights,
@@ -685,6 +727,7 @@ object Text {
     "llm_decontaminate" -> decontaminateSql,
     "llm_chunk" -> chunkSql,
     "llm_pack" -> packSql,
+    "llm_pack_stats" -> packStatsSql,
     "llm_pii_redact" -> piiRedactSql,
     "llm_text_stats" -> textStatsSql,
     "llm_sample_weights" -> sampleWeightsSql,

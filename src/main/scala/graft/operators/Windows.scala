@@ -144,6 +144,80 @@ object Windows {
        |FROM spine s LEFT OUTER JOIN daily d ON s.day = d.day
        |ORDER BY s.day""".stripMargin
 
+  /** Cumulative distinct customers by day — "unique customers to
+    * date", the classic growth metric, over the 7-year orders span.
+    * The scalable shape: distinct-over-window is O(n²) state, so
+    * instead each customer contributes once at their FIRST order day
+    * (customer-keyed min), days aggregate arrivals, and a running sum
+    * over the day rows yields the cumulative count. Two cheap keyed
+    * shuffles; the global window is one row per day (same safety
+    * argument as [[tsGapfill]]'s spine). */
+  def tsCumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("new_customers"))
+      .withColumn("cum_customers", sum(col("new_customers")).over(w))
+      .orderBy(col("day"))
+  }
+
+  val tsCumulativeUsersSql: String =
+    """WITH first_seen AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS day
+      |  FROM orders GROUP BY o_custkey),
+      |daily AS (
+      |  SELECT day, COUNT(*) AS new_customers FROM first_seen GROUP BY day)
+      |SELECT day, new_customers,
+      |  CAST(SUM(new_customers) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_customers
+      |FROM daily
+      |ORDER BY day""".stripMargin
+
+  /** Cohort retention matrix — the product-analytics staple: customers
+    * bucketed by first-order month (cohort), then for each
+    * (cohort, months-since) cell the count of cohort members ordering
+    * that month, over orders' 7-year span. Shapes: one customer-keyed
+    * aggregate for cohorts, one distinct customer-month activity set,
+    * a key-shuffled join back, one (cohort, month)-keyed aggregate.
+    * Month distance is pure integer calendar arithmetic — portable
+    * where months_between's fractional semantics are not. */
+  def tsCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    // DATE month buckets: DuckDB's date_trunc('month') yields DATE
+    // while Spark's yields TIMESTAMP — pin both engines to DATE
+    val e = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("m"))
+    val cohort = e.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort"))
+    val active = e.distinct()
+    active.join(cohort, "o_custkey")
+      .groupBy(col("cohort"), col("m"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(col("cohort"), col("m"),
+        ((year(col("m")) - year(col("cohort"))) * 12 +
+          (month(col("m")) - month(col("cohort")))).as("month_idx"),
+        col("n_active"))
+      .orderBy(col("cohort"), col("m"))
+  }
+
+  val tsCohortRetentionSql: String =
+    """WITH e AS (
+      |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+      |  FROM orders),
+      |cohort AS (
+      |  SELECT o_custkey, MIN(m) AS cohort FROM e GROUP BY o_custkey),
+      |active AS (SELECT DISTINCT o_custkey, m FROM e)
+      |SELECT c.cohort, a.m,
+      |  CAST((year(a.m) - year(c.cohort)) * 12
+      |    + (month(a.m) - month(c.cohort)) AS INT) AS month_idx,
+      |  COUNT(*) AS n_active
+      |FROM active a JOIN cohort c ON a.o_custkey = c.o_custkey
+      |GROUP BY c.cohort, a.m
+      |ORDER BY c.cohort, a.m""".stripMargin
+
   /** Per-row trailing 24-hour RANGE frame per user: event count and
     * exact-cents value sum over the window ending at each event. RANGE
     * (value-bounded) differs from ROWS (count-bounded): ties in the
@@ -345,6 +419,8 @@ object Windows {
     "win_analytic" -> winAnalytic,
     "win_rolling_range" -> winRollingRange,
     "ts_gapfill" -> tsGapfill,
+    "ts_cumulative_users" -> tsCumulativeUsers,
+    "ts_cohort_retention" -> tsCohortRetention,
     "ts_resample" -> tsResample,
     "ts_interpolate" -> tsInterpolate,
     "ts_zscore" -> tsZscore,
@@ -356,6 +432,8 @@ object Windows {
     "win_analytic" -> winAnalyticSql,
     "win_rolling_range" -> winRollingRangeSql,
     "ts_gapfill" -> tsGapfillSql,
+    "ts_cumulative_users" -> tsCumulativeUsersSql,
+    "ts_cohort_retention" -> tsCohortRetentionSql,
     "ts_resample" -> tsResampleSql,
     "ts_interpolate" -> tsInterpolateSql,
     "ts_zscore" -> tsZscoreSql,
