@@ -699,7 +699,108 @@ object Text {
        |GROUP BY o.doc_id
        |ORDER BY o.doc_id""".stripMargin
 
+  /** Deterministic stratified corpus sample — 10% per language, the
+    * "hold out an eval slice per stratum" step a multi-lingual corpus
+    * runs so low-resource languages are not drowned by the head. Rank
+    * within each stratum by md5(doc_id) (content-free, seed-free,
+    * retry-stable — the same discipline as [[trainTestSplit]]) and keep
+    * the first ⌈n/10⌉. One shuffle on the stratum key; the two window
+    * functions share the single sort, and at 100 TB the quota compare
+    * is integer-exact ((rank-1)*10 < stratum size) so no float
+    * boundary can disagree between engines. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("doc_id").cast("string")).as("rkey"))
+      .withColumn("sample_rank",
+        row_number().over(w.orderBy(col("rkey"))).cast("long"))
+      .withColumn("stratum_size", count(lit(1)).over(w))
+      .where((col("sample_rank") - 1) * 10 < col("stratum_size"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("sample_rank"), col("stratum_size"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
+  val sampleStratifiedSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS sample_rank,
+      |    COUNT(*) OVER (PARTITION BY lang) AS stratum_size
+      |  FROM documents)
+      |SELECT doc_id, lang, source,
+      |  CAST(sample_rank AS BIGINT) AS sample_rank,
+      |  CAST(stratum_size AS BIGINT) AS stratum_size
+      |FROM r WHERE (sample_rank - 1) * 10 < stratum_size
+      |ORDER BY lang, sample_rank""".stripMargin
+
+  /** Quality-gate funnel — per-stage survivor counts for the corpus
+    * cleaning cascade (length → token count → stopword ratio), the
+    * report a pipeline owner reads to see which gate is eating the
+    * data. One scan: the three cumulative predicates aggregate to one
+    * row of conditional counts (map-side combined), then `stack`
+    * unpivots to a 4-row funnel on the driver-sized result. Retention
+    * ratios are exact-int / exact-int double divisions — identical
+    * IEEE in both engines. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("n_chars"), size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t === "the" || t === "a")).cast("long")
+          .as("n_stop"))
+      .select(
+        (col("n_chars") >= 100).as("c1"),
+        (col("n_tokens") >= 20).as("c2"),
+        (col("n_stop") / greatest(col("n_tokens"), lit(1L)) >= 0.02).as("c3"))
+      .agg(
+        count(lit(1)).as("n0"),
+        count(when(col("c1"), lit(1))).as("n1"),
+        count(when(col("c1") && col("c2"), lit(1))).as("n2"),
+        count(when(col("c1") && col("c2") && col("c3"), lit(1))).as("n3"))
+    base.select(expr(
+        """stack(4,
+          |  0L, 'all',        n0, n0,
+          |  1L, 'min_chars',  n1, n0,
+          |  2L, 'min_tokens', n2, n1,
+          |  3L, 'stop_ratio', n3, n2) AS (stage, stage_name, n_docs, n_prev)
+          |""".stripMargin))
+      .select(col("stage"), col("stage_name"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_prev").cast("double"))
+          .as("pct_of_prev"))
+      .orderBy(col("stage"))
+  }
+
+  val filterFunnelSql: String =
+    """WITH f AS (
+      |  SELECT n_chars >= 100 AS c1, n_tokens >= 20 AS c2,
+      |    (n_stop / GREATEST(n_tokens, 1)) >= 0.02 AS c3
+      |  FROM (SELECT n_chars,
+      |          CAST(LEN(toks) AS BIGINT) AS n_tokens,
+      |          CAST(LEN(LIST_FILTER(toks, t -> t = 'the' OR t = 'a'))
+      |            AS BIGINT) AS n_stop
+      |        FROM (SELECT n_chars,
+      |                LIST_FILTER(string_split(lower(text), ' '),
+      |                  t -> t <> '') AS toks
+      |              FROM documents))),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+      |    CAST(COUNT(*) FILTER (WHERE c1) AS BIGINT) AS n1,
+      |    CAST(COUNT(*) FILTER (WHERE c1 AND c2) AS BIGINT) AS n2,
+      |    CAST(COUNT(*) FILTER (WHERE c1 AND c2 AND c3) AS BIGINT) AS n3
+      |  FROM f),
+      |s AS (
+      |  SELECT CAST(0 AS BIGINT) AS stage, 'all' AS stage_name,
+      |         n0 AS n_docs, n0 AS n_prev FROM a
+      |  UNION ALL SELECT 1, 'min_chars',  n1, n0 FROM a
+      |  UNION ALL SELECT 2, 'min_tokens', n2, n1 FROM a
+      |  UNION ALL SELECT 3, 'stop_ratio', n3, n2 FROM a)
+      |SELECT stage, stage_name, n_docs,
+      |  CAST(n_docs AS DOUBLE) / CAST(n_prev AS DOUBLE) AS pct_of_prev
+      |FROM s ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_stratified" -> sampleStratified,
+    "llm_filter_funnel" -> filterFunnel,
     "llm_ngram_counts" -> ngramCounts,
     "llm_lm_score" -> lmScore,
     "llm_bm25" -> bm25,
@@ -719,6 +820,8 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_sample_stratified" -> sampleStratifiedSql,
+    "llm_filter_funnel" -> filterFunnelSql,
     "llm_ngram_counts" -> ngramCountsSql,
     "llm_lm_score" -> lmScoreSql,
     "llm_bm25" -> bm25Sql,

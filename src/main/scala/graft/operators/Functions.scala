@@ -58,6 +58,42 @@ object Functions {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** Regexp function family over free text: match counting, global
+    * extraction, whitespace squeezing, and field splitting — the
+    * codegen'd `functions._` surface a text pipeline reaches for
+    * before ever writing a UDF. Patterns stay in the
+    * character-class/greedy-quantifier subset where Java regex
+    * (leftmost-first) and RE2 (leftmost-longest) provably agree, so
+    * the oracle can't diverge on engine-specific backtracking. Pure
+    * projection: one scan, no shuffle, whole-stage codegen at any
+    * scale. */
+  def fnRegex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+          .cast("long").as("n_sentences"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_numbers"),
+        size(regexp_extract_all(col("text"), lit("[A-Z][a-z]+"), lit(0)))
+          .cast("long").as("n_capitalized"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+ing"), lit(0)))
+          .cast("long").as("n_ing"),
+        length(regexp_replace(col("text"), "  +", " "))
+          .cast("long").as("squeezed_len"),
+        split_part(col("text"), lit(" "), lit(1)).as("first_word"))
+      .orderBy(col("doc_id"))
+
+  val fnRegexSql: String =
+    """SELECT doc_id,
+      |  CAST(LEN(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+      |  CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+      |  CAST(LEN(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_capitalized,
+      |  CAST(LEN(regexp_extract_all(lower(text), '[a-z]+ing')) AS BIGINT) AS n_ing,
+      |  CAST(LENGTH(regexp_replace(text, '  +', ' ', 'g')) AS BIGINT) AS squeezed_len,
+      |  split_part(text, ' ', 1) AS first_word
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Date/time functions on orders: extract fields, truncate, diff,
     * day-of-week (DuckDB isodow remapped to Spark's Sunday=1), last
     * day of month. */
@@ -298,6 +334,7 @@ object Functions {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_bitwise" -> fnBitwise,
+    "fn_regex" -> fnRegex,
     "fn_null" -> fnNull,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
@@ -311,6 +348,7 @@ object Functions {
 
   val oracleSql: Map[String, String] = Map(
     "fn_bitwise" -> fnBitwiseSql,
+    "fn_regex" -> fnRegexSql,
     "fn_null" -> fnNullSql,
     "fn_string" -> fnStringSql,
     "fn_date" -> fnDateSql,

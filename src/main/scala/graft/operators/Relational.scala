@@ -964,6 +964,33 @@ object Relational {
        |GROUP BY CUBE (c_mktsegment, n_name)
        |ORDER BY gid, c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS — the asymmetric subtotal shape CUBE can't
+    * express without wasted combinations: (status, priority) detail,
+    * per-status subtotal, grand total, but NO per-priority slice.
+    * Spark expands the sets into one Expand + a single hash aggregate
+    * — one shuffle regardless of how many sets, which is why grouping
+    * sets beat N self-unioned aggregates at scale. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val (st, pr) = (col("o_orderstatus"), col("o_orderpriority"))
+    o.groupingSets(Seq(Seq(st, pr), Seq(st), Seq()), st, pr)
+      .agg(grouping_id(st, pr).as("gid"),
+           count(lit(1)).as("n_orders"),
+           Det.dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("gid"), st, pr, col("n_orders"), col("sum_price"))
+      .orderBy(col("gid"), st.asc_nulls_first, pr.asc_nulls_first)
+  }
+
+  val aggGroupingSetsSql: String =
+    s"""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       |  o_orderstatus, o_orderpriority,
+       |  COUNT(*) AS n_orders,
+       |  ${DetSql.dsum("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+       |                        (o_orderstatus), ())
+       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   private val priorities =
     Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 
@@ -1183,6 +1210,7 @@ object Relational {
     "agg_histogram" -> aggHistogram,
     "agg_moments" -> aggMoments,
     "agg_rollup_cube" -> aggRollupCube,
+    "agg_grouping_sets" -> aggGroupingSets,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "sql_correlated" -> sqlCorrelated,
@@ -1229,6 +1257,7 @@ object Relational {
     "agg_histogram" -> aggHistogramSql,
     "agg_moments" -> aggMomentsSql,
     "agg_rollup_cube" -> aggRollupCubeSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_pivot" -> aggPivotSql,
     "agg_unpivot" -> aggUnpivotSql,
     "sql_correlated" -> sqlCorrelatedSql,

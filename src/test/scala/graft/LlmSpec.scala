@@ -120,6 +120,32 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("stratified sample takes exactly ceil(n/10) per stratum, deterministically") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val expect = docs.groupBy(col("lang")).count()
+      .select(col("lang"), ((col("count") + 9) / 10).cast("long").as("quota"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.llm.Text.sampleStratified(spark, sfDir)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    val again = graft.llm.Text.sampleStratified(spark, sfDir)
+      .agg(sum(col("doc_id"))).collect()(0).getLong(0)
+    val first = graft.llm.Text.sampleStratified(spark, sfDir)
+      .agg(sum(col("doc_id"))).collect()(0).getLong(0)
+    assert(again == first)
+  }
+
+  test("filter funnel is monotone and starts at the corpus size") {
+    val rows = graft.llm.Text.filterFunnel(spark, sfDir)
+      .orderBy(col("stage")).collect()
+    assert(rows.length == 4)
+    val counts = rows.map(_.getLong(2))
+    assert(counts(0) == graft.core.Tables.documents(spark, sfDir).count())
+    assert(counts.sliding(2).forall(w => w(0) >= w(1)))
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("exact dedup is idempotent") {
     val once = Dedup.dedupExact(spark, sfDir)
     assert(once.groupBy(col("text_hash")).count().where(col("count") > 1).count() == 0)

@@ -33,6 +33,27 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("grouping sets: detail rows reconcile to subtotals and grand total") {
+    val rows = Relational.aggGroupingSets(spark, sfDir).collect()
+    val byGid = rows.groupBy(_.getLong(0))
+    assert(byGid.keySet == Set(0L, 1L, 3L)) // detail, per-status, total
+    val total = byGid(3L).map(_.getLong(3)).sum
+    assert(byGid(0L).map(_.getLong(3)).sum == total)
+    assert(byGid(1L).map(_.getLong(3)).sum == total)
+    // no per-priority slice: gid 2 must be absent (GROUPING SETS ≠ CUBE)
+    assert(!byGid.contains(2L))
+  }
+
+  test("fn_regex counts are consistent with the raw text") {
+    val out = graft.operators.Functions.fnRegex(spark, sfDir)
+      .join(Tables.documents(spark, sfDir), "doc_id")
+    // squeezing only removes characters
+    assert(out.where(col("squeezed_len") > length(col("text"))).count() == 0)
+    // first_word is the leading space-split token
+    assert(out.where(col("first_word") =!=
+      split(col("text"), " ").getItem(0)).count() == 0)
+  }
+
   test("merge_upsert: row accounting and op tags are consistent") {
     val orders = Tables.orders(spark, sfDir)
     val nOrders = orders.count()
