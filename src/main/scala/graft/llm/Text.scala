@@ -798,7 +798,59 @@ object Text {
       |  CAST(n_docs AS DOUBLE) / CAST(n_prev AS DOUBLE) AS pct_of_prev
       |FROM s ORDER BY stage""".stripMargin
 
+  /** Per-document top-3 tf-idf keywords — the "what is this document
+    * about" data product behind corpus browsing, topic drift reports,
+    * and keyword-based filters; [[bm25]] is query-side scoring, this
+    * is its document-side dual. idf is fixed-point quantized
+    * (floor(ln·10⁶+0.5), the [[lmScore]] discipline) so the per-doc
+    * ranking compares exact BIGINTs — no float tie can split engines —
+    * with the term string as final tiebreak. Shape at 100 TB: one
+    * token shuffle for tf, a vocab-sized idf frame broadcast back, a
+    * per-doc-bounded window (≤ |doc vocab| rows per key). */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val corpus = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(corpus))
+      .select(col("term"), col("df"),
+        floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * 1000000 + 0.5).cast("long").as("idf_q"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf") * col("idf_q")).desc, col("term"))
+    tf.join(broadcast(idf), "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        ((col("tf") * col("idf_q")).cast("double") / 1000000.0).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |idf AS (
+      |  SELECT term, COUNT(*) AS df,
+      |    CAST(FLOOR(LN(CAST((SELECT n_docs FROM corpus) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS idf_q
+      |  FROM tf GROUP BY term),
+      |r AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf_q AS score_q,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * idf.idf_q DESC, tf.term) AS rank
+      |  FROM tf JOIN idf USING (term))
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
+      |  CAST(score_q AS DOUBLE) / 1000000.0 AS tfidf
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_tfidf" -> tfidf,
     "llm_sample_stratified" -> sampleStratified,
     "llm_filter_funnel" -> filterFunnel,
     "llm_ngram_counts" -> ngramCounts,
@@ -820,6 +872,7 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_tfidf" -> tfidfSql,
     "llm_sample_stratified" -> sampleStratifiedSql,
     "llm_filter_funnel" -> filterFunnelSql,
     "llm_ngram_counts" -> ngramCountsSql,

@@ -159,6 +159,44 @@ object Maintenance {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Join-key skew diagnostic — the "will this key shuffle-join
+    * safely" report run before picking a strategy for a 100 TB join:
+    * per-key row counts histogrammed into power-of-two buckets, with
+    * each bucket's key count, row volume, share of the table, and the
+    * largest key it contains. Two aggregates (key count → bucket
+    * roll-up), both map-side combined; the bucket frame is ≤64 rows so
+    * the share window is driver-cheap. floor(log2) is boundary-safe
+    * cross-engine: log2 is exact at powers of two and elsewhere sits
+    * ≥ 1/(cnt·ln2) from an integer — astronomically wider than a
+    * double ulp for any feasible per-key count. */
+  def tableSkew(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy() // ≤64 bucket rows
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .select(floor(log2(col("cnt"))).cast("long").as("bucket"), col("cnt"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      .withColumn("pct_rows",
+        col("n_rows").cast("double") / sum(col("n_rows")).over(w).cast("double"))
+      .select(col("bucket"), col("n_keys"), col("n_rows"), col("max_cnt"),
+        col("pct_rows"))
+      .orderBy(col("bucket"))
+  }
+
+  val tableSkewSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+      |b AS (
+      |  SELECT CAST(FLOOR(LOG2(cnt)) AS BIGINT) AS bucket,
+      |    COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |    MAX(cnt) AS max_cnt
+      |  FROM c GROUP BY 1)
+      |SELECT bucket, n_keys, n_rows, max_cnt,
+      |  CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) AS pct_rows
+      |FROM b
+      |ORDER BY bucket""".stripMargin
+
   /** Dynamic partition overwrite — the INSERT OVERWRITE semantics a
     * partitioned 100 TB table needs (rewrite only the partitions the
     * batch touches, leave the rest untouched): stage orders partitioned
@@ -217,12 +255,14 @@ object Maintenance {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder,
     "table_stats" -> tableStats,
+    "table_skew" -> tableSkew,
     "write_dynamic_overwrite" -> writeDynamicOverwrite,
   )
 
   val oracleSql: Map[String, String] = Map(
     "layout_zorder" -> layoutZorderSql,
     "table_stats" -> tableStatsSql,
+    "table_skew" -> tableSkewSql,
     "write_dynamic_overwrite" -> writeDynamicOverwriteSql,
   )
 }

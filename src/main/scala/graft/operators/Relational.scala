@@ -964,6 +964,62 @@ object Relational {
        |GROUP BY CUBE (c_mktsegment, n_name)
        |ORDER BY gid, c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  /** Per-group correlation + least-squares regression of extendedprice
+    * on quantity — the two-variable statistics `corr`/`regr_slope`
+    * compute, re-derived from exact moment sums so the oracle matches
+    * bit-for-bit. Built-in corr() accumulates doubles in partition
+    * order (non-reproducible even run-to-run); here the five moments go
+    * through [[Det.dsum]] (exact decimal, cent-rounded) and the closed
+    * forms are evaluated in one spelled-out op order — every step a
+    * single correctly-rounded IEEE op on identical operands. One
+    * map-side-combined aggregate, one shuffle on the group key. */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val s = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count(lit(1)).cast("double").as("n_d"),
+        Det.dsum(col("x")).as("sx"), Det.dsum(col("y")).as("sy"),
+        Det.dsum(col("x") * col("x")).as("sxx"),
+        Det.dsum(col("y") * col("y")).as("syy"),
+        Det.dsum(col("x") * col("y")).as("sxy"))
+      .withColumn("cov_n", col("sxy") * col("n_d") - col("sx") * col("sy"))
+      .withColumn("varx_n", col("sxx") * col("n_d") - col("sx") * col("sx"))
+      .withColumn("vary_n", col("syy") * col("n_d") - col("sy") * col("sy"))
+    s.select(col("l_returnflag"), col("n"),
+        when(col("varx_n") > 0 && col("vary_n") > 0,
+          col("cov_n") / sqrt(col("varx_n") * col("vary_n"))).as("corr_qty_price"),
+        when(col("varx_n") > 0, col("cov_n") / col("varx_n")).as("slope"),
+        when(col("varx_n") > 0,
+          (col("sy") - (col("cov_n") / col("varx_n")) * col("sx")) / col("n_d"))
+          .as("intercept"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggCorrSql: String =
+    s"""WITH s AS (
+       |  SELECT l_returnflag, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS n_d,
+       |    ${DetSql.dsum("l_quantity")} AS sx,
+       |    ${DetSql.dsum("l_extendedprice")} AS sy,
+       |    ${DetSql.dsum("l_quantity * l_quantity")} AS sxx,
+       |    ${DetSql.dsum("l_extendedprice * l_extendedprice")} AS syy,
+       |    ${DetSql.dsum("l_quantity * l_extendedprice")} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag),
+       |d AS (
+       |  SELECT *, sxy * n_d - sx * sy AS cov_n,
+       |    sxx * n_d - sx * sx AS varx_n,
+       |    syy * n_d - sy * sy AS vary_n
+       |  FROM s)
+       |SELECT l_returnflag, n,
+       |  CASE WHEN varx_n > 0 AND vary_n > 0
+       |    THEN cov_n / SQRT(varx_n * vary_n) END AS corr_qty_price,
+       |  CASE WHEN varx_n > 0 THEN cov_n / varx_n END AS slope,
+       |  CASE WHEN varx_n > 0
+       |    THEN (sy - (cov_n / varx_n) * sx) / n_d END AS intercept
+       |FROM d
+       |ORDER BY l_returnflag""".stripMargin
+
   /** Explicit GROUPING SETS — the asymmetric subtotal shape CUBE can't
     * express without wasted combinations: (status, priority) detail,
     * per-status subtotal, grand total, but NO per-priority slice.
@@ -1211,6 +1267,7 @@ object Relational {
     "agg_moments" -> aggMoments,
     "agg_rollup_cube" -> aggRollupCube,
     "agg_grouping_sets" -> aggGroupingSets,
+    "agg_corr" -> aggCorr,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "sql_correlated" -> sqlCorrelated,
@@ -1258,6 +1315,7 @@ object Relational {
     "agg_moments" -> aggMomentsSql,
     "agg_rollup_cube" -> aggRollupCubeSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
+    "agg_corr" -> aggCorrSql,
     "agg_pivot" -> aggPivotSql,
     "agg_unpivot" -> aggUnpivotSql,
     "sql_correlated" -> sqlCorrelatedSql,

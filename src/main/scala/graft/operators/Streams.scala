@@ -140,7 +140,36 @@ object Streams {
       |WHERE s.first_signup IS NOT NULL
       |ORDER BY s.user_id""".stripMargin
 
+  /** First-occurrence dedup per (user, event_type) — the batch form of
+    * `dropDuplicates` on a key subset, whose streaming twin
+    * ([[graft.streaming.EventStreams.dedupWithinWatermark]]) keeps
+    * per-key state bounded by the watermark. "First" is the replay
+    * order a stream would see: (ts, event_id). One shuffle on the
+    * dedup key; per-key groups are event-history-sized, no global
+    * sort. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_id, user_id, event_type, ts
+      |FROM (
+      |  SELECT event_id, user_id, event_type, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup" -> streamDedup,
     "stream_funnel" -> streamFunnel,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
@@ -148,6 +177,7 @@ object Streams {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_dedup" -> streamDedupSql,
     "stream_funnel" -> streamFunnelSql,
     "stream_tumbling" -> streamTumblingSql,
     "stream_sliding" -> streamSlidingSql,

@@ -120,6 +120,37 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("tfidf: 3 keywords per doc, ranks dense, rare terms outscore common at equal tf") {
+    val out = graft.llm.Text.tfidf(spark, sfDir)
+    val perDoc = out.groupBy(col("doc_id")).count().collect()
+    assert(perDoc.forall(_.getLong(1) == 3))
+    val ranks = out.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("rank"))).as("rs"))
+      .select(col("rs")).distinct().collect()
+    assert(ranks.length == 1 && ranks(0).getSeq[Long](0) == Seq(1L, 2L, 3L))
+    // scores within a doc are non-increasing with rank
+    val bad = out.select(col("doc_id"), col("rank"), col("tfidf"))
+      .withColumn("prev", lag(col("tfidf"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("rank"))))
+      .where(col("prev") < col("tfidf"))
+    assert(bad.count() == 0)
+  }
+
+  test("stream_dedup keeps exactly one earliest event per (user, type)") {
+    val out = graft.operators.Streams.streamDedup(spark, sfDir)
+    assert(out.groupBy(col("user_id"), col("event_type")).count()
+      .where(col("count") > 1).count() == 0)
+    val e = graft.core.Tables.events(spark, sfDir)
+    assert(out.count() ==
+      e.select(col("user_id"), col("event_type")).distinct().count())
+    // kept ts is the group minimum
+    val mins = e.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("min_ts"))
+    assert(out.join(mins, Seq("user_id", "event_type"))
+      .where(col("ts") =!= col("min_ts")).count() == 0)
+  }
+
   test("stratified sample takes exactly ceil(n/10) per stratum, deterministically") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val expect = docs.groupBy(col("lang")).count()

@@ -18,6 +18,21 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
       (((x >> k) & 1L) << (2 * k)) | (((y >> k) & 1L) << (2 * k + 1))
     }.sum
 
+  test("table_skew buckets account for every key and row, shares sum to 1") {
+    import org.apache.spark.sql.functions._
+    val o = graft.core.Tables.orders(spark, sfDir)
+    val rows = graft.operators.Maintenance.tableSkew(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      o.select(countDistinct(col("o_custkey"))).head().getLong(0))
+    assert(rows.map(_.getLong(2)).sum == o.count())
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+    // every bucket's max count stays inside its power-of-two range
+    rows.foreach { r =>
+      val (bucket, maxCnt) = (r.getLong(0), r.getLong(3))
+      assert(maxCnt >= (1L << bucket) && maxCnt < (1L << (bucket + 1)))
+    }
+  }
+
   test("zFormula matches the bit-interleave model on random 8-bit pairs") {
     import spark.implicits._
     val pairs = Gen.listOfN(200,

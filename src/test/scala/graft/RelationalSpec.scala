@@ -54,6 +54,20 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       split(col("text"), " ").getItem(0)).count() == 0)
   }
 
+  test("agg_corr matches Spark's built-in corr to statistical tolerance") {
+    val ours = Relational.aggCorr(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val builtin = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ours.keySet == builtin.keySet)
+    ours.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 1e-6, s"$k: $v vs ${builtin(k)}")
+      assert(v >= -1.0 && v <= 1.0)
+    }
+  }
+
   test("merge_upsert: row accounting and op tags are consistent") {
     val orders = Tables.orders(spark, sfDir)
     val nOrders = orders.count()
