@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Det, DetSql, Tables}
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2B
   * `llm_text_*` family): corpus stats, language-ID heuristic, quality
@@ -798,6 +798,56 @@ object Text {
       |  CAST(n_docs AS DOUBLE) / CAST(n_prev AS DOUBLE) AS pct_of_prev
       |FROM s ORDER BY stage""".stripMargin
 
+  /** Per-source quality dashboard — the cleaning report read per
+    * ingest source: doc count, pass rate through the
+    * [[qualityScore]] gate, and mean composite score. The per-row
+    * score is the identical IEEE expression in both engines
+    * ([[qualityFormulaSql]] is the single source), so the cent-exact
+    * [[Det.dsum]] mean cannot drift. One map-side-combined aggregate
+    * keyed by source. */
+  def qualityBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
+        size(filter(toks, t => t === "the" || t === "a")).cast("long").as("n_stop"))
+      .withColumn("score",
+        least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+          (col("n_stop") / greatest(col("n_tokens"), lit(1L))) * 0.3 +
+          least((col("n_letters") / greatest(col("n_tokens"), lit(1L))) / lit(8.0),
+            lit(1.0)) * 0.2)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("score") >= 0.4, lit(1))).as("n_passed"),
+        (count(when(col("score") >= 0.4, lit(1))).cast("double") /
+          count(lit(1)).cast("double")).as("pass_rate"),
+        (Det.dsum(col("score")) / count(lit(1))).as("mean_score"))
+      .orderBy(col("source"))
+
+  lazy val qualityBySourceSql: String =
+    s"""WITH st AS (
+       |  SELECT source,
+       |    CAST(LEN(toks) AS BIGINT) AS n_tokens,
+       |    CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_letters,
+       |    CAST(LEN(LIST_FILTER(toks, t -> t = 'the' OR t = 'a')) AS BIGINT)
+       |      AS n_stop
+       |  FROM (SELECT source, text,
+       |          LIST_FILTER(string_split(lower(text), ' '), t -> t <> '')
+       |            AS toks
+       |        FROM documents)),
+       |sc AS (
+       |  SELECT source,
+       |    $qualityFormulaSql AS score
+       |  FROM st)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(COUNT(*) FILTER (WHERE score >= 0.4) AS BIGINT) AS n_passed,
+       |  CAST(COUNT(*) FILTER (WHERE score >= 0.4) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS pass_rate,
+       |  ${DetSql.dsum("score")} / COUNT(*) AS mean_score
+       |FROM sc
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Per-document top-3 tf-idf keywords — the "what is this document
     * about" data product behind corpus browsing, topic drift reports,
     * and keyword-based filters; [[bm25]] is query-side scoring, this
@@ -851,6 +901,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_tfidf" -> tfidf,
+    "llm_quality_by_source" -> qualityBySource,
     "llm_sample_stratified" -> sampleStratified,
     "llm_filter_funnel" -> filterFunnel,
     "llm_ngram_counts" -> ngramCounts,
@@ -873,6 +924,7 @@ object Text {
 
   val oracleSql: Map[String, String] = Map(
     "llm_tfidf" -> tfidfSql,
+    "llm_quality_by_source" -> qualityBySourceSql,
     "llm_sample_stratified" -> sampleStratifiedSql,
     "llm_filter_funnel" -> filterFunnelSql,
     "llm_ngram_counts" -> ngramCountsSql,

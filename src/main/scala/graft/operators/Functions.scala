@@ -123,6 +123,41 @@ object Functions {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Date construction + interval arithmetic on orders: month-clamped
+    * add_months (both engines clamp 01-31 + 1 month to the last valid
+    * day), fixed-day shifts, make_date construction, quarter
+    * truncation, month-end predicate, and anchored week bucketing —
+    * the calendar surface of a partition-by-date warehouse. Pure
+    * projection, one scan. */
+  def fnInterval(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("plus_3m"),
+        date_sub(col("o_orderdate").cast("date"), 14).as("minus_2w"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+          lit(1)).as("month_first"),
+        trunc(col("o_orderdate"), "quarter").as("quarter_start"),
+        (col("o_orderdate").cast("date") === last_day(col("o_orderdate")))
+          .as("is_month_end"),
+        expr("""CAST(FLOOR(datediff(CAST(o_orderdate AS DATE),
+          | DATE '1995-01-01') / 7.0) AS BIGINT)""".stripMargin)
+          .as("week_bucket"))
+      .orderBy(col("o_orderkey"))
+
+  val fnIntervalSql: String =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+      |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 14 DAY AS DATE) AS minus_2w,
+      |  make_date(CAST(YEAR(o_orderdate) AS BIGINT),
+      |            CAST(MONTH(o_orderdate) AS BIGINT), 1) AS month_first,
+      |  CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE) AS quarter_start,
+      |  CAST(o_orderdate AS DATE) = LAST_DAY(CAST(o_orderdate AS DATE))
+      |    AS is_month_end,
+      |  CAST(FLOOR(date_diff('day', DATE '1995-01-01',
+      |    CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS week_bucket
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Math functions on lineitem. abs/sub/mult/div and sqrt are
     * correctly-rounded IEEE ops (bit-identical across engines); ln and
     * pow are libm-dependent, hence the round-to-4. */
@@ -335,6 +370,7 @@ object Functions {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_bitwise" -> fnBitwise,
     "fn_regex" -> fnRegex,
+    "fn_interval" -> fnInterval,
     "fn_null" -> fnNull,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
@@ -349,6 +385,7 @@ object Functions {
   val oracleSql: Map[String, String] = Map(
     "fn_bitwise" -> fnBitwiseSql,
     "fn_regex" -> fnRegexSql,
+    "fn_interval" -> fnIntervalSql,
     "fn_null" -> fnNullSql,
     "fn_string" -> fnStringSql,
     "fn_date" -> fnDateSql,

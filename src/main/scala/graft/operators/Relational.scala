@@ -964,6 +964,35 @@ object Relational {
        |GROUP BY CUBE (c_mktsegment, n_name)
        |ORDER BY gid, c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  /** Exact per-group MODE with a deterministic tiebreak (highest
+    * count, then smallest value) — the built-in `mode()` leaves ties
+    * implementation-defined, which can never hash-match an oracle.
+    * Two-level aggregate: (group, value) counts shuffle once, then a
+    * per-group top-1 window over value-cardinality-bounded groups —
+    * the same shape as topk_per_group, no global sort. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n_occur").desc, col("l_quantity"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n_occur"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("n_occur"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggModeSql: String =
+    """SELECT l_returnflag, mode_qty, n_occur
+      |FROM (
+      |  SELECT l_returnflag, l_quantity AS mode_qty, COUNT(*) AS n_occur,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY COUNT(*) DESC, l_quantity) AS rn
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+      |WHERE rn = 1
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Per-group correlation + least-squares regression of extendedprice
     * on quantity — the two-variable statistics `corr`/`regr_slope`
     * compute, re-derived from exact moment sums so the oracle matches
@@ -1268,6 +1297,7 @@ object Relational {
     "agg_rollup_cube" -> aggRollupCube,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_corr" -> aggCorr,
+    "agg_mode" -> aggMode,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "sql_correlated" -> sqlCorrelated,
@@ -1316,6 +1346,7 @@ object Relational {
     "agg_rollup_cube" -> aggRollupCubeSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_corr" -> aggCorrSql,
+    "agg_mode" -> aggModeSql,
     "agg_pivot" -> aggPivotSql,
     "agg_unpivot" -> aggUnpivotSql,
     "sql_correlated" -> sqlCorrelatedSql,

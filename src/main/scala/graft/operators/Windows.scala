@@ -413,11 +413,42 @@ object Windows {
        |GROUP BY user_id, bucket
        |ORDER BY user_id, bucket""".stripMargin
 
+  /** Day-of-week seasonality profile of order volume — the weekly
+    * cycle report behind capacity planning and anomaly baselines.
+    * Spark's `dayofweek` is Sunday=1; the oracle remaps ISODOW the
+    * same way (the [[graft.operators.Functions.fnDate]] convention).
+    * One 7-group aggregate; the share window runs over 7 rows. */
+  def tsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy() // 7 dow rows
+    Tables.orders(spark, dir)
+      .groupBy(dayofweek(col("o_orderdate")).as("dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("pct_orders",
+        col("n_orders").cast("double") /
+          sum(col("n_orders")).over(w).cast("double"))
+      .select(col("dow"), col("n_orders"), col("sum_price"), col("pct_orders"))
+      .orderBy(col("dow"))
+  }
+
+  val tsSeasonalitySql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(ISODOW(o_orderdate) % 7 + 1 AS INT) AS dow,
+       |    COUNT(*) AS n_orders,
+       |    ${DetSql.dsum("o_totalprice")} AS sum_price
+       |  FROM orders GROUP BY 1)
+       |SELECT dow, n_orders, sum_price,
+       |  CAST(n_orders AS DOUBLE) / CAST(SUM(n_orders) OVER () AS DOUBLE)
+       |    AS pct_orders
+       |FROM d
+       |ORDER BY dow""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
     "win_analytic" -> winAnalytic,
     "win_rolling_range" -> winRollingRange,
+    "ts_seasonality" -> tsSeasonality,
     "ts_gapfill" -> tsGapfill,
     "ts_cumulative_users" -> tsCumulativeUsers,
     "ts_cohort_retention" -> tsCohortRetention,
@@ -431,6 +462,7 @@ object Windows {
     "win_distribution" -> winDistributionSql,
     "win_analytic" -> winAnalyticSql,
     "win_rolling_range" -> winRollingRangeSql,
+    "ts_seasonality" -> tsSeasonalitySql,
     "ts_gapfill" -> tsGapfillSql,
     "ts_cumulative_users" -> tsCumulativeUsersSql,
     "ts_cohort_retention" -> tsCohortRetentionSql,

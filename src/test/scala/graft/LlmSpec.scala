@@ -151,6 +151,19 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
       .where(col("ts") =!= col("min_ts")).count() == 0)
   }
 
+  test("quality-by-source pass counts reconcile with the per-doc gate") {
+    val perDoc = graft.llm.Text.qualityScore(spark, sfDir)
+      .where(col("passed")).count()
+    val rows = graft.llm.Text.qualityBySource(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum == perDoc)
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.core.Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("stratified sample takes exactly ceil(n/10) per stratum, deterministically") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val expect = docs.groupBy(col("lang")).count()

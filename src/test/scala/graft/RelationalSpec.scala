@@ -54,6 +54,37 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       split(col("text"), " ").getItem(0)).count() == 0)
   }
 
+  test("agg_mode picks a maximal-count value per group") {
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_quantity")).count()
+    val maxPer = counts.groupBy(col("l_returnflag"))
+      .agg(max(col("count")).as("max_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Relational.aggMode(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(2) == maxPer(r.getString(0)))
+    }
+  }
+
+  test("ts_seasonality covers the full week and reconciles to the table") {
+    val rows = graft.operators.Windows.tsSeasonality(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sfDir).count())
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+  }
+
+  test("fn_interval calendar fields are mutually consistent") {
+    val out = graft.operators.Functions.fnInterval(spark, sfDir)
+    // +3 months is exactly 3 calendar months ahead
+    assert(out.where(
+      (year(col("plus_3m")) * 12 + month(col("plus_3m"))) -
+        (year(col("month_first")) * 12 + month(col("month_first"))) =!= 3)
+      .count() == 0)
+    // month_first is day 1 of the order's month, quarter_start day 1 of its quarter
+    assert(out.where(dayofmonth(col("month_first")) =!= 1).count() == 0)
+    assert(out.where(dayofmonth(col("quarter_start")) =!= 1 ||
+      (month(col("quarter_start")) - 1) % 3 =!= 0).count() == 0)
+  }
+
   test("agg_corr matches Spark's built-in corr to statistical tolerance") {
     val ours = Relational.aggCorr(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
