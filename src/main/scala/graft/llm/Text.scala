@@ -798,6 +798,61 @@ object Text {
       |  CAST(n_docs AS DOUBLE) / CAST(n_prev AS DOUBLE) AS pct_of_prev
       |FROM s ORDER BY stage""".stripMargin
 
+  /** One-row dataset card — the headline numbers a corpus release
+    * publishes: volume (docs, tokens, chars), diversity (languages,
+    * sources), integrity (exact-duplicate rate via text digest), and
+    * quality-gate pass rate. Three independent single-purpose
+    * aggregates crossJoined as 1-row frames (the [[graft.operators.
+    * Maintenance.tableStats]] finding: separate pruned scans beat one
+    * Expand), each map-side combined; rates are exact-int / exact-int
+    * divisions. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val vol = d.select(col("n_chars"), size(toks).cast("long").as("n_tokens"),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+    val uniq = d.select(md5(col("text")).as("h"))
+      .agg(countDistinct(col("h")).as("n_uniq_texts"))
+    val pass = d.select(size(toks).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
+        size(filter(toks, t => t === "the" || t === "a")).cast("long").as("n_stop"))
+      .select((least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+        (col("n_stop") / greatest(col("n_tokens"), lit(1L))) * 0.3 +
+        least((col("n_letters") / greatest(col("n_tokens"), lit(1L))) / lit(8.0),
+          lit(1.0)) * 0.2).as("score"))
+      .agg(count(when(col("score") >= 0.4, lit(1))).as("n_passed"))
+    vol.crossJoin(uniq).crossJoin(pass)
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_sources"), col("n_uniq_texts"),
+        (lit(1.0) - col("n_uniq_texts").cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"),
+        (col("n_passed").cast("double") / col("n_docs").cast("double"))
+          .as("pass_rate"))
+  }
+
+  lazy val datasetCardSql: String =
+    s"""WITH vol AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(LEN(LIST_FILTER(string_split(lower(text), ' '),
+       |      t -> t <> '')) AS BIGINT)) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |    COUNT(DISTINCT lang) AS n_langs,
+       |    COUNT(DISTINCT source) AS n_sources
+       |  FROM documents),
+       |uniq AS (SELECT COUNT(DISTINCT md5(text)) AS n_uniq_texts FROM documents),
+       |pass AS (
+       |  SELECT CAST(COUNT(*) FILTER (WHERE score >= 0.4) AS BIGINT) AS n_passed
+       |  FROM (SELECT $qualityFormulaSql AS score
+       |        FROM ($qualityStatsSql)))
+       |SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, n_uniq_texts,
+       |  1.0 - CAST(n_uniq_texts AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+       |  CAST(n_passed AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pass_rate
+       |FROM vol CROSS JOIN uniq CROSS JOIN pass""".stripMargin
+
   /** Per-source quality dashboard — the cleaning report read per
     * ingest source: doc count, pass rate through the
     * [[qualityScore]] gate, and mean composite score. The per-row
@@ -902,6 +957,7 @@ object Text {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_tfidf" -> tfidf,
     "llm_quality_by_source" -> qualityBySource,
+    "llm_dataset_card" -> datasetCard,
     "llm_sample_stratified" -> sampleStratified,
     "llm_filter_funnel" -> filterFunnel,
     "llm_ngram_counts" -> ngramCounts,
@@ -925,6 +981,7 @@ object Text {
   val oracleSql: Map[String, String] = Map(
     "llm_tfidf" -> tfidfSql,
     "llm_quality_by_source" -> qualityBySourceSql,
+    "llm_dataset_card" -> datasetCardSql,
     "llm_sample_stratified" -> sampleStratifiedSql,
     "llm_filter_funnel" -> filterFunnelSql,
     "llm_ngram_counts" -> ngramCountsSql,

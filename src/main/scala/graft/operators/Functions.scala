@@ -220,6 +220,44 @@ object Functions {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Array SET algebra — intersect/except/union/position/bounds
+    * against a constant probe vocabulary, the membership tests a
+    * filter list or stopword table compiles to. Results are sorted or
+    * size-only so the two engines' (unspecified) set-op element order
+    * can't leak into the hash. Pure projection. */
+  def fnArraySet(spark: SparkSession, dir: String): DataFrame = {
+    val a = array_sort(array_distinct(
+      filter(split(lower(col("text")), " "), t => t =!= "")))
+    val probe = array(Seq("spark", "query", "vector", "data").map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(array_intersect(a, probe)).cast("long").as("n_common"),
+        array_join(array_sort(array_except(probe, a)), ",").as("missing"),
+        size(array_union(a, probe)).cast("long").as("n_union"),
+        array_position(a, "the").cast("long").as("pos_the"),
+        element_at(a, 1).as("min_tok"),
+        element_at(a, -1).as("max_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fnArraySetSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    LIST_SORT(LIST_DISTINCT(LIST_FILTER(
+      |      string_split(lower(text), ' '), x -> x <> ''))) AS a,
+      |    ['spark', 'query', 'vector', 'data'] AS probe
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(LEN(LIST_INTERSECT(a, probe)) AS BIGINT) AS n_common,
+      |  COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(probe,
+      |    p -> NOT LIST_CONTAINS(a, p))), ','), '') AS missing,
+      |  CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a, probe))) AS BIGINT) AS n_union,
+      |  CAST(COALESCE(LIST_POSITION(a, 'the'), 0) AS BIGINT) AS pos_the,
+      |  a[1] AS min_tok,
+      |  a[-1] AS max_tok
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
   /** VARIANT (Spark 4's semi-structured type): parse the JSON props
     * into a variant, typed path extraction, and NULL on a missing path
     * — the open-schema alternative to from_json(schema) when event
@@ -376,6 +414,7 @@ object Functions {
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
     "fn_array_map" -> fnArrayMap,
+    "fn_array_set" -> fnArraySet,
     "fn_json" -> fnJson,
     "fn_map" -> fnMap,
     "fn_struct" -> fnStruct,
@@ -391,6 +430,7 @@ object Functions {
     "fn_date" -> fnDateSql,
     "fn_math" -> fnMathSql,
     "fn_array_map" -> fnArrayMapSql,
+    "fn_array_set" -> fnArraySetSql,
     "fn_json" -> fnJsonSql,
     "fn_map" -> fnMapSql,
     "fn_struct" -> fnStructSql,

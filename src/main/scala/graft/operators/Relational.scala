@@ -964,6 +964,31 @@ object Relational {
        |GROUP BY CUBE (c_mktsegment, n_name)
        |ORDER BY gid, c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the join a
+    * nullable business key needs when NULL means "unknown but the
+    * same unknown": plain `=` silently drops every NULL row, `<=>`
+    * matches them. Still a hash join (null-safe equality is a valid
+    * equi-key), so the plan broadcasts the distinct-key dim exactly
+    * like a plain equi-join — no fallback to nested loops. */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.orders(spark, dir)
+      .select(expr("NULLIF(o_orderstatus, 'O')").as("k"))
+    val d = Tables.orders(spark, dir)
+      .select(expr("NULLIF(o_orderstatus, 'O')").as("k2")).distinct()
+    l.join(broadcast(d), col("k") <=> col("k2"))
+      .groupBy(coalesce(col("k2"), lit("open")).as("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"))
+  }
+
+  val joinNullSafeSql: String =
+    """WITH l AS (SELECT NULLIF(o_orderstatus, 'O') AS k FROM orders),
+      |d AS (SELECT DISTINCT NULLIF(o_orderstatus, 'O') AS k2 FROM orders)
+      |SELECT COALESCE(k2, 'open') AS label, COUNT(*) AS n
+      |FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k2
+      |GROUP BY 1
+      |ORDER BY label""".stripMargin
+
   /** Exact per-group MODE with a deterministic tiebreak (highest
     * count, then smallest value) — the built-in `mode()` leaves ties
     * implementation-defined, which can never hash-match an oracle.
@@ -1298,6 +1323,7 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_corr" -> aggCorr,
     "agg_mode" -> aggMode,
+    "join_null_safe" -> joinNullSafe,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "sql_correlated" -> sqlCorrelated,
@@ -1347,6 +1373,7 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_corr" -> aggCorrSql,
     "agg_mode" -> aggModeSql,
+    "join_null_safe" -> joinNullSafeSql,
     "agg_pivot" -> aggPivotSql,
     "agg_unpivot" -> aggUnpivotSql,
     "sql_correlated" -> sqlCorrelatedSql,

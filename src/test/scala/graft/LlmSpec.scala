@@ -151,6 +151,19 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
       .where(col("ts") =!= col("min_ts")).count() == 0)
   }
 
+  test("dataset card reconciles with its per-query sources") {
+    val card = graft.llm.Text.datasetCard(spark, sfDir).head()
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    assert(card.getLong(0) == docs.count())
+    assert(card.getLong(5) ==
+      docs.select(countDistinct(md5(col("text")))).head().getLong(0))
+    val passed = graft.llm.Text.qualityScore(spark, sfDir)
+      .where(col("passed")).count()
+    assert(math.abs(card.getDouble(7) -
+      passed.toDouble / card.getLong(0)) < 1e-12)
+    assert(card.getDouble(6) >= 0.0 && card.getDouble(6) < 1.0)
+  }
+
   test("quality-by-source pass counts reconcile with the per-doc gate") {
     val perDoc = graft.llm.Text.qualityScore(spark, sfDir)
       .where(col("passed")).count()

@@ -54,6 +54,22 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       split(col("text"), " ").getItem(0)).count() == 0)
   }
 
+  test("join_null_safe matches NULL keys and loses no rows") {
+    val rows = Relational.joinNullSafe(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sfDir)
+    // every order lands in exactly one label group — NULLs included
+    assert(rows.values.sum == o.count())
+    assert(rows("open") == o.where(col("o_orderstatus") === "O").count())
+  }
+
+  test("join_null_safe stays a broadcast hash join (no nested loop fallback)") {
+    val plan = Relational.joinNullSafe(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("agg_mode picks a maximal-count value per group") {
     val counts = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"), col("l_quantity")).count()
