@@ -499,6 +499,74 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** Embedding outlier report — per trained-codebook cell, how many
+    * members sit more than 2σ below the cell's mean centroid-cosine:
+    * the mislabeled/garbage-vector sweep run before an embedding
+    * corpus ships. Cosines are fixed-point quantized (×10⁶) so the
+    * moment sums are exact BIGINTs; mean/σ/threshold are then one
+    * spelled-out IEEE op sequence per cell (the [[graft.operators.
+    * Relational.aggCorr]] discipline), so the 2σ cut cannot straddle
+    * engines. Shape: cell-keyed aggregate + 16-row broadcast back. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val asg = assignCells(e, trainedCentroids(spark, dir))
+      .withColumn("q", expr("CAST(floor(ccos * 1000000 + 0.5) AS BIGINT)"))
+    val stats = asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+    val (nD, sqD, sqqD) = (col("n_vecs").cast("double"),
+      col("sq").cast("double"), col("sqq").cast("double"))
+    asg.join(broadcast(stats), "cell")
+      .withColumn("thr",
+        sqD / nD - lit(2.0) *
+          (sqrt(greatest(sqqD * nD - sqD * sqD, lit(0.0))) / nD))
+      .groupBy(col("cell"))
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        count(when(col("q").cast("double") < col("thr"), lit(1)))
+          .as("n_outliers"),
+        (max(col("sq")).cast("double") / lit(1000000.0) /
+          max(col("n_vecs")).cast("double")).as("mean_cos"),
+        (min(col("q")).cast("double") / lit(1000000.0)).as("min_cos"))
+      .orderBy(col("cell"))
+  }
+
+  lazy val embedOutliersSql: String =
+    s"""WITH $trainedCentCteSql,
+       |asg AS (
+       |  SELECT vec_id, cent_id AS cell, ccos FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |      (${Dedup.dotSql("v.embedding", "c.ce")}) / (v.nrm * c.cn) AS ccos,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY (${Dedup.dotSql("v.embedding", "c.ce")}) / (v.nrm * c.cn) DESC,
+       |                 c.cent_id) AS arn
+       |    FROM n v CROSS JOIN cent2 c) WHERE arn = 1),
+       |qv AS (
+       |  SELECT cell, vec_id,
+       |    CAST(floor(ccos * 1000000 + 0.5) AS BIGINT) AS q
+       |  FROM asg),
+       |st AS (
+       |  SELECT cell, COUNT(*) AS n_vecs,
+       |    CAST(SUM(q) AS BIGINT) AS sq,
+       |    CAST(SUM(q * q) AS BIGINT) AS sqq
+       |  FROM qv GROUP BY cell),
+       |fl AS (
+       |  SELECT qv.cell, qv.q, st.n_vecs, st.sq,
+       |    CAST(st.sq AS DOUBLE) / CAST(st.n_vecs AS DOUBLE)
+       |      - 2.0 * (SQRT(GREATEST(
+       |          CAST(st.sqq AS DOUBLE) * CAST(st.n_vecs AS DOUBLE)
+       |            - CAST(st.sq AS DOUBLE) * CAST(st.sq AS DOUBLE), 0.0))
+       |        / CAST(st.n_vecs AS DOUBLE)) AS thr
+       |  FROM qv JOIN st USING (cell))
+       |SELECT cell, MAX(n_vecs) AS n_vecs,
+       |  CAST(COUNT(*) FILTER (WHERE CAST(q AS DOUBLE) < thr) AS BIGINT)
+       |    AS n_outliers,
+       |  CAST(MAX(sq) AS DOUBLE) / 1000000.0 / CAST(MAX(n_vecs) AS DOUBLE)
+       |    AS mean_cos,
+       |  CAST(MIN(q) AS DOUBLE) / 1000000.0 AS min_cos
+       |FROM fl GROUP BY cell
+       |ORDER BY cell""".stripMargin
+
   /** Candidates actually scanned by the nprobe=2 search (pre-ranking
     * pair count) — the cost side of the recall/cost trade AnnRecallSpec
     * reports for the seed vs trained codebook. */
@@ -854,6 +922,7 @@ object Similarity {
     "llm_sim_search_ivf" -> simSearchIvf,
     "llm_sim_search_ivf_trained" -> simSearchIvfTrained,
     "llm_embed_cluster" -> embedCluster,
+    "llm_embed_outliers" -> embedOutliers,
     "llm_embed_quantize" -> embedQuantize,
     "llm_sim_search_int8" -> simSearchInt8,
     "llm_sim_search" -> simSearch,
@@ -868,6 +937,7 @@ object Similarity {
     "llm_sim_search_ivf" -> simSearchIvfSql,
     "llm_sim_search_ivf_trained" -> simSearchIvfTrainedSql,
     "llm_embed_cluster" -> embedClusterSql,
+    "llm_embed_outliers" -> embedOutliersSql,
     "llm_embed_quantize" -> embedQuantizeSql,
     "llm_sim_search_int8" -> simSearchInt8Sql,
     "llm_sim_search" -> simSearchSql,

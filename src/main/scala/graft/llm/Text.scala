@@ -798,6 +798,49 @@ object Text {
       |  CAST(n_docs AS DOUBLE) / CAST(n_prev AS DOUBLE) AS pct_of_prev
       |FROM s ORDER BY stage""".stripMargin
 
+  private val SpanLen = 8
+
+  /** Boilerplate-span detector — the repeated-content census behind
+    * header/footer/template stripping: non-overlapping 8-token spans
+    * per document, ranked by how many documents repeat them. Stride =
+    * span length bounds the explode at n_tokens/8 rows per doc, and
+    * the two-level (span, doc) → span aggregate keeps partial
+    * aggregation (the [[ngramCounts]] lesson — no per-span
+    * count-distinct Expand). Deterministic total order (docs desc,
+    * occurrences desc, span) under the top-50 cut. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .where(size(col("t")) >= SpanLen)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, CAST(size(t) / $SpanLen AS INT) - 1)"))
+          .as("k"), col("t"))
+      .select(col("doc_id"),
+        array_join(slice(col("t"), col("k") * SpanLen + 1, lit(SpanLen)), " ")
+          .as("span"))
+    spans.groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("n_occ"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occur"))
+      .orderBy(col("n_docs").desc, col("n_occur").desc, col("span"))
+      .limit(50)
+  }
+
+  val boilerplateSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    LIST_FILTER(string_split(lower(text), ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    array_to_string(t[k*$SpanLen+1 : (k+1)*$SpanLen], ' ') AS span
+       |  FROM t, unnest(range(0, CAST(len(t) / $SpanLen AS BIGINT))) AS u(k)
+       |  WHERE len(t) >= $SpanLen),
+       |pd AS (SELECT span, doc_id, COUNT(*) AS n_occ FROM s GROUP BY 1, 2)
+       |SELECT span, COUNT(*) AS n_docs, CAST(SUM(n_occ) AS BIGINT) AS n_occur
+       |FROM pd GROUP BY span
+       |ORDER BY n_docs DESC, n_occur DESC, span
+       |LIMIT 50""".stripMargin
+
   /** One-row dataset card — the headline numbers a corpus release
     * publishes: volume (docs, tokens, chars), diversity (languages,
     * sources), integrity (exact-duplicate rate via text digest), and
@@ -958,6 +1001,7 @@ object Text {
     "llm_tfidf" -> tfidf,
     "llm_quality_by_source" -> qualityBySource,
     "llm_dataset_card" -> datasetCard,
+    "llm_boilerplate" -> boilerplate,
     "llm_sample_stratified" -> sampleStratified,
     "llm_filter_funnel" -> filterFunnel,
     "llm_ngram_counts" -> ngramCounts,
@@ -982,6 +1026,7 @@ object Text {
     "llm_tfidf" -> tfidfSql,
     "llm_quality_by_source" -> qualityBySourceSql,
     "llm_dataset_card" -> datasetCardSql,
+    "llm_boilerplate" -> boilerplateSql,
     "llm_sample_stratified" -> sampleStratifiedSql,
     "llm_filter_funnel" -> filterFunnelSql,
     "llm_ngram_counts" -> ngramCountsSql,

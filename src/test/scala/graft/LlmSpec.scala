@@ -151,6 +151,31 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
       .where(col("ts") =!= col("min_ts")).count() == 0)
   }
 
+  test("boilerplate spans are complete 8-token windows with sane counts") {
+    val rows = graft.llm.Text.boilerplate(spark, sfDir).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getString(0).split(" ").length == 8)
+      assert(r.getLong(2) >= r.getLong(1)) // occurrences ≥ distinct docs
+      assert(r.getLong(1) >= 1)
+    }
+    // ranking is by doc count first
+    val docCounts = rows.map(_.getLong(1))
+    assert(docCounts.sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("embed outliers: cells partition the corpus, outliers strictly minority") {
+    val rows = graft.llm.Similarity.embedOutliers(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.core.Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      val (n, out, mean, min) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(out >= 0 && out < n) // 2σ cut can never flag a whole cell
+      assert(min <= mean + 1e-12)
+    }
+  }
+
   test("dataset card reconciles with its per-query sources") {
     val card = graft.llm.Text.datasetCard(spark, sfDir).head()
     val docs = graft.core.Tables.documents(spark, sfDir)
