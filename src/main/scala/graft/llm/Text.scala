@@ -798,6 +798,35 @@ object Text {
       |  CAST(n_docs AS DOUBLE) / CAST(n_prev AS DOUBLE) AS pct_of_prev
       |FROM s ORDER BY stage""".stripMargin
 
+  /** JSONL export shape — each document rendered to the compact JSON
+    * record a training-data drop ships (id, lang, source, text head,
+    * token count), plus its byte size for shard planning. Field order
+    * is fixed by the struct, and both engines render compact
+    * (no-whitespace) JSON, so the strings hash-match. At scale this is
+    * the projection feeding `.write.text` shards. */
+  def exportJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val j = to_json(struct(col("doc_id").as("id"), col("lang"),
+      col("source"), substring(col("text"), 1, 40).as("head"),
+      size(toks).cast("long").as("n_tokens")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), j.as("jsonl"),
+        length(j).cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val exportJsonlSql: String =
+    """WITH j AS (
+      |  SELECT doc_id,
+      |    CAST(to_json(struct_pack(
+      |      id := doc_id, lang := lang, source := source,
+      |      head := substr(text, 1, 40),
+      |      n_tokens := CAST(LEN(LIST_FILTER(string_split(lower(text), ' '),
+      |        t -> t <> '')) AS BIGINT))) AS VARCHAR) AS jsonl
+      |  FROM documents)
+      |SELECT doc_id, jsonl, CAST(LENGTH(jsonl) AS BIGINT) AS n_bytes
+      |FROM j
+      |ORDER BY doc_id""".stripMargin
+
   private val SpanLen = 8
 
   /** Boilerplate-span detector — the repeated-content census behind
@@ -1002,6 +1031,7 @@ object Text {
     "llm_quality_by_source" -> qualityBySource,
     "llm_dataset_card" -> datasetCard,
     "llm_boilerplate" -> boilerplate,
+    "llm_export_jsonl" -> exportJsonl,
     "llm_sample_stratified" -> sampleStratified,
     "llm_filter_funnel" -> filterFunnel,
     "llm_ngram_counts" -> ngramCounts,
@@ -1027,6 +1057,7 @@ object Text {
     "llm_quality_by_source" -> qualityBySourceSql,
     "llm_dataset_card" -> datasetCardSql,
     "llm_boilerplate" -> boilerplateSql,
+    "llm_export_jsonl" -> exportJsonlSql,
     "llm_sample_stratified" -> sampleStratifiedSql,
     "llm_filter_funnel" -> filterFunnelSql,
     "llm_ngram_counts" -> ngramCountsSql,

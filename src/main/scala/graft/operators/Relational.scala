@@ -964,6 +964,72 @@ object Relational {
        |GROUP BY CUBE (c_mktsegment, n_name)
        |ORDER BY gid, c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  /** Interval-overlap join rewritten as a bucket equi-join — the scale
+    * path for "which sessions overlap the busy hours": exploding each
+    * session into the hour buckets it covers turns interval × interval
+    * overlap into an equi-join on the bucket key (the standard rewrite
+    * that avoids a range-condition nested loop). All boundary math is
+    * integer epoch-µs (end-exclusive via e-1), so no timestamp
+    * rounding can disagree; the busy-hour side is a TakeOrdered top-10
+    * broadcast. Explode factor = session length in hours — bounded by
+    * the 30-minute gap semantics. */
+  def joinIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val s = Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sstart"),
+        unix_micros(col("session_window.start")).as("s_us"),
+        unix_micros(col("session_window.end")).as("e_us"))
+    val cov = s.select(col("user_id"), col("sstart"),
+      explode(expr(s"sequence(s_us DIV $HourUs, (e_us - 1) DIV $HourUs)"))
+        .as("hb"))
+    val busy = Tables.events(spark, dir)
+      .select((unix_micros(col("ts")) / HourUs).cast("long").as("hb"))
+      .groupBy(col("hb")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("hb")).limit(10)
+      .select(col("hb"))
+    cov.join(broadcast(busy), "hb")
+      .groupBy(col("user_id"), col("sstart"))
+      .agg(count(lit(1)).as("n_busy_hours"))
+      .orderBy(col("user_id"), col("sstart"))
+  }
+
+  val joinIntervalOverlapSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |islands AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |s AS (
+      |  SELECT user_id, MIN(ts) AS sstart,
+      |    epoch_us(MIN(ts)) AS s_us,
+      |    epoch_us(MAX(ts) + INTERVAL '30 minutes') AS e_us
+      |  FROM islands GROUP BY user_id, sid),
+      |cov AS (
+      |  SELECT user_id, sstart,
+      |    unnest(range(s_us // 3600000000, ((e_us - 1) // 3600000000) + 1))
+      |      AS hb
+      |  FROM s),
+      |busy AS (
+      |  SELECT hb FROM (
+      |    SELECT epoch_us(ts) // 3600000000 AS hb,
+      |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+      |                         epoch_us(ts) // 3600000000) AS rn
+      |    FROM events GROUP BY 1)
+      |  WHERE rn <= 10)
+      |SELECT user_id, sstart, COUNT(*) AS n_busy_hours
+      |FROM cov JOIN busy USING (hb)
+      |GROUP BY user_id, sstart
+      |ORDER BY user_id, sstart""".stripMargin
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the join a
     * nullable business key needs when NULL means "unknown but the
     * same unknown": plain `=` silently drops every NULL row, `<=>`
@@ -988,6 +1054,31 @@ object Relational {
       |FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k2
       |GROUP BY 1
       |ORDER BY label""".stripMargin
+
+  /** Weighted average — sum(w·x)/sum(w) from two exact cent-sums, the
+    * aggregate a unit-price-over-quantity report needs where a plain
+    * avg of per-row prices would be volume-blind. Both sums go through
+    * [[Det.dsum]], so the single final division is the same IEEE op on
+    * identical operands in both engines. */
+  def aggWeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        (Det.dsum(col("l_quantity") * col("l_extendedprice")) /
+          Det.dsum(col("l_quantity"))).as("wavg_price"),
+        Det.davg(col("l_extendedprice")).as("avg_price"))
+      .orderBy(col("l_returnflag"))
+
+  val aggWeightedAvgSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${DetSql.dsum("l_quantity")} AS sum_qty,
+       |  (${DetSql.dsum("l_quantity * l_extendedprice")})
+       |    / (${DetSql.dsum("l_quantity")}) AS wavg_price,
+       |  ${DetSql.davg("l_extendedprice")} AS avg_price
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
 
   /** Exact per-group MODE with a deterministic tiebreak (highest
     * count, then smallest value) — the built-in `mode()` leaves ties
@@ -1324,6 +1415,8 @@ object Relational {
     "agg_corr" -> aggCorr,
     "agg_mode" -> aggMode,
     "join_null_safe" -> joinNullSafe,
+    "join_interval_overlap" -> joinIntervalOverlap,
+    "agg_weighted_avg" -> aggWeightedAvg,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "sql_correlated" -> sqlCorrelated,
@@ -1374,6 +1467,8 @@ object Relational {
     "agg_corr" -> aggCorrSql,
     "agg_mode" -> aggModeSql,
     "join_null_safe" -> joinNullSafeSql,
+    "join_interval_overlap" -> joinIntervalOverlapSql,
+    "agg_weighted_avg" -> aggWeightedAvgSql,
     "agg_pivot" -> aggPivotSql,
     "agg_unpivot" -> aggUnpivotSql,
     "sql_correlated" -> sqlCorrelatedSql,

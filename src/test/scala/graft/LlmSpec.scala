@@ -151,6 +151,22 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
       .where(col("ts") =!= col("min_ts")).count() == 0)
   }
 
+  test("exported JSONL parses back to the source fields") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("head", StringType),
+      StructField("n_tokens", LongType)))
+    val parsed = graft.llm.Text.exportJsonl(spark, sfDir)
+      .select(col("doc_id"), from_json(col("jsonl"), schema).as("j"))
+    assert(parsed.where(col("j").isNull || col("j.id") =!= col("doc_id"))
+      .count() == 0)
+    val src = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang").as("src_lang"))
+    assert(parsed.join(src, "doc_id")
+      .where(col("j.lang") =!= col("src_lang")).count() == 0)
+  }
+
   test("boilerplate spans are complete 8-token windows with sane counts") {
     val rows = graft.llm.Text.boilerplate(spark, sfDir).collect()
     assert(rows.length == 50)

@@ -54,6 +54,37 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       split(col("text"), " ").getItem(0)).count() == 0)
   }
 
+  test("interval-overlap bucket join agrees with the direct range predicate") {
+    import org.apache.spark.sql.functions.{unix_micros, session_window}
+    val e = Tables.events(spark, sfDir)
+    val s = e.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)))
+      .select(col("user_id"), col("session_window.start").as("sstart"),
+        unix_micros(col("session_window.start")).as("s_us"),
+        unix_micros(col("session_window.end")).as("e_us"))
+    val busy = e.select((unix_micros(col("ts")) / 3600000000L).cast("long").as("hb"))
+      .groupBy(col("hb")).count()
+      .orderBy(col("count").desc, col("hb")).limit(10)
+      .select(col("hb"), (col("hb") * 3600000000L).as("h_lo"),
+        ((col("hb") + 1) * 3600000000L).as("h_hi"))
+    // brute-force overlap count per session via the range predicate
+    val direct = s.join(broadcast(busy),
+        col("s_us") < col("h_hi") && col("e_us") > col("h_lo"))
+      .groupBy(col("user_id"), col("sstart")).count()
+    val bucketed = Relational.joinIntervalOverlap(spark, sfDir)
+    assert(direct.count() == bucketed.count())
+    assert(bucketed.join(direct, Seq("user_id", "sstart"))
+      .where(col("n_busy_hours") =!= col("count")).count() == 0)
+  }
+
+  test("weighted average sits inside the price range and differs from plain avg") {
+    Relational.aggWeightedAvg(spark, sfDir).collect().foreach { r =>
+      val (wavg, avg) = (r.getDouble(3), r.getDouble(4))
+      assert(wavg > 0 && avg > 0)
+      assert(math.abs(wavg / avg - 1.0) < 0.5) // same order of magnitude
+    }
+  }
+
   test("join_null_safe matches NULL keys and loses no rows") {
     val rows = Relational.joinNullSafe(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
