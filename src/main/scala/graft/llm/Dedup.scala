@@ -222,6 +222,74 @@ object Dedup {
        |GROUP BY 1, 2
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Incremental-ingest dedup — the nightly-batch shape: documents
+    * arriving now (doc_id % 10 = 0 simulates the increment) are
+    * checked against the standing corpus, NOT against each other, and
+    * tagged `drop_exact` (digest already present), `drop_near` (MinHash
+    * band candidate with a base doc), or `keep`. Reuses the SAME band
+    * machinery as the full dedup ladder, so incremental and full runs
+    * can never disagree on what "near" means. Scale shape: the base
+    * digest set is a distinct semi-join (digest-keyed shuffle), band
+    * candidates are the usual bucket-bounded join — cost scales with
+    * the increment, not the corpus rescan. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val batchPred = col("doc_id") % 10 === 0
+    val baseDigests = docs.where(!batchPred)
+      .select(md5(lower(trim(col("text")))).as("digest")).distinct()
+    val exactIds = docs.where(batchPred)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("digest"))
+      .join(baseDigests, "digest")
+      .select(col("doc_id")).distinct()
+    val pairs = candidatePairs(bandsNative(docs, "doc_id", "text").cache())
+    val nearIds = pairs
+      .where(col("doc_a") % 10 === 0 && col("doc_b") % 10 =!= 0)
+      .select(col("doc_a").as("doc_id"))
+      .union(pairs
+        .where(col("doc_b") % 10 === 0 && col("doc_a") % 10 =!= 0)
+        .select(col("doc_b").as("doc_id")))
+      .distinct()
+    docs.where(batchPred).select(col("doc_id"))
+      .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), "drop_exact")
+          .when(col("is_near"), "drop_near")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val incrementalDedupSql: String =
+    s"""WITH tg AS ($trigramsSql),
+       |mh AS ($signaturesSql),
+       |bands AS ($bandsSql),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+       |batch AS (
+       |  SELECT doc_id, md5(lower(trim(text))) AS digest
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |based AS (
+       |  SELECT DISTINCT md5(lower(trim(text))) AS digest
+       |  FROM documents WHERE doc_id % 10 <> 0),
+       |ex AS (SELECT DISTINCT b.doc_id FROM batch b JOIN based d USING (digest)),
+       |nr AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    WHERE doc_a % 10 = 0 AND doc_b % 10 <> 0
+       |    UNION ALL
+       |    SELECT doc_b FROM pairs
+       |    WHERE doc_b % 10 = 0 AND doc_a % 10 <> 0))
+       |SELECT b.doc_id,
+       |  CASE WHEN ex.doc_id IS NOT NULL THEN 'drop_exact'
+       |       WHEN nr.doc_id IS NOT NULL THEN 'drop_near'
+       |       ELSE 'keep' END AS verdict
+       |FROM batch b
+       |LEFT JOIN ex ON b.doc_id = ex.doc_id
+       |LEFT JOIN nr ON b.doc_id = nr.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   /** Minimum signature-chunk agreements for a candidate pair to reach
     * exact verification: est = n_agree/8 ≥ 3/8, under the 0.5 report
     * threshold, so most borderline-true pairs reach the exact rung
@@ -802,6 +870,7 @@ object Dedup {
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_fuzzy" -> dedupFuzzy,
     "llm_doc_overlap" -> docOverlap,
+    "llm_incremental_dedup" -> incrementalDedup,
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_jaccard_est" -> dedupJaccardEst,
     "llm_dedup_clusters" -> dedupClusters,
@@ -816,6 +885,7 @@ object Dedup {
     "llm_dedup_exact" -> dedupExactSql,
     "llm_dedup_fuzzy" -> dedupFuzzySql,
     "llm_doc_overlap" -> docOverlapSql,
+    "llm_incremental_dedup" -> incrementalDedupSql,
     "llm_dedup_jaccard" -> dedupJaccardSql,
     "llm_dedup_jaccard_est" -> dedupJaccardEstSql,
     "llm_dedup_clusters" -> dedupClustersSql,

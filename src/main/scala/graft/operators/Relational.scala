@@ -1055,6 +1055,62 @@ object Relational {
       |GROUP BY 1
       |ORDER BY label""".stripMargin
 
+  /** Skewness + excess kurtosis per group from exact power sums —
+    * the 3rd/4th standardized moments behind distribution-shape
+    * checks (is this column symmetric? heavy-tailed?). Quantity is
+    * integer-valued ≤ 50, so x²/x³/x⁴ are exact doubles and the
+    * decimal sums are exact; the central-moment algebra is then one
+    * spelled-out IEEE sequence, with m2^1.5 written as m2·√m2 (two
+    * correctly-rounded ops) instead of a libm pow. */
+  def aggSkewKurt(spark: SparkSession, dir: String): DataFrame = {
+    // quantity is integer-valued: BIGINT power sums are EXACT (a
+    // DECIMAL sum would round-trip through a 1-ulp-unsafe
+    // decimal→double cast — passes sf0.01, fails sf0.1)
+    def s(c: Column): Column = sum(c).cast("double")
+    val x = col("l_quantity").cast("long")
+    val nD = count(lit(1)).cast("double")
+    val base = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), (s(x) / nD).as("mu"),
+        (s(x * x) / nD).as("ex2"), (s(x * x * x) / nD).as("ex3"),
+        (s(x * x * x * x) / nD).as("ex4"))
+    val mu = col("mu")
+    val m2 = col("ex2") - mu * mu
+    val m3 = col("ex3") - lit(3.0) * mu * col("ex2") + lit(2.0) * (mu * mu * mu)
+    val m4 = col("ex4") - lit(4.0) * mu * col("ex3") +
+      lit(6.0) * (mu * mu) * col("ex2") - lit(3.0) * ((mu * mu) * (mu * mu))
+    base.select(col("l_returnflag"), col("n"), mu.as("mean_qty"),
+        when(m2 > 0, m3 / (m2 * sqrt(m2))).as("skewness"),
+        when(m2 > 0, m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggSkewKurtSql: String = {
+    def s(x: String) =
+      s"CAST(CAST(SUM($x) AS BIGINT) AS DOUBLE)"
+    s"""WITH q AS (
+       |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+       |b AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${s("x")} / CAST(COUNT(*) AS DOUBLE) AS mu,
+       |    ${s("x * x")} / CAST(COUNT(*) AS DOUBLE) AS ex2,
+       |    ${s("x * x * x")} / CAST(COUNT(*) AS DOUBLE) AS ex3,
+       |    ${s("x * x * x * x")} / CAST(COUNT(*) AS DOUBLE) AS ex4
+       |  FROM q GROUP BY l_returnflag),
+       |m AS (
+       |  SELECT l_returnflag, n, mu,
+       |    ex2 - mu * mu AS m2,
+       |    ex3 - 3.0 * mu * ex2 + 2.0 * (mu * mu * mu) AS m3,
+       |    ex4 - 4.0 * mu * ex3 + 6.0 * (mu * mu) * ex2
+       |      - 3.0 * ((mu * mu) * (mu * mu)) AS m4
+       |  FROM b)
+       |SELECT l_returnflag, n, mu AS mean_qty,
+       |  CASE WHEN m2 > 0 THEN m3 / (m2 * SQRT(m2)) END AS skewness,
+       |  CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis
+       |FROM m
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Weighted average — sum(w·x)/sum(w) from two exact cent-sums, the
     * aggregate a unit-price-over-quantity report needs where a plain
     * avg of per-row prices would be volume-blind. Both sums go through
@@ -1417,6 +1473,7 @@ object Relational {
     "join_null_safe" -> joinNullSafe,
     "join_interval_overlap" -> joinIntervalOverlap,
     "agg_weighted_avg" -> aggWeightedAvg,
+    "agg_skew_kurt" -> aggSkewKurt,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "sql_correlated" -> sqlCorrelated,
@@ -1469,6 +1526,7 @@ object Relational {
     "join_null_safe" -> joinNullSafeSql,
     "join_interval_overlap" -> joinIntervalOverlapSql,
     "agg_weighted_avg" -> aggWeightedAvgSql,
+    "agg_skew_kurt" -> aggSkewKurtSql,
     "agg_pivot" -> aggPivotSql,
     "agg_unpivot" -> aggUnpivotSql,
     "sql_correlated" -> sqlCorrelatedSql,

@@ -151,6 +151,23 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
       .where(col("ts") =!= col("min_ts")).count() == 0)
   }
 
+  test("incremental dedup verdicts partition the batch; drop_exact iff digest in base") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val out = graft.llm.Dedup.incrementalDedup(spark, sfDir)
+    assert(out.count() == docs.where(col("doc_id") % 10 === 0).count())
+    val withDigest = docs.select(col("doc_id"),
+      md5(lower(trim(col("text")))).as("digest"))
+    val baseDigests = withDigest.where(col("doc_id") % 10 =!= 0)
+      .select(col("digest")).distinct()
+    val expectExact = withDigest.where(col("doc_id") % 10 === 0)
+      .join(baseDigests, "digest").select(col("doc_id")).distinct().count()
+    assert(out.where(col("verdict") === "drop_exact").count() == expectExact)
+    // an exact dup against the base is never downgraded to near/keep
+    assert(out.join(withDigest.where(col("doc_id") % 10 === 0), "doc_id")
+      .join(baseDigests, "digest")
+      .where(col("verdict") =!= "drop_exact").count() == 0)
+  }
+
   test("exported JSONL parses back to the source fields") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

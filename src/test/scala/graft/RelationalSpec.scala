@@ -77,6 +77,19 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .where(col("n_busy_hours") =!= col("count")).count() == 0)
   }
 
+  test("agg_skew_kurt matches Spark's built-in skewness/kurtosis to tolerance") {
+    val ours = Relational.aggSkewKurt(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val builtin = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(col("l_quantity")).as("s"), kurtosis(col("l_quantity")).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ours.foreach { case (flag, (s, k)) =>
+      assert(math.abs(s - builtin(flag)._1) < 1e-6, s"skew $flag")
+      assert(math.abs(k - builtin(flag)._2) < 1e-6, s"kurt $flag")
+    }
+  }
+
   test("weighted average sits inside the price range and differs from plain avg") {
     Relational.aggWeightedAvg(spark, sfDir).collect().foreach { r =>
       val (wavg, avg) = (r.getDouble(3), r.getDouble(4))
