@@ -798,6 +798,78 @@ object Text {
       |  CAST(n_docs AS DOUBLE) / CAST(n_prev AS DOUBLE) AS pct_of_prev
       |FROM s ORDER BY stage""".stripMargin
 
+  /** PMI formula over (cb, c1, c2, t_big, t_uni) — fixed-point
+    * quantized ln, shared verbatim between the Spark expr and the
+    * oracle so the collocation ranking compares exact BIGINTs. */
+  private val pmiQExpr: String =
+    """CAST(floor(ln(
+      |  (CAST(cb AS DOUBLE) / CAST(t_big AS DOUBLE))
+      |    / ((CAST(c1 AS DOUBLE) / CAST(t_uni AS DOUBLE))
+      |       * (CAST(c2 AS DOUBLE) / CAST(t_uni AS DOUBLE)))
+      |) * 1000000 + 0.5) AS BIGINT)""".stripMargin
+
+  /** Collocation mining — top-100 bigrams by pointwise mutual
+    * information (min count 5): the phrase lexicon a tokenizer or
+    * boilerplate list is seeded from. PMI compares the bigram's
+    * observed rate to the independence expectation of its unigrams.
+    * Shape: one bigram shuffle + one unigram shuffle; the vocab-sized
+    * unigram frame broadcasts back twice; totals are 1-row
+    * crossJoins; final cut is TakeOrdered on the exact quantized
+    * score. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir).select(toks.as("t"))
+    val big = tok.select(explode(expr(
+        """transform(sequence(0, size(t) - 2),
+          |  i -> concat(try_element_at(t, i+1), ' ', try_element_at(t, i+2)))
+          |""".stripMargin)).as("g"))
+      .where(col("g").isNotNull)
+    val uni = tok.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val tUni = uni.agg(sum(col("cu")).as("t_uni"))
+    val bc = big.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+    val tBig = bc.agg(sum(col("cb")).as("t_big"))
+    bc.where(col("cb") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))),
+        split_part(col("g"), lit(" "), lit(1)) === col("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))),
+        split_part(col("g"), lit(" "), lit(2)) === col("w2"))
+      .crossJoin(broadcast(tUni)).crossJoin(broadcast(tBig))
+      .withColumn("pmi_q", expr(pmiQExpr))
+      .select(col("g").as("gram"), col("cb").as("n_pairs"),
+        col("c1"), col("c2"),
+        (col("pmi_q").cast("double") / 1000000.0).as("pmi"))
+      .orderBy(col("pmi").desc, col("gram"))
+      .limit(100)
+  }
+
+  lazy val collocationsSql: String =
+    s"""WITH tok AS (
+       |  SELECT LIST_FILTER(string_split(lower(text), ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |big AS (
+       |  SELECT t[i+1] || ' ' || t[i+2] AS g
+       |  FROM tok, unnest(range(0, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 2),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS cu
+       |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+       |tu AS (SELECT CAST(SUM(cu) AS BIGINT) AS t_uni FROM uni),
+       |bc AS (SELECT g, COUNT(*) AS cb FROM big GROUP BY g),
+       |tb AS (SELECT CAST(SUM(cb) AS BIGINT) AS t_big FROM bc),
+       |j AS (
+       |  SELECT bc.g, bc.cb, u1.cu AS c1, u2.cu AS c2, t_uni, t_big
+       |  FROM bc
+       |  JOIN uni u1 ON split_part(bc.g, ' ', 1) = u1.w
+       |  JOIN uni u2 ON split_part(bc.g, ' ', 2) = u2.w
+       |  CROSS JOIN tu CROSS JOIN tb
+       |  WHERE bc.cb >= 5),
+       |p AS (SELECT g, cb, c1, c2, $pmiQExpr AS pmi_q FROM j)
+       |SELECT g AS gram, cb AS n_pairs, c1, c2,
+       |  CAST(pmi_q AS DOUBLE) / 1000000.0 AS pmi
+       |FROM p
+       |ORDER BY pmi DESC, gram
+       |LIMIT 100""".stripMargin
+
   /** JSONL export shape — each document rendered to the compact JSON
     * record a training-data drop ships (id, lang, source, text head,
     * token count), plus its byte size for shard planning. Field order
@@ -1032,6 +1104,7 @@ object Text {
     "llm_dataset_card" -> datasetCard,
     "llm_boilerplate" -> boilerplate,
     "llm_export_jsonl" -> exportJsonl,
+    "llm_collocations" -> collocations,
     "llm_sample_stratified" -> sampleStratified,
     "llm_filter_funnel" -> filterFunnel,
     "llm_ngram_counts" -> ngramCounts,
@@ -1058,6 +1131,7 @@ object Text {
     "llm_dataset_card" -> datasetCardSql,
     "llm_boilerplate" -> boilerplateSql,
     "llm_export_jsonl" -> exportJsonlSql,
+    "llm_collocations" -> collocationsSql,
     "llm_sample_stratified" -> sampleStratifiedSql,
     "llm_filter_funnel" -> filterFunnelSql,
     "llm_ngram_counts" -> ngramCountsSql,

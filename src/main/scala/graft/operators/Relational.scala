@@ -171,6 +171,31 @@ object Relational {
           .option("header", "true").format(fmt).save(target)
       })
 
+  /** Plain-text-lines source (`spark.read.text`) — the rawest ingest
+    * format a crawl/log pipeline starts from: one string column per
+    * line, structure recovered by expression (here a pipe-delimited
+    * record parsed with split_part + try-casts). Staged once from
+    * nation; the oracle reads the TABLE, so equality proves the
+    * format→parse roundtrip, the same contract as the JSON/CSV scans.
+    * At 100 TB text splits by line ranges exactly like CSV — fully
+    * parallel scan, no footer metadata to read. */
+  def scanText(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(stagedLinesCopy(spark, dir))
+      .select(
+        split_part(col("value"), lit("|"), lit(1)).cast("int").as("n_nationkey"),
+        split_part(col("value"), lit("|"), lit(2)).as("n_name"),
+        split_part(col("value"), lit("|"), lit(3)).cast("int").as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+
+  private def stagedLinesCopy(spark: SparkSession, dir: String): String =
+    textFixtures.getOrElseUpdate((dir, "lines"),
+      graft.core.Fixtures.staged(s"$dir/nation.parquet", "lines") { target =>
+        Tables.nation(spark, dir)
+          .select(concat_ws("|", col("n_nationkey"), col("n_name"),
+            col("n_regionkey")).as("value"))
+          .write.mode("overwrite").text(target)
+      })
+
   /** Schema-evolved scan: two parquet batches of one logical table,
     * written before and after a column was added (the drift a 100 TB
     * table accumulates over years of writers), read back as one frame
@@ -1439,6 +1464,7 @@ object Relational {
     "scan_partition_pruned" -> scanPartitionPruned,
     "scan_json" -> scanJson,
     "scan_csv" -> scanCsv,
+    "scan_text" -> scanText,
     "scan_orc" -> scanOrc,
     "scan_avro" -> scanAvro,
     "scan_merged_schema" -> scanMergedSchema,
@@ -1494,6 +1520,7 @@ object Relational {
     "scan_partition_pruned" -> scanPartitionPrunedSql,
     "scan_json" -> scanTextSql,
     "scan_csv" -> scanTextSql,
+    "scan_text" -> scanTextSql,
     "scan_orc" -> scanTextSql,
     "scan_avro" -> scanTextSql,
     "scan_merged_schema" -> scanMergedSchemaSql,

@@ -151,6 +151,18 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
       .where(col("ts") =!= col("min_ts")).count() == 0)
   }
 
+  test("collocations: counts consistent, ranking monotone in PMI") {
+    val rows = graft.llm.Text.collocations(spark, sfDir).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 5)            // min-count gate
+      assert(r.getLong(2) >= r.getLong(1)) // unigram ≥ bigram count
+      assert(r.getLong(3) >= r.getLong(1))
+    }
+    val pmis = rows.map(_.getDouble(4))
+    assert(pmis.sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("incremental dedup verdicts partition the batch; drop_exact iff digest in base") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val out = graft.llm.Dedup.incrementalDedup(spark, sfDir)

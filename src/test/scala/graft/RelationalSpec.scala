@@ -179,6 +179,7 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .orderBy(col("n_nationkey")).collect().toSeq
     assert(Relational.scanJson(spark, sfDir).collect().toSeq == parquetRows)
     assert(Relational.scanCsv(spark, sfDir).collect().toSeq == parquetRows)
+    assert(Relational.scanText(spark, sfDir).collect().toSeq == parquetRows)
   }
 
   test("approx_percentile tracks the exact percentile per group") {
