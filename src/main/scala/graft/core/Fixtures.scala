@@ -91,7 +91,11 @@ object Fixtures {
       }
     }
     Option(tmpRoot.listFiles()).toSeq.flatten // purge superseded versions
-      .filter(f => f.getName.startsWith(prefix) && f.getName != prefix + fp)
+      // second clause: pre-fingerprint dirs from the old naming scheme
+      // (`graft_<kind>_<tag>`, no trailing fingerprint) would otherwise
+      // never match the prefix filter and leak forever
+      .filter(f => (f.getName.startsWith(prefix) && f.getName != prefix + fp)
+        || f.getName == prefix.dropRight(1))
       .filter(f => System.currentTimeMillis - f.lastModified > 3600 * 1000L)
       .foreach(rm)
     target.toString

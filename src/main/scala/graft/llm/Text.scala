@@ -124,22 +124,35 @@ object Text {
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-doc (n_tokens, n_letters, n_stop) stats feeding the quality
+    * formula — the ONE Spark-side source, twin of [[qualityStatsSql]]. */
+  private def qualityStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
+        size(filter(toks, t => t === "the" || t === "a")).cast("long").as("n_stop"))
+
+  /** Spark twin of [[qualityFormulaSql]] over the [[qualityStats]]
+    * columns — the ONE Column-side definition of the composite
+    * (review: it had drifted into three re-typed copies). */
+  private def qualityScoreCol: org.apache.spark.sql.Column =
+    least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+      (col("n_stop") / greatest(col("n_tokens"), lit(1L))) * 0.3 +
+      least((col("n_letters") / greatest(col("n_tokens"), lit(1L))) / lit(8.0),
+        lit(1.0)) * 0.2
+
   /** Quality scoring: length score, mean token length, stopword ratio,
     * composite. Weighted sum of doubles in a fixed order — identical
     * IEEE sequence in the oracle. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
-        size(toks).cast("long").as("n_tokens"),
-        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
-        size(filter(toks, t => t === "the" || t === "a")).cast("long").as("n_stop"))
+    qualityStats(spark, dir)
+      .withColumn("score", qualityScoreCol)
       .select(col("doc_id"), col("n_tokens"),
         least(col("n_tokens") / lit(100.0), lit(1.0)).as("len_score"),
         (col("n_letters") / greatest(col("n_tokens"), lit(1L))).as("mean_tok_len"),
-        (col("n_stop") / greatest(col("n_tokens"), lit(1L))).as("stop_ratio"))
-      .withColumn("score",
-        col("len_score") * 0.5 + col("stop_ratio") * 0.3 +
-          least(col("mean_tok_len") / lit(8.0), lit(1.0)) * 0.2)
+        (col("n_stop") / greatest(col("n_tokens"), lit(1L))).as("stop_ratio"),
+        col("score"))
       .withColumn("passed", col("score") >= 0.4)
       .orderBy(col("doc_id"))
 
@@ -818,11 +831,10 @@ object Text {
     * score. */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir).select(toks.as("t"))
-    val big = tok.select(explode(expr(
-        """transform(sequence(0, size(t) - 2),
-          |  i -> concat(try_element_at(t, i+1), ' ', try_element_at(t, i+2)))
-          |""".stripMargin)).as("g"))
-      .where(col("g").isNotNull)
+    // the SHARED bigram algebra (null-filtered, short-doc-guarded) —
+    // review: an unguarded re-implementation here crashed on sub-2-token
+    // docs via Spark's descending sequence(0, -1) and index 0
+    val big = tok.select(explode(expr(bigramArrayExpr)).as("g"))
     val uni = tok.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val tUni = uni.agg(sum(col("cu")).as("t_uni"))
@@ -847,9 +859,7 @@ object Text {
        |  SELECT LIST_FILTER(string_split(lower(text), ' '), x -> x <> '') AS t
        |  FROM documents),
        |big AS (
-       |  SELECT t[i+1] || ' ' || t[i+2] AS g
-       |  FROM tok, unnest(range(0, len(t) - 1)) AS u(i)
-       |  WHERE len(t) >= 2),
+       |  SELECT unnest($bigramArraySql) AS g FROM tok),
        |uni AS (
        |  SELECT w, COUNT(*) AS cu
        |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
@@ -882,7 +892,9 @@ object Text {
       size(toks).cast("long").as("n_tokens")))
     Tables.documents(spark, dir)
       .select(col("doc_id"), j.as("jsonl"),
-        length(j).cast("long").as("n_bytes"))
+        // octet_length: n_bytes must be UTF-8 bytes (shard planning),
+        // not characters — length() undercounts non-ASCII text
+        octet_length(j).cast("long").as("n_bytes"))
       .orderBy(col("doc_id"))
   }
 
@@ -895,7 +907,7 @@ object Text {
       |      n_tokens := CAST(LEN(LIST_FILTER(string_split(lower(text), ' '),
       |        t -> t <> '')) AS BIGINT))) AS VARCHAR) AS jsonl
       |  FROM documents)
-      |SELECT doc_id, jsonl, CAST(LENGTH(jsonl) AS BIGINT) AS n_bytes
+      |SELECT doc_id, jsonl, CAST(octet_length(encode(jsonl)) AS BIGINT) AS n_bytes
       |FROM j
       |ORDER BY doc_id""".stripMargin
 
@@ -934,7 +946,10 @@ object Text {
        |s AS (
        |  SELECT doc_id,
        |    array_to_string(t[k*$SpanLen+1 : (k+1)*$SpanLen], ' ') AS span
-       |  FROM t, unnest(range(0, CAST(len(t) / $SpanLen AS BIGINT))) AS u(k)
+       |  -- // (floor div): CAST(len/8 AS BIGINT) would ROUND half-up in
+       |  -- DuckDB while Spark's CAST truncates, enumerating an extra
+       |  -- partial tail span for token counts with remainder >= 4
+       |  FROM t, unnest(range(0, len(t) // $SpanLen)) AS u(k)
        |  WHERE len(t) >= $SpanLen),
        |pd AS (SELECT span, doc_id, COUNT(*) AS n_occ FROM s GROUP BY 1, 2)
        |SELECT span, COUNT(*) AS n_docs, CAST(SUM(n_occ) AS BIGINT) AS n_occur
@@ -961,13 +976,8 @@ object Text {
         countDistinct(col("source")).as("n_sources"))
     val uniq = d.select(md5(col("text")).as("h"))
       .agg(countDistinct(col("h")).as("n_uniq_texts"))
-    val pass = d.select(size(toks).cast("long").as("n_tokens"),
-        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
-        size(filter(toks, t => t === "the" || t === "a")).cast("long").as("n_stop"))
-      .select((least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
-        (col("n_stop") / greatest(col("n_tokens"), lit(1L))) * 0.3 +
-        least((col("n_letters") / greatest(col("n_tokens"), lit(1L))) / lit(8.0),
-          lit(1.0)) * 0.2).as("score"))
+    val pass = qualityStats(spark, dir)
+      .select(qualityScoreCol.as("score"))
       .agg(count(when(col("score") >= 0.4, lit(1))).as("n_passed"))
     vol.crossJoin(uniq).crossJoin(pass)
       .select(col("n_docs"), col("n_tokens"), col("n_chars"),
@@ -1005,16 +1015,8 @@ object Text {
     * [[Det.dsum]] mean cannot drift. One map-side-combined aggregate
     * keyed by source. */
   def qualityBySource(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("source"),
-        size(toks).cast("long").as("n_tokens"),
-        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
-        size(filter(toks, t => t === "the" || t === "a")).cast("long").as("n_stop"))
-      .withColumn("score",
-        least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
-          (col("n_stop") / greatest(col("n_tokens"), lit(1L))) * 0.3 +
-          least((col("n_letters") / greatest(col("n_tokens"), lit(1L))) / lit(8.0),
-            lit(1.0)) * 0.2)
+    qualityStats(spark, dir)
+      .withColumn("score", qualityScoreCol)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("score") >= 0.4, lit(1))).as("n_passed"),

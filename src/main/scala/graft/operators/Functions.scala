@@ -235,8 +235,10 @@ object Functions {
         array_join(array_sort(array_except(probe, a)), ",").as("missing"),
         size(array_union(a, probe)).cast("long").as("n_union"),
         array_position(a, "the").cast("long").as("pos_the"),
-        element_at(a, 1).as("min_tok"),
-        element_at(a, -1).as("max_tok"))
+        // try_: plain element_at throws under ANSI on an empty token
+        // array (whitespace-only doc) while the oracle's a[1] is NULL
+        try_element_at(a, lit(1)).as("min_tok"),
+        try_element_at(a, lit(-1)).as("max_tok"))
       .orderBy(col("doc_id"))
   }
 

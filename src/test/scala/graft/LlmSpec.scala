@@ -209,6 +209,17 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(docCounts.sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("embedding dim is the 64 the trained-codebook oracle hardcodes") {
+    // lloydRoundSql zips unnest(embedding) with range(0, 64); a dim
+    // change would silently corrupt the oracle's repacked codebook
+    // instead of erroring — this guard turns that into a clear failure
+    val dims = graft.core.Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding")).as("d")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(dims == Seq(64),
+      s"embedding dims $dims != 64 — update lloydRoundSql's range bound")
+  }
+
   test("embed outliers: cells partition the corpus, outliers strictly minority") {
     val rows = graft.llm.Similarity.embedOutliers(spark, sfDir).collect()
     assert(rows.map(_.getLong(1)).sum ==
