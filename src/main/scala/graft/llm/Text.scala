@@ -95,6 +95,63 @@ object Text {
       |FROM q
       |ORDER BY source""".stripMargin
 
+  /** Token-budget allocation — turn the [[sampleWeights]] mixing
+    * shares into actual per-source token quotas for a fixed training
+    * budget (10 M tokens), by largest-remainder apportionment: floor
+    * quotas first, then the leftover tokens go one-by-one to the
+    * largest fractional remainders (ties broken by source name). The
+    * whole computation is exact integer arithmetic — weights are the
+    * already-quantized weight_q, remainders compare as BIGINTs — so
+    * quotas sum to the budget EXACTLY in both engines, which a
+    * float-rounded allocation cannot guarantee. Windows run over a
+    * handful of source rows. */
+  def mixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 10000000L
+    val w = Window.partitionBy()
+    val wRank = Window.partitionBy()
+      .orderBy(col("rem").desc, col("source"))
+    sampleWeights(spark, dir)
+      .select(col("source"), col("n_docs"), col("weight_q"))
+      .withColumn("sum_wq", sum(col("weight_q")).over(w))
+      .withColumn("floor_q",
+        expr(s"($budget * weight_q) DIV sum_wq"))
+      .withColumn("rem",
+        expr(s"($budget * weight_q) % sum_wq"))
+      .withColumn("n_extra",
+        (lit(budget) - sum(col("floor_q")).over(w)).cast("long"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .select(col("source"), col("n_docs"), col("weight_q"),
+        (col("floor_q") + when(col("rk") <= col("n_extra"), 1L)
+          .otherwise(0L)).as("token_quota"))
+      .orderBy(col("source"))
+  }
+
+  val mixPlanSql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+      |      AS weight_q
+      |  FROM documents GROUP BY source),
+      |q AS (
+      |  SELECT source, n_docs, weight_q,
+      |    CAST(SUM(weight_q) OVER () AS BIGINT) AS sum_wq
+      |  FROM per),
+      |f AS (
+      |  SELECT source, n_docs, weight_q,
+      |    (10000000 * weight_q) // sum_wq AS floor_q,
+      |    (10000000 * weight_q) % sum_wq AS rem
+      |  FROM q),
+      |r AS (
+      |  SELECT source, n_docs, weight_q, floor_q,
+      |    CAST(10000000 - SUM(floor_q) OVER () AS BIGINT) AS n_extra,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+      |  FROM f)
+      |SELECT source, n_docs, weight_q,
+      |  CAST(floor_q + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS BIGINT)
+      |    AS token_quota
+      |FROM r
+      |ORDER BY source""".stripMargin
+
   /** Stopword-ratio language-ID heuristic. The synthetic corpus has an
     * English-stopword vocabulary only, so the heuristic is
     * intentionally simple: the-ratio ≥ 2% → 'en', else 'und'. A real
@@ -1121,6 +1178,7 @@ object Text {
     "llm_pii_redact" -> piiRedact,
     "llm_text_stats" -> textStats,
     "llm_sample_weights" -> sampleWeights,
+    "llm_mix_plan" -> mixPlan,
     "llm_lang_id" -> langId,
     "llm_quality_score" -> qualityScore,
     "llm_token_count" -> tokenCount,
@@ -1148,6 +1206,7 @@ object Text {
     "llm_pii_redact" -> piiRedactSql,
     "llm_text_stats" -> textStatsSql,
     "llm_sample_weights" -> sampleWeightsSql,
+    "llm_mix_plan" -> mixPlanSql,
     "llm_lang_id" -> langIdSql,
     "llm_quality_score" -> qualityScoreSql,
     "llm_token_count" -> tokenCountSql,

@@ -1136,6 +1136,51 @@ object Relational {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Shannon entropy of the priority mix per order status — the
+    * category-diversity statistic behind balance checks (is one
+    * partition dominated by a single class?). Each −p·ln p term is
+    * fixed-point quantized (×10⁹) BEFORE the per-group sum, so the
+    * aggregation is exact BIGINT arithmetic (order-free) and the one
+    * libm ln per term cannot compound; p itself is an exact-int /
+    * exact-int division. Two-level aggregate, both map-side combined. */
+  def aggEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val termQ =
+      """CAST(floor(-((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |  * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)))
+        |  * 1000000000 + 0.5) AS BIGINT)""".stripMargin
+    val c = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("o_orderstatus")).agg(sum(col("n")).as("tot"))
+    c.join(t, "o_orderstatus")
+      .withColumn("term_q", expr(termQ))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_categories"),
+        max(col("tot")).as("n_orders"),
+        (sum(col("term_q")).cast("double") / 1000000000.0).as("entropy"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val aggEntropySql: String =
+    """WITH c AS (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |t AS (
+      |  SELECT o_orderstatus, CAST(SUM(n) AS BIGINT) AS tot
+      |  FROM c GROUP BY 1),
+      |j AS (
+      |  SELECT c.o_orderstatus, c.n, t.tot,
+      |    CAST(floor(-((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+      |      * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)))
+      |      * 1000000000 + 0.5) AS BIGINT) AS term_q
+      |  FROM c JOIN t USING (o_orderstatus))
+      |SELECT o_orderstatus, COUNT(*) AS n_categories,
+      |  MAX(tot) AS n_orders,
+      |  CAST(CAST(SUM(term_q) AS BIGINT) AS DOUBLE) / 1000000000.0 AS entropy
+      |FROM j
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Weighted average — sum(w·x)/sum(w) from two exact cent-sums, the
     * aggregate a unit-price-over-quantity report needs where a plain
     * avg of per-row prices would be volume-blind. Both sums go through
@@ -1500,6 +1545,7 @@ object Relational {
     "join_interval_overlap" -> joinIntervalOverlap,
     "agg_weighted_avg" -> aggWeightedAvg,
     "agg_skew_kurt" -> aggSkewKurt,
+    "agg_entropy" -> aggEntropy,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "sql_correlated" -> sqlCorrelated,
@@ -1554,6 +1600,7 @@ object Relational {
     "join_interval_overlap" -> joinIntervalOverlapSql,
     "agg_weighted_avg" -> aggWeightedAvgSql,
     "agg_skew_kurt" -> aggSkewKurtSql,
+    "agg_entropy" -> aggEntropySql,
     "agg_pivot" -> aggPivotSql,
     "agg_unpivot" -> aggUnpivotSql,
     "sql_correlated" -> sqlCorrelatedSql,

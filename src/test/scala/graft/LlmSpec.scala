@@ -151,6 +151,18 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
       .where(col("ts") =!= col("min_ts")).count() == 0)
   }
 
+  test("mix plan quotas sum exactly to the budget and follow the weights") {
+    val rows = graft.llm.Text.mixPlan(spark, sfDir).collect()
+    assert(rows.map(_.getLong(3)).sum == 10000000L)
+    // quota ordering follows weight ordering (strictly larger weight
+    // never gets a smaller quota, modulo the ±1 remainder token)
+    val byW = rows.sortBy(_.getLong(2))
+    byW.sliding(2).foreach { w =>
+      if (w.length == 2 && w(0).getLong(2) < w(1).getLong(2))
+        assert(w(0).getLong(3) <= w(1).getLong(3) + 1)
+    }
+  }
+
   test("collocations: counts consistent, ranking monotone in PMI") {
     val rows = graft.llm.Text.collocations(spark, sfDir).collect()
     assert(rows.length == 100)

@@ -77,6 +77,14 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .where(col("n_busy_hours") =!= col("count")).count() == 0)
   }
 
+  test("entropy is bounded by ln(categories) and zero iff one category") {
+    Relational.aggEntropy(spark, sfDir).collect().foreach { r =>
+      val (nCat, h) = (r.getLong(1), r.getDouble(3))
+      assert(h >= 0.0 && h <= math.log(nCat.toDouble) + 1e-9)
+      if (nCat == 1) assert(h == 0.0)
+    }
+  }
+
   test("agg_skew_kurt matches Spark's built-in skewness/kurtosis to tolerance") {
     val ours = Relational.aggSkewKurt(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
