@@ -413,6 +413,58 @@ object Windows {
        |GROUP BY user_id, bucket
        |ORDER BY user_id, bucket""".stripMargin
 
+  /** Gaps-and-islands streak detection — longest run of CONSECUTIVE
+    * order days per customer, via the classic rank-difference trick:
+    * day_number − row_number is constant within a consecutive run, so
+    * one per-customer window plus a (customer, island) aggregate finds
+    * every streak with no self-join. Integer day arithmetic end to
+    * end. Top-100 customers by streak for a bounded result
+    * (deterministic total order: streak desc, custkey). */
+  def winStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("dayn"))
+    val days = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')")
+          .cast("long").as("dayn"))
+      .distinct()
+    days.withColumn("grp", col("dayn") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("grp"))
+      .agg(count(lit(1)).as("streak"), min(col("dayn")).as("start_day"))
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("streak"), (-col("start_day")).as("neg"))).as("best"),
+        count(lit(1)).as("n_streaks"))
+      .select(col("o_custkey"), col("best.streak").as("longest_streak"),
+        (-col("best.neg")).as("streak_start_day"), col("n_streaks"))
+      .orderBy(col("longest_streak").desc, col("o_custkey"))
+      .limit(100)
+  }
+
+  val winStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT o_custkey,
+      |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS dayn
+      |  FROM orders),
+      |isl AS (
+      |  SELECT o_custkey, dayn,
+      |    dayn - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY dayn)
+      |      AS grp
+      |  FROM days),
+      |st AS (
+      |  SELECT o_custkey, grp, COUNT(*) AS streak, MIN(dayn) AS start_day
+      |  FROM isl GROUP BY 1, 2),
+      |best AS (
+      |  SELECT o_custkey, streak AS longest_streak,
+      |    start_day AS streak_start_day,
+      |    COUNT(*) OVER (PARTITION BY o_custkey) AS n_streaks,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY streak DESC, start_day) AS rn
+      |  FROM st)
+      |SELECT o_custkey, longest_streak, streak_start_day, n_streaks
+      |FROM best WHERE rn = 1
+      |ORDER BY longest_streak DESC, o_custkey
+      |LIMIT 100""".stripMargin
+
   /** Day-of-week seasonality profile of order volume — the weekly
     * cycle report behind capacity planning and anomaly baselines.
     * Spark's `dayofweek` is Sunday=1; the oracle remaps ISODOW the
@@ -449,6 +501,7 @@ object Windows {
     "win_analytic" -> winAnalytic,
     "win_rolling_range" -> winRollingRange,
     "ts_seasonality" -> tsSeasonality,
+    "win_streaks" -> winStreaks,
     "ts_gapfill" -> tsGapfill,
     "ts_cumulative_users" -> tsCumulativeUsers,
     "ts_cohort_retention" -> tsCohortRetention,
@@ -463,6 +516,7 @@ object Windows {
     "win_analytic" -> winAnalyticSql,
     "win_rolling_range" -> winRollingRangeSql,
     "ts_seasonality" -> tsSeasonalitySql,
+    "win_streaks" -> winStreaksSql,
     "ts_gapfill" -> tsGapfillSql,
     "ts_cumulative_users" -> tsCumulativeUsersSql,
     "ts_cohort_retention" -> tsCohortRetentionSql,

@@ -77,6 +77,24 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .where(col("n_busy_hours") =!= col("count")).count() == 0)
   }
 
+  test("streaks: brute-force consecutive-day scan agrees for the top customer") {
+    val top = graft.operators.Windows.winStreaks(spark, sfDir).head()
+    val (cust, streak) = (top.getLong(0), top.getLong(1))
+    val days = Tables.orders(spark, sfDir)
+      .where(col("o_custkey") === cust)
+      .select(expr("datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')")
+        .cast("long").as("d"))
+      .distinct().orderBy(col("d")).collect().map(_.getLong(0))
+    var (best, cur) = (1L, 1L)
+    days.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        cur = if (w(1) == w(0) + 1) cur + 1 else 1L
+        best = math.max(best, cur)
+      }
+    }
+    assert(best == streak, s"cust $cust: brute $best vs $streak")
+  }
+
   test("entropy is bounded by ln(categories) and zero iff one category") {
     Relational.aggEntropy(spark, sfDir).collect().foreach { r =>
       val (nCat, h) = (r.getLong(1), r.getDouble(3))
