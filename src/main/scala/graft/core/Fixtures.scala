@@ -90,13 +90,22 @@ object Fixtures {
           rm(tmp)
       }
     }
-    Option(tmpRoot.listFiles()).toSeq.flatten // purge superseded versions
-      // second clause: pre-fingerprint dirs from the old naming scheme
-      // (`graft_<kind>_<tag>`, no trailing fingerprint) would otherwise
-      // never match the prefix filter and leak forever
-      .filter(f => (f.getName.startsWith(prefix) && f.getName != prefix + fp)
-        || f.getName == prefix.dropRight(1))
-      .filter(f => System.currentTimeMillis - f.lastModified > 3600 * 1000L)
+    // Purge superseded versions. Fingerprint-named dirs are immutable
+    // and safe to reclaim after an hour; old-scheme dirs
+    // (`graft_<kind>_<tag>`, no fingerprint — pre-upgrade protocol)
+    // get a 24 h grace instead, because a still-running pre-upgrade
+    // checkout may be mid-read and directory mtime is not refreshed
+    // by reads — after a day no such process survives, and without
+    // this clause they leak forever.
+    val now = System.currentTimeMillis
+    Option(tmpRoot.listFiles()).toSeq.flatten
+      .filter { f =>
+        val n = f.getName
+        (n.startsWith(prefix) && n != prefix + fp &&
+          now - f.lastModified > 3600 * 1000L) ||
+        (n == prefix.dropRight(1) &&
+          now - f.lastModified > 24 * 3600 * 1000L)
+      }
       .foreach(rm)
     target.toString
   }

@@ -64,8 +64,7 @@ object Text {
       .select(col("source"), size(toks).cast("long").as("n_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-      .withColumn("weight_q", expr(
-        "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 10000 + 0.5) AS BIGINT)"))
+      .withColumn("weight_q", expr(weightQSql))
       .withColumn("share",
         col("weight_q").cast("double") /
           sum(col("weight_q")).over(w).cast("double"))
@@ -77,16 +76,23 @@ object Text {
       .orderBy(col("source"))
   }
 
-  val sampleWeightsSql: String =
-    """WITH per AS (
+  /** The α=1/2 fixed-point weight quantization over an `n_docs`
+    * column — ONE definition shared by [[sampleWeightsSql]] and
+    * [[mixPlanSql]] (review: a re-typed copy would let a temperature
+    * or scale change drift between the share report and the quota
+    * plan). */
+  private val weightQSql: String =
+    "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 10000 + 0.5) AS BIGINT)"
+
+  lazy val sampleWeightsSql: String =
+    s"""WITH per AS (
       |  SELECT source, COUNT(*) AS n_docs,
       |    CAST(SUM(CAST(LEN(LIST_FILTER(string_split(lower(text), ' '),
       |      t -> t <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY source),
       |q AS (
       |  SELECT source, n_docs, n_tokens,
-      |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
-      |      AS weight_q
+      |    $weightQSql AS weight_q
       |  FROM per)
       |SELECT source, n_docs, n_tokens, weight_q,
       |  CAST(weight_q AS DOUBLE) / CAST(SUM(weight_q) OVER () AS DOUBLE) AS share,
@@ -126,12 +132,12 @@ object Text {
       .orderBy(col("source"))
   }
 
-  val mixPlanSql: String =
-    """WITH per AS (
-      |  SELECT source, COUNT(*) AS n_docs,
-      |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
-      |      AS weight_q
-      |  FROM documents GROUP BY source),
+  lazy val mixPlanSql: String =
+    s"""WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |per AS (
+      |  SELECT source, n_docs, $weightQSql AS weight_q
+      |  FROM counts),
       |q AS (
       |  SELECT source, n_docs, weight_q,
       |    CAST(SUM(weight_q) OVER () AS BIGINT) AS sum_wq
