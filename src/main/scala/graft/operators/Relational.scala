@@ -1136,6 +1136,44 @@ object Relational {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Deterministic ARG-MAX / ARG-MIN per group — "which order was the
+    * priciest/cheapest", the lookup `max_by`/`arg_max` answer but with
+    * ties pinned (extreme price, then smallest orderkey): the built-ins
+    * leave tie choice implementation-defined, which can never
+    * hash-match an oracle. Spark side is one struct-ordered aggregate
+    * (single shuffle, no window); the oracle mirrors the tie order
+    * with ROW_NUMBER + conditional aggregation. */
+  def aggArgmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("o_totalprice"), (-col("o_orderkey")).as("neg")))
+          .as("hi"),
+        min(struct(col("o_totalprice"), col("o_orderkey"))).as("lo"))
+      .select(col("o_orderstatus"), col("n"),
+        (-col("hi.neg")).as("top_orderkey"),
+        col("hi.o_totalprice").as("top_price"),
+        col("lo.o_orderkey").as("bottom_orderkey"),
+        col("lo.o_totalprice").as("bottom_price"))
+      .orderBy(col("o_orderstatus"))
+
+  val aggArgmaxSql: String =
+    """WITH r AS (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn_hi,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice, o_orderkey) AS rn_lo
+      |  FROM orders)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  MAX(CASE WHEN rn_hi = 1 THEN o_orderkey END) AS top_orderkey,
+      |  MAX(CASE WHEN rn_hi = 1 THEN o_totalprice END) AS top_price,
+      |  MAX(CASE WHEN rn_lo = 1 THEN o_orderkey END) AS bottom_orderkey,
+      |  MAX(CASE WHEN rn_lo = 1 THEN o_totalprice END) AS bottom_price
+      |FROM r
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Shannon entropy of the priority mix per order status — the
     * category-diversity statistic behind balance checks (is one
     * partition dominated by a single class?). Each −p·ln p term is
@@ -1546,6 +1584,7 @@ object Relational {
     "agg_weighted_avg" -> aggWeightedAvg,
     "agg_skew_kurt" -> aggSkewKurt,
     "agg_entropy" -> aggEntropy,
+    "agg_argmax" -> aggArgmax,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "sql_correlated" -> sqlCorrelated,
@@ -1601,6 +1640,7 @@ object Relational {
     "agg_weighted_avg" -> aggWeightedAvgSql,
     "agg_skew_kurt" -> aggSkewKurtSql,
     "agg_entropy" -> aggEntropySql,
+    "agg_argmax" -> aggArgmaxSql,
     "agg_pivot" -> aggPivotSql,
     "agg_unpivot" -> aggUnpivotSql,
     "sql_correlated" -> sqlCorrelatedSql,

@@ -413,6 +413,39 @@ object Windows {
        |GROUP BY user_id, bucket
        |ORDER BY user_id, bucket""".stripMargin
 
+  /** Month-over-month revenue growth — monthly cent-exact revenue with
+    * the previous month's value, absolute delta, and growth rate. The
+    * deltas subtract two [[Det.dsum]] doubles (bit-identical in both
+    * engines) and the rate is one division of those — no rounding
+    * needed. The lag window runs over the ~84 month rows (same bounded
+    * global-window argument as [[tsCumulativeUsers]]); at scale the
+    * pattern partitions by entity. */
+  def tsMomGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("month"))
+    Tables.orders(spark, dir)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("delta", col("revenue") - col("prev_revenue"))
+      .withColumn("growth_rate", col("delta") / col("prev_revenue"))
+      .orderBy(col("month"))
+  }
+
+  val tsMomGrowthSql: String =
+    s"""WITH m AS (
+       |  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+       |    COUNT(*) AS n_orders,
+       |    ${DetSql.dsum("o_totalprice")} AS revenue
+       |  FROM orders GROUP BY 1)
+       |SELECT month, n_orders, revenue,
+       |  LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+       |  revenue - LAG(revenue) OVER (ORDER BY month) AS delta,
+       |  (revenue - LAG(revenue) OVER (ORDER BY month))
+       |    / LAG(revenue) OVER (ORDER BY month) AS growth_rate
+       |FROM m
+       |ORDER BY month""".stripMargin
+
   /** Gaps-and-islands streak detection — longest run of CONSECUTIVE
     * order days per customer, via the classic rank-difference trick:
     * day_number − row_number is constant within a consecutive run, so
@@ -502,6 +535,7 @@ object Windows {
     "win_rolling_range" -> winRollingRange,
     "ts_seasonality" -> tsSeasonality,
     "win_streaks" -> winStreaks,
+    "ts_mom_growth" -> tsMomGrowth,
     "ts_gapfill" -> tsGapfill,
     "ts_cumulative_users" -> tsCumulativeUsers,
     "ts_cohort_retention" -> tsCohortRetention,
@@ -517,6 +551,7 @@ object Windows {
     "win_rolling_range" -> winRollingRangeSql,
     "ts_seasonality" -> tsSeasonalitySql,
     "win_streaks" -> winStreaksSql,
+    "ts_mom_growth" -> tsMomGrowthSql,
     "ts_gapfill" -> tsGapfillSql,
     "ts_cumulative_users" -> tsCumulativeUsersSql,
     "ts_cohort_retention" -> tsCohortRetentionSql,

@@ -95,6 +95,34 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(best == streak, s"cust $cust: brute $best vs $streak")
   }
 
+  test("argmax picks the true extreme rows with the smallest key on ties") {
+    val o = Tables.orders(spark, sfDir)
+    Relational.aggArgmax(spark, sfDir).collect().foreach { r =>
+      val (status, topKey, topPrice) =
+        (r.getString(0), r.getLong(2), r.getDouble(3))
+      val grp = o.where(col("o_orderstatus") === status)
+      assert(topPrice ==
+        grp.agg(max(col("o_totalprice"))).head().getDouble(0))
+      assert(topKey ==
+        grp.where(col("o_totalprice") === topPrice)
+          .agg(min(col("o_orderkey"))).head().getLong(0))
+      assert(r.getDouble(5) ==
+        grp.agg(min(col("o_totalprice"))).head().getDouble(0))
+    }
+  }
+
+  test("month-over-month growth deltas reconcile with the revenue series") {
+    val rows = graft.operators.Windows.tsMomGrowth(spark, sfDir)
+      .orderBy(col("month")).collect()
+    assert(rows.head.isNullAt(3) && rows.head.isNullAt(4))
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        assert(w(1).getDouble(3) == w(0).getDouble(2)) // prev = last revenue
+        assert(w(1).getDouble(4) == w(1).getDouble(2) - w(0).getDouble(2))
+      }
+    }
+  }
+
   test("entropy is bounded by ln(categories) and zero iff one category") {
     Relational.aggEntropy(spark, sfDir).collect().foreach { r =>
       val (nCat, h) = (r.getLong(1), r.getDouble(3))
