@@ -220,6 +220,32 @@ object Functions {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Binary codec functions — base64/hex encode + decode-roundtrip
+    * proof, the wire formats a byte-payload column crosses (APIs,
+    * JSON-embedded blobs). The roundtrip column re-decodes the
+    * encoding and compares to the source, so the oracle equality
+    * proves both directions. Pure projection. */
+  def fnCodec(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"),
+        base64(col("n_name").cast("binary")).as("b64"),
+        hex(col("n_name").cast("binary")).as("hexs"),
+        (unbase64(base64(col("n_name").cast("binary"))).cast("string")
+          === col("n_name")).as("b64_roundtrip"),
+        (unhex(hex(col("n_name").cast("binary"))).cast("string")
+          === col("n_name")).as("hex_roundtrip"))
+      .orderBy(col("n_nationkey"))
+
+  val fnCodecSql: String =
+    """SELECT n_nationkey, n_name,
+      |  to_base64(encode(n_name)) AS b64,
+      |  upper(hex(encode(n_name))) AS hexs,
+      |  decode(from_base64(to_base64(encode(n_name)))) = n_name
+      |    AS b64_roundtrip,
+      |  decode(unhex(hex(encode(n_name)))) = n_name AS hex_roundtrip
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
   /** Array SET algebra — intersect/except/union/position/bounds
     * against a constant probe vocabulary, the membership tests a
     * filter list or stopword table compiles to. Results are sorted or
@@ -417,6 +443,7 @@ object Functions {
     "fn_math" -> fnMath,
     "fn_array_map" -> fnArrayMap,
     "fn_array_set" -> fnArraySet,
+    "fn_codec" -> fnCodec,
     "fn_json" -> fnJson,
     "fn_map" -> fnMap,
     "fn_struct" -> fnStruct,
@@ -433,6 +460,7 @@ object Functions {
     "fn_math" -> fnMathSql,
     "fn_array_map" -> fnArrayMapSql,
     "fn_array_set" -> fnArraySetSql,
+    "fn_codec" -> fnCodecSql,
     "fn_json" -> fnJsonSql,
     "fn_map" -> fnMapSql,
     "fn_struct" -> fnStructSql,
