@@ -1136,6 +1136,56 @@ object Relational {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Gini coefficient of order-value concentration per status — the
+    * inequality statistic behind "is this partition dominated by a few
+    * huge rows" reports. Uses the rank formulation
+    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over values sorted ascending:
+    * both Σ terms are exact BIGINT sums of integer cents × ranks, so
+    * the two final expressions are identical IEEE sequences on
+    * identical operands. One per-group sort window + one aggregate;
+    * rank·cents stays < 2⁶³ through ~10⁹-row groups of 10⁷-cent
+    * values. */
+  def aggGini(spark: SparkSession, dir: String): DataFrame = {
+    // rank on the exact cents themselves (monotone with price) so the
+    // window needs only the projected columns — both engines sort the
+    // identical (c, key) pairs
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("c"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        Det.cents(col("o_totalprice")).as("c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("rn") * col("c")).as("src"))
+      .select(col("o_orderstatus"), col("n"),
+        ((lit(2.0) * col("src").cast("double")) /
+          (col("n").cast("double") * col("sc").cast("double")) -
+          (col("n").cast("double") + 1.0) / col("n").cast("double"))
+          .as("gini"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val aggGiniSql: String =
+    s"""WITH r AS (
+       |  SELECT o_orderstatus, c,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+       |      ORDER BY c, o_orderkey) AS BIGINT) AS rn
+       |  FROM (SELECT o_orderstatus, o_orderkey,
+       |          ${DetSql.cents("o_totalprice")} AS c
+       |        FROM orders)),
+       |a AS (
+       |  SELECT o_orderstatus, COUNT(*) AS n,
+       |    CAST(SUM(c) AS BIGINT) AS sc,
+       |    CAST(SUM(rn * c) AS BIGINT) AS src
+       |  FROM r GROUP BY o_orderstatus)
+       |SELECT o_orderstatus, n,
+       |  (2.0 * CAST(src AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * CAST(sc AS DOUBLE))
+       |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+       |FROM a
+       |ORDER BY o_orderstatus""".stripMargin
+
   /** Deterministic ARG-MAX / ARG-MIN per group — "which order was the
     * priciest/cheapest", the lookup `max_by`/`arg_max` answer but with
     * ties pinned (extreme price, then smallest orderkey): the built-ins
@@ -1585,6 +1635,7 @@ object Relational {
     "agg_skew_kurt" -> aggSkewKurt,
     "agg_entropy" -> aggEntropy,
     "agg_argmax" -> aggArgmax,
+    "agg_gini" -> aggGini,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "sql_correlated" -> sqlCorrelated,
@@ -1641,6 +1692,7 @@ object Relational {
     "agg_skew_kurt" -> aggSkewKurtSql,
     "agg_entropy" -> aggEntropySql,
     "agg_argmax" -> aggArgmaxSql,
+    "agg_gini" -> aggGiniSql,
     "agg_pivot" -> aggPivotSql,
     "agg_unpivot" -> aggUnpivotSql,
     "sql_correlated" -> sqlCorrelatedSql,

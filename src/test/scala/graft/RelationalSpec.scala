@@ -95,6 +95,21 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(best == streak, s"cust $cust: brute $best vs $streak")
   }
 
+  test("gini matches a brute-force computation and sits in [0, 1)") {
+    val ours = Relational.aggGini(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    ours.values.foreach(g => assert(g >= 0.0 && g < 1.0))
+    val (status, g) = ours.head
+    val cents = Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus") === status)
+      .select(graft.core.Det.cents(col("o_totalprice")))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toDouble
+    val src = cents.zipWithIndex.map { case (c, i) => (i + 1).toDouble * c }.sum
+    val brute = 2.0 * src / (n * cents.map(_.toDouble).sum) - (n + 1.0) / n
+    assert(math.abs(g - brute) < 1e-9, s"$status: $g vs $brute")
+  }
+
   test("argmax picks the true extreme rows with the smallest key on ties") {
     val o = Tables.orders(spark, sfDir)
     Relational.aggArgmax(spark, sfDir).collect().foreach { r =>
