@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.Schema
+import org.apache.avro.{LogicalTypes, Schema}
 import org.apache.avro.generic.GenericRecord
 import org.apache.avro.mapred.AvroKey
 import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
@@ -31,31 +31,47 @@ import org.apache.spark.sql.types._
   * (the reference needed Kryo for exactly this, M15).
   *
   * Supported type lattice: primitives, string/enum, bytes/fixed,
-  * union-with-null (→ nullable), record (→ struct), array, map.
+  * union-with-null (→ nullable), record (→ struct), array, map, plus
+  * the Avro logical annotations a business table actually carries —
+  * `decimal` (on bytes/fixed) → DecimalType, `date` → DateType,
+  * `timestamp-millis`/`timestamp-micros` → TimestampType (VERDICT r5
+  * gap #1: the reference passes logical types through untouched
+  * because GenericRecords stay opaque, ref
+  * DefragmentAvroFolder.scala:267-271; a typed DataFrame surface must
+  * map them or every orders-like table loses its dates and prices).
+  *
+  * Known lossy writes, by design (matches spark-avro): Short/Byte
+  * widen to Avro INT and read back as Integer; TimestampType always
+  * writes `timestamp-micros` (so a millis-annotated input re-written
+  * through [[write]] comes back micros — same instant, finer unit).
   */
 object AvroSource {
 
   /** Avro schema → Catalyst type. */
-  def toCatalyst(s: Schema): DataType = s.getType match {
-    case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.INT => IntegerType
-    case Schema.Type.LONG => LongType
-    case Schema.Type.FLOAT => FloatType
-    case Schema.Type.DOUBLE => DoubleType
-    case Schema.Type.STRING | Schema.Type.ENUM => StringType
-    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
-    case Schema.Type.NULL => NullType
-    case Schema.Type.RECORD =>
+  def toCatalyst(s: Schema): DataType = (s.getLogicalType, s.getType) match {
+    case (d: LogicalTypes.Decimal, _) => DecimalType(d.getPrecision, d.getScale)
+    case (_: LogicalTypes.Date, Schema.Type.INT) => DateType
+    case (_: LogicalTypes.TimestampMillis, Schema.Type.LONG) => TimestampType
+    case (_: LogicalTypes.TimestampMicros, Schema.Type.LONG) => TimestampType
+    case (_, Schema.Type.BOOLEAN) => BooleanType
+    case (_, Schema.Type.INT) => IntegerType
+    case (_, Schema.Type.LONG) => LongType
+    case (_, Schema.Type.FLOAT) => FloatType
+    case (_, Schema.Type.DOUBLE) => DoubleType
+    case (_, Schema.Type.STRING | Schema.Type.ENUM) => StringType
+    case (_, Schema.Type.BYTES | Schema.Type.FIXED) => BinaryType
+    case (_, Schema.Type.NULL) => NullType
+    case (_, Schema.Type.RECORD) =>
       StructType(s.getFields.asScala.toSeq.map(f =>
-        StructField(f.name(), toCatalyst(f.schema()),
+        StructField(f.name(), toCatalyst(nonNull(f.schema())),
           nullable = isNullable(f.schema()))))
-    case Schema.Type.ARRAY =>
+    case (_, Schema.Type.ARRAY) =>
       ArrayType(toCatalyst(nonNull(s.getElementType)),
         containsNull = isNullable(s.getElementType))
-    case Schema.Type.MAP =>
+    case (_, Schema.Type.MAP) =>
       MapType(StringType, toCatalyst(nonNull(s.getValueType)),
         valueContainsNull = isNullable(s.getValueType))
-    case Schema.Type.UNION => toCatalyst(nonNull(s))
+    case (_, Schema.Type.UNION) => toCatalyst(nonNull(s))
   }
 
   private def isNullable(s: Schema): Boolean =
@@ -74,11 +90,36 @@ object AvroSource {
       branches.head
     }
 
+  /** Raw big-endian two's-complement bytes of a decimal datum (the
+    * Avro spec's encoding for the `decimal` logical type, on either a
+    * bytes or a fixed carrier). */
+  private def decimalBytes(v: Any): Array[Byte] = v match {
+    case bb: ByteBuffer =>
+      val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+    case gf: org.apache.avro.generic.GenericFixed => gf.bytes()
+  }
+
   /** Avro datum → Row-compatible value (deep-copies strings/bytes so
-    * nothing aliases the reader's reused container). */
+    * nothing aliases the reader's reused container). Logical types
+    * decode before the base lattice: decimal bytes → BigDecimal at the
+    * schema's scale, date days → java.sql.Date, timestamp longs →
+    * java.sql.Timestamp at their declared unit. */
   def toValue(v: Any, s: Schema): Any = v match {
     case null => null
-    case _ => nonNull(s).getType match {
+    case _ => nonNull(s).getLogicalType match {
+      case d: LogicalTypes.Decimal =>
+        new java.math.BigDecimal(
+          new java.math.BigInteger(decimalBytes(v)), d.getScale)
+      case _: LogicalTypes.Date =>
+        java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case _: LogicalTypes.TimestampMillis =>
+        new java.sql.Timestamp(v.asInstanceOf[Long])
+      case _: LogicalTypes.TimestampMicros =>
+        val us = v.asInstanceOf[Long]
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case _ => nonNull(s).getType match {
       case Schema.Type.STRING | Schema.Type.ENUM => v.toString
       case Schema.Type.BYTES =>
         val bb = v.asInstanceOf[ByteBuffer]
@@ -100,6 +141,7 @@ object AvroSource {
           case (k, x) => k.toString -> toValue(x, vs)
         }.toMap
       case _ => v // primitives pass through
+      }
     }
   }
 
@@ -140,12 +182,22 @@ object AvroSource {
                    recordName: String = "GraftRecord"): Schema = {
     val base = dt match {
       case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      // documented lossy widening: Avro has no 16/8-bit integers, so
+      // Short/Byte round-trip back as Integer (spark-avro does the same)
       case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
       case LongType => Schema.create(Schema.Type.LONG)
       case FloatType => Schema.create(Schema.Type.FLOAT)
       case DoubleType => Schema.create(Schema.Type.DOUBLE)
       case StringType => Schema.create(Schema.Type.STRING)
       case BinaryType => Schema.create(Schema.Type.BYTES)
+      case d: DecimalType =>
+        LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
+      case DateType =>
+        LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType =>
+        LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
       case ArrayType(et, cn) => Schema.createArray(fromCatalyst(et, cn))
       case MapType(StringType, vt, vcn) =>
         Schema.createMap(fromCatalyst(vt, vcn))
@@ -166,10 +218,26 @@ object AvroSource {
     else base
   }
 
-  /** Row value → Avro datum (inverse of [[toValue]]). */
+  /** Row value → Avro datum (inverse of [[toValue]]). Decimal scale is
+    * pinned by the schema's logical type — the frame's DecimalType
+    * already carries that exact scale, so RoundingMode.UNNECESSARY
+    * asserts (rather than hides) any mismatch. */
   def toDatum(v: Any, s: Schema): Any = v match {
     case null => null
-    case _ => nonNull(s).getType match {
+    case _ => nonNull(s).getLogicalType match {
+      case d: LogicalTypes.Decimal =>
+        ByteBuffer.wrap(v.asInstanceOf[java.math.BigDecimal]
+          .setScale(d.getScale, java.math.RoundingMode.UNNECESSARY)
+          .unscaledValue().toByteArray)
+      case _: LogicalTypes.Date =>
+        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case _: LogicalTypes.TimestampMillis =>
+        v.asInstanceOf[java.sql.Timestamp].getTime
+      case _: LogicalTypes.TimestampMicros =>
+        val i = v.asInstanceOf[java.sql.Timestamp].toInstant
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          i.getNano / 1000L)
+      case _ => nonNull(s).getType match {
       case Schema.Type.BYTES => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case Schema.Type.RECORD =>
         val rs = nonNull(s)
@@ -189,6 +257,7 @@ object AvroSource {
           k -> toDatum(x, vs)
         }.toMap.asJava
       case _ => v // primitives and strings pass through
+      }
     }
   }
 

@@ -94,6 +94,64 @@ class AvroSourceSpec extends AnyFunSuite with SparkSpec {
     assert(proj.count() == 5)
   }
 
+  test("logical types round-trip: decimal, date, timestamp (VERDICT r5 #1)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "1995-03-15", "1995-03-15 12:34:56.789123", "12345.67"),
+      (2L, "2020-12-31", "2020-12-31 23:59:59.000001", "-0.01"),
+      (3L, "1970-01-01", "1970-01-01 00:00:00.0", "99999999.99"))
+      .toDF("id", "d", "ts", "price")
+      .select(col("id"), col("d").cast("date").as("d"),
+        col("ts").cast("timestamp").as("ts"),
+        col("price").cast("decimal(12,2)").as("price"))
+    val out = s"${Files.createTempDirectory("graft_avro_logical")}/t"
+    AvroSource.write(df, out)
+    // the written Avro schema carries the logical annotations
+    val written = AvroSource.fromCatalyst(df.schema)
+    // cast-produced columns are nullable → [null, T] unions; the
+    // logical annotation lives on the non-null branch
+    def logical(f: String): String = {
+      import scala.jdk.CollectionConverters._
+      val s = written.getField(f).schema()
+      val base = if (s.getType == Schema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get else s
+      base.getLogicalType.getName
+    }
+    assert(logical("d") == "date")
+    assert(logical("ts") == "timestamp-micros")
+    assert(logical("price") == "decimal")
+    val back = AvroSource.read(spark, out)
+    assert(back.schema("d").dataType == DateType)
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.schema("price").dataType == DecimalType(12, 2))
+    val a = df.orderBy(col("id")).collect().toSeq
+    val b = back.orderBy(col("id")).collect().toSeq
+    assert(a == b, s"logical values must survive the round-trip:\n$a\n$b")
+  }
+
+  test("reader-schema evolution on a logical-typed column") {
+    // v1 writes (id, price decimal(10,2)); v2 adds a nullable date —
+    // old files must decode under v2 with the decimal intact and the
+    // new logical-typed column null
+    import spark.implicits._
+    val v1 = Seq((1L, "10.50"), (2L, "20.25")).toDF("id", "price")
+      .select(col("id"), col("price").cast("decimal(10,2)").as("price"))
+    val out = s"${Files.createTempDirectory("graft_avro_evo_logical")}/t"
+    AvroSource.write(v1, out)
+    val v2 = new Schema.Parser().parse(
+      """{"type":"record","name":"GraftRecord","namespace":"graft.avro","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"price","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}},
+        |{"name":"added_on","type":["null",{"type":"int","logicalType":"date"}],"default":null}
+        |]}""".stripMargin)
+    val df = AvroSource.read(spark, out, readerSchema = Some(v2))
+    assert(df.schema("price").dataType == DecimalType(10, 2))
+    assert(df.schema("added_on").dataType == DateType)
+    assert(df.where(col("added_on").isNull).count() == 2)
+    assert(df.agg(sum(col("price"))).head.getDecimal(0)
+      == new java.math.BigDecimal("30.75"))
+  }
+
   test("reader schema projects old files (schema evolution)") {
     val v2 = new Schema.Parser().parse(
       """{"type":"record","name":"Ev","fields":[
