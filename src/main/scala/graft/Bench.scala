@@ -39,10 +39,31 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(runs / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver's BENCH_r{N}.json artifact keeps only the LAST 2000
+    // chars of output (VERDICT r5 "what's missing" #2): alphabetical
+    // order put the profile's cheap tail in the window and truncated
+    // everything expensive, so two rounds mis-read noise as regression.
+    // Print queries by ASCENDING cost (most expensive last → inside
+    // the visible tail) and move the headline total to the END of the
+    // object so it always survives the cut. Key order is cosmetic to
+    // any JSON parser.
+    val byCost = results.sortBy(_._2)
+    val qs = byCost.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // System load noted in the artifact: the r4/r5 phantom regressions
+    // were concurrent-load contamination, invisible in the numbers
+    // themselves. loadavg >> active cores means the medians are suspect.
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line =
+      s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg":$load,"metric":"total","value":$total,"unit":"sec"}"""
+    println(line)
+    // Full, untruncated copy kept in-repo so any round's recorded tail
+    // can be cross-checked against the complete profile.
+    if (subset.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_local.json"), line + "\n")
     spark.stop()
   }
 }

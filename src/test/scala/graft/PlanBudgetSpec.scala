@@ -1,0 +1,224 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §8's shuffle-budget table, executable (VERDICT r5 next-round
+  * #1): every registry query has a pinned shuffle-exchange budget, no
+  * query may plan a CartesianProduct, and nested-loop joins are allowed
+  * only where a bounded broadcast side is the design (sim-search probes,
+  * ≤16-row stat frames crossJoined back onto a corpus). The bench is
+  * noise-prone; this is the mechanical guard that actually protects the
+  * 100×-scale posture when a query is edited — a new Exchange or a
+  * lost equi-key fails here, deterministically, at planning time.
+  *
+  * Budgets are the measured pre-execution plan counts at sf0.001
+  * (PlanAudit). Counts are over the INITIAL adaptive plan, which prints
+  * duplicated exchange subtrees that AQE's exchange reuse dedups at
+  * runtime — so a budget is an upper bound on planned shuffles, not a
+  * claim of distinct runtime shuffles (llm_dedup_jaccard's 21 planned
+  * collapse to the handful §8 documents). A NEW query must add a row
+  * here: the `every query has a budget` test fails otherwise.
+  */
+class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
+
+  /** queryId → max shuffle exchanges in the pre-execution plan. */
+  private val maxExchanges: Map[String, Int] = Map(
+    "agg_approx_distinct" -> 1,
+    "agg_approx_percentile" -> 2,
+    "agg_argmax" -> 2,
+    "agg_corr" -> 2,
+    "agg_distinct" -> 2,
+    "agg_entropy" -> 5,
+    "agg_filtered" -> 2,
+    "agg_gini" -> 2,
+    "agg_global" -> 1,
+    "agg_groupby" -> 2,
+    "agg_grouping_sets" -> 2,
+    "agg_histogram" -> 2,
+    "agg_listagg" -> 2,
+    "agg_mode" -> 3,
+    "agg_moments" -> 2,
+    "agg_percentile" -> 2,
+    "agg_pivot" -> 3,
+    "agg_rollup_cube" -> 2,
+    "agg_skew_kurt" -> 2,
+    "agg_unpivot" -> 1,
+    "agg_weighted_avg" -> 2,
+    "compact_roundtrip" -> 0,
+    "dim_scd2" -> 2,
+    "filter_pred" -> 1,
+    "fn_array_map" -> 1,
+    "fn_array_set" -> 1,
+    "fn_bitwise" -> 1,
+    "fn_codec" -> 1,
+    "fn_date" -> 1,
+    "fn_interval" -> 1,
+    "fn_json" -> 1,
+    "fn_map" -> 1,
+    "fn_math" -> 1,
+    "fn_null" -> 1,
+    "fn_regex" -> 1,
+    "fn_string" -> 1,
+    "fn_struct" -> 1,
+    "fn_variant" -> 1,
+    "join_asof" -> 2,
+    "join_asof_fwd" -> 3,
+    "join_asof_native" -> 3,
+    "join_bucketed" -> 1,
+    "join_inner_hash" -> 1,
+    "join_interval_overlap" -> 3,
+    "join_lateral" -> 2,
+    "join_multiway" -> 2,
+    "join_null_safe" -> 3,
+    "join_outer" -> 1,
+    "join_semi_anti" -> 1,
+    "join_skew_salted" -> 2,
+    "join_theta_range" -> 1,
+    "layout_zorder" -> 2,
+    "llm_bm25" -> 7,
+    "llm_boilerplate" -> 2,
+    "llm_chunk" -> 1,
+    "llm_collocations" -> 7,
+    "llm_dataset_card" -> 5,
+    "llm_decontaminate" -> 6,
+    "llm_dedup_apply" -> 1,
+    "llm_dedup_cluster_stats" -> 2,
+    "llm_dedup_clusters" -> 1,
+    "llm_dedup_embed" -> 2,
+    "llm_dedup_exact" -> 2,
+    "llm_dedup_fuzzy" -> 2,
+    "llm_dedup_jaccard" -> 21,
+    "llm_dedup_jaccard_est" -> 2,
+    "llm_dedup_simhash" -> 1,
+    "llm_dedup_simhash_nn" -> 5,
+    "llm_doc_overlap" -> 3,
+    "llm_embed_cluster" -> 3,
+    "llm_embed_outliers" -> 5,
+    "llm_embed_quantize" -> 1,
+    "llm_export_jsonl" -> 1,
+    "llm_filter_funnel" -> 1,
+    "llm_fingerprint" -> 1,
+    "llm_incremental_dedup" -> 7,
+    "llm_lang_id" -> 1,
+    "llm_lm_score" -> 6,
+    "llm_mix_plan" -> 3,
+    "llm_multimodal" -> 1,
+    "llm_multimodal_binary" -> 1,
+    "llm_ngram_counts" -> 2,
+    "llm_pack" -> 2,
+    "llm_pack_stats" -> 2,
+    "llm_pii_redact" -> 1,
+    "llm_pipeline" -> 2,
+    "llm_quality_by_source" -> 2,
+    "llm_quality_score" -> 1,
+    "llm_repetition" -> 1,
+    "llm_sample_stratified" -> 2,
+    "llm_sample_weights" -> 2,
+    "llm_sim_search" -> 2,
+    "llm_sim_search_int8" -> 2,
+    "llm_sim_search_ivf" -> 4,
+    "llm_sim_search_ivf_trained" -> 4,
+    "llm_sim_search_lsh" -> 2,
+    "llm_sim_search_lsh_probe" -> 2,
+    "llm_sim_search_native" -> 2,
+    "llm_split" -> 1,
+    "llm_text_stats" -> 2,
+    "llm_tfidf" -> 6,
+    "llm_token_count" -> 1,
+    "merge_upsert" -> 3,
+    "project_expr" -> 1,
+    "scan_avro" -> 1,
+    "scan_avro_logical" -> 1,
+    "scan_csv" -> 1,
+    "scan_filter_project" -> 1,
+    "scan_json" -> 1,
+    "scan_merged_schema" -> 1,
+    "scan_orc" -> 1,
+    "scan_parquet" -> 1,
+    "scan_partition_pruned" -> 1,
+    "scan_text" -> 1,
+    "set_intersect_except" -> 3,
+    "set_ops_all" -> 3,
+    "set_union" -> 2,
+    "sort_limit" -> 0,
+    "sql_correlated" -> 2,
+    "sql_recursive" -> 4,
+    "stream_dedup" -> 2,
+    "stream_funnel" -> 2,
+    "stream_session" -> 2,
+    "stream_sliding" -> 2,
+    "stream_tumbling" -> 2,
+    "table_skew" -> 3,
+    "table_stats" -> 10,
+    "topk_per_group" -> 2,
+    "ts_cohort_retention" -> 4,
+    "ts_cumulative_users" -> 3,
+    "ts_gapfill" -> 2,
+    "ts_interpolate" -> 2,
+    "ts_mom_growth" -> 2,
+    "ts_resample" -> 2,
+    "ts_seasonality" -> 2,
+    "ts_zscore" -> 2,
+    "typed_agg" -> 2,
+    "udaf_typed" -> 2,
+    "udf_scalar" -> 2,
+    "udtf_gen" -> 3,
+    "win_analytic" -> 2,
+    "win_distribution" -> 2,
+    "win_rank" -> 2,
+    "win_rolling_range" -> 2,
+    "win_streaks" -> 2,
+    "write_dynamic_overwrite" -> 0,
+  )
+
+  /** Nested-loop joins allowed ONLY where the broadcast side is bounded
+    * by construction: a ≤16-row codebook/stat frame crossJoined back
+    * onto the corpus, or a fixed ≤10-row sim-search query set probed
+    * with a non-equi top-k predicate. Everything else must keep an
+    * equi-key. */
+  private val nestedLoopAllowed: Set[String] = Set(
+    "layout_zorder", "llm_bm25", "llm_collocations", "llm_dataset_card",
+    "llm_embed_cluster", "llm_embed_outliers", "llm_lm_score",
+    "llm_sim_search", "llm_sim_search_int8", "llm_sim_search_ivf",
+    "llm_sim_search_ivf_trained", "llm_sim_search_native", "llm_tfidf")
+
+  /** Scans whose predicate must reach the parquet reader: the plan has
+    * to show a non-empty pushed/partition filter, or the 100 TB scan
+    * reads everything and filters after IO. */
+  private val requiredScanFilter: Map[String, String] = Map(
+    "scan_filter_project" -> "PushedFilters: [",
+    "filter_pred" -> "PushedFilters: [",
+    "scan_partition_pruned" -> "PartitionFilters: [")
+
+  private val shuffleRe = "(?<!Broadcast)Exchange ".r
+
+  test("every registry query has a pinned plan budget") {
+    val missing = SparkEntry.queries.keySet -- maxExchanges.keySet
+    assert(missing.isEmpty,
+      s"queries without a plan budget (add a measured row here): $missing")
+    val stale = maxExchanges.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"budget rows for unregistered queries: $stale")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name stays inside its plan budget") {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      try {
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a cartesian product:\n${plan.take(3000)}")
+        if (!nestedLoopAllowed(name))
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$name lost its equi-key (nested-loop join):\n${plan.take(3000)}")
+        val ex = shuffleRe.findAllIn(plan).size
+        val budget = maxExchanges.getOrElse(name, 0)
+        assert(ex <= budget,
+          s"$name plans $ex shuffle exchanges, budget $budget:\n${plan.take(3000)}")
+        for (frag <- requiredScanFilter.get(name)) {
+          val i = plan.indexOf(frag)
+          assert(i >= 0 && plan.charAt(i + frag.length) != ']',
+            s"$name: predicate not pushed to the scan ($frag empty):\n${plan.take(3000)}")
+        }
+      } finally graft.core.Caches.drain(spark)
+    }
+  }
+}
