@@ -68,6 +68,25 @@ object Fixtures {
     * are purged best-effort once they are an hour old — old enough
     * that no concurrent local run still holds them — so tmp
     * accumulation stays bounded at ~one live dir per source. */
+  /** In-JVM memo over [[staged]] (ADVICE r5): a memoized path can
+    * dangle — if the source content changes, another JVM stages the
+    * new fingerprint and, an hour later, purges this one while this
+    * JVM still holds its path. A memo hit therefore re-validates that
+    * the directory still exists and falls back to a fresh [[staged]]
+    * call (idempotent; cheap when the fixture is current) when it
+    * does not. All long-lived fixture memos must route through this
+    * instead of a bare `getOrElseUpdate`. */
+  def memo[K](m: scala.collection.concurrent.TrieMap[K, String], key: K)
+             (stage: => String): String = {
+    val p = m.getOrElseUpdate(key, stage)
+    if (new File(p).isDirectory) p
+    else {
+      val fresh = stage
+      m.update(key, fresh)
+      fresh
+    }
+  }
+
   def staged(sourcePath: String, kind: String, codeTag: String = "")
             (write: String => Unit): String = {
     val prefix = s"graft_${kind}_" + pathTag(sourcePath) + "_"

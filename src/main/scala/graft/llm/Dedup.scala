@@ -622,8 +622,8 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private[llm] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val path = labelFixtures.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir), {
+    val path = graft.core.Fixtures.memo(labelFixtures,
+      (spark.sparkContext.applicationId, dir)) {
         // Content-fingerprinted staging (ADVICE r4: the previous
         // shared stable path was overwritten on each JVM's first use,
         // so two concurrent JVMs on one source could clobber each
@@ -643,7 +643,7 @@ object Dedup {
             labels.write.mode("overwrite").parquet(target)
             releaseRdds(spark, ids) // staged copy supersedes the checkpoint
         }
-      })
+      }
     spark.read.parquet(path)
   }
 

@@ -207,7 +207,16 @@ object Maintenance {
     * other partitions survived the overwrite byte-for-byte (a STATIC
     * overwrite would have truncated them to zero rows and fail the
     * compare). Fresh staging per run: the query IS the write path
-    * under test, so reusing a fixture would prove nothing. */
+    * under test, so reusing a fixture would prove nothing.
+    *
+    * Both writes repartition on the partition column first — one
+    * writer task per dynamic partition, the standard cure for the
+    * small-files problem: without it every shuffle task holds an open
+    * writer per partition value it sees (tasks × partitions files,
+    * memory-hungry and commit-heavy); with it, file count tracks
+    * partition count. R6 probe (DynOverProbe): the r5 idle delta was
+    * fs-state noise on the ~96-file commit/list path, not a plan
+    * change — this bounds that path to 3 files. */
   def writeDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files
       .createTempDirectory("graft_dynover").toString
@@ -215,13 +224,15 @@ object Maintenance {
       val t = s"$base/orders"
       val o = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-      o.write.partitionBy("o_orderstatus").parquet(t)
+      o.repartition(col("o_orderstatus"))
+        .write.partitionBy("o_orderstatus").parquet(t)
       val patch = o.where(col("o_orderstatus") === "F")
         .select(col("o_orderkey"),
           (Det.cents(col("o_totalprice")) - lit(500L)).cast("double")
             .divide(lit(100.0)).as("o_totalprice"),
           col("o_orderstatus"))
-      patch.write.mode("overwrite")
+      patch.repartition(col("o_orderstatus"))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("o_orderstatus").parquet(t)
       val out = spark.read.parquet(t)

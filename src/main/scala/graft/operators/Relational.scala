@@ -80,7 +80,7 @@ object Relational {
   private val partFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def partitionedLineitem(spark: SparkSession, dir: String): String =
-    partFixtures.getOrElseUpdate(dir,
+    graft.core.Fixtures.memo(partFixtures, dir)(
       graft.core.Fixtures.staged(s"$dir/lineitem.parquet", "part") { target =>
         Tables.lineitem(spark, dir).write.mode("overwrite")
           .partitionBy("l_returnflag").parquet(target)
@@ -124,7 +124,7 @@ object Relational {
       .orderBy(col("n_nationkey"))
 
   private def stagedOrcCopy(spark: SparkSession, dir: String): String =
-    textFixtures.getOrElseUpdate((dir, "orc"),
+    graft.core.Fixtures.memo(textFixtures, (dir, "orc"))(
       graft.core.Fixtures.staged(s"$dir/nation.parquet", "orc") { target =>
         Tables.nation(spark, dir)
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
@@ -144,7 +144,7 @@ object Relational {
       .orderBy(col("n_nationkey"))
 
   private def stagedAvroCopy(spark: SparkSession, dir: String): String =
-    textFixtures.getOrElseUpdate((dir, "avro"),
+    graft.core.Fixtures.memo(textFixtures, (dir, "avro"))(
       graft.core.Fixtures.staged(s"$dir/nation.parquet", "avro") { target =>
         graft.sources.AvroSource.write(
           Tables.nation(spark, dir)
@@ -188,7 +188,7 @@ object Relational {
        |ORDER BY o_orderkey""".stripMargin
 
   private def stagedAvroLogicalCopy(spark: SparkSession, dir: String): String =
-    textFixtures.getOrElseUpdate((dir, "avrologic"),
+    graft.core.Fixtures.memo(textFixtures, (dir, "avrologic"))(
       graft.core.Fixtures.staged(s"$dir/orders.parquet", "avrologic") { target =>
         graft.sources.AvroSource.write(
           Tables.orders(spark, dir)
@@ -211,7 +211,7 @@ object Relational {
 
   private def stagedTextCopy(spark: SparkSession, dir: String,
                              fmt: String): String =
-    textFixtures.getOrElseUpdate((dir, fmt),
+    graft.core.Fixtures.memo(textFixtures, (dir, fmt))(
       graft.core.Fixtures.staged(s"$dir/nation.parquet", fmt) { target =>
         Tables.nation(spark, dir).write.mode("overwrite")
           .option("header", "true").format(fmt).save(target)
@@ -234,7 +234,7 @@ object Relational {
       .orderBy(col("n_nationkey"))
 
   private def stagedLinesCopy(spark: SparkSession, dir: String): String =
-    textFixtures.getOrElseUpdate((dir, "lines"),
+    graft.core.Fixtures.memo(textFixtures, (dir, "lines"))(
       graft.core.Fixtures.staged(s"$dir/nation.parquet", "lines") { target =>
         Tables.nation(spark, dir)
           .select(concat_ws("|", col("n_nationkey"), col("n_name"),
@@ -263,7 +263,7 @@ object Relational {
   private val EvolvedSplitKey = 10
 
   private def stagedEvolvedCopy(spark: SparkSession, dir: String): String =
-    textFixtures.getOrElseUpdate((dir, "evolved"),
+    graft.core.Fixtures.memo(textFixtures, (dir, "evolved"))(
       graft.core.Fixtures.staged(s"$dir/nation.parquet", "evolved",
           codeTag = s"split$EvolvedSplitKey") { target =>
         val n = Tables.nation(spark, dir)
@@ -1055,8 +1055,11 @@ object Relational {
     val cov = s.select(col("user_id"), col("sstart"),
       explode(expr(s"sequence(s_us DIV $HourUs, (e_us - 1) DIV $HourUs)"))
         .as("hb"))
+    // integer DIV, same semantics as the coverage side and the DuckDB
+    // `//` — the former double-divide-then-cast was safe at epoch-µs
+    // magnitudes (< 2^53) but a fragile inconsistency (ADVICE r5)
     val busy = Tables.events(spark, dir)
-      .select((unix_micros(col("ts")) / HourUs).cast("long").as("hb"))
+      .select(expr(s"unix_micros(ts) DIV $HourUs").as("hb"))
       .groupBy(col("hb")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("hb")).limit(10)
       .select(col("hb"))

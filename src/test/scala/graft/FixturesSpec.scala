@@ -71,6 +71,29 @@ class FixturesSpec extends AnyFunSuite {
     assert(t1 == t2 && writes == 1)
   }
 
+  test("memo hit re-validates the cached path and re-stages a purged dir") {
+    // ADVICE r5: a JVM-lifetime memo can outlive its fixture dir when
+    // another JVM re-stages a changed source and later purges this
+    // fingerprint — Fixtures.memo must notice and re-stage
+    val src = tmpSource()
+    val memo = scala.collection.concurrent.TrieMap.empty[String, String]
+    var writes = 0
+    def stage() = Fixtures.staged(src.toString, "specmemo") { target =>
+      writes += 1
+      new File(target).mkdirs()
+    }
+    val p1 = Fixtures.memo(memo, "k")(stage())
+    assert(writes == 1)
+    assert(Fixtures.memo(memo, "k")(stage()) == p1 && writes == 1) // pure hit
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+    }
+    rm(new File(p1)) // simulate the cross-JVM purge
+    val p2 = Fixtures.memo(memo, "k")(stage())
+    assert(new File(p2).isDirectory, "dangling memo must re-stage")
+    assert(writes == 2)
+  }
+
   test("a failed write leaves no visible fixture (atomic rename)") {
     val src = tmpSource()
     intercept[RuntimeException] {
