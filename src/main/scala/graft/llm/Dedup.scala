@@ -116,7 +116,25 @@ object Dedup {
   private[graft] def bandsNative(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     bandsOfSigs(signaturesNative(docs, idCol, textCol))
 
+  /** Bucket-size safety valve for every band self-join (r6 scale-cliff
+    * finding): a redundancy-heavy corpus (templated/boilerplate mass,
+    * heavy near-dup clusters) piles thousands of docs into one (band,
+    * signature) bucket, and the candidate join then emits |bucket|²/2
+    * pairs from that bucket alone — measured 8.45 M candidates on a
+    * 25 k-doc corpus where every doc had 4 near-copies, a 12,000×
+    * blow-up over the same corpus at constant near-dup density. A
+    * bucket larger than this cap contributes no candidates: its mass
+    * is by construction near-identical boilerplate, which exact-dedup
+    * (digest groups) and per-source handling catch far cheaper than a
+    * quadratic pair join. Inert below the cap — every driver-scale
+    * bucket is ≤ 8 docs, so test-scale results are unchanged — and the
+    * cut is deterministic (a pure bucket-count predicate), so the
+    * DuckDB twins apply the identical rule via [[bandsSql]]. */
+  private[graft] val maxBucket = 100
+
   private[graft] def bandsOfSigs(sigs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b"), col("v"))
     sigs
       .select(col("doc_id"), explode(array(
         (0 until nBands).map(b => struct(
@@ -129,12 +147,20 @@ object Dedup {
       // once: an isnotnull(sig) predicate would be pushed into the scan
       // and recompute graft_minhash8 per row in the filter.
       .where(col("v").isNotNull)
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
   }
 
-  private val bandsSql: String =
-    (0 until nBands)
+  private val bandsSql: String = {
+    val raw = (0 until nBands)
       .map(b => s"SELECT doc_id, $b AS b, h${2 * b} || h${2 * b + 1} AS v FROM mh")
       .mkString(" UNION ALL ")
+    s"""SELECT doc_id, b, v FROM (
+       |  SELECT doc_id, b, v, count(*) OVER (PARTITION BY b, v) AS bucket_n
+       |  FROM ($raw) raw_bands) sized_bands
+       |WHERE bucket_n <= $maxBucket""".stripMargin
+  }
 
   /** Exact dedup: group by normalized-text hash; keep the smallest
     * doc_id per group. One hash-shuffle keyed by digest — the plain
@@ -633,7 +659,10 @@ object Dedup {
         // or a previous session's — is bit-identical by construction
         // (the fixpoint is deterministic), so reuse is always safe
         // and the fixpoint is skipped entirely when staged already.
-        graft.core.Fixtures.staged(dir, "labels", codeTag = "cc_minlabel_v1") {
+        // v2: candidate generation gained the maxBucket cap — the
+        // fixture content could differ on a redundancy-heavy corpus,
+        // so the fingerprint must change with the code
+        graft.core.Fixtures.staged(dir, "labels", codeTag = "cc_minlabel_v2") {
           target =>
             val bd = bandsNative(Tables.documents(spark, dir), "doc_id", "text")
               .cache()

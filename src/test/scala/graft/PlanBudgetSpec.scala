@@ -86,19 +86,19 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_dedup_clusters" -> 1,
     "llm_dedup_embed" -> 2,
     "llm_dedup_exact" -> 2,
-    "llm_dedup_fuzzy" -> 2,
-    "llm_dedup_jaccard" -> 21,
-    "llm_dedup_jaccard_est" -> 2,
+    "llm_dedup_fuzzy" -> 4,
+    "llm_dedup_jaccard" -> 39,
+    "llm_dedup_jaccard_est" -> 4,
     "llm_dedup_simhash" -> 1,
     "llm_dedup_simhash_nn" -> 5,
-    "llm_doc_overlap" -> 3,
+    "llm_doc_overlap" -> 5,
     "llm_embed_cluster" -> 3,
     "llm_embed_outliers" -> 5,
     "llm_embed_quantize" -> 1,
     "llm_export_jsonl" -> 1,
     "llm_filter_funnel" -> 1,
     "llm_fingerprint" -> 1,
-    "llm_incremental_dedup" -> 7,
+    "llm_incremental_dedup" -> 11,
     "llm_lang_id" -> 1,
     "llm_lm_score" -> 6,
     "llm_mix_plan" -> 3,
