@@ -514,44 +514,67 @@ object Dedup {
 
   /** Nearest simhash neighbor per doc: candidates from two byte-wide
     * bands (pigeonhole: hamming ≤ 1 guarantees a shared byte; wider
-    * recall is probabilistic), ranked by hamming distance. Band width
-    * is the bucket-occupancy knob: nibble bands (16 buckets) melt into
-    * ~n²/16 candidate pairs on a redundant corpus, byte bands (256)
-    * keep buckets sparse. Rank-limited rather than thresholded — this
-    * corpus's token sets overlap so heavily that a hamming cutoff
-    * returns thousands of pairs; per-doc top-1 stays bounded at scale
-    * regardless of redundancy. */
+    * recall is probabilistic), ranked by (hamming, neighbor id).
+    *
+    * R6 scale fix: the band self-join runs over DISTINCT fingerprints,
+    * not docs. A 16-bit fingerprint space means a fixed 256 buckets
+    * per band, so a doc-level join grows as n²/256 (measured 7× time
+    * at 5× docs); fingerprint-level candidates saturate at 65,536
+    * distinct values no matter how large the corpus — the pair space
+    * is bounded forever, and per-doc work is one group lookup plus a
+    * rank over ≤ 510 candidate fingerprints. The per-doc TOP-1 result
+    * is unchanged, exactly: docs sharing a fingerprint resolve to
+    * hamming 0 against their group's min member (second-min for the
+    * min member itself — same (hamming, doc_b) order as the doc-level
+    * rank), and singleton docs rank candidate fingerprints by
+    * (hamming, group min id), which equals ranking every member doc
+    * because each group's best representative IS its min id. */
   def dedupSimhashNn(spark: SparkSession, dir: String): DataFrame = {
     // Repartition before caching: the native-kernel fingerprint frame is
     // a projection over the scan, so on a small/few-file corpus the
-    // cache inherits 1-2 partitions and the candidate join's map side
-    // runs single-threaded. The shuffle moves only (id, fp) — measured
-    // 4.1s -> 1.1s at sf0.1 — and is partition-count-portable
-    // (repartition by column uses spark.sql.shuffle.partitions).
+    // cache inherits 1-2 partitions and the join map sides run
+    // single-threaded. The shuffle moves only (id, fp) and is
+    // partition-count-portable.
     val fp = simhashFingerprints(spark, dir)
-      .repartition(col("doc_id")).cache() // self-join reuse
-    def bands(idCol: String, fpCol: String) =
-      fp.select(col("doc_id").as(idCol), col("simhash").as(fpCol),
+      .repartition(col("doc_id")).cache() // reused by all three legs
+    val groups = fp.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("min_id"), count(lit(1)).as("m"))
+      .cache()
+    // second-smallest member id — the hamming-0 neighbor of the min
+    // member in a shared-fingerprint group
+    val second = fp.join(groups, "simhash")
+      .where(col("doc_id") > col("min_id"))
+      .groupBy(col("simhash")).agg(min(col("doc_id")).as("second_id"))
+    val within = fp.join(groups.where(col("m") >= 2), "simhash")
+      .join(second, "simhash")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("min_id"), col("second_id"))
+          .otherwise(col("min_id")).as("nn_id"),
+        lit(0).as("hamming"))
+    def bands(fpCol: String, repCol: String) =
+      groups.select(col("simhash").as(fpCol), col("min_id").as(repCol),
         explode(array((0 until 2).map(b =>
           struct(lit(b).as("b"),
             shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*))
           .as("band"))
-        .select(col(idCol), col(fpCol), col("band.b").as(s"b_$idCol"),
-          col("band.v").as(s"v_$idCol"))
-    val a = bands("doc_a", "fp_a")
-    val b = bands("doc_b", "fp_b")
-    val w = Window.partitionBy(col("doc_a"))
-      .orderBy(col("hamming"), col("doc_b"))
-    a.join(b, col("b_doc_a") === col("b_doc_b") &&
-              col("v_doc_a") === col("v_doc_b") &&
-              col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+        .select(col(fpCol), col(repCol), col("band.b").as(s"b_$fpCol"),
+          col("band.v").as(s"v_$fpCol"))
+    val fa = bands("fp_a", "rep_a")
+    val fb = bands("fp_b", "rep_b")
+    val fpPairs = fa.join(fb, col("b_fp_a") === col("b_fp_b") &&
+                              col("v_fp_a") === col("v_fp_b") &&
+                              col("fp_a") =!= col("fp_b"))
+      .select(col("fp_a"), col("rep_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .distinct()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hamming"), col("rep_b"))
+    val cross = fp.join(groups.where(col("m") === 1), "simhash")
+      .join(fpPairs, col("simhash") === col("fp_a"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("nn_id"), col("hamming"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("rep_b").as("nn_id"), col("hamming"))
+    within.unionAll(cross).orderBy(col("doc_id"))
   }
 
   lazy val dedupSimhashNnSql: String = {
@@ -561,20 +584,40 @@ object Dedup {
     s"""WITH fp AS (
        |$inner
        |),
-       |bands AS (
-       |  SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS v
-       |  FROM fp, unnest([0,1]) AS t(b)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |grp AS (
+       |  SELECT simhash, min(doc_id) AS min_id, count(*) AS m
+       |  FROM fp GROUP BY 1),
+       |second AS (
+       |  SELECT f.simhash, min(f.doc_id) AS second_id
+       |  FROM fp f JOIN grp g ON g.simhash = f.simhash
+       |  WHERE f.doc_id > g.min_id GROUP BY 1),
+       |within AS (
+       |  SELECT f.doc_id,
+       |    CASE WHEN f.doc_id = g.min_id THEN s.second_id
+       |         ELSE g.min_id END AS nn_id,
+       |    0 AS hamming
+       |  FROM fp f
+       |  JOIN grp g ON g.simhash = f.simhash
+       |  JOIN second s ON s.simhash = f.simhash
+       |  WHERE g.m >= 2),
+       |fbands AS (
+       |  SELECT simhash, min_id, b, (simhash >> (b*8)) & 255 AS v
+       |  FROM grp, unnest([0,1]) AS t(b)),
+       |fpp AS (
+       |  SELECT DISTINCT a.simhash AS fp_a, b.min_id AS rep_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-       |  FROM bands a JOIN bands b
-       |    ON a.b = b.b AND a.v = b.v AND a.doc_id <> b.doc_id),
-       |ranked AS (
-       |  SELECT doc_a, doc_b, hamming,
-       |    ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY hamming, doc_b) AS rn
-       |  FROM cand)
-       |SELECT doc_a AS doc_id, doc_b AS nn_id, hamming
-       |FROM ranked WHERE rn = 1
+       |  FROM fbands a JOIN fbands b
+       |    ON a.b = b.b AND a.v = b.v AND a.simhash <> b.simhash),
+       |crossed AS (
+       |  SELECT f.doc_id, p.rep_b AS nn_id, p.hamming,
+       |    ROW_NUMBER() OVER (PARTITION BY f.doc_id
+       |                       ORDER BY p.hamming, p.rep_b) AS rn
+       |  FROM fp f
+       |  JOIN grp g ON g.simhash = f.simhash AND g.m = 1
+       |  JOIN fpp p ON p.fp_a = f.simhash)
+       |SELECT doc_id, nn_id, hamming FROM within
+       |UNION ALL
+       |SELECT doc_id, nn_id, hamming FROM crossed WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -90,7 +90,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_dedup_jaccard" -> 39,
     "llm_dedup_jaccard_est" -> 4,
     "llm_dedup_simhash" -> 1,
-    "llm_dedup_simhash_nn" -> 5,
+    // r6 fingerprint-collapse rewrite: the cached fp/groups subtrees
+    // print once per consuming leg (3×/4×) in the initial plan; runtime
+    // materializes each once
+    "llm_dedup_simhash_nn" -> 20,
     "llm_doc_overlap" -> 5,
     "llm_embed_cluster" -> 3,
     "llm_embed_outliers" -> 5,
