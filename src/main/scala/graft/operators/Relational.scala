@@ -746,6 +746,65 @@ object Relational {
       |) WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  /** Nearest as-of (pandas `merge_asof direction='nearest'`) — the
+    * third as-of semantics: per event, the user's closest order in
+    * EITHER time direction, ties broken toward the backward match and
+    * then by each direction's own native tie-break (backward retains
+    * the max orderkey on equal dates, forward the min — the same
+    * contracts [[joinAsof]]/[[joinAsofFwd]] pin). Composed from two
+    * native single-merge passes plus one event-keyed join of the two
+    * event-sized results: each pass holds one retained row per key, so
+    * the deep-history blow-up a windowed emulation would pay never
+    * materializes, and the composition reuses the operator whose
+    * semantics are already oracle-verified per direction. At scale: 2
+    * key shuffles + sorts (the merges) + 1 event-id shuffle (the zip). */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val back = org.apache.spark.sql.graft.AsofJoinApi.join(
+        e, o, Seq("user_id" -> "o_custkey"), "ts", "o_orderdate",
+        rightTieBreakCols = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey").as("bk_key"), col("o_orderdate").as("bk_date"))
+    val fwd = org.apache.spark.sql.graft.AsofJoinApi.join(
+        e, o, Seq("user_id" -> "o_custkey"), "ts", "o_orderdate",
+        rightTieBreakCols = Seq("o_orderkey"), forward = true)
+      .select(col("event_id"),
+        col("o_orderkey").as("fw_key"), col("o_orderdate").as("fw_date"))
+    // o_orderdate is parquet-NTZ; at the pinned UTC session the LTZ
+    // cast is value-identity, and unix_micros needs TIMESTAMP
+    val bkDist = unix_micros(col("ts")) -
+      unix_micros(col("bk_date").cast("timestamp"))
+    val fwDist = unix_micros(col("fw_date").cast("timestamp")) -
+      unix_micros(col("ts"))
+    val pickBack = col("fw_date").isNull ||
+      (col("bk_date").isNotNull && bkDist <= fwDist)
+    back.join(fwd, "event_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(pickBack, col("bk_key")).otherwise(col("fw_key")).as("o_orderkey"),
+        when(pickBack, col("bk_date")).otherwise(col("fw_date")).as("o_orderdate"),
+        when(col("bk_date").isNull && col("fw_date").isNull, lit(null).cast("string"))
+          .when(pickBack, lit("back")).otherwise(lit("fwd")).as("direction"))
+      .orderBy(col("event_id"))
+  }
+
+  val joinAsofNearestSql: String =
+    """SELECT event_id, user_id, ts, o_orderkey, o_orderdate, direction FROM (
+      |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+      |    CASE WHEN o.o_orderdate IS NULL THEN NULL
+      |         WHEN o.o_orderdate <= e.ts THEN 'back' ELSE 'fwd' END AS direction,
+      |    ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY
+      |      abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) ASC NULLS LAST,
+      |      CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END ASC NULLS LAST,
+      |      CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey
+      |           ELSE o.o_orderkey END ASC NULLS LAST) AS rn
+      |  FROM events e LEFT OUTER JOIN orders o ON e.user_id = o.o_custkey
+      |) WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   // ----------------------------------------------------------- aggregates
 
   /** Global (grand-total) aggregate: one partial agg per partition, one
@@ -1664,6 +1723,7 @@ object Relational {
     "join_asof" -> joinAsof,
     "join_asof_native" -> joinAsofNative,
     "join_asof_fwd" -> joinAsofFwd,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_lateral" -> joinLateral,
     "agg_global" -> aggGlobal,
     "agg_groupby" -> aggGroupBy,
@@ -1724,6 +1784,7 @@ object Relational {
     "join_asof" -> joinAsofSql,
     "join_asof_native" -> joinAsofSql, // same contract, native operator
     "join_asof_fwd" -> joinAsofFwdSql,
+    "join_asof_nearest" -> joinAsofNearestSql,
     "join_lateral" -> joinLateralSql,
     "agg_global" -> aggGlobalSql,
     "agg_groupby" -> aggGroupBySql,

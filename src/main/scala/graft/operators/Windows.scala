@@ -446,6 +446,51 @@ object Windows {
        |FROM m
        |ORDER BY month""".stripMargin
 
+  /** MAD-based daily anomaly detection per event type — the robust
+    * ops-metric monitor (median ± 3·MAD flags outliers without the
+    * mean/σ sensitivity to the outliers themselves). Cross-engine
+    * exact by construction: daily counts are integers, so the
+    * interpolated median is a binary-exact half, deviations and the
+    * MAD are exact halves, and 3·MAD is an exact IEEE product — the
+    * boolean flag can never disagree by an ulp. Scale shape: the
+    * (type, day) rollup is the only corpus-sized shuffle (partial+
+    * final); the median/MAD frames are days×types rows, broadcast
+    * back. MAD = 0 (constant series) degrades to flagging any
+    * deviation, with no division anywhere. */
+  def tsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy(col("event_type"))
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("n"), col("med"),
+        col("mad"), (col("dev") > lit(3.0) * col("mad")).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val tsAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, quantile_cont(n, 0.5) AS med
+      |  FROM daily GROUP BY 1),
+      |dev AS (
+      |  SELECT d.event_type, d.day, d.n, m.med, ABS(d.n - m.med) AS dev
+      |  FROM daily d JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, d.day, d.n, d.med, mad.mad AS mad,
+      |  d.dev > 3.0 * mad.mad AS is_anomaly
+      |FROM dev d JOIN mad USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   /** Gaps-and-islands streak detection — longest run of CONSECUTIVE
     * order days per customer, via the classic rank-difference trick:
     * day_number − row_number is constant within a consecutive run, so
@@ -536,6 +581,7 @@ object Windows {
     "ts_seasonality" -> tsSeasonality,
     "win_streaks" -> winStreaks,
     "ts_mom_growth" -> tsMomGrowth,
+    "ts_anomaly" -> tsAnomaly,
     "ts_gapfill" -> tsGapfill,
     "ts_cumulative_users" -> tsCumulativeUsers,
     "ts_cohort_retention" -> tsCohortRetention,
@@ -552,6 +598,7 @@ object Windows {
     "ts_seasonality" -> tsSeasonalitySql,
     "win_streaks" -> winStreaksSql,
     "ts_mom_growth" -> tsMomGrowthSql,
+    "ts_anomaly" -> tsAnomalySql,
     "ts_gapfill" -> tsGapfillSql,
     "ts_cumulative_users" -> tsCumulativeUsersSql,
     "ts_cohort_retention" -> tsCohortRetentionSql,

@@ -63,6 +63,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "fn_variant" -> 1,
     "join_asof" -> 2,
     "join_asof_fwd" -> 3,
+    "join_asof_nearest" -> 7,
     "join_asof_native" -> 3,
     "join_bucketed" -> 1,
     "join_inner_hash" -> 1,
@@ -154,6 +155,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "table_skew" -> 3,
     "table_stats" -> 10,
     "topk_per_group" -> 2,
+    "ts_anomaly" -> 8,
     "ts_cohort_retention" -> 4,
     "ts_cumulative_users" -> 3,
     "ts_gapfill" -> 2,
