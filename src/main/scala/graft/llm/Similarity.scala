@@ -916,6 +916,131 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
+  // ---------------------------------------- product quantization (ADC)
+
+  /** 8 subspaces × 16 codes: each 64-dim vector compresses to 8
+    * 4-bit codes (4 bytes vs 256 — 64×), the storage rung below int8.
+    * Codewords per subspace are the first [[PqK]] corpus vectors'
+    * subvectors (the [[simSearchIvf]] seed discipline, so the oracle
+    * re-derives them from the same parquet). */
+  private val PqM = 8  // subspaces of 8 dims each
+  private val PqK = 16 // codes per subspace
+  /** 2^20 — quantizes subspace distances to exact BIGINTs: the ADC sum
+    * over 8 subspace terms becomes order-free integer arithmetic, and
+    * the final descale divides by a power of two (IEEE-exact). */
+  private val PqScale = 1048576L
+
+  /** In-order 8-term squared-L2 chain for subspace `m` (a column in
+    * scope): explicit left-associated `+` like [[Dedup.dotSql]], so
+    * both engines evaluate the identical correctly-rounded sequence.
+    * element_at / DuckDB `[...]` are both 1-based. */
+  private def pqDistExpr(a: String, b: String): String =
+    (1 to 8).map { i =>
+      val (x, y) = (s"CAST(element_at($a, m*8+$i) AS DOUBLE)",
+        s"CAST(element_at($b, m*8+$i) AS DOUBLE)")
+      s"($x - $y) * ($x - $y)"
+    }.mkString(" + ")
+
+  private def pqDistSql(a: String, b: String): String =
+    (1 to 8).map { i =>
+      val (x, y) = (s"CAST($a[m*8+$i] AS DOUBLE)",
+        s"CAST($b[m*8+$i] AS DOUBLE)")
+      s"($x - $y) * ($x - $y)"
+    }.mkString(" + ")
+
+  /** Product-quantization search with asymmetric distance computation
+    * — the billion-scale ANN rung below [[simSearchInt8]]: vectors are
+    * stored as 8 codes (encode = per-subspace argmin to the shared
+    * codebook, a corpus × 16-codeword broadcast with partial-agg min),
+    * queries build a 8×16 distance lookup table, and scoring joins
+    * codes against the broadcast LUT and SUMS 8 integers per
+    * candidate — no float math ever touches the corpus at query time,
+    * which is what makes scanning compressed codes memory-bandwidth-
+    * bound instead of FLOP-bound at 100 TB. All distances are
+    * [[PqScale]]-quantized BIGINTs (order-free sums, exact rank
+    * compare); ties break on code/cand id. AnnRecallSpec measures the
+    * 4-bit codes' recall@5 against the float brute force. */
+  def simSearchPq(spark: SparkSession, dir: String): DataFrame = {
+    // Encode UNIT vectors: on the unit sphere L2² = 2 - 2·cos, so the
+    // ADC rank order estimates the cosine baseline's metric instead of
+    // fighting magnitude. Measured honestly (AnnRecallSpec): recall@5
+    // stays ≈ 0.22 either way on this DIFFUSE fixture — with only 16
+    // codes per 8-dim subspace the quantization cell is far wider than
+    // the ≈0.3-cosine neighbor gaps, so subspace distortion, not the
+    // metric, is the recall limiter. That is the real 4-bit trade: 64×
+    // compression buys a first-pass filter (re-rank survivors with
+    // int8/float), not a standalone ranker, on hard corpora. One
+    // correctly-rounded division per element, identical cross-engine.
+    val e = Dedup.withNorm(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)")
+          .as("embedding"))
+    val cb = e.where(col("vec_id") < PqK)
+      .select(col("vec_id").as("code"), col("embedding").as("cbe"))
+    val dq = expr(
+      s"CAST(floor((${pqDistExpr("embedding", "cbe")}) * $PqScale + 0.5) AS BIGINT)")
+    def pairs(src: DataFrame) = src
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("code"), col("cbe"), col("embedding"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))
+      .withColumn("dq", dq)
+    val enc = pairs(e)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dq"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+    val lut = pairs(e.where(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("m"), col("code"), col("dq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sd"), col("cand_id"))
+    enc.join(broadcast(lut), Seq("m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("dq")).as("sd"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        (col("sd").cast("double") / lit(PqScale.toDouble)).as("pq_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simSearchPqSql: String =
+    s"""WITH n AS (${Dedup.withNormSql}),
+       |un AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS embedding
+       |  FROM n),
+       |cb AS (
+       |  SELECT vec_id AS code, embedding AS cbe
+       |  FROM un WHERE vec_id < $PqK),
+       |sub AS (SELECT unnest(range($PqM)) AS m),
+       |encp AS (
+       |  SELECT e.vec_id, s.m, c.code,
+       |    CAST(floor((${pqDistSql("e.embedding", "c.cbe")}) * $PqScale + 0.5)
+       |      AS BIGINT) AS dq
+       |  FROM un e CROSS JOIN cb c CROSS JOIN sub s),
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dq, code) AS rn
+       |    FROM encp) WHERE rn = 1),
+       |lut AS (
+       |  SELECT vec_id AS query_id, m, code, dq
+       |  FROM encp WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT l.query_id, e.vec_id AS cand_id, CAST(SUM(l.dq) AS BIGINT) AS sd
+       |  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+       |  WHERE e.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, cand_id, sd,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY sd, cand_id) AS INT) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, cand_id,
+       |  CAST(sd AS DOUBLE) / $PqScale.0 AS pq_dist
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_search_lsh" -> simSearchLsh,
     "llm_sim_search_lsh_probe" -> simSearchLshProbe,
@@ -925,6 +1050,7 @@ object Similarity {
     "llm_embed_outliers" -> embedOutliers,
     "llm_embed_quantize" -> embedQuantize,
     "llm_sim_search_int8" -> simSearchInt8,
+    "llm_sim_search_pq" -> simSearchPq,
     "llm_sim_search" -> simSearch,
     "llm_sim_search_native" -> simSearchNative,
     "llm_multimodal" -> multimodal,
@@ -940,6 +1066,7 @@ object Similarity {
     "llm_embed_outliers" -> embedOutliersSql,
     "llm_embed_quantize" -> embedQuantizeSql,
     "llm_sim_search_int8" -> simSearchInt8Sql,
+    "llm_sim_search_pq" -> simSearchPqSql,
     "llm_sim_search" -> simSearchSql,
     "llm_sim_search_native" -> simSearchSql, // same contract, native kernel
     "llm_multimodal" -> multimodalSql,

@@ -103,6 +103,30 @@ object Relational {
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .orderBy(col("n_nationkey"))
 
+  /** Gzip-compressed JSONL scan — the format crawl dumps actually
+    * arrive in (CommonCrawl-style *.jsonl.gz): nation staged once as
+    * gzipped JSON lines, read back typed through the same explicit-
+    * schema path as [[scanJson]] (Hadoop's codec layer decompresses
+    * transparently by extension). The 100 TB caveat this row pins:
+    * gzip is NOT splittable, so parallelism = file count, one task per
+    * .gz member — a pipeline must shard the archive into many files
+    * (as here, one per staging partition) or recompress to a
+    * splittable codec before the heavy transforms. */
+  def scanJsonGz(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .json(stagedJsonGzCopy(spark, dir))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+
+  private def stagedJsonGzCopy(spark: SparkSession, dir: String): String =
+    graft.core.Fixtures.memo(textFixtures, (dir, "jsongz"))(
+      graft.core.Fixtures.staged(s"$dir/nation.parquet", "jsongz") { target =>
+        Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .write.mode("overwrite").option("compression", "gzip")
+          .json(target)
+      })
+
   /** CSV source scan: header + explicit schema (no inference pass). */
   def scanCsv(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -1704,6 +1728,7 @@ object Relational {
     "scan_filter_project" -> scanFilterProject,
     "scan_partition_pruned" -> scanPartitionPruned,
     "scan_json" -> scanJson,
+    "scan_json_gz" -> scanJsonGz,
     "scan_csv" -> scanCsv,
     "scan_text" -> scanText,
     "scan_orc" -> scanOrc,
@@ -1765,6 +1790,7 @@ object Relational {
     "scan_filter_project" -> scanFilterProjectSql,
     "scan_partition_pruned" -> scanPartitionPrunedSql,
     "scan_json" -> scanTextSql,
+    "scan_json_gz" -> scanTextSql,
     "scan_csv" -> scanTextSql,
     "scan_text" -> scanTextSql,
     "scan_orc" -> scanTextSql,

@@ -105,6 +105,23 @@ class AnnRecallSpec extends AnyFunSuite with SparkSpec {
       s"trained codebook scans more candidates ($trainedPairs > $seedPairs)")
   }
 
+  test("PQ (8x16, ADC) recall@5 sits between chance and int8") {
+    // 4-bit product codes keep 64x less than float32 (vs int8's 4x):
+    // recall must land between the coarse-quantizer chance line and
+    // the int8 near-perfect bound. Vectors are unit-normalized before
+    // encoding (unit-sphere L2 tracks cosine), so what this measures
+    // is pure quantization distortion: 16 codes per 8-dim subspace on
+    // a DIFFUSE fixture (neighbor gaps ≈ 0.3 cosine) — measured 0.22,
+    // the honest "4-bit codes are a first-pass filter, re-rank the
+    // survivors" trade recorded in the query's scaladoc.
+    val brute = topSets(Similarity.simSearch(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("rank") <= 5))
+    val pq = topSets(Similarity.simSearchPq(spark, sfDir))
+    val r = recallAt5(pq, brute)
+    info(f"recall@5 — PQ 8x16 ADC vs float cosine: $r%.3f")
+    assert(r >= 0.2, f"PQ recall@5 $r%.3f below floor")
+  }
+
   test("int8-quantized search preserves nearly all float top-5 ranking") {
     // 8-bit symmetric codes perturb each cosine by O(1/127) — tiny
     // against the fixture's neighbor gaps, so the quantized EXHAUSTIVE

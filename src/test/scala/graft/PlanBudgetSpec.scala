@@ -123,6 +123,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_sim_search_ivf" -> 4,
     "llm_sim_search_ivf_trained" -> 4,
     "llm_sim_search_lsh" -> 2,
+    "llm_sim_search_pq" -> 4,
     "llm_sim_search_lsh_probe" -> 2,
     "llm_sim_search_native" -> 2,
     "llm_split" -> 1,
@@ -136,6 +137,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "scan_csv" -> 1,
     "scan_filter_project" -> 1,
     "scan_json" -> 1,
+    "scan_json_gz" -> 1,
     "scan_merged_schema" -> 1,
     "scan_orc" -> 1,
     "scan_parquet" -> 1,
@@ -185,7 +187,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "layout_zorder", "llm_bm25", "llm_collocations", "llm_dataset_card",
     "llm_embed_cluster", "llm_embed_outliers", "llm_lm_score",
     "llm_sim_search", "llm_sim_search_int8", "llm_sim_search_ivf",
-    "llm_sim_search_ivf_trained", "llm_sim_search_native", "llm_tfidf")
+    "llm_sim_search_ivf_trained", "llm_sim_search_native", "llm_sim_search_pq", "llm_tfidf")
 
   /** Scans whose predicate must reach the parquet reader: the plan has
     * to show a non-empty pushed/partition filter, or the 100 TB scan
