@@ -960,17 +960,16 @@ object Similarity {
     * [[PqScale]]-quantized BIGINTs (order-free sums, exact rank
     * compare); ties break on code/cand id. AnnRecallSpec measures the
     * 4-bit codes' recall@5 against the float brute force. */
-  def simSearchPq(spark: SparkSession, dir: String): DataFrame = {
-    // Encode UNIT vectors: on the unit sphere L2² = 2 - 2·cos, so the
-    // ADC rank order estimates the cosine baseline's metric instead of
-    // fighting magnitude. Measured honestly (AnnRecallSpec): recall@5
-    // stays ≈ 0.22 either way on this DIFFUSE fixture — with only 16
-    // codes per 8-dim subspace the quantization cell is far wider than
-    // the ≈0.3-cosine neighbor gaps, so subspace distortion, not the
-    // metric, is the recall limiter. That is the real 4-bit trade: 64×
-    // compression buys a first-pass filter (re-rank survivors with
-    // int8/float), not a standalone ranker, on hard corpora. One
-    // correctly-rounded division per element, identical cross-engine.
+  /** Shortlist depth for [[simSearchPqRerank]]: ADC keeps this many
+    * candidates per query for the exact re-rank pass. */
+  private[llm] val PqShortlist = 50
+
+  /** The shared ADC kernel: (query_id, cand_id, sd) for every
+    * query × candidate pair, sd = PqScale-quantized squared-L2 sum
+    * over the 8 subspace LUT entries. Encode UNIT vectors: on the
+    * unit sphere L2² = 2 - 2·cos, so the ADC rank order estimates the
+    * cosine baseline's metric instead of fighting magnitude. */
+  private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.withNorm(spark, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)")
@@ -990,12 +989,24 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("best.code").as("code"))
     val lut = pairs(e.where(col("vec_id") < 10))
       .select(col("vec_id").as("query_id"), col("m"), col("code"), col("dq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sd"), col("cand_id"))
     enc.join(broadcast(lut), Seq("m", "code"))
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("cand_id"))
       .agg(sum(col("dq")).as("sd"))
+  }
+
+  def simSearchPq(spark: SparkSession, dir: String): DataFrame = {
+    // Measured honestly (AnnRecallSpec): recall@5 ≈ 0.22 on this
+    // DIFFUSE fixture — with only 16 codes per 8-dim subspace the
+    // quantization cell is far wider than the ≈0.3-cosine neighbor
+    // gaps, so subspace distortion, not the metric, is the recall
+    // limiter. That is the real 4-bit trade: 64× compression buys a
+    // first-pass filter (re-rank survivors — [[simSearchPqRerank]]),
+    // not a standalone ranker, on hard corpora. One correctly-rounded
+    // division per element, identical cross-engine.
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sd"), col("cand_id"))
+    pqAdc(spark, dir)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("cand_id"),
@@ -1003,8 +1014,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val simSearchPqSql: String =
-    s"""WITH n AS (${Dedup.withNormSql}),
+  /** The production PQ pattern the [[simSearchPq]] scaladoc promises:
+    * ADC scans the 4-bit codes to a [[PqShortlist]]-deep shortlist
+    * (memory-bandwidth-bound, no float math on the corpus), then ONLY
+    * the shortlist is re-ranked with the exact float cosine — per
+    * query a bounded [[PqShortlist]]-row second pass against vectors
+    * fetched by id. At 100 TB the shortlist join is a broadcast of
+    * queries × shortlist rows against the (pruned) embedding scan, so
+    * the expensive kernel runs on ~0.005% of the corpus. AnnRecallSpec
+    * measures the recovery: shortlist recall bounds final recall, and
+    * the measured number is pinned there and in SURVEY §8. */
+  def simSearchPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("sd"), col("cand_id"))
+    val short = pqAdc(spark, dir)
+      .withColumn("rn", row_number().over(ws))
+      .where(col("rn") <= PqShortlist)
+      .select(col("query_id"), col("cand_id"))
+    val e = Dedup.withNorm(spark, dir)
+    val qv = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+    val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(short).join(cv, "cand_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        (Dedup.dotExpr("ea", "eb") / (col("na") * col("nb"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** CTE prefix shared by the two PQ oracles: everything up through
+    * `adc` (query_id, cand_id, sd) — the SQL twin of [[pqAdc]]. */
+  private val pqAdcCtesSql: String =
+    s"""n AS (${Dedup.withNormSql}),
        |un AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS embedding
@@ -1030,7 +1078,10 @@ object Similarity {
        |  SELECT l.query_id, e.vec_id AS cand_id, CAST(SUM(l.dq) AS BIGINT) AS sd
        |  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
        |  WHERE e.vec_id <> l.query_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val simSearchPqSql: String =
+    s"""WITH $pqAdcCtesSql,
        |ranked AS (
        |  SELECT query_id, cand_id, sd,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1038,6 +1089,30 @@ object Similarity {
        |  FROM adc)
        |SELECT query_id, rank, cand_id,
        |  CAST(sd AS DOUBLE) / $PqScale.0 AS pq_dist
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  val simSearchPqRerankSql: String =
+    s"""WITH $pqAdcCtesSql,
+       |short AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY sd, cand_id) AS rn
+       |    FROM adc) WHERE rn <= $PqShortlist),
+       |rer AS (
+       |  SELECT s.query_id, s.cand_id,
+       |    (${Dedup.dotSql("q.embedding", "c.embedding")})
+       |      / (q.nrm * c.nrm) AS cosine
+       |  FROM short s
+       |  JOIN n q ON q.vec_id = s.query_id
+       |  JOIN n c ON c.vec_id = s.cand_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, cand_id) AS INT) AS rank
+       |  FROM rer)
+       |SELECT query_id, rank, cand_id, cosine
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
@@ -1051,6 +1126,7 @@ object Similarity {
     "llm_embed_quantize" -> embedQuantize,
     "llm_sim_search_int8" -> simSearchInt8,
     "llm_sim_search_pq" -> simSearchPq,
+    "llm_sim_search_pq_rerank" -> simSearchPqRerank,
     "llm_sim_search" -> simSearch,
     "llm_sim_search_native" -> simSearchNative,
     "llm_multimodal" -> multimodal,
@@ -1067,6 +1143,7 @@ object Similarity {
     "llm_embed_quantize" -> embedQuantizeSql,
     "llm_sim_search_int8" -> simSearchInt8Sql,
     "llm_sim_search_pq" -> simSearchPqSql,
+    "llm_sim_search_pq_rerank" -> simSearchPqRerankSql,
     "llm_sim_search" -> simSearchSql,
     "llm_sim_search_native" -> simSearchSql, // same contract, native kernel
     "llm_multimodal" -> multimodalSql,

@@ -122,6 +122,23 @@ class AnnRecallSpec extends AnyFunSuite with SparkSpec {
     assert(r >= 0.2, f"PQ recall@5 $r%.3f below floor")
   }
 
+  test("PQ shortlist + exact re-rank recovers most of the lost recall") {
+    // The production PQ pattern: ADC is the first-pass filter (top-50
+    // shortlist, 10% of this fixture's corpus), exact float cosine
+    // re-ranks only the shortlist. Final recall = fraction of true
+    // top-5 the shortlist catches — must sit FAR above the raw ADC
+    // top-5 (≈0.22) at a re-rank cost of 50 exact cosines per query.
+    val brute = topSets(Similarity.simSearch(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("rank") <= 5))
+    val raw = topSets(Similarity.simSearchPq(spark, sfDir))
+    val rr = topSets(Similarity.simSearchPqRerank(spark, sfDir))
+    val rRaw = recallAt5(raw, brute)
+    val rRer = recallAt5(rr, brute)
+    info(f"recall@5 — PQ raw: $rRaw%.3f, PQ top-50 + exact re-rank: $rRer%.3f")
+    assert(rRer > rRaw, f"re-rank $rRer%.3f not above raw ADC $rRaw%.3f")
+    assert(rRer >= 0.5, f"re-ranked recall@5 $rRer%.3f below floor")
+  }
+
   test("int8-quantized search preserves nearly all float top-5 ranking") {
     // 8-bit symmetric codes perturb each cosine by O(1/127) — tiny
     // against the fixture's neighbor gaps, so the quantized EXHAUSTIVE

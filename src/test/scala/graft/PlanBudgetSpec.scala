@@ -124,6 +124,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_sim_search_ivf_trained" -> 4,
     "llm_sim_search_lsh" -> 2,
     "llm_sim_search_pq" -> 4,
+    "llm_sim_search_pq_rerank" -> 5,
     "llm_sim_search_lsh_probe" -> 2,
     "llm_sim_search_native" -> 2,
     "llm_split" -> 1,
@@ -187,7 +188,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "layout_zorder", "llm_bm25", "llm_collocations", "llm_dataset_card",
     "llm_embed_cluster", "llm_embed_outliers", "llm_lm_score",
     "llm_sim_search", "llm_sim_search_int8", "llm_sim_search_ivf",
-    "llm_sim_search_ivf_trained", "llm_sim_search_native", "llm_sim_search_pq", "llm_tfidf")
+    "llm_sim_search_ivf_trained", "llm_sim_search_native", "llm_sim_search_pq",
+    "llm_sim_search_pq_rerank", "llm_tfidf")
 
   /** Scans whose predicate must reach the parquet reader: the plan has
     * to show a non-empty pushed/partition filter, or the 100 TB scan
