@@ -543,6 +543,121 @@ object Windows {
       |ORDER BY longest_streak DESC, o_custkey
       |LIMIT 100""".stripMargin
 
+  /** Batch sessionization — the gap-rule sessionizer every behavioral
+    * pipeline needs in BATCH form (the streaming twin is
+    * [[graft.operators.Streams]] `stream_session`): a >30-minute gap
+    * between a user's consecutive events starts a new session; the
+    * running sum of new-session flags numbers sessions; one aggregate
+    * per (user, session) emits start/end/size/duration. Deterministic
+    * under timestamp ties via the (us, event_id) total order, and both
+    * windows share ONE per-user sort; the (user, session_no) rollup is
+    * the only other shuffle. Duration is an exact integer µs diff with
+    * a single IEEE division at the end. At scale this is the textbook
+    * shape: state per task bounds by one user's events, never the
+    * corpus. */
+  def winSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800000000L // 30 min in µs
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wo))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_no", sum(col("new_sess")).over(wr))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))).cast("double") / 1000000.0)
+          .as("duration_sec"))
+      .orderBy(col("user_id"), col("sess_no"))
+  }
+
+  val winSessionizeSql: String =
+    """WITH x AS (
+      |  SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT event_id, user_id, ts, us,
+      |    CASE WHEN LAG(us) OVER w IS NULL
+      |              OR us - LAG(us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM x
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, us,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS sess_no
+      |  FROM g)
+      |SELECT user_id, sess_no,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(MAX(us) - MIN(us) AS DOUBLE) / 1000000.0 AS duration_sec
+      |FROM s GROUP BY 1, 2
+      |ORDER BY user_id, sess_no""".stripMargin
+
+  /** Exponentially-weighted moving average of daily event volume per
+    * type — the smoothing baseline behind ops dashboards and drift
+    * monitors, built CROSS-ENGINE-EXACT: the recursive EWMA is
+    * unrolled to an explicit 8-term lag chain with α = 1/2, so every
+    * weight 2^-k is a power of two (exactly representable), every
+    * term n·2^-k is an exact IEEE product (n < 2^52), and the
+    * numerator/denominator are the SAME left-associated additions in
+    * both engines — no ulp drift, no window-order ambiguity. Missing
+    * leading lags drop out of both sums (partial-window
+    * renormalization, the standard `adjust=true` EWMA). The 8 lags
+    * share one per-type sort; the daily rollup is the only
+    * corpus-sized shuffle. */
+  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lagged = daily.select(
+      col("event_type") +: col("day") +: col("n") +:
+        (0 to 7).map(k => lag(col("n"), k).over(w).as(s"l$k")): _*)
+    val wt = (0 to 7).map(k => math.pow(0.5, k))
+    val num = (0 to 7).map(k =>
+        when(col(s"l$k").isNull, lit(0.0))
+          .otherwise(col(s"l$k").cast("double") * lit(wt(k))))
+      .reduce(_ + _)
+    val den = (0 to 7).map(k =>
+        when(col(s"l$k").isNull, lit(0.0)).otherwise(lit(wt(k))))
+      .reduce(_ + _)
+    lagged.select(col("event_type"), col("day"), col("n"),
+        (num / den).as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val tsEwmaSql: String = {
+    val wt = (0 to 7).map(k => math.pow(0.5, k))
+    val lags = (0 to 7).map(k =>
+      s"LAG(n, $k) OVER (PARTITION BY event_type ORDER BY day) AS l$k")
+      .mkString(",\n    ")
+    val num = (0 to 7).map(k =>
+      s"CASE WHEN l$k IS NULL THEN 0.0 ELSE CAST(l$k AS DOUBLE) * ${wt(k)} END")
+      .mkString(" + ")
+    val den = (0 to 7).map(k =>
+      s"CASE WHEN l$k IS NULL THEN 0.0 ELSE ${wt(k)} END")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT event_type, day, n,
+       |    $lags
+       |  FROM daily)
+       |SELECT event_type, day, n,
+       |  ($num) / ($den) AS ewma
+       |FROM lagged
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   /** Day-of-week seasonality profile of order volume — the weekly
     * cycle report behind capacity planning and anomaly baselines.
     * Spark's `dayofweek` is Sunday=1; the oracle remaps ISODOW the
@@ -580,6 +695,8 @@ object Windows {
     "win_rolling_range" -> winRollingRange,
     "ts_seasonality" -> tsSeasonality,
     "win_streaks" -> winStreaks,
+    "win_sessionize" -> winSessionize,
+    "ts_ewma" -> tsEwma,
     "ts_mom_growth" -> tsMomGrowth,
     "ts_anomaly" -> tsAnomaly,
     "ts_gapfill" -> tsGapfill,
@@ -597,6 +714,8 @@ object Windows {
     "win_rolling_range" -> winRollingRangeSql,
     "ts_seasonality" -> tsSeasonalitySql,
     "win_streaks" -> winStreaksSql,
+    "win_sessionize" -> winSessionizeSql,
+    "ts_ewma" -> tsEwmaSql,
     "ts_mom_growth" -> tsMomGrowthSql,
     "ts_anomaly" -> tsAnomalySql,
     "ts_gapfill" -> tsGapfillSql,

@@ -159,6 +159,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "table_stats" -> 10,
     "topk_per_group" -> 2,
     "ts_anomaly" -> 8,
+    "ts_ewma" -> 3,
     "ts_cohort_retention" -> 4,
     "ts_cumulative_users" -> 3,
     "ts_gapfill" -> 2,
@@ -175,6 +176,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "win_distribution" -> 2,
     "win_rank" -> 2,
     "win_rolling_range" -> 2,
+    "win_sessionize" -> 2,
     "win_streaks" -> 2,
     "write_dynamic_overwrite" -> 0,
   )

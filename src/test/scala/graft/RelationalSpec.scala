@@ -95,6 +95,42 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(best == streak, s"cust $cust: brute $best vs $streak")
   }
 
+  test("sessionize: driver-loop gap scan agrees for the busiest user") {
+    val sess = graft.operators.Windows.winSessionize(spark, sfDir)
+    val busiest = sess.groupBy(col("user_id")).count()
+      .orderBy(col("count").desc, col("user_id")).head().getLong(0)
+    val times = Tables.events(spark, sfDir)
+      .where(col("user_id") === busiest)
+      .select(unix_micros(col("ts"))).orderBy(col("ts"))
+      .collect().map(_.getLong(0))
+    var nSess = 1
+    times.sliding(2).foreach { w =>
+      if (w.length == 2 && w(1) - w(0) > 1800000000L) nSess += 1
+    }
+    val got = sess.where(col("user_id") === busiest).count()
+    assert(got == nSess, s"user $busiest: brute $nSess vs $got sessions")
+    // session boundaries partition the events: sizes must sum to total
+    val sumEvents = sess.where(col("user_id") === busiest)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    assert(sumEvents == times.length)
+  }
+
+  test("ewma: driver-loop weighted average agrees for one event type") {
+    val rows = graft.operators.Windows.tsEwma(spark, sfDir)
+      .where(col("event_type") === "click")
+      .orderBy(col("day")).collect()
+    val n = rows.map(_.getLong(2))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      var (num, den) = (0.0, 0.0)
+      (0 to 7).foreach { k =>
+        if (i - k >= 0) { num += n(i - k) * math.pow(0.5, k); den += math.pow(0.5, k) }
+      }
+      assert(math.abs(r.getDouble(3) - num / den) < 1e-9,
+        s"day ${r.get(1)}: ${r.getDouble(3)} vs ${num / den}")
+    }
+    assert(rows.length > 10)
+  }
+
   test("gini matches a brute-force computation and sits in [0, 1)") {
     val ours = Relational.aggGini(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
