@@ -969,27 +969,54 @@ object Similarity {
     * over the 8 subspace LUT entries. Encode UNIT vectors: on the
     * unit sphere L2² = 2 - 2·cos, so the ADC rank order estimates the
     * cosine baseline's metric instead of fighting magnitude. */
-  private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.withNorm(spark, dir)
+  /** Unit-normalized corpus — PQ encodes on the unit sphere (see
+    * [[pqAdc]]: L2² = 2 − 2·cos there). */
+  private def pqUnit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.withNorm(spark, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)")
           .as("embedding"))
-    val cb = e.where(col("vec_id") < PqK)
+
+  /** The shared encode/LUT pipeline: src × broadcast 16-codeword
+    * codebook × 8 subspaces, with the [[PqScale]]-quantized squared-L2
+    * `dq` per (vec, code, subspace). */
+  private def pqPairs(spark: SparkSession, dir: String, src: DataFrame)
+  : DataFrame = {
+    val cb = pqUnit(spark, dir).where(col("vec_id") < PqK)
       .select(col("vec_id").as("code"), col("embedding").as("cbe"))
     val dq = expr(
       s"CAST(floor((${pqDistExpr("embedding", "cbe")}) * $PqScale + 0.5) AS BIGINT)")
-    def pairs(src: DataFrame) = src
-      .crossJoin(broadcast(cb))
+    src.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("code"), col("cbe"), col("embedding"),
         explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))
       .withColumn("dq", dq)
-    val enc = pairs(e)
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("dq"), col("code"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.code").as("code"))
-    val lut = pairs(e.where(col("vec_id") < 10))
+  }
+
+  /** The corpus PQ codes (vec_id, m, code), STAGED once per source
+    * content like the trained IVF codebook ([[trainedCentroids]]) —
+    * encode is the one corpus-sized pass of the PQ family (corpus ×
+    * 16 codewords × 8 subspaces), and without staging it re-runs in
+    * BOTH PQ queries and every bench repetition. Encoding is
+    * deterministic (quantized distances, (dq, code) min tiebreak), so
+    * the oracle re-derives identical codes from the same parquet and
+    * staging changes cost, not results — exactly the production
+    * "encode once, scan codes forever" shape. */
+  private def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.Fixtures.staged(dir, "pqcodes",
+      codeTag = s"k${PqK}_m${PqM}_s$PqScale") { target =>
+      pqPairs(spark, dir, pqUnit(spark, dir))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dq"), col("code"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.code").as("code"))
+        .write.mode("overwrite").parquet(target)
+    }
+    spark.read.parquet(path)
+  }
+
+  private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val lut = pqPairs(spark, dir, pqUnit(spark, dir).where(col("vec_id") < 10))
       .select(col("vec_id").as("query_id"), col("m"), col("code"), col("dq"))
-    enc.join(broadcast(lut), Seq("m", "code"))
+    pqCodes(spark, dir).join(broadcast(lut), Seq("m", "code"))
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("cand_id"))
       .agg(sum(col("dq")).as("sd"))
