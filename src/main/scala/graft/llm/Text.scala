@@ -1163,7 +1163,171 @@ object Text {
       |FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Vocabulary size for [[vocabCoverage]]: the induced top-K token
+    * list every fixed-vocab tokenizer starts from. */
+  private[graft] val VocabK = 512
+
+  /** Out-of-vocabulary rate per document against an induced top-
+    * [[VocabK]] vocabulary — the coverage report that decides whether
+    * a tokenizer's vocab fits a corpus (high OOV → wasted UNK tokens).
+    * Vocab = top-K tokens by (count DESC, token ASC) — a map-side-
+    * combined token-keyed aggregate + TakeOrdered(K), broadcast back;
+    * coverage is one doc-keyed aggregate over the token stream with
+    * the broadcast vocab as a left join. At 100 TB the vocab induction
+    * and the coverage pass are each ONE corpus shuffle (token-keyed /
+    * doc-keyed), nothing driver-side. Documents tokenizing to zero
+    * tokens drop from BOTH engines identically (explode/unnest emits
+    * no rows). oov_rate = exact BIGINT / BIGINT, one IEEE division. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(VocabK)
+      .select(col("term"), lit(1).as("in_v"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT term, 1 AS in_v FROM (
+       |    SELECT term, COUNT(*) AS c FROM tok GROUP BY 1
+       |    ORDER BY c DESC, term LIMIT $VocabK)),
+       |cov AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_oov
+       |  FROM tok t LEFT JOIN vocab v ON v.term = t.term
+       |  GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_oov,
+       |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+       |FROM cov
+       |ORDER BY doc_id""".stripMargin
+
+  /** Merge rounds for [[bpeTrain]]. */
+  private[graft] val BpeRounds = 4
+
+  /** BPE merge induction — the first [[BpeRounds]] merges of byte-pair
+    * encoding over the corpus's word-frequency table, the tokenizer-
+    * training kernel scaled out: words (alpha runs, lowercased) are
+    * spaced symbol strings `" l o w "`; each round counts adjacent
+    * symbol pairs weighted by word frequency (overlapping instances
+    * count, the standard BPE statistic), picks the (count DESC, pair
+    * ASC) argmax, and merges it everywhere via literal string replace.
+    * Replace is non-overlapping left-to-right WITH the delimiter
+    * consumed — `" a a a "` merges one pair, not two — and Spark's
+    * UTF8String.replace, DuckDB's replace, and java.lang.String
+    * .replace all agree on that contract (LlmSpec pins it against a
+    * driver-side reference). At 100 TB only the word-frequency
+    * aggregate touches the corpus; every round then runs on the
+    * vocabulary table (sublinear in corpus size) — pair census is a
+    * map-side-combined aggregate, the argmax broadcasts 1 row back.
+    * Each round's word table is cached (vocab-sized) or the 4-round
+    * lineage would re-derive every prefix; caller drains per
+    * discipline. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val w0 = Tables.documents(spark, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit(" "),
+        array_join(
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          " "),
+        lit(" ")).as("sp"))
+      .cache()
+    val (merges, _) = (1 to BpeRounds)
+      .foldLeft((List.empty[DataFrame], w0)) { case ((acc, words), r) =>
+        // i+1 lookup guarded by CASE (ANSI element_at throws OOB) and
+        // null pairs filtered — single-symbol words yield no pairs.
+        val best = words
+          .select(col("freq"),
+            expr("filter(split(sp, ' '), s -> s <> '')").as("syms"))
+          .select(col("freq"), explode(expr(
+            """filter(transform(sequence(1, size(syms)),
+              |  i -> CASE WHEN i < size(syms)
+              |       THEN concat(element_at(syms, i), ' ',
+              |                   element_at(syms, i + 1)) END),
+              |  x -> x IS NOT NULL)""".stripMargin)).as("pr"))
+          .groupBy(col("pr")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pr")).limit(1)
+          .select(lit(r).as("round"), col("pr"), col("cnt"))
+          .cache()
+        val next = words.crossJoin(broadcast(best.select(col("pr"))))
+          .select(col("freq"),
+            expr("""replace(sp, concat(' ', pr, ' '),
+              |  concat(' ', replace(pr, ' ', ''), ' '))""".stripMargin)
+              .as("sp"))
+          .cache()
+        (acc :+ best, next)
+      }
+    merges
+      .map(_.select(col("round"),
+        expr("element_at(split(pr, ' '), 1)").as("lhs"),
+        expr("element_at(split(pr, ' '), 2)").as("rhs"),
+        expr("replace(pr, ' ', '')").as("merged"),
+        col("cnt")))
+      .reduce(_ union _)
+      .orderBy(col("round"))
+  }
+
+  /** One BPE round as CTE text: words `w$i` → pair census → argmax
+    * `b$r` → merged words `w$r` (the Lloyd-round-unroll pattern,
+    * [[graft.llm.Similarity]]). */
+  private def bpeRoundSql(r: Int): String = {
+    val i = r - 1
+    s"""p$r AS (
+       |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq,
+       |      unnest(list_transform(range(1, len(syms)),
+       |        i -> syms[i] || ' ' || syms[i + 1])) AS pr
+       |    FROM (SELECT freq,
+       |            list_filter(string_split(sp, ' '), s -> s <> '') AS syms
+       |          FROM w$i))
+       |  GROUP BY 1),
+       |b$r AS (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
+       |w$r AS (
+       |  SELECT freq, replace(sp, ' ' || b.pr || ' ',
+       |    ' ' || replace(b.pr, ' ', '') || ' ') AS sp
+       |  FROM w$i CROSS JOIN b$r b)""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n")
+    val out = (1 to BpeRounds).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS round,
+         |  string_split(pr, ' ')[1] AS lhs, string_split(pr, ' ')[2] AS rhs,
+         |  replace(pr, ' ', '') AS merged, cnt FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents)
+       |  GROUP BY 1),
+       |w0 AS (
+       |  SELECT freq, ' ' || array_to_string(
+       |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+       |    ' ') || ' ' AS sp
+       |  FROM wf),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_vocab_coverage" -> vocabCoverage,
+    "llm_bpe_train" -> bpeTrain,
     "llm_tfidf" -> tfidf,
     "llm_quality_by_source" -> qualityBySource,
     "llm_dataset_card" -> datasetCard,
@@ -1192,6 +1356,8 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_vocab_coverage" -> vocabCoverageSql,
+    "llm_bpe_train" -> bpeTrainSql,
     "llm_tfidf" -> tfidfSql,
     "llm_quality_by_source" -> qualityBySourceSql,
     "llm_dataset_card" -> datasetCardSql,

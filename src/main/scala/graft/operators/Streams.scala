@@ -168,9 +168,43 @@ object Streams {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Stream-stream interval join, batch form — calls the SAME function
+    * the streaming pipeline runs
+    * ([[graft.streaming.EventStreams.purchaseAttribution]]: watermarks
+    * are a no-op under a batch plan, the join condition is identical),
+    * so the DuckDB oracle checks the join semantics the MemoryStream
+    * test (StreamingSpec) proves in streaming execution: every
+    * purchase matched to the same user's signups within the preceding
+    * 24 h, all pairs. One equi-join on user_id with the time bound as
+    * residual — a plain shuffled hash/sort-merge join at scale, state
+    * bounded by the watermark horizon in the streaming twin. delay_sec
+    * is an exact integer µs diff with one IEEE division. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    graft.streaming.EventStreams.purchaseAttribution(
+      ev.where(col("event_type") === "signup"),
+      ev.where(col("event_type") === "purchase"))
+      .select(col("p_user").as("user_id"), col("s_ts"), col("p_ts"),
+        col("p_value"),
+        ((unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
+          .cast("double") / 1000000.0).as("delay_sec"))
+      .orderBy(col("user_id"), col("p_ts"), col("s_ts"))
+  }
+
+  val streamJoinSql: String =
+    """SELECT p.user_id, s.ts AS s_ts, p.ts AS p_ts, p.value AS p_value,
+      |  CAST(epoch_us(p.ts) - epoch_us(s.ts) AS DOUBLE) / 1000000.0
+      |    AS delay_sec
+      |FROM events p JOIN events s
+      |  ON p.user_id = s.user_id
+      | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+      | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
+      |ORDER BY p.user_id, p_ts, s_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup" -> streamDedup,
     "stream_funnel" -> streamFunnel,
+    "stream_join" -> streamJoin,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -179,6 +213,7 @@ object Streams {
   val oracleSql: Map[String, String] = Map(
     "stream_dedup" -> streamDedupSql,
     "stream_funnel" -> streamFunnelSql,
+    "stream_join" -> streamJoinSql,
     "stream_tumbling" -> streamTumblingSql,
     "stream_sliding" -> streamSlidingSql,
     "stream_session" -> streamSessionSql,

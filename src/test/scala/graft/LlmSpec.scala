@@ -441,4 +441,50 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("bpe merges match a driver-side reference on the same word table") {
+    // Reference: the identical greedy algorithm in plain Scala — word
+    // freqs collected (vocab-sized, test-only), java.lang.String
+    // .replace for the merge (same non-overlapping left-to-right
+    // contract as Spark's UTF8String.replace and DuckDB's replace —
+    // the semantics the operator's scaladoc pins).
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    graft.core.Tables.documents(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+      .collect().foreach { r =>
+        val w = r.getString(0); wf(w) = wf.getOrElse(w, 0L) + 1L
+      }
+    var words = wf.toMap.map { case (w, f) =>
+      (" " + w.toCharArray.mkString(" ") + " ", f) }
+    val expected = (1 to graft.llm.Text.BpeRounds).map { r =>
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+      for ((sp, f) <- words) {
+        val syms = sp.split(" ").filter(_.nonEmpty)
+        for (i <- 0 until syms.length - 1) {
+          val p = syms(i) + " " + syms(i + 1)
+          cnt(p) = cnt.getOrElse(p, 0L) + f
+        }
+      }
+      val (pr, c) = cnt.toSeq.minBy { case (p, c) => (-c, p) }
+      words = words.map { case (sp, f) =>
+        (sp.replace(" " + pr + " ", " " + pr.replace(" ", "") + " "), f) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      (r, pr.split(" ")(0), pr.split(" ")(1), pr.replace(" ", ""), c)
+    }
+    val got = graft.llm.Text.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    graft.core.Caches.drain(spark)
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("vocab coverage: rates well-formed, oov zero for all-vocab docs") {
+    val rows = graft.llm.Text.vocabCoverage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, oov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && oov >= 0 && oov <= n)
+      assert(math.abs(rate - oov.toDouble / n) == 0.0)
+    }
+  }
 }

@@ -78,6 +78,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "layout_zorder" -> 2,
     "llm_bm25" -> 7,
     "llm_boilerplate" -> 2,
+    "llm_bpe_train" -> 34,
     "llm_chunk" -> 1,
     "llm_collocations" -> 7,
     "llm_dataset_card" -> 5,
@@ -129,6 +130,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_sim_search_native" -> 2,
     "llm_split" -> 1,
     "llm_text_stats" -> 2,
+    "llm_vocab_coverage" -> 4,
     "llm_tfidf" -> 6,
     "llm_token_count" -> 1,
     "merge_upsert" -> 3,
@@ -152,6 +154,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "sql_recursive" -> 4,
     "stream_dedup" -> 2,
     "stream_funnel" -> 2,
+    "stream_join" -> 2,
     "stream_session" -> 2,
     "stream_sliding" -> 2,
     "stream_tumbling" -> 2,
@@ -187,11 +190,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     * with a non-equi top-k predicate. Everything else must keep an
     * equi-key. */
   private val nestedLoopAllowed: Set[String] = Set(
-    "layout_zorder", "llm_bm25", "llm_collocations", "llm_dataset_card",
-    "llm_embed_cluster", "llm_embed_outliers", "llm_lm_score",
-    "llm_sim_search", "llm_sim_search_int8", "llm_sim_search_ivf",
-    "llm_sim_search_ivf_trained", "llm_sim_search_native", "llm_sim_search_pq",
-    "llm_sim_search_pq_rerank", "llm_tfidf")
+    "layout_zorder", "llm_bm25", "llm_bpe_train", "llm_collocations",
+    "llm_dataset_card", "llm_embed_cluster", "llm_embed_outliers",
+    "llm_lm_score", "llm_sim_search", "llm_sim_search_int8",
+    "llm_sim_search_ivf", "llm_sim_search_ivf_trained",
+    "llm_sim_search_native", "llm_sim_search_pq", "llm_sim_search_pq_rerank",
+    "llm_tfidf")
 
   /** Scans whose predicate must reach the parquet reader: the plan has
     * to show a non-empty pushed/partition filter, or the 100 TB scan
