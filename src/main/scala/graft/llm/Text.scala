@@ -1236,18 +1236,23 @@ object Text {
     * Each round's word table is cached (vocab-sized) or the 4-round
     * lineage would re-derive every prefix; caller drains per
     * discipline. */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared merge fold: word-frequency table → ([[BpeRounds]]
+    * 1-row argmax frames], final word table (w, freq, sp) after all
+    * merges). [[bpeTrain]] reads the merges, [[bpeApply]] the final
+    * words. */
+  private def bpeFold(spark: SparkSession, dir: String)
+  : (List[DataFrame], DataFrame) = {
     val w0 = Tables.documents(spark, dir)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
         .as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), concat(lit(" "),
+      .select(col("w"), col("freq"), concat(lit(" "),
         array_join(
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
           " "),
         lit(" ")).as("sp"))
       .cache()
-    val (merges, _) = (1 to BpeRounds)
+    (1 to BpeRounds)
       .foldLeft((List.empty[DataFrame], w0)) { case ((acc, words), r) =>
         // i+1 lookup guarded by CASE (ANSI element_at throws OOB) and
         // null pairs filtered — single-symbol words yield no pairs.
@@ -1265,14 +1270,17 @@ object Text {
           .select(lit(r).as("round"), col("pr"), col("cnt"))
           .cache()
         val next = words.crossJoin(broadcast(best.select(col("pr"))))
-          .select(col("freq"),
+          .select(col("w"), col("freq"),
             expr("""replace(sp, concat(' ', pr, ' '),
               |  concat(' ', replace(pr, ' ', ''), ' '))""".stripMargin)
               .as("sp"))
           .cache()
         (acc :+ best, next)
       }
-    merges
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeFold(spark, dir)._1
       .map(_.select(col("round"),
         expr("element_at(split(pr, ' '), 1)").as("lhs"),
         expr("element_at(split(pr, ' '), 2)").as("rhs"),
@@ -1280,6 +1288,43 @@ object Text {
         col("cnt")))
       .reduce(_ union _)
       .orderBy(col("round"))
+
+  /** Tokenize the corpus under the [[bpeTrain]] merges — the
+    * compression report that tells you what the learned merges buy:
+    * per document, word count, symbol count before any merge (= alpha
+    * chars) and after the [[BpeRounds]] merges, and the compression
+    * ratio. The merged word table (vocab-sized) joins the exploded
+    * word stream on the word itself — ONE token-keyed shuffle plus the
+    * doc-keyed rollup; the merge fold never touches the corpus again.
+    * Documents with no alpha words drop from both engines identically.
+    * ratio = exact BIGINT / BIGINT, one IEEE division. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    // The merged word table is STAGED once per source content
+    // (Fixtures.staged — the pqcodes/ivfcent pattern): training is a
+    // one-time cost, apply re-reads a vocab-sized parquet. The oracle
+    // re-derives the identical table from the same corpus.
+    val path = graft.core.Fixtures.staged(dir, "bpewords",
+      codeTag = s"r$BpeRounds") { target =>
+      bpeFold(spark, dir)._2
+        .select(col("w"),
+          length(col("w")).cast("long").as("n_sym0"),
+          size(expr("filter(split(sp, ' '), s -> s <> '')")).cast("long")
+            .as("n_sym4"))
+        .write.mode("overwrite").parquet(target)
+    }
+    val words = spark.read.parquet(path)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as("w"))
+      .join(words, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym0")).as("n_sym0"),
+        sum(col("n_sym4")).as("n_sym4"))
+      .select(col("doc_id"), col("n_words"), col("n_sym0"), col("n_sym4"),
+        (col("n_sym4").cast("double") / col("n_sym0")).as("ratio"))
+      .orderBy(col("doc_id"))
   }
 
   /** One BPE round as CTE text: words `w$i` → pair census → argmax
@@ -1298,36 +1343,62 @@ object Text {
        |  GROUP BY 1),
        |b$r AS (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
        |w$r AS (
-       |  SELECT freq, replace(sp, ' ' || b.pr || ' ',
+       |  SELECT w, freq, replace(sp, ' ' || b.pr || ' ',
        |    ' ' || replace(b.pr, ' ', '') || ' ') AS sp
        |  FROM w$i CROSS JOIN b$r b)""".stripMargin
   }
 
-  val bpeTrainSql: String = {
+  /** CTE prefix shared by the two BPE oracles: word-frequency table →
+    * spaced symbols → [[BpeRounds]] unrolled rounds. */
+  private val bpeCtesSql: String = {
     val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n")
-    val out = (1 to BpeRounds).map { r =>
-      s"""SELECT CAST($r AS INTEGER) AS round,
-         |  string_split(pr, ' ')[1] AS lhs, string_split(pr, ' ')[2] AS rhs,
-         |  replace(pr, ' ', '') AS merged, cnt FROM b$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
        |    FROM documents)
        |  GROUP BY 1),
        |w0 AS (
-       |  SELECT freq, ' ' || array_to_string(
+       |  SELECT w, freq, ' ' || array_to_string(
        |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
        |    ' ') || ' ' AS sp
        |  FROM wf),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val out = (1 to BpeRounds).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS round,
+         |  string_split(pr, ' ')[1] AS lhs, string_split(pr, ' ')[2] AS rhs,
+         |  replace(pr, ' ', '') AS merged, cnt FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtesSql
        |$out
        |ORDER BY round""".stripMargin
   }
 
+  val bpeApplySql: String =
+    s"""WITH $bpeCtesSql,
+       |wsym AS (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS n_sym0,
+       |    CAST(len(list_filter(string_split(sp, ' '), s -> s <> ''))
+       |      AS BIGINT) AS n_sym4
+       |  FROM w$BpeRounds),
+       |dw AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents)
+       |SELECT d.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(s.n_sym0) AS BIGINT) AS n_sym0,
+       |  CAST(SUM(s.n_sym4) AS BIGINT) AS n_sym4,
+       |  CAST(SUM(s.n_sym4) AS DOUBLE) / SUM(s.n_sym0) AS ratio
+       |FROM dw d JOIN wsym s USING (w)
+       |GROUP BY 1
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_vocab_coverage" -> vocabCoverage,
     "llm_bpe_train" -> bpeTrain,
+    "llm_bpe_apply" -> bpeApply,
     "llm_tfidf" -> tfidf,
     "llm_quality_by_source" -> qualityBySource,
     "llm_dataset_card" -> datasetCard,
@@ -1358,6 +1429,7 @@ object Text {
   val oracleSql: Map[String, String] = Map(
     "llm_vocab_coverage" -> vocabCoverageSql,
     "llm_bpe_train" -> bpeTrainSql,
+    "llm_bpe_apply" -> bpeApplySql,
     "llm_tfidf" -> tfidfSql,
     "llm_quality_by_source" -> qualityBySourceSql,
     "llm_dataset_card" -> datasetCardSql,

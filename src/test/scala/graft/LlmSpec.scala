@@ -478,6 +478,19 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("bpe apply: merged symbol counts shrink, never below word count") {
+    val rows = graft.llm.Text.bpeApply(spark, sfDir).collect()
+    graft.core.Caches.drain(spark)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, s0, s4, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      // merges only shrink; a word never drops below one symbol
+      assert(s4 <= s0 && s4 >= nw && s0 >= nw)
+      assert(math.abs(ratio - s4.toDouble / s0) == 0.0)
+    }
+  }
+
   test("vocab coverage: rates well-formed, oov zero for all-vocab docs") {
     val rows = graft.llm.Text.vocabCoverage(spark, sfDir).collect()
     assert(rows.nonEmpty)

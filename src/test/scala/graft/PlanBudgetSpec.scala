@@ -78,6 +78,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "layout_zorder" -> 2,
     "llm_bm25" -> 7,
     "llm_boilerplate" -> 2,
+    // staged word-table read + token join + doc rollup; the merge
+    // fold runs once per source content inside Fixtures.staged
+    "llm_bpe_apply" -> 2,
     "llm_bpe_train" -> 34,
     "llm_chunk" -> 1,
     "llm_collocations" -> 7,
@@ -190,7 +193,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     * with a non-equi top-k predicate. Everything else must keep an
     * equi-key. */
   private val nestedLoopAllowed: Set[String] = Set(
-    "layout_zorder", "llm_bm25", "llm_bpe_train", "llm_collocations",
+    "layout_zorder", "llm_bm25", "llm_bpe_train",
+    "llm_collocations",
     "llm_dataset_card", "llm_embed_cluster", "llm_embed_outliers",
     "llm_lm_score", "llm_sim_search", "llm_sim_search_int8",
     "llm_sim_search_ivf", "llm_sim_search_ivf_trained",
