@@ -263,11 +263,105 @@ object Maintenance {
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
 
+  /** Data-quality constraint audit — the CHECK/FK/UNIQUE validation
+    * report a warehouse runs before publishing a table (Deequ-style
+    * declarative checks re-derived on the open surface): seven
+    * constraints over orders/customer, each reported as (checked,
+    * violations, pass). not-null, uniqueness, referential integrity,
+    * a positivity check, a value domain, a date range, and a
+    * non-negative balance rule — the fixture data genuinely violates
+    * the last two, so the report proves detection, not just assent.
+    *
+    * Scale shape: ALL row-level checks on a table ride ONE
+    * conditional-aggregation pass (not a scan per constraint — at
+    * 100 TB that difference is the whole game); uniqueness shares the
+    * same pass as a two-stage count-distinct; referential integrity is
+    * the one genuinely relational check and plans as a key-shuffled
+    * anti join (broadcast when the dim side is small, as here). The
+    * report assembly is three 1-row frames crossJoined and stacked —
+    * driver-free, so the audit composes into any pipeline. */
+  def dqConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val oAgg = o.agg(
+      count(lit(1)).as("o_n"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_nullkey"),
+      countDistinct(col("o_orderkey")).as("o_ndv"),
+      sum(when(col("o_totalprice") > 0.0, 0L).otherwise(1L)).as("v_price"),
+      sum(when(col("o_orderstatus").isin("F", "O", "P"), 0L).otherwise(1L))
+        .as("v_status"),
+      sum(when(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2001-01-01").cast("timestamp"), 0L)
+        .otherwise(1L)).as("v_date"))
+    val oOrphan = o.select(col("o_custkey"))
+      .join(c.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_orphan"))
+    val cAgg = c.agg(count(lit(1)).as("c_n"),
+      sum(when(col("c_acctbal") >= 0.0, 0L).otherwise(1L)).as("v_bal"))
+    oAgg.crossJoin(broadcast(oOrphan)).crossJoin(broadcast(cAgg))
+      .select(expr(
+        """stack(7,
+          |  'orders.o_orderkey.not_null',    'orders',   o_n, v_nullkey,
+          |  'orders.o_orderkey.unique',      'orders',   o_n, o_n - o_ndv,
+          |  'orders.o_custkey.ref_customer', 'orders',   o_n, v_orphan,
+          |  'orders.o_totalprice.positive',  'orders',   o_n, v_price,
+          |  'orders.o_orderstatus.domain',   'orders',   o_n, v_status,
+          |  'orders.o_orderdate.range',      'orders',   o_n, v_date,
+          |  'customer.c_acctbal.nonneg',     'customer', c_n, v_bal)
+          |  AS (constraint_id, tbl, checked, violations)""".stripMargin))
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy(col("constraint_id"))
+  }
+
+  val dqConstraintsSql: String =
+    """WITH oa AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS o_n,
+      |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v_nullkey,
+      |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS o_ndv,
+      |    CAST(SUM(CASE WHEN o_totalprice > 0.0 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS v_price,
+      |    CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS v_status,
+      |    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+      |      AND o_orderdate < TIMESTAMP '2001-01-01' THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS v_date
+      |  FROM orders),
+      |orph AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v_orphan FROM orders o
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |ca AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS c_n,
+      |    CAST(SUM(CASE WHEN c_acctbal >= 0.0 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS v_bal
+      |  FROM customer)
+      |SELECT constraint_id, tbl, checked, violations,
+      |  violations = 0 AS pass
+      |FROM (
+      |  SELECT 'orders.o_orderkey.not_null' AS constraint_id,
+      |    'orders' AS tbl, o_n AS checked, v_nullkey AS violations FROM oa
+      |  UNION ALL SELECT 'orders.o_orderkey.unique', 'orders', o_n,
+      |    o_n - o_ndv FROM oa
+      |  UNION ALL SELECT 'orders.o_custkey.ref_customer', 'orders', o_n,
+      |    v_orphan FROM oa CROSS JOIN orph
+      |  UNION ALL SELECT 'orders.o_totalprice.positive', 'orders', o_n,
+      |    v_price FROM oa
+      |  UNION ALL SELECT 'orders.o_orderstatus.domain', 'orders', o_n,
+      |    v_status FROM oa
+      |  UNION ALL SELECT 'orders.o_orderdate.range', 'orders', o_n,
+      |    v_date FROM oa
+      |  UNION ALL SELECT 'customer.c_acctbal.nonneg', 'customer', c_n,
+      |    v_bal FROM ca)
+      |ORDER BY constraint_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder,
     "table_stats" -> tableStats,
     "table_skew" -> tableSkew,
     "write_dynamic_overwrite" -> writeDynamicOverwrite,
+    "dq_constraints" -> dqConstraints,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -275,5 +369,6 @@ object Maintenance {
     "table_stats" -> tableStatsSql,
     "table_skew" -> tableSkewSql,
     "write_dynamic_overwrite" -> writeDynamicOverwriteSql,
+    "dq_constraints" -> dqConstraintsSql,
   )
 }
