@@ -20,17 +20,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * outright. With `spark.sql.legacy.parquet.nanosAsLong=true` — set at
-    * SparkSession construction by Verify/Bench/SparkSpec, NOT here, so
-    * table loads have no session side effects — the column arrives as a
-    * nano count; floor-truncate to microsecond timestamps, the same
-    * truncation DuckDB applies when it surfaces the column as µs
-    * TIMESTAMP, so oracle comparisons agree. */
+  /** events.ts has shipped as two physical types across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark 4 rejects unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it as a nano
+    * count — set at SparkSession construction by Verify/Bench/SparkSpec,
+    * NOT here, so table loads have no session side effects) and plain
+    * µs TIMESTAMP. Adapt on the observed type instead of assuming one:
+    * a LONG is floor-truncated nanos→µs (the same truncation DuckDB
+    * applies when it surfaces nanos as µs TIMESTAMP, so oracle
+    * comparisons agree); a native timestamp passes through untouched —
+    * it is already the type family the oracle sees. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000L")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000L")))
+      case _ => df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -202,18 +202,34 @@ object Relational {
   def scanAvroLogical(spark: SparkSession, dir: String): DataFrame =
     graft.sources.AvroSource.read(spark, stagedAvroLogicalCopy(spark, dir))
       .select(col("o_orderkey"), col("o_date"),
-        col("o_ts").cast("timestamp_ntz").as("o_ts"), col("o_price"))
+        col("o_ts").cast("timestamp_ntz").as("o_ts"),
+        // The decimal logical type is round-tripped through Avro above;
+        // the EMITTED column converts it cents→BIGINT→DOUBLE (every
+        // step exact) because the driver's raw-value hash is
+        // representation-sensitive on DECIMAL output columns (round-1
+        // lesson in [[graft.core.Det]]; CORRECTNESS_r06 hash-missed
+        // this query's decimal while rows+schema matched). Corruption
+        // anywhere in the Avro decimal encode/decode still flips the
+        // cents and fails the hash.
+        ((col("o_price") * lit(100)).cast("long").cast("double") /
+          lit(100.0)).as("o_price"))
       .orderBy(col("o_orderkey"))
 
   val scanAvroLogicalSql: String =
-    s"""SELECT ${avroLogicalColsSql.mkString(", ")}
-       |FROM orders
-       |WHERE o_orderkey % 20 = 0
+    s"""SELECT o_orderkey, o_date, o_ts,
+       |  CAST(CAST(o_price * 100 AS BIGINT) AS DOUBLE) / 100.0 AS o_price
+       |FROM (SELECT ${avroLogicalColsSql.mkString(", ")}
+       |      FROM orders
+       |      WHERE o_orderkey % 20 = 0)
        |ORDER BY o_orderkey""".stripMargin
 
   private def stagedAvroLogicalCopy(spark: SparkSession, dir: String): String =
     graft.core.Fixtures.memo(textFixtures, (dir, "avrologic"))(
-      graft.core.Fixtures.staged(s"$dir/orders.parquet", "avrologic") { target =>
+      graft.core.Fixtures.staged(s"$dir/orders.parquet", "avrologic",
+        // fixture bytes depend on the projection formula, not just the
+        // source parquet — fold it into the fingerprint so a formula
+        // edit re-stages (Fixtures scaladoc, codeTag contract)
+        codeTag = avroLogicalColsSql.mkString(";")) { target =>
         graft.sources.AvroSource.write(
           Tables.orders(spark, dir)
             .where(expr("o_orderkey % 20 = 0"))
@@ -800,10 +816,10 @@ object Relational {
         col("o_orderkey").as("fw_key"), col("o_orderdate").as("fw_date"))
     // o_orderdate is parquet-NTZ; at the pinned UTC session the LTZ
     // cast is value-identity, and unix_micros needs TIMESTAMP
-    val bkDist = unix_micros(col("ts")) -
+    val bkDist = Det.epochUs(col("ts")) -
       unix_micros(col("bk_date").cast("timestamp"))
     val fwDist = unix_micros(col("fw_date").cast("timestamp")) -
-      unix_micros(col("ts"))
+      Det.epochUs(col("ts"))
     val pickBack = col("fw_date").isNull ||
       (col("bk_date").isNotNull && bkDist <= fwDist)
     back.join(fwd, "event_id")
@@ -1133,8 +1149,8 @@ object Relational {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("sstart"),
-        unix_micros(col("session_window.start")).as("s_us"),
-        unix_micros(col("session_window.end")).as("e_us"))
+        Det.epochUs(col("session_window.start")).as("s_us"),
+        Det.epochUs(col("session_window.end")).as("e_us"))
     val cov = s.select(col("user_id"), col("sstart"),
       explode(expr(s"sequence(s_us DIV $HourUs, (e_us - 1) DIV $HourUs)"))
         .as("hb"))
@@ -1142,7 +1158,7 @@ object Relational {
     // `//` — the former double-divide-then-cast was safe at epoch-µs
     // magnitudes (< 2^53) but a fragile inconsistency (ADVICE r5)
     val busy = Tables.events(spark, dir)
-      .select(expr(s"unix_micros(ts) DIV $HourUs").as("hb"))
+      .select(expr(s"unix_micros(cast(ts as timestamp)) DIV $HourUs").as("hb"))
       .groupBy(col("hb")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("hb")).limit(10)
       .select(col("hb"))

@@ -186,7 +186,7 @@ object Streams {
       ev.where(col("event_type") === "purchase"))
       .select(col("p_user").as("user_id"), col("s_ts"), col("p_ts"),
         col("p_value"),
-        ((unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
+        ((Det.epochUs(col("p_ts")) - Det.epochUs(col("s_ts")))
           .cast("double") / 1000000.0).as("delay_sec"))
       .orderBy(col("user_id"), col("p_ts"), col("s_ts"))
   }

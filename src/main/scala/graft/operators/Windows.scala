@@ -231,7 +231,7 @@ object Windows {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us")).rangeBetween(-dayUs, 0L)
     Tables.events(spark, dir)
-      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("us", Det.epochUs(col("ts")))
       .select(col("event_id"), col("user_id"), col("ts"),
         count(lit(1)).over(w).as("n_24h"),
         (sum(Det.cents(col("value"))).over(w)
@@ -269,7 +269,7 @@ object Windows {
         ((col("us") - col("tp")).cast("double") /
           (col("tn") - col("tp")).cast("double")))
     Tables.events(spark, dir)
-      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("us", Det.epochUs(col("ts")))
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("us"),
         lag(col("value"), 1).over(wo).as("vp"),
@@ -322,7 +322,7 @@ object Windows {
     val varC = col("scc").cast("double") / col("n") - meanC * meanC
     val stdC = sqrt(greatest(varC, lit(0.0)))
     Tables.events(spark, dir)
-      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("us", Det.epochUs(col("ts")))
       .withColumn("c", Det.cents(col("value")))
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("c"),
@@ -562,7 +562,7 @@ object Windows {
     val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"),
-        unix_micros(col("ts")).as("us"))
+        Det.epochUs(col("ts")).as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(wo))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||

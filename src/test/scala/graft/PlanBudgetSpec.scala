@@ -46,6 +46,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "agg_weighted_avg" -> 2,
     "compact_roundtrip" -> 0,
     "dim_scd2" -> 2,
+    // three single-purpose audits (2 on orders incl. one count-distinct,
+    // 1 on customer) crossJoined as 1-row frames
+    "dq_constraints" -> 4,
     "filter_pred" -> 1,
     "fn_array_map" -> 1,
     "fn_array_set" -> 1,
@@ -193,7 +196,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     * with a non-equi top-k predicate. Everything else must keep an
     * equi-key. */
   private val nestedLoopAllowed: Set[String] = Set(
-    "layout_zorder", "llm_bm25", "llm_bpe_train",
+    "dq_constraints", "layout_zorder", "llm_bm25", "llm_bpe_train",
     "llm_collocations",
     "llm_dataset_card", "llm_embed_cluster", "llm_embed_outliers",
     "llm_lm_score", "llm_sim_search", "llm_sim_search_int8",

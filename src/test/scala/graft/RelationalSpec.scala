@@ -55,14 +55,15 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("interval-overlap bucket join agrees with the direct range predicate") {
-    import org.apache.spark.sql.functions.{unix_micros, session_window}
+    import org.apache.spark.sql.functions.session_window
+    import graft.core.Det.epochUs
     val e = Tables.events(spark, sfDir)
     val s = e.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)))
       .select(col("user_id"), col("session_window.start").as("sstart"),
-        unix_micros(col("session_window.start")).as("s_us"),
-        unix_micros(col("session_window.end")).as("e_us"))
-    val busy = e.select((unix_micros(col("ts")) / 3600000000L).cast("long").as("hb"))
+        epochUs(col("session_window.start")).as("s_us"),
+        epochUs(col("session_window.end")).as("e_us"))
+    val busy = e.select((epochUs(col("ts")) / 3600000000L).cast("long").as("hb"))
       .groupBy(col("hb")).count()
       .orderBy(col("count").desc, col("hb")).limit(10)
       .select(col("hb"), (col("hb") * 3600000000L).as("h_lo"),
@@ -101,7 +102,7 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .orderBy(col("count").desc, col("user_id")).head().getLong(0)
     val times = Tables.events(spark, sfDir)
       .where(col("user_id") === busiest)
-      .select(unix_micros(col("ts"))).orderBy(col("ts"))
+      .select(graft.core.Det.epochUs(col("ts"))).orderBy(col("ts"))
       .collect().map(_.getLong(0))
     var nSess = 1
     times.sliding(2).foreach { w =>
