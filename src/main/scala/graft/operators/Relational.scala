@@ -774,6 +774,41 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Backward as-of with a tolerance bound on the native operator: per
+    * event, the user's latest order at-or-before the event but no older
+    * than 30 days (pandas `merge_asof(tolerance=...)`). Exercises the
+    * backward+tolerance combination of the single-merge operator —
+    * [[joinAsofFwd]] pins forward+tolerance — with the same retained-
+    * one-row state bound: at 100 TB the tolerance additionally lets the
+    * merge DROP right rows older than the bound instead of carrying one
+    * per key forever. */
+  def joinAsofTol(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    org.apache.spark.sql.graft.AsofJoinApi.join(
+        e, o, Seq("user_id" -> "o_custkey"), "ts", "o_orderdate",
+        rightTieBreakCols = Seq("o_orderkey"),
+        tolerance = 30L * 24 * 3600 * 1000000) // 30 days in µs
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val joinAsofTolSql: String =
+    """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+      |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+      |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |           ORDER BY o.o_orderdate DESC NULLS LAST,
+      |                    o.o_orderkey DESC NULLS LAST) AS rn
+      |  FROM events e LEFT OUTER JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      |   AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+      |) WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   val joinAsofFwdSql: String =
     """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
       |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
@@ -975,6 +1010,35 @@ object Relational {
       |    FILTER (WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL)
       |    AS BIGINT) AS nd_flag_status
       |FROM lineitem""".stripMargin
+
+  /** Exact per-group COUNT(DISTINCT) via bitmap partial aggregation —
+    * the roaring-bitmap scale pattern for high-cardinality distinct
+    * counts over a dense non-negative integer key. Keys pack into
+    * 64-bit words (bucket = key DIV 64, bit = key MOD 64); the
+    * pre-shuffle partial per (group, bucket) is a single BIGINT
+    * `bit_or`, which combines map-side, so the shuffle carries at most
+    * groups × ⌈keyspace/64⌉ words REGARDLESS of row count — versus
+    * count_distinct's two-phase plan whose first shuffle carries every
+    * distinct (group, key) pair. The final count is an exact
+    * Σ bit_count(word). Oracle: plain COUNT(DISTINCT), same numbers by
+    * construction. */
+  def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("user_id DIV 64").as("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))")
+          .as("bit"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(expr("bit_or(bit)").as("word"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(word)")).cast("long").as("ndv"))
+      .orderBy(col("event_type"))
+
+  val aggBitmapDistinctSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   /** Approximate distinct via HyperLogLog++ — the scale path for
     * count(distinct) at 100 TB (no exact shuffle of all keys). No
@@ -1765,12 +1829,14 @@ object Relational {
     "join_asof_native" -> joinAsofNative,
     "join_asof_fwd" -> joinAsofFwd,
     "join_asof_nearest" -> joinAsofNearest,
+    "join_asof_tol" -> joinAsofTol,
     "join_lateral" -> joinLateral,
     "agg_global" -> aggGlobal,
     "agg_groupby" -> aggGroupBy,
     "agg_filtered" -> aggFiltered,
     "agg_listagg" -> aggListagg,
     "agg_distinct" -> aggDistinct,
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_percentile" -> aggPercentile,
     "agg_approx_percentile" -> aggApproxPercentile,
@@ -1827,12 +1893,14 @@ object Relational {
     "join_asof_native" -> joinAsofSql, // same contract, native operator
     "join_asof_fwd" -> joinAsofFwdSql,
     "join_asof_nearest" -> joinAsofNearestSql,
+    "join_asof_tol" -> joinAsofTolSql,
     "join_lateral" -> joinLateralSql,
     "agg_global" -> aggGlobalSql,
     "agg_groupby" -> aggGroupBySql,
     "agg_filtered" -> aggFilteredSql,
     "agg_listagg" -> aggListaggSql,
     "agg_distinct" -> aggDistinctSql,
+    "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_percentile" -> aggPercentileSql,
     "agg_histogram" -> aggHistogramSql,
     "agg_moments" -> aggMomentsSql,

@@ -688,6 +688,125 @@ object Windows {
        |FROM d
        |ORDER BY dow""".stripMargin
 
+  /** Daily OHLC candles per event type — the market-data shape of
+    * first/last-in-group. open/close are value SELECTIONS (no
+    * arithmetic): the first/last row of each (type, day) ordered by
+    * (ts, event_id) — the event_id tie-break makes the pick total even
+    * on duplicate timestamps, so the doubles are engine-exact without
+    * [[graft.core.Det]] plumbing. One shuffle on (event_type, day);
+    * both row_number and the full-frame count share the same window
+    * sort, then the candle is a plain hash aggregate. At 100 TB the
+    * (type, day) key space is what bounds state, not row count. */
+  def tsOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy(col("event_type"), col("day"))
+    val w = byDay.orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("day", col("ts").cast("date"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(byDay))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val tsOhlcSql: String =
+    """WITH b AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |      ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS cnt
+      |  FROM events)
+      |SELECT event_type, day,
+      |  MAX(CASE WHEN rn = 1 THEN value END) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  MAX(CASE WHEN rn = cnt THEN value END) AS close,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM b
+      |GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
+  /** Rolling-split changepoint detection on the daily count series: for
+    * each day, the mean of the 7 preceding days vs the mean of the
+    * current-plus-6 following days. The score stays as cross-multiplied
+    * BIGINT sums (|sum_next·n_prev − sum_prev·n_next| — integer-exact
+    * in both engines); days rank per type by RELATIVE shift
+    * score/(sum_prev·n_next), one identical IEEE division per row from
+    * identical exact integers, computed only on complete 7+7 windows
+    * (counts are positive, so the denominator never vanishes), and the
+    * top 3 per type are flagged — rank-based rather than an absolute
+    * threshold, because a count series concentrates with scale factor
+    * (CLT) and no fixed cutoff fires at every sf. Cost: one (type,
+    * day)-keyed aggregate, two frames over ONE per-type window sort,
+    * then a rank over the same partition — the series is |types|×|days|
+    * rows, driver-free and tiny relative to the event scan at any
+    * scale. */
+  def tsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wPrev = byType.rowsBetween(-7, -1)
+    val wNext = byType.rowsBetween(0, 6)
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("rel").desc_nulls_last, col("day"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("day"), col("n"),
+        sum(col("n")).over(wPrev).as("sum_prev"),
+        count(lit(1)).over(wPrev).as("n_prev"),
+        sum(col("n")).over(wNext).as("sum_next"),
+        count(lit(1)).over(wNext).as("n_next"))
+      .withColumn("score",
+        when(col("n_prev") === 7 && col("n_next") === 7,
+          abs(col("sum_next") * col("n_prev") - col("sum_prev") * col("n_next"))))
+      .withColumn("rel",
+        (col("score").cast("double") /
+          (col("sum_prev") * col("n_next")).cast("double")))
+      .withColumn("shift_rank", row_number().over(wRank))
+      .withColumn("is_shift",
+        col("score").isNotNull && col("shift_rank") <= 3)
+      .select(col("event_type"), col("day"), col("n"), col("sum_prev"),
+        col("n_prev"), col("sum_next"), col("n_next"), col("score"),
+        col("is_shift"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val tsChangepointSql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |f AS (
+      |  SELECT event_type, day, n,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS sum_prev,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prev,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS BIGINT) AS sum_next,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS BIGINT) AS n_next
+      |  FROM d),
+      |g AS (
+      |  SELECT *,
+      |    CASE WHEN n_prev = 7 AND n_next = 7
+      |      THEN ABS(sum_next * n_prev - sum_prev * n_next) END AS score
+      |  FROM f),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY
+      |      CAST(score AS DOUBLE) / (sum_prev * n_next) DESC NULLS LAST,
+      |      day) AS shift_rank
+      |  FROM g)
+      |SELECT event_type, day, n, sum_prev, n_prev, sum_next, n_next,
+      |  score, score IS NOT NULL AND shift_rank <= 3 AS is_shift
+      |FROM r
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -705,6 +824,8 @@ object Windows {
     "ts_resample" -> tsResample,
     "ts_interpolate" -> tsInterpolate,
     "ts_zscore" -> tsZscore,
+    "ts_ohlc" -> tsOhlc,
+    "ts_changepoint" -> tsChangepoint,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -724,5 +845,7 @@ object Windows {
     "ts_resample" -> tsResampleSql,
     "ts_interpolate" -> tsInterpolateSql,
     "ts_zscore" -> tsZscoreSql,
+    "ts_ohlc" -> tsOhlcSql,
+    "ts_changepoint" -> tsChangepointSql,
   )
 }

@@ -24,6 +24,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
   /** queryId → max shuffle exchanges in the pre-execution plan. */
   private val maxExchanges: Map[String, Int] = Map(
     "agg_approx_distinct" -> 1,
+    // two keyed aggregates (events->(type,bucket) words, words->type)
+    // + final sort
+    "agg_bitmap_distinct" -> 3,
     "agg_approx_percentile" -> 2,
     "agg_argmax" -> 2,
     "agg_corr" -> 2,
@@ -67,6 +70,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "join_asof" -> 2,
     "join_asof_fwd" -> 3,
     "join_asof_nearest" -> 7,
+    // native single-merge asof (key shuffle x2) + output sort
+    "join_asof_tol" -> 3,
     "join_asof_native" -> 3,
     "join_bucketed" -> 1,
     "join_inner_hash" -> 1,
@@ -168,12 +173,16 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "table_stats" -> 10,
     "topk_per_group" -> 2,
     "ts_anomaly" -> 8,
+    // daily agg + one per-type window sort (two frames + rank) + sort
+    "ts_changepoint" -> 3,
     "ts_ewma" -> 3,
     "ts_cohort_retention" -> 4,
     "ts_cumulative_users" -> 3,
     "ts_gapfill" -> 2,
     "ts_interpolate" -> 2,
     "ts_mom_growth" -> 2,
+    // daily window sort + candle aggregate
+    "ts_ohlc" -> 2,
     "ts_resample" -> 2,
     "ts_seasonality" -> 2,
     "ts_zscore" -> 2,

@@ -337,4 +337,64 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     val bad = out.where(col("o_orderdate") > col("ts")).count()
     assert(bad == 0, "order after event ts")
   }
+
+  test("bitmap distinct equals the exact count_distinct per group") {
+    import org.apache.spark.sql.functions.countDistinct
+    val bitmap = Relational.aggBitmapDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("ndv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bitmap == exact, s"bitmap=$bitmap exact=$exact")
+  }
+
+  test("tolerance asof never matches an order older than 30 days") {
+    val out = Relational.joinAsofTol(spark, sfDir)
+    assert(out.count() == Tables.events(spark, sfDir).count())
+    val bad = out.where(col("o_orderdate") > col("ts") ||
+      col("o_orderdate") < col("ts") - expr("INTERVAL 30 DAY")).count()
+    assert(bad == 0, "match outside [ts - 30d, ts]")
+    // agrees with the unbounded backward asof wherever that match is
+    // inside tolerance
+    val unb = Relational.joinAsof(spark, sfDir)
+      .where(col("o_orderdate") >= col("ts") - expr("INTERVAL 30 DAY"))
+      .select(col("event_id"), col("o_orderkey"))
+    val tol = out.where(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("o_orderkey"))
+    assert(unb.exceptAll(tol).isEmpty && tol.exceptAll(unb).isEmpty,
+      "tolerance asof diverges from filtered unbounded asof")
+  }
+
+  test("ohlc candle fields reconcile per (type, day)") {
+    import org.apache.spark.sql.functions.{min_by, max_by, struct}
+    val out = graft.operators.Windows.tsOhlc(spark, sfDir)
+    assert(out.where(col("high") < col("low") ||
+      col("open") > col("high") || col("open") < col("low") ||
+      col("close") > col("high") || col("close") < col("low")).count() == 0)
+    // open/close equal an independent min_by/max_by selection on the
+    // (ts, event_id) key
+    val sel = Tables.events(spark, sfDir)
+      .withColumn("day", col("ts").cast("date"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("o2"),
+           max_by(col("value"), struct(col("ts"), col("event_id"))).as("c2"))
+    val joined = out.join(sel, Seq("event_type", "day"))
+    assert(joined.where(col("open") =!= col("o2") ||
+      col("close") =!= col("c2")).count() == 0,
+      "open/close disagree with min_by/max_by selection")
+  }
+
+  test("changepoint flags exactly the top-3 shift days per type") {
+    val out = graft.operators.Windows.tsChangepoint(spark, sfDir)
+    val flags = out.where(col("is_shift")).groupBy(col("event_type")).count()
+    assert(flags.where(col("count") =!= 3).count() == 0,
+      "each type flags exactly 3 days")
+    assert(out.where(col("is_shift") && col("score").isNull).count() == 0,
+      "flagged day without a complete 7+7 window")
+    // score is the exact cross-multiplied integer on a complete window
+    val bad = out.where(col("score").isNotNull &&
+      col("score") =!= abs(col("sum_next") * col("n_prev") -
+        col("sum_prev") * col("n_next"))).count()
+    assert(bad == 0, "score formula mismatch")
+  }
 }
