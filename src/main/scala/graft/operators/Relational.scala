@@ -774,6 +774,46 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Semi-join via broadcast BITMAP membership — the dense-keyspace
+    * refinement of a broadcast semi join. The build side (urgent
+    * orders) compresses to bucket→word rows (bucket = key DIV 64,
+    * word = bit_or of key bits): 64 keys per 8-byte word, so a
+    * billion-key filter broadcasts as ~2 GB of hash-set entries OR
+    * ~125 MB of words — and unlike a Bloom prefilter the bitmap is
+    * EXACT, no false positives and no rescue pass. Probe: broadcast
+    * equi-join on bucket + a codegen'd bit test. Oracle: the plain
+    * EXISTS semi join it must equal row-for-row. */
+  def joinBitmapSemi(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(expr("o_orderkey DIV 64").as("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(o_orderkey % 64 AS INT))")
+          .as("bit"))
+      .groupBy(col("bucket")).agg(expr("bit_or(bit)").as("word"))
+    // (orderkey, linenumber) is NOT unique in this synthetic lineitem
+    // (up to 6 dups); the 6-column tuple below is, making the output
+    // order total — required for the driver's ordered row compare.
+    Tables.lineitem(spark, dir)
+      .join(broadcast(urgent), expr("l_orderkey DIV 64") === col("bucket"))
+      .where(expr(
+        "(word & shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 64 AS INT))) != 0"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+  }
+
+  val joinBitmapSemiSql: String =
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+      |  l.l_quantity, l.l_extendedprice
+      |FROM lineitem l
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_orderkey = l.l_orderkey
+      |    AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+      |  l.l_quantity, l.l_extendedprice""".stripMargin
+
   /** Backward as-of with a tolerance bound on the native operator: per
     * event, the user's latest order at-or-before the event but no older
     * than 30 days (pandas `merge_asof(tolerance=...)`). Exercises the
@@ -1823,6 +1863,7 @@ object Relational {
     "join_bucketed" -> joinBucketed,
     "join_outer" -> joinOuter,
     "join_semi_anti" -> joinSemiAnti,
+    "join_bitmap_semi" -> joinBitmapSemi,
     "join_multiway" -> joinMultiway,
     "join_theta_range" -> joinThetaRange,
     "join_asof" -> joinAsof,
@@ -1887,6 +1928,7 @@ object Relational {
     "join_bucketed" -> joinBucketedSql,
     "join_outer" -> joinOuterSql,
     "join_semi_anti" -> joinSemiAntiSql,
+    "join_bitmap_semi" -> joinBitmapSemiSql,
     "join_multiway" -> joinMultiwaySql,
     "join_theta_range" -> joinThetaRangeSql,
     "join_asof" -> joinAsofSql,

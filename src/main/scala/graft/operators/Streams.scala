@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Det, DetSql, Tables}
@@ -201,16 +202,51 @@ object Streams {
       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
       |ORDER BY p.user_id, p_ts, s_ts""".stripMargin
 
+  /** Windowed top-k — streaming's "trending now" query: the 3 most
+    * frequent event types per 6-hour tumbling window, rank over the
+    * windowed aggregate with a deterministic (count desc, type) order.
+    * In a live plan the rank runs downstream of the watermark-committed
+    * aggregate as each window closes; batch plans the identical
+    * two-stage shape — one (window, type) hash aggregate (partial
+    * map-side) + one per-window rank — with state bounded by |types|
+    * per open window, so the query survives any event volume. */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+    val w = Window.partitionBy(col("wstart"))
+      .orderBy(col("n").desc, col("event_type"))
+    agg.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .orderBy(col("wstart"), col("rk"))
+  }
+
+  val streamTopkSql: String =
+    """WITH a AS (
+      |  SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY wstart
+      |    ORDER BY n DESC, event_type) AS INT) AS rk
+      |  FROM a)
+      |SELECT wstart, event_type, n, rk FROM r
+      |WHERE rk <= 3
+      |ORDER BY wstart, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup" -> streamDedup,
     "stream_funnel" -> streamFunnel,
     "stream_join" -> streamJoin,
+    "stream_topk" -> streamTopk,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_topk" -> streamTopkSql,
     "stream_dedup" -> streamDedupSql,
     "stream_funnel" -> streamFunnelSql,
     "stream_join" -> streamJoinSql,

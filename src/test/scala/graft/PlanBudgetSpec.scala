@@ -72,6 +72,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "join_asof_nearest" -> 7,
     // native single-merge asof (key shuffle x2) + output sort
     "join_asof_tol" -> 3,
+    // bitmap-word build aggregate + output sort; probe side is a
+    // broadcast hash join (not counted as a shuffle)
+    "join_bitmap_semi" -> 2,
     "join_asof_native" -> 3,
     "join_bucketed" -> 1,
     "join_inner_hash" -> 1,
@@ -167,6 +170,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "stream_funnel" -> 2,
     "stream_join" -> 2,
     "stream_session" -> 2,
+    // (window,type) aggregate + per-window rank + sort
+    "stream_topk" -> 3,
     "stream_sliding" -> 2,
     "stream_tumbling" -> 2,
     "table_skew" -> 3,

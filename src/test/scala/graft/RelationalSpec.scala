@@ -338,6 +338,31 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0, "order after event ts")
   }
 
+  test("bitmap semi-join equals left_semi and keeps a broadcast hash probe") {
+    val out = Relational.joinBitmapSemi(spark, sfDir)
+    val semi = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .where(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+    assert(out.exceptAll(semi).isEmpty && semi.exceptAll(out).isEmpty,
+      "bitmap membership diverges from left_semi")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bitmap probe should broadcast the word table:\n${plan.take(2000)}")
+  }
+
+  test("windowed topk emits at most 3 ranked types per window") {
+    val out = graft.operators.Streams.streamTopk(spark, sfDir)
+    assert(out.groupBy(col("wstart")).count()
+      .where(col("count") > 3).count() == 0)
+    // rank 1 is the window's max count
+    val top = out.where(col("rk") === 1).select(col("wstart"), col("n"))
+    val mx = out.groupBy(col("wstart")).agg(max(col("n")).as("m"))
+    assert(top.join(mx, "wstart").where(col("n") =!= col("m")).count() == 0)
+  }
+
   test("bitmap distinct equals the exact count_distinct per group") {
     import org.apache.spark.sql.functions.countDistinct
     val bitmap = Relational.aggBitmapDistinct(spark, sfDir)

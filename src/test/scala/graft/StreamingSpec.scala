@@ -55,6 +55,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows(ts(180)) == 1L)
   }
 
+  test("ranking the watermark-closed aggregate yields the streaming top-k") {
+    // the stream_topk shape: append-mode windowed counts, rank applied
+    // downstream on the committed rows (here: the sink table)
+    val agg = runBatches("topk_agg", "append", EventStreams.tumblingCounts, Seq(
+      Seq(ev(1, 5, typ = "a"), ev(2, 10, typ = "a"), ev(3, 20, typ = "b"),
+        ev(4, 30, typ = "c"), ev(5, 40, typ = "c"), ev(6, 45, typ = "c"),
+        ev(7, 50, typ = "d")),
+      Seq(ev(8, 400)) // advance watermark, close [0h,1h)
+    ))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("wstart"))
+      .orderBy(col("n").desc, col("event_type"))
+    val top = agg.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3 && col("wstart") === ts(0))
+      .select(col("event_type"), col("rk")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toSet
+    assert(top == Set("c" -> 1, "a" -> 2, "b" -> 3), s"got $top")
+  }
+
   test("sliding windows assign each event to 4 overlapping windows") {
     val out = runBatches("slide", "complete", EventStreams.slidingCounts, Seq(
       Seq(ev(1, 30))))
