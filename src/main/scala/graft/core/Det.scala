@@ -45,6 +45,9 @@ object Det {
     * building block for order-sensitive exact arithmetic (running sums,
     * windowed totals) where the rounding must happen per row, before
     * the aggregation, instead of after it as in [[dsum]]. */
+  def cents(c: Column): Column =
+    (round(c.cast(D), 2) * lit(100)).cast("long")
+
   /** Microsecond epoch of a timestamp-family column. `unix_micros`
     * itself rejects TIMESTAMP_NTZ (the type parquet µs columns infer as
     * under Spark 4's NTZ inference, and what the driver-regenerated
@@ -53,9 +56,6 @@ object Det {
     * pins, and a no-op when the input is already TIMESTAMP. DuckDB twin:
     * epoch_us(col). */
   def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
-
-  def cents(c: Column): Column =
-    (round(c.cast(D), 2) * lit(100)).cast("long")
 }
 
 /** DuckDB SQL fragments matching [[Det]] exactly. */

@@ -1395,7 +1395,66 @@ object Text {
        |GROUP BY 1
        |ORDER BY doc_id""".stripMargin
 
+  /** Blocklist scrub — the wordlist-based quality filter every
+    * pretraining pipeline runs (profanity/boilerplate lists). The list
+    * here is corpus-derived for determinism: the 5 highest-df tokens
+    * (ties toward the smaller token) stand in for an external wordlist.
+    * Scale shape: the token explode is the same shuffle every other
+    * per-token op pays; the 5-row blocklist BROADCASTS onto it (hits =
+    * one broadcast hash join + doc-keyed count), and the per-doc ratio
+    * is one guarded IEEE division. A doc is kept while blocked tokens
+    * stay under half its token count. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(toks).as("term"))
+    val bl = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(5)
+      .select(col("term"))
+    val hits = tok.join(broadcast(bl), Seq("term"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocked"))
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .withColumn("n_blocked", coalesce(col("n_blocked"), lit(0L)))
+      .withColumn("blocked_ratio",
+        when(col("n_tokens") > 0,
+          col("n_blocked").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep_doc", col("blocked_ratio") < 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  val blocklistFilterSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+      |      AS term
+      |  FROM documents),
+      |bl AS (
+      |  SELECT term FROM (
+      |    SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+      |    ORDER BY cnt DESC, term LIMIT 5)),
+      |hits AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocked
+      |  FROM tok WHERE term IN (SELECT term FROM bl)
+      |  GROUP BY doc_id),
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(LEN(LIST_FILTER(string_split(lower(text), ' '), t -> t <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT b.doc_id, b.n_tokens,
+      |  COALESCE(h.n_blocked, 0) AS n_blocked,
+      |  CASE WHEN b.n_tokens > 0
+      |    THEN CAST(COALESCE(h.n_blocked, 0) AS DOUBLE) / b.n_tokens
+      |    ELSE 0.0 END AS blocked_ratio,
+      |  CASE WHEN b.n_tokens > 0
+      |    THEN CAST(COALESCE(h.n_blocked, 0) AS DOUBLE) / b.n_tokens
+      |    ELSE 0.0 END < 0.5 AS keep_doc
+      |FROM base b LEFT OUTER JOIN hits h USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_blocklist_filter" -> blocklistFilter,
     "llm_vocab_coverage" -> vocabCoverage,
     "llm_bpe_train" -> bpeTrain,
     "llm_bpe_apply" -> bpeApply,
@@ -1427,6 +1486,7 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_blocklist_filter" -> blocklistFilterSql,
     "llm_vocab_coverage" -> vocabCoverageSql,
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_apply" -> bpeApplySql,

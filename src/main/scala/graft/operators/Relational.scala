@@ -1051,6 +1051,52 @@ object Relational {
       |    AS BIGINT) AS nd_flag_status
       |FROM lineitem""".stripMargin
 
+  /** Top-k with rolled-up remainder — the pivot-table "top 10 customers
+    * + OTHER" report. Per-customer revenue stays in exact BIGINT cents
+    * until the final render, so the OTHER row (grand total − top-10
+    * sum) is integer arithmetic, not a float residue. Shapes chosen for
+    * scale: the top-10 is a TakeOrdered (no global sort), the rank
+    * window runs AFTER the limit over 10 rows, and the grand total is
+    * one scalar aggregate crossJoined back — nothing materializes the
+    * full customer list beyond its one keyed aggregate. */
+  def aggTopkOthers(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("cents"))
+    val top = per.orderBy(col("cents").desc, col("o_custkey")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cents").desc, col("o_custkey"))))
+      .select(col("o_custkey").cast("string").as("label"),
+        col("cents"), col("rk"))
+    val other = per.agg(sum(col("cents")).as("tot"))
+      .crossJoin(broadcast(top.agg(sum(col("cents")).as("tcents"))))
+      .select(lit("OTHER").as("label"),
+        (col("tot") - col("tcents")).as("cents"), lit(11).as("rk"))
+    top.unionAll(other)
+      .select(col("label"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  val aggTopkOthersSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(${graft.core.DetSql.cents("o_totalprice")}) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY 1),
+       |top AS (
+       |  SELECT o_custkey, cents,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS INT)
+       |      AS rk
+       |  FROM per ORDER BY cents DESC, o_custkey LIMIT 10),
+       |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM per),
+       |ts AS (SELECT CAST(SUM(cents) AS BIGINT) AS s FROM top)
+       |SELECT CAST(o_custkey AS VARCHAR) AS label,
+       |  CAST(cents AS DOUBLE) / 100.0 AS revenue, rk FROM top
+       |UNION ALL
+       |SELECT 'OTHER', CAST(t - s AS DOUBLE) / 100.0, 11 FROM tot, ts
+       |ORDER BY rk""".stripMargin
+
   /** Exact per-group COUNT(DISTINCT) via bitmap partial aggregation —
     * the roaring-bitmap scale pattern for high-cardinality distinct
     * counts over a dense non-negative integer key. Keys pack into
@@ -1878,6 +1924,7 @@ object Relational {
     "agg_listagg" -> aggListagg,
     "agg_distinct" -> aggDistinct,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
+    "agg_topk_others" -> aggTopkOthers,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_percentile" -> aggPercentile,
     "agg_approx_percentile" -> aggApproxPercentile,
@@ -1943,6 +1990,7 @@ object Relational {
     "agg_listagg" -> aggListaggSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
+    "agg_topk_others" -> aggTopkOthersSql,
     "agg_percentile" -> aggPercentileSql,
     "agg_histogram" -> aggHistogramSql,
     "agg_moments" -> aggMomentsSql,

@@ -807,6 +807,72 @@ object Windows {
       |FROM r
       |ORDER BY event_type, day""".stripMargin
 
+  /** Autocorrelation of the daily count series at lags 1–3 per event
+    * type — the stationarity probe run before seasonal modeling. Pair
+    * building is lead() over one per-type window sort, unpivoted with
+    * stack; every moment (Σx, Σy, Σx², Σy², Σxy, m) is an exact BIGINT
+    * sum of integer products, and Pearson r over a lag's pairs is then
+    * num/√(dx·dy) — two exact-int casts, one multiply, one
+    * correctly-rounded sqrt, one division: the same IEEE ops in both
+    * engines, so r is bit-identical. A constant window (den = 0) yields
+    * NULL via the nullif guard instead of an ANSI division error. */
+  def tsAcf(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = daily
+      .select(col("event_type"), col("n"),
+        lead(col("n"), 1).over(byType).as("y1"),
+        lead(col("n"), 2).over(byType).as("y2"),
+        lead(col("n"), 3).over(byType).as("y3"))
+      .selectExpr("event_type", "n AS x",
+        "stack(3, 1, y1, 2, y2, 3, y3) AS (lag, y)")
+      .where(col("y").isNotNull)
+    pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num",
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("den",
+        sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+             (col("m") * col("syy") - col("sy") * col("sy")).cast("double")))
+      .select(col("event_type"), col("lag"), col("m"),
+        expr("num / nullif(den, 0.0d)").as("r"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val tsAcfSql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |led AS (
+      |  SELECT event_type, n AS x,
+      |    LEAD(n, 1) OVER w AS y1, LEAD(n, 2) OVER w AS y2,
+      |    LEAD(n, 3) OVER w AS y3
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |pairs AS (
+      |  SELECT event_type, x, lag, y FROM led,
+      |    LATERAL (VALUES (1, y1), (2, y2), (3, y3)) AS t(lag, y)
+      |  WHERE y IS NOT NULL),
+      |mom AS (
+      |  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT event_type, CAST(lag AS INT) AS lag, m,
+      |  CAST(m * sxy - sx * sy AS DOUBLE) /
+      |    NULLIF(SQRT(CAST(m * sxx - sx * sx AS DOUBLE) *
+      |                CAST(m * syy - sy * sy AS DOUBLE)), 0.0) AS r
+      |FROM mom
+      |ORDER BY event_type, lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -826,6 +892,7 @@ object Windows {
     "ts_zscore" -> tsZscore,
     "ts_ohlc" -> tsOhlc,
     "ts_changepoint" -> tsChangepoint,
+    "ts_acf" -> tsAcf,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -847,5 +914,6 @@ object Windows {
     "ts_zscore" -> tsZscoreSql,
     "ts_ohlc" -> tsOhlcSql,
     "ts_changepoint" -> tsChangepointSql,
+    "ts_acf" -> tsAcfSql,
   )
 }

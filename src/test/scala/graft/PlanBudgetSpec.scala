@@ -45,6 +45,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "agg_pivot" -> 3,
     "agg_rollup_cube" -> 2,
     "agg_skew_kurt" -> 2,
+    // customer-keyed cents agg + TakeOrdered top-10 + grand-total
+    // scalar agg; OTHER row is a 1-row crossJoin (allowed bnl)
+    "agg_topk_others" -> 4,
     "agg_unpivot" -> 1,
     "agg_weighted_avg" -> 2,
     "compact_roundtrip" -> 0,
@@ -87,6 +90,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "join_skew_salted" -> 2,
     "join_theta_range" -> 1,
     "layout_zorder" -> 2,
+    // token shuffle + blocklist top-5 + doc rollup; 5-row broadcast
+    "llm_blocklist_filter" -> 3,
     "llm_bm25" -> 7,
     "llm_boilerplate" -> 2,
     // staged word-table read + token join + doc rollup; the merge
@@ -177,6 +182,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "table_skew" -> 3,
     "table_stats" -> 10,
     "topk_per_group" -> 2,
+    // daily agg + per-type lead window + (type,lag) moment agg
+    "ts_acf" -> 3,
     "ts_anomaly" -> 8,
     // daily agg + one per-type window sort (two frames + rank) + sort
     "ts_changepoint" -> 3,
@@ -210,7 +217,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     * with a non-equi top-k predicate. Everything else must keep an
     * equi-key. */
   private val nestedLoopAllowed: Set[String] = Set(
-    "dq_constraints", "layout_zorder", "llm_bm25", "llm_bpe_train",
+    "agg_topk_others", "dq_constraints", "layout_zorder", "llm_bm25",
+    "llm_bpe_train",
     "llm_collocations",
     "llm_dataset_card", "llm_embed_cluster", "llm_embed_outliers",
     "llm_lm_score", "llm_sim_search", "llm_sim_search_int8",

@@ -363,6 +363,47 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(top.join(mx, "wstart").where(col("n") =!= col("m")).count() == 0)
   }
 
+  test("topk+others reconciles: 11 rows and parts sum to the grand total") {
+    val out = Relational.aggTopkOthers(spark, sfDir).collect()
+    assert(out.length == 11 && out.map(_.getInt(2)).toSeq == (1 to 11))
+    val total = out.map(r => math.round(r.getDouble(1) * 100)).sum
+    val expect = Tables.orders(spark, sfDir)
+      .agg(sum(graft.core.Det.cents(col("o_totalprice")))).head.getLong(0)
+    assert(total == expect, s"cents drift: $total != $expect")
+    // top-10 really are the 10 largest
+    val top10 = out.filter(_.getInt(2) <= 10).map(r =>
+      math.round(r.getDouble(1) * 100))
+    assert(top10.sorted.reverse.toSeq == top10.toSeq, "not sorted desc")
+  }
+
+  test("acf: r is in [-1, 1] and lag pairs count down from the series length") {
+    val out = graft.operators.Windows.tsAcf(spark, sfDir)
+    assert(out.count() == 15) // 5 types x lags 1..3
+    assert(out.where(abs(col("r")) > 1.0 + 1e-12).count() == 0)
+    val days = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date")).distinct()
+      .groupBy(col("event_type")).count().withColumnRenamed("count", "d")
+    assert(out.join(days, "event_type")
+      .where(col("m") =!= col("d") - col("lag")).count() == 0,
+      "pair count should be series length minus lag")
+  }
+
+  test("blocklist filter: hit accounting matches a manual recount") {
+    val out = graft.llm.Text.blocklistFilter(spark, sfDir)
+    assert(out.where(col("n_blocked") > col("n_tokens")).count() == 0)
+    assert(out.where(col("keep_doc") =!= (col("blocked_ratio") < 0.5))
+      .count() == 0)
+    // total blocked hits equal the corpus-wide frequency of the top-5
+    val blocked = out.agg(sum(col("n_blocked"))).head.getLong(0)
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(filter(split(lower(col("text")), " "),
+        t => t =!= "")).as("term"))
+    val top5 = tok.groupBy(col("term")).count()
+      .orderBy(col("count").desc, col("term")).limit(5)
+    val expect = top5.agg(sum(col("count"))).head.getLong(0)
+    assert(blocked == expect, s"blocked=$blocked expect=$expect")
+  }
+
   test("bitmap distinct equals the exact count_distinct per group") {
     import org.apache.spark.sql.functions.countDistinct
     val bitmap = Relational.aggBitmapDistinct(spark, sfDir)
