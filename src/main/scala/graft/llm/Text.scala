@@ -1395,6 +1395,90 @@ object Text {
        |GROUP BY 1
        |ORDER BY doc_id""".stripMargin
 
+  /** T5-style span corruption — the masked-denoising data prep: tokens
+    * group into 3-token spans, ~15% of spans are selected by an
+    * engine-portable hash (md5 16-bit bucket < 9830/65536, the
+    * [[trainTestSplit]] idiom — deterministic across runs, engines, and
+    * task retries where rand() is not), and each selected span is
+    * replaced by a numbered `<extra_id_K>` sentinel (K = the span's
+    * index among the doc's masked spans, via one running window sum).
+    * Shape: token explode + per-doc window + ordered re-aggregation —
+    * the same one-shuffle skeleton as every per-token op here; the
+    * sentinel numbering never leaves the doc partition. */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("span", expr("pos DIV 3"))
+      .withColumn("h",
+        expr("md5('corrupt:' || CAST(doc_id AS STRING) || ':' || " +
+          "CAST(span AS STRING))"))
+      .withColumn("masked", expr(splitBucketExpr) < 9830)
+      .withColumn("is_first", expr("pos % 3 = 0"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = tok
+      .withColumn("k_incl",
+        sum(when(col("masked") && col("is_first"), 1L).otherwise(0L)).over(w))
+      .withColumn("out_tok",
+        when(!col("masked"), col("tok"))
+          .when(col("is_first"),
+            concat(lit("<extra_id_"), (col("k_incl") - 1).cast("string"),
+              lit(">"))))
+    marked.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("masked") && col("is_first"), 1L).otherwise(0L))
+          .as("n_spans_masked"),
+        sum(when(col("out_tok").isNotNull, 1L).otherwise(0L))
+          .as("n_tokens_out"),
+        array_join(transform(array_sort(collect_list(
+            when(col("out_tok").isNotNull, struct(col("pos"), col("out_tok"))))),
+          x => x.getField("out_tok")), " ").as("masked_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCorruptSql: String =
+    s"""WITH tl AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |u AS (
+       |  -- parallel unnests zip in lockstep: range(len) = 0-based pos
+       |  SELECT doc_id, unnest(range(0, len(t))) AS pos0, unnest(t) AS tok
+       |  FROM tl),
+       |tok AS (SELECT doc_id, CAST(pos0 AS INT) AS pos, tok FROM u),
+       |sp AS (
+       |  SELECT doc_id, pos, tok, pos // 3 AS span,
+       |    md5('corrupt:' || CAST(doc_id AS STRING) || ':'
+       |      || CAST(pos // 3 AS STRING)) AS h,
+       |    pos % 3 = 0 AS is_first
+       |  FROM tok),
+       |mk AS (
+       |  SELECT doc_id, pos, tok, is_first,
+       |    ($splitBucketExpr) < 9830 AS masked
+       |  FROM sp),
+       |run AS (
+       |  SELECT *, SUM(CASE WHEN masked AND is_first THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS k_incl
+       |  FROM mk),
+       |outv AS (
+       |  SELECT doc_id, pos, masked, is_first,
+       |    CASE WHEN NOT masked THEN tok
+       |         WHEN is_first THEN '<extra_id_' || CAST(k_incl - 1 AS STRING)
+       |           || '>' END AS out_tok
+       |  FROM run)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN masked AND is_first THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_spans_masked,
+       |  CAST(SUM(CASE WHEN out_tok IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_tokens_out,
+       |  COALESCE(STRING_AGG(out_tok, ' ' ORDER BY pos)
+       |    FILTER (WHERE out_tok IS NOT NULL), '') AS masked_text
+       |FROM outv
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Blocklist scrub — the wordlist-based quality filter every
     * pretraining pipeline runs (profanity/boilerplate lists). The list
     * here is corpus-derived for determinism: the 5 highest-df tokens
@@ -1455,6 +1539,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_blocklist_filter" -> blocklistFilter,
+    "llm_span_corrupt" -> spanCorrupt,
     "llm_vocab_coverage" -> vocabCoverage,
     "llm_bpe_train" -> bpeTrain,
     "llm_bpe_apply" -> bpeApply,
@@ -1487,6 +1572,7 @@ object Text {
 
   val oracleSql: Map[String, String] = Map(
     "llm_blocklist_filter" -> blocklistFilterSql,
+    "llm_span_corrupt" -> spanCorruptSql,
     "llm_vocab_coverage" -> vocabCoverageSql,
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_apply" -> bpeApplySql,

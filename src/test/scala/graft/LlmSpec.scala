@@ -500,4 +500,34 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(rate - oov.toDouble / n) == 0.0)
     }
   }
+
+  test("span corruption: ~15% of spans masked, sentinels dense from 0") {
+    import org.apache.spark.sql.functions._
+    val out = graft.llm.Text.spanCorrupt(spark, sfDir)
+    val toks = graft.core.Tables.documents(spark, sfDir)
+      .select(size(filter(split(lower(col("text")), " "), t => t =!= ""))
+        .cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    val spans = (toks + 2) / 3 // upper bound; per-doc tails make it inexact
+    val masked = out.agg(sum(col("n_spans_masked"))).head.getLong(0)
+    val rate = masked.toDouble / spans
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate outside 10-20%")
+    // sentinels in each doc count 0..k-1 exactly once, in order
+    val bad = out.where(col("n_spans_masked") > 0).select(col("masked_text"),
+        col("n_spans_masked")).collect().count { r =>
+      val ids = "<extra_id_(\\d+)>".r.findAllMatchIn(r.getString(0))
+        .map(_.group(1).toInt).toSeq
+      ids != (0 until r.getLong(1).toInt)
+    }
+    assert(bad == 0, s"$bad docs with non-dense sentinel numbering")
+    // unmasked docs round-trip their original text
+    val orig = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_join(filter(split(lower(col("text")), " "), t => t =!= ""), " ")
+          .as("norm"))
+    val clean = out.where(col("n_spans_masked") === 0)
+      .join(orig, "doc_id")
+    assert(clean.where(col("masked_text") =!= col("norm")).count() == 0,
+      "unmasked doc text altered")
+  }
 }

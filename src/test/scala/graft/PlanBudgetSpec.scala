@@ -147,6 +147,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_sim_search_pq_rerank" -> 5,
     "llm_sim_search_lsh_probe" -> 2,
     "llm_sim_search_native" -> 2,
+    // token explode + per-doc window + ordered re-aggregation
+    "llm_span_corrupt" -> 2,
     "llm_split" -> 1,
     "llm_text_stats" -> 2,
     "llm_vocab_coverage" -> 4,
