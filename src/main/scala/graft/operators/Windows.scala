@@ -873,6 +873,82 @@ object Windows {
       |FROM mom
       |ORDER BY event_type, lag""".stripMargin
 
+  /** Theil–Sen robust trend of the daily count series per event type:
+    * the median slope over all day pairs, then the median residual as
+    * intercept — the outlier-resistant regression line (a single
+    * anomalous day cannot move it, unlike least squares). Day offsets
+    * anchor to each type's first day via a window min (no driver
+    * readback). The pair join keeps its event_type equi-key (range is
+    * a post-join filter, same shape as join_theta_range), and the pair
+    * count is |days|²/2 PER TYPE — bounded by the series length, not
+    * the event count, so the event scan dominates at any data scale;
+    * very long series would cap pair lag, trading a little statistical
+    * efficiency for linear cost. Slopes/residuals are exact-int
+    * differences under one identical IEEE division/multiply; the
+    * median is the same linear-interpolated quantile in both engines
+    * (the [[graft.operators.Relational.aggPercentile]] contract). */
+  def tsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val anchored = daily.withColumn("x",
+      datediff(col("day"),
+        min(col("day")).over(Window.partitionBy(col("event_type")))))
+    val a = anchored.select(col("event_type"), col("x").as("x1"),
+      col("n").as("n1"))
+    val b = anchored.select(col("event_type"), col("x").as("x2"),
+      col("n").as("n2"))
+    val slopes = a.join(b, Seq("event_type"))
+      .where(col("x2") > col("x1"))
+      .select(col("event_type"),
+        ((col("n2") - col("n1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")).as("slope"))
+    val slopeMed = slopes.groupBy(col("event_type"))
+      .agg(expr("percentile(slope, 0.5)").as("slope"))
+    val intercept = anchored.join(broadcast(slopeMed), Seq("event_type"))
+      .select(col("event_type"),
+        (col("n").cast("double") - col("slope") * col("x")).as("res"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(res, 0.5)").as("intercept"))
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    slopeMed.join(intercept, Seq("event_type"))
+      .join(broadcast(nDays), Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsTheilSenSql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type, n,
+      |    datediff('day', MIN(day) OVER (PARTITION BY event_type), day)
+      |      AS x
+      |  FROM d),
+      |p AS (
+      |  SELECT a1.event_type,
+      |    CAST(a2.n - a1.n AS DOUBLE) / CAST(a2.x - a1.x AS DOUBLE)
+      |      AS slope
+      |  FROM a a1 JOIN a a2
+      |    ON a1.event_type = a2.event_type AND a2.x > a1.x),
+      |sm AS (
+      |  SELECT event_type, quantile_cont(slope, 0.5) AS slope
+      |  FROM p GROUP BY 1),
+      |r AS (
+      |  SELECT a.event_type, CAST(a.n AS DOUBLE) - sm.slope * a.x AS res
+      |  FROM a JOIN sm USING (event_type)),
+      |i AS (
+      |  SELECT event_type, quantile_cont(res, 0.5) AS intercept
+      |  FROM r GROUP BY 1),
+      |nd AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM d GROUP BY 1)
+      |SELECT sm.event_type, sm.slope, i.intercept, nd.n_days
+      |FROM sm JOIN i USING (event_type) JOIN nd USING (event_type)
+      |ORDER BY sm.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -893,6 +969,7 @@ object Windows {
     "ts_ohlc" -> tsOhlc,
     "ts_changepoint" -> tsChangepoint,
     "ts_acf" -> tsAcf,
+    "ts_trend_theilsen" -> tsTheilSen,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -915,5 +992,6 @@ object Windows {
     "ts_ohlc" -> tsOhlcSql,
     "ts_changepoint" -> tsChangepointSql,
     "ts_acf" -> tsAcfSql,
+    "ts_trend_theilsen" -> tsTheilSenSql,
   )
 }

@@ -199,6 +199,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "ts_ohlc" -> 2,
     "ts_resample" -> 2,
     "ts_seasonality" -> 2,
+    // the daily-counts subtree prints once per consuming leg (pairs,
+    // residuals, n_days) in the initial plan; AQE exchange reuse
+    // materializes it once at runtime
+    "ts_trend_theilsen" -> 13,
     "ts_zscore" -> 2,
     "typed_agg" -> 2,
     "udaf_typed" -> 2,

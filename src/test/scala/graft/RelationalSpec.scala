@@ -404,6 +404,27 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(blocked == expect, s"blocked=$blocked expect=$expect")
   }
 
+  test("theil-sen slope matches a driver-side brute force for one type") {
+    val out = graft.operators.Windows.tsTheilSen(spark, sfDir)
+      .where(col("event_type") === "click").head()
+    val days = Tables.events(spark, sfDir)
+      .where(col("event_type") === "click")
+      .groupBy(col("ts").cast("date").as("day")).count()
+      .orderBy(col("day")).collect()
+      .map(r => r.getLong(1))
+    val slopes = for {
+      i <- days.indices; j <- (i + 1) until days.length
+    } yield (days(j) - days(i)).toDouble / (j - i)
+    def med(v: Seq[Double]): Double = {
+      val s = v.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    assert(out.getDouble(1) == med(slopes), "slope != brute-force median")
+    val resid = days.indices.map(i => days(i) - out.getDouble(1) * i)
+    assert(out.getDouble(2) == med(resid), "intercept != residual median")
+    assert(out.getLong(3) == days.length)
+  }
+
   test("bitmap distinct equals the exact count_distinct per group") {
     import org.apache.spark.sql.functions.countDistinct
     val bitmap = Relational.aggBitmapDistinct(spark, sfDir)
