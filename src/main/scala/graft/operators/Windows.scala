@@ -949,6 +949,69 @@ object Windows {
       |FROM sm JOIN i USING (event_type) JOIN nd USING (event_type)
       |ORDER BY sm.event_type""".stripMargin
 
+  /** Rolling 7-day median of the daily count series — the robust
+    * smoother that shrugs off single-day spikes where a rolling mean
+    * follows them. The windowed percentile buffers only the 7-row
+    * frame per step; per-type partitions keep state bounded by series
+    * length. The interpolated quantile over exact BIGINT day counts is
+    * the same formula in both engines (the [[graft.operators
+    * .Relational.aggPercentile]] contract), and the frame contents are
+    * identical because (type, day) is a total order. */
+  def tsRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("med7", expr("percentile(n, 0.5)")
+        .over(w))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val tsRollingMedianSql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n,
+      |  quantile_cont(n, 0.5) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+      |FROM d
+      |ORDER BY event_type, day""".stripMargin
+
+  /** Winsorization — clip event values to each type's [p5, p95] before
+    * aggregation, the standard robust-preprocessing step for
+    * long-tailed metrics. The per-type bounds are one grouped
+    * percentile pair BROADCAST back onto the events (the train-once/
+    * apply-everywhere shape); the clip itself is a pure projection
+    * (`least/greatest` — selections, no arithmetic, so clipped values
+    * are bit-exact originals or bit-exact bounds in both engines). */
+  def tsWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    Tables.events(spark, dir)
+      .join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        greatest(col("lo"), least(col("hi"), col("value"))).as("value_w"),
+        (col("value") < col("lo") || col("value") > col("hi"))
+          .as("clipped"))
+      .orderBy(col("event_id"))
+  }
+
+  val tsWinsorizeSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS lo,
+      |    quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  GREATEST(b.lo, LEAST(b.hi, e.value)) AS value_w,
+      |  e.value < b.lo OR e.value > b.hi AS clipped
+      |FROM events e JOIN b USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -970,6 +1033,8 @@ object Windows {
     "ts_changepoint" -> tsChangepoint,
     "ts_acf" -> tsAcf,
     "ts_trend_theilsen" -> tsTheilSen,
+    "ts_rolling_median" -> tsRollingMedian,
+    "ts_winsorize" -> tsWinsorize,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -993,5 +1058,7 @@ object Windows {
     "ts_changepoint" -> tsChangepointSql,
     "ts_acf" -> tsAcfSql,
     "ts_trend_theilsen" -> tsTheilSenSql,
+    "ts_rolling_median" -> tsRollingMedianSql,
+    "ts_winsorize" -> tsWinsorizeSql,
   )
 }

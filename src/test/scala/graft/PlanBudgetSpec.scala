@@ -197,12 +197,16 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "ts_mom_growth" -> 2,
     // daily window sort + candle aggregate
     "ts_ohlc" -> 2,
+    // daily agg + per-type window frame + sort
+    "ts_rolling_median" -> 3,
     "ts_resample" -> 2,
     "ts_seasonality" -> 2,
     // the daily-counts subtree prints once per consuming leg (pairs,
     // residuals, n_days) in the initial plan; AQE exchange reuse
     // materializes it once at runtime
     "ts_trend_theilsen" -> 13,
+    // grouped percentile bounds broadcast back + clip projection
+    "ts_winsorize" -> 2,
     "ts_zscore" -> 2,
     "typed_agg" -> 2,
     "udaf_typed" -> 2,

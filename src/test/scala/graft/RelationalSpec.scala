@@ -425,6 +425,25 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(out.getLong(3) == days.length)
   }
 
+  test("rolling median and winsorize bounds behave as robust statistics") {
+    val med = graft.operators.Windows.tsRollingMedian(spark, sfDir)
+    // the 7-row window median sits within the frame's min/max
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-6, 0)
+    val bad = med
+      .withColumn("lo", min(col("n")).over(w))
+      .withColumn("hi", max(col("n")).over(w))
+      .where(col("med7") < col("lo") || col("med7") > col("hi")).count()
+    assert(bad == 0, "median outside its frame bounds")
+    val win = graft.operators.Windows.tsWinsorize(spark, sfDir)
+    assert(win.where(col("value_w").isNull).count() == 0)
+    assert(win.where(!col("clipped") &&
+      col("value_w") =!= col("value")).count() == 0,
+      "unclipped row altered")
+    val frac = win.where(col("clipped")).count().toDouble / win.count()
+    assert(frac > 0.05 && frac < 0.15, s"clip fraction $frac not ~10%")
+  }
+
   test("bitmap distinct equals the exact count_distinct per group") {
     import org.apache.spark.sql.functions.countDistinct
     val bitmap = Relational.aggBitmapDistinct(spark, sfDir)
