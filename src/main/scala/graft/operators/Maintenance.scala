@@ -356,7 +356,67 @@ object Maintenance {
       |    v_bal FROM ca)
       |ORDER BY constraint_id""".stripMargin
 
+  /** Change-data-capture snapshot diff — given yesterday's and today's
+    * table states, emit the change feed (I/U/D rows) that replays one
+    * into the other; the op every incremental-sync pipeline runs. The
+    * "new" snapshot derives from orders by deterministic rules shared
+    * verbatim with the oracle (delete keys ≡0 mod 97, reclassify
+    * priority on ≡0 mod 31, insert key+10M clones of ≡0 mod 41), so no
+    * fixture staging is needed and the DIFF is what's under test: one
+    * full outer join on the key, row classification, unchanged rows
+    * dropped. At 100 TB both snapshots shuffle once on the key — or
+    * zero times when stored bucketed ([[graft.operators.Relational
+    * .joinBucketed]] shows that path); the change feed is the small
+    * output, never materialized wide. */
+  def cdcSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val oldS = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("old_priority"))
+    val base = Tables.orders(spark, dir)
+    val kept = base.where(expr("o_orderkey % 97 != 0"))
+      .select(col("o_orderkey").as("k"),
+        when(expr("o_orderkey % 31 = 0"), lit("9-RECLASS"))
+          .otherwise(col("o_orderpriority")).as("new_priority"))
+    val inserted = base.where(expr("o_orderkey % 41 = 0"))
+      .select((col("o_orderkey") + lit(10000000L)).as("k"),
+        col("o_orderpriority").as("new_priority"))
+    val newS = kept.unionAll(inserted)
+    oldS.join(newS, Seq("k"), "full_outer")
+      .withColumn("op",
+        when(col("new_priority").isNull, "D")
+          .when(col("old_priority").isNull, "I")
+          .when(col("old_priority") =!= col("new_priority"), "U"))
+      .where(col("op").isNotNull)
+      .select(col("op"), col("k"), col("old_priority"), col("new_priority"))
+      .orderBy(col("k"))
+  }
+
+  val cdcSnapshotDiffSql: String =
+    """WITH olds AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS old_priority
+      |  FROM orders),
+      |news AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 31 = 0 THEN '9-RECLASS'
+      |         ELSE o_orderpriority END AS new_priority
+      |  FROM orders WHERE o_orderkey % 97 != 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000 AS k, o_orderpriority AS new_priority
+      |  FROM orders WHERE o_orderkey % 41 = 0)
+      |SELECT
+      |  CASE WHEN n.new_priority IS NULL THEN 'D'
+      |       WHEN o.old_priority IS NULL THEN 'I'
+      |       WHEN o.old_priority <> n.new_priority THEN 'U' END AS op,
+      |  COALESCE(o.k, n.k) AS k, o.old_priority, n.new_priority
+      |FROM olds o FULL OUTER JOIN news n ON o.k = n.k
+      |WHERE CASE WHEN n.new_priority IS NULL THEN 'D'
+      |           WHEN o.old_priority IS NULL THEN 'I'
+      |           WHEN o.old_priority <> n.new_priority THEN 'U' END
+      |  IS NOT NULL
+      |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "layout_zorder" -> layoutZorder,
     "table_stats" -> tableStats,
     "table_skew" -> tableSkew,
@@ -365,6 +425,7 @@ object Maintenance {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_snapshot_diff" -> cdcSnapshotDiffSql,
     "layout_zorder" -> layoutZorderSql,
     "table_stats" -> tableStatsSql,
     "table_skew" -> tableSkewSql,

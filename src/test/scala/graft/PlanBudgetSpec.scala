@@ -50,6 +50,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "agg_topk_others" -> 4,
     "agg_unpivot" -> 1,
     "agg_weighted_avg" -> 2,
+    // key shuffle per snapshot side + output sort
+    "cdc_snapshot_diff" -> 3,
     "compact_roundtrip" -> 0,
     "dim_scd2" -> 2,
     // three single-purpose audits (2 on orders incl. one count-distinct,

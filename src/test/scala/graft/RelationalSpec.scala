@@ -444,6 +444,21 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(frac > 0.05 && frac < 0.15, s"clip fraction $frac not ~10%")
   }
 
+  test("cdc diff classifies every changed key exactly once") {
+    val out = graft.operators.Maintenance.cdcSnapshotDiff(spark, sfDir)
+    val keys = Tables.orders(spark, sfDir).select(col("o_orderkey"))
+    val dels = keys.where(expr("o_orderkey % 97 = 0")).count()
+    val ins = keys.where(expr("o_orderkey % 41 = 0")).count()
+    val upd = keys.where(
+      expr("o_orderkey % 31 = 0 AND o_orderkey % 97 != 0")).count()
+    val byOp = out.groupBy(col("op")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp("D") == dels && byOp("I") == ins && byOp("U") == upd,
+      s"got $byOp want D=$dels I=$ins U=$upd")
+    assert(out.groupBy(col("k")).count().where(col("count") > 1).count() == 0,
+      "a key classified twice")
+  }
+
   test("bitmap distinct equals the exact count_distinct per group") {
     import org.apache.spark.sql.functions.countDistinct
     val bitmap = Relational.aggBitmapDistinct(spark, sfDir)
