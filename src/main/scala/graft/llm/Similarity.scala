@@ -62,6 +62,91 @@ object Similarity {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Reciprocal-rank fusion of two retrieval rankings — the standard
+    * ensembling step when a retrieval stack runs several scorers
+    * (lexical + dense, or here cosine + L2): each candidate's fused
+    * score is Σ 1/(60+rank_i) over the rankings that surfaced it in
+    * their top-10, and the fused top-5 is re-ranked on that. Both
+    * rankings come from ONE pair pass (dot product computed once; two
+    * row_numbers over the same partition, different orders), so fusion
+    * adds zero pair-join cost — the shape that matters when the pair
+    * pass is the expensive part. RRF terms are 1.0/(60+rank) over INT
+    * ranks and the sum has a fixed two-term order — deterministic
+    * doubles in both engines. */
+  def rankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.withNorm(spark, dir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val pairs = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("dot", Dedup.dotExpr("ea", "eb"))
+      .select(col("query_id"), col("cand_id"),
+        (col("dot") / (col("na") * col("nb"))).as("cosine"),
+        ((col("na") * col("na") + col("nb") * col("nb")) -
+          (lit(2.0) * col("dot"))).as("l2sq"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val wL = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2sq").asc, col("cand_id"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("cand_id"))
+    pairs
+      .withColumn("rk_cos", row_number().over(wC))
+      .withColumn("rk_l2", row_number().over(wL))
+      .where(col("rk_cos") <= 10 || col("rk_l2") <= 10)
+      .withColumn("rrf",
+        when(col("rk_cos") <= 10, lit(1.0) / (lit(60) + col("rk_cos")))
+          .otherwise(lit(0.0)) +
+        when(col("rk_l2") <= 10, lit(1.0) / (lit(60) + col("rk_l2")))
+          .otherwise(lit(0.0)))
+      .withColumn("rank", row_number().over(wF))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("rrf"),
+        col("rk_cos"), col("rk_l2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val rankFusionSql: String =
+    s"""WITH e AS (${Dedup.withNormSql}),
+       |q AS (SELECT vec_id AS query_id, embedding AS ea, nrm AS na
+       |      FROM e WHERE vec_id < 10),
+       |p AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    (${Dedup.dotSql("q.ea", "c.embedding")}) AS dot,
+       |    q.na, c.nrm AS nb
+       |  FROM q JOIN e c ON q.query_id <> c.vec_id),
+       |s AS (
+       |  SELECT query_id, cand_id, dot / (na * nb) AS cosine,
+       |    (na * na + nb * nb) - (2.0 * dot) AS l2sq
+       |  FROM p),
+       |r AS (
+       |  SELECT query_id, cand_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS INT) AS rk_cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY l2sq ASC, cand_id) AS INT) AS rk_l2
+       |  FROM s),
+       |f AS (
+       |  SELECT query_id, cand_id, rk_cos, rk_l2,
+       |    (CASE WHEN rk_cos <= 10
+       |          THEN CAST(1.0 AS DOUBLE) / (60 + rk_cos)
+       |          ELSE CAST(0.0 AS DOUBLE) END) +
+       |    (CASE WHEN rk_l2 <= 10
+       |          THEN CAST(1.0 AS DOUBLE) / (60 + rk_l2)
+       |          ELSE CAST(0.0 AS DOUBLE) END) AS rrf
+       |  FROM r WHERE rk_cos <= 10 OR rk_l2 <= 10),
+       |ranked AS (
+       |  SELECT query_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, cand_id) AS INT) AS rank,
+       |    cand_id, rrf, rk_cos, rk_l2
+       |  FROM f)
+       |SELECT query_id, rank, cand_id, rrf, rk_cos, rk_l2
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Typed multimodal columns: join text docs to their embedding
     * vectors (vec_id = doc_id), emit vector metadata (dim, L2 norm)
     * and the unit-normalized vector posexploded to one scalar row per
@@ -1155,6 +1240,7 @@ object Similarity {
     "llm_sim_search_pq" -> simSearchPq,
     "llm_sim_search_pq_rerank" -> simSearchPqRerank,
     "llm_sim_search" -> simSearch,
+    "llm_rank_fusion" -> rankFusion,
     "llm_sim_search_native" -> simSearchNative,
     "llm_multimodal" -> multimodal,
     "llm_multimodal_binary" -> multimodalBinary,
@@ -1172,6 +1258,7 @@ object Similarity {
     "llm_sim_search_pq" -> simSearchPqSql,
     "llm_sim_search_pq_rerank" -> simSearchPqRerankSql,
     "llm_sim_search" -> simSearchSql,
+    "llm_rank_fusion" -> rankFusionSql,
     "llm_sim_search_native" -> simSearchSql, // same contract, native kernel
     "llm_multimodal" -> multimodalSql,
     "llm_multimodal_binary" -> multimodalBinarySql,

@@ -501,6 +501,20 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rank fusion: scores bounded, fused hits come from a source top-10") {
+    import org.apache.spark.sql.functions._
+    val out = graft.llm.Similarity.rankFusion(spark, sfDir)
+    assert(out.count() == 50) // 10 queries x top-5
+    assert(out.where(col("rrf") > 2.0 / 61 + 1e-12 ||
+      col("rrf") <= 0.0).count() == 0, "rrf outside (0, 2/61]")
+    assert(out.where(col("rk_cos") > 10 && col("rk_l2") > 10).count() == 0,
+      "fused candidate absent from both top-10s")
+    // a candidate ranked 1 by BOTH scorers must fuse to rank 1
+    val doubleTop = out.where(col("rk_cos") === 1 && col("rk_l2") === 1)
+    assert(doubleTop.where(col("rank") =!= 1).count() == 0,
+      "double top-1 not fused first")
+  }
+
   test("span corruption: ~15% of spans masked, sentinels dense from 0") {
     import org.apache.spark.sql.functions._
     val out = graft.llm.Text.spanCorrupt(spark, sfDir)

@@ -137,6 +137,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_pipeline" -> 2,
     "llm_quality_by_source" -> 2,
     "llm_quality_score" -> 1,
+    // one broadcast pair pass + two ranks over one partition + fuse
+    "llm_rank_fusion" -> 2,
     "llm_repetition" -> 1,
     "llm_sample_stratified" -> 2,
     "llm_sample_weights" -> 2,
@@ -233,7 +235,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_bpe_train",
     "llm_collocations",
     "llm_dataset_card", "llm_embed_cluster", "llm_embed_outliers",
-    "llm_lm_score", "llm_sim_search", "llm_sim_search_int8",
+    "llm_lm_score", "llm_rank_fusion", "llm_sim_search",
+    "llm_sim_search_int8",
     "llm_sim_search_ivf", "llm_sim_search_ivf_trained",
     "llm_sim_search_native", "llm_sim_search_pq", "llm_sim_search_pq_rerank",
     "llm_tfidf")
