@@ -1012,6 +1012,62 @@ object Windows {
       |FROM events e JOIN b USING (event_type)
       |ORDER BY e.event_id""".stripMargin
 
+  /** Exact distinct users over a trailing 7-day window — the rolling
+    * reach metric that naive distinct-over-window cannot do at scale
+    * (it buffers every (day, user) pair per frame). Bitmap shape
+    * instead: users pack into (day, bucket)→word rows (the
+    * [[graft.operators.Relational.aggBitmapDistinct]] encoding), a
+    * windowed `bit_or` per bucket ORs the trailing 7 days' words —
+    * frame state is 7 BIGINTs per bucket, independent of user count —
+    * and the per-day total is an exact Σ bit_count over that day's
+    * buckets. Shuffle: one (day, bucket) aggregate + one bucket window
+    * + one day aggregate, all key-bounded. */
+  def tsRollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // RANGE frame over a day NUMBER, not a 7-ROWS frame: a bucket with
+    // no users on some day has no row that day, and a row frame would
+    // silently stretch the window past 7 calendar days.
+    val words = Tables.events(spark, dir)
+      .select(col("ts").cast("date").as("day"),
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("dayn"),
+        // 32-bit lanes in a BIGINT word: DuckDB overflow-checks
+        // 1::BIGINT << 63, so the portable packing keeps shifts <= 31
+        expr("user_id DIV 32").as("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+          .as("bit"))
+      .groupBy(col("day"), col("dayn"), col("bucket"))
+      .agg(expr("bit_or(bit)").as("word"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("dayn"))
+      .rangeBetween(-6, 0)
+    words
+      .withColumn("word7", expr("bit_or(word)").over(w))
+      .withColumn("days_in",
+        count(lit(1)).over(w)) // trailing days this bucket appeared
+      .groupBy(col("day"))
+      .agg(sum(expr("bit_count(word7)")).cast("long").as("reach7"),
+        max(col("days_in")).as("max_bucket_days"))
+      .orderBy(col("day"))
+  }
+
+  val tsRollingDistinctSql: String =
+    """WITH words AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dayn,
+      |    user_id // 32 AS bucket,
+      |    BIT_OR(1::BIGINT << CAST(user_id % 32 AS INT)) AS word
+      |  FROM events GROUP BY 1, 2, 3),
+      |w7 AS (
+      |  SELECT day, bucket,
+      |    BIT_OR(word) OVER (PARTITION BY bucket ORDER BY dayn
+      |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS word7,
+      |    COUNT(*) OVER (PARTITION BY bucket ORDER BY dayn
+      |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS days_in
+      |  FROM words)
+      |SELECT day, CAST(SUM(bit_count(word7)) AS BIGINT) AS reach7,
+      |  CAST(MAX(days_in) AS BIGINT) AS max_bucket_days
+      |FROM w7
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -1035,6 +1091,7 @@ object Windows {
     "ts_trend_theilsen" -> tsTheilSen,
     "ts_rolling_median" -> tsRollingMedian,
     "ts_winsorize" -> tsWinsorize,
+    "ts_rolling_distinct" -> tsRollingDistinct,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1060,5 +1117,6 @@ object Windows {
     "ts_trend_theilsen" -> tsTheilSenSql,
     "ts_rolling_median" -> tsRollingMedianSql,
     "ts_winsorize" -> tsWinsorizeSql,
+    "ts_rolling_distinct" -> tsRollingDistinctSql,
   )
 }

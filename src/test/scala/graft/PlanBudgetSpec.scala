@@ -203,6 +203,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "ts_ohlc" -> 2,
     // daily agg + per-type window frame + sort
     "ts_rolling_median" -> 3,
+    // (day,bucket) word agg + bucket window + day rollup + sort
+    "ts_rolling_distinct" -> 4,
     "ts_resample" -> 2,
     "ts_seasonality" -> 2,
     // the daily-counts subtree prints once per consuming leg (pairs,

@@ -459,6 +459,22 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       "a key classified twice")
   }
 
+  test("rolling bitmap distinct equals brute-force trailing-7-day reach") {
+    val out = graft.operators.Windows.tsRollingDistinct(spark, sfDir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = pairs.map(_._1).distinct.sorted
+    days.foreach { d =>
+      val reach = pairs.filter { case (pd, _) =>
+        !pd.isAfter(d) && !pd.isBefore(d.minusDays(6))
+      }.map(_._2).distinct.size.toLong
+      assert(out(d.toString) == reach, s"day $d: ${out(d.toString)} != $reach")
+    }
+  }
+
   test("bitmap distinct equals the exact count_distinct per group") {
     import org.apache.spark.sql.functions.countDistinct
     val bitmap = Relational.aggBitmapDistinct(spark, sfDir)
