@@ -461,6 +461,54 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Edit-distance verification over the MinHash band candidates — the
+    * character-level rung of the dedup verify ladder (trigram Jaccard
+    * is set-based and order-blind; Levenshtein catches reorderings it
+    * cannot). Cost is bounded two ways: pairs come from the band
+    * candidates (never all-pairs), and the distance runs on a 200-char
+    * prefix — Levenshtein is O(n·m) per pair, so the cap, not the
+    * document length, fixes per-pair work at scale. Both engines'
+    * `levenshtein` is the classic unit-cost edit distance, so the
+    * distance is integer-exact and the similarity one IEEE division. */
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pref = docs.select(col("doc_id"),
+      expr("substring(lower(text), 1, 200)").as("p"))
+    minhashCandidates(docs, "doc_id", "text")
+      .join(pref.select(col("doc_id").as("doc_a"), col("p").as("pa")),
+        Seq("doc_a"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("p").as("pb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).as("edit_dist"),
+        greatest(length(col("pa")), length(col("pb"))).as("max_len"))
+      .withColumn("sim",
+        lit(1.0) - col("edit_dist").cast("double") /
+          col("max_len").cast("double"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  lazy val dedupEditDistanceSql: String =
+    s"""WITH tg AS ($trigramsSql),
+       |mh AS ($signaturesSql),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+       |pref AS (
+       |  SELECT doc_id, substring(lower(text), 1, 200) AS p
+       |  FROM documents)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist,
+       |  CAST(GREATEST(LEN(a.p), LEN(b.p)) AS INT) AS max_len,
+       |  1.0 - CAST(levenshtein(a.p, b.p) AS DOUBLE)
+       |      / CAST(GREATEST(LEN(a.p), LEN(b.p)) AS DOUBLE) AS sim
+       |FROM cand c
+       |JOIN pref a ON a.doc_id = c.doc_a
+       |JOIN pref b ON b.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** 16-bit SimHash fingerprint per document: md5 each distinct token,
     * take the first 16 bits, sum ±1 per bit position over tokens, keep
     * the sign bit. Pure integer/string ops — bit-identical in the
@@ -945,6 +993,7 @@ object Dedup {
     "llm_incremental_dedup" -> incrementalDedup,
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_jaccard_est" -> dedupJaccardEst,
+    "llm_dedup_edit_distance" -> dedupEditDistance,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_cluster_stats" -> dedupClusterStats,
     "llm_dedup_apply" -> dedupApply,
@@ -960,6 +1009,7 @@ object Dedup {
     "llm_incremental_dedup" -> incrementalDedupSql,
     "llm_dedup_jaccard" -> dedupJaccardSql,
     "llm_dedup_jaccard_est" -> dedupJaccardEstSql,
+    "llm_dedup_edit_distance" -> dedupEditDistanceSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_dedup_cluster_stats" -> dedupClusterStatsSql,
     "llm_dedup_apply" -> dedupApplySql,

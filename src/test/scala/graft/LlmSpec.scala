@@ -501,6 +501,38 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("edit-distance verify: bounded metrics and a hand-checked pair") {
+    import org.apache.spark.sql.functions._
+    val out = graft.llm.Dedup.dedupEditDistance(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (d, m, s) = (r.getInt(2), r.getInt(3), r.getDouble(4))
+      d >= 0 && d <= m && s >= 0.0 && s <= 1.0
+    }, "edit distance or similarity out of bounds")
+    // recompute one pair with a driver-side reference implementation
+    val h = rows.head
+    val get = graft.core.Tables.documents(spark, sfDir)
+      .where(col("doc_id").isin(h.getLong(1), h.getLong(0)))
+      .select(col("doc_id"), expr("substring(lower(text), 1, 200)"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    assert(h.getInt(2) == lev(get(h.getLong(0)), get(h.getLong(1))),
+      "levenshtein disagrees with reference implementation")
+  }
+
   test("rank fusion: scores bounded, fused hits come from a source top-10") {
     import org.apache.spark.sql.functions._
     val out = graft.llm.Similarity.rankFusion(spark, sfDir)

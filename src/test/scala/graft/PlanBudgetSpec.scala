@@ -107,6 +107,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_dedup_apply" -> 1,
     "llm_dedup_cluster_stats" -> 2,
     "llm_dedup_clusters" -> 1,
+    // band candidates + two broadcast prefix joins + sort
+    "llm_dedup_edit_distance" -> 4,
     "llm_dedup_embed" -> 2,
     "llm_dedup_exact" -> 2,
     "llm_dedup_fuzzy" -> 4,
