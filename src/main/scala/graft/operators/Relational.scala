@@ -774,6 +774,56 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Point-in-time join against the SCD2-versioned dimension — the
+    * feature-store lookup: for each event, the dimension version that
+    * was VALID at the event's timestamp (not the nearest event, which
+    * is [[joinAsof]]'s different contract). Versions come from the
+    * same change-capture [[dimScd2]] builds; since a key's half-open
+    * validity intervals partition its timeline, each event matches at
+    * most one version, and events before a key's first version keep a
+    * NULL attribution through the left join. Planned as an equi-join
+    * on the key with the validity range as a post-join filter — per-key
+    * version counts are small (status changes, not events), so the
+    * filter touches a handful of rows per event at any scale. */
+  def joinPointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val v = dimScd2(spark, dir).select(col("o_custkey"),
+      col("o_orderstatus"), col("valid_from"), col("valid_to"),
+      col("version"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .join(v, col("user_id") === col("o_custkey") &&
+        col("valid_from") <= col("ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left_outer")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderstatus").as("status_at_event"), col("version"))
+      .orderBy(col("event_id"))
+  }
+
+  val joinPointInTimeSql: String =
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+      |    LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |chg AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+      |  FROM seq WHERE prev IS NULL OR prev <> o_orderstatus),
+      |ver AS (
+      |  SELECT o_custkey, o_orderstatus,
+      |    o_orderdate AS valid_from,
+      |    LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS INT) AS version
+      |  FROM chg)
+      |SELECT e.event_id, e.user_id, e.ts,
+      |  v.o_orderstatus AS status_at_event, v.version
+      |FROM events e LEFT OUTER JOIN ver v
+      |  ON e.user_id = v.o_custkey AND v.valid_from <= e.ts
+      | AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+      |ORDER BY e.event_id""".stripMargin
+
   /** Semi-join via broadcast BITMAP membership — the dense-keyspace
     * refinement of a broadcast semi join. The build side (urgent
     * orders) compresses to bucket→word rows (bucket = key DIV 64,
@@ -1910,6 +1960,7 @@ object Relational {
     "join_outer" -> joinOuter,
     "join_semi_anti" -> joinSemiAnti,
     "join_bitmap_semi" -> joinBitmapSemi,
+    "join_point_in_time" -> joinPointInTime,
     "join_multiway" -> joinMultiway,
     "join_theta_range" -> joinThetaRange,
     "join_asof" -> joinAsof,
@@ -1976,6 +2027,7 @@ object Relational {
     "join_outer" -> joinOuterSql,
     "join_semi_anti" -> joinSemiAntiSql,
     "join_bitmap_semi" -> joinBitmapSemiSql,
+    "join_point_in_time" -> joinPointInTimeSql,
     "join_multiway" -> joinMultiwaySql,
     "join_theta_range" -> joinThetaRangeSql,
     "join_asof" -> joinAsofSql,

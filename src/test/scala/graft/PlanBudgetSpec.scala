@@ -80,6 +80,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // bitmap-word build aggregate + output sort; probe side is a
     // broadcast hash join (not counted as a shuffle)
     "join_bitmap_semi" -> 2,
+    // version-build window + key equi-join with validity post-filter
+    "join_point_in_time" -> 2,
     "join_asof_native" -> 3,
     "join_bucketed" -> 1,
     "join_inner_hash" -> 1,

@@ -444,6 +444,21 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(frac > 0.05 && frac < 0.15, s"clip fraction $frac not ~10%")
   }
 
+  test("point-in-time join attributes at most one valid version per event") {
+    val out = Relational.joinPointInTime(spark, sfDir)
+    assert(out.count() == Tables.events(spark, sfDir).count(),
+      "row per event (no interval overlap fan-out)")
+    // every attributed status matches the version valid at ts
+    val v = Relational.dimScd2(spark, sfDir)
+    val bad = out.where(col("version").isNotNull)
+      .join(v.select(col("o_custkey"), col("version"),
+        col("valid_from"), col("valid_to")),
+        out("user_id") === col("o_custkey") && out("version") === v("version"))
+      .where(col("valid_from") > col("ts") ||
+        (col("valid_to").isNotNull && col("ts") >= col("valid_to"))).count()
+    assert(bad == 0, "attributed version not valid at event ts")
+  }
+
   test("cdc diff classifies every changed key exactly once") {
     val out = graft.operators.Maintenance.cdcSnapshotDiff(spark, sfDir)
     val keys = Tables.orders(spark, sfDir).select(col("o_orderkey"))
