@@ -1395,6 +1395,32 @@ object Text {
        |GROUP BY 1
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic uniform sample — the eval-set / holdout sampler.
+    * `TABLESAMPLE`/`rand()` draws differ per run, per engine, and per
+    * task retry; ranking on an md5 of the doc id is none of those: the
+    * hash order is a fixed uniform permutation of the corpus, so "the
+    * 100 lowest-hashed docs" is a stable uniform sample any engine
+    * reproduces, and APPENDING documents later leaves earlier picks'
+    * hashes unchanged (the property rand() samples lack). TakeOrdered
+    * top-k — no global sort; the [[trainTestSplit]] idiom at k-rows
+    * granularity instead of percent bands. */
+  def sampleHashrank(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(concat(lit("sample:"), col("doc_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(100)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("h"))
+      .orderBy(col("doc_id"))
+
+  val sampleHashrankSql: String =
+    """SELECT doc_id, lang, source, n_chars, h FROM (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    md5('sample:' || CAST(doc_id AS STRING)) AS h
+      |  FROM documents
+      |  ORDER BY h, doc_id LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
   /** T5-style span corruption — the masked-denoising data prep: tokens
     * group into 3-token spans, ~15% of spans are selected by an
     * engine-portable hash (md5 16-bit bucket < 9830/65536, the
@@ -1540,6 +1566,7 @@ object Text {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_blocklist_filter" -> blocklistFilter,
     "llm_span_corrupt" -> spanCorrupt,
+    "llm_sample_hashrank" -> sampleHashrank,
     "llm_vocab_coverage" -> vocabCoverage,
     "llm_bpe_train" -> bpeTrain,
     "llm_bpe_apply" -> bpeApply,
@@ -1573,6 +1600,7 @@ object Text {
   val oracleSql: Map[String, String] = Map(
     "llm_blocklist_filter" -> blocklistFilterSql,
     "llm_span_corrupt" -> spanCorruptSql,
+    "llm_sample_hashrank" -> sampleHashrankSql,
     "llm_vocab_coverage" -> vocabCoverageSql,
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_apply" -> bpeApplySql,

@@ -501,6 +501,24 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hash-rank sample is stable, uniform-ish, and shuffle-free") {
+    import org.apache.spark.sql.functions._
+    val a = graft.llm.Text.sampleHashrank(spark, sfDir)
+    val b = graft.llm.Text.sampleHashrank(spark, sfDir)
+    assert(a.count() == 100)
+    assert(a.exceptAll(b).isEmpty, "sample not reproducible")
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    // appending docs never evicts... smaller corpora: picks at sf0.001
+    // must be a subset-stable rule, checked by hash threshold instead:
+    // every picked hash is <= the 100th-smallest hash by construction
+    val maxPick = a.agg(max(col("h"))).head.getString(0)
+    val below = graft.core.Tables.documents(spark, sfDir)
+      .select(md5(concat(lit("sample:"), col("doc_id").cast("string")))
+        .as("h")).where(col("h") < lit(maxPick)).count()
+    assert(below <= 100, "picked set is not the hash-smallest 100")
+  }
+
   test("edit-distance verify: bounded metrics and a hand-checked pair") {
     import org.apache.spark.sql.functions._
     val out = graft.llm.Dedup.dedupEditDistance(spark, sfDir)

@@ -144,6 +144,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // one broadcast pair pass + two ranks over one partition + fuse
     "llm_rank_fusion" -> 2,
     "llm_repetition" -> 1,
+    // TakeOrdered top-k on a hash projection; zero shuffles
+    "llm_sample_hashrank" -> 0,
     "llm_sample_stratified" -> 2,
     "llm_sample_weights" -> 2,
     "llm_sim_search" -> 2,
