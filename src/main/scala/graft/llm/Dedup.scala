@@ -509,6 +509,56 @@ object Dedup {
        |JOIN pref b ON b.doc_id = c.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Asymmetric containment verify over the MinHash band candidates:
+    * containment(A,B) = |A∩B| / min(|A|,|B|) over trigram sets — the
+    * quote-inclusion / partial-copy detector Jaccard misses (a doc
+    * mostly contained in a longer one has high containment but low
+    * Jaccard, so a symmetric 0.5-Jaccard cut drops it). Reuses the
+    * exact-intersection kernel of [[dedupJaccard]]; same shuffle
+    * shape, different denominator. Honest recall note: the LSH bands
+    * themselves are Jaccard-driven, so candidates only surface when
+    * the two docs are of comparable size — the extreme
+    * short-doc-inside-huge-doc case needs the sub-document span path
+    * ([[Text.spanDedup]]), not set similarity. At 100 TB the verify
+    * shuffle is bounded by the bucket-capped candidate volume, never
+    * all-pairs. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = minhashCandidates(docs, "doc_id", "text")
+    exactJaccard(docs, cand)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("n_a"), col("n_b"),
+        (col("common") / least(col("n_a"), col("n_b"))).as("containment"),
+        (col("common") / (col("n_a") + col("n_b") - col("common")))
+          .as("jaccard"))
+      .where(col("containment") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  lazy val dedupContainmentSql: String =
+    s"""WITH tg AS ($trigramsSql),
+       |mh AS ($signaturesSql),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN tg x ON x.doc_id = c.doc_a
+       |  JOIN tg y ON y.doc_id = c.doc_b AND y.g = x.g
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b, i.common, x.n AS n_a, y.n AS n_b,
+       |  i.common / LEAST(x.n, y.n) AS containment,
+       |  i.common / (x.n + y.n - i.common) AS jaccard
+       |FROM inter i
+       |JOIN sz x ON x.doc_id = i.doc_a
+       |JOIN sz y ON y.doc_id = i.doc_b
+       |WHERE i.common / LEAST(x.n, y.n) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** 16-bit SimHash fingerprint per document: md5 each distinct token,
     * take the first 16 bits, sum ±1 per bit position over tokens, keep
     * the sign bit. Pure integer/string ops — bit-identical in the
@@ -1000,6 +1050,7 @@ object Dedup {
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_simhash_nn" -> dedupSimhashNn,
     "llm_dedup_embed" -> dedupEmbed,
+    "llm_dedup_containment" -> dedupContainment,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1016,5 +1067,6 @@ object Dedup {
     "llm_dedup_simhash" -> dedupSimhashSql,
     "llm_dedup_simhash_nn" -> dedupSimhashNnSql,
     "llm_dedup_embed" -> dedupEmbedSql,
+    "llm_dedup_containment" -> dedupContainmentSql,
   )
 }

@@ -62,6 +62,52 @@ object Similarity {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-negative mining — the contrastive-training data prep
+    * (retrieval / embedding fine-tuning needs, per anchor, the most
+    * similar examples of a DIFFERENT class): for each query vector the
+    * top-5 highest-cosine candidates whose label differs. Same
+    * broadcast-queries × full-scan shape as [[simSearch]] — the label
+    * inequality rides the join predicate so mismatched pairs never
+    * materialize; at 100 TB the scale path is identical to the ANN
+    * ladder (IVF/LSH shortlist, then this label-filtered re-rank). */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.withNorm(spark, dir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val c = e.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(q).join(c, col("q_label") =!= col("c_label"))
+      .select(col("query_id"), col("q_label"), col("cand_id"), col("c_label"),
+        (Dedup.dotExpr("ea", "eb") / (col("na") * col("nb"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("q_label"), col("rank"), col("cand_id"),
+        col("c_label"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (${Dedup.withNormSql}),
+       |q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS ea,
+       |             nrm AS na
+       |      FROM e WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT q.query_id, q.q_label, c.vec_id AS cand_id,
+       |    c.label AS c_label,
+       |    (${Dedup.dotSql("q.ea", "c.embedding")}) / (q.na * c.nrm) AS cosine
+       |  FROM q JOIN e c ON q.q_label <> c.label),
+       |ranked AS (
+       |  SELECT query_id, q_label, cand_id, c_label, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, cand_id) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, q_label, rank, cand_id, c_label, cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Reciprocal-rank fusion of two retrieval rankings — the standard
     * ensembling step when a retrieval stack runs several scorers
     * (lexical + dense, or here cosine + L2): each candidate's fused
@@ -1240,6 +1286,7 @@ object Similarity {
     "llm_sim_search_pq" -> simSearchPq,
     "llm_sim_search_pq_rerank" -> simSearchPqRerank,
     "llm_sim_search" -> simSearch,
+    "llm_hard_negatives" -> hardNegatives,
     "llm_rank_fusion" -> rankFusion,
     "llm_sim_search_native" -> simSearchNative,
     "llm_multimodal" -> multimodal,
@@ -1258,6 +1305,7 @@ object Similarity {
     "llm_sim_search_pq" -> simSearchPqSql,
     "llm_sim_search_pq_rerank" -> simSearchPqRerankSql,
     "llm_sim_search" -> simSearchSql,
+    "llm_hard_negatives" -> hardNegativesSql,
     "llm_rank_fusion" -> rankFusionSql,
     "llm_sim_search_native" -> simSearchSql, // same contract, native kernel
     "llm_multimodal" -> multimodalSql,

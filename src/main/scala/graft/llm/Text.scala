@@ -1421,6 +1421,143 @@ object Text {
       |  ORDER BY h, doc_id LIMIT 100)
       |ORDER BY doc_id""".stripMargin
 
+  private val SegLen = 10
+
+  /** Sub-document (segment-level) dedup report — the C4/RefinedWeb
+    * "remove globally duplicated spans" step, the capability doc-level
+    * set similarity cannot express: a boilerplate paragraph pasted
+    * into thousands of otherwise-unique docs never trips Jaccard but
+    * is exactly what this catches. Docs split into consecutive
+    * [[SegLen]]-token segments; a segment is a global dup when its
+    * exact text occurs in ≥2 distinct docs. Per doc: segment count,
+    * dup-segment count (occurrence-weighted), dup ratio, and the
+    * keep verdict (≤50% duplicated mass). Scale shape: one explode +
+    * two-level (doc,seg)→seg aggregation — the [[boilerplate]]
+    * skeleton, no count-distinct Expand, segment keyspace bounded by
+    * corpus token count / [[SegLen]]; the join back to docs is
+    * seg-keyed and carries only counts, never text bodies. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, greatest((size(t) + ${SegLen - 1}) DIV $SegLen, 1) - 1),
+           |  i -> array_join(slice(t, i * $SegLen + 1, $SegLen), ' '))""".stripMargin))
+        .as("seg"))
+    val docseg = segs.groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("n_occ"))
+    val global = docseg.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_docs"))
+    docseg.join(global, "seg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_segs"),
+        sum(when(col("n_docs") >= 2, col("n_occ")).otherwise(lit(0L)))
+          .as("n_dup_segs"))
+      .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
+        (col("n_dup_segs") / col("n_segs")).as("dup_ratio"),
+        (col("n_dup_segs") * 2 <= col("n_segs")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanDedupSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    LIST_FILTER(string_split(lower(text), ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id,
+       |    unnest([array_to_string(t[i*$SegLen+1 : i*$SegLen+$SegLen], ' ')
+       |            for i in range(0, greatest((len(t)+${SegLen - 1})//$SegLen, 1))]) AS seg
+       |  FROM t),
+       |docseg AS (SELECT doc_id, seg, count(*) AS n_occ FROM seg GROUP BY 1, 2),
+       |global AS (SELECT seg, count(*) AS n_docs FROM docseg GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(SUM(d.n_occ) AS BIGINT) AS n_segs,
+       |  CAST(SUM(CASE WHEN g.n_docs >= 2 THEN d.n_occ ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       |  CAST(SUM(CASE WHEN g.n_docs >= 2 THEN d.n_occ ELSE 0 END) AS BIGINT)
+       |    / CAST(SUM(d.n_occ) AS BIGINT) AS dup_ratio,
+       |  CAST(SUM(CASE WHEN g.n_docs >= 2 THEN d.n_occ ELSE 0 END) AS BIGINT) * 2
+       |    <= CAST(SUM(d.n_occ) AS BIGINT) AS keep
+       |FROM docseg d JOIN global g USING (seg)
+       |GROUP BY d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Instruction-pair rendering — the SFT data-prep formatter: each
+    * document becomes a (prompt, completion) example under a fixed
+    * chat template; the prompt carries the first 32 tokens as context,
+    * the completion the next 16, and only COMPLETE pairs survive
+    * (docs shorter than 48 tokens would yield truncated completions —
+    * the "drop partial examples" rule SFT sets apply). `n_tok` is the
+    * example's whitespace-token mass (48 body + 12 template), the
+    * number [[pack]] bins against downstream. Pure projection —
+    * string assembly and integer arithmetic only, zero shuffles; at
+    * 100 TB this is the embarrassingly-parallel render stage before
+    * packing. */
+  def sftFormat(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("t"))
+      .where(expr("size(t) >= 48"))
+      .select(col("doc_id"), col("lang"),
+        concat(lit("### Instruction:\ncontinue the passage ["),
+          col("lang"), lit("]\n### Context:\n"),
+          expr("array_join(slice(t, 1, 32), ' ')"),
+          lit("\n### Response:")).as("prompt"),
+        expr("array_join(slice(t, 33, 16), ' ')").as("completion"),
+        lit(60L).as("n_tok"))
+      .orderBy(col("doc_id"))
+
+  val sftFormatSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    LIST_FILTER(string_split(lower(text), ' '), x -> x <> '') AS t
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  '### Instruction:' || chr(10) || 'continue the passage [' || lang ||
+      |    ']' || chr(10) || '### Context:' || chr(10) ||
+      |    array_to_string(t[1:32], ' ') || chr(10) || '### Response:' AS prompt,
+      |  array_to_string(t[33:48], ' ') AS completion,
+      |  CAST(60 AS BIGINT) AS n_tok
+      |FROM t
+      |WHERE len(t) >= 48
+      |ORDER BY doc_id""".stripMargin
+
+  /** Curriculum schedule manifest — difficulty-staged, hash-sharded:
+    * docs stage by length quartile (difficulty proxy: 0 shortest → 3
+    * longest, fixed 256-char bands so stages are data-independent and
+    * append-stable), shard WITHIN a stage by the md5-bucket idiom (the
+    * retry/engine-stable stand-in for rand()), and the manifest
+    * reports per (stage, shard): example count, token mass, and char
+    * bounds — what a trainer consumes to schedule easy→hard phases
+    * with balanced shards. One groupBy shuffle over 32 tiny groups; no
+    * global sort, no driver loop — the ordering is IMPLIED by stage
+    * numbers, never materialized as a single-partition row_number. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", expr("md5('curriculum:' || CAST(doc_id AS STRING))"))
+      .select(col("doc_id"), col("n_chars"), size(toks).cast("long").as("n_tok"),
+        least(expr("n_chars DIV 256"), lit(3L)).as("stage"),
+        (expr(splitBucketExpr) % 8).as("shard"))
+      .groupBy(col("stage"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("stage"), col("shard"))
+
+  val curriculumSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, n_chars, text,
+       |    md5('curriculum:' || CAST(doc_id AS STRING)) AS h
+       |  FROM documents)
+       |SELECT LEAST(n_chars // 256, 3) AS stage,
+       |  ($splitBucketExpr) % 8 AS shard,
+       |  count(*) AS n_docs,
+       |  CAST(SUM(LEN(LIST_FILTER(string_split(lower(text), ' '), x -> x <> ''))) AS BIGINT) AS sum_tok,
+       |  MIN(n_chars) AS min_chars,
+       |  MAX(n_chars) AS max_chars
+       |FROM h
+       |GROUP BY 1, 2
+       |ORDER BY stage, shard""".stripMargin
+
   /** T5-style span corruption — the masked-denoising data prep: tokens
     * group into 3-token spans, ~15% of spans are selected by an
     * engine-portable hash (md5 16-bit bucket < 9830/65536, the
@@ -1567,6 +1704,9 @@ object Text {
     "llm_blocklist_filter" -> blocklistFilter,
     "llm_span_corrupt" -> spanCorrupt,
     "llm_sample_hashrank" -> sampleHashrank,
+    "llm_span_dedup" -> spanDedup,
+    "llm_sft_format" -> sftFormat,
+    "llm_curriculum" -> curriculum,
     "llm_vocab_coverage" -> vocabCoverage,
     "llm_bpe_train" -> bpeTrain,
     "llm_bpe_apply" -> bpeApply,
@@ -1601,6 +1741,9 @@ object Text {
     "llm_blocklist_filter" -> blocklistFilterSql,
     "llm_span_corrupt" -> spanCorruptSql,
     "llm_sample_hashrank" -> sampleHashrankSql,
+    "llm_span_dedup" -> spanDedupSql,
+    "llm_sft_format" -> sftFormatSql,
+    "llm_curriculum" -> curriculumSql,
     "llm_vocab_coverage" -> vocabCoverageSql,
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_apply" -> bpeApplySql,

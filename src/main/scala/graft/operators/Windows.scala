@@ -658,6 +658,54 @@ object Windows {
        |ORDER BY event_type, day""".stripMargin
   }
 
+  /** 8-step discounted return per event — the RL / agentic-trajectory
+    * data prep: each event's return is Σ γ^k · reward_{t+k} over the
+    * next 8 steps of the SAME user's event sequence, γ = 1/2.
+    * Cross-engine exact by the [[tsEwma]] unrolling discipline turned
+    * integer: rewards become exact cents ([[graft.core.Det.cents]]),
+    * each weight γ^k scales by the power of two 2^(7-k), so the
+    * 8-term accumulator is a BIGINT sum (exact, order-free) and the
+    * single float op is the final division by 2^7·100. The 8 leads
+    * share one per-user sort; at 100 TB this is one user-keyed
+    * shuffle, state bounded at 8 rows per frame — no per-trajectory
+    * collect, no recursion. */
+  def tsDiscountedReturn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), Det.epochUs(col("ts")).as("us"),
+        Det.cents(col("value")).as("vc"))
+    val led = base.select(
+      col("user_id") +: col("event_id") +: col("us") +: col("vc") +:
+        (0 to 7).map(k => lead(col("vc"), k).over(w).as(s"f$k")): _*)
+    val g = (0 to 7).map(k =>
+        coalesce(col(s"f$k"), lit(0L)) * lit(1L << (7 - k)))
+      .reduce(_ + _)
+    led.select(col("user_id"), col("event_id"), col("us"), col("vc"),
+        (g.cast("double") / lit(12800.0)).as("ret8"))
+      .orderBy(col("event_id"))
+  }
+
+  val tsDiscountedReturnSql: String = {
+    val leads = (0 to 7).map(k =>
+      s"LEAD(vc, $k) OVER (PARTITION BY user_id ORDER BY us, event_id) AS f$k")
+      .mkString(",\n    ")
+    val g = (0 to 7).map(k =>
+      s"COALESCE(f$k, 0) * ${1L << (7 - k)}").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    ${graft.core.DetSql.cents("value")} AS vc
+       |  FROM events),
+       |led AS (
+       |  SELECT user_id, event_id, us, vc,
+       |    $leads
+       |  FROM base)
+       |SELECT user_id, event_id, us, vc,
+       |  CAST($g AS DOUBLE) / 12800.0 AS ret8
+       |FROM led
+       |ORDER BY event_id""".stripMargin
+  }
+
   /** Day-of-week seasonality profile of order volume — the weekly
     * cycle report behind capacity planning and anomaly baselines.
     * Spark's `dayofweek` is Sunday=1; the oracle remaps ISODOW the
@@ -1092,6 +1140,7 @@ object Windows {
     "ts_rolling_median" -> tsRollingMedian,
     "ts_winsorize" -> tsWinsorize,
     "ts_rolling_distinct" -> tsRollingDistinct,
+    "ts_discounted_return" -> tsDiscountedReturn,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1118,5 +1167,6 @@ object Windows {
     "ts_rolling_median" -> tsRollingMedianSql,
     "ts_winsorize" -> tsWinsorizeSql,
     "ts_rolling_distinct" -> tsRollingDistinctSql,
+    "ts_discounted_return" -> tsDiscountedReturnSql,
   )
 }

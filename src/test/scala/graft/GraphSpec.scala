@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Graph family: the census numbers are reconciled against a
+  * driver-side brute force over the (tiny at sf0.001) sampled edge
+  * list — an independent computation path, not the query's own plan. */
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  private def bruteEdges(): Set[(Long, Long)] = {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 % 4 == 0)
+    li.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+  }
+
+  test("triangle census reconciles with a driver brute force") {
+    val edges = bruteEdges()
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      .withDefaultValue(Set.empty[(Long, Long)].map(_._1))
+    val wedges = edges.toSeq.map { case (_, b) => adj(b).size.toLong }.sum
+    val tris = edges.toSeq.map { case (a, b) =>
+      (adj(a).toSet & adj(b).toSet).size.toLong
+    }.sum
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).size
+
+    val row = Graph.triangles(spark, sfDir).head()
+    assert(row.getLong(0) == nodes, "n_nodes")
+    assert(row.getLong(1) == edges.size, "n_edges")
+    assert(row.getLong(2) == wedges, "n_wedges")
+    assert(row.getLong(3) == tris, "n_triangles")
+    graft.core.Caches.drain(spark)
+  }
+
+  test("degree histogram masses reconcile with the edge list") {
+    val edges = bruteEdges()
+    val rows = Graph.degreeDist(spark, sfDir).collect()
+    // handshake lemma: Σ deg = 2·|E|, and node masses sum to |V|
+    assert(rows.map(_.getLong(4)).sum == 2L * edges.size)
+    assert(rows.map(_.getLong(1)).sum ==
+      edges.flatMap(e => Seq(e._1, e._2)).size)
+    // bucket invariant: 2^bucket <= min_deg <= max_deg < 2^(bucket+1)
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert((1L << b) <= lo && lo <= hi && hi < (1L << (b + 1)),
+        s"bucket $b holds degrees [$lo,$hi]")
+    }
+    graft.core.Caches.drain(spark)
+  }
+}

@@ -594,4 +594,94 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(clean.where(col("masked_text") =!= col("norm")).count() == 0,
       "unmasked doc text altered")
   }
+
+  test("containment dominates jaccard and contains every jaccard pair") {
+    import org.apache.spark.sql.functions._
+    val out = graft.llm.Dedup.dedupContainment(spark, sfDir).cache()
+    // containment = common/min >= common/union = jaccard, always
+    assert(out.where(col("containment") < col("jaccard")).count() == 0)
+    assert(out.where(col("containment") < 0.5 ||
+      col("containment") > 1.0).count() == 0)
+    // every >=0.5-jaccard pair is a >=0.5-containment pair
+    val jac = graft.llm.Dedup.dedupJaccard(spark, sfDir)
+      .select("doc_a", "doc_b")
+    assert(jac.exceptAll(out.select("doc_a", "doc_b")).isEmpty,
+      "a jaccard pair is missing from the containment report")
+    out.unpersist()
+    graft.core.Caches.drain(spark)
+  }
+
+  test("span dedup: segment counts reconcile with token counts") {
+    import org.apache.spark.sql.functions._
+    val sd = graft.llm.Text.spanDedup(spark, sfDir)
+    val toks = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .cast("long").as("n_tok"))
+    val joined = sd.join(toks, "doc_id")
+    // n_segs == ceil(n_tok / 10) (min 1), per doc
+    assert(joined.where(col("n_segs") =!=
+      greatest(expr("(n_tok + 9) DIV 10"), lit(1L))).count() == 0)
+    assert(sd.where(col("n_dup_segs") > col("n_segs")).count() == 0)
+    assert(sd.where(col("keep") =!=
+      (col("n_dup_segs") * 2 <= col("n_segs"))).count() == 0)
+    // the corpus has exact duplicates (dedup_exact finds them), so
+    // duplicated segment mass must exist
+    assert(sd.agg(sum(col("n_dup_segs"))).head.getLong(0) > 0)
+    graft.core.Caches.drain(spark)
+  }
+
+  test("sft format: complete pairs only, template render exact") {
+    import org.apache.spark.sql.functions._
+    val out = graft.llm.Text.sftFormat(spark, sfDir).cache()
+    val eligible = graft.core.Tables.documents(spark, sfDir)
+      .where(size(filter(split(lower(col("text")), " "), t => t =!= "")) >= 48)
+      .count()
+    assert(out.count() == eligible, "kept-example count != eligible docs")
+    assert(out.where(!col("prompt").startsWith(
+      "### Instruction:\ncontinue the passage [")).count() == 0)
+    assert(out.where(!col("prompt").endsWith("### Response:")).count() == 0)
+    // completion is exactly 16 tokens on every kept example
+    assert(out.where(size(split(col("completion"), " ")) =!= 16)
+      .count() == 0)
+    out.unpersist()
+    graft.core.Caches.drain(spark)
+  }
+
+  test("curriculum manifest: partitions the corpus, bounded stages/shards") {
+    import org.apache.spark.sql.functions._
+    val out = graft.llm.Text.curriculum(spark, sfDir).cache()
+    val total = graft.core.Tables.documents(spark, sfDir).count()
+    assert(out.agg(sum(col("n_docs"))).head.getLong(0) == total)
+    assert(out.where(col("stage") < 0 || col("stage") > 3).count() == 0)
+    assert(out.where(col("shard") < 0 || col("shard") > 7).count() == 0)
+    // char bounds must respect the stage's 256-char band
+    assert(out.where(least(expr("min_chars DIV 256"), lit(3L))
+      =!= col("stage")).count() == 0)
+    out.unpersist()
+    graft.core.Caches.drain(spark)
+  }
+
+  test("hard negatives: cross-label only, ranked, never beats the best overall") {
+    import org.apache.spark.sql.functions._
+    val hn = graft.llm.Similarity.hardNegatives(spark, sfDir).cache()
+    assert(hn.where(col("q_label") === col("c_label")).count() == 0)
+    val perQ = hn.groupBy("query_id").count()
+    assert(perQ.where(col("count") =!= 5).count() == 0)
+    // per query, cosine is non-increasing in rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rank")
+    assert(hn.withColumn("prev", lag(col("cosine"), 1).over(w))
+      .where(col("prev").isNotNull && col("prev") < col("cosine"))
+      .count() == 0)
+    // the best hard negative can never out-score the best unrestricted
+    // neighbor from the same query
+    val best = graft.llm.Similarity.simSearch(spark, sfDir)
+      .where(col("rank") === 1)
+      .select(col("query_id"), col("cosine").as("best_any"))
+    val joined = hn.where(col("rank") === 1).join(best, "query_id")
+    assert(joined.where(col("cosine") > col("best_any")).count() == 0)
+    hn.unpersist()
+    graft.core.Caches.drain(spark)
+  }
 }

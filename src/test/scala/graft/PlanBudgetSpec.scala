@@ -83,6 +83,13 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // version-build window + key equi-join with validity post-filter
     "join_point_in_time" -> 2,
     "join_asof_native" -> 3,
+    // symmetrized-edge degree agg + pow2-bucket agg + sort; the edge
+    // list's order-keyed self-join subtree prints per consuming leg
+    "graph_degree_dist" -> 5,
+    // cached edge list scanned by 4 aggregates (nodes/edges/wedges/
+    // triangles); each 1-row frame crossJoins back (allowed bnl) and
+    // the initial plan prints the edge subtree once per leg
+    "graph_triangles" -> 19,
     "join_bucketed" -> 1,
     "join_inner_hash" -> 1,
     "join_interval_overlap" -> 3,
@@ -109,8 +116,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_dedup_apply" -> 1,
     "llm_dedup_cluster_stats" -> 2,
     "llm_dedup_clusters" -> 1,
+    // same candidate machinery as llm_dedup_jaccard (the band subtree
+    // prints per consuming leg in the initial plan; AQE reuses it)
+    "llm_dedup_containment" -> 38,
     // band candidates + two broadcast prefix joins + sort
     "llm_dedup_edit_distance" -> 4,
+    "llm_curriculum" -> 2,
     "llm_dedup_embed" -> 2,
     "llm_dedup_exact" -> 2,
     "llm_dedup_fuzzy" -> 4,
@@ -127,6 +138,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_embed_quantize" -> 1,
     "llm_export_jsonl" -> 1,
     "llm_filter_funnel" -> 1,
+    // broadcast 10-query probe + per-query rank + sort
+    "llm_hard_negatives" -> 2,
     "llm_fingerprint" -> 1,
     "llm_incremental_dedup" -> 11,
     "llm_lang_id" -> 1,
@@ -147,6 +160,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // TakeOrdered top-k on a hash projection; zero shuffles
     "llm_sample_hashrank" -> 0,
     "llm_sample_stratified" -> 2,
+    // pure projection render + output sort
+    "llm_sft_format" -> 1,
+    // segment explode + two-level (doc,seg)->seg agg + doc rollup
+    "llm_span_dedup" -> 5,
     "llm_sample_weights" -> 2,
     "llm_sim_search" -> 2,
     "llm_sim_search_int8" -> 2,
@@ -211,6 +228,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "ts_rolling_median" -> 3,
     // (day,bucket) word agg + bucket window + day rollup + sort
     "ts_rolling_distinct" -> 4,
+    // per-user lead window + output sort
+    "ts_discounted_return" -> 2,
     "ts_resample" -> 2,
     "ts_seasonality" -> 2,
     // the daily-counts subtree prints once per consuming leg (pairs,
@@ -239,7 +258,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     * with a non-equi top-k predicate. Everything else must keep an
     * equi-key. */
   private val nestedLoopAllowed: Set[String] = Set(
-    "agg_topk_others", "dq_constraints", "layout_zorder", "llm_bm25",
+    "agg_topk_others", "dq_constraints", "graph_triangles",
+    "layout_zorder", "llm_bm25", "llm_hard_negatives",
     "llm_bpe_train",
     "llm_collocations",
     "llm_dataset_card", "llm_embed_cluster", "llm_embed_outliers",

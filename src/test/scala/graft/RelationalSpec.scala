@@ -132,6 +132,32 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(rows.length > 10)
   }
 
+  test("discounted return: bit-exact vs a driver-loop recomputation") {
+    val out = graft.operators.Windows.tsDiscountedReturn(spark, sfDir).cache()
+    // terminal event of a trajectory: only its own reward contributes,
+    // so ret8 == vc/100 (the same correctly-rounded rational)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)
+    val last = out.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    assert(last.where(col("ret8") =!=
+      col("vc").cast("double") / lit(100.0)).count() == 0)
+    // full driver recomputation of one user's trajectory
+    val uid = out.select("user_id").head.getLong(0)
+    val seq = out.where(col("user_id") === uid)
+      .orderBy("us", "event_id").select("vc", "ret8").collect()
+    val vcs = seq.map(_.getLong(0))
+    seq.zipWithIndex.foreach { case (r, i) =>
+      val g = (0 to 7).map(k =>
+        if (i + k < vcs.length) vcs(i + k) * (1L << (7 - k)) else 0L).sum
+      assert(r.getDouble(1) == g.toDouble / 12800.0,
+        s"event $i of user $uid")
+    }
+    assert(seq.nonEmpty)
+    out.unpersist()
+    graft.core.Caches.drain(spark)
+  }
+
   test("gini matches a brute-force computation and sits in [0, 1)") {
     val ours = Relational.aggGini(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
