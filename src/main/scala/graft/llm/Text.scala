@@ -1481,6 +1481,107 @@ object Text {
        |GROUP BY d.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Preference-pair construction — the DPO/RLHF data prep: within
+    * each near-dup cluster (the [[Dedup.clusterLabels]] components —
+    * variants of the same underlying content), emit (chosen, rejected)
+    * = (highest, lowest) quality-scored member, with the score margin.
+    * The "rank variants of one prompt by a reward signal" shape, built
+    * from two stages the registry already runs: the staged cluster
+    * fixpoint (computed once per source content) and the quality
+    * composite ([[qualityScoreCol]] — bit-exact doubles, so min/max
+    * members and the margin are engine-identical). Ties: chosen is the
+    * min doc_id among max scores, rejected the max doc_id among min
+    * scores; zero-margin clusters (identical quality throughout — e.g.
+    * exact copies) are dropped as uninformative. Scale: the member
+    * frame is only clustered docs; two row_numbers over the same
+    * cluster partition (two orders → one shuffle, two sorts). */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityStats(spark, dir).withColumn("score", qualityScoreCol)
+      .select(col("doc_id"), col("score"))
+    val m = Dedup.clusterLabels(spark, dir).join(q, "doc_id")
+    val wBest = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wWorst = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").asc, col("doc_id").desc)
+    val r = m.withColumn("rb", row_number().over(wBest))
+      .withColumn("rw", row_number().over(wWorst))
+    val best = r.where(col("rb") === 1)
+      .select(col("cluster_id"), col("doc_id").as("chosen_id"),
+        col("score").as("chosen_score"))
+    val worst = r.where(col("rw") === 1)
+      .select(col("cluster_id").as("cid2"), col("doc_id").as("rejected_id"),
+        col("score").as("rejected_score"))
+    best.join(worst, col("cluster_id") === col("cid2"))
+      .select(col("cluster_id"), col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+      .where(col("margin") > 0.0)
+      .orderBy(col("cluster_id"))
+  }
+
+  lazy val preferencePairsSql: String =
+    s"""${Dedup.clusterFixpointCteSql},
+       |${Dedup.compCteSql},
+       |q AS (
+       |  SELECT doc_id, $qualityFormulaSql AS score
+       |  FROM ($qualityStatsSql)),
+       |m AS (
+       |  SELECT c.doc_id, c.cluster_id, q.score
+       |  FROM comp c JOIN q USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, cluster_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY score DESC, doc_id ASC) AS rb,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY score ASC, doc_id DESC) AS rw
+       |  FROM m)
+       |SELECT b.cluster_id, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+       |  b.score AS chosen_score, w.score AS rejected_score,
+       |  b.score - w.score AS margin
+       |FROM r b JOIN r w ON b.cluster_id = w.cluster_id
+       |  AND b.rb = 1 AND w.rw = 1
+       |WHERE b.score - w.score > 0.0
+       |ORDER BY b.cluster_id""".stripMargin
+
+  /** Tokenizer fertility diagnostics per language — the
+    * chars-per-token / pieces-per-word report read before committing
+    * to a tokenizer (fertility imbalances across languages skew
+    * effective compute per language): whitespace tokens, regex
+    * word-pieces, and the chars/4 BPE estimate rolled up per lang,
+    * with the ratio columns as single exact-int IEEE divisions. One
+    * tiny keyed aggregate over per-row projections. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(toks).cast("long").as("ws"),
+        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .cast("long").as("re"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_ws"),
+        sum(col("re")).as("n_re"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_ws"), col("n_re"),
+        col("n_chars"),
+        (col("n_re") / col("n_ws")).as("pieces_per_word"),
+        (col("n_chars") / col("n_ws")).as("chars_per_word"))
+      .orderBy(col("lang"))
+
+  val tokenizerFertilitySql: String =
+    """SELECT lang,
+      |  count(*) AS n_docs,
+      |  CAST(SUM(LEN(LIST_FILTER(string_split(lower(text), ' '), t -> t <> ''))) AS BIGINT) AS n_ws,
+      |  CAST(SUM(LEN(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_re,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(SUM(LEN(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+      |    / CAST(SUM(LEN(LIST_FILTER(string_split(lower(text), ' '), t -> t <> ''))) AS BIGINT) AS pieces_per_word,
+      |  CAST(SUM(n_chars) AS BIGINT)
+      |    / CAST(SUM(LEN(LIST_FILTER(string_split(lower(text), ' '), t -> t <> ''))) AS BIGINT) AS chars_per_word
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Instruction-pair rendering — the SFT data-prep formatter: each
     * document becomes a (prompt, completion) example under a fixed
     * chat template; the prompt carries the first 32 tokens as context,
@@ -1707,6 +1808,8 @@ object Text {
     "llm_span_dedup" -> spanDedup,
     "llm_sft_format" -> sftFormat,
     "llm_curriculum" -> curriculum,
+    "llm_preference_pairs" -> preferencePairs,
+    "llm_tokenizer_fertility" -> tokenizerFertility,
     "llm_vocab_coverage" -> vocabCoverage,
     "llm_bpe_train" -> bpeTrain,
     "llm_bpe_apply" -> bpeApply,
@@ -1744,6 +1847,8 @@ object Text {
     "llm_span_dedup" -> spanDedupSql,
     "llm_sft_format" -> sftFormatSql,
     "llm_curriculum" -> curriculumSql,
+    "llm_preference_pairs" -> preferencePairsSql,
+    "llm_tokenizer_fertility" -> tokenizerFertilitySql,
     "llm_vocab_coverage" -> vocabCoverageSql,
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_apply" -> bpeApplySql,

@@ -37,12 +37,18 @@ import graft.core.Tables
 object Graph {
 
   private val SubMod = 4L // keep part keys ≡ 0 (mod 4) — ¼ node sample
+  // components run on a sparser 1/16 sample: the ¼ graph is one dense
+  // blob (a correct but vacuous component answer), and the oracle's
+  // label-reachability CTE is O(n²) on a connected graph — sparsity is
+  // what makes the structure, and the oracle, interesting AND bounded
+  private val CompMod = 16L
 
   /** Distinct undirected edges, id-oriented (src < dst), over the
     * sampled co-purchase graph. One order-keyed self-join + distinct. */
-  private def edges(spark: SparkSession, dir: String): DataFrame = {
+  private def edges(spark: SparkSession, dir: String,
+                    mod: Long = SubMod): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-      .where(col("l_partkey") % SubMod === 0)
+      .where(col("l_partkey") % mod === 0)
       .select(col("l_orderkey"), col("l_partkey"))
     val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
     val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("dst"))
@@ -50,11 +56,13 @@ object Graph {
       .select(col("src"), col("dst")).distinct()
   }
 
-  private val edgesSql: String =
+  private def edgesSqlFor(mod: Long): String =
     s"""SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |FROM lineitem a JOIN lineitem b
        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |WHERE a.l_partkey % $SubMod = 0 AND b.l_partkey % $SubMod = 0""".stripMargin
+       |WHERE a.l_partkey % $mod = 0 AND b.l_partkey % $mod = 0""".stripMargin
+
+  private val edgesSql: String = edgesSqlFor(SubMod)
 
   /** Triangle census of the co-purchase graph: nodes, edges, wedges
     * (oriented 2-paths), triangles, and the closure rate
@@ -128,13 +136,108 @@ object Graph {
        |GROUP BY 1
        |ORDER BY bucket""".stripMargin
 
+  private val componentFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Connected components of the sparse ([[CompMod]]) co-purchase
+    * graph — the generic graph-clustering surface beyond the dedup
+    * family: per sampled part, the min-id label of its component
+    * (itself when isolated). Labels come from the SAME distributed
+    * min-label-propagation fixpoint the dedup ladder runs
+    * ([[graft.llm.Dedup.connectedComponents]] — driver sees change
+    * counts only, rounds bounded by graph diameter), staged once per
+    * source content via [[graft.core.Fixtures.staged]] exactly like
+    * the dedup cluster labels; singleton nodes join back as their own
+    * label. The oracle re-derives labels through the recursive
+    * reachability CTE. */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.Fixtures.memo(componentFixtures,
+      (spark.sparkContext.applicationId, dir)) {
+        graft.core.Fixtures.staged(dir, "graphcc",
+            codeTag = s"graph_cc_minlabel_mod${CompMod}_v1") { target =>
+          val pairs = edges(spark, dir, CompMod)
+            .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+          graft.llm.Dedup.connectedComponents(spark, pairs)
+            .write.mode("overwrite").parquet(target)
+          graft.core.Caches.drain(spark) // fixpoint checkpoints superseded
+        }
+      }
+    val labels = spark.read.parquet(path)
+      .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
+    val nodes = Tables.lineitem(spark, dir)
+      .where(col("l_partkey") % CompMod === 0)
+      .select(col("l_partkey").as("part_id")).distinct()
+    nodes.join(labels, col("part_id") === col("node"), "left")
+      .select(col("part_id"),
+        coalesce(col("comp"), col("part_id")).as("component_id"))
+      .orderBy(col("part_id"))
+  }
+
+  val componentsSql: String =
+    s"""WITH RECURSIVE e AS (${edgesSqlFor(CompMod)}),
+       |edges AS (SELECT src AS a, dst AS b FROM e
+       |          UNION ALL SELECT dst, src FROM e),
+       |enodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach AS (
+       |  SELECT node, node AS label FROM enodes
+       |  UNION
+       |  SELECT ed.b AS node, r.label
+       |  FROM reach r JOIN edges ed ON ed.a = r.node),
+       |comp AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node),
+       |allnodes AS (
+       |  SELECT DISTINCT l_partkey AS part_id FROM lineitem
+       |  WHERE l_partkey % $CompMod = 0)
+       |SELECT a.part_id, COALESCE(c.comp, a.part_id) AS component_id
+       |FROM allnodes a LEFT JOIN comp c ON a.part_id = c.node
+       |ORDER BY part_id""".stripMargin
+
+  /** Common-neighbor link prediction — the co-purchase recommender:
+    * the top-20 part pairs that are NOT adjacent but share the most
+    * neighbors (the classic common-neighbours score; ties broken on
+    * ids). The pair stream is Σ deg² over the symmetrized adjacency —
+    * the same degree-bounded wedge volume the triangle census pays,
+    * never all-pairs — and the existing-edge removal is a broadcast
+    * anti-join against the (far smaller) edge list. TakeOrdered
+    * top-20; nothing global sorts. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).cache()
+    val sym = e.select(col("src").as("b"), col("dst").as("n"))
+      .union(e.select(col("dst").as("b"), col("src").as("n")))
+    val s2 = sym.select(col("b").as("b2"), col("n").as("n2"))
+    val cn = sym.join(s2, col("b") === col("b2") && col("n") < col("n2"))
+      .select(col("n").as("part_a"), col("n2").as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_common"))
+    cn.join(e, col("part_a") === col("src") && col("part_b") === col("dst"),
+        "left_anti")
+      .orderBy(col("n_common").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val linkPredictSql: String =
+    s"""WITH e AS ($edgesSql),
+       |sym AS (SELECT src AS b, dst AS n FROM e
+       |        UNION ALL SELECT dst, src FROM e),
+       |cn AS (
+       |  SELECT s1.n AS part_a, s2.n AS part_b, count(*) AS n_common
+       |  FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.n < s2.n
+       |  GROUP BY 1, 2)
+       |SELECT cn.part_a, cn.part_b, cn.n_common
+       |FROM cn ANTI JOIN e ON e.src = cn.part_a AND e.dst = cn.part_b
+       |ORDER BY n_common DESC, part_a, part_b
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> triangles,
     "graph_degree_dist" -> degreeDist,
+    "graph_components" -> components,
+    "graph_link_predict" -> linkPredict,
   )
 
   val oracleSql: Map[String, String] = Map(
     "graph_triangles" -> trianglesSql,
     "graph_degree_dist" -> degreeDistSql,
+    "graph_components" -> componentsSql,
+    "graph_link_predict" -> linkPredictSql,
   )
 }

@@ -53,4 +53,68 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
     graft.core.Caches.drain(spark)
   }
+
+  private def bruteEdgesMod(mod: Long): Set[(Long, Long)] = {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 % mod == 0)
+    li.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+  }
+
+  test("components agree with a driver union-find") {
+    val edges = bruteEdgesMod(16)
+    val nodes = graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_partkey").collect().map(_.getLong(0))
+      .filter(_ % 16 == 0).distinct.sorted
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min node id of the component
+    val expected: Map[Long, Long] = nodes.toSeq.groupBy(find)
+      .flatMap { case (_, members) =>
+        val label = members.min
+        members.map(_ -> label)
+      }
+    val got = graft.operators.Graph.components(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    graft.core.Caches.drain(spark)
+  }
+
+  test("link prediction: scores match brute-force common neighbors") {
+    val edges = bruteEdges()
+    val adjU = scala.collection.mutable.Map
+      .empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adjU(a) = adjU(a) + b; adjU(b) = adjU(b) + a
+    }
+    val nodes = adjU.keys.toSeq.sorted
+    val scores = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.length
+      a = nodes(i); b = nodes(j)
+      if !edges.contains((a, b))
+      common = (adjU(a) & adjU(b)).size
+      if common > 0
+    } yield ((a, b), common.toLong)).toMap
+    val got = graft.operators.Graph.linkPredict(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(got.length == math.min(20, scores.size))
+    got.foreach { case (pair, n) =>
+      assert(scores.get(pair).contains(n), s"pair $pair score $n") }
+    // the reported pairs are the top-k by (score desc, a, b)
+    val topK = scores.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(got.length)
+      .map { case (p, n) => (p, n) }
+    assert(got.toSeq == topK)
+    graft.core.Caches.drain(spark)
+  }
 }

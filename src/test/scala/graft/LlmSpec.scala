@@ -662,6 +662,38 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("preference pairs: extremes of their cluster, positive margin") {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.llm.Text.preferencePairs(spark, sfDir).cache()
+    assert(pairs.where(col("margin") <= 0).count() == 0)
+    assert(pairs.where(col("chosen_id") === col("rejected_id")).count() == 0)
+    // chosen/rejected carry their cluster's max/min quality score:
+    // reconcile against clusters joined with the quality query
+    val q = graft.llm.Text.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+    val ext = graft.llm.Dedup.dedupClusters(spark, sfDir)
+      .join(q, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(col("score")).as("hi"), min(col("score")).as("lo"))
+    val j = pairs.join(ext, "cluster_id")
+    assert(j.where(col("chosen_score") =!= col("hi")).count() == 0)
+    assert(j.where(col("rejected_score") =!= col("lo")).count() == 0)
+    pairs.unpersist()
+    graft.core.Caches.drain(spark)
+  }
+
+  test("tokenizer fertility reconciles with the token-count query") {
+    import org.apache.spark.sql.functions._
+    val f = graft.llm.Text.tokenizerFertility(spark, sfDir)
+    val tc = graft.llm.Text.tokenCount(spark, sfDir)
+      .agg(sum(col("n_ws")).as("ws"), sum(col("n_re")).as("re"))
+      .head()
+    val tot = f.agg(sum(col("n_ws")), sum(col("n_re"))).head()
+    assert(tot.getLong(0) == tc.getLong(0) && tot.getLong(1) == tc.getLong(1))
+    assert(f.where(col("pieces_per_word") <= 0).count() == 0)
+    graft.core.Caches.drain(spark)
+  }
+
   test("hard negatives: cross-label only, ranked, never beats the best overall") {
     import org.apache.spark.sql.functions._
     val hn = graft.llm.Similarity.hardNegatives(spark, sfDir).cache()

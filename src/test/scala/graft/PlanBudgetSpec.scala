@@ -83,9 +83,15 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // version-build window + key equi-join with validity post-filter
     "join_point_in_time" -> 2,
     "join_asof_native" -> 3,
+    // staged component labels read + left join + sort (the fixpoint
+    // runs inside Fixtures.staged, once per source content)
+    "graph_components" -> 2,
     // symmetrized-edge degree agg + pow2-bucket agg + sort; the edge
     // list's order-keyed self-join subtree prints per consuming leg
     "graph_degree_dist" -> 5,
+    // cached edge list read by the wedge self-join + pair agg +
+    // anti-join + TakeOrdered; subtrees print per consuming leg
+    "graph_link_predict" -> 9,
     // cached edge list scanned by 4 aggregates (nodes/edges/wedges/
     // triangles); each 1-row frame crossJoins back (allowed bnl) and
     // the initial plan prints the edge subtree once per leg
@@ -152,6 +158,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_pack_stats" -> 2,
     "llm_pii_redact" -> 1,
     "llm_pipeline" -> 2,
+    // staged cluster labels + quality join + one partition (two
+    // orders) window + best/worst self-join + sort
+    "llm_preference_pairs" -> 3,
     "llm_quality_by_source" -> 2,
     "llm_quality_score" -> 1,
     // one broadcast pair pass + two ranks over one partition + fuse
@@ -181,6 +190,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_vocab_coverage" -> 4,
     "llm_tfidf" -> 6,
     "llm_token_count" -> 1,
+    "llm_tokenizer_fertility" -> 2,
     "merge_upsert" -> 3,
     "project_expr" -> 1,
     "scan_avro" -> 1,
