@@ -77,11 +77,62 @@ object Pipeline {
        |GROUP BY source, bin
        |ORDER BY source, bin""".stripMargin
 
+  /** The SFT data-build pipeline — the round-7 stages composed end to
+    * end, same doctrine as [[pipeline]] (each stage IS the registry
+    * operator, the oracle rebuilds from the shared SQL fragments):
+    *
+    *   1. sub-document dedup gate ([[Text.spanDedup]] `keep` — drop
+    *      docs that are mostly globally-duplicated segment mass)
+    *   2. instruction-pair render ([[Text.sftFormat]] — complete
+    *      (prompt, completion) examples only)
+    *   3. hash-shard assignment (the md5-bucket idiom — run/engine/
+    *      retry-stable where rand() is not)
+    *
+    * emitting the per (lang, shard) manifest a fine-tune job consumes:
+    * example count, prompt char mass, doc-id range. Stage 1 is the
+    * two-level segment aggregation, stage 2 a projection, stage 3 a
+    * 40-group rollup — the composition again adds NO new shuffle
+    * beyond its stages' own. */
+  def sftPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val keep = Text.spanDedupCore(spark, dir)
+      .where(col("keep")).select(col("doc_id"))
+    Text.sftFormatCore(spark, dir)
+      .join(keep, "doc_id")
+      .withColumn("h", expr("md5('sftshard:' || CAST(doc_id AS STRING))"))
+      .withColumn("shard", expr(Text.splitBucketExpr) % 8)
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(length(col("prompt")).cast("long")).as("prompt_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("shard"))
+  }
+
+  lazy val sftPipelineSql: String =
+    s"""WITH sd AS (
+       |  ${Text.spanDedupCoreSql}),
+       |ex AS (
+       |  ${Text.sftFormatCoreSql}),
+       |sharded AS (
+       |  SELECT doc_id, lang, prompt, (${Text.splitBucketExpr}) % 8 AS shard
+       |  FROM (
+       |    SELECT ex.doc_id, ex.lang, ex.prompt,
+       |      md5('sftshard:' || CAST(ex.doc_id AS STRING)) AS h
+       |    FROM ex JOIN sd ON ex.doc_id = sd.doc_id AND sd.keep))
+       |SELECT lang, shard, count(*) AS n_examples,
+       |  CAST(SUM(LENGTH(prompt)) AS BIGINT) AS prompt_chars,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM sharded
+       |GROUP BY lang, shard
+       |ORDER BY lang, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline" -> pipeline,
+    "llm_sft_pipeline" -> sftPipeline,
   )
 
   val oracleSql: Map[String, String] = Map(
     "llm_pipeline" -> pipelineSql,
+    "llm_sft_pipeline" -> sftPipelineSql,
   )
 }

@@ -1436,7 +1436,9 @@ object Text {
     * skeleton, no count-distinct Expand, segment keyspace bounded by
     * corpus token count / [[SegLen]]; the join back to docs is
     * seg-keyed and carries only counts, never text bodies. */
-  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered core of [[spanDedup]] — also the first stage of the
+    * composed [[Pipeline.sftPipeline]]. */
+  private[llm] def spanDedupCore(spark: SparkSession, dir: String): DataFrame = {
     val segs = Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(expr(
@@ -1455,10 +1457,14 @@ object Text {
       .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
         (col("n_dup_segs") / col("n_segs")).as("dup_ratio"),
         (col("n_dup_segs") * 2 <= col("n_segs")).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
-  val spanDedupSql: String =
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupCore(spark, dir).orderBy(col("doc_id"))
+
+  /** CTE-embeddable twin of [[spanDedupCore]] (nested WITH — DuckDB
+    * allows it inside a CTE's parentheses). */
+  private[llm] val spanDedupCoreSql: String =
     s"""WITH t AS (
        |  SELECT doc_id,
        |    LIST_FILTER(string_split(lower(text), ' '), x -> x <> '') AS t
@@ -1478,7 +1484,10 @@ object Text {
        |  CAST(SUM(CASE WHEN g.n_docs >= 2 THEN d.n_occ ELSE 0 END) AS BIGINT) * 2
        |    <= CAST(SUM(d.n_occ) AS BIGINT) AS keep
        |FROM docseg d JOIN global g USING (seg)
-       |GROUP BY d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
+
+  val spanDedupSql: String =
+    s"""$spanDedupCoreSql
        |ORDER BY doc_id""".stripMargin
 
   /** Preference-pair construction — the DPO/RLHF data prep: within
@@ -1593,7 +1602,9 @@ object Text {
     * string assembly and integer arithmetic only, zero shuffles; at
     * 100 TB this is the embarrassingly-parallel render stage before
     * packing. */
-  def sftFormat(spark: SparkSession, dir: String): DataFrame =
+  /** Unordered core of [[sftFormat]] — also the render stage of the
+    * composed [[Pipeline.sftPipeline]]. */
+  private[llm] def sftFormatCore(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), toks.as("t"))
       .where(expr("size(t) >= 48"))
@@ -1604,9 +1615,11 @@ object Text {
           lit("\n### Response:")).as("prompt"),
         expr("array_join(slice(t, 33, 16), ' ')").as("completion"),
         lit(60L).as("n_tok"))
-      .orderBy(col("doc_id"))
 
-  val sftFormatSql: String =
+  def sftFormat(spark: SparkSession, dir: String): DataFrame =
+    sftFormatCore(spark, dir).orderBy(col("doc_id"))
+
+  private[llm] val sftFormatCoreSql: String =
     """WITH t AS (
       |  SELECT doc_id, lang,
       |    LIST_FILTER(string_split(lower(text), ' '), x -> x <> '') AS t
@@ -1618,8 +1631,11 @@ object Text {
       |  array_to_string(t[33:48], ' ') AS completion,
       |  CAST(60 AS BIGINT) AS n_tok
       |FROM t
-      |WHERE len(t) >= 48
-      |ORDER BY doc_id""".stripMargin
+      |WHERE len(t) >= 48""".stripMargin
+
+  val sftFormatSql: String =
+    s"""$sftFormatCoreSql
+       |ORDER BY doc_id""".stripMargin
 
   /** Curriculum schedule manifest — difficulty-staged, hash-sharded:
     * docs stage by length quartile (difficulty proxy: 0 shortest → 3

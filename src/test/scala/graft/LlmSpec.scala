@@ -694,6 +694,20 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("sft pipeline manifest reconciles with its standalone stages") {
+    import org.apache.spark.sql.functions._
+    val man = graft.llm.Pipeline.sftPipeline(spark, sfDir).cache()
+    val keep = graft.llm.Text.spanDedup(spark, sfDir)
+      .where(col("keep")).select("doc_id")
+    val expected = graft.llm.Text.sftFormat(spark, sfDir)
+      .join(keep, "doc_id").count()
+    assert(man.agg(sum(col("n_examples"))).head.getLong(0) == expected)
+    assert(man.where(col("shard") < 0 || col("shard") > 7).count() == 0)
+    assert(man.where(col("first_doc") > col("last_doc")).count() == 0)
+    man.unpersist()
+    graft.core.Caches.drain(spark)
+  }
+
   test("hard negatives: cross-label only, ranked, never beats the best overall") {
     import org.apache.spark.sql.functions._
     val hn = graft.llm.Similarity.hardNegatives(spark, sfDir).cache()

@@ -162,6 +162,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // orders) window + best/worst self-join + sort
     "llm_preference_pairs" -> 3,
     "llm_quality_by_source" -> 2,
+    // span-dedup's two-level agg + render-join + 40-group manifest;
+    // composition adds no shuffle beyond its stages' own
+    "llm_sft_pipeline" -> 6,
     "llm_quality_score" -> 1,
     // one broadcast pair pass + two ranks over one partition + fuse
     "llm_rank_fusion" -> 2,
