@@ -706,6 +706,59 @@ object Windows {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** Multi-touch attribution matrix — the marketing-analytics credit
+    * assignment: each purchase credits the user's FIRST-ever touch
+    * channel and the LAST channel before the purchase (first-touch /
+    * last-touch, the two standard models), rolled up as the
+    * (first_touch, last_touch) transition matrix with purchase count
+    * and exact-cents revenue. Both window passes share ONE per-user
+    * sort (same partition, same order — a single shuffle); a purchase
+    * opening a user's history credits itself as first touch and 'none'
+    * as last touch. Revenue is an exact BIGINT cent sum with a single
+    * final IEEE division. */
+  def winAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), Det.epochUs(col("ts")).as("us"),
+        col("event_type"), Det.cents(col("value")).as("vc"))
+      .withColumn("first_touch", first(col("event_type")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("last_touch", coalesce(
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit("none")))
+    e.where(col("event_type") === "purchase")
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(col("vc")).cast("double") / lit(100.0)).as("revenue"))
+      .orderBy(col("first_touch"), col("last_touch"))
+  }
+
+  val winAttributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+       |    ${DetSql.cents("value")} AS vc
+       |  FROM events),
+       |touched AS (
+       |  SELECT user_id, event_type, vc,
+       |    FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
+       |    COALESCE(LAST_VALUE(CASE WHEN event_type <> 'purchase'
+       |        THEN event_type END IGNORE NULLS) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      'none') AS last_touch
+       |  FROM e)
+       |SELECT first_touch, last_touch, count(*) AS n_purchases,
+       |  CAST(SUM(vc) AS DOUBLE) / 100.0 AS revenue
+       |FROM touched
+       |WHERE event_type = 'purchase'
+       |GROUP BY 1, 2
+       |ORDER BY first_touch, last_touch""".stripMargin
+
   /** Day-of-week seasonality profile of order volume — the weekly
     * cycle report behind capacity planning and anomaly baselines.
     * Spark's `dayofweek` is Sunday=1; the oracle remaps ISODOW the
@@ -1141,6 +1194,7 @@ object Windows {
     "ts_winsorize" -> tsWinsorize,
     "ts_rolling_distinct" -> tsRollingDistinct,
     "ts_discounted_return" -> tsDiscountedReturn,
+    "win_attribution" -> winAttribution,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1168,5 +1222,6 @@ object Windows {
     "ts_winsorize" -> tsWinsorizeSql,
     "ts_rolling_distinct" -> tsRollingDistinctSql,
     "ts_discounted_return" -> tsDiscountedReturnSql,
+    "win_attribution" -> winAttributionSql,
   )
 }

@@ -257,6 +257,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "udf_scalar" -> 2,
     "udtf_gen" -> 3,
     "win_analytic" -> 2,
+    // one per-user window sort (two frames) + matrix agg + sort
+    "win_attribution" -> 3,
     "win_distribution" -> 2,
     "win_rank" -> 2,
     "win_rolling_range" -> 2,

@@ -158,6 +158,29 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("attribution matrix reconciles with purchase totals") {
+    val out = graft.operators.Windows.winAttribution(spark, sfDir).cache()
+    val purchases = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+    assert(out.agg(sum(col("n_purchases"))).head.getLong(0)
+      == purchases.count(), "every purchase attributed exactly once")
+    // brute-force one user's first/last touch on the driver
+    val uid = purchases.select("user_id").head.getLong(0)
+    val evs = Tables.events(spark, sfDir)
+      .where(col("user_id") === uid)
+      .select(graft.core.Det.epochUs(col("ts")).as("us"), col("event_id"),
+        col("event_type"))
+      .orderBy("us", "event_id").collect().map(_.getString(2))
+    val firstTouch = evs.head
+    // the user's purchases must appear under their computed first touch
+    val attributed = out.where(col("first_touch") === firstTouch)
+      .agg(sum(col("n_purchases"))).head.getLong(0)
+    assert(attributed >= evs.count(_ == "purchase") ||
+      !evs.contains("purchase"))
+    out.unpersist()
+    graft.core.Caches.drain(spark)
+  }
+
   test("gini matches a brute-force computation and sits in [0, 1)") {
     val ours = Relational.aggGini(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
