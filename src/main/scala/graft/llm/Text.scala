@@ -328,6 +328,46 @@ object Text {
        |  unnest(range(0, greatest(CAST(ceil(len(t) / $ChunkSize.0) AS BIGINT), 1))) AS u(k)
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  private val OverlapStride = 25
+
+  /** Overlapping chunking — the RAG / retrieval-index default: windows
+    * of [[ChunkSize]] tokens every [[OverlapStride]] (50% overlap), so
+    * a fact straddling a boundary is whole in the adjacent window —
+    * the property non-overlapping [[chunk]] trades away for zero
+    * duplication. Tail rule: the last window starts at the last
+    * stride boundary BEFORE the end (short tail allowed, size > 0),
+    * duplicated-token cost = size/stride − 1 ≈ 1×. Same
+    * shuffle-free generator shape as [[chunk]]. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), greatest(
+          ceil(size(col("t")) / lit(OverlapStride.toDouble)).cast("int") - 1,
+          lit(0)))).as("win_id"))
+      .select(col("doc_id"), col("win_id"),
+        (col("win_id") * OverlapStride).as("start_tok"),
+        array_join(slice(col("t"), col("win_id") * OverlapStride + 1,
+          lit(ChunkSize)), " ").as("window_text"),
+        size(slice(col("t"), col("win_id") * OverlapStride + 1,
+          lit(ChunkSize))).as("window_tokens"))
+      .where(col("window_tokens") > 0)
+      .orderBy(col("doc_id"), col("win_id"))
+
+  val chunkOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    LIST_FILTER(string_split(lower(text), ' '), t -> t <> '') AS t
+       |  FROM documents)
+       |SELECT doc_id, CAST(k AS INT) AS win_id,
+       |  CAST(k * $OverlapStride AS INT) AS start_tok,
+       |  array_to_string(t[k*$OverlapStride+1 : k*$OverlapStride+$ChunkSize], ' ') AS window_text,
+       |  CAST(len(t[k*$OverlapStride+1 : k*$OverlapStride+$ChunkSize]) AS INT) AS window_tokens
+       |FROM toks,
+       |  unnest(range(0, greatest(CAST(ceil(len(t) / $OverlapStride.0) AS BIGINT), 1))) AS u(k)
+       |WHERE len(t[k*$OverlapStride+1 : k*$OverlapStride+$ChunkSize]) > 0
+       |ORDER BY doc_id, win_id""".stripMargin
+
   /** Sequence packing — the step between chunking and batching in a
     * training pipeline: lay documents end-to-end into fixed
     * token-budget bins (here 512), recording for each doc its bin and
@@ -1826,6 +1866,7 @@ object Text {
     "llm_curriculum" -> curriculum,
     "llm_preference_pairs" -> preferencePairs,
     "llm_tokenizer_fertility" -> tokenizerFertility,
+    "llm_chunk_overlap" -> chunkOverlap,
     "llm_vocab_coverage" -> vocabCoverage,
     "llm_bpe_train" -> bpeTrain,
     "llm_bpe_apply" -> bpeApply,
@@ -1865,6 +1906,7 @@ object Text {
     "llm_curriculum" -> curriculumSql,
     "llm_preference_pairs" -> preferencePairsSql,
     "llm_tokenizer_fertility" -> tokenizerFertilitySql,
+    "llm_chunk_overlap" -> chunkOverlapSql,
     "llm_vocab_coverage" -> vocabCoverageSql,
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_apply" -> bpeApplySql,

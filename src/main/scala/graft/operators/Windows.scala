@@ -706,6 +706,52 @@ object Windows {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every forecasting
+    * pipeline must beat before a model earns its keep: forecast(day) =
+    * actual(day − 7) (seasonal-naive) vs actual(day − 1) (naive), MAE
+    * of both over the scorable days per event type, and the verdict
+    * column. Counts are BIGINTs, absolute errors are BIGINTs, so each
+    * MAE is one exact-int IEEE division — no float accumulates. The 2
+    * lags share one per-type sort; the rollup is a 5-group aggregate.
+    * Lag over DAYS PRESENT (events fire daily at these scales; a
+    * production spine would gapfill first — [[tsGapfill]] is that
+    * stage). */
+  def tsForecastSnaive(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("f_naive", lag(col("n"), 1).over(w))
+      .withColumn("f_snaive", lag(col("n"), 7).over(w))
+      .where(col("f_snaive").isNotNull) // score both on the same days
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(abs(col("n") - col("f_naive"))) / count(lit(1))).as("mae_naive"),
+        (sum(abs(col("n") - col("f_snaive"))) / count(lit(1))).as("mae_snaive"))
+      .withColumn("seasonal_wins", col("mae_snaive") < col("mae_naive"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsForecastSnaiveSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, day, n,
+      |    LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS f_naive,
+      |    LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS f_snaive
+      |  FROM daily),
+      |scored AS (SELECT * FROM lagged WHERE f_snaive IS NOT NULL)
+      |SELECT event_type, count(*) AS n_days,
+      |  CAST(SUM(ABS(n - f_naive)) AS BIGINT) / count(*) AS mae_naive,
+      |  CAST(SUM(ABS(n - f_snaive)) AS BIGINT) / count(*) AS mae_snaive,
+      |  CAST(SUM(ABS(n - f_snaive)) AS BIGINT) / count(*)
+      |    < CAST(SUM(ABS(n - f_naive)) AS BIGINT) / count(*) AS seasonal_wins
+      |FROM scored
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Multi-touch attribution matrix — the marketing-analytics credit
     * assignment: each purchase credits the user's FIRST-ever touch
     * channel and the LAST channel before the purchase (first-touch /
@@ -1195,6 +1241,7 @@ object Windows {
     "ts_rolling_distinct" -> tsRollingDistinct,
     "ts_discounted_return" -> tsDiscountedReturn,
     "win_attribution" -> winAttribution,
+    "ts_forecast_snaive" -> tsForecastSnaive,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1223,5 +1270,6 @@ object Windows {
     "ts_rolling_distinct" -> tsRollingDistinctSql,
     "ts_discounted_return" -> tsDiscountedReturnSql,
     "win_attribution" -> winAttributionSql,
+    "ts_forecast_snaive" -> tsForecastSnaiveSql,
   )
 }

@@ -694,6 +694,33 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("overlapping chunks: full coverage, exact stride reconstruction") {
+    import org.apache.spark.sql.functions._
+    val w = graft.llm.Text.chunkOverlap(spark, sfDir).cache()
+    assert(w.where(col("window_tokens") <= 0).count() == 0)
+    assert(w.where(col("start_tok") =!= col("win_id") * 25).count() == 0)
+    // windows reconstruct the doc: driver check on the longest doc
+    val docRow = graft.core.Tables.documents(spark, sfDir)
+      .orderBy(col("n_chars").desc, col("doc_id")).head()
+    val docId = docRow.getLong(0)
+    val toks = docRow.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+    val wins = w.where(col("doc_id") === docId).orderBy("win_id").collect()
+    // every k in 0..ceil(n/25)-1 starts before the end, so none filter
+    assert(wins.length == (toks.length + 24) / 25)
+    wins.foreach { r =>
+      val k = r.getInt(1)
+      val expect = toks.slice(k * 25, k * 25 + 50).mkString(" ")
+      assert(r.getString(3) == expect, s"window $k of doc $docId")
+    }
+    // every token position is covered by some window
+    val covered = wins.map(r => (r.getInt(1) * 25, r.getInt(4))).flatMap {
+      case (s, n) => s until (s + n)
+    }.toSet
+    assert(covered == toks.indices.toSet)
+    w.unpersist()
+    graft.core.Caches.drain(spark)
+  }
+
   test("sft pipeline manifest reconciles with its standalone stages") {
     import org.apache.spark.sql.functions._
     val man = graft.llm.Pipeline.sftPipeline(spark, sfDir).cache()

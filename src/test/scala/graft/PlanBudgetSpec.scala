@@ -116,6 +116,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_bpe_apply" -> 2,
     "llm_bpe_train" -> 34,
     "llm_chunk" -> 1,
+    // shuffle-free window generator + output sort
+    "llm_chunk_overlap" -> 1,
     "llm_collocations" -> 7,
     "llm_dataset_card" -> 5,
     "llm_decontaminate" -> 6,
@@ -230,6 +232,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // daily agg + one per-type window sort (two frames + rank) + sort
     "ts_changepoint" -> 3,
     "ts_ewma" -> 3,
+    // daily agg + per-type lag window + 5-group rollup
+    "ts_forecast_snaive" -> 3,
     "ts_cohort_retention" -> 4,
     "ts_cumulative_users" -> 3,
     "ts_gapfill" -> 2,

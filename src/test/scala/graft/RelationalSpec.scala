@@ -181,6 +181,22 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("seasonal-naive backtest matches a driver-loop MAE") {
+    val out = graft.operators.Windows.tsForecastSnaive(spark, sfDir)
+      .where(col("event_type") === "click").head()
+    val days = Tables.events(spark, sfDir)
+      .where(col("event_type") === "click")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val scored = days.indices.drop(7)
+    val maeN = scored.map(i => math.abs(days(i) - days(i - 1))).sum.toDouble / scored.size
+    val maeS = scored.map(i => math.abs(days(i) - days(i - 7))).sum.toDouble / scored.size
+    assert(out.getLong(1) == scored.size)
+    assert(out.getDouble(2) == maeN && out.getDouble(3) == maeS)
+    graft.core.Caches.drain(spark)
+  }
+
   test("gini matches a brute-force computation and sits in [0, 1)") {
     val ours = Relational.aggGini(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
