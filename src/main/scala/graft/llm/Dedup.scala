@@ -559,6 +559,112 @@ object Dedup {
        |WHERE i.common / LEAST(x.n, y.n) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Similarity-threshold tuning histogram — the report a curator
+    * reads BEFORE fixing the dedup cutoff: exact Jaccard over the
+    * band candidates bucketed into 0.1 bands (counts + the cumulative
+    * pair count at-or-above each band). Where [[dedupJaccard]] answers
+    * "which pairs survive 0.5", this answers "what would 0.4 or 0.6
+    * have done" in one pass over the SAME candidate-bounded verify
+    * shuffle — no extra corpus work. Bucket arithmetic is exact
+    * BIGINT (common·10 DIV union), so band edges cannot ulp-split
+    * engines. */
+  def dedupThresholdHist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = minhashCandidates(docs, "doc_id", "text")
+    val w = Window.orderBy(col("band").desc) // ≤10 band rows
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exactJaccard(docs, cand)
+      .select(least(expr("common * 10 DIV (n_a + n_b - common)"), lit(9L))
+        .as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("pairs_at_or_above", sum(col("n_pairs")).over(w))
+      .orderBy(col("band"))
+  }
+
+  lazy val dedupThresholdHistSql: String =
+    s"""WITH tg AS ($trigramsSql),
+       |mh AS ($signaturesSql),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN tg x ON x.doc_id = c.doc_a
+       |  JOIN tg y ON y.doc_id = c.doc_b AND y.g = x.g
+       |  GROUP BY c.doc_a, c.doc_b),
+       |banded AS (
+       |  SELECT LEAST(i.common * 10 // (x.n + y.n - i.common), 9) AS band
+       |  FROM inter i
+       |  JOIN sz x ON x.doc_id = i.doc_a
+       |  JOIN sz y ON y.doc_id = i.doc_b)
+       |SELECT band, count(*) AS n_pairs,
+       |  CAST(SUM(count(*)) OVER (ORDER BY band DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS pairs_at_or_above
+       |FROM banded
+       |GROUP BY band
+       |ORDER BY band""".stripMargin
+
+  /** Dedup-rung agreement matrix — the evaluation product behind
+    * trusting the cheap rung: over the SAME candidate pairs, does the
+    * 8-chunk MinHash estimator's ≥0.5 call agree with the exact
+    * ≥0.5-Jaccard verify? Counts the 2×2 confusion matrix
+    * (est_half × jac_half) — est-only cells are the estimator's false
+    * positives at this granularity, jac-only its false negatives. One
+    * extra signature join over the candidate set; the expensive verify
+    * shuffle is shared, not repeated. */
+  def dedupRungAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // ONE candidate+signature pass serves both rungs (cached — the
+    // exact verify and the estimator join both read it)
+    val agree = signatureAgreement(docs).cache()
+    exactJaccard(docs, agree.select(col("doc_a"), col("doc_b")))
+      .join(agree.select(col("doc_a").as("ea"), col("doc_b").as("eb"),
+          (col("n_agree") >= 4).as("est_half")),
+        col("doc_a") === col("ea") && col("doc_b") === col("eb"))
+      .select((col("jaccard") >= 0.5).as("jac_half"), col("est_half"))
+      .groupBy(col("est_half"), col("jac_half"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("est_half"), col("jac_half"))
+  }
+
+  lazy val dedupRungAgreementSql: String = {
+    val agree = agreeSql
+    s"""WITH tg AS ($trigramsSql),
+       |mh AS ($signaturesSql),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b, ($agree) >= 4 AS est_half
+       |  FROM cand c
+       |  JOIN mh a ON a.doc_id = c.doc_a
+       |  JOIN mh b ON b.doc_id = c.doc_b),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN tg x ON x.doc_id = c.doc_a
+       |  JOIN tg y ON y.doc_id = c.doc_b AND y.g = x.g
+       |  GROUP BY c.doc_a, c.doc_b),
+       |jac AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    i.common / (x.n + y.n - i.common) >= 0.5 AS jac_half
+       |  FROM inter i
+       |  JOIN sz x ON x.doc_id = i.doc_a
+       |  JOIN sz y ON y.doc_id = i.doc_b)
+       |SELECT e.est_half, j.jac_half, count(*) AS n_pairs
+       |FROM est e JOIN jac j ON e.doc_a = j.doc_a AND e.doc_b = j.doc_b
+       |GROUP BY 1, 2
+       |ORDER BY est_half, jac_half""".stripMargin
+  }
+
   /** 16-bit SimHash fingerprint per document: md5 each distinct token,
     * take the first 16 bits, sum ±1 per bit position over tokens, keep
     * the sign bit. Pure integer/string ops — bit-identical in the
@@ -1051,6 +1157,8 @@ object Dedup {
     "llm_dedup_simhash_nn" -> dedupSimhashNn,
     "llm_dedup_embed" -> dedupEmbed,
     "llm_dedup_containment" -> dedupContainment,
+    "llm_dedup_threshold_hist" -> dedupThresholdHist,
+    "llm_dedup_rung_agreement" -> dedupRungAgreement,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1068,5 +1176,7 @@ object Dedup {
     "llm_dedup_simhash_nn" -> dedupSimhashNnSql,
     "llm_dedup_embed" -> dedupEmbedSql,
     "llm_dedup_containment" -> dedupContainmentSql,
+    "llm_dedup_threshold_hist" -> dedupThresholdHistSql,
+    "llm_dedup_rung_agreement" -> dedupRungAgreementSql,
   )
 }

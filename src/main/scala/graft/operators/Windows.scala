@@ -706,6 +706,59 @@ object Windows {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** Pareto concentration report — the 80/20 revenue question asked of
+    * every customer base: customers ranked by exact-cents revenue
+    * descending, cumulative share thresholds. One row per decile rank
+    * band plus the headline: how few customers carry 80% of revenue.
+    * All sums are BIGINT cents; shares divide two exact BIGINTs. The
+    * rank and the running sum share ONE whole-frame sort — fine here
+    * because the frame is CUSTOMERS (already one aggregate smaller
+    * than orders); at true scale the decile cut would ride
+    * `approx_percentile` over the same per-customer aggregate. */
+  def winPareto(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+    val ranked = perCust
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum", sum(col("rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = ranked.groupBy()
+      .agg(count(lit(1)).as("n_cust"), max(col("cum")).as("total"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile",
+        least(expr("(rn - 1) * 10 DIV n_cust"), lit(9L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        (max(col("cum")).cast("double") / max(col("total")).cast("double"))
+          .as("cum_share"),
+        sum(when(col("cum") * 5 <= col("total") * 4, 1L).otherwise(0L))
+          .as("n_inside_80pct"))
+      .orderBy(col("decile"))
+  }
+
+  val winParetoSql: String =
+    s"""WITH perc AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(${DetSql.cents("o_totalprice")}) AS BIGINT) AS rev
+       |  FROM orders GROUP BY o_custkey),
+       |ranked AS (
+       |  SELECT o_custkey, rev,
+       |    ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+       |    SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM perc),
+       |tot AS (SELECT count(*) AS n_cust, MAX(cum) AS total FROM ranked)
+       |SELECT LEAST((rn - 1) * 10 // n_cust, 9) AS decile,
+       |  count(*) AS n_customers,
+       |  CAST(MAX(cum) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS cum_share,
+       |  CAST(SUM(CASE WHEN cum * 5 <= total * 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_inside_80pct
+       |FROM ranked, tot
+       |GROUP BY 1
+       |ORDER BY decile""".stripMargin
+
   /** Seasonal-naive forecast backtest — the baseline every forecasting
     * pipeline must beat before a model earns its keep: forecast(day) =
     * actual(day − 7) (seasonal-naive) vs actual(day − 1) (naive), MAE
@@ -1242,6 +1295,7 @@ object Windows {
     "ts_discounted_return" -> tsDiscountedReturn,
     "win_attribution" -> winAttribution,
     "ts_forecast_snaive" -> tsForecastSnaive,
+    "win_pareto" -> winPareto,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1271,5 +1325,6 @@ object Windows {
     "ts_discounted_return" -> tsDiscountedReturnSql,
     "win_attribution" -> winAttributionSql,
     "ts_forecast_snaive" -> tsForecastSnaiveSql,
+    "win_pareto" -> winParetoSql,
   )
 }

@@ -721,6 +721,25 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("threshold histogram and rung agreement partition the candidates") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val nCand = graft.llm.Dedup.minhashCandidates(docs, "doc_id", "text")
+      .count()
+    graft.core.Caches.drain(spark)
+    val hist = graft.llm.Dedup.dedupThresholdHist(spark, sfDir).collect()
+    assert(hist.map(_.getLong(1)).sum == nCand,
+      "histogram must cover every candidate pair exactly once")
+    assert(hist.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    // cumulative column: at the lowest band it equals the total
+    assert(hist.minBy(_.getLong(0)).getLong(2) == nCand)
+    graft.core.Caches.drain(spark)
+    val m = graft.llm.Dedup.dedupRungAgreement(spark, sfDir).collect()
+    assert(m.map(_.getLong(2)).sum == nCand,
+      "confusion matrix must cover every candidate pair exactly once")
+    graft.core.Caches.drain(spark)
+  }
+
   test("sft pipeline manifest reconciles with its standalone stages") {
     import org.apache.spark.sql.functions._
     val man = graft.llm.Pipeline.sftPipeline(spark, sfDir).cache()

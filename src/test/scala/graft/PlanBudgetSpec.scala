@@ -127,6 +127,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // same candidate machinery as llm_dedup_jaccard (the band subtree
     // prints per consuming leg in the initial plan; AQE reuses it)
     "llm_dedup_containment" -> 38,
+    // shared verify shuffle + ≤10-row cumulative window
+    "llm_dedup_threshold_hist" -> 39,
+    // one cached candidate+signature pass read by both rungs
+    "llm_dedup_rung_agreement" -> 44,
     // band candidates + two broadcast prefix joins + sort
     "llm_dedup_edit_distance" -> 4,
     "llm_curriculum" -> 2,
@@ -263,6 +267,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "win_analytic" -> 2,
     // one per-user window sort (two frames) + matrix agg + sort
     "win_attribution" -> 3,
+    // customer agg + one whole-frame sort (rank+cum) + decile agg;
+    // 1-row totals frame crossJoins back (allowed bnl)
+    "win_pareto" -> 4,
     "win_distribution" -> 2,
     "win_rank" -> 2,
     "win_rolling_range" -> 2,
@@ -278,7 +285,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     * equi-key. */
   private val nestedLoopAllowed: Set[String] = Set(
     "agg_topk_others", "dq_constraints", "graph_triangles",
-    "layout_zorder", "llm_bm25", "llm_hard_negatives",
+    "layout_zorder", "llm_bm25", "llm_hard_negatives", "win_pareto",
     "llm_bpe_train",
     "llm_collocations",
     "llm_dataset_card", "llm_embed_cluster", "llm_embed_outliers",

@@ -181,6 +181,27 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("pareto deciles partition customers; shares monotone to 1.0") {
+    val rows = graft.operators.Windows.winPareto(spark, sfDir).collect()
+    val nCust = Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    val shares = rows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+      "cumulative share must be monotone")
+    assert(shares.last == 1.0)
+    // the 80% headcount: reconcile against a driver sort
+    val revs = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(graft.core.Det.cents(col("o_totalprice"))).as("rev"))
+      .collect().map(_.getLong(1)).sorted.reverse
+    val total = revs.sum
+    var (cum, inside) = (0L, 0)
+    revs.foreach { r => cum += r; if (cum * 5 <= total * 4) inside += 1 }
+    assert(rows.map(_.getLong(3)).sum == inside)
+    graft.core.Caches.drain(spark)
+  }
+
   test("seasonal-naive backtest matches a driver-loop MAE") {
     val out = graft.operators.Windows.tsForecastSnaive(spark, sfDir)
       .where(col("event_type") === "click").head()
