@@ -117,4 +117,65 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == topK)
     graft.core.Caches.drain(spark)
   }
+
+  private def symAdj(mod: Long): Map[Long, Seq[Long]] = {
+    val edges = bruteEdgesMod(mod)
+    (edges.toSeq.map { case (a, b) => (a, b) } ++
+      edges.toSeq.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+  }
+
+  private def allNodes(mod: Long): Seq[Long] =
+    graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_partkey").collect().map(_.getLong(0))
+      .filter(_ % mod == 0).distinct.sorted.toSeq
+
+  test("pagerank matches a driver fixed-point recomputation bit-exactly") {
+    val adj = symAdj(16)
+    val nodes = allNodes(16)
+    val deg: Map[Long, Long] = adj.map { case (k, v) => k -> v.size.toLong }
+    val scale = 1000000000L
+    var pr: Map[Long, Long] = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to 5) {
+      val inflow = scala.collection.mutable
+        .Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, ns) <- adj; v <- ns) inflow(v) += pr(u) / deg(u)
+      pr = nodes.map(n => n -> (150000000L + 85L * inflow(n) / 100L)).toMap
+    }
+    val got = graft.operators.Graph.pagerank(spark, sfDir).collect()
+    assert(got.length == nodes.length)
+    got.foreach { r =>
+      val (n, d, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(d == deg.getOrElse(n, 0L), s"deg of $n")
+      assert(p == pr(n), s"pagerank of $n")
+    }
+    // the frame is ordered by rank descending (ties by id)
+    val order = got.map(r => (r.getLong(2), r.getLong(0)))
+    assert(order.sameElements(order.sortBy { case (p, n) => (-p, n) }))
+    // conservation sanity: total mass stays within the truncation loss
+    // bound (each node's update truncates at most deg+1 unit fractions)
+    assert(got.map(_.getLong(2)).sum <= scale * nodes.length)
+    graft.core.Caches.drain(spark)
+  }
+
+  test("bfs hop distances match a driver frontier expansion") {
+    val adj = symAdj(16)
+    val nodes = allNodes(16)
+    var dist: Map[Long, Long] =
+      nodes.filter(_ % 256 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val next = scala.collection.mutable.Map(dist.toSeq: _*)
+      for ((u, d) <- dist; v <- adj.getOrElse(u, Nil)) {
+        if (!next.contains(v) || next(v) > d + 1) next(v) = d + 1
+      }
+      dist = next.toMap
+    }
+    val got = graft.operators.Graph.bfs(spark, sfDir).collect()
+    assert(got.length == nodes.length)
+    got.foreach { r =>
+      val (n, h) = (r.getLong(0), r.getLong(1))
+      assert(h == dist.getOrElse(n, -1L), s"hops of $n")
+    }
+    graft.core.Caches.drain(spark)
+  }
 }

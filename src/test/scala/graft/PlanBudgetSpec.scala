@@ -92,6 +92,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // cached edge list read by the wedge self-join + pair agg +
     // anti-join + TakeOrdered; subtrees print per consuming leg
     "graph_link_predict" -> 9,
+    // staged rank frame read + output sort (the 5 integer PageRank
+    // rounds run inside Fixtures.staged, once per source content)
+    "graph_pagerank" -> 1,
+    // staged hop-distance frame read + output sort (4 BFS rounds
+    // staged the same way)
+    "graph_bfs" -> 1,
     // cached edge list scanned by 4 aggregates (nodes/edges/wedges/
     // triangles); each 1-row frame crossJoins back (allowed bnl) and
     // the initial plan prints the edge subtree once per leg
