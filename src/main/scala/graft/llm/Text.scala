@@ -1857,7 +1857,77 @@ object Text {
       |FROM base b LEFT OUTER JOIN hits h USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Coverage thresholds (percent of token mass) reported by
+    * [[unigramCoverage]]. */
+  private val CoveragePcts = Seq(50, 90, 99)
+
+  /** Unigram coverage curve — the tokenizer-budget planning report:
+    * for each target share of corpus token mass (50/90/99%), the
+    * smallest vocabulary (most-frequent-first, ties by term) that
+    * reaches it, with the exact token mass covered. This is the
+    * question "how big must the vocab be" answered from data, and the
+    * cheap empirical stand-in for a Zipf fit (the curve IS the
+    * distribution's shape). All arithmetic is BIGINT (`100·cum ≥
+    * pct·total` avoids any ratio), so both engines agree bit-exactly.
+    *
+    * Scale shape: one map-side-combined token shuffle to the term
+    * census, then ONE sort over the VOCAB (≪ corpus — bounded by
+    * distinct terms, not tokens) shared by the rank and both running
+    * sums; the 3 thresholds ride an explode of each vocab row, and the
+    * final agg is 3 groups. The vocab-wide window is single-partition
+    * by construction — the standard "sort the term table" step; a
+    * billion-term vocab would range-partition the sort and prefix-sum
+    * per range ([[pack]]'s two-level pattern). */
+  def unigramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val byMass = Window.orderBy(col("freq").desc, col("term"))
+    val ranked = freq.select(
+      row_number().over(byMass).cast("long").as("rank"),
+      sum(col("freq")).over(
+        byMass.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"),
+      sum(col("freq")).over(byMass.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)).as("total"))
+    ranked
+      .select(col("rank"), col("cum"), col("total"),
+        explode(lit(CoveragePcts.toArray)).as("pct"))
+      .where(col("cum") * 100 >= col("pct") * col("total"))
+      .groupBy(col("pct"))
+      .agg(min(col("rank")).as("vocab_size"),
+        expr("min_by(cum, rank)").as("covered_tokens"),
+        min(col("total")).as("total_tokens"))
+      .orderBy(col("pct"))
+  }
+
+  val unigramCoverageSql: String =
+    s"""WITH freq AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |      AS term
+       |    FROM documents)
+       |  GROUP BY term),
+       |ranked AS (
+       |  SELECT
+       |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       |    CAST(SUM(freq) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(SUM(freq) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS total
+       |  FROM freq
+       |  WINDOW w AS (ORDER BY freq DESC, term))
+       |SELECT pct, MIN(rank) AS vocab_size,
+       |  MIN_BY(cum, rank) AS covered_tokens,
+       |  MIN(total) AS total_tokens
+       |FROM ranked, unnest([${CoveragePcts.mkString(", ")}]) AS t(pct)
+       |WHERE cum * 100 >= pct * total
+       |GROUP BY pct
+       |ORDER BY pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_unigram_coverage" -> unigramCoverage,
     "llm_blocklist_filter" -> blocklistFilter,
     "llm_span_corrupt" -> spanCorrupt,
     "llm_sample_hashrank" -> sampleHashrank,
@@ -1898,6 +1968,7 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_unigram_coverage" -> unigramCoverageSql,
     "llm_blocklist_filter" -> blocklistFilterSql,
     "llm_span_corrupt" -> spanCorruptSql,
     "llm_sample_hashrank" -> sampleHashrankSql,

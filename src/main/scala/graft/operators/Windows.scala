@@ -1073,6 +1073,75 @@ object Windows {
       |FROM mom
       |ORDER BY event_type, lag""".stripMargin
 
+  /** The (leading, lagging) series pair [[tsLagCorr]] correlates. */
+  private val LagCorrX = "view"
+  private val LagCorrY = "purchase"
+
+  /** Cross-correlation between two event types' daily count series at
+    * lags 0–3: does view volume LEAD purchase volume, and by how many
+    * days? The lead/lag analytics question behind campaign attribution
+    * and demand forecasting — [[tsAcf]]'s machinery pointed across two
+    * series instead of one. Pairing is an equi-join: each x-day row
+    * explodes into 4 (lag, day+lag) probes that join y's calendar
+    * day — no window over an unpartitioned series, no cross join. The
+    * Pearson r per lag comes from the same exact BIGINT moment sums as
+    * [[tsAcf]] (one multiply, one sqrt, one guarded division in
+    * floats), so both engines agree bit-exactly. Costs: two daily
+    * aggregates over the event scan, a 4×-days probe join, one 4-group
+    * moment agg — the scan dominates at any scale. */
+  def tsLagCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val xs = daily.where(col("event_type") === LagCorrX)
+      .select(col("day"), col("n").as("x"))
+      .select(col("day"), col("x"),
+        explode(lit((0 to 3).toArray)).as("lag"))
+      .select(expr("date_add(day, lag)").as("yday"), col("x"), col("lag"))
+    val ys = daily.where(col("event_type") === LagCorrY)
+      .select(col("day").as("yday"), col("n").as("y"))
+    xs.join(ys, "yday")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num",
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("den",
+        sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+             (col("m") * col("syy") - col("sy") * col("sy")).cast("double")))
+      .select(col("lag"), col("m"), expr("num / nullif(den, 0.0d)").as("r"))
+      .orderBy(col("lag"))
+  }
+
+  val tsLagCorrSql: String =
+    s"""WITH d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |xs AS (
+       |  SELECT day + lag AS yday, n AS x, lag
+       |  FROM d, unnest([0, 1, 2, 3]) AS t(lag)
+       |  WHERE event_type = '$LagCorrX'),
+       |ys AS (
+       |  SELECT day AS yday, n AS y FROM d
+       |  WHERE event_type = '$LagCorrY'),
+       |mom AS (
+       |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy
+       |  FROM xs JOIN ys USING (yday) GROUP BY lag)
+       |SELECT lag, m,
+       |  CAST(m * sxy - sx * sy AS DOUBLE) /
+       |    NULLIF(SQRT(CAST(m * sxx - sx * sx AS DOUBLE) *
+       |                CAST(m * syy - sy * sy AS DOUBLE)), 0.0) AS r
+       |FROM mom
+       |ORDER BY lag""".stripMargin
+
   /** Theil–Sen robust trend of the daily count series per event type:
     * the median slope over all day pairs, then the median residual as
     * intercept — the outlier-resistant regression line (a single
@@ -1288,6 +1357,7 @@ object Windows {
     "ts_ohlc" -> tsOhlc,
     "ts_changepoint" -> tsChangepoint,
     "ts_acf" -> tsAcf,
+    "ts_lag_corr" -> tsLagCorr,
     "ts_trend_theilsen" -> tsTheilSen,
     "ts_rolling_median" -> tsRollingMedian,
     "ts_winsorize" -> tsWinsorize,
@@ -1318,6 +1388,7 @@ object Windows {
     "ts_ohlc" -> tsOhlcSql,
     "ts_changepoint" -> tsChangepointSql,
     "ts_acf" -> tsAcfSql,
+    "ts_lag_corr" -> tsLagCorrSql,
     "ts_trend_theilsen" -> tsTheilSenSql,
     "ts_rolling_median" -> tsRollingMedianSql,
     "ts_winsorize" -> tsWinsorizeSql,

@@ -203,6 +203,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_split" -> 1,
     "llm_text_stats" -> 2,
     "llm_vocab_coverage" -> 4,
+    // token census agg + vocab-wide window sort (rank and both running
+    // sums share the one sort)
+    "llm_unigram_coverage" -> 2,
+    // dim-broadcast fact scan + segment agg + 1-row global crossJoin
+    // (allowed bnl) + output sort
+    "feat_target_encode" -> 3,
     "llm_tfidf" -> 6,
     "llm_token_count" -> 1,
     "llm_tokenizer_fertility" -> 2,
@@ -238,6 +244,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "topk_per_group" -> 2,
     // daily agg + per-type lead window + (type,lag) moment agg
     "ts_acf" -> 3,
+    // two daily aggregates off the event scan + probe join + 4-group
+    // moment agg + output sort
+    "ts_lag_corr" -> 4,
     "ts_anomaly" -> 8,
     // daily agg + one per-type window sort (two frames + rank) + sort
     "ts_changepoint" -> 3,
@@ -290,7 +299,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     * with a non-equi top-k predicate. Everything else must keep an
     * equi-key. */
   private val nestedLoopAllowed: Set[String] = Set(
-    "agg_topk_others", "dq_constraints", "graph_triangles",
+    "agg_topk_others", "dq_constraints", "feat_target_encode",
+    "graph_triangles",
     "layout_zorder", "llm_bm25", "llm_hard_negatives", "win_pareto",
     "llm_bpe_train",
     "llm_collocations",

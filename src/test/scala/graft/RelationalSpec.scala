@@ -511,6 +511,76 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(out.getLong(3) == days.length)
   }
 
+  test("lag-corr reconciles with a driver Pearson over the daily series") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val xs = daily.filter(_._1 == "view").map(t => t._2 -> t._3).toMap
+    val ys = daily.filter(_._1 == "purchase").map(t => t._2 -> t._3).toMap
+    val out = graft.operators.Windows.tsLagCorr(spark, sfDir).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    out.foreach { r =>
+      val lag = r.getInt(0)
+      val pairs = xs.toSeq.flatMap { case (d, x) =>
+        ys.get(d.plusDays(lag.toLong)).map(y => (x, y)) }
+      assert(r.getLong(1) == pairs.length, s"m at lag $lag")
+      val m = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      val expect = (m * sxy - sx * sy) /
+        math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+      assert(math.abs(r.getDouble(2) - expect) < 1e-9, s"r at lag $lag")
+    }
+  }
+
+  test("unigram coverage thresholds reconcile with a driver recount") {
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
+      .groupBy(col("t")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ordered = freq.sortBy { case (t, c) => (-c, t) }
+    val total = ordered.map(_._2).sum
+    val cums = ordered.scanLeft(0L)(_ + _._2).drop(1)
+    val out = graft.llm.Text.unigramCoverage(spark, sfDir).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(50, 90, 99))
+    out.foreach { r =>
+      val pct = r.getInt(0)
+      val k = cums.indexWhere(c => c * 100 >= pct * total) + 1
+      assert(r.getLong(1) == k, s"vocab_size at $pct")
+      assert(r.getLong(2) == cums(k - 1), s"covered at $pct")
+      assert(r.getLong(3) == total)
+    }
+  }
+
+  test("target encoding is the exact m-estimate and shrinks toward global") {
+    val rows = graft.operators.Features.targetEncode(spark, sfDir).collect()
+    val joined = Tables.orders(spark, sfDir).join(
+      Tables.customer(spark, sfDir),
+      col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val gN = joined.length.toLong
+    val gSum = joined.map(_._2).sum
+    rows.foreach { r =>
+      val (seg, n, sumT) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val mine = joined.filter(_._1 == seg)
+      assert(n == mine.length.toLong && sumT == mine.map(_._2).sum)
+      assert(r.getLong(3) == 1000000L * gSum / gN, "global rate")
+      val enc = 1000000L * (sumT * gN + 20L * gSum) / (gN * (n + 20L))
+      assert(r.getLong(4) == enc, s"enc of $seg")
+      // m-estimate lies between the category rate and the global rate
+      val catPpm = if (n > 0) 1000000L * sumT / n else r.getLong(3)
+      val lo = math.min(catPpm, r.getLong(3)) - 1
+      val hi = math.max(catPpm, r.getLong(3)) + 1
+      assert(enc >= lo && enc <= hi, s"enc of $seg not between rates")
+    }
+  }
+
   test("rolling median and winsorize bounds behave as robust statistics") {
     val med = graft.operators.Windows.tsRollingMedian(spark, sfDir)
     // the 7-row window median sits within the frame's min/max
