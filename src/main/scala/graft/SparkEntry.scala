@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.compact.CompactQuery
 import graft.llm.{Dedup, Pipeline, Similarity, Text}
-import graft.operators.{Features, Functions, Graph, Maintenance, Relational, Skew, Streams, Typed, Udx, Windows}
+import graft.operators.{Features, Functions, Graph, Maintenance, Relational, Skew, Stats, Streams, Typed, Udx, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -18,7 +18,8 @@ object SparkEntry {
       Udx.queries ++ Streams.queries ++ Typed.queries ++
       Dedup.queries ++ Text.queries ++ Similarity.queries ++
       CompactQuery.queries ++ Maintenance.queries ++ Skew.queries ++
-      Pipeline.queries ++ Graph.queries ++ Features.queries
+      Pipeline.queries ++ Graph.queries ++ Features.queries ++
+      Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       Udx.oracleSql ++ Streams.oracleSql ++ Typed.oracleSql ++
       Dedup.oracleSql ++ Text.oracleSql ++ Similarity.oracleSql ++
       CompactQuery.oracleSql ++ Maintenance.oracleSql ++ Skew.oracleSql ++
-      Pipeline.oracleSql ++ Graph.oracleSql ++ Features.oracleSql
+      Pipeline.oracleSql ++ Graph.oracleSql ++ Features.oracleSql ++
+      Stats.oracleSql
 }

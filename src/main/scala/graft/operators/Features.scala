@@ -81,11 +81,121 @@ object Features {
        |FROM per_seg CROSS JOIN gtot
        |ORDER BY segment""".stripMargin
 
+  /** Bin count for [[binning]]. */
+  private val NBins = 10L
+
+  /** Equal-width discretization of customer account balance into
+    * [[NBins]] bins — the feature-prep step tabular models and
+    * histogram-based learners (GBDTs) want before training: per bin
+    * its exact-cents range, population, share, and mean balance. The
+    * bin index is pure integer algebra off a 1-row broadcast of the
+    * global [min, max] — `bin = ((v−min)·B) div (span+1)` — so
+    * assignment is engine-exact and NEVER needs a sort (the contrast
+    * with quantile binning, whose global ntile is a single-partition
+    * sort at scale; equal-width is the shape that survives 100 TB as
+    * one scan + one ≤B-group aggregate). */
+  def binning(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(graft.core.Det.cents(col("c_acctbal")).as("v"))
+    val bounds = c.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    c.crossJoin(broadcast(bounds))
+      .select(col("v"),
+        expr(s"((v - lo) * $NBins) div (hi - lo + 1)").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"),
+        sum(col("v")).as("sum_cents"))
+      .withColumn("mean_cents", expr("sum_cents div n"))
+      .orderBy(col("bin"))
+  }
+
+  val binningSql: String =
+    s"""WITH c AS (
+       |  SELECT ${graft.core.DetSql.cents("c_acctbal")} AS v FROM customer),
+       |b AS (SELECT CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi
+       |      FROM c)
+       |SELECT ((v - lo) * $NBins) // (hi - lo + 1) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(MIN(v) AS BIGINT) AS lo_cents,
+       |  CAST(MAX(v) AS BIGINT) AS hi_cents,
+       |  CAST(SUM(v) AS BIGINT) AS sum_cents,
+       |  CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_cents
+       |FROM c CROSS JOIN b
+       |GROUP BY 1
+       |ORDER BY bin""".stripMargin
+
+  /** Hash-bucket count for [[hashBucket]] (the hashing trick's
+    * feature-space size). */
+  private val HashBuckets = 64L
+
+  /** The hashing-trick featurizer: cross the customer segment with the
+    * order priority, hash the crossed feature into [[HashBuckets]]
+    * buckets (first 4 md5 nibbles, the [[graft.llm.Text]] split
+    * idiom — engine-identical and retry-stable where hash() is not),
+    * and report the collision structure per bucket: distinct raw
+    * features sharing it and total row mass. This is the audit a
+    * hashed-feature pipeline reads to size its bucket space (features
+    * per bucket ≫ 1 ⇒ widen).
+    *
+    * Scale shape: pure projection for the hash, one bucket-keyed
+    * aggregate whose distinct-count is a two-level (bucket, feature)
+    * aggregate — the [[graft.llm.Text.boilerplate]] shape, no Expand;
+    * output ≤ [[HashBuckets]] rows. */
+  def hashBucket(spark: SparkSession, dir: String): DataFrame = {
+    val crossed = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(concat(col("c_mktsegment"), lit("|"), col("o_orderpriority"))
+        .as("feature"))
+      .withColumn("h", expr("md5('feat:' || feature)"))
+      .select(col("feature"), expr(
+        s"""CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+           |   + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+           |   + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           |   + (instr('0123456789abcdef', substr(h, 4, 1)) - 1))
+           |   % $HashBuckets AS BIGINT)""".stripMargin).as("bucket"))
+    crossed.groupBy(col("bucket"), col("feature"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_features"), sum(col("n")).as("n_rows"),
+        min(col("feature")).as("first_feature"))
+      .orderBy(col("bucket"))
+  }
+
+  val hashBucketSql: String =
+    s"""WITH f AS (
+       |  SELECT c.c_mktsegment || '|' || o.o_orderpriority AS feature
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+       |h AS (
+       |  SELECT feature, md5('feat:' || feature) AS h FROM f),
+       |bkt AS (
+       |  SELECT feature,
+       |    CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+       |       + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+       |       + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+       |       + (instr('0123456789abcdef', substr(h, 4, 1)) - 1))
+       |       % $HashBuckets AS BIGINT) AS bucket
+       |  FROM h),
+       |per AS (
+       |  SELECT bucket, feature, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM bkt GROUP BY 1, 2)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_features,
+       |  CAST(SUM(n) AS BIGINT) AS n_rows,
+       |  MIN(feature) AS first_feature
+       |FROM per
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feat_target_encode" -> targetEncode,
+    "feat_binning" -> binning,
+    "feat_hash_bucket" -> hashBucket,
   )
 
   val oracleSql: Map[String, String] = Map(
     "feat_target_encode" -> targetEncodeSql,
+    "feat_binning" -> binningSql,
+    "feat_hash_bucket" -> hashBucketSql,
   )
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, DetSql, Tables}
+
+/** Statistical-analysis operators (SURVEY.md §2B analytics arc):
+  * association mining and hypothesis testing — the "is this pattern
+  * real" layer a decision pipeline runs after the aggregates.
+  *
+  * Reference basis: the engine's latent SQL surface (ref
+  * TemplateApp.scala:52); both are declared-inventory extensions.
+  */
+object Stats {
+
+  /** Minimum pair support for [[basketLift]] — prunes the rule list to
+    * pairs seen at least this many times (2 keeps the sf0.001 smoke
+    * non-empty; production would raise it with data volume). */
+  private val MinSupport = 2L
+
+  /** Market-basket association rules over co-purchased parts: for the
+    * top-20 part pairs by lift, the exact support / confidence / lift
+    * in fixed-point ppm — the classic "customers who bought A also
+    * bought B" mining, kept integer end-to-end
+    * (`lift = n_ab·N / (n_a·n_b)` evaluated as one cross-multiplied
+    * BIGINT division) so both engines agree bit-exactly.
+    *
+    * Scale shape: the pair stream is the per-order self-join — Σ
+    * lines_per_order² with bounded order width (the [[Graph]] edge
+    * construction) — feeding ONE map-side-combined (a,b) aggregate;
+    * the distinct basket list is cached once for its three consumers.
+    * Item counts are one item-keyed aggregate joined onto the (far
+    * smaller, support-pruned) pair table; N is a 1-row broadcast.
+    * TakeOrdered top-20 — nothing global sorts. (A collect_set-basket
+    * variant that generates pairs map-side measured 3× SLOWER at
+    * sf0.1 — the object-hash array aggregate costs more than the
+    * extra codegen'd shuffle it saves; kept the join.) At 10¹² orders
+    * the `n_ab·N` cross product needs DECIMAL(38) — documented swap,
+    * same arithmetic. */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the distinct basket list feeds four consumers (N, item
+    // counts, both pair-join legs) — uncached it re-shuffles per leg
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct().cache()
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemN = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val b = items.select(col("ok").as("ok2"), col("item").as("item_b"))
+    val pairs = items.join(b,
+        col("ok") === col("ok2") && col("item") < col("item_b"))
+      .groupBy(col("item").as("a"), col("item_b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= MinSupport)
+    pairs
+      .join(itemN.select(col("item").as("a"), col("n_item").as("n_a")), "a")
+      .join(itemN.select(col("item").as("b"), col("n_item").as("n_b")), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(1000000L * n_ab) div n_orders").as("support_ppm"),
+        expr("(1000000L * n_ab) div n_a").as("conf_a_to_b_ppm"),
+        expr("(1000000L * n_ab * n_orders) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val basketLiftSql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+       |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+       |      FROM items),
+       |item_n AS (
+       |  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+       |  FROM items GROUP BY item),
+       |pairs AS (
+       |  SELECT i.item AS a, j.item AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+       |  FROM items i JOIN items j ON i.ok = j.ok AND i.item < j.item
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $MinSupport)
+       |SELECT p.a, p.b, p.n_ab, na.n_item AS n_a, nb.n_item AS n_b,
+       |  (1000000 * p.n_ab) // n.n_orders AS support_ppm,
+       |  (1000000 * p.n_ab) // na.n_item AS conf_a_to_b_ppm,
+       |  (1000000 * p.n_ab * n.n_orders) // (na.n_item * nb.n_item)
+       |    AS lift_ppm
+       |FROM pairs p
+       |JOIN item_n na ON na.item = p.a
+       |JOIN item_n nb ON nb.item = p.b
+       |CROSS JOIN n
+       |ORDER BY lift_ppm DESC, a, b
+       |LIMIT 20""".stripMargin
+
+  /** The two arms [[abTest]] compares. */
+  private val AbArmA = "BUILDING"
+  private val AbArmB = "MACHINERY"
+
+  /** Welch's two-sample t-test between two customer segments' order
+    * values — the A/B-testing primitive: per-arm n / mean / sample
+    * variance from decimal-exact moment sums ([[Det.dsum]], the
+    * [[Relational.aggCorr]] contract), then the t statistic and
+    * Welch–Satterthwaite degrees of freedom in a spelled-out IEEE op
+    * order both engines evaluate identically. No p-value — that needs
+    * a t CDF, which is a lookup the caller applies to (t, df).
+    *
+    * Scale shape: ONE conditional-aggregation pass over the
+    * broadcast-dim-joined fact scan (the [[Maintenance.dqConstraints]]
+    * trick — both arms, all five moments, one shuffle of a single
+    * 1-row frame); everything after is scalar arithmetic on that row. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+    val m = j.where(col("seg").isin(AbArmA, AbArmB))
+      .agg(
+        sum(when(col("seg") === AbArmA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("seg") === AbArmB, 1L).otherwise(0L)).as("n_b"),
+        Det.dsum(when(col("seg") === AbArmA, col("v"))).as("sx_a"),
+        Det.dsum(when(col("seg") === AbArmB, col("v"))).as("sx_b"),
+        Det.dsum(when(col("seg") === AbArmA, col("v") * col("v"))).as("sxx_a"),
+        Det.dsum(when(col("seg") === AbArmB, col("v") * col("v"))).as("sxx_b"))
+    m.select(col("n_a"), col("n_b"),
+        expr("sx_a / CAST(n_a AS DOUBLE)").as("mean_a"),
+        expr("sx_b / CAST(n_b AS DOUBLE)").as("mean_b"),
+        expr("(sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)")
+          .as("var_a"),
+        expr("(sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)")
+          .as("var_b"))
+      // q = var/n (the squared standard error per arm); squares are
+      // explicit multiplies, not pow() — libm pow need not agree
+      // bitwise across engines, x*x must
+      .withColumn("q_a", expr("var_a / CAST(n_a AS DOUBLE)"))
+      .withColumn("q_b", expr("var_b / CAST(n_b AS DOUBLE)"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("var_a"), col("var_b"),
+        expr("(mean_a - mean_b) / sqrt(q_a + q_b)").as("t_welch"),
+        expr("""((q_a + q_b) * (q_a + q_b)) /
+                (q_a * q_a / CAST(n_a - 1 AS DOUBLE)
+                 + q_b * q_b / CAST(n_b - 1 AS DOUBLE))""").as("df_welch"))
+  }
+
+  val abTestSql: String =
+    s"""WITH j AS (
+       |  SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |  WHERE c.c_mktsegment IN ('$AbArmA', '$AbArmB')),
+       |m AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN seg = '$AbArmA' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(SUM(CASE WHEN seg = '$AbArmB' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b,
+       |    ${DetSql.dsum(s"CASE WHEN seg = '$AbArmA' THEN v END")} AS sx_a,
+       |    ${DetSql.dsum(s"CASE WHEN seg = '$AbArmB' THEN v END")} AS sx_b,
+       |    ${DetSql.dsum(s"CASE WHEN seg = '$AbArmA' THEN v * v END")}
+       |      AS sxx_a,
+       |    ${DetSql.dsum(s"CASE WHEN seg = '$AbArmB' THEN v * v END")}
+       |      AS sxx_b
+       |  FROM j),
+       |d AS (
+       |  SELECT n_a, n_b,
+       |    sx_a / CAST(n_a AS DOUBLE) AS mean_a,
+       |    sx_b / CAST(n_b AS DOUBLE) AS mean_b,
+       |    (sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE))
+       |      / CAST(n_a - 1 AS DOUBLE) AS var_a,
+       |    (sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE))
+       |      / CAST(n_b - 1 AS DOUBLE) AS var_b
+       |  FROM m),
+       |d2 AS (
+       |  SELECT *, var_a / CAST(n_a AS DOUBLE) AS q_a,
+       |    var_b / CAST(n_b AS DOUBLE) AS q_b
+       |  FROM d)
+       |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+       |  (mean_a - mean_b) / SQRT(q_a + q_b) AS t_welch,
+       |  ((q_a + q_b) * (q_a + q_b)) /
+       |    (q_a * q_a / CAST(n_a - 1 AS DOUBLE)
+       |     + q_b * q_b / CAST(n_b - 1 AS DOUBLE)) AS df_welch
+       |FROM d2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_basket_lift" -> basketLift,
+    "agg_ab_test" -> abTest,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_basket_lift" -> basketLiftSql,
+    "agg_ab_test" -> abTestSql,
+  )
+}

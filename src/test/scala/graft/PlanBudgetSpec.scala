@@ -28,6 +28,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // + final sort
     "agg_bitmap_distinct" -> 3,
     "agg_approx_percentile" -> 2,
+    // one conditional-aggregation pass over the broadcast-dim join
+    "agg_ab_test" -> 1,
+    // cached distinct (order,item) + pair self-join agg + item-count
+    // joins back onto the pruned pair table + TakeOrdered; N is a
+    // 1-row crossJoin (allowed bnl); subtrees print per consuming leg
+    "agg_basket_lift" -> 10,
     "agg_argmax" -> 2,
     "agg_corr" -> 2,
     "agg_distinct" -> 2,
@@ -209,6 +215,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // dim-broadcast fact scan + segment agg + 1-row global crossJoin
     // (allowed bnl) + output sort
     "feat_target_encode" -> 3,
+    // 1-row bounds crossJoin (allowed bnl) + 10-group agg + sort
+    "feat_binning" -> 3,
+    // two-level (bucket, feature) -> bucket agg + output sort
+    "feat_hash_bucket" -> 3,
     "llm_tfidf" -> 6,
     "llm_token_count" -> 1,
     "llm_tokenizer_fertility" -> 2,
@@ -299,7 +309,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     * with a non-equi top-k predicate. Everything else must keep an
     * equi-key. */
   private val nestedLoopAllowed: Set[String] = Set(
-    "agg_topk_others", "dq_constraints", "feat_target_encode",
+    "agg_basket_lift", "agg_topk_others", "dq_constraints",
+    "feat_binning", "feat_target_encode",
     "graph_triangles",
     "layout_zorder", "llm_bm25", "llm_hard_negatives", "win_pareto",
     "llm_bpe_train",

@@ -581,6 +581,78 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("basket lift reconciles with a driver recount for the top pair") {
+    val rows = graft.operators.Stats.basketLift(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = items.map(_._1).distinct.length.toLong
+    val itemN = items.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val byOrder = items.groupBy(_._1).map { case (_, v) => v.map(_._2).toSet }
+    rows.foreach { r =>
+      val (a, b, nab) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = byOrder.count(s => s(a) && s(b)).toLong
+      assert(nab == expect, s"n_ab of ($a,$b)")
+      assert(r.getLong(3) == itemN(a) && r.getLong(4) == itemN(b))
+      assert(r.getLong(7) == 1000000L * nab * nOrders / (itemN(a) * itemN(b)),
+        s"lift of ($a,$b)")
+    }
+    // descending lift with (a, b) tiebreak
+    val order = rows.map(r => (r.getLong(7), r.getLong(0), r.getLong(1)))
+    assert(order.sameElements(order.sortBy { case (l, a, b) => (-l, a, b) }))
+  }
+
+  test("welch t-test reconciles with a two-pass driver computation") {
+    val row = graft.operators.Stats.abTest(spark, sfDir).head()
+    val vals = Tables.orders(spark, sfDir).join(
+        Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = vals.filter(_._1 == "BUILDING").map(_._2)
+    val b = vals.filter(_._1 == "MACHINERY").map(_._2)
+    assert(row.getLong(0) == a.length.toLong && row.getLong(1) == b.length.toLong)
+    // means agree with an independent cents-exact recomputation
+    val meanA = a.map(v => math.round(v * 100)).sum.toDouble / 100.0 / a.length
+    val meanB = b.map(v => math.round(v * 100)).sum.toDouble / 100.0 / b.length
+    assert(math.abs(row.getDouble(2) - meanA) < 1e-6, "mean_a")
+    assert(math.abs(row.getDouble(3) - meanB) < 1e-6, "mean_b")
+    // t has the sign of the mean difference; df is between min(n)-1 and
+    // n_a+n_b-2 (the Welch-Satterthwaite bracket)
+    assert(row.getDouble(6).sign == (meanA - meanB).sign)
+    val df = row.getDouble(7)
+    assert(df >= math.min(a.length, b.length) - 1.0 &&
+      df <= a.length + b.length - 2.0, s"df=$df out of bracket")
+  }
+
+  test("equal-width bins partition the domain and account for every row") {
+    val rows = graft.operators.Features.binning(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 10L))
+    val n = Tables.customer(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == n, "row conservation")
+    // ranges are disjoint and ordered; mean sits inside its range
+    rows.sliding(2).foreach {
+      case Array(x, y) => assert(x.getLong(3) < y.getLong(2))
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(5) && r.getLong(5) <= r.getLong(3),
+        s"mean outside range in bin ${r.getLong(0)}")
+    }
+  }
+
+  test("hash buckets conserve rows and count their features correctly") {
+    val rows = graft.operators.Features.hashBucket(spark, sfDir).collect()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == total, "row conservation")
+    // 25 raw features land in <= 25 distinct buckets
+    assert(rows.map(_.getLong(1)).sum == 25L, "feature count")
+    assert(rows.length <= 25)
+    rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < 64))
+  }
+
   test("rolling median and winsorize bounds behave as robust statistics") {
     val med = graft.operators.Windows.tsRollingMedian(spark, sfDir)
     // the 7-row window median sits within the frame's min/max
