@@ -1274,7 +1274,146 @@ object Similarity {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** [[mmrDiversify]] shape: shortlist size, picks, trade-off λ = ½. */
+  private val MmrShortlist = 20
+  private val MmrK = 5
+
+  /** MMR (maximal-marginal-relevance) diversified retrieval — the
+    * post-retrieval re-rank a RAG stack runs so the k passages it
+    * stuffs into a context are not five copies of the same fact: from
+    * each query's top-[[MmrShortlist]] cosine shortlist, greedily pick
+    * [[MmrK]] results maximizing `½·sim(q,d) − ½·max_{s∈picked}
+    * sim(d,s)`. The greedy argmax is inherently sequential in k, so
+    * the k rounds are STATICALLY unrolled ([[graft.operators.Graph]]
+    * pagerank discipline, eager localCheckpoint per round — the
+    * frames are queries×shortlist rows, trivially small); every float
+    * op (λ = ½ scale, one subtract, comparisons) is exact, so picks
+    * and scores hash-identically cross-engine.
+    *
+    * Scale shape: the expensive part is the shortlist (the standard
+    * ANN ladder — here the brute-force baseline kernel); MMR itself
+    * touches queries·shortlist² candidate-pair sims ONCE, then k
+    * rounds of queries·shortlist-row argmaxes — cost independent of
+    * corpus size, which is why production rerankers run MMR on the
+    * shortlist and never the corpus. */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.withNorm(spark, dir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("simq").desc, col("cand_id"))
+    val short = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (Dedup.dotExpr("ea", "eb") / (col("na") * col("nb"))).as("simq"),
+        col("eb"), col("nb"))
+      .withColumn("rk", row_number().over(wQ))
+      .where(col("rk") <= MmrShortlist)
+      .select(col("query_id"), col("cand_id"), col("simq"),
+        col("eb"), col("nb"))
+      .localCheckpoint(true)
+    val a = short.select(col("query_id"), col("cand_id").as("ca"),
+      col("eb").as("ea2"), col("nb").as("na2"))
+    val b2 = short.select(col("query_id"), col("cand_id").as("cb"),
+      col("eb").as("eb2"), col("nb").as("nb2"))
+    val cc = a.join(b2, "query_id").where(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"),
+        (Dedup.dotExpr("ea2", "eb2") / (col("na2") * col("nb2"))).as("simc"))
+      .localCheckpoint(true)
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("cand_id"))
+    var sel = short
+      .withColumn("mmr", lit(0.5) * col("simq"))
+      .withColumn("rk", row_number().over(wPick)).where(col("rk") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1).as("step"),
+        col("mmr"))
+      .localCheckpoint(true)
+    for (k <- 2 to MmrK) {
+      val red = cc.join(
+          sel.select(col("query_id"), col("cand_id").as("cb")),
+          Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("cand_id"))
+        .agg(max(col("simc")).as("red"))
+      val pick = short
+        .join(sel.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(red, Seq("query_id", "cand_id"))
+        .withColumn("mmr", lit(0.5) * col("simq") - lit(0.5) * col("red"))
+        .withColumn("rk", row_number().over(wPick)).where(col("rk") === 1)
+        .select(col("query_id"), col("cand_id"), lit(k).as("step"),
+          col("mmr"))
+      sel = sel.union(pick).localCheckpoint(true)
+    }
+    sel.orderBy(col("query_id"), col("step"))
+  }
+
+  val mmrDiversifySql: String = {
+    val steps = (2 to MmrK).map { k =>
+      s"""red$k AS (
+         |  SELECT c.query_id, c.ca AS cand_id, MAX(c.simc) AS red
+         |  FROM cc c JOIN sel${k - 1} s
+         |    ON s.query_id = c.query_id AND s.cand_id = c.cb
+         |  GROUP BY 1, 2),
+         |pick$k AS (
+         |  SELECT query_id, cand_id, $k AS step, mmr FROM (
+         |    SELECT sh.query_id, sh.cand_id,
+         |      CAST(0.5 AS DOUBLE) * sh.simq
+         |        - CAST(0.5 AS DOUBLE) * r.red AS mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY sh.query_id
+         |        ORDER BY CAST(0.5 AS DOUBLE) * sh.simq
+         |          - CAST(0.5 AS DOUBLE) * r.red DESC, sh.cand_id) AS rk
+         |    FROM short sh
+         |    JOIN red$k r
+         |      ON r.query_id = sh.query_id AND r.cand_id = sh.cand_id
+         |    ANTI JOIN sel${k - 1} s
+         |      ON s.query_id = sh.query_id AND s.cand_id = sh.cand_id)
+         |  WHERE rk = 1),
+         |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL
+         |          SELECT * FROM pick$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (${Dedup.withNormSql}),
+       |q AS (SELECT vec_id AS query_id, embedding AS ea, nrm AS na
+       |      FROM e WHERE vec_id < 10),
+       |short AS MATERIALIZED (
+       |  -- MATERIALIZED: short/cc feed every unrolled greedy round;
+       |  -- inlined, the 64-term dot expands once per reference and
+       |  -- the planner blows up
+       |  SELECT query_id, cand_id, simq FROM (
+       |    SELECT q.query_id, c.vec_id AS cand_id,
+       |      (${Dedup.dotSql("q.ea", "c.embedding")}) / (q.na * c.nrm)
+       |        AS simq
+       |    FROM q JOIN e c ON q.query_id <> c.vec_id)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY simq DESC, cand_id) <= $MmrShortlist),
+       |cc AS MATERIALIZED (
+       |  SELECT s1.query_id, s1.cand_id AS ca, s2.cand_id AS cb,
+       |    (${Dedup.dotSql("x.embedding", "y.embedding")}) / (x.nrm * y.nrm)
+       |      AS simc
+       |  FROM short s1
+       |  JOIN short s2
+       |    ON s2.query_id = s1.query_id AND s2.cand_id <> s1.cand_id
+       |  JOIN e x ON x.vec_id = s1.cand_id
+       |  JOIN e y ON y.vec_id = s2.cand_id),
+       |sel1 AS (
+       |  SELECT query_id, cand_id, 1 AS step,
+       |    CAST(0.5 AS DOUBLE) * simq AS mmr
+       |  FROM (
+       |    SELECT query_id, cand_id, simq,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY simq DESC, cand_id) AS rk
+       |    FROM short)
+       |  WHERE rk = 1),
+       |$steps
+       |SELECT query_id, CAST(step AS INT) AS step, cand_id, mmr
+       |FROM sel$MmrK
+       |ORDER BY query_id, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mmr_diversify" -> mmrDiversify,
     "llm_sim_search_lsh" -> simSearchLsh,
     "llm_sim_search_lsh_probe" -> simSearchLshProbe,
     "llm_sim_search_ivf" -> simSearchIvf,
@@ -1294,6 +1433,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_mmr_diversify" -> mmrDiversifySql,
     "llm_sim_search_lsh" -> simSearchLshSql,
     "llm_sim_search_lsh_probe" -> simSearchLshProbeSql,
     "llm_sim_search_ivf" -> simSearchIvfSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Det, DetSql, Tables}
@@ -178,13 +179,76 @@ object Stats {
        |     + q_b * q_b / CAST(n_b - 1 AS DOUBLE)) AS df_welch
        |FROM d2""".stripMargin
 
+  /** Chi-squared independence test between customer segment and order
+    * status — the categorical counterpart of [[abTest]]: is order
+    * outcome independent of segment? One (seg, status) contingency
+    * aggregate (cells ≤ |segments|·|statuses|, tiny); margins come
+    * from window sums OVER THE CELLS, not a second fact scan. Each
+    * cell's χ² contribution `(O−E)²/E` is computed in a pinned IEEE
+    * order from exact BIGINT counts, then quantized to micro-units
+    * (ROUND half-up — both engines agree on non-negatives) so the
+    * cross-cell SUM is an order-free integer — float summation order
+    * across cells is the one place engines could diverge, and ints
+    * close it. Output: one row with n, df, and χ² in micro-units
+    * (the caller applies the χ² CDF lookup, as with [[abTest]]). */
+  def chi2Test(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("o"))
+    val whole = Window.partitionBy()
+    val withMargins = cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("seg"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("st"))))
+      .withColumn("n", sum(col("o")).over(whole))
+      .withColumn("e", expr("CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("d", expr("CAST(o AS DOUBLE) - e"))
+      .withColumn("contrib_micro",
+        expr("CAST(ROUND(d * d / e * 1000000.0d) AS BIGINT)"))
+    withMargins.agg(
+        min(col("n")).as("n"),
+        ((countDistinct(col("seg")) - 1) *
+          (countDistinct(col("st")) - 1)).as("df"),
+        sum(col("contrib_micro")).as("chi2_micro"))
+  }
+
+  val chi2TestSql: String =
+    s"""WITH cells AS (
+       |  SELECT c.c_mktsegment AS seg, o.o_orderstatus AS st,
+       |    CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT seg, st, o,
+       |    CAST(SUM(o) OVER (PARTITION BY seg) AS BIGINT) AS r,
+       |    CAST(SUM(o) OVER (PARTITION BY st) AS BIGINT) AS c,
+       |    CAST(SUM(o) OVER () AS BIGINT) AS n
+       |  FROM cells),
+       |k AS (
+       |  SELECT seg, st, o, r, c, n,
+       |    CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)
+       |      AS d,
+       |    CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS e
+       |  FROM m)
+       |SELECT MIN(n) AS n,
+       |  CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT st) - 1)
+       |    AS BIGINT) AS df,
+       |  CAST(SUM(CAST(ROUND(d * d / e * 1000000.0) AS BIGINT)) AS BIGINT)
+       |    AS chi2_micro
+       |FROM k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_basket_lift" -> basketLift,
     "agg_ab_test" -> abTest,
+    "agg_chi2_test" -> chi2Test,
   )
 
   val oracleSql: Map[String, String] = Map(
     "agg_basket_lift" -> basketLiftSql,
     "agg_ab_test" -> abTestSql,
+    "agg_chi2_test" -> chi2TestSql,
   )
 }

@@ -805,6 +805,103 @@ object Windows {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** [[tsForecastHolt]] level/trend lag coefficients: the α = β = ½
+    * Holt recursions `l_t = ½y_t + ½(l+b)_{t-1}`,
+    * `b_t = ¼y_t − ¼l_{t-1} + ¾b_{t-1}` unrolled 8 steps from zero
+    * state — every weight is dyadic, so scaled by 2¹⁶ they are EXACT
+    * integers (derived offline from powers of the state matrix
+    * [[½,½],[−¼,¾]]; the >8-lag tail is truncated, the [[tsEwma]]
+    * discipline). */
+  private val HoltScale = 65536L
+  private val HoltLevelFp =
+    Seq(32768L, 24576L, 14336L, 5632L, -128L, -2976L, -3656L, -3082L)
+  private val HoltTrendFp =
+    Seq(16384L, 4096L, -3072L, -5888L, -5824L, -4336L, -2508L, -967L)
+
+  /** Holt linear-trend forecast backtest — [[tsForecastSnaive]]'s
+    * trend-capable upgrade: per event type, fit level+trend at the
+    * cutoff day (3 days before the series end) from the last 8
+    * observations via the exact integer coefficients above, forecast
+    * `ŷ(h) = level + h·trend` for h = 1..3, and score against the
+    * held-out actuals. Everything to the error is BIGINT in 2¹⁶
+    * fixed-point — the single float op is the final display division —
+    * so both engines agree bit-exactly.
+    *
+    * Scale shape: one event scan → daily aggregate, ONE per-type
+    * window sort shared by all 8 lags, the 3 leads, and the max-day
+    * anchor; the cutoff filter leaves one row per type before the
+    * 3-row horizon explode. State per frame is 11 rows — no
+    * per-series collect, no recursion. */
+  def tsForecastHolt(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val anchored = daily.select(
+      col("event_type") +: col("day") +:
+        max(col("day")).over(wAll).as("max_day") +:
+        ((0 to 7).map(k =>
+          coalesce(lag(col("n"), k).over(w), lit(0L)).as(s"l$k")) ++
+         (1 to 3).map(h => lead(col("n"), h).over(w).as(s"a$h"))): _*)
+      .where(col("day") === expr("date_sub(max_day, 3)"))
+    val levelFp = (0 to 7).map(k => col(s"l$k") * lit(HoltLevelFp(k)))
+      .reduce(_ + _)
+    val trendFp = (0 to 7).map(k => col(s"l$k") * lit(HoltTrendFp(k)))
+      .reduce(_ + _)
+    anchored
+      .withColumn("level_fp", levelFp)
+      .withColumn("trend_fp", trendFp)
+      .selectExpr("event_type", "level_fp", "trend_fp",
+        "stack(3, 1, a1, 2, a2, 3, a3) AS (h, actual)")
+      .select(col("event_type"), col("h"), col("actual"),
+        col("level_fp"), col("trend_fp"),
+        (col("level_fp") + col("h") * col("trend_fp")).as("forecast_fp"))
+      .withColumn("forecast",
+        expr(s"CAST(forecast_fp AS DOUBLE) / $HoltScale.0d"))
+      .withColumn("abs_err_fp",
+        abs(col("actual") * lit(HoltScale) - col("forecast_fp")))
+      .select(col("event_type"), col("h"), col("forecast_fp"),
+        col("forecast"), col("actual"), col("abs_err_fp"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val tsForecastHoltSql: String = {
+    val lags = ((0 to 7).map(k =>
+      s"COALESCE(LAG(n, $k) OVER w, 0) AS l$k") ++
+      (1 to 3).map(h => s"LEAD(n, $h) OVER w AS a$h"))
+      .mkString(",\n    ")
+    val levelFp = (0 to 7).map(k => s"l$k * (${HoltLevelFp(k)})")
+      .mkString(" + ")
+    val trendFp = (0 to 7).map(k => s"l$k * (${HoltTrendFp(k)})")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |anchored AS (
+       |  SELECT event_type, day,
+       |    MAX(day) OVER (PARTITION BY event_type) AS max_day,
+       |    $lags
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |cut AS (
+       |  SELECT *, CAST($levelFp AS BIGINT) AS level_fp,
+       |    CAST($trendFp AS BIGINT) AS trend_fp
+       |  FROM anchored WHERE day = max_day - 3),
+       |fc AS (
+       |  SELECT event_type, h, level_fp, trend_fp,
+       |    level_fp + h * trend_fp AS forecast_fp,
+       |    CASE h WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END AS actual
+       |  FROM cut, unnest([1, 2, 3]) AS t(h))
+       |SELECT event_type, h, forecast_fp,
+       |  CAST(forecast_fp AS DOUBLE) / $HoltScale.0 AS forecast,
+       |  actual,
+       |  ABS(actual * $HoltScale - forecast_fp) AS abs_err_fp
+       |FROM fc
+       |ORDER BY event_type, h""".stripMargin
+  }
+
   /** Multi-touch attribution matrix — the marketing-analytics credit
     * assignment: each purchase credits the user's FIRST-ever touch
     * channel and the LAST channel before the purchase (first-touch /
@@ -1365,6 +1462,7 @@ object Windows {
     "ts_discounted_return" -> tsDiscountedReturn,
     "win_attribution" -> winAttribution,
     "ts_forecast_snaive" -> tsForecastSnaive,
+    "ts_forecast_holt" -> tsForecastHolt,
     "win_pareto" -> winPareto,
   )
 
@@ -1396,6 +1494,7 @@ object Windows {
     "ts_discounted_return" -> tsDiscountedReturnSql,
     "win_attribution" -> winAttributionSql,
     "ts_forecast_snaive" -> tsForecastSnaiveSql,
+    "ts_forecast_holt" -> tsForecastHoltSql,
     "win_pareto" -> winParetoSql,
   )
 }

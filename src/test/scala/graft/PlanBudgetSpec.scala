@@ -30,6 +30,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "agg_approx_percentile" -> 2,
     // one conditional-aggregation pass over the broadcast-dim join
     "agg_ab_test" -> 1,
+    // contingency agg + two margin windows over the tiny cell frame +
+    // final scalar agg
+    "agg_chi2_test" -> 4,
     // cached distinct (order,item) + pair self-join agg + item-count
     // joins back onto the pruned pair table + TakeOrdered; N is a
     // 1-row crossJoin (allowed bnl); subtrees print per consuming leg
@@ -212,6 +215,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // token census agg + vocab-wide window sort (rank and both running
     // sums share the one sort)
     "llm_unigram_coverage" -> 2,
+    // greedy rounds run eagerly against checkpointed shortlist/pair
+    // frames; the final plan is the checkpointed union + output sort
+    "llm_mmr_diversify" -> 1,
     // dim-broadcast fact scan + segment agg + 1-row global crossJoin
     // (allowed bnl) + output sort
     "feat_target_encode" -> 3,
@@ -257,6 +263,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // two daily aggregates off the event scan + probe join + 4-group
     // moment agg + output sort
     "ts_lag_corr" -> 4,
+    // daily agg + one shared per-type window sort + output sort
+    "ts_forecast_holt" -> 3,
     "ts_anomaly" -> 8,
     // daily agg + one per-type window sort (two frames + rank) + sort
     "ts_changepoint" -> 3,

@@ -653,6 +653,100 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < 64))
   }
 
+  test("chi-squared statistic reconciles with a driver contingency table") {
+    val row = graft.operators.Stats.chi2Test(spark, sfDir).head()
+    val cells = Tables.orders(spark, sfDir).join(
+        Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val n = cells.map(_._2).sum
+    val rMarg = cells.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val cMarg = cells.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum }
+    val chi2Micro = cells.map { case ((s, t), o) =>
+      val e = (rMarg(s) * cMarg(t)).toDouble / n.toDouble
+      val d = o.toDouble - e
+      math.round(d * d / e * 1000000.0)
+    }.sum
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == (rMarg.size - 1).toLong * (cMarg.size - 1))
+    assert(row.getLong(2) == chi2Micro, "chi2 micro-units")
+  }
+
+  test("holt forecast reconciles with a driver recursion on one series") {
+    val out = graft.operators.Windows.tsForecastHolt(spark, sfDir)
+      .where(col("event_type") === "click").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    val days = Tables.events(spark, sfDir)
+      .where(col("event_type") === "click")
+      .groupBy(col("ts").cast("date").as("day")).count()
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    // run the actual alpha=beta=1/2 recursion over the last 8 obs
+    // ending at the cutoff (3 observed days before the end) in EXACT
+    // rational arithmetic — the unrolled dyadic coefficients must
+    // equal the zero-seeded recursion to the last bit
+    case class Rat(n: BigInt, d: BigInt) {
+      def +(o: Rat) = Rat(n * o.d + o.n * d, d * o.d)
+      def -(o: Rat) = Rat(n * o.d - o.n * d, d * o.d)
+      def half = Rat(n, d * 2)
+      def times65536: BigInt = { val x = n * 65536; assert(x % d == 0); x / d }
+    }
+    val upto = days.dropRight(3).takeRight(8)
+    var l = Rat(0, 1)
+    var b = Rat(0, 1)
+    upto.foreach { y =>
+      val lNew = (Rat(BigInt(y), 1) + l + b).half
+      b = (lNew - l).half + b.half
+      l = lNew
+    }
+    out.foreach { r =>
+      val h = r.getInt(1)
+      val expect = (l.times65536 + b.times65536 * h).toLong
+      assert(r.getLong(2) == expect, s"h=$h forecast_fp")
+      assert(r.getLong(4) == days(days.length - 3 + h - 1), s"actual h=$h")
+    }
+  }
+
+  test("mmr picks are the exact greedy argmax over the shortlist") {
+    val out = graft.llm.Similarity.mmrDiversify(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size > 0 && byQuery.values.forall(_.length == 5))
+    // driver greedy over the brute-force shortlist
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+      def nrm(x: Array[Float]) =
+        math.sqrt(x.map(v => v.toDouble * v.toDouble).sum)
+      dot / (nrm(a) * nrm(b))
+    }
+    for ((qid, picks) <- byQuery) {
+      val shortlist = e.keys.filter(_ != qid).toSeq
+        .map(c => c -> cos(e(qid), e(c)))
+        .sortBy { case (c, s) => (-s, c) }.take(20)
+      var selected = Vector.empty[Long]
+      picks.sortBy(_._3).foreach { case (_, cand, step, mmr) =>
+        val expectPick = shortlist
+          .filterNot { case (c, _) => selected.contains(c) }
+          .map { case (c, sq) =>
+            val red =
+              if (selected.isEmpty) 0.0
+              else selected.map(s => cos(e(c), e(s))).max
+            (c, 0.5 * sq - 0.5 * red)
+          }
+          .minBy { case (c, m) => (-m, c) }
+        assert(cand == expectPick._1, s"q=$qid step=$step pick")
+        assert(math.abs(mmr - expectPick._2) < 1e-9, s"q=$qid step=$step mmr")
+        selected :+= cand
+      }
+    }
+  }
+
   test("rolling median and winsorize bounds behave as robust statistics") {
     val med = graft.operators.Windows.tsRollingMedian(spark, sfDir)
     // the 7-row window median sits within the frame's min/max
