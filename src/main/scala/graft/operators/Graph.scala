@@ -227,6 +227,145 @@ object Graph {
        |ORDER BY n_common DESC, part_a, part_b
        |LIMIT 20""".stripMargin
 
+  /** Resource-allocation link prediction — [[linkPredict]] upgraded
+    * with the RA index: non-adjacent pairs scored `Σ_z 1/deg(z)` over
+    * shared neighbors z, so a hub shared with everyone contributes
+    * almost nothing while a rare co-purchase bridge dominates
+    * (empirically the strongest of the classic local indices). The
+    * per-z weight is exact-integer ppm (`10⁶ div deg`) summed as
+    * BIGINTs — engine-identical with no log/float in sight (the
+    * related Adamic–Adar index needs 1/ln(deg), whose libm value need
+    * not agree bitwise; RA keeps the same hub discount exact). Same
+    * wedge-volume cost and anti-join shape as [[linkPredict]]; the
+    * degree lookup rides the wedge row. */
+  def linkRa(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).cache()
+    val sym = e.select(col("src").as("b"), col("dst").as("n"))
+      .union(e.select(col("dst").as("b"), col("src").as("n")))
+    val deg = sym.groupBy(col("b")).agg(count(lit(1)).as("deg"))
+    val s2 = sym.select(col("b").as("b2"), col("n").as("n2"))
+    // the wedge join runs over the RAW narrow adjacency (identical to
+    // [[linkPredict]]); the per-center weight joins in as a BROADCAST
+    // onto the wedge stream — weighting the adjacency before the
+    // self-join instead measured 4× slower (it re-sorts the widened
+    // frame per leg). A graph too large to broadcast its degree table
+    // would pre-bucket sym and deg on b.
+    val ra = sym.join(s2, col("b") === col("b2") && col("n") < col("n2"))
+      .select(col("b"), col("n").as("part_a"), col("n2").as("part_b"))
+      .join(broadcast(deg), "b")
+      .select(col("part_a"), col("part_b"),
+        expr("1000000L div deg").as("w"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w")).as("ra_ppm"))
+    ra.join(e, col("part_a") === col("src") && col("part_b") === col("dst"),
+        "left_anti")
+      .orderBy(col("ra_ppm").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val linkRaSql: String =
+    s"""WITH e AS ($edgesSql),
+       |sym AS (SELECT src AS b, dst AS n FROM e
+       |        UNION ALL SELECT dst, src FROM e),
+       |deg AS (SELECT b, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY b),
+       |wdeg AS (
+       |  SELECT s.b, s.n, 1000000 // d.deg AS w
+       |  FROM sym s JOIN deg d ON d.b = s.b),
+       |ra AS (
+       |  SELECT s1.n AS part_a, s2.n AS part_b,
+       |    CAST(count(*) AS BIGINT) AS n_common,
+       |    CAST(SUM(s1.w) AS BIGINT) AS ra_ppm
+       |  FROM wdeg s1 JOIN wdeg s2 ON s1.b = s2.b AND s1.n < s2.n
+       |  GROUP BY 1, 2)
+       |SELECT ra.part_a, ra.part_b, ra.n_common, ra.ra_ppm
+       |FROM ra ANTI JOIN e ON e.src = ra.part_a AND e.dst = ra.part_b
+       |ORDER BY ra_ppm DESC, part_a, part_b
+       |LIMIT 20""".stripMargin
+
+  /** [[kcore]] parameters: peel nodes of degree < K for [[KcoreRounds]]
+    * rounds (a FIXED horizon — the honest bounded-iteration contract,
+    * like [[bfs]]; full k-core is the fixpoint of the same peel). */
+  private val KcoreK = 3L
+  private val KcoreRounds = 5
+
+  private val kcoreFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** k-core peeling on the sparse co-purchase graph: after
+    * [[KcoreRounds]] rounds of removing nodes with residual degree
+    * < [[KcoreK]], which nodes survive and with what residual degree —
+    * the standard dense-substructure screen (spam rings, power-buyer
+    * cliques) that degree alone cannot see, because each peel exposes
+    * nodes whose neighbors were themselves peripheral. Each round is
+    * one neighbor-keyed aggregate over the shrinking edge list; rounds
+    * run inside the staged fixture with an eager localCheckpoint each
+    * ([[pagerank]] discipline). Output: every sampled part with its
+    * final in-core flag and residual degree (peeled ⇒ 0). */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.Fixtures.memo(kcoreFixtures,
+      (spark.sparkContext.applicationId, dir)) {
+        graft.core.Fixtures.staged(dir, "graphkcore",
+            codeTag =
+              s"graph_kcore_k${KcoreK}_r${KcoreRounds}_mod${CompMod}_v1") {
+          target =>
+            val e = edges(spark, dir, CompMod)
+            var sym = e.select(col("src").as("u"), col("dst").as("v"))
+              .union(e.select(col("dst").as("u"), col("src").as("v")))
+              .localCheckpoint(true)
+            for (_ <- 1 to KcoreRounds) {
+              val alive = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+                .where(col("deg") >= KcoreK)
+                .select(col("u").as("keep"))
+              sym = sym
+                .join(alive, col("u") === col("keep")).drop("keep")
+                .join(alive.select(col("keep")),
+                  col("v") === col("keep")).drop("keep")
+                .localCheckpoint(true)
+            }
+            val resid = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+            val nodes = Tables.lineitem(spark, dir)
+              .where(col("l_partkey") % CompMod === 0)
+              .select(col("l_partkey").as("node")).distinct()
+            nodes.join(resid, col("node") === col("u"), "left")
+              .select(col("node"),
+                coalesce(col("deg"), lit(0L)).as("resid_deg"))
+              .write.mode("overwrite").parquet(target)
+            graft.core.Caches.drain(spark) // round checkpoints superseded
+        }
+      }
+    spark.read.parquet(path)
+      .select(col("node").as("part_id"), (col("resid_deg") > 0).as("in_core"),
+        col("resid_deg"))
+      .orderBy(col("part_id"))
+  }
+
+  val kcoreSql: String = {
+    val steps = (1 to KcoreRounds).map { k =>
+      s"""alive$k AS (
+         |  SELECT u AS keep FROM sym${k - 1}
+         |  GROUP BY u HAVING count(*) >= $KcoreK),
+         |sym$k AS (
+         |  SELECT s.u, s.v FROM sym${k - 1} s
+         |  JOIN alive$k a ON a.keep = s.u
+         |  JOIN alive$k b ON b.keep = s.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (${edgesSqlFor(CompMod)}),
+       |sym0 AS (SELECT src AS u, dst AS v FROM e
+       |         UNION ALL SELECT dst, src FROM e),
+       |$steps,
+       |resid AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS deg
+       |  FROM sym$KcoreRounds GROUP BY u),
+       |nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+       |          WHERE l_partkey % $CompMod = 0)
+       |SELECT n.node AS part_id,
+       |  COALESCE(r.deg, 0) > 0 AS in_core,
+       |  COALESCE(r.deg, 0) AS resid_deg
+       |FROM nodes n LEFT JOIN resid r ON r.u = n.node
+       |ORDER BY part_id""".stripMargin
+  }
+
   /** PageRank mass scale: ranks are BIGINTs in parts-per-billion of
     * the per-node initial mass, so every iteration is integer-exact
     * and engine-portable (float PageRank diverges across engines on
@@ -412,6 +551,8 @@ object Graph {
     "graph_link_predict" -> linkPredict,
     "graph_pagerank" -> pagerank,
     "graph_bfs" -> bfs,
+    "graph_link_ra" -> linkRa,
+    "graph_kcore" -> kcore,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -421,5 +562,7 @@ object Graph {
     "graph_link_predict" -> linkPredictSql,
     "graph_pagerank" -> pagerankSql,
     "graph_bfs" -> bfsSql,
+    "graph_link_ra" -> linkRaSql,
+    "graph_kcore" -> kcoreSql,
   )
 }

@@ -158,6 +158,52 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("resource-allocation scores match a brute-force recount") {
+    val edges = bruteEdges()
+    val adjU = scala.collection.mutable.Map
+      .empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adjU(a) = adjU(a) + b; adjU(b) = adjU(b) + a
+    }
+    val nodes = adjU.keys.toSeq.sorted
+    val scores = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.length
+      a = nodes(i); b = nodes(j)
+      if !edges.contains((a, b))
+      common = (adjU(a) & adjU(b))
+      if common.nonEmpty
+    } yield ((a, b),
+      (common.size.toLong, common.toSeq.map(z => 1000000L / adjU(z).size).sum)))
+      .toMap
+    val got = graft.operators.Graph.linkRa(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    got.foreach { case (pair, s) =>
+      assert(scores.get(pair).contains(s), s"pair $pair score $s") }
+    val topK = scores.toSeq
+      .sortBy { case ((a, b), (_, ra)) => (-ra, a, b) }.take(got.length)
+    assert(got.toSeq == topK)
+    graft.core.Caches.drain(spark)
+  }
+
+  test("k-core survivors match a driver peeling simulation") {
+    val adj0 = symAdj(16).map { case (k, v) => k -> v.toSet }
+    var adj = adj0
+    for (_ <- 1 to 5) {
+      val alive = adj.filter(_._2.size >= 3).keySet
+      adj = adj.collect { case (u, ns) if alive(u) =>
+        u -> ns.filter(alive)
+      }.filter(_._2.nonEmpty)
+    }
+    val got = graft.operators.Graph.kcore(spark, sfDir).collect()
+    assert(got.length == allNodes(16).length)
+    got.foreach { r =>
+      val (n, inCore, d) = (r.getLong(0), r.getBoolean(1), r.getLong(2))
+      assert(d == adj.get(n).map(_.size.toLong).getOrElse(0L), s"deg of $n")
+      assert(inCore == (d > 0))
+    }
+    graft.core.Caches.drain(spark)
+  }
+
   test("bfs hop distances match a driver frontier expansion") {
     val adj = symAdj(16)
     val nodes = allNodes(16)

@@ -104,6 +104,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // staged rank frame read + output sort (the 5 integer PageRank
     // rounds run inside Fixtures.staged, once per source content)
     "graph_pagerank" -> 1,
+    // raw wedge self-join + broadcast degree weight + pair agg +
+    // anti-join + TakeOrdered; subtrees print per consuming leg
+    "graph_link_ra" -> 12,
+    // staged peel-survivor frame read + output sort
+    "graph_kcore" -> 1,
     // staged hop-distance frame read + output sort (4 BFS rounds
     // staged the same way)
     "graph_bfs" -> 1,
