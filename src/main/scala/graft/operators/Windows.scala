@@ -902,6 +902,84 @@ object Windows {
        |ORDER BY event_type, h""".stripMargin
   }
 
+  /** Weekly-cohort LTV curve — the product-analytics companion of
+    * [[tsCohortRetention]] that tracks MONEY instead of presence: per
+    * signup-week cohort and age-in-weeks, the cohort's cumulative
+    * purchase revenue and the exact per-user LTV so far. Weeks are
+    * integer epoch-day buckets (`days div 7` — engine-identical where
+    * date_trunc('week') semantics could differ); revenue is exact
+    * cents ([[graft.core.Det.cents]] per row, BIGINT sums); the
+    * cumulative ride is a window over ≤|weeks| rows per cohort; the
+    * per-user division is one BIGINT `div`.
+    *
+    * Scale shape: one user-keyed aggregate pins each user's cohort,
+    * one (user, week) revenue aggregate off the same scan shape, a
+    * broadcast-sized cohort map join, ONE (cohort, age) aggregate, and
+    * a window over the tiny cohort×age frame. All money stays integer
+    * until display. */
+  def tsCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)" +
+          " div 7").as("wk"),
+        when(col("event_type") === "purchase", Det.cents(col("value")))
+          .otherwise(0L).as("cents"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val weekly = e.groupBy(col("user_id"), col("wk"))
+      .agg(sum(col("cents")).as("cents"))
+    val sizes = cohort.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val byAge = weekly.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+      .agg(sum(col("cents")).as("rev_cents"),
+        count(lit(1)).as("n_active_users"))
+    val wCum = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge.join(broadcast(sizes), "cohort_wk")
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+      .withColumn("ltv_cents_per_user",
+        expr("cum_rev_cents div cohort_users"))
+      .select(col("cohort_wk"), col("age_wk"), col("cohort_users"),
+        col("n_active_users"), col("rev_cents"), col("cum_rev_cents"),
+        col("ltv_cents_per_user"))
+      .orderBy(col("cohort_wk"), col("age_wk"))
+  }
+
+  val tsCohortLtvSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id,
+       |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT) // 7
+       |      AS wk,
+       |    CASE WHEN event_type = 'purchase'
+       |      THEN ${graft.core.DetSql.cents("value")} ELSE 0 END AS cents
+       |  FROM events),
+       |cohort AS (
+       |  SELECT user_id, CAST(MIN(wk) AS BIGINT) AS cohort_wk
+       |  FROM e GROUP BY user_id),
+       |weekly AS (
+       |  SELECT user_id, wk, CAST(SUM(cents) AS BIGINT) AS cents
+       |  FROM e GROUP BY 1, 2),
+       |sizes AS (
+       |  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+       |  FROM cohort GROUP BY 1),
+       |by_age AS (
+       |  SELECT c.cohort_wk, w.wk - c.cohort_wk AS age_wk,
+       |    CAST(SUM(w.cents) AS BIGINT) AS rev_cents,
+       |    CAST(COUNT(*) AS BIGINT) AS n_active_users
+       |  FROM weekly w JOIN cohort c ON c.user_id = w.user_id
+       |  GROUP BY 1, 2)
+       |SELECT b.cohort_wk, b.age_wk, s.cohort_users, b.n_active_users,
+       |  b.rev_cents,
+       |  CAST(SUM(b.rev_cents) OVER (PARTITION BY b.cohort_wk
+       |    ORDER BY b.age_wk ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW) AS BIGINT) AS cum_rev_cents,
+       |  CAST(SUM(b.rev_cents) OVER (PARTITION BY b.cohort_wk
+       |    ORDER BY b.age_wk ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW) AS BIGINT) // s.cohort_users
+       |    AS ltv_cents_per_user
+       |FROM by_age b JOIN sizes s ON s.cohort_wk = b.cohort_wk
+       |ORDER BY b.cohort_wk, b.age_wk""".stripMargin
+
   /** Multi-touch attribution matrix — the marketing-analytics credit
     * assignment: each purchase credits the user's FIRST-ever touch
     * channel and the LAST channel before the purchase (first-touch /
@@ -1463,6 +1541,7 @@ object Windows {
     "win_attribution" -> winAttribution,
     "ts_forecast_snaive" -> tsForecastSnaive,
     "ts_forecast_holt" -> tsForecastHolt,
+    "ts_cohort_ltv" -> tsCohortLtv,
     "win_pareto" -> winPareto,
   )
 
@@ -1495,6 +1574,7 @@ object Windows {
     "win_attribution" -> winAttributionSql,
     "ts_forecast_snaive" -> tsForecastSnaiveSql,
     "ts_forecast_holt" -> tsForecastHoltSql,
+    "ts_cohort_ltv" -> tsCohortLtvSql,
     "win_pareto" -> winParetoSql,
   )
 }

@@ -220,9 +220,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // token census agg + vocab-wide window sort (rank and both running
     // sums share the one sort)
     "llm_unigram_coverage" -> 2,
-    // greedy rounds run eagerly against checkpointed shortlist/pair
-    // frames; the final plan is the checkpointed union + output sort
+    // staged picks read + output sort (greedy rounds run inside
+    // Fixtures.staged once per source content)
     "llm_mmr_diversify" -> 1,
+    // staged picks ⋈ corpus text + budget window + per-query stitch agg
+    "llm_rag_assemble" -> 2,
     // dim-broadcast fact scan + segment agg + 1-row global crossJoin
     // (allowed bnl) + output sort
     "feat_target_encode" -> 3,
@@ -270,6 +272,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "ts_lag_corr" -> 4,
     // daily agg + one shared per-type window sort + output sort
     "ts_forecast_holt" -> 3,
+    // user cohort agg + (user,week) agg + cohort-size agg + (cohort,
+    // age) agg + cum window over the tiny frame + output sort
+    "ts_cohort_ltv" -> 7,
     "ts_anomaly" -> 8,
     // daily agg + one per-type window sort (two frames + rank) + sort
     "ts_changepoint" -> 3,

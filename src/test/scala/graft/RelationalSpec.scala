@@ -747,6 +747,57 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cohort ltv conserves revenue and is cumulative in age") {
+    val rows = graft.operators.Windows.tsCohortLtv(spark, sfDir).collect()
+    // total revenue equals the direct purchase-cents sum
+    val total = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .agg(sum(graft.core.Det.cents(col("value")))).head.getLong(0)
+    assert(rows.map(_.getLong(4)).sum == total, "revenue conservation")
+    // cumulative column really is the running sum; ltv = cum div users
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(4)
+        assert(r.getLong(5) == cum, "cum_rev_cents")
+        assert(r.getLong(6) == cum / r.getLong(2), "ltv per user")
+        assert(r.getLong(3) <= r.getLong(2), "active <= cohort size")
+      }
+    }
+    // every user is in exactly one cohort
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.groupBy(_.getLong(0))
+      .map(_._2.head.getLong(2)).sum == users)
+  }
+
+  test("rag assembly respects the budget and stitches in mmr order") {
+    val out = graft.llm.Similarity.ragAssemble(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val picks = graft.llm.Similarity.mmrDiversify(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(s: String): Long =
+      s.toLowerCase.split(" ").count(_.nonEmpty).toLong
+    out.foreach { r =>
+      val (qid, nUsed, totTok, ctx) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(totTok <= 256L, "budget")
+      val ordered = picks.filter(_._1 == qid).sortBy(_._3).map(_._2)
+      // the driver replays the same greedy budget cut
+      var cum = 0L
+      val kept = ordered.takeWhile { d =>
+        cum += toks(docs(d)); cum <= 256L
+      }
+      assert(nUsed == kept.length.toLong, s"n_used of $qid")
+      assert(ctx == kept.map(docs).mkString(" "), s"context of $qid")
+      assert(totTok == kept.map(d => toks(docs(d))).sum, s"tokens of $qid")
+    }
+  }
+
   test("rolling median and winsorize bounds behave as robust statistics") {
     val med = graft.operators.Windows.tsRollingMedian(spark, sfDir)
     // the 7-row window median sits within the frame's min/max
