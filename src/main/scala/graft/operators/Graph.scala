@@ -282,6 +282,199 @@ object Graph {
        |ORDER BY ra_ppm DESC, part_a, part_b
        |LIMIT 20""".stripMargin
 
+  /** Degree-bucketed local clustering profile — the "does clustering
+    * fall with degree" curve (it does, in scale-free graphs) read
+    * before trusting any triangle-based feature: per node, triangles
+    * `t(v)` and degree `d(v)`; per power-of-two degree bucket, node
+    * count, exact triangle and wedge-pair sums, the aggregate closure
+    * `Σt / Σ(d choose 2)` and the mean local coefficient — both in
+    * integer ppm (`div`), so both engines agree bit-exactly. Nodes of
+    * degree < 2 carry cc = 0 by convention (no pair to close).
+    *
+    * Scale shape: the SAME degree-bounded wedge volume as
+    * [[triangles]] (ordered wedge join + closing-edge join — never
+    * all-pairs); per-node triangle counts come from exploding each
+    * closed triangle to its 3 vertices (3 rows per triangle, bounded
+    * by the census itself); everything after is a ≤64-row bucket
+    * frame. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).cache()
+    val sym = e.select(col("src").as("b"), col("dst").as("n"))
+      .union(e.select(col("dst").as("b"), col("src").as("n")))
+    val deg = sym.groupBy(col("b").as("node")).agg(count(lit(1)).as("deg"))
+    val e2 = e.select(col("src").as("s2"), col("dst").as("d2"))
+    val e3 = e.select(col("src").as("s3"), col("dst").as("d3"))
+    val tris = e.join(e2, col("dst") === col("s2"))
+      .join(e3, col("src") === col("s3") && col("d2") === col("d3"))
+      .select(explode(array(col("src"), col("dst"), col("d2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    deg.join(tris, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("t"),
+        expr("deg * (deg - 1) div 2").as("pairs"))
+      .withColumn("cc_ppm", when(col("deg") < 2, 0L)
+        .otherwise(expr("(1000000L * t) div pairs")))
+      .groupBy(floor(log2(col("deg"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("t")).as("sum_tri"),
+        sum(col("pairs")).as("sum_pairs"),
+        sum(col("cc_ppm")).as("sum_cc_ppm"))
+      .select(col("bucket"), col("n_nodes"), col("sum_tri"), col("sum_pairs"),
+        when(col("sum_pairs") === 0, 0L)
+          .otherwise(expr("(1000000L * sum_tri) div sum_pairs"))
+          .as("closure_ppm"),
+        expr("sum_cc_ppm div n_nodes").as("mean_cc_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val clusteringCoeffSql: String =
+    s"""WITH e AS ($edgesSql),
+       |sym AS (SELECT src AS b, dst AS n FROM e
+       |        UNION ALL SELECT dst, src FROM e),
+       |deg AS (SELECT b AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM sym GROUP BY b),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+       |  JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+       |tcnt AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY node),
+       |pern AS (
+       |  SELECT d.node, d.deg, COALESCE(t.t, 0) AS t,
+       |    d.deg * (d.deg - 1) // 2 AS pairs,
+       |    CASE WHEN d.deg < 2 THEN 0
+       |      ELSE (1000000 * COALESCE(t.t, 0)) // (d.deg * (d.deg - 1) // 2)
+       |    END AS cc_ppm
+       |  FROM deg d LEFT JOIN tcnt t ON t.node = d.node)
+       |SELECT CAST(FLOOR(LOG2(deg)) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(t) AS BIGINT) AS sum_tri,
+       |  CAST(SUM(pairs) AS BIGINT) AS sum_pairs,
+       |  CASE WHEN SUM(pairs) = 0 THEN 0
+       |    ELSE (1000000 * CAST(SUM(t) AS BIGINT)) // CAST(SUM(pairs) AS BIGINT)
+       |  END AS closure_ppm,
+       |  CAST(SUM(cc_ppm) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |    AS mean_cc_ppm
+       |FROM pern
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+
+  /** [[ppr]] seed rule: nodes ≡ 0 (mod [[PprSeedMod]]) restart the
+    * walk — the "anchor products" whose neighborhoods the
+    * personalization explores. NOTE: [[PrScale]]/[[PrIters]] live just
+    * below (before [[pprSql]]) on purpose — object vals initialize in
+    * declaration order, and a val-built SQL string reading a constant
+    * declared LATER silently interpolates its zero default. */
+  private val PprSeedMod = 256L
+
+  /** Fixed-point scale for the PageRank family: ranks are BIGINT
+    * billionths, so every iteration is integer-exact and
+    * engine-portable (float PageRank diverges across engines on
+    * summation order alone). */
+  private val PrScale = 1000000000L
+  private val PrIters = 5
+
+  private val pprFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Personalized PageRank from the [[PprSeedMod]] seed set over the
+    * sparse co-purchase graph — "importance as seen FROM the anchor
+    * products", the neighborhood-expansion ranking a recommender uses
+    * where global [[pagerank]] would surface the same hubs for
+    * everyone. Same integer fixed-point contract as [[pagerank]]
+    * ([[PrScale]], d = 0.85, [[PrIters]] rounds), but the teleport
+    * term lands ONLY on seeds (each seed gets the fixed quantum
+    * `0.15·PrScale` per round; non-seeds receive mass exclusively
+    * through edges) — the unnormalized restart-at-a-seed walk, exact
+    * in BIGINTs so both engines agree bit-identically. Top-50 by
+    * rank; seeds carry a flag so the reader can split anchor mass
+    * from propagated mass.
+    *
+    * Scale shape: identical to [[pagerank]] — staged once per source
+    * content, one edge-keyed shuffle per round against a
+    * localCheckpoint'd frame. */
+  def ppr(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.Fixtures.memo(pprFixtures,
+      (spark.sparkContext.applicationId, dir)) {
+        graft.core.Fixtures.staged(dir, "graphppr",
+            codeTag = s"graph_ppr_s${PrScale}_i${PrIters}_mod${CompMod}" +
+              s"_seed${PprSeedMod}_v1") {
+          target =>
+            val nodes = Tables.lineitem(spark, dir)
+              .where(col("l_partkey") % CompMod === 0)
+              .select(col("l_partkey").as("node")).distinct()
+            val e = edges(spark, dir, CompMod)
+            val sym = e.select(col("src").as("u"), col("dst").as("v"))
+              .union(e.select(col("dst").as("u"), col("src").as("v")))
+            val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+            val adj = sym.join(deg, "u").localCheckpoint(true)
+            val seedQ = 15L * PrScale / 100
+            def base = when(col("node") % PprSeedMod === 0, lit(seedQ))
+              .otherwise(lit(0L))
+            var r = nodes.withColumn("pr", base).localCheckpoint(true)
+            for (_ <- 1 to PrIters) {
+              val inflow = adj.join(r, col("u") === col("node"))
+                .select(col("v"), expr("pr div deg").as("c"))
+                .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
+              r = nodes.join(inflow, col("node") === col("v"), "left")
+                .select(col("node"),
+                  (base + expr("(85L * coalesce(inflow, 0L)) div 100L"))
+                    .as("pr"))
+                .localCheckpoint(true)
+            }
+            r.join(deg, col("node") === col("u"), "left")
+              .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+                col("pr"))
+              .write.mode("overwrite").parquet(target)
+            graft.core.Caches.drain(spark) // round checkpoints superseded
+        }
+      }
+    spark.read.parquet(path)
+      .select(col("node").as("part_id"), col("deg"),
+        (col("node") % PprSeedMod === 0).as("is_seed"),
+        col("pr").as("ppr_ppb"))
+      .where(col("ppr_ppb") > 0)
+      .orderBy(col("ppr_ppb").desc, col("part_id"))
+      .limit(50)
+  }
+
+  val pprSql: String = {
+    val seedQ = 15L * PrScale / 100
+    val base = s"CASE WHEN n.node % $PprSeedMod = 0 THEN $seedQ ELSE 0 END"
+    val steps = (1 to PrIters).map { k =>
+      s"""pr$k AS (
+         |  SELECT n.node,
+         |    CAST($base + (CAST(85 AS BIGINT) * COALESCE(s.inflow, 0)) // 100
+         |      AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT a.v AS node, CAST(SUM(p.pr // a.deg) AS BIGINT) AS inflow
+         |    FROM adj a JOIN pr${k - 1} p ON p.node = a.u
+         |    GROUP BY a.v) s ON s.node = n.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (${edgesSqlFor(CompMod)}),
+       |sym AS (SELECT src AS u, dst AS v FROM e
+       |        UNION ALL SELECT dst, src FROM e),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+       |adj AS (SELECT s.u, s.v, d.deg FROM sym s JOIN deg d ON d.u = s.u),
+       |nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+       |          WHERE l_partkey % $CompMod = 0),
+       |pr0 AS (SELECT node,
+       |        CAST(CASE WHEN node % $PprSeedMod = 0 THEN $seedQ ELSE 0 END
+       |          AS BIGINT) AS pr
+       |        FROM nodes),
+       |$steps
+       |SELECT p.node AS part_id, COALESCE(d.deg, 0) AS deg,
+       |  p.node % $PprSeedMod = 0 AS is_seed, p.pr AS ppr_ppb
+       |FROM pr$PrIters p LEFT JOIN deg d ON d.u = p.node
+       |WHERE p.pr > 0
+       |ORDER BY ppr_ppb DESC, part_id
+       |LIMIT 50""".stripMargin
+  }
+
   /** [[kcore]] parameters: peel nodes of degree < K for [[KcoreRounds]]
     * rounds (a FIXED horizon — the honest bounded-iteration contract,
     * like [[bfs]]; full k-core is the fixpoint of the same peel). */
@@ -365,13 +558,6 @@ object Graph {
        |FROM nodes n LEFT JOIN resid r ON r.u = n.node
        |ORDER BY part_id""".stripMargin
   }
-
-  /** PageRank mass scale: ranks are BIGINTs in parts-per-billion of
-    * the per-node initial mass, so every iteration is integer-exact
-    * and engine-portable (float PageRank diverges across engines on
-    * summation order alone). */
-  private val PrScale = 1000000000L
-  private val PrIters = 5
 
   private val pagerankFixtures =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
@@ -553,6 +739,8 @@ object Graph {
     "graph_bfs" -> bfs,
     "graph_link_ra" -> linkRa,
     "graph_kcore" -> kcore,
+    "graph_clustering" -> clusteringCoeff,
+    "graph_ppr" -> ppr,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -564,5 +752,7 @@ object Graph {
     "graph_bfs" -> bfsSql,
     "graph_link_ra" -> linkRaSql,
     "graph_kcore" -> kcoreSql,
+    "graph_clustering" -> clusteringCoeffSql,
+    "graph_ppr" -> pprSql,
   )
 }

@@ -240,15 +240,179 @@ object Stats {
        |    AS chi2_micro
        |FROM k""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov test between the same two arms as
+    * [[abTest]] — the distribution-shape counterpart of the mean test:
+    * D = max |F_a(x) − F_b(x)| over order values, located exactly.
+    * Values quantize to exact cents ([[Det.cents]]) so the ECDF steps
+    * are integer events; the supremum is evaluated as the
+    * cross-multiplied BIGINT `|ca·n_b − cb·n_a|` (no float compare
+    * picks the max), and only the FINAL reported d is one IEEE
+    * division. Ties are handled exactly: both ECDFs are evaluated
+    * after absorbing all rows at each distinct value.
+    *
+    * Scale shape: one conditional aggregate to the distinct-value
+    * frame (cardinality ≤ the cent-price DOMAIN, not the row count —
+    * the [[chi2Test]] cell-frame argument: ~10⁶ rows at any data
+    * scale), then one ordered window over that bounded frame and a
+    * TakeOrdered(1) for the argmax. Row count never reaches the
+    * window. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin(AbArmA, AbArmB))
+      .select(col("c_mktsegment").as("seg"),
+        Det.cents(col("o_totalprice")).as("v"))
+    val cells = v.groupBy(col("v")).agg(
+      sum(when(col("seg") === AbArmA, 1L).otherwise(0L)).as("na_v"),
+      sum(when(col("seg") === AbArmB, 1L).otherwise(0L)).as("nb_v"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    cells
+      .withColumn("ca", sum(col("na_v")).over(w))
+      .withColumn("cb", sum(col("nb_v")).over(w))
+      .withColumn("n_a", sum(col("na_v")).over(whole))
+      .withColumn("n_b", sum(col("nb_v")).over(whole))
+      .withColumn("d_num", abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+      .orderBy(col("d_num").desc, col("v"))
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        col("v").as("at_cents"),
+        expr("CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)").as("d"))
+  }
+
+  val ksTestSql: String =
+    s"""WITH v AS (
+       |  SELECT c.c_mktsegment AS seg,
+       |    ${DetSql.cents("o.o_totalprice")} AS v
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |  WHERE c.c_mktsegment IN ('$AbArmA', '$AbArmB')),
+       |cells AS (
+       |  SELECT v,
+       |    CAST(SUM(CASE WHEN seg = '$AbArmA' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS na_v,
+       |    CAST(SUM(CASE WHEN seg = '$AbArmB' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nb_v
+       |  FROM v GROUP BY v),
+       |c AS (
+       |  SELECT v, na_v, nb_v,
+       |    CAST(SUM(na_v) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS ca,
+       |    CAST(SUM(nb_v) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cb,
+       |    CAST(SUM(na_v) OVER () AS BIGINT) AS n_a,
+       |    CAST(SUM(nb_v) OVER () AS BIGINT) AS n_b
+       |  FROM cells)
+       |SELECT n_a, n_b, ABS(ca * n_b - cb * n_a) AS d_num, v AS at_cents,
+       |  CAST(ABS(ca * n_b - cb * n_a) AS DOUBLE)
+       |    / CAST(n_a * n_b AS DOUBLE) AS d
+       |FROM c
+       |ORDER BY d_num DESC, v
+       |LIMIT 1""".stripMargin
+
+  /** Mann–Whitney U (rank-sum) test between the same two arms — the
+    * non-parametric mean test the pipeline reaches for when values are
+    * heavy-tailed. All rank arithmetic stays in DOUBLED integer units
+    * so tie-averaged ranks (the `.5` case) never touch floats:
+    * `2·avgrank(v) = 2·cum_before(v) + cnt(v) + 1`, summed per arm as
+    * exact BIGINTs. The normal-approximation z (tie-corrected
+    * variance) is the only float block, in a spelled-out IEEE order
+    * identical in both engines. Same bounded distinct-value frame as
+    * [[ksTest]]; row count never reaches the window. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin(AbArmA, AbArmB))
+      .select(col("c_mktsegment").as("seg"),
+        Det.cents(col("o_totalprice")).as("v"))
+    val cells = v.groupBy(col("v")).agg(
+      sum(when(col("seg") === AbArmA, 1L).otherwise(0L)).as("na_v"),
+      sum(when(col("seg") === AbArmB, 1L).otherwise(0L)).as("nb_v"))
+    val wPrev = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = cells
+      .withColumn("cnt", col("na_v") + col("nb_v"))
+      .withColumn("before", coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+      .agg(
+        sum(col("na_v")).as("n_a"),
+        sum(col("nb_v")).as("n_b"),
+        sum(col("na_v") * (lit(2L) * col("before") + col("cnt") + 1L))
+          .as("r2_a"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    m.select(col("n_a"), col("n_b"), col("r2_a"), col("ties"),
+        expr("r2_a - n_a * (n_a + 1)").as("u2_a"),
+        expr("2 * n_a * n_b - (r2_a - n_a * (n_a + 1))").as("u2_b"))
+      // z from doubled units: E[2U] = n_a·n_b; Var[2U] = 4·Var[U];
+      // squares are explicit multiplies (the abTest pow() rule)
+      .withColumn("z", expr(
+        """(CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           / (2.0d * sqrt(
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0d
+               * (CAST(n_a + n_b + 1 AS DOUBLE)
+                  - CAST(ties AS DOUBLE)
+                    / (CAST(n_a + n_b AS DOUBLE)
+                       * CAST(n_a + n_b - 1 AS DOUBLE)))))"""))
+  }
+
+  val mannWhitneySql: String =
+    s"""WITH v AS (
+       |  SELECT c.c_mktsegment AS seg,
+       |    ${DetSql.cents("o.o_totalprice")} AS v
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |  WHERE c.c_mktsegment IN ('$AbArmA', '$AbArmB')),
+       |cells AS (
+       |  SELECT v,
+       |    CAST(SUM(CASE WHEN seg = '$AbArmA' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS na_v,
+       |    CAST(SUM(CASE WHEN seg = '$AbArmB' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nb_v
+       |  FROM v GROUP BY v),
+       |c AS (
+       |  SELECT na_v, nb_v, na_v + nb_v AS cnt,
+       |    COALESCE(CAST(SUM(na_v + nb_v) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS before
+       |  FROM cells),
+       |m AS (
+       |  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+       |    CAST(SUM(nb_v) AS BIGINT) AS n_b,
+       |    CAST(SUM(na_v * (2 * before + cnt + 1)) AS BIGINT) AS r2_a,
+       |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+       |  FROM c),
+       |u AS (
+       |  SELECT n_a, n_b, r2_a, ties,
+       |    r2_a - n_a * (n_a + 1) AS u2_a,
+       |    2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b
+       |  FROM m)
+       |SELECT n_a, n_b, r2_a, ties, u2_a, u2_b,
+       |  (CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+       |  / (2.0 * SQRT(
+       |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+       |      * (CAST(n_a + n_b + 1 AS DOUBLE)
+       |         - CAST(ties AS DOUBLE)
+       |           / (CAST(n_a + n_b AS DOUBLE)
+       |              * CAST(n_a + n_b - 1 AS DOUBLE))))) AS z
+       |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_basket_lift" -> basketLift,
     "agg_ab_test" -> abTest,
     "agg_chi2_test" -> chi2Test,
+    "agg_ks_test" -> ksTest,
+    "agg_mannwhitney" -> mannWhitney,
   )
 
   val oracleSql: Map[String, String] = Map(
     "agg_basket_lift" -> basketLiftSql,
     "agg_ab_test" -> abTestSql,
     "agg_chi2_test" -> chi2TestSql,
+    "agg_ks_test" -> ksTestSql,
+    "agg_mannwhitney" -> mannWhitneySql,
   )
 }

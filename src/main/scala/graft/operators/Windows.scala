@@ -1512,6 +1512,71 @@ object Windows {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** Daily growth accounting over the event stream — the DAU ledger
+    * every product pipeline reports: for each day, active users split
+    * into NEW (first day ever), RETAINED (also active the previous
+    * calendar day), and RESURRECTED (returning after a gap), plus the
+    * CHURNED count balancing yesterday's actives
+    * (`churned(d) = dau(d−1) − retained(d)` when d follows an observed
+    * day; after an unobserved gap every previous active churned, so
+    * the subtraction drops the retained term). All counts are exact
+    * BIGINTs — the ledger identity `dau = new + retained + resurrected`
+    * holds row by row (spec-asserted).
+    *
+    * Scale shape: one (user, day)-keyed distinct aggregate, one lag
+    * over each user's OWN day sequence (user-keyed shuffle, the
+    * [[winSessionize]] partitioning), one day-keyed aggregate, and a
+    * final lag over the ≤ date-domain daily frame. Nothing global
+    * touches per-row data. */
+  def tsGrowthAcct(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val daily = days
+      .withColumn("prev", lag(col("day"), 1).over(wUser))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(datediff(col("day"), col("prev")) === 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(datediff(col("day"), col("prev")) > 1, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val wDay = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev_day", lag(col("day"), 1).over(wDay))
+      .withColumn("prev_dau", lag(col("dau"), 1).over(wDay))
+      .withColumn("n_churned", coalesce(
+        when(datediff(col("day"), col("prev_day")) === 1,
+          col("prev_dau") - col("n_retained"))
+          .otherwise(col("prev_dau")), lit(0L)))
+      .select(col("day"), col("dau"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  val tsGrowthAcctSql: String =
+    """WITH pres AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |lagged AS (
+      |  SELECT user_id, day,
+      |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |  FROM pres),
+      |daily AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+      |    CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(SUM(CASE WHEN day - prev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(SUM(CASE WHEN day - prev > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_resurrected
+      |  FROM lagged GROUP BY day)
+      |SELECT day, dau, n_new, n_retained, n_resurrected,
+      |  COALESCE(CASE WHEN day - LAG(day) OVER (ORDER BY day) = 1
+      |    THEN LAG(dau) OVER (ORDER BY day) - n_retained
+      |    ELSE LAG(dau) OVER (ORDER BY day) END, 0) AS n_churned
+      |FROM daily
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -1543,6 +1608,7 @@ object Windows {
     "ts_forecast_holt" -> tsForecastHolt,
     "ts_cohort_ltv" -> tsCohortLtv,
     "win_pareto" -> winPareto,
+    "ts_growth_acct" -> tsGrowthAcct,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1576,5 +1642,6 @@ object Windows {
     "ts_forecast_holt" -> tsForecastHoltSql,
     "ts_cohort_ltv" -> tsCohortLtvSql,
     "win_pareto" -> winParetoSql,
+    "ts_growth_acct" -> tsGrowthAcctSql,
   )
 }

@@ -204,6 +204,64 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("personalized pagerank matches a driver fixed-point bit-exactly") {
+    val adj = symAdj(16)
+    val nodes = allNodes(16)
+    val deg: Map[Long, Long] = adj.map { case (k, v) => k -> v.size.toLong }
+    val seedQ = 150000000L
+    def base(n: Long): Long = if (n % 256 == 0) seedQ else 0L
+    var pr: Map[Long, Long] = nodes.map(n => n -> base(n)).toMap
+    for (_ <- 1 to 5) {
+      val inflow = scala.collection.mutable
+        .Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, ns) <- adj; v <- ns) inflow(v) += pr(u) / deg(u)
+      pr = nodes.map(n => n -> (base(n) + 85L * inflow(n) / 100L)).toMap
+    }
+    val got = graft.operators.Graph.ppr(spark, sfDir).collect()
+    val expectTop = pr.toSeq.filter(_._2 > 0)
+      .sortBy { case (n, p) => (-p, n) }.take(50)
+    assert(got.length == expectTop.length)
+    got.zip(expectTop).foreach { case (r, (n, p)) =>
+      assert(r.getLong(0) == n, s"node order at $n")
+      assert(r.getLong(3) == p, s"ppr of $n")
+      assert(r.getBoolean(2) == (n % 256 == 0), s"seed flag of $n")
+      assert(r.getLong(1) == deg.getOrElse(n, 0L), s"deg of $n")
+    }
+    // non-seed mass is strictly propagated: any positive non-seed rank
+    // implies an in-edge from a positive-rank node
+    graft.core.Caches.drain(spark)
+  }
+
+  test("clustering profile reconciles with per-node driver counts") {
+    val edges = bruteEdges()
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triOf = adj.map { case (v, ns) =>
+      v -> ns.toSeq.map(u => (adj(u) & ns).size.toLong).sum / 2
+    }
+    val rows = Graph.clusteringCoeff(spark, sfDir).collect()
+    // bucket masses cover every node once; Σ sum_tri = 3·triangles
+    assert(rows.map(_.getLong(1)).sum == adj.size.toLong)
+    assert(rows.map(_.getLong(2)).sum == triOf.values.sum)
+    rows.foreach { r =>
+      val (b, n, st, sp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // recompute this bucket's sums from the driver per-node profile
+      val inB = adj.keys.filter { v =>
+        val d = adj(v).size.toLong
+        (63 - java.lang.Long.numberOfLeadingZeros(d)).toLong == b
+      }.toSeq
+      assert(n == inB.size.toLong, s"bucket $b node count")
+      assert(st == inB.map(triOf).sum, s"bucket $b triangle sum")
+      assert(sp == inB.map { v =>
+        val d = adj(v).size.toLong; d * (d - 1) / 2
+      }.sum, s"bucket $b pair sum")
+      if (sp > 0) assert(r.getLong(4) == 1000000L * st / sp,
+        s"bucket $b closure")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
   test("bfs hop distances match a driver frontier expansion") {
     val adj = symAdj(16)
     val nodes = allNodes(16)

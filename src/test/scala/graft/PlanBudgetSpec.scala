@@ -47,7 +47,13 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "agg_groupby" -> 2,
     "agg_grouping_sets" -> 2,
     "agg_histogram" -> 2,
+    // value-cell conditional agg + one ordered window over the
+    // domain-bounded distinct-cent frame (+ TakeOrdered argmax)
+    "agg_ks_test" -> 2,
     "agg_listagg" -> 2,
+    // same distinct-cent cell frame as ks_test: cell agg + ordered
+    // window, then one scalar aggregate
+    "agg_mannwhitney" -> 2,
     "agg_mode" -> 3,
     "agg_moments" -> 2,
     "agg_percentile" -> 2,
@@ -109,6 +115,13 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "graph_link_ra" -> 12,
     // staged peel-survivor frame read + output sort
     "graph_kcore" -> 1,
+    // cached edge list: wedge + closing-edge joins, per-node triangle
+    // explode agg, degree agg, ≤64-row bucket agg; subtrees print per
+    // consuming leg
+    "graph_clustering" -> 13,
+    // staged personalized-rank frame read + TakeOrdered (5 integer
+    // rounds run inside Fixtures.staged, once per source content)
+    "graph_ppr" -> 1,
     // staged hop-distance frame read + output sort (4 BFS rounds
     // staged the same way)
     "graph_bfs" -> 1,
@@ -284,6 +297,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "ts_cohort_retention" -> 4,
     "ts_cumulative_users" -> 3,
     "ts_gapfill" -> 2,
+    // (user,day) distinct agg + per-user lag window + day agg + final
+    // day-ordered window over the bounded daily frame
+    "ts_growth_acct" -> 4,
     "ts_interpolate" -> 2,
     "ts_mom_growth" -> 2,
     // daily window sort + candle aggregate

@@ -34,7 +34,12 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     "^snappy-.*libsnappyjava\\.so$".r,
     "^liblz4-java-.*\\.so(\\.lck)?$".r,
     "^zstd-[0-9].*\\.so$".r,
-    "^artifacts-[0-9a-f-]+$".r)
+    "^artifacts-[0-9a-f-]+$".r,
+    // a CONCURRENT sbt invocation (another terminal running a probe
+    // main while the suite is mid-pass) drops its launcher arg file in
+    // the shared temp root; it is not query litter — without this row
+    // one stray `sbt run` fails every query test that follows it
+    "^sbt-args[0-9]+\\.tmp$".r)
 
   /** Temp-root children created since suite start that are neither
     * staged fixture dirs nor JVM-scoped one-time artifacts. */

@@ -922,4 +922,101 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
         col("sum_prev") * col("n_next"))).count()
     assert(bad == 0, "score formula mismatch")
   }
+
+  /** Both arms' cent values, the shared input of the KS and
+    * Mann–Whitney reconciliations. */
+  private def armCents(): (Array[Long], Array[Long]) = {
+    val vals = Tables.orders(spark, sfDir).join(
+        Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    (vals.filter(_._1 == "BUILDING").map(_._2),
+     vals.filter(_._1 == "MACHINERY").map(_._2))
+  }
+
+  test("KS statistic reconciles with a driver brute-force ECDF sweep") {
+    val row = graft.operators.Stats.ksTest(spark, sfDir).head()
+    val (a, b) = armCents()
+    assert(row.getLong(0) == a.length.toLong && row.getLong(1) == b.length.toLong)
+    // brute force: evaluate |ca*nb - cb*na| at every distinct value
+    val points = (a ++ b).distinct.sorted
+    val sweep = points.map { x =>
+      val ca = a.count(_ <= x).toLong
+      val cb = b.count(_ <= x).toLong
+      (math.abs(ca * b.length - cb * a.length), x)
+    }
+    val dMax = sweep.map(_._1).max
+    assert(row.getLong(2) == dMax, "d_num")
+    // reported location is the SMALLEST value attaining the max
+    assert(row.getLong(3) == sweep.filter(_._1 == dMax).map(_._2).min, "at_cents")
+    assert(math.abs(row.getDouble(4) -
+      dMax.toDouble / (a.length.toLong * b.length).toDouble) == 0.0, "d")
+  }
+
+  test("Mann-Whitney doubled rank-sum reconciles with a driver ranking") {
+    val row = graft.operators.Stats.mannWhitney(spark, sfDir).head()
+    val (a, b) = armCents()
+    val nA = a.length.toLong; val nB = b.length.toLong
+    assert(row.getLong(0) == nA && row.getLong(1) == nB)
+    // driver ranking: doubled tie-averaged rank = minRank + maxRank
+    // over the 1-based positions of each value in the pooled sort
+    val pooled = (a.map((_, 'a')) ++ b.map((_, 'b'))).sortBy(_._1)
+    val byVal = pooled.zipWithIndex.groupBy(_._1._1)
+    val r2a = byVal.values.map { g =>
+      val doubled = (g.head._2 + 1).toLong + (g.last._2 + 1).toLong
+      doubled * g.count(_._1._2 == 'a')
+    }.sum
+    assert(row.getLong(2) == r2a, "r2_a")
+    val ties = byVal.values.map { g =>
+      val t = g.length.toLong; t * t * t - t
+    }.sum
+    assert(row.getLong(3) == ties, "ties")
+    assert(row.getLong(4) == r2a - nA * (nA + 1), "u2_a")
+    // U identity: U_a + U_b = n_a * n_b (in doubled units, 2·n_a·n_b)
+    assert(row.getLong(4) + row.getLong(5) == 2 * nA * nB, "U identity")
+    // z sign follows the rank-sum excess
+    val z = row.getDouble(6)
+    assert(z.sign == (row.getLong(4) - nA * nB).sign.toDouble || z == 0.0)
+  }
+
+  test("growth accounting ledger balances day over day") {
+    val rows = graft.operators.Windows.tsGrowthAcct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // dau = new + retained + resurrected, every day
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"ledger identity on ${r.get(0)}")
+    }
+    // new users across all days = distinct users ever seen
+    val totalUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == totalUsers, "sum(new) = users")
+    // churn balances on consecutive days: churned(d) = dau(d-1) - retained(d)
+    rows.sliding(2).foreach {
+      case Array(x, y)
+        if y.getDate(0).toLocalDate.toEpochDay -
+           x.getDate(0).toLocalDate.toEpochDay == 1 =>
+        assert(y.getLong(5) == x.getLong(1) - y.getLong(3),
+          s"churn balance on ${y.get(0)}")
+      case _ =>
+    }
+    // day-2 spot check against driver sets
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byDay = days.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val sorted = byDay.keys.toSeq.sorted
+    if (sorted.length > 1) {
+      val (d0, d1) = (sorted(0), sorted(1))
+      val row1 = rows.find(_.getDate(0).toLocalDate == d1).get
+      if (d1.toEpochDay - d0.toEpochDay == 1) {
+        assert(row1.getLong(3) == (byDay(d1) & byDay(d0)).size.toLong,
+          "retained day 2")
+        assert(row1.getLong(5) == (byDay(d0) -- byDay(d1)).size.toLong,
+          "churned day 2")
+      }
+    }
+  }
 }
