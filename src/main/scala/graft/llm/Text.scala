@@ -1926,7 +1926,157 @@ object Text {
        |GROUP BY pct
        |ORDER BY pct""".stripMargin
 
+  /** Word-trigram array over the split token column `t` — the
+    * [[bigramArrayExpr]] idiom one order higher (NULL-completing
+    * concat, so short docs yield an empty list in both engines). */
+  private val trigramArrayExpr: String =
+    """filter(transform(sequence(0, greatest(size(t)-3, 0)),
+      |  i -> concat(try_element_at(t, i+1), ' ', try_element_at(t, i+2),
+      |              ' ', try_element_at(t, i+3))),
+      |  x -> x IS NOT NULL)""".stripMargin
+
+  /** DuckDB twin of [[trigramArrayExpr]]. */
+  private val trigramArraySql: String =
+    """list_filter([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |                 for i in range(0, greatest(len(t)-2, 1))],
+      |                x -> x IS NOT NULL)""".stripMargin
+
+  /** Per-source n-gram novelty — the memorization/redundancy lens on
+    * a corpus: for each source, what fraction of its documents'
+    * DISTINCT word trigrams occur there FIRST (global first occurrence
+    * = lowest doc_id)? A source full of re-crawled boilerplate scores
+    * low; one contributing genuinely new text scores high — the
+    * signal a data-mixing plan reads next to [[qualityBySource]].
+    * Novelty is exact integer ppm over exact BIGINT counts.
+    *
+    * Scale shape: per-doc DISTINCT trigram explode (array_distinct
+    * before the explode — dedup inside the row, free), ONE gram-keyed
+    * min aggregate for first occurrence, one gram-keyed join back
+    * (both sides identically partitioned), one ≤|sources| aggregate.
+    * Cost tracks distinct (doc, gram) pairs — the inverted-index
+    * build — never gram × gram. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"array_distinct($trigramArrayExpr)")).as("g"))
+    val firstOcc = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstOcc, "g")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm", expr("(1000000L * n_novel) div n_grams"))
+      .orderBy(col("source"))
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, source, g
+       |  FROM (SELECT doc_id, source, unnest($trigramArraySql) AS g
+       |        FROM toks)),
+       |first_occ AS (
+       |  SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+       |  FROM grams GROUP BY g)
+       |SELECT s.source,
+       |  CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  (1000000 * CAST(SUM(CASE WHEN f.first_doc = s.doc_id
+       |    THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+       |    AS novelty_ppm
+       |FROM grams s JOIN first_occ f ON f.g = s.g
+       |GROUP BY s.source
+       |ORDER BY source""".stripMargin
+
+  /** Code-likeness threshold for [[codeDetect]]: a document whose
+    * code-symbol density reaches this many ppm of its characters is
+    * flagged (tuned on the synthetic corpus to split prose from
+    * markup-heavy text; production would calibrate per source). */
+  private val CodeSymbolPpm = 20000L
+
+  /** Code detection over the corpus — the routing signal a training
+    * mix needs before weighting code vs prose: per document, the
+    * density of code-punctuation characters (braces, semicolons,
+    * operators) and hits on a tiny keyword lexicon, both exact
+    * integers; per source, doc counts, flagged counts, and mean
+    * densities as integer ppm. Char counts come from
+    * `length(x) − length(regexp_replace(x, cls, ''))` with a
+    * Java-regex/RE2-agreeing character class (the [[piiRedact]]
+    * pattern rule); keyword hits use non-regex replace, identical in
+    * both engines.
+    *
+    * Scale shape: pure projection + ONE ≤|sources| aggregate — zero
+    * joins, zero extra shuffles; the scan prunes to (source, text). */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val sym = "[{}();=_<>#\\[\\]]"
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        length(col("text")).as("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), sym, ""))).cast("long")
+          .as("n_sym"),
+        // keyword hits by length delta; `div` per term, NOT `/` — the
+        // float division would truncate the SUM, DuckDB truncates each
+        // term (and `//` there is integer division)
+        expr("""CAST((length(text) - length(replace(text, 'return', ''))) div 6
+              |   + (length(text) - length(replace(text, 'import', ''))) div 6
+              |   + (length(text) - length(replace(text, 'void', ''))) div 4
+              | AS BIGINT)""".stripMargin).as("n_kw"))
+      .withColumn("sym_ppm",
+        expr("(1000000L * n_sym) div greatest(n_chars, 1)"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sym_ppm") >= CodeSymbolPpm, 1L).otherwise(0L))
+          .as("n_code"),
+        sum(col("n_sym")).as("sum_sym"),
+        sum(col("n_kw")).as("sum_kw"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("mean_sym_ppm",
+        expr("(1000000L * sum_sym) div greatest(sum_chars, 1L)"))
+      .withColumn("kw_per_kdoc", expr("(1000L * sum_kw) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val codeDetectSql: String =
+    s"""WITH d AS (
+       |  SELECT source, length(text) AS n_chars,
+       |    CAST(length(text)
+       |      - length(regexp_replace(text, '[{}();=_<>#\\[\\]]', '', 'g'))
+       |      AS BIGINT) AS n_sym,
+       |    CAST((length(text) - length(replace(text, 'return', ''))) // 6
+       |       + (length(text) - length(replace(text, 'import', ''))) // 6
+       |       + (length(text) - length(replace(text, 'void', ''))) // 4
+       |      AS BIGINT) AS n_kw
+       |  FROM documents),
+       |p AS (
+       |  SELECT source, n_chars, n_sym, n_kw,
+       |    (1000000 * n_sym) // greatest(n_chars, 1) AS sym_ppm
+       |  FROM d)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN sym_ppm >= $CodeSymbolPpm THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_code,
+       |  CAST(SUM(n_sym) AS BIGINT) AS sum_sym,
+       |  CAST(SUM(n_kw) AS BIGINT) AS sum_kw,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  (1000000 * CAST(SUM(n_sym) AS BIGINT))
+       |    // greatest(CAST(SUM(n_chars) AS BIGINT), 1) AS mean_sym_ppm,
+       |  (1000 * CAST(SUM(n_kw) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+       |    AS kw_per_kdoc
+       |FROM p
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ngram_novelty" -> ngramNovelty,
+    "llm_code_detect" -> codeDetect,
     "llm_unigram_coverage" -> unigramCoverage,
     "llm_blocklist_filter" -> blocklistFilter,
     "llm_span_corrupt" -> spanCorrupt,
@@ -1968,6 +2118,8 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_ngram_novelty" -> ngramNoveltySql,
+    "llm_code_detect" -> codeDetectSql,
     "llm_unigram_coverage" -> unigramCoverageSql,
     "llm_blocklist_filter" -> blocklistFilterSql,
     "llm_span_corrupt" -> spanCorruptSql,

@@ -187,15 +187,59 @@ object Features {
        |GROUP BY bucket
        |ORDER BY bucket""".stripMargin
 
+  /** Per-group min-max scaling of event values — the normalization a
+    * feature pipeline applies before gradient training: each event's
+    * value rescaled to [0, 1] within its event type, emitted as exact
+    * integer ppm (`10⁶·(v−min) div (max−min)`) over exact cents, so
+    * both engines truncate identically with no float in sight. Types
+    * whose domain collapses (max = min) scale to 0 by convention.
+    *
+    * Scale shape: ONE type-keyed aggregate to a ≤|types|-row bounds
+    * frame, broadcast back onto the scan — a pure projection after
+    * that (the normalize step costs one small broadcast, not a second
+    * fact shuffle). Output keeps every row (the materialized feature
+    * column), totally ordered on the unique event id. */
+  def minmaxScale(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        graft.core.Det.cents(col("value")).as("cents"))
+    val bounds = e.groupBy(col("event_type"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    e.join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(expr("(1000000L * (cents - lo)) div (hi - lo)"))
+          .as("scaled_ppm"))
+      .orderBy(col("event_id"))
+  }
+
+  val minmaxScaleSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    ${graft.core.DetSql.cents("value")} AS cents
+       |  FROM events),
+       |b AS (
+       |  SELECT event_type, CAST(MIN(cents) AS BIGINT) AS lo,
+       |    CAST(MAX(cents) AS BIGINT) AS hi
+       |  FROM e GROUP BY event_type)
+       |SELECT e.event_id, e.event_type, e.cents,
+       |  CASE WHEN b.hi = b.lo THEN 0
+       |    ELSE (1000000 * (e.cents - b.lo)) // (b.hi - b.lo)
+       |  END AS scaled_ppm
+       |FROM e JOIN b ON b.event_type = e.event_type
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feat_target_encode" -> targetEncode,
     "feat_binning" -> binning,
     "feat_hash_bucket" -> hashBucket,
+    "feat_minmax" -> minmaxScale,
   )
 
   val oracleSql: Map[String, String] = Map(
     "feat_target_encode" -> targetEncodeSql,
     "feat_binning" -> binningSql,
     "feat_hash_bucket" -> hashBucketSql,
+    "feat_minmax" -> minmaxScaleSql,
   )
 }

@@ -776,4 +776,65 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     hn.unpersist()
     graft.core.Caches.drain(spark)
   }
+
+  test("ngram novelty reconciles with a driver first-occurrence scan") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(text: String): Set[String] = {
+      val t = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    for ((id, _, text) <- docs.sortBy(_._1); g <- grams(text))
+      if (!firstDoc.contains(g)) firstDoc(g) = id
+    val bySource = docs.groupBy(_._2)
+    val rows = graft.llm.Text.ngramNovelty(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == bySource.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ds = bySource(src)
+      val nGrams = ds.map(d => grams(d._3).size.toLong).sum
+      val nNovel = ds.map { d =>
+        grams(d._3).count(g => firstDoc(g) == d._1).toLong
+      }.sum
+      assert(r.getLong(1) == ds.length.toLong, s"$src n_docs")
+      assert(r.getLong(2) == nGrams, s"$src n_grams")
+      assert(r.getLong(3) == nNovel, s"$src n_novel")
+      assert(r.getLong(4) == 1000000L * nNovel / nGrams, s"$src ppm")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
+  test("code detection densities reconcile with a driver char count") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val symSet = "{}();=_<>#[]".toSet
+    val rows = graft.llm.Text.codeDetect(spark, sfDir).collect()
+    val bySource = docs.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSeq == bySource.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val ds = bySource(r.getString(0)).map(_._2)
+      val sumSym = ds.map(_.count(symSet)).map(_.toLong).sum
+      val sumChars = ds.map(_.length.toLong).sum
+      def kw(t: String, w: String): Long =
+        ((t.length - t.replace(w, "").length) / w.length).toLong
+      val sumKw = ds.map(t => kw(t, "return") + kw(t, "import") +
+        kw(t, "void")).sum
+      assert(r.getLong(1) == ds.length.toLong, "n_docs")
+      assert(r.getLong(3) == sumSym, "sum_sym")
+      assert(r.getLong(4) == sumKw, "sum_kw")
+      assert(r.getLong(5) == sumChars, "sum_chars")
+      assert(r.getLong(6) == 1000000L * sumSym / math.max(sumChars, 1L),
+        "mean_sym_ppm")
+      // flagged docs are exactly those at or above the ppm threshold
+      val nCode = ds.count(t => 1000000L * t.count(symSet) /
+        math.max(t.length.toLong, 1L) >= 20000L).toLong
+      assert(r.getLong(2) == nCode, "n_code")
+    }
+    graft.core.Caches.drain(spark)
+  }
 }

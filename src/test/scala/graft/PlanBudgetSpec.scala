@@ -245,6 +245,13 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "feat_binning" -> 3,
     // two-level (bucket, feature) -> bucket agg + output sort
     "feat_hash_bucket" -> 3,
+    // type-keyed bounds agg (broadcast back) + output sort on event id
+    "feat_minmax" -> 2,
+    // distinct-gram explode: gram-keyed first-occurrence agg + join
+    // back + source agg (count-distinct expand) + output sort
+    "llm_ngram_novelty" -> 4,
+    // pure projection + source agg + output sort
+    "llm_code_detect" -> 2,
     "llm_tfidf" -> 6,
     "llm_token_count" -> 1,
     "llm_tokenizer_fertility" -> 2,

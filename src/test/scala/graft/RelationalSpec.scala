@@ -981,6 +981,35 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(z.sign == (row.getLong(4) - nA * nB).sign.toDouble || z == 0.0)
   }
 
+  test("minmax scaling conserves rows and pins both endpoints per type") {
+    val out = graft.operators.Features.minmaxScale(spark, sfDir).cache()
+    val n = Tables.events(spark, sfDir).count()
+    assert(out.count() == n, "row conservation")
+    assert(out.where(col("scaled_ppm") < 0 ||
+      col("scaled_ppm") > 1000000L).count() == 0, "range")
+    // per type: the min maps to 0, the max to exactly 1e6 (or the
+    // domain collapsed and everything is 0)
+    val ext = out.groupBy(col("event_type"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+        min(col("scaled_ppm")).as("slo"), max(col("scaled_ppm")).as("shi"))
+      .collect()
+    ext.foreach { r =>
+      assert(r.getLong(3) == 0L, s"${r.getString(0)} min scaled")
+      assert(r.getLong(4) == (if (r.getLong(1) == r.getLong(2)) 0L
+        else 1000000L), s"${r.getString(0)} max scaled")
+    }
+    // spot-check the formula on one type against a driver recompute
+    val rows = out.where(col("event_type") === ext.head.getString(0))
+      .select(col("cents"), col("scaled_ppm")).collect()
+    val lo = ext.head.getLong(1); val hi = ext.head.getLong(2)
+    rows.foreach { r =>
+      val want = if (hi == lo) 0L else 1000000L * (r.getLong(0) - lo) / (hi - lo)
+      assert(r.getLong(1) == want)
+    }
+    out.unpersist()
+    graft.core.Caches.drain(spark)
+  }
+
   test("growth accounting ledger balances day over day") {
     val rows = graft.operators.Windows.tsGrowthAcct(spark, sfDir).collect()
     assert(rows.nonEmpty)
