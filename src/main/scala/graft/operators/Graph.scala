@@ -730,6 +730,100 @@ object Graph {
        |ORDER BY part_id""".stripMargin
   }
 
+  /** Modularity of the connected-component partition on the sparse
+    * ([[CompMod]]) co-purchase graph — the partition-quality score a
+    * community pipeline reports before trusting cluster features:
+    * `Q = Σ_c [e_c/m − (d_c/2m)²]`, evaluated EXACTLY by clearing
+    * denominators — `q_num = Σ_c (4·m·e_c − d_c²)` with
+    * `Q = q_num / 4m²` — so both engines agree bit-for-bit (the one
+    * reported float is a single IEEE division; the ppm column is pure
+    * integer `div`). Components give an upper-bound partition (no
+    * inter-community edges: Σe_c = m), which pins the expected sign
+    * and gives the spec a second identity to assert.
+    *
+    * Scale shape: reuses the STAGED component labels (one fixture
+    * read, zero fixpoint cost here), one degree aggregate, two
+    * node-keyed label joins onto the edge list, one ≤|communities|
+    * aggregate, one scalar frame. Label tables join key-shuffled, not
+    * broadcast — at real scale they are node-sized. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val labels = components(spark, dir)
+      .select(col("part_id").as("node"), col("component_id").as("comp"))
+    val e = edges(spark, dir, CompMod)
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val dC = labels.join(deg, col("node") === col("u"), "left")
+      .groupBy(col("comp"))
+      .agg(sum(coalesce(col("deg"), lit(0L))).as("d_c"))
+    val eC = e
+      .join(labels.select(col("node").as("ns"), col("comp").as("cs")),
+        col("src") === col("ns"))
+      .join(labels.select(col("node").as("nd"), col("comp").as("cd")),
+        col("dst") === col("nd"))
+      .where(col("cs") === col("cd"))
+      .groupBy(col("cs").as("comp")).agg(count(lit(1)).as("e_c"))
+    val perC = dC.join(eC, Seq("comp"), "left")
+      .select(col("comp"), col("d_c"), coalesce(col("e_c"), lit(0L)).as("e_c"))
+    perC.crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"),
+        min(col("m")).as("n_edges"),
+        sum(col("e_c")).as("intra_edges"),
+        sum(lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+          .as("q_num"))
+      .select(col("n_communities"), col("n_edges"), col("intra_edges"),
+        col("q_num"),
+        expr("(1000000L * q_num) div (4L * n_edges * n_edges)")
+          .as("q_ppm"))
+  }
+
+  val modularitySql: String =
+    s"""WITH RECURSIVE e AS (${edgesSqlFor(CompMod)}),
+       |edges AS (SELECT src AS a, dst AS b FROM e
+       |          UNION ALL SELECT dst, src FROM e),
+       |enodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach AS (
+       |  SELECT node, node AS label FROM enodes
+       |  UNION
+       |  SELECT ed.b AS node, r.label
+       |  FROM reach r JOIN edges ed ON ed.a = r.node),
+       |comp AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node),
+       |allnodes AS (
+       |  SELECT DISTINCT l_partkey AS part_id FROM lineitem
+       |  WHERE l_partkey % $CompMod = 0),
+       |labels AS (
+       |  SELECT a.part_id AS node, COALESCE(c.comp, a.part_id) AS comp
+       |  FROM allnodes a LEFT JOIN comp c ON a.part_id = c.node),
+       |deg AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT src AS u FROM e UNION ALL SELECT dst FROM e)
+       |  GROUP BY u),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       |d_c AS (
+       |  SELECT l.comp, CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS d_c
+       |  FROM labels l LEFT JOIN deg d ON d.u = l.node
+       |  GROUP BY l.comp),
+       |e_c AS (
+       |  SELECT ls.comp, CAST(count(*) AS BIGINT) AS e_c
+       |  FROM e
+       |  JOIN labels ls ON ls.node = e.src
+       |  JOIN labels ld ON ld.node = e.dst
+       |  WHERE ls.comp = ld.comp
+       |  GROUP BY ls.comp),
+       |per AS (
+       |  SELECT d.comp, d.d_c, COALESCE(ec.e_c, 0) AS e_c
+       |  FROM d_c d LEFT JOIN e_c ec ON ec.comp = d.comp)
+       |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |  CAST(MIN(m.m) AS BIGINT) AS n_edges,
+       |  CAST(SUM(per.e_c) AS BIGINT) AS intra_edges,
+       |  CAST(SUM(4 * m.m * per.e_c - per.d_c * per.d_c) AS BIGINT)
+       |    AS q_num,
+       |  (1000000 * CAST(SUM(4 * m.m * per.e_c - per.d_c * per.d_c)
+       |    AS BIGINT)) // (4 * CAST(MIN(m.m) AS BIGINT)
+       |                   * CAST(MIN(m.m) AS BIGINT)) AS q_ppm
+       |FROM per CROSS JOIN m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> triangles,
     "graph_degree_dist" -> degreeDist,
@@ -741,6 +835,7 @@ object Graph {
     "graph_kcore" -> kcore,
     "graph_clustering" -> clusteringCoeff,
     "graph_ppr" -> ppr,
+    "graph_modularity" -> modularity,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -754,5 +849,6 @@ object Graph {
     "graph_kcore" -> kcoreSql,
     "graph_clustering" -> clusteringCoeffSql,
     "graph_ppr" -> pprSql,
+    "graph_modularity" -> modularitySql,
   )
 }

@@ -1577,6 +1577,82 @@ object Windows {
       |FROM daily
       |ORDER BY day""".stripMargin
 
+  /** STL-style additive decomposition of the daily purchase-revenue
+    * series: `value = trend + seasonal + residual`, every term an
+    * exact BIGINT in cents. Trend is the centered 7-day rolling mean
+    * (`sum div 7`, only where the window is COMPLETE — edges drop
+    * out, the honest boundary rule); the seasonal component is the
+    * per-day-of-week mean of the detrended series (`sum div count`,
+    * dow as `daynum % 7` — engine-pure integer arithmetic where
+    * dayofweek() conventions differ); the residual closes the
+    * identity bit-exactly (spec-asserted). Integer `div` truncation
+    * makes every engine agree where float STL would drift.
+    *
+    * Scale shape: one day-keyed aggregate off the filtered event
+    * scan; the two windows and the 7-row seasonal join run on the
+    * date-domain-bounded daily frame ([[tsRollingMedian]]'s
+    * argument) — row count never reaches a window. */
+  def tsStl(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(Det.cents(col("value"))).as("cents"))
+      .withColumn("daynum",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w7 = Window.orderBy(col("daynum")).rangeBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("s7", sum(col("cents")).over(w7))
+      .withColumn("trend", when(col("n7") === 7, expr("s7 div 7")))
+      .withColumn("detrended", col("cents") - col("trend"))
+    val seasonal = withTrend.where(col("trend").isNotNull)
+      .groupBy((col("daynum") % 7).as("dow"))
+      .agg((sum(col("detrended"))).as("s"), count(lit(1)).as("n"))
+      .select(col("dow"), expr("s div n").as("seasonal"))
+    withTrend.where(col("trend").isNotNull)
+      .join(broadcast(seasonal), (col("daynum") % 7) === col("dow"))
+      .select(col("day"), col("cents"), col("trend"), col("seasonal"),
+        (col("detrended") - col("seasonal")).as("residual"))
+      .orderBy(col("day"))
+  }
+
+  val tsStlSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(SUM(${DetSql.cents("value")}) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY 1),
+       |d2 AS (
+       |  SELECT day, cents,
+       |    CAST(day - DATE '1970-01-01' AS BIGINT) AS daynum
+       |  FROM daily),
+       |tr AS (
+       |  SELECT day, cents, daynum,
+       |    COUNT(*) OVER w AS n7,
+       |    CAST(SUM(cents) OVER w AS BIGINT) AS s7
+       |  FROM d2
+       |  WINDOW w AS (ORDER BY daynum RANGE BETWEEN 3 PRECEDING
+       |    AND 3 FOLLOWING)),
+       |det AS (
+       |  SELECT day, cents, daynum,
+       |    s7 // 7 AS trend, cents - s7 // 7 AS detrended
+       |  FROM tr WHERE n7 = 7),
+       |seas AS (
+       |  -- detrended sums are mixed-sign and Spark's `div` truncates
+       |  -- toward zero where DuckDB's `//` floors: spell truncation out
+       |  SELECT daynum % 7 AS dow,
+       |    CASE WHEN SUM(detrended) < 0
+       |      THEN -(CAST(-SUM(detrended) AS BIGINT)
+       |             // CAST(COUNT(*) AS BIGINT))
+       |      ELSE CAST(SUM(detrended) AS BIGINT)
+       |             // CAST(COUNT(*) AS BIGINT)
+       |    END AS seasonal
+       |  FROM det GROUP BY 1)
+       |SELECT d.day, d.cents, d.trend, s.seasonal,
+       |  d.detrended - s.seasonal AS residual
+       |FROM det d JOIN seas s ON s.dow = d.daynum % 7
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -1609,6 +1685,7 @@ object Windows {
     "ts_cohort_ltv" -> tsCohortLtv,
     "win_pareto" -> winPareto,
     "ts_growth_acct" -> tsGrowthAcct,
+    "ts_stl" -> tsStl,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1643,5 +1720,6 @@ object Windows {
     "ts_cohort_ltv" -> tsCohortLtvSql,
     "win_pareto" -> winParetoSql,
     "ts_growth_acct" -> tsGrowthAcctSql,
+    "ts_stl" -> tsStlSql,
   )
 }

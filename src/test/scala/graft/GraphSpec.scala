@@ -262,6 +262,38 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("modularity identities hold for the component partition") {
+    val edges = bruteEdgesMod(16)
+    val m = edges.size.toLong
+    val row = graft.operators.Graph.modularity(spark, sfDir).head()
+    assert(row.getLong(1) == m, "n_edges")
+    // components admit no inter-community edge: Σ e_c = m
+    assert(row.getLong(2) == m, "intra_edges = m for components")
+    // driver recompute: union-find components, then the exact q_num
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val nodes = allNodes(16)
+    val compOf = nodes.map(n => n -> find(n)).toMap
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((a, b) <- edges) { deg(a) += 1; deg(b) += 1 }
+    val dC = nodes.groupBy(compOf).map { case (c, ns) =>
+      c -> ns.map(deg).sum }
+    val eC = edges.toSeq.groupBy(e => compOf(e._1))
+      .map { case (c, es) => c -> es.size.toLong }
+    val qNum = dC.map { case (c, d) =>
+      4L * m * eC.getOrElse(c, 0L) - d * d }.sum
+    assert(row.getLong(0) == dC.size.toLong, "n_communities")
+    assert(row.getLong(3) == qNum, "q_num")
+    assert(row.getLong(4) == 1000000L * qNum / (4L * m * m), "q_ppm")
+    graft.core.Caches.drain(spark)
+  }
+
   test("bfs hop distances match a driver frontier expansion") {
     val adj = symAdj(16)
     val nodes = allNodes(16)

@@ -122,6 +122,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // staged personalized-rank frame read + TakeOrdered (5 integer
     // rounds run inside Fixtures.staged, once per source content)
     "graph_ppr" -> 1,
+    // staged labels read ×2 joins onto edges, degree agg, community
+    // aggs, 1-row m crossJoin (allowed bnl); subtrees print per leg
+    "graph_modularity" -> 12,
     // staged hop-distance frame read + output sort (4 BFS rounds
     // staged the same way)
     "graph_bfs" -> 1,
@@ -307,6 +310,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // (user,day) distinct agg + per-user lag window + day agg + final
     // day-ordered window over the bounded daily frame
     "ts_growth_acct" -> 4,
+    // daily agg + centered-range window + 7-row seasonal agg
+    // (broadcast back) + output sort, all on the bounded daily frame
+    "ts_stl" -> 4,
     "ts_interpolate" -> 2,
     "ts_mom_growth" -> 2,
     // daily window sort + candle aggregate
@@ -352,7 +358,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
   private val nestedLoopAllowed: Set[String] = Set(
     "agg_basket_lift", "agg_topk_others", "dq_constraints",
     "feat_binning", "feat_target_encode",
-    "graph_triangles",
+    "graph_triangles", "graph_modularity",
     "layout_zorder", "llm_bm25", "llm_hard_negatives", "win_pareto",
     "llm_bpe_train",
     "llm_collocations",

@@ -1010,6 +1010,39 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("stl decomposition closes the additive identity bit-exactly") {
+    val rows = graft.operators.Windows.tsStl(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // value = trend + seasonal + residual on every emitted day
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"identity on ${r.get(0)}")
+    }
+    // trend is the exact centered 7-day integer mean (driver recompute)
+    val daily = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr(
+        "CAST(round(CAST(value AS DECIMAL(27,10)), 2) * 100 AS BIGINT)"))
+        .as("cents"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(1))).sortBy(_._1)
+    val byDay = daily.toMap
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate.toEpochDay
+      val win = (-3L to 3L).flatMap(o => byDay.get(d + o))
+      assert(win.length == 7, s"emitted day $d lacks a complete window")
+      assert(r.getLong(2) == win.sum / 7, s"trend on $d")
+    }
+    // seasonal depends only on day-of-week
+    val byDow = rows.groupBy(_.getDate(0).toLocalDate.toEpochDay % 7)
+    byDow.values.foreach { g =>
+      assert(g.map(_.getLong(3)).distinct.length == 1,
+        "seasonal constant within dow")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
   test("growth accounting ledger balances day over day") {
     val rows = graft.operators.Windows.tsGrowthAcct(spark, sfDir).collect()
     assert(rows.nonEmpty)
