@@ -66,4 +66,11 @@ object DetSql {
     s"${dsum(x)} / COUNT($x)"
   def cents(x: String): String =
     s"CAST(ROUND(CAST($x AS DECIMAL(27,10)), 2) * 100 AS BIGINT)"
+
+  /** Truncating integer division matching Spark's `div` on SIGNED
+    * numerators (Spark truncates toward zero; DuckDB's `//` floors —
+    * they disagree on every negative quotient). Positive divisors
+    * only. */
+  def tdiv(a: String, b: String): String =
+    s"(CASE WHEN ($a) < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END)"
 }

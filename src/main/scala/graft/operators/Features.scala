@@ -229,11 +229,131 @@ object Features {
        |FROM e JOIN b ON b.event_type = e.event_type
        |ORDER BY event_id""".stripMargin
 
+  /** [[pca]] constants: global quantization grid, iteration scale,
+    * embedding dimensionality (pinned to the testdata contract;
+    * PcaSpec asserts it), and the fixed power-iteration horizon. */
+  private val PcaQuant = 1000L
+  private val PcaScale = 1000000L
+  private val PcaDim = 64
+  private val PcaIters = 5
+
+  /** First principal component by INTEGER power iteration, and the
+    * class structure along it — the classic "is there signal in the
+    * embeddings" diagnostic, exact where float PCA is run-order
+    * nondeterministic: embeddings quantize to a GLOBAL ×[[PcaQuant]]
+    * grid (per-vector scales would distort the covariance), center
+    * against the truncated integer dim-mean, accumulate the exact
+    * BIGINT covariance (`Σ c_j·c_k` per (j,k) — the standard O(n·d²)
+    * pass whose SHUFFLE is only d² rows after map-side partials), then
+    * run [[PcaIters]] rounds of `w = C·v` with integer renormalization
+    * `v' = w·[[PcaScale]] div max|w|`. Every step is integer-exact, so
+    * both engines produce the bit-identical direction; per-label
+    * projection stats (n, mean, min, max) read the class separation.
+    * Overflow bound: |w| ≤ d·max|C|·[[PcaScale]] ≈ 64·(q²n)·10⁶ —
+    * safe to n ≈ 10⁵ vectors at q ≤ 2·10³; beyond that the covariance
+    * accumulates in DECIMAL(38) (documented swap, same arithmetic).
+    *
+    * Scale shape: one posexplode scan (n·d rows), one d-keyed mean
+    * aggregate broadcast back, one vec-keyed self-join producing n·d²
+    * products map-side-combined into the d²-row covariance, then 5
+    * rounds over that d²-row frame (driver never sees a vector); the
+    * projection pass is one d-keyed broadcast join + vec-keyed
+    * aggregate. */
+  def pca(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(col("vec_id"), col("label"), col("j"),
+        expr(s"CAST(floor(CAST(x AS DOUBLE) * $PcaQuant + 0.5) AS BIGINT)")
+          .as("q"))
+    val means = ex.groupBy(col("j"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("j"), expr("s div n").as("m"))
+    val c = ex.join(broadcast(means), "j")
+      .select(col("vec_id"), col("label"), col("j"),
+        (col("q") - col("m")).as("c"))
+      .localCheckpoint(true)
+    val cov = c.select(col("vec_id"), col("j"), col("c"))
+      .join(c.select(col("vec_id").as("v2"), col("j").as("k"),
+        col("c").as("c2")), col("vec_id") === col("v2"))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("c") * col("c2")).as("cov"))
+      .localCheckpoint(true)
+    var v = spark.range(PcaDim).select(col("id").cast("int").as("k"),
+      lit(PcaScale).as("v")).localCheckpoint(true)
+    for (_ <- 1 to PcaIters) {
+      val w = cov.join(v, "k")
+        .groupBy(col("j")).agg(sum(col("cov") * col("v")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      // renormalize by DIVIDING down (w div (max|w| div SCALE)) — the
+      // multiply-then-divide form overflows BIGINT at w ≈ 10¹⁷
+      v = w.crossJoin(broadcast(mx))
+        .select(col("j").as("k"),
+          expr(s"w div greatest(mx div ${PcaScale}L, 1L)").as("v"))
+        .localCheckpoint(true)
+    }
+    val proj = c.join(broadcast(v.select(col("k").as("j"), col("v"))), "j")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("c") * col("v")).as("p"))
+    proj.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"),
+        min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+      .select(col("label"), col("n"), expr("sum_p div n").as("mean_p"),
+        col("min_p"), col("max_p"))
+      .orderBy(col("label"))
+  }
+
+  val pcaSql: String = {
+    import graft.core.DetSql.tdiv
+    val steps = (1 to PcaIters).map { i =>
+      s"""w$i AS (
+         |  SELECT cov.j, CAST(SUM(cov.cov * v.v) AS BIGINT) AS w
+         |  FROM cov JOIN v${i - 1} v ON v.k = cov.k
+         |  GROUP BY cov.j),
+         |v$i AS (
+         |  SELECT j AS k,
+         |    ${tdiv("w", s"greatest((SELECT MAX(ABS(w)) FROM w$i) // $PcaScale, 1)")}
+         |      AS v
+         |  FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (
+       |  SELECT vec_id, label,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $PcaQuant + 0.5)
+       |      AS BIGINT) AS q,
+       |    unnest(range(0, $PcaDim)) AS j
+       |  FROM embeddings),
+       |means AS (
+       |  SELECT j, ${tdiv("CAST(SUM(q) AS BIGINT)", "COUNT(*)")} AS m
+       |  FROM ex GROUP BY j),
+       |c AS (
+       |  SELECT ex.vec_id, ex.label, ex.j, ex.q - means.m AS c
+       |  FROM ex JOIN means ON means.j = ex.j),
+       |cov AS (
+       |  SELECT a.j, b.j AS k, CAST(SUM(a.c * b.c) AS BIGINT) AS cov
+       |  FROM c a JOIN c b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT CAST(unnest(range(0, $PcaDim)) AS INT) AS k,
+       |       CAST($PcaScale AS BIGINT) AS v),
+       |$steps,
+       |proj AS (
+       |  SELECT c.vec_id, c.label, CAST(SUM(c.c * v.v) AS BIGINT) AS p
+       |  FROM c JOIN v$PcaIters v ON v.k = c.j
+       |  GROUP BY 1, 2)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${tdiv("CAST(SUM(p) AS BIGINT)", "COUNT(*)")} AS mean_p,
+       |  CAST(MIN(p) AS BIGINT) AS min_p,
+       |  CAST(MAX(p) AS BIGINT) AS max_p
+       |FROM proj
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feat_target_encode" -> targetEncode,
     "feat_binning" -> binning,
     "feat_hash_bucket" -> hashBucket,
     "feat_minmax" -> minmaxScale,
+    "feat_pca" -> pca,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -241,5 +361,6 @@ object Features {
     "feat_binning" -> binningSql,
     "feat_hash_bucket" -> hashBucketSql,
     "feat_minmax" -> minmaxScaleSql,
+    "feat_pca" -> pcaSql,
   )
 }

@@ -155,6 +155,30 @@ object Relational {
           .write.mode("overwrite").orc(target)
       })
 
+  /** XML source scan — Spark 4's NATIVE xml data source (the spark-xml
+    * donation), completing the self-describing-text side of the source
+    * matrix next to JSON: nation staged once as one `<row>` element
+    * per record, read back with an explicit schema (rowTag = "row").
+    * XML scans parse row-wise like JSON — no pushdown, no column
+    * skipping — so the 100 TB posture is the same as
+    * [[scanJson]]: an ingest/landing format to convert to parquet at
+    * the first opportunity, not a query substrate. */
+  def scanXml(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("rowTag", "row")
+      .format("xml").load(stagedXmlCopy(spark, dir))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+
+  private def stagedXmlCopy(spark: SparkSession, dir: String): String =
+    graft.core.Fixtures.memo(textFixtures, (dir, "xml"))(
+      graft.core.Fixtures.staged(s"$dir/nation.parquet", "xml") { target =>
+        Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .write.mode("overwrite").option("rowTag", "row")
+          .format("xml").save(target)
+      })
+
   /** Avro source scan — the reference's own container format (D1),
     * oracle-facing: nation staged to snappy Avro through
     * [[graft.sources.AvroSource.write]] (the D5 sink on the DataFrame
@@ -1948,6 +1972,7 @@ object Relational {
     "scan_csv" -> scanCsv,
     "scan_text" -> scanText,
     "scan_orc" -> scanOrc,
+    "scan_xml" -> scanXml,
     "scan_avro" -> scanAvro,
     "scan_avro_logical" -> scanAvroLogical,
     "scan_merged_schema" -> scanMergedSchema,
@@ -2015,6 +2040,7 @@ object Relational {
     "scan_csv" -> scanTextSql,
     "scan_text" -> scanTextSql,
     "scan_orc" -> scanTextSql,
+    "scan_xml" -> scanTextSql,
     "scan_avro" -> scanTextSql,
     "scan_avro_logical" -> scanAvroLogicalSql,
     "scan_merged_schema" -> scanMergedSchemaSql,

@@ -87,6 +87,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "fn_string" -> 1,
     "fn_struct" -> 1,
     "fn_variant" -> 1,
+    // staged XML read + output sort (row-wise parse, like scan_json)
+    "scan_xml" -> 1,
     "join_asof" -> 2,
     "join_asof_fwd" -> 3,
     "join_asof_nearest" -> 7,
@@ -250,6 +252,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "feat_hash_bucket" -> 3,
     // type-keyed bounds agg (broadcast back) + output sort on event id
     "feat_minmax" -> 2,
+    // post-checkpoint surface: projection join + vec agg + label agg
+    // (the explode/cov/iteration rounds run behind localCheckpoints)
+    "feat_pca" -> 3,
     // distinct-gram explode: gram-keyed first-occurrence agg + join
     // back + source agg (count-distinct expand) + output sort
     "llm_ngram_novelty" -> 4,

@@ -1010,6 +1010,42 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("integer PCA matches a driver fixed-point recomputation bit-exactly") {
+    val rows = Tables.embeddings(spark, sfDir).collect().map { r =>
+      (r.getLong(r.fieldIndex("vec_id")), r.getInt(r.fieldIndex("label")),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    }
+    val d = rows.head._3.length
+    assert(d == 64, "testdata embedding dimensionality contract")
+    val n = rows.length
+    val q = rows.map { case (_, _, e) =>
+      e.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+    }
+    val m = Array.tabulate(d)(j => q.map(_(j)).sum / n)
+    val c = q.map(v => Array.tabulate(d)(j => v(j) - m(j)))
+    val cov = Array.tabulate(d, d)((j, k) => c.map(v => v(j) * v(k)).sum)
+    var vdir = Array.fill(d)(1000000L)
+    for (_ <- 1 to 5) {
+      val w = Array.tabulate(d)(j =>
+        (0 until d).map(k => cov(j)(k) * vdir(k)).sum)
+      val mx = w.map(math.abs).max
+      vdir = w.map(_ / math.max(mx / 1000000L, 1L))
+    }
+    val projByLabel = rows.zip(c).map { case ((_, l, _), cv) =>
+      l -> (0 until d).map(j => cv(j) * vdir(j)).sum
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = graft.operators.Features.pca(spark, sfDir).collect()
+    assert(got.map(_.getInt(0)).toSeq == projByLabel.keys.toSeq.sorted)
+    got.foreach { r =>
+      val ps = projByLabel(r.getInt(0))
+      assert(r.getLong(1) == ps.length.toLong, "n")
+      assert(r.getLong(2) == ps.sum / ps.length, "mean_p")
+      assert(r.getLong(3) == ps.min, "min_p")
+      assert(r.getLong(4) == ps.max, "max_p")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
   test("stl decomposition closes the additive identity bit-exactly") {
     val rows = graft.operators.Windows.tsStl(spark, sfDir).collect()
     assert(rows.nonEmpty)

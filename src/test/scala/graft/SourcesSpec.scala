@@ -64,6 +64,25 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("xml round-trip with explicit schema preserves values") {
+    val base = tmp()
+    val src = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    src.write.option("rowTag", "row").format("xml").save(s"$base/n_xml")
+    val back = spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("rowTag", "row").format("xml").load(s"$base/n_xml")
+    val a = src.collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1)
+    val b = back.collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // inferred read agrees on row count (types widen under inference)
+    val inferred = spark.read.option("rowTag", "row")
+      .format("xml").load(s"$base/n_xml")
+    assert(inferred.count() == src.count())
+  }
+
   test("partitioned scan prunes to the selected partition") {
     val df = Relational.scanPartitionPruned(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
