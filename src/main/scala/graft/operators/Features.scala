@@ -348,12 +348,76 @@ object Features {
        |ORDER BY label""".stripMargin
   }
 
+  /** Per-dimension z-score standardization of the embedding matrix in
+    * integer fixed point — the feature-whitening pass before any
+    * distance-based model: each dim's mean is the truncated integer
+    * mean of the ×[[PcaQuant]]-quantized values, the scale is the
+    * INTEGER sqrt of the truncated population variance
+    * (`floor(sqrt(x))` on a BIGINT below 2⁵² is the same correctly-
+    * rounded IEEE sqrt in both engines — boundary-safe until σ² ≈
+    * 10¹⁸), and z is `(q−m)·1000 div max(sd,1)` per element (milli-σ
+    * units). Output is the per-dim audit frame (n, mean, sd, z range)
+    * — the "is any dimension degenerate or wild" report at d rows,
+    * not a per-element dump.
+    *
+    * Scale shape: one posexplode scan, ONE d-keyed moment aggregate
+    * (map-side combined — the shuffle carries d rows), the d-row
+    * stats broadcast back for the z extremes, one final d-row
+    * aggregate. */
+  def standardize(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(col("j"),
+        expr(s"CAST(floor(CAST(x AS DOUBLE) * $PcaQuant + 0.5) AS BIGINT)")
+          .as("q"))
+    val stats = ex.groupBy(col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("ss"))
+      .select(col("j"), col("n"), expr("s div n").as("m"),
+        expr("""CAST(floor(sqrt(CAST(
+               |  (ss - 2 * (s div n) * s + n * (s div n) * (s div n)) div n
+               |  AS DOUBLE))) AS BIGINT)""".stripMargin).as("sd"))
+    ex.join(broadcast(stats), "j")
+      .select(col("j"), col("n"), col("m"), col("sd"),
+        expr("((q - m) * 1000L) div greatest(sd, 1L)").as("z"))
+      .groupBy(col("j"), col("n"), col("m"), col("sd"))
+      .agg(min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy(col("j"))
+  }
+
+  val standardizeSql: String = {
+    import graft.core.DetSql.tdiv
+    val m = tdiv("CAST(SUM(q) AS BIGINT)", "COUNT(*)")
+    s"""WITH ex AS (
+       |  SELECT CAST(unnest(range(0, $PcaDim)) AS INT) AS j,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $PcaQuant + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM embeddings),
+       |stats AS (
+       |  SELECT j, CAST(COUNT(*) AS BIGINT) AS n, $m AS m,
+       |    CAST(floor(sqrt(CAST(${tdiv(
+             s"(CAST(SUM(q * q) AS BIGINT) - 2 * ($m) * CAST(SUM(q) AS BIGINT)"
+               + s" + COUNT(*) * ($m) * ($m))", "COUNT(*)")}
+       |      AS DOUBLE))) AS BIGINT) AS sd
+       |  FROM ex GROUP BY j),
+       |z AS (
+       |  SELECT ex.j, s.n, s.m, s.sd,
+       |    ${tdiv("(ex.q - s.m) * 1000", "greatest(s.sd, 1)")} AS z
+       |  FROM ex JOIN stats s ON s.j = ex.j)
+       |SELECT j, n, m, sd,
+       |  CAST(MIN(z) AS BIGINT) AS min_z, CAST(MAX(z) AS BIGINT) AS max_z
+       |FROM z
+       |GROUP BY j, n, m, sd
+       |ORDER BY j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feat_target_encode" -> targetEncode,
     "feat_binning" -> binning,
     "feat_hash_bucket" -> hashBucket,
     "feat_minmax" -> minmaxScale,
     "feat_pca" -> pca,
+    "feat_standardize" -> standardize,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -362,5 +426,6 @@ object Features {
     "feat_hash_bucket" -> hashBucketSql,
     "feat_minmax" -> minmaxScaleSql,
     "feat_pca" -> pcaSql,
+    "feat_standardize" -> standardizeSql,
   )
 }

@@ -824,6 +824,72 @@ object Graph {
        |                   * CAST(MIN(m.m) AS BIGINT)) AS q_ppm
        |FROM per CROSS JOIN m""".stripMargin
 
+  /** Degree assortativity of the co-purchase graph — "do hubs connect
+    * to hubs?": the Pearson correlation of endpoint degrees over every
+    * edge (counted in both orientations, the standard convention).
+    * Positive = social-network-like hub mixing, negative =
+    * hub-and-spoke. All five moment sums are exact BIGINTs off the
+    * degree-annotated edge stream (the [[Relational.aggCorr]]
+    * contract); r is evaluated in one spelled-out IEEE order, so both
+    * engines agree bit-exactly.
+    *
+    * Scale shape: one degree aggregate, two broadcast joins of the
+    * ≤node-count degree table onto the edge stream (a graph too large
+    * to broadcast degrees would pre-bucket both sides — the
+    * [[linkRa]] note), ONE scalar moment aggregate. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val pairs = sym
+      .join(broadcast(deg.select(col("u").as("du"), col("deg").as("dx"))),
+        col("u") === col("du"))
+      .join(broadcast(deg.select(col("u").as("dv"), col("deg").as("dy"))),
+        col("v") === col("dv"))
+      .select(col("dx"), col("dy"))
+    pairs.agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n"), col("sx"), col("sxx"), col("sxy"),
+        expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               | - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               |/ (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""
+          .stripMargin).as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    s"""WITH e AS ($edgesSql),
+       |sym AS (SELECT src AS u, dst AS v FROM e
+       |        UNION ALL SELECT dst, src FROM e),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+       |pairs AS (
+       |  SELECT dx.deg AS dx, dy.deg AS dy
+       |  FROM sym s
+       |  JOIN deg dx ON dx.u = s.u
+       |  JOIN deg dy ON dy.u = s.v),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+       |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+       |    CAST(SUM(dy * dy) AS BIGINT) AS syy,
+       |    CAST(SUM(dx * dy) AS BIGINT) AS sxy
+       |  FROM pairs)
+       |SELECT n, sx, sxx, sxy,
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |  / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |     * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |    AS assortativity
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> triangles,
     "graph_degree_dist" -> degreeDist,
@@ -836,6 +902,7 @@ object Graph {
     "graph_clustering" -> clusteringCoeff,
     "graph_ppr" -> ppr,
     "graph_modularity" -> modularity,
+    "graph_assortativity" -> assortativity,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -850,5 +917,6 @@ object Graph {
     "graph_clustering" -> clusteringCoeffSql,
     "graph_ppr" -> pprSql,
     "graph_modularity" -> modularitySql,
+    "graph_assortativity" -> assortativitySql,
   )
 }

@@ -294,6 +294,23 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("assortativity moments match a driver recount; r in [-1, 1]") {
+    val edges = bruteEdges()
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((a, b) <- edges) { deg(a) += 1; deg(b) += 1 }
+    val pairs = edges.toSeq.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val row = graft.operators.Graph.assortativity(spark, sfDir).head()
+    assert(row.getLong(0) == pairs.length.toLong, "n")
+    assert(row.getLong(1) == pairs.map(_._1).sum, "sx")
+    assert(row.getLong(2) == pairs.map(p => p._1 * p._1).sum, "sxx")
+    assert(row.getLong(3) == pairs.map(p => p._1 * p._2).sum, "sxy")
+    val r = row.getDouble(4)
+    assert(r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12, s"r=$r out of range")
+    graft.core.Caches.drain(spark)
+  }
+
   test("bfs hop distances match a driver frontier expansion") {
     val adj = symAdj(16)
     val nodes = allNodes(16)

@@ -121,6 +121,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // explode agg, degree agg, ≤64-row bucket agg; subtrees print per
     // consuming leg
     "graph_clustering" -> 13,
+    // degree agg ×2 broadcast onto the edge stream + one scalar
+    // moment agg; edge subtrees print per consuming leg
+    "graph_assortativity" -> 9,
     // staged personalized-rank frame read + TakeOrdered (5 integer
     // rounds run inside Fixtures.staged, once per source content)
     "graph_ppr" -> 1,
@@ -255,6 +258,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // post-checkpoint surface: projection join + vec agg + label agg
     // (the explode/cov/iteration rounds run behind localCheckpoints)
     "feat_pca" -> 3,
+    // d-keyed moment agg (broadcast back) + d-row final agg + sort
+    "feat_standardize" -> 3,
     // distinct-gram explode: gram-keyed first-occurrence agg + join
     // back + source agg (count-distinct expand) + output sort
     "llm_ngram_novelty" -> 4,

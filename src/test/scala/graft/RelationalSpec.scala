@@ -1046,6 +1046,31 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("standardization audit matches a driver per-dim recompute") {
+    val rows = graft.operators.Features.standardize(spark, sfDir).collect()
+    val vecs = Tables.embeddings(spark, sfDir).collect().map(r =>
+      r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    val d = vecs.head.length
+    assert(rows.length == d)
+    val q = vecs.map(_.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong))
+    rows.foreach { r =>
+      val j = r.getInt(0)
+      val col = q.map(_(j))
+      val n = col.length.toLong
+      val s = col.sum
+      val m = s / n
+      val varNum = (col.map(v => v * v).sum - 2 * m * s + n * m * m) / n
+      val sd = math.floor(math.sqrt(varNum.toDouble)).toLong
+      assert(r.getLong(1) == n, s"dim $j n")
+      assert(r.getLong(2) == m, s"dim $j mean")
+      assert(r.getLong(3) == sd, s"dim $j sd")
+      val zs = col.map(v => (v - m) * 1000 / math.max(sd, 1L))
+      assert(r.getLong(4) == zs.min, s"dim $j min_z")
+      assert(r.getLong(5) == zs.max, s"dim $j max_z")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
   test("stl decomposition closes the additive identity bit-exactly") {
     val rows = graft.operators.Windows.tsStl(spark, sfDir).collect()
     assert(rows.nonEmpty)
