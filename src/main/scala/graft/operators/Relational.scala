@@ -1208,6 +1208,73 @@ object Relational {
     Tables.lineitem(spark, dir)
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_part"))
 
+  /** [[aggDistinctKmv]] sketch size. */
+  private val KmvK = 256L
+
+  /** 16-bit hash of a BIGINT key — 4 md5 hex chars parsed by the
+    * [[Features.hashBucket]] instr idiom; the IDENTICAL text runs as a
+    * Spark expr and as DuckDB SQL. */
+  private def kmvHashExpr(key: String): String =
+    s"""CAST(((instr('0123456789abcdef', substr(md5('kmv:' || CAST($key AS STRING)), 1, 1)) - 1) * 4096
+       |   + (instr('0123456789abcdef', substr(md5('kmv:' || CAST($key AS STRING)), 2, 1)) - 1) * 256
+       |   + (instr('0123456789abcdef', substr(md5('kmv:' || CAST($key AS STRING)), 3, 1)) - 1) * 16
+       |   + (instr('0123456789abcdef', substr(md5('kmv:' || CAST($key AS STRING)), 4, 1)) - 1))
+       |   AS BIGINT)""".stripMargin
+
+  /** K-minimum-values distinct sketch WITH an exact oracle — the
+    * approximate-distinct design the driver's hash-exact protocol CAN
+    * gate (unlike HLL's [[aggApproxDistinct]], which is
+    * tolerance-tested): KMV's estimate is a pure function of the
+    * [[KmvK]] smallest DISTINCT hash values, and with md5 as the hash
+    * both engines compute the identical sketch, the identical kth
+    * minimum, and hence the bit-identical estimate
+    * `(K−1)·2¹⁶ div h_K` (when fewer than K distinct hashes exist the
+    * sketch IS the exact count — the standard small-cardinality
+    * case). Reported next to the exact count and the error in ppm —
+    * the sketch-quality report a 100 TB pipeline reads before
+    * trusting the cheap path.
+    *
+    * Scale shape: one distinct-key aggregate, a 16-bit-bounded
+    * distinct-hash frame, TakeOrdered(K), one scalar agg — the exact
+    * count rides the same distinct pass. The 16-bit hash space is the
+    * oracle-portability trade (DuckDB lacks conv(); 4 hex chars parse
+    * engine-identically); a production sketch widens to 64-bit hashes
+    * with the same algebra. */
+  def aggDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.lineitem(spark, dir)
+      .select(col("l_partkey")).distinct()
+    val exact = keys.agg(count(lit(1)).as("exact_nd"))
+    val hs = keys.select(expr(kmvHashExpr("l_partkey")).as("h")).distinct()
+    val mins = hs.orderBy(col("h")).limit(KmvK.toInt)
+      .agg(count(lit(1)).as("n_mins"), max(col("h")).as("h_k"))
+    mins.crossJoin(broadcast(exact))
+      .select(col("n_mins"), col("h_k"),
+        when(col("n_mins") < KmvK, col("n_mins"))
+          .otherwise(expr(s"((${KmvK - 1}L) * 65536L) div h_k"))
+          .as("est_nd"),
+        col("exact_nd"))
+      .withColumn("err_ppm",
+        expr("(1000000L * abs(est_nd - exact_nd)) div exact_nd"))
+  }
+
+  val aggDistinctKmvSql: String =
+    s"""WITH keys AS (SELECT DISTINCT l_partkey FROM lineitem),
+       |exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_nd FROM keys),
+       |hs AS (SELECT DISTINCT ${kmvHashExpr("l_partkey")} AS h FROM keys),
+       |mins AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_mins,
+       |    CAST(MAX(h) AS BIGINT) AS h_k
+       |  FROM (SELECT h FROM hs ORDER BY h LIMIT $KmvK)),
+       |est AS (
+       |  SELECT n_mins, h_k,
+       |    CASE WHEN n_mins < $KmvK THEN n_mins
+       |      ELSE (${KmvK - 1} * 65536) // h_k END AS est_nd,
+       |    exact_nd
+       |  FROM mins CROSS JOIN exact)
+       |SELECT n_mins, h_k, est_nd, exact_nd,
+       |  (1000000 * ABS(est_nd - exact_nd)) // exact_nd AS err_ppm
+       |FROM est""".stripMargin
+
   /** Distribution moments from exact decimal sums: population
     * variance/stddev of quantity and quantity↔price correlation per
     * return flag. Plain stddev/corr aggregates are double-summation
@@ -2002,6 +2069,7 @@ object Relational {
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_topk_others" -> aggTopkOthers,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_distinct_kmv" -> aggDistinctKmv,
     "agg_percentile" -> aggPercentile,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_histogram" -> aggHistogram,
@@ -2067,6 +2135,7 @@ object Relational {
     "agg_filtered" -> aggFilteredSql,
     "agg_listagg" -> aggListaggSql,
     "agg_distinct" -> aggDistinctSql,
+    "agg_distinct_kmv" -> aggDistinctKmvSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_topk_others" -> aggTopkOthersSql,
     "agg_percentile" -> aggPercentileSql,

@@ -235,7 +235,54 @@ object Streams {
       |WHERE rk <= 3
       |ORDER BY wstart, rk""".stripMargin
 
+  /** Rate-spike alerting — the ops-monitoring staple over the event
+    * stream: per event type, a 6-hour tumbling count is compared to
+    * the trailing 3 complete windows, and a window alerts when its
+    * count exceeds 2× their mean. The comparison is exact
+    * cross-multiplied BIGINTs (`n·prev_n > 2·prev_sum`) — no float
+    * threshold to disagree on. Windows without 3 predecessors never
+    * alert (the honest cold-start rule). StreamingSpec drives the
+    * SAME lag logic over a MemoryStream via the shared windowed
+    * aggregate (the [[streamTopk]] pattern: watermark-committed
+    * windows feed a deterministic batch post-process per trigger).
+    *
+    * Scale shape: one (window, type)-keyed aggregate (map-side
+    * combined), one per-type lag window over the ≤(types × windows)
+    * aggregate frame — row count never reaches the window. */
+  def streamSpike(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+    val prev = Window.partitionBy(col("event_type")).orderBy(col("wstart"))
+      .rowsBetween(-3, -1)
+    agg
+      .withColumn("prev_n", count(lit(1)).over(prev))
+      .withColumn("prev_sum", coalesce(sum(col("n")).over(prev), lit(0L)))
+      .withColumn("is_spike",
+        col("prev_n") === 3 && col("n") * col("prev_n") > col("prev_sum") * 2)
+      .orderBy(col("event_type"), col("wstart"))
+  }
+
+  val streamSpikeSql: String =
+    """WITH a AS (
+      |  SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT wstart, event_type, n,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS prev_n,
+      |    COALESCE(CAST(SUM(n) OVER w AS BIGINT), 0) AS prev_sum
+      |  FROM a
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY wstart
+      |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+      |SELECT wstart, event_type, n, prev_n, prev_sum,
+      |  prev_n = 3 AND n * prev_n > prev_sum * 2 AS is_spike
+      |FROM l
+      |ORDER BY event_type, wstart""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_spike" -> streamSpike,
     "stream_dedup" -> streamDedup,
     "stream_funnel" -> streamFunnel,
     "stream_join" -> streamJoin,
@@ -247,6 +294,7 @@ object Streams {
 
   val oracleSql: Map[String, String] = Map(
     "stream_topk" -> streamTopkSql,
+    "stream_spike" -> streamSpikeSql,
     "stream_dedup" -> streamDedupSql,
     "stream_funnel" -> streamFunnelSql,
     "stream_join" -> streamJoinSql,

@@ -28,6 +28,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // + final sort
     "agg_bitmap_distinct" -> 3,
     "agg_approx_percentile" -> 2,
+    // distinct-key agg + distinct-hash agg + TakeOrdered(K) scalar
+    // frame; exact count rides a 1-row crossJoin (allowed bnl)
+    "agg_distinct_kmv" -> 3,
     // one conditional-aggregation pass over the broadcast-dim join
     "agg_ab_test" -> 1,
     // contingency agg + two margin windows over the tiny cell frame +
@@ -293,6 +296,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "stream_session" -> 2,
     // (window,type) aggregate + per-window rank + sort
     "stream_topk" -> 3,
+    // (window,type) agg + per-type lag window + output sort
+    "stream_spike" -> 3,
     "stream_sliding" -> 2,
     "stream_tumbling" -> 2,
     "table_skew" -> 3,
@@ -366,7 +371,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     * with a non-equi top-k predicate. Everything else must keep an
     * equi-key. */
   private val nestedLoopAllowed: Set[String] = Set(
-    "agg_basket_lift", "agg_topk_others", "dq_constraints",
+    "agg_basket_lift", "agg_distinct_kmv", "agg_topk_others",
+    "dq_constraints",
     "feat_binning", "feat_target_encode",
     "graph_triangles", "graph_modularity",
     "layout_zorder", "llm_bm25", "llm_hard_negatives", "win_pareto",

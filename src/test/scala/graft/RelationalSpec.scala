@@ -1046,6 +1046,50 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("KMV sketch matches a driver md5 recompute and bounds its error") {
+    val keys = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey")).distinct().collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h16(k: Long): Long = {
+      val hex = md.digest(s"kmv:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val hs = keys.map(h16).distinct.sorted
+    val mins = hs.take(256)
+    val row = graft.operators.Relational.aggDistinctKmv(spark, sfDir).head()
+    assert(row.getLong(0) == mins.length.toLong, "n_mins")
+    assert(row.getLong(1) == mins.max, "h_k")
+    val est = if (mins.length < 256) mins.length.toLong
+              else 255L * 65536L / mins.max
+    assert(row.getLong(2) == est, "est_nd")
+    assert(row.getLong(3) == keys.length.toLong, "exact_nd")
+    // estimator quality: within 25% of truth at this K (deterministic,
+    // so this is a fixed property of the testdata, not a flaky bound)
+    assert(math.abs(est - keys.length).toDouble / keys.length < 0.25,
+      s"est $est vs exact ${keys.length}")
+  }
+
+  test("spike alerts recompute from a driver trailing-window scan") {
+    // events.ts is TIMESTAMP_NTZ, so the window start collects as
+    // LocalDateTime, not java.sql.Timestamp
+    val rows = graft.operators.Streams.streamSpike(spark, sfDir)
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0),
+        r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).values.foreach { g =>
+      val sorted = g.sortBy(_._1.toEpochSecond(java.time.ZoneOffset.UTC))
+      sorted.zipWithIndex.foreach { case ((_, t, n, pn, ps, spike), i) =>
+        val prev = sorted.slice(math.max(i - 3, 0), i).map(_._3)
+        assert(pn == prev.length.toLong, s"$t prev_n")
+        assert(ps == prev.sum, s"$t prev_sum")
+        assert(spike == (prev.length == 3 && n * 3 > prev.sum * 2),
+          s"$t spike rule")
+      }
+    }
+  }
+
   test("standardization audit matches a driver per-dim recompute") {
     val rows = graft.operators.Features.standardize(spark, sfDir).collect()
     val vecs = Tables.embeddings(spark, sfDir).collect().map(r =>

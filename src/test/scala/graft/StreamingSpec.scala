@@ -74,6 +74,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(top == Set("c" -> 1, "a" -> 2, "b" -> 3), s"got $top")
   }
 
+  test("spike alert fires on the committed aggregate after 3 quiet windows") {
+    // the stream_spike shape: append-mode windowed per-type counts,
+    // the trailing-3 lag rule applied downstream on committed rows
+    val agg = runBatches("spike_agg", "append", EventStreams.tumblingCounts, Seq(
+      Seq(ev(1, 5, typ = "a"), ev(2, 65, typ = "a"), ev(3, 125, typ = "a"),
+        ev(4, 185, typ = "a"), ev(5, 190, typ = "a"), ev(6, 195, typ = "a"),
+        ev(7, 200, typ = "a"), ev(8, 205, typ = "a")),
+      Seq(ev(9, 600)) // advance watermark, close everything before
+    ))
+    import org.apache.spark.sql.expressions.Window
+    val prev = Window.orderBy(col("wstart")).rowsBetween(-3, -1)
+    val out = agg.where(col("event_type") === "a")
+      .select(col("wstart"), col("n"))
+      .withColumn("prev_n", count(lit(1)).over(prev))
+      .withColumn("prev_sum", coalesce(sum(col("n")).over(prev), lit(0L)))
+      .withColumn("is_spike",
+        col("prev_n") === 3 && col("n") * col("prev_n") > col("prev_sum") * 2)
+      .orderBy(col("wstart")).collect()
+    // hours 0-2 hold 1 event each (no 3-window history -> never spike);
+    // hour 3 holds 5 events vs trailing sum 3: 5*3 > 3*2 -> spike
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L, 5L))
+    assert(out.map(_.getBoolean(4)).toSeq == Seq(false, false, false, true))
+  }
+
   test("sliding windows assign each event to 4 overlapping windows") {
     val out = runBatches("slide", "complete", EventStreams.slidingCounts, Seq(
       Seq(ev(1, 30))))
