@@ -1200,6 +1200,75 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Pairwise audience overlap via bitmap intersection — the segment
+    * Venn report ("how many purchase users also click?") computed the
+    * way an exact 100 TB audience system does: per (type, bucket) a
+    * 64-user bitmap word ([[aggBitmapDistinct]]'s construction), then
+    * for each ordered type pair the words AND/OR per bucket and
+    * popcount — intersection and union sizes are EXACT with shuffle
+    * state `types × keyspace/64` words regardless of event volume.
+    * Jaccard is integer ppm. The oracle checks the same truth through
+    * DuckDB's set semantics (distinct-user intersect counts) — two
+    * independent computation paths agreeing bit-for-bit.
+    *
+    * Scale shape: ONE (type, bucket)-keyed word aggregate (map-side
+    * OR-combined), a bucket-keyed self-join of the word table with
+    * type ordering (|types|²/2 × buckets rows), one pair aggregate. */
+  def aggBitmapOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.events(spark, dir)
+      .select(col("event_type"), expr("user_id DIV 64").as("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))")
+          .as("bit"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(expr("bit_or(bit)").as("word"))
+    // union by inclusion–exclusion off per-type popcounts: an inner
+    // bucket join would silently drop buckets only ONE side populates
+    // from the union term
+    val sizes = words.groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(word)")).cast("long").as("n"))
+    val b = words.select(col("event_type").as("type_b"),
+      col("bucket").as("bucket2"), col("word").as("word_b"))
+    val inter = words.join(b, col("bucket") === col("bucket2")
+        && col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("ta"), col("type_b").as("tb"))
+      .agg(sum(expr("bit_count(word & word_b)")).cast("long").as("n_both"))
+    val allPairs = sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))
+      .crossJoin(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))))
+      .where(col("type_a") < col("type_b"))
+    allPairs.join(inter,
+        col("type_a") === col("ta") && col("type_b") === col("tb"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        (col("n_a") + col("n_b") - coalesce(col("n_both"), lit(0L)))
+          .as("n_either"))
+      .withColumn("jaccard_ppm",
+        expr("(1000000L * n_both) div n_either"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val aggBitmapOverlapSql: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      |inter AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM u a JOIN u b ON a.event_type < b.event_type
+      |     AND a.user_id = b.user_id
+      |  GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1)
+      |SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+      |  COALESCE(i.n_both, 0) AS n_both,
+      |  sa.n + sb.n - COALESCE(i.n_both, 0) AS n_either,
+      |  (1000000 * COALESCE(i.n_both, 0))
+      |    // (sa.n + sb.n - COALESCE(i.n_both, 0)) AS jaccard_ppm
+      |FROM sizes sa
+      |JOIN sizes sb ON sa.event_type < sb.event_type
+      |LEFT JOIN inter i
+      |  ON i.ta = sa.event_type AND i.tb = sb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** Approximate distinct via HyperLogLog++ — the scale path for
     * count(distinct) at 100 TB (no exact shuffle of all keys). No
     * DuckDB oracle: approximate results are engine-specific; bounds
@@ -2070,6 +2139,7 @@ object Relational {
     "agg_topk_others" -> aggTopkOthers,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_distinct_kmv" -> aggDistinctKmv,
+    "agg_bitmap_overlap" -> aggBitmapOverlap,
     "agg_percentile" -> aggPercentile,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_histogram" -> aggHistogram,
@@ -2136,6 +2206,7 @@ object Relational {
     "agg_listagg" -> aggListaggSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_distinct_kmv" -> aggDistinctKmvSql,
+    "agg_bitmap_overlap" -> aggBitmapOverlapSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_topk_others" -> aggTopkOthersSql,
     "agg_percentile" -> aggPercentileSql,

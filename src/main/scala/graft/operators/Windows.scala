@@ -1653,6 +1653,58 @@ object Windows {
        |FROM det d JOIN seas s ON s.dow = d.daynum % 7
        |ORDER BY day""".stripMargin
 
+  /** Conversion-latency histogram — "how long from first signup to
+    * first purchase": per user the two first-event timestamps, the
+    * delta bucketed into power-of-two hour bands (negative = purchase
+    * before signup, its own band; never-converted counted separately)
+    * — the activation-funnel timing report next to
+    * [[tsCohortRetention]]. All arithmetic is exact µs BIGINTs via
+    * [[Det.epochUs]].
+    *
+    * Scale shape: ONE user-keyed conditional min aggregate off the
+    * filtered two-type scan, a ≤70-band histogram aggregate, done.
+    * Nothing joins, nothing windows. */
+  def winTimeToEvent(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .where(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), Det.epochUs(col("ts")).as("us"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("s_us"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p_us"))
+      .where(col("s_us").isNotNull)
+    firsts
+      .select(
+        when(col("p_us").isNull, lit(-2L))
+          .when(col("p_us") < col("s_us"), lit(-1L))
+          .otherwise(expr(
+            "CAST(floor(log2(((p_us - s_us) div 3600000000L) + 2)) AS BIGINT)"))
+          .as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("band"))
+  }
+
+  val winTimeToEventSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+      |  FROM events
+      |  WHERE event_type IN ('signup', 'purchase')
+      |  GROUP BY user_id
+      |  HAVING MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+      |    IS NOT NULL),
+      |b AS (
+      |  SELECT CASE
+      |    WHEN p_us IS NULL THEN -2
+      |    WHEN p_us < s_us THEN -1
+      |    ELSE CAST(FLOOR(LOG2(((p_us - s_us) // 3600000000) + 2)) AS BIGINT)
+      |  END AS band
+      |  FROM f)
+      |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM b
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -1686,6 +1738,7 @@ object Windows {
     "win_pareto" -> winPareto,
     "ts_growth_acct" -> tsGrowthAcct,
     "ts_stl" -> tsStl,
+    "win_time_to_event" -> winTimeToEvent,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1721,5 +1774,6 @@ object Windows {
     "win_pareto" -> winParetoSql,
     "ts_growth_acct" -> tsGrowthAcctSql,
     "ts_stl" -> tsStlSql,
+    "win_time_to_event" -> winTimeToEventSql,
   )
 }

@@ -31,6 +31,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // distinct-key agg + distinct-hash agg + TakeOrdered(K) scalar
     // frame; exact count rides a 1-row crossJoin (allowed bnl)
     "agg_distinct_kmv" -> 3,
+    // (type,bucket) word agg feeding sizes + bucket-keyed pair join +
+    // pair agg + ≤|types|² frame (crossJoin of 5-row sizes = allowed
+    // bnl) + sort; word subtree prints per consuming leg
+    "agg_bitmap_overlap" -> 9,
     // one conditional-aggregation pass over the broadcast-dim join
     "agg_ab_test" -> 1,
     // contingency agg + two margin windows over the tiny cell frame +
@@ -328,6 +332,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // daily agg + centered-range window + 7-row seasonal agg
     // (broadcast back) + output sort, all on the bounded daily frame
     "ts_stl" -> 4,
+    // user-keyed first-event agg + ≤70-band histogram agg + sort
+    "win_time_to_event" -> 3,
     "ts_interpolate" -> 2,
     "ts_mom_growth" -> 2,
     // daily window sort + candle aggregate
@@ -371,8 +377,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     * with a non-equi top-k predicate. Everything else must keep an
     * equi-key. */
   private val nestedLoopAllowed: Set[String] = Set(
-    "agg_basket_lift", "agg_distinct_kmv", "agg_topk_others",
-    "dq_constraints",
+    "agg_basket_lift", "agg_bitmap_overlap", "agg_distinct_kmv",
+    "agg_topk_others", "dq_constraints",
     "feat_binning", "feat_target_encode",
     "graph_triangles", "graph_modularity",
     "layout_zorder", "llm_bm25", "llm_hard_negatives", "win_pareto",

@@ -1090,6 +1090,58 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bitmap overlap equals set-semantics intersection per type pair") {
+    val uv = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = uv.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    val rows = graft.operators.Relational.aggBitmapOverlap(spark, sfDir)
+      .collect()
+    val expectPairs = for {
+      i <- types.indices; j <- i + 1 until types.length
+    } yield (types(i), types(j))
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq
+      == expectPairs, "all ordered pairs present")
+    rows.foreach { r =>
+      val (a, b) = (byType(r.getString(0)), byType(r.getString(1)))
+      assert(r.getLong(2) == (a & b).size.toLong, "intersection")
+      assert(r.getLong(3) == (a | b).size.toLong, "union")
+      assert(r.getLong(4) ==
+        1000000L * (a & b).size / (a | b).size, "jaccard ppm")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
+  test("time-to-event bands conserve users and bucket correctly") {
+    val rows = graft.operators.Windows.winTimeToEvent(spark, sfDir).collect()
+    val firsts = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("signup", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup",
+          graft.core.Det.epochUs(col("ts")))).as("s"),
+        min(when(col("event_type") === "purchase",
+          graft.core.Det.epochUs(col("ts")))).as("p"))
+      .collect().map(r => (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .filter(_._1.isDefined)
+    assert(rows.map(_.getLong(1)).sum == firsts.length.toLong,
+      "every signup user lands in exactly one band")
+    val bands = firsts.map {
+      case (Some(s), None) => -2L
+      case (Some(s), Some(p)) if p < s => -1L
+      case (Some(s), Some(p)) =>
+        val k = (p - s) / 3600000000L + 2
+        (63 - java.lang.Long.numberOfLeadingZeros(k)).toLong
+      case _ => fail("unreachable")
+    }
+    val hist = bands.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(hist(r.getLong(0)) == r.getLong(1), s"band ${r.getLong(0)}")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
   test("standardization audit matches a driver per-dim recompute") {
     val rows = graft.operators.Features.standardize(spark, sfDir).collect()
     val vecs = Tables.embeddings(spark, sfDir).collect().map(r =>
