@@ -2074,7 +2074,76 @@ object Text {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Materialize the [[mixPlan]] — the step that turns quotas into an
+    * actual training set: per source, documents are ranked by the
+    * md5-of-id deterministic order ([[sampleHashrank]]'s idiom — run/
+    * retry/engine-stable where rand() is not) and kept greedily until
+    * the source's token quota fills (a document is kept iff the
+    * tokens BEFORE it sit strictly under quota, so the boundary doc
+    * that crosses the line ships — quotas fill, never starve).
+    * Reports per source: docs/tokens kept vs the quota and the fill
+    * ratio in ppm — everything integer-exact, the whole plan chain
+    * re-derived in the oracle.
+    *
+    * Scale shape: the quota frame is ≤|sources| rows broadcast onto
+    * the corpus scan; the greedy fill is ONE per-source window sort
+    * (md5 order) with a running token sum — the same single-sort
+    * shape as [[sampleStratified]]; final aggregate is ≤|sources|
+    * rows. */
+  def mixApply(spark: SparkSession, dir: String): DataFrame = {
+    val quotas = mixPlan(spark, dir)
+      .select(col("source").as("qsource"), col("token_quota"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks).as("n_tok"),
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(wSrc), lit(0L)))
+      .join(broadcast(quotas), col("source") === col("qsource"))
+      .where(col("cum_before") < col("token_quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tok")).as("tokens_kept"),
+        min(col("token_quota")).as("token_quota"))
+      .withColumn("fill_ppm",
+        expr("(1000000L * tokens_kept) div token_quota"))
+      .orderBy(col("source"))
+  }
+
+  lazy val mixApplySql: String = {
+    // re-derive the quota chain from mixPlanSql (shared CTE text minus
+    // its final ORDER BY), then the greedy hash-rank fill
+    val planCore = mixPlanSql.stripSuffix("\nORDER BY source")
+    s"""WITH plan AS ($planCore),
+       |docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(LEN(LIST_FILTER(string_split(lower(text), ' '),
+       |      t -> t <> '')) AS BIGINT) AS n_tok,
+       |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS hk
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, source, n_tok,
+       |    COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source
+       |      ORDER BY hk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS cum_before
+       |  FROM docs)
+       |SELECT c.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       |  CAST(SUM(c.n_tok) AS BIGINT) AS tokens_kept,
+       |  CAST(MIN(p.token_quota) AS BIGINT) AS token_quota,
+       |  (1000000 * CAST(SUM(c.n_tok) AS BIGINT))
+       |    // CAST(MIN(p.token_quota) AS BIGINT) AS fill_ppm
+       |FROM cum c JOIN plan p ON p.source = c.source
+       |WHERE c.cum_before < p.token_quota
+       |GROUP BY c.source
+       |ORDER BY c.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mix_apply" -> mixApply,
     "llm_ngram_novelty" -> ngramNovelty,
     "llm_code_detect" -> codeDetect,
     "llm_unigram_coverage" -> unigramCoverage,
@@ -2118,6 +2187,7 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_mix_apply" -> mixApplySql,
     "llm_ngram_novelty" -> ngramNoveltySql,
     "llm_code_detect" -> codeDetectSql,
     "llm_unigram_coverage" -> unigramCoverageSql,

@@ -1705,6 +1705,50 @@ object Windows {
       |GROUP BY band
       |ORDER BY band""".stripMargin
 
+  /** User-path transition matrix — the Markov "what do users do next"
+    * report behind every Sankey/path-analysis view: consecutive event
+    * pairs per user (ordered by time, event_id tiebreak), counted per
+    * (from, to) type pair with the row-conditional probability in
+    * exact integer ppm. ≤|types|² output rows.
+    *
+    * Scale shape: ONE per-user sort (lag window) + one pair-keyed
+    * aggregate (map-side combined) + a per-from window over the tiny
+    * matrix frame. The per-user ordering shuffle is the same
+    * partitioning every sessionize/funnel query here reuses. */
+  def winPathTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        Det.epochUs(col("ts")).as("us"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(wFrom))
+      .withColumn("p_ppm", expr("(1000000L * n) div row_total"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val winPathTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS from_type
+      |  FROM events),
+      |m AS (
+      |  SELECT from_type, event_type AS to_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE from_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+      |  (1000000 * n) // CAST(SUM(n) OVER (PARTITION BY from_type)
+      |    AS BIGINT) AS p_ppm
+      |FROM m
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -1739,6 +1783,7 @@ object Windows {
     "ts_growth_acct" -> tsGrowthAcct,
     "ts_stl" -> tsStl,
     "win_time_to_event" -> winTimeToEvent,
+    "win_path_transitions" -> winPathTransitions,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1775,5 +1820,6 @@ object Windows {
     "ts_growth_acct" -> tsGrowthAcctSql,
     "ts_stl" -> tsStlSql,
     "win_time_to_event" -> winTimeToEventSql,
+    "win_path_transitions" -> winPathTransitionsSql,
   )
 }

@@ -777,6 +777,38 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("mix apply fills each quota greedily in deterministic hash order") {
+    import org.apache.spark.sql.functions._
+    val quotas = graft.llm.Text.mixPlan(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val rows = graft.llm.Text.mixApply(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == quotas.keys.toSeq.sorted)
+    // driver greedy fill over the same md5 order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hk(id: Long): String =
+      md.digest(s"mix:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split(" ").count(_.nonEmpty).toLong))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ordered = docs.filter(_._2 == src).sortBy(d => (hk(d._1), d._1))
+      var cum = 0L; var kept = 0L; var toks = 0L
+      for ((_, _, t) <- ordered) {
+        if (cum < quotas(src)) { kept += 1; toks += t }
+        cum += t
+      }
+      assert(r.getLong(1) == kept, s"$src docs kept")
+      assert(r.getLong(2) == toks, s"$src tokens kept")
+      assert(r.getLong(3) == quotas(src), s"$src quota")
+      // a filled quota is within one boundary doc of exact
+      assert(r.getLong(2) >= math.min(quotas(src),
+        ordered.map(_._3).sum), s"$src fill floor")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
   test("ngram novelty reconciles with a driver first-occurrence scan") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sfDir)

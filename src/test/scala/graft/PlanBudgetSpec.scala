@@ -205,6 +205,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_lang_id" -> 1,
     "llm_lm_score" -> 6,
     "llm_mix_plan" -> 3,
+    // quota chain (source agg + two tiny windows) broadcast onto the
+    // per-source md5-order fill window + final ≤|sources| agg
+    "llm_mix_apply" -> 5,
     "llm_multimodal" -> 1,
     "llm_multimodal_binary" -> 1,
     "llm_ngram_counts" -> 2,
@@ -368,6 +371,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "win_rolling_range" -> 2,
     "win_sessionize" -> 2,
     "win_streaks" -> 2,
+    // per-user lag window + pair agg + per-from window over the tiny
+    // matrix + output sort
+    "win_path_transitions" -> 4,
     "write_dynamic_overwrite" -> 0,
   )
 

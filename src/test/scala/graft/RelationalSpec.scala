@@ -1090,6 +1090,28 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("path transitions conserve steps and rows sum to ~1e6 ppm") {
+    val rows = graft.operators.Windows.winPathTransitions(spark, sfDir)
+      .collect()
+    // total transitions = total events - distinct users (each user's
+    // first event has no predecessor)
+    val nEvents = Tables.events(spark, sfDir).count()
+    val nUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers,
+      "step conservation")
+    // per from-type: row_total = sum of its n; ppm sums within
+    // truncation loss of 1e6
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val tot = g.head.getLong(3)
+      assert(g.map(_.getLong(2)).sum == tot, "row total")
+      val ppm = g.map(_.getLong(4)).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - g.length,
+        s"ppm sum $ppm")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
   test("bitmap overlap equals set-semantics intersection per type pair") {
     val uv = Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id")).distinct().collect()
