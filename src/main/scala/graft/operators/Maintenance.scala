@@ -415,7 +415,53 @@ object Maintenance {
       |  IS NOT NULL
       |ORDER BY k""".stripMargin
 
+  /** Apply the [[cdcSnapshotDiff]] change feed back onto the OLD
+    * snapshot — the CDC consumer's merge step, closed under the
+    * producer: delete D keys, overwrite U keys with the new value,
+    * union I rows. Correctness is definitional: the result must BE
+    * the new snapshot, and the oracle derives that new snapshot
+    * directly from the shared mod rules — so the gate proves
+    * diff→apply round-trips losslessly (the property a CDC pipeline
+    * actually depends on). Emitted as a checksum-shaped per-priority
+    * rollup (count + key sum) so the hashed output is bounded while
+    * still pinning every row.
+    *
+    * Scale shape: the change feed joins the base by KEY (anti for
+    * D/U, union for I/U) — cost ∝ changes + one base scan, the
+    * standard CDC merge; the rollup is one ≤|priorities| aggregate. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val changes = cdcSnapshotDiff(spark, dir)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("priority"))
+    val dropped = base.join(
+      changes.where(col("op").isin("D", "U")).select(col("k")),
+      Seq("k"), "left_anti")
+    val replaced = changes.where(col("op").isin("I", "U"))
+      .select(col("k"), col("new_priority").as("priority"))
+    dropped.unionAll(replaced)
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+      .orderBy(col("priority"))
+  }
+
+  val cdcApplySql: String =
+    """WITH news AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 31 = 0 THEN '9-RECLASS'
+      |         ELSE o_orderpriority END AS priority
+      |  FROM orders WHERE o_orderkey % 97 != 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000 AS k, o_orderpriority AS priority
+      |  FROM orders WHERE o_orderkey % 41 = 0)
+      |SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM news
+      |GROUP BY priority
+      |ORDER BY priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_apply" -> cdcApply,
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "layout_zorder" -> layoutZorder,
     "table_stats" -> tableStats,
@@ -425,6 +471,7 @@ object Maintenance {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_apply" -> cdcApplySql,
     "cdc_snapshot_diff" -> cdcSnapshotDiffSql,
     "layout_zorder" -> layoutZorderSql,
     "table_stats" -> tableStatsSql,

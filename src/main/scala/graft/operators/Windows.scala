@@ -1749,6 +1749,69 @@ object Windows {
       |FROM m
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** RFM customer segmentation — the marketing-analytics staple: per
+    * customer, Recency (days since last order), Frequency (order
+    * count), Monetary (exact-cents revenue), each scored into
+    * quintiles 1-5 by deterministic rank (`(5·(rn−1)) div n + 1`
+    * over a total order with customer-key tiebreak — ntile() without
+    * its engine-varying tie handling), then rolled up per RFM segment
+    * code with size and revenue. ≤125 output rows.
+    *
+    * Scale shape: one customer-keyed aggregate, three rank windows
+    * SHARING the same single per-metric sort each (row_number only),
+    * one segment aggregate. The windows rank the CUSTOMER frame (the
+    * fact table never sorts); at 10⁹-customer scale the exact global
+    * rank swaps for approx-percentile quintile boundaries broadcast
+    * onto the frame — documented trade, same output contract. */
+  def winRfm(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(Det.cents(col("o_totalprice"))).as("cents"))
+    val scored = per
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rn_r", row_number().over(
+        Window.orderBy(col("last_day").desc, col("o_custkey"))))
+      .withColumn("rn_f", row_number().over(
+        Window.orderBy(col("freq").desc, col("o_custkey"))))
+      .withColumn("rn_m", row_number().over(
+        Window.orderBy(col("cents").desc, col("o_custkey"))))
+      .select(col("o_custkey"), col("cents"),
+        expr("5 - (5 * (rn_r - 1)) div n").as("r"),
+        expr("5 - (5 * (rn_f - 1)) div n").as("f"),
+        expr("5 - (5 * (rn_m - 1)) div n").as("m"))
+    scored
+      .groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("segment"))
+  }
+
+  val winRfmSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+       |    CAST(COUNT(*) AS BIGINT) AS freq,
+       |    CAST(SUM(${DetSql.cents("o_totalprice")}) AS BIGINT) AS cents
+       |  FROM orders GROUP BY o_custkey),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+       |scored AS (
+       |  SELECT o_custkey, cents,
+       |    5 - (5 * (ROW_NUMBER() OVER (ORDER BY last_day DESC, o_custkey)
+       |      - 1)) // n.n AS r,
+       |    5 - (5 * (ROW_NUMBER() OVER (ORDER BY freq DESC, o_custkey)
+       |      - 1)) // n.n AS f,
+       |    5 - (5 * (ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey)
+       |      - 1)) // n.n AS m
+       |  FROM per CROSS JOIN n)
+       |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+       |    AS segment,
+       |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+       |FROM scored
+       |GROUP BY 1
+       |ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -1784,6 +1847,7 @@ object Windows {
     "ts_stl" -> tsStl,
     "win_time_to_event" -> winTimeToEvent,
     "win_path_transitions" -> winPathTransitions,
+    "win_rfm" -> winRfm,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1821,5 +1885,6 @@ object Windows {
     "ts_stl" -> tsStlSql,
     "win_time_to_event" -> winTimeToEventSql,
     "win_path_transitions" -> winPathTransitionsSql,
+    "win_rfm" -> winRfmSql,
   )
 }

@@ -74,6 +74,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "agg_weighted_avg" -> 2,
     // key shuffle per snapshot side + output sort
     "cdc_snapshot_diff" -> 3,
+    // change-feed full-outer (key shuffles) + anti-join vs base +
+    // union + priority rollup; diff subtree prints per consuming leg
+    "cdc_apply" -> 9,
     "compact_roundtrip" -> 0,
     "dim_scd2" -> 2,
     // three single-purpose audits (2 on orders incl. one count-distinct,
@@ -374,6 +377,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // per-user lag window + pair agg + per-from window over the tiny
     // matrix + output sort
     "win_path_transitions" -> 4,
+    // customer agg + three shared-frame rank windows + segment agg
+    "win_rfm" -> 2,
     "write_dynamic_overwrite" -> 0,
   )
 

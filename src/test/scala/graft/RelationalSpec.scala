@@ -1090,6 +1090,48 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cdc apply round-trips: old snapshot + diff = new snapshot") {
+    // derive the new snapshot independently on the driver from the
+    // shared mod rules and compare the rollup
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val news = base.filter(_._1 % 97 != 0).map { case (k, p) =>
+      (k, if (k % 31 == 0) "9-RECLASS" else p)
+    } ++ base.filter(_._1 % 41 == 0).map { case (k, p) => (k + 10000000L, p) }
+    val expect = news.groupBy(_._2).view.mapValues { g =>
+      (g.length.toLong, g.map(_._1).sum) }.toMap
+    val rows = graft.operators.Maintenance.cdcApply(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == expect.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val (n, ks) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == ks, r.getString(0))
+    }
+    graft.core.Caches.drain(spark)
+  }
+
+  test("rfm segments conserve customers and revenue; scores span 1-5") {
+    val rows = graft.operators.Windows.winRfm(spark, sfDir).collect()
+    val nCust = Tables.orders(spark, sfDir)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust, "customer conservation")
+    val totalCents = Tables.orders(spark, sfDir)
+      .agg(sum(expr(
+        "CAST(round(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100 AS BIGINT)")))
+      .head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalCents, "revenue conservation")
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      assert(seg.length == 3 && seg.forall(c => c >= '1' && c <= '5'), seg)
+    }
+    // quintiles are balanced: each R score holds n/5 ± 1 customers
+    val byR = rows.groupBy(_.getString(0).head).view
+      .mapValues(_.map(_.getLong(1)).sum).toMap
+    byR.values.foreach(v =>
+      assert(math.abs(v - nCust / 5) <= nCust / 5 / 2 + 1, s"R balance $v"))
+    graft.core.Caches.drain(spark)
+  }
+
   test("path transitions conserve steps and rows sum to ~1e6 ppm") {
     val rows = graft.operators.Windows.winPathTransitions(spark, sfDir)
       .collect()
