@@ -1812,6 +1812,114 @@ object Windows {
        |GROUP BY 1
        |ORDER BY segment""".stripMargin
 
+  /** Seasonal-adjusted anomaly flags — [[tsAnomaly]]'s MAD rule
+    * applied to the [[tsStl]] RESIDUAL instead of the raw series:
+    * once trend and day-of-week seasonality are removed, a quiet
+    * Sunday stops looking anomalous and a merely-average Monday
+    * after three hot Mondays starts to — the decomposed detector
+    * catches what the raw one structurally cannot. Median/MAD over
+    * the residuals use the same interpolated-percentile contract
+    * both engines agree on for integer inputs; the flag compares
+    * `|resid − med|` against 3·MAD in one float multiply.
+    *
+    * Scale shape: everything downstream of the [[tsStl]] daily frame
+    * is two whole-frame percentile aggregates broadcast back onto
+    * ≤date-domain rows. */
+  def tsAnomalyResid(spark: SparkSession, dir: String): DataFrame = {
+    val stl = tsStl(spark, dir)
+    val med = stl.agg(expr("percentile(residual, 0.5)").as("med"))
+    val dev = stl.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("residual") - col("med")))
+    val mad = dev.agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("cents"), col("residual"), col("med"),
+        col("mad"), (col("dev") > lit(3.0) * col("mad")).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  lazy val tsAnomalyResidSql: String = {
+    val stlCore = tsStlSql.stripSuffix("\nORDER BY day")
+    s"""WITH stl AS ($stlCore),
+       |med AS (SELECT quantile_cont(residual, 0.5) AS med FROM stl),
+       |dev AS (
+       |  SELECT s.day, s.cents, s.residual, m.med,
+       |    ABS(s.residual - m.med) AS dev
+       |  FROM stl s CROSS JOIN med m),
+       |mad AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
+       |SELECT d.day, d.cents, d.residual, d.med, mad.mad AS mad,
+       |  d.dev > 3.0 * mad.mad AS is_anomaly
+       |FROM dev d CROSS JOIN mad
+       |ORDER BY day""".stripMargin
+  }
+
+  /** Quintile migration matrix — "which customers moved between
+    * revenue tiers": each customer's exact-cents revenue rank
+    * quintile in the FIRST and SECOND halves of the order-date span
+    * (same deterministic rank arithmetic as [[winRfm]]; customers
+    * absent from a half land in tier 0), rolled up into the (from,
+    * to) migration matrix with exact counts — ≤36 rows, the
+    * segment-mobility report next to [[winRfm]]'s static cut.
+    *
+    * Scale shape: one customer×half aggregate, two rank windows over
+    * the customer frame, one matrix aggregate. Same
+    * exact-rank-at-dim-scale trade as [[winRfm]]. */
+  def winQuintileMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("day"),
+        Det.cents(col("o_totalprice")).as("cents"))
+    val bounds = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val tagged = o.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(datediff(col("day"), col("lo")) * 2 <=
+          datediff(col("hi"), col("lo")), lit(1)).otherwise(lit(2)))
+    def tier(half: Int): DataFrame = {
+      val per = tagged.where(col("half") === half)
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+      per
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cents").desc, col("o_custkey"))))
+        .select(col("o_custkey"),
+          expr("5 - (5 * (rn - 1)) div n").as(s"t$half"))
+    }
+    tier(1).join(tier(2), Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("t1"), lit(0L)).as("from_tier"),
+        coalesce(col("t2"), lit(0L)).as("to_tier"))
+      .groupBy(col("from_tier"), col("to_tier"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("from_tier"), col("to_tier"))
+  }
+
+  val winQuintileMigrationSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+       |    ${DetSql.cents("o_totalprice")} AS cents
+       |  FROM orders),
+       |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM o),
+       |tagged AS (
+       |  SELECT o.o_custkey, o.cents,
+       |    CASE WHEN (o.day - b.lo) * 2 <= (b.hi - b.lo)
+       |      THEN 1 ELSE 2 END AS half
+       |  FROM o CROSS JOIN b),
+       |t1 AS (
+       |  SELECT o_custkey,
+       |    5 - (5 * (ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey)
+       |      - 1)) // (COUNT(*) OVER ()) AS t
+       |  FROM (SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS cents
+       |        FROM tagged WHERE half = 1 GROUP BY o_custkey)),
+       |t2 AS (
+       |  SELECT o_custkey,
+       |    5 - (5 * (ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey)
+       |      - 1)) // (COUNT(*) OVER ()) AS t
+       |  FROM (SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS cents
+       |        FROM tagged WHERE half = 2 GROUP BY o_custkey))
+       |SELECT COALESCE(t1.t, 0) AS from_tier, COALESCE(t2.t, 0) AS to_tier,
+       |  CAST(COUNT(*) AS BIGINT) AS n_customers
+       |FROM t1 FULL OUTER JOIN t2 ON t1.o_custkey = t2.o_custkey
+       |GROUP BY 1, 2
+       |ORDER BY from_tier, to_tier""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -1848,6 +1956,8 @@ object Windows {
     "win_time_to_event" -> winTimeToEvent,
     "win_path_transitions" -> winPathTransitions,
     "win_rfm" -> winRfm,
+    "ts_anomaly_resid" -> tsAnomalyResid,
+    "win_quintile_migration" -> winQuintileMigration,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1886,5 +1996,7 @@ object Windows {
     "win_time_to_event" -> winTimeToEventSql,
     "win_path_transitions" -> winPathTransitionsSql,
     "win_rfm" -> winRfmSql,
+    "ts_anomaly_resid" -> tsAnomalyResidSql,
+    "win_quintile_migration" -> winQuintileMigrationSql,
   )
 }

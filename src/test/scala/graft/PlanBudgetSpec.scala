@@ -324,6 +324,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // age) agg + cum window over the tiny frame + output sort
     "ts_cohort_ltv" -> 7,
     "ts_anomaly" -> 8,
+    // the full tsStl chain re-planned per consuming leg (daily agg +
+    // centered window + seasonal) + two 1-row percentile crossJoins
+    // (allowed bnl)
+    "ts_anomaly_resid" -> 16,
     // daily agg + one per-type window sort (two frames + rank) + sort
     "ts_changepoint" -> 3,
     "ts_ewma" -> 3,
@@ -379,6 +383,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "win_path_transitions" -> 4,
     // customer agg + three shared-frame rank windows + segment agg
     "win_rfm" -> 2,
+    // 1-row date-bounds crossJoin (allowed bnl) + per-half customer
+    // agg + rank window + full-outer tier join + matrix agg; the
+    // tagged subtree prints per half
+    "win_quintile_migration" -> 8,
     "write_dynamic_overwrite" -> 0,
   )
 
@@ -400,7 +408,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_sim_search_int8",
     "llm_sim_search_ivf", "llm_sim_search_ivf_trained",
     "llm_sim_search_native", "llm_sim_search_pq", "llm_sim_search_pq_rerank",
-    "llm_tfidf")
+    "llm_tfidf", "ts_anomaly_resid", "win_quintile_migration")
 
   /** Scans whose predicate must reach the parquet reader: the plan has
     * to show a non-empty pushed/partition filter, or the 100 TB scan

@@ -1132,6 +1132,47 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("residual anomalies flag exactly the 3-MAD exceedances") {
+    val stl = graft.operators.Windows.tsStl(spark, sfDir).collect()
+      .map(_.getLong(4))
+    val out = graft.operators.Windows.tsAnomalyResid(spark, sfDir).collect()
+    assert(out.length == stl.length)
+    def medOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val med = medOf(stl.map(_.toDouble))
+    val mad = medOf(stl.map(r => math.abs(r - med)))
+    out.foreach { r =>
+      assert(r.getBoolean(5) ==
+        (math.abs(r.getLong(2) - med) > 3.0 * mad), s"flag on ${r.get(0)}")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
+  test("quintile migration conserves each half's customers") {
+    val rows = graft.operators.Windows.winQuintileMigration(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every half-1 customer appears once as from_tier>0; absences are 0
+    val nCust = Tables.orders(spark, sfDir)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._3).sum == nCust,
+      "every customer in exactly one cell")
+    rows.foreach { case (f, t, _) =>
+      assert(f >= 0 && f <= 5 && t >= 0 && t <= 5)
+      assert(!(f == 0 && t == 0), "customer absent from both halves")
+    }
+    // tier balance within each half: from-tier 1..5 masses within ±1
+    // of n_half/5
+    val h1 = rows.filter(_._1 > 0).map(_._3).sum
+    val byFrom = rows.filter(_._1 > 0).groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    byFrom.values.foreach(v =>
+      assert(math.abs(v - h1 / 5) <= h1 / 5 / 2 + 1, s"balance $v"))
+    graft.core.Caches.drain(spark)
+  }
+
   test("path transitions conserve steps and rows sum to ~1e6 ppm") {
     val rows = graft.operators.Windows.winPathTransitions(spark, sfDir)
       .collect()
