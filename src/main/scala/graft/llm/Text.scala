@@ -2142,7 +2142,112 @@ object Text {
        |ORDER BY c.source""".stripMargin
   }
 
+  /** Language-ID confusion matrix — the classifier-eval product for
+    * [[langId]]: predicted vs declared language counts per (pred,
+    * actual) cell plus per-cell share of the actual row in exact ppm
+    * — the accuracy/precision/recall report a labeling pipeline reads
+    * before trusting the cheap heuristic on unlabeled data.
+    *
+    * Scale shape: a pure projection (the langId predicate) into ONE
+    * ≤|langs|²-cell aggregate with a per-actual window over the tiny
+    * matrix. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val wActual = Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        (size(filter(toks, t => t === "the" || t === "a")) /
+          greatest(size(toks), lit(1))).as("stop_ratio"))
+      .select(col("lang"),
+        when(col("stop_ratio") >= 0.02, "en").otherwise("und")
+          .as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("actual_total", sum(col("n")).over(wActual))
+      .withColumn("recall_ppm", expr("(1000000L * n) div actual_total"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val langConfusionSql: String =
+    """WITH pred AS (
+      |  SELECT lang,
+      |    CASE WHEN CAST(LEN(LIST_FILTER(toks, t -> t = 'the' OR t = 'a'))
+      |        AS INT) / CAST(GREATEST(LEN(toks), 1) AS INT) >= 0.02
+      |      THEN 'en' ELSE 'und' END AS pred_lang
+      |  FROM (SELECT lang,
+      |          LIST_FILTER(string_split(lower(text), ' '), t -> t <> '')
+      |            AS toks
+      |        FROM documents)),
+      |m AS (
+      |  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pred GROUP BY 1, 2)
+      |SELECT lang, pred_lang, n,
+      |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS actual_total,
+      |  (1000000 * n) // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+      |    AS recall_ppm
+      |FROM m
+      |ORDER BY lang, pred_lang""".stripMargin
+
+  /** Repeated-n-gram gate — the C4-style "most-repeated 4-gram" rule
+    * catching loop-generated spam that [[repetition]]'s distinct-token
+    * ratio misses (a doc can repeat one 20-token block with a rich
+    * vocabulary): per doc, the max occurrence count of any single word
+    * 4-gram and its repeat mass in ppm of the doc's 4-grams; per
+    * source, docs flagged at ≥3 repeats of one gram.
+    *
+    * Scale shape: per-doc gram explode into ONE (doc, gram)-keyed
+    * aggregate (map-side combined) + one doc-keyed max aggregate +
+    * the ≤|sources| rollup — the inverted-index cost envelope again,
+    * never gram × gram. */
+  def ngramRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val four =
+      """filter(transform(sequence(0, greatest(size(t)-4, 0)),
+        |  i -> concat(try_element_at(t, i+1), ' ', try_element_at(t, i+2),
+        |              ' ', try_element_at(t, i+3), ' ', try_element_at(t, i+4))),
+        |  x -> x IS NOT NULL)""".stripMargin
+    val perGram = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .select(col("doc_id"), col("source"), explode(expr(four)).as("g"))
+      .groupBy(col("doc_id"), col("source"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    perGram.groupBy(col("doc_id"), col("source"))
+      .agg(max(col("c")).as("max_repeat"), sum(col("c")).as("n_grams"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("max_repeat") >= 3, 1L).otherwise(0L)).as("n_flagged"),
+        max(col("max_repeat")).as("worst_repeat"))
+      .withColumn("flagged_ppm", expr("(1000000L * n_flagged) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val ngramRepeatSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, source, unnest(
+      |    list_filter([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+      |                 for i in range(0, greatest(len(t)-3, 1))],
+      |                x -> x IS NOT NULL)) AS g
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      |        FROM documents)),
+      |per_gram AS (
+      |  SELECT doc_id, source, g, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM grams GROUP BY 1, 2, 3),
+      |per_doc AS (
+      |  SELECT doc_id, source, CAST(MAX(c) AS BIGINT) AS max_repeat,
+      |    CAST(SUM(c) AS BIGINT) AS n_grams
+      |  FROM per_gram GROUP BY 1, 2)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN max_repeat >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged,
+      |  CAST(MAX(max_repeat) AS BIGINT) AS worst_repeat,
+      |  (1000000 * CAST(SUM(CASE WHEN max_repeat >= 3 THEN 1 ELSE 0 END)
+      |    AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS flagged_ppm
+      |FROM per_doc
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_lang_confusion" -> langConfusion,
+    "llm_ngram_repeat" -> ngramRepeat,
     "llm_mix_apply" -> mixApply,
     "llm_ngram_novelty" -> ngramNovelty,
     "llm_code_detect" -> codeDetect,
@@ -2187,6 +2292,8 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_lang_confusion" -> langConfusionSql,
+    "llm_ngram_repeat" -> ngramRepeatSql,
     "llm_mix_apply" -> mixApplySql,
     "llm_ngram_novelty" -> ngramNoveltySql,
     "llm_code_detect" -> codeDetectSql,

@@ -809,6 +809,47 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("lang confusion cells reconcile with the per-doc langId output") {
+    import org.apache.spark.sql.functions._
+    val preds = graft.llm.Text.langId(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(3)))
+    val expect = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = graft.llm.Text.langConfusion(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum == preds.length.toLong)
+    rows.foreach { r =>
+      val cell = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == expect(cell), s"cell $cell")
+      val rowTotal = preds.count(_._1 == r.getString(0)).toLong
+      assert(r.getLong(3) == rowTotal, s"actual total ${r.getString(0)}")
+      assert(r.getLong(4) == 1000000L * r.getLong(2) / rowTotal)
+    }
+    graft.core.Caches.drain(spark)
+  }
+
+  test("ngram repeat gate reconciles with a driver max-count scan") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def maxRepeat(text: String): Long = {
+      val t = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (t.length < 4) -1L
+      else t.sliding(4).map(_.mkString(" ")).toSeq
+        .groupBy(identity).values.map(_.length.toLong).max
+    }
+    val per = docs.map { case (s, txt) => (s, maxRepeat(txt)) }
+      .filter(_._2 >= 0)
+    val rows = graft.llm.Text.ngramRepeat(spark, sfDir).collect()
+    val bySource = per.groupBy(_._1)
+    rows.foreach { r =>
+      val g = bySource(r.getString(0)).map(_._2)
+      assert(r.getLong(1) == g.length.toLong, "n_docs")
+      assert(r.getLong(2) == g.count(_ >= 3).toLong, "n_flagged")
+      assert(r.getLong(3) == g.max, "worst_repeat")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
   test("ngram novelty reconciles with a driver first-occurrence scan") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sfDir)

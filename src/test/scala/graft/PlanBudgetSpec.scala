@@ -206,6 +206,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_fingerprint" -> 1,
     "llm_incremental_dedup" -> 11,
     "llm_lang_id" -> 1,
+    // projection + ≤|langs|² cell agg + per-actual window + sort
+    "llm_lang_confusion" -> 3,
+    // (doc,gram) agg + doc agg + source rollup + sort
+    "llm_ngram_repeat" -> 4,
     "llm_lm_score" -> 6,
     "llm_mix_plan" -> 3,
     // quota chain (source agg + two tiny windows) broadcast onto the
