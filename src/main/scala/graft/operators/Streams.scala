@@ -281,7 +281,33 @@ object Streams {
       |FROM l
       |ORDER BY event_type, wstart""".stripMargin
 
+  /** Batch twin of the `transformWithState` running-totals stream
+    * ([[graft.streaming.EventStreams.runningTotals]]): a converged
+    * stream's final per-user state IS the batch aggregate — lifetime
+    * event count and exact-cents value sum per user (the same
+    * per-event rounding the processor folds). StreamingSpec drives
+    * the stateful processor over a MemoryStream (RocksDB state store)
+    * and asserts its last emission per user equals this frame.
+    *
+    * Scale shape: ONE user-keyed aggregate, map-side combined — the
+    * state-store contents a stream would hold, materialized. */
+  def streamStateTotals(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.core.Det.cents(col("value"))).as("sum_cents"))
+      .orderBy(col("user_id"))
+
+  val streamStateTotalsSql: String =
+    s"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(${graft.core.DetSql.cents("value")}) AS BIGINT)
+       |    AS sum_cents
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_state_totals" -> streamStateTotals,
     "stream_spike" -> streamSpike,
     "stream_dedup" -> streamDedup,
     "stream_funnel" -> streamFunnel,
@@ -295,6 +321,7 @@ object Streams {
   val oracleSql: Map[String, String] = Map(
     "stream_topk" -> streamTopkSql,
     "stream_spike" -> streamSpikeSql,
+    "stream_state_totals" -> streamStateTotalsSql,
     "stream_dedup" -> streamDedupSql,
     "stream_funnel" -> streamFunnelSql,
     "stream_join" -> streamJoinSql,

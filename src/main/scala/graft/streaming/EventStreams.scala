@@ -167,4 +167,51 @@ object EventStreams {
           }
       }
   }
+
+  /** Lifetime per-user totals emitted by [[runningTotals]]. */
+  final case class UserTotal(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Spark 4 `transformWithState` StatefulProcessor: a per-user
+    * lifetime (count, cents) ValueState updated per micro-batch —
+    * the new arbitrary-state API (successor to
+    * `flatMapGroupsWithState`, RocksDB-backed, schema-evolvable
+    * state). The money fold uses the same per-event cent rounding as
+    * [[sessionize]]. */
+  final class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserTotal] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotal] = {
+      val evs = rows.toSeq
+      val (pn, pc) = if (st.exists()) st.get() else (0L, 0L)
+      val n = pn + evs.size
+      val c = pc + evs.map(e => math.round(e.value * 100)).sum
+      st.update((n, c))
+      Iterator.single(UserTotal(key, n, c))
+    }
+  }
+
+  /** Running per-user totals through [[RunningTotalsProcessor]] —
+    * update-mode emission of each user's lifetime totals whenever a
+    * micro-batch touches them. Requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`), the
+    * production configuration for transformWithState. Batch twin:
+    * [[graft.operators.Streams.streamStateTotals]] (the end-state a
+    * converged stream reaches). */
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -312,6 +312,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "stream_topk" -> 3,
     // (window,type) agg + per-type lag window + output sort
     "stream_spike" -> 3,
+    // user-keyed agg + output sort (the converged state store,
+    // materialized)
+    "stream_state_totals" -> 2,
     "stream_sliding" -> 2,
     "stream_tumbling" -> 2,
     "table_skew" -> 3,

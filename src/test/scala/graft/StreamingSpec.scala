@@ -98,6 +98,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getBoolean(4)).toSeq == Seq(false, false, false, true))
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    // the new Spark 4 arbitrary-state API; requires the RocksDB state
+    // store provider (set per-test, restored after)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      implicit val sq: org.apache.spark.sql.classic.SQLContext =
+        spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      val in = MemoryStream[EventStreams.Event]
+      val q = EventStreams.runningTotals(in.toDS())
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").start()
+      try {
+        in.addData(Seq(ev(1, 5, user = 7, v = 1.25),
+          ev(2, 6, user = 7, v = 2.00), ev(3, 7, user = 9, v = 0.50)))
+        q.processAllAvailable()
+        in.addData(Seq(ev(4, 8, user = 7, v = 0.75)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_totals").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // update-mode memory sink keeps every emission; the LAST per
+      // user is the lifetime state
+      val last = rows.zipWithIndex.groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1).toMap
+      assert(last(7L) == (7L, 3L, 400L), s"user 7 got ${last(7L)}")
+      assert(last(9L) == (9L, 1L, 50L), s"user 9 got ${last(9L)}")
+      // state persisted ACROSS batches: batch 1 emitted (7, 2, 325)
+      assert(rows.contains((7L, 2L, 325L)), "intermediate state emission")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sliding windows assign each event to 4 overlapping windows") {
     val out = runBatches("slide", "complete", EventStreams.slidingCounts, Seq(
       Seq(ev(1, 30))))
