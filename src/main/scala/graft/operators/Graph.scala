@@ -890,6 +890,91 @@ object Graph {
        |    AS assortativity
        |FROM m""".stripMargin
 
+  /** [[sssp]] horizon: Bellman–Ford relaxation rounds (a fixed
+    * horizon, the [[bfs]] contract — paths longer than
+    * [[SsspRounds]] edges stay at their best-so-far bound). */
+  private val SsspRounds = 4
+
+  private val ssspFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Bounded-hop WEIGHTED shortest path from the [[BfsSrcMod]] anchor
+    * seeds — [[bfs]] lifted from the hop-count semiring to min-plus:
+    * each co-purchase edge carries the deterministic integer cost
+    * `1 + (src + dst) % 5`, and [[SsspRounds]] Bellman–Ford rounds
+    * relax `dist(v) = min(dist(v), dist(u) + w(u,v))` — the cheapest-
+    * route report (freight, latency, hop-cost routing) BFS's
+    * unweighted hops cannot express. All distances exact BIGINTs;
+    * unreached within the horizon = -1.
+    *
+    * Scale shape: identical to [[bfs]] — staged once per source
+    * content; each round is one edge-keyed shuffle against a
+    * localCheckpoint'd frontier. */
+  def sssp(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.Fixtures.memo(ssspFixtures,
+      (spark.sparkContext.applicationId, dir)) {
+        graft.core.Fixtures.staged(dir, "graphsssp",
+            codeTag =
+              s"graph_sssp_src${BfsSrcMod}_r${SsspRounds}_mod${CompMod}_v1") {
+          target =>
+            val nodes = Tables.lineitem(spark, dir)
+              .where(col("l_partkey") % CompMod === 0)
+              .select(col("l_partkey").as("node")).distinct()
+            val e = edges(spark, dir, CompMod)
+            val sym = e.select(col("src").as("u"), col("dst").as("v"))
+              .union(e.select(col("dst").as("u"), col("src").as("v")))
+              .withColumn("w", expr("1L + (u + v) % 5L"))
+              .localCheckpoint(true)
+            var dist = nodes.withColumn("d",
+              when(col("node") % BfsSrcMod === 0, lit(0L)))
+              .localCheckpoint(true)
+            for (_ <- 1 to SsspRounds) {
+              val relax = sym.join(dist, col("u") === col("node"))
+                .where(col("d").isNotNull)
+                .select(col("v"), (col("d") + col("w")).as("nd"))
+                .groupBy(col("v")).agg(min(col("nd")).as("nd"))
+              dist = dist.join(relax, col("node") === col("v"), "left")
+                .select(col("node"), least(col("d"), col("nd")).as("d"))
+                .localCheckpoint(true)
+            }
+            dist.write.mode("overwrite").parquet(target)
+            graft.core.Caches.drain(spark) // round checkpoints superseded
+        }
+      }
+    spark.read.parquet(path)
+      .select(col("node").as("part_id"),
+        coalesce(col("d"), lit(-1L)).as("cost"))
+      .orderBy(col("part_id"))
+  }
+
+  val ssspSql: String = {
+    val steps = (1 to SsspRounds).map { k =>
+      s"""d$k AS (
+         |  SELECT p.node, LEAST(p.d, s.nd) AS d
+         |  FROM d${k - 1} p LEFT JOIN (
+         |    SELECT sym.v AS node, CAST(MIN(q.d + sym.w) AS BIGINT) AS nd
+         |    FROM sym JOIN d${k - 1} q ON q.node = sym.u
+         |    WHERE q.d IS NOT NULL
+         |    GROUP BY sym.v) s ON s.node = p.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (${edgesSqlFor(CompMod)}),
+       |sym AS (
+       |  SELECT u, v, 1 + (u + v) % 5 AS w FROM (
+       |    SELECT src AS u, dst AS v FROM e
+       |    UNION ALL SELECT dst, src FROM e)),
+       |nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+       |          WHERE l_partkey % $CompMod = 0),
+       |d0 AS (SELECT node,
+       |       CASE WHEN node % $BfsSrcMod = 0
+       |         THEN CAST(0 AS BIGINT) END AS d
+       |       FROM nodes),
+       |$steps
+       |SELECT node AS part_id, COALESCE(d, -1) AS cost
+       |FROM d$SsspRounds
+       |ORDER BY part_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> triangles,
     "graph_degree_dist" -> degreeDist,
@@ -903,6 +988,7 @@ object Graph {
     "graph_ppr" -> ppr,
     "graph_modularity" -> modularity,
     "graph_assortativity" -> assortativity,
+    "graph_sssp" -> sssp,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -918,5 +1004,6 @@ object Graph {
     "graph_ppr" -> pprSql,
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
+    "graph_sssp" -> ssspSql,
   )
 }

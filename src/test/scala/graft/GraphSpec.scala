@@ -311,6 +311,38 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("weighted sssp matches a driver Bellman-Ford relaxation") {
+    val adj = symAdj(16)
+    val nodes = allNodes(16)
+    def w(u: Long, v: Long): Long = 1 + (u + v) % 5
+    var dist: Map[Long, Long] =
+      nodes.filter(_ % 256 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val next = scala.collection.mutable.Map(dist.toSeq: _*)
+      for ((u, d) <- dist; v <- adj.getOrElse(u, Nil)) {
+        val nd = d + w(u, v)
+        if (!next.contains(v) || next(v) > nd) next(v) = nd
+      }
+      dist = next.toMap
+    }
+    val got = graft.operators.Graph.sssp(spark, sfDir).collect()
+    assert(got.length == nodes.length)
+    got.foreach { r =>
+      val (n, c) = (r.getLong(0), r.getLong(1))
+      assert(c == dist.getOrElse(n, -1L), s"cost of $n")
+    }
+    // weighted cost dominates hop count: cost >= hops wherever both
+    // are reached (every edge weighs at least 1)
+    val hops = graft.operators.Graph.bfs(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val h = hops(r.getLong(0))
+      if (h >= 0 && r.getLong(1) >= 0)
+        assert(r.getLong(1) >= h, s"cost < hops at ${r.getLong(0)}")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
   test("bfs hop distances match a driver frontier expansion") {
     val adj = symAdj(16)
     val nodes = allNodes(16)

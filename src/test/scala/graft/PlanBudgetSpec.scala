@@ -143,6 +143,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // staged hop-distance frame read + output sort (4 BFS rounds
     // staged the same way)
     "graph_bfs" -> 1,
+    // staged min-plus distance frame read + output sort (4 weighted
+    // Bellman-Ford rounds run inside Fixtures.staged)
+    "graph_sssp" -> 1,
     // cached edge list scanned by 4 aggregates (nodes/edges/wedges/
     // triangles); each 1-row frame crossJoins back (allowed bnl) and
     // the initial plan prints the edge subtree once per leg
