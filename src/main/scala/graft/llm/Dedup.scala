@@ -1142,6 +1142,101 @@ object Dedup {
        |FROM ranked WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** [[bandRecall]] sample rule: ground truth is exact all-pairs
+    * Jaccard over docs ≡ 0 (mod [[RecallSampleMod]]) — the bounded
+    * audit set (all-pairs is affordable ON A SAMPLE; the sample size
+    * scales as corpus/mod, so the pair count is (corpus/mod)²/2 — mod
+    * is chosen so that stays audit-sized at any sf). */
+  private val RecallSampleMod = 25L
+
+  /** Measured candidate recall of the MinHash bands — the eval that
+    * justifies the LSH rung: over a deterministic doc sample, ALL
+    * true near-dup pairs (exact trigram Jaccard ≥ 0.5, computed via
+    * the inverted-index gram join — never doc × doc) are compared
+    * against the band-bucket candidate pairs restricted to the same
+    * sample; one row reports sample size, true/candidate/hit counts
+    * and recall in ppm (1e6 by convention when the sample holds no
+    * true pair). [[dedupRungAgreement]] audits the estimator ON the
+    * candidates; this audits what the bands MISS — the two
+    * evaluations bracket the ladder from both sides.
+    *
+    * Scale shape: sample-scoped gram inverted index (cost ∝ sampled
+    * gram co-occurrence), sample-scoped band self-join, two tiny
+    * distinct-pair frames joined, ONE scalar row out. */
+  def bandRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .where(col("doc_id") % RecallSampleMod === 0)
+    val tg = trigramsOf(docs, "doc_id", "text", dedupe = true).cache()
+    val sizes = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ga = tg.select(col("doc_id").as("doc_a"), col("g"))
+    val gb = tg.select(col("doc_id").as("doc_b"), col("g"))
+    val truePairs = ga.join(gb,
+        Seq("g")).where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      // jaccard >= 0.5 in cross-multiplied integers
+      .where(col("common") * 2 >= col("n_a") + col("n_b") - col("common"))
+      .select(col("doc_a"), col("doc_b"))
+    val bnd = bandsNative(docs, "doc_id", "text")
+    val cand = bnd.join(
+        bnd.select(col("doc_id").as("doc_b2"), col("b").as("b2"),
+          col("v").as("v2")),
+        col("b") === col("b2") && col("v") === col("v2")
+          && col("doc_id") < col("doc_b2"))
+      .select(col("doc_id").as("doc_a"), col("doc_b2").as("doc_b"))
+      .distinct()
+    val nSample = docs.agg(count(lit(1)).as("n_sample"))
+    val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nHit = truePairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nSample.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nHit))
+      .select(col("n_sample"), col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") === 0, 1000000L)
+          .otherwise(expr("(1000000L * n_hit) div n_true"))
+          .as("recall_ppm"))
+  }
+
+  val bandRecallSql: String =
+    s"""WITH docs_s AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % $RecallSampleMod = 0),
+       |tg AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |            for i in range(0, greatest(len(t)-2, 1))]) AS g
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+       |        FROM docs_s)),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |          FROM tg GROUP BY doc_id),
+       |truep AS (
+       |  SELECT i.doc_a, i.doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(COUNT(*) AS BIGINT) AS common
+       |    FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) i
+       |  JOIN sizes x ON x.doc_id = i.doc_a
+       |  JOIN sizes y ON y.doc_id = i.doc_b
+       |  WHERE i.common * 2 >= x.n + y.n - i.common),
+       |mh AS ($signaturesSql),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample FROM docs_s),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truep),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+       |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+       |       FROM truep t SEMI JOIN cand c
+       |         ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+       |SELECT ns.n_sample, nt.n_true, nc.n_cand, nh.n_hit,
+       |  CASE WHEN nt.n_true = 0 THEN 1000000
+       |    ELSE (1000000 * nh.n_hit) // nt.n_true END AS recall_ppm
+       |FROM ns, nt, nc, nh""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_fuzzy" -> dedupFuzzy,
@@ -1159,6 +1254,7 @@ object Dedup {
     "llm_dedup_containment" -> dedupContainment,
     "llm_dedup_threshold_hist" -> dedupThresholdHist,
     "llm_dedup_rung_agreement" -> dedupRungAgreement,
+    "llm_dedup_band_recall" -> bandRecall,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1178,5 +1274,6 @@ object Dedup {
     "llm_dedup_containment" -> dedupContainmentSql,
     "llm_dedup_threshold_hist" -> dedupThresholdHistSql,
     "llm_dedup_rung_agreement" -> dedupRungAgreementSql,
+    "llm_dedup_band_recall" -> bandRecallSql,
   )
 }

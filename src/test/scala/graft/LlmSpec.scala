@@ -809,6 +809,32 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("band recall reconciles true pairs with a driver all-pairs sweep") {
+    import org.apache.spark.sql.functions._
+    val row = graft.llm.Dedup.bandRecall(spark, sfDir).head()
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(row.getLong(0) == docs.length.toLong, "n_sample")
+    def grams(t: String): Set[String] =
+      t.toLowerCase.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val gs = docs.map { case (id, t) => id -> grams(t) }
+    val truePairs = (for {
+      i <- gs.indices; j <- i + 1 until gs.length
+      (a, ga) = gs(i); (b, gb) = gs(j)
+      inter = (ga & gb).size
+      if inter * 2 >= ga.size + gb.size - inter && (ga.nonEmpty || gb.nonEmpty)
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    assert(row.getLong(1) == truePairs.size.toLong, "n_true")
+    // hits bounded by both sides; recall formula closed
+    assert(row.getLong(3) <= math.min(row.getLong(1), row.getLong(2)))
+    if (row.getLong(1) == 0) assert(row.getLong(4) == 1000000L)
+    else assert(row.getLong(4) == 1000000L * row.getLong(3) / row.getLong(1))
+    graft.core.Caches.drain(spark)
+  }
+
   test("lang confusion cells reconcile with the per-doc langId output") {
     import org.apache.spark.sql.functions._
     val preds = graft.llm.Text.langId(spark, sfDir).collect()

@@ -185,6 +185,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_dedup_threshold_hist" -> 39,
     // one cached candidate+signature pass read by both rungs
     "llm_dedup_rung_agreement" -> 44,
+    // sample-scoped gram inverted index + size joins + band self-join
+    // + four 1-row count frames crossJoined (allowed bnl); the cached
+    // gram subtree prints per consuming leg
+    "llm_dedup_band_recall" -> 24,
     // band candidates + two broadcast prefix joins + sort
     "llm_dedup_edit_distance" -> 4,
     "llm_curriculum" -> 2,
@@ -418,7 +422,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_sim_search_int8",
     "llm_sim_search_ivf", "llm_sim_search_ivf_trained",
     "llm_sim_search_native", "llm_sim_search_pq", "llm_sim_search_pq_rerank",
-    "llm_tfidf", "ts_anomaly_resid", "win_quintile_migration")
+    "llm_tfidf", "ts_anomaly_resid", "win_quintile_migration",
+    "llm_dedup_band_recall")
 
   /** Scans whose predicate must reach the parquet reader: the plan has
     * to show a non-empty pushed/partition filter, or the 100 TB scan
