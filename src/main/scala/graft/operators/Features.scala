@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -411,6 +412,93 @@ object Features {
        |ORDER BY j""".stripMargin
   }
 
+  /** Decile lift table — the gains-chart eval for the
+    * [[targetEncode]] score: every order scored by its segment's
+    * encoding, ranked by (score desc, key), cut into 10 equal deciles
+    * by exact rank arithmetic, and per decile the positive count,
+    * rate, cumulative capture, and lift vs base rate — all integer
+    * ppm (cross-multiplied, no float). The ML question this answers:
+    * "if I act on the top k% by model score, what fraction of actual
+    * positives do I reach?"
+    *
+    * Scale shape: the 5-row encoding frame broadcast onto the fact
+    * scan; ONE global rank window over the scored orders (at 10⁹+
+    * rows the exact rank swaps for quantile boundaries — the
+    * [[graft.operators.Windows.winRfm]] trade), a 10-row decile
+    * aggregate and its running window. */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("t"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enc = targetEncode(spark, dir)
+      .select(col("segment"), col("enc_ppm"))
+    val scored = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(enc), col("c_mktsegment") === col("segment"))
+      .select(col("o_orderkey"), col("t"), col("enc_ppm"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("enc_ppm").desc, col("o_orderkey"))))
+      .select(col("t"), col("n"), expr("(10 * (rn - 1)) div n").as("decile"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    scored.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("t")).as("n_pos"))
+      .withColumn("pos_rate_ppm", expr("(1000000L * n_pos) div n_orders"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("total_pos", sum(col("n_pos")).over(wAll))
+      .withColumn("cum_capture_ppm",
+        expr("(1000000L * cum_pos) div total_pos"))
+      .withColumn("total_n", sum(col("n_orders")).over(wAll))
+      .withColumn("lift_ppm",
+        expr("(1000000L * n_pos * total_n) div (n_orders * total_pos)"))
+      .select(col("decile"), col("n_orders"), col("n_pos"),
+        col("pos_rate_ppm"), col("cum_capture_ppm"), col("lift_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  val decileLiftSql: String =
+    s"""WITH j AS (
+       |  SELECT o.o_orderkey, c.c_mktsegment AS segment,
+       |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS t
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+       |per_seg AS (
+       |  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(t) AS BIGINT) AS sum_t
+       |  FROM j GROUP BY segment),
+       |gtot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS g_n,
+       |    CAST(SUM(t) AS BIGINT) AS g_sum
+       |  FROM j),
+       |enc AS (
+       |  SELECT segment,
+       |    CAST(($TePpm * (sum_t * g_n + $TeSmooth * g_sum)) //
+       |      (g_n * (n + $TeSmooth)) AS BIGINT) AS enc_ppm
+       |  FROM per_seg CROSS JOIN gtot),
+       |scored AS (
+       |  SELECT j.t,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY e.enc_ppm DESC, j.o_orderkey)
+       |      AS BIGINT) AS rn
+       |  FROM j JOIN enc e ON e.segment = j.segment),
+       |dec AS (
+       |  SELECT (10 * (rn - 1)) // n AS decile, t FROM scored),
+       |agg AS (
+       |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |    CAST(SUM(t) AS BIGINT) AS n_pos
+       |  FROM dec GROUP BY decile)
+       |SELECT decile, n_orders, n_pos,
+       |  (1000000 * n_pos) // n_orders AS pos_rate_ppm,
+       |  (1000000 * CAST(SUM(n_pos) OVER (ORDER BY decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+       |    // CAST(SUM(n_pos) OVER () AS BIGINT) AS cum_capture_ppm,
+       |  (1000000 * n_pos * CAST(SUM(n_orders) OVER () AS BIGINT))
+       |    // (n_orders * CAST(SUM(n_pos) OVER () AS BIGINT)) AS lift_ppm
+       |FROM agg
+       |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feat_target_encode" -> targetEncode,
     "feat_binning" -> binning,
@@ -418,6 +506,7 @@ object Features {
     "feat_minmax" -> minmaxScale,
     "feat_pca" -> pca,
     "feat_standardize" -> standardize,
+    "feat_decile_lift" -> decileLift,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -427,5 +516,6 @@ object Features {
     "feat_minmax" -> minmaxScaleSql,
     "feat_pca" -> pcaSql,
     "feat_standardize" -> standardizeSql,
+    "feat_decile_lift" -> decileLiftSql,
   )
 }

@@ -284,6 +284,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "feat_pca" -> 3,
     // d-keyed moment agg (broadcast back) + d-row final agg + sort
     "feat_standardize" -> 3,
+    // encoding frame broadcast (1-row global crossJoin = allowed bnl)
+    // + global rank window + 10-row decile agg with running windows
+    "feat_decile_lift" -> 3,
     // distinct-gram explode: gram-keyed first-occurrence agg + join
     // back + source agg (count-distinct expand) + output sort
     "llm_ngram_novelty" -> 4,
@@ -412,7 +415,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
   private val nestedLoopAllowed: Set[String] = Set(
     "agg_basket_lift", "agg_bitmap_overlap", "agg_distinct_kmv",
     "agg_topk_others", "dq_constraints",
-    "feat_binning", "feat_target_encode",
+    "feat_binning", "feat_decile_lift", "feat_target_encode",
     "graph_triangles", "graph_modularity",
     "layout_zorder", "llm_bm25", "llm_hard_negatives", "win_pareto",
     "llm_bpe_train",

@@ -1090,6 +1090,29 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("decile lift conserves orders/positives and ranks monotonically") {
+    val rows = graft.operators.Features.decileLift(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 10L))
+    val total = Tables.orders(spark, sfDir).count()
+    val pos = Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus") === "F").count()
+    assert(rows.map(_.getLong(1)).sum == total, "order conservation")
+    assert(rows.map(_.getLong(2)).sum == pos, "positive conservation")
+    // deciles are balanced to ±1 row
+    rows.foreach(r =>
+      assert(math.abs(r.getLong(1) - total / 10) <= 1, "decile balance"))
+    // cumulative capture is nondecreasing and ends at 1e6
+    val caps = rows.map(_.getLong(4))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b })
+    assert(caps.last == 1000000L)
+    // pos_rate is nonincreasing in decile order at segment boundaries:
+    // scores tie within segments, so only assert weak monotonic trend
+    // on the first vs last decile
+    assert(rows.head.getLong(3) >= rows.last.getLong(3),
+      "top decile at least as positive as bottom")
+    graft.core.Caches.drain(spark)
+  }
+
   test("cdc apply round-trips: old snapshot + diff = new snapshot") {
     // derive the new snapshot independently on the driver from the
     // shared mod rules and compare the rollup
