@@ -400,12 +400,85 @@ object Stats {
        |              * CAST(n_a + n_b - 1 AS DOUBLE))))) AS z
        |FROM u""".stripMargin
 
+  /** Cohen's kappa between two deterministic labelers — the
+    * inter-annotator-agreement metric a labeling pipeline reports
+    * before trusting auto-labels: labeler A is the
+    * [[graft.llm.Text.langId]] 2% stopword rule, labeler B the
+    * stricter 4% variant; kappa corrects raw agreement for chance
+    * using the marginals. Evaluated EXACTLY by clearing denominators:
+    * `kappa = (po − pe)/(1 − pe) = (agree·n − Σ m_A·m_B)
+    * / (n² − Σ m_A·m_B)` — numerator and denominator exact BIGINTs,
+    * one final IEEE division (plus an integer ppm twin).
+    *
+    * Scale shape: one projection pass, ONE 2×2 cell aggregate, scalar
+    * arithmetic on the 4-row frame. */
+  def cohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.documents(spark, dir)
+      .select((size(filter(expr(
+          "filter(split(lower(text), ' '), t -> t != '')"),
+          t => t === "the" || t === "a")) /
+          greatest(size(expr("filter(split(lower(text), ' '), t -> t != '')")),
+            lit(1))).as("sr"))
+      .select(
+        when(col("sr") >= 0.02, "en").otherwise("und").as("a"),
+        when(col("sr") >= 0.04, "en").otherwise("und").as("b"))
+    val cells = labeled.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    cells.agg(
+        sum(col("c")).as("n"),
+        sum(when(col("a") === col("b"), col("c")).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("a") === "en", col("c")).otherwise(0L)).as("ma_en"),
+        sum(when(col("b") === "en", col("c")).otherwise(0L)).as("mb_en"))
+      .select(col("n"), col("n_agree"),
+        expr("ma_en * mb_en + (n - ma_en) * (n - mb_en)").as("chance_nn"))
+      .select(col("n"), col("n_agree"),
+        expr("n_agree * n - chance_nn").as("kappa_num"),
+        expr("n * n - chance_nn").as("kappa_den"))
+      .withColumn("kappa_ppm",
+        expr("(1000000L * kappa_num) div kappa_den"))
+      .withColumn("kappa",
+        expr("CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE)"))
+  }
+
+  val cohenKappaSql: String =
+    """WITH lab AS (
+      |  SELECT CASE WHEN sr >= 0.02 THEN 'en' ELSE 'und' END AS a,
+      |    CASE WHEN sr >= 0.04 THEN 'en' ELSE 'und' END AS b
+      |  FROM (
+      |    SELECT CAST(LEN(LIST_FILTER(toks, t -> t = 'the' OR t = 'a'))
+      |        AS INT) / CAST(GREATEST(LEN(toks), 1) AS INT) AS sr
+      |    FROM (SELECT LIST_FILTER(string_split(lower(text), ' '),
+      |            t -> t <> '') AS toks
+      |          FROM documents))),
+      |cells AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM lab GROUP BY 1, 2),
+      |m AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree,
+      |    CAST(SUM(CASE WHEN a = 'en' THEN c ELSE 0 END) AS BIGINT) AS ma_en,
+      |    CAST(SUM(CASE WHEN b = 'en' THEN c ELSE 0 END) AS BIGINT) AS mb_en
+      |  FROM cells),
+      |k AS (
+      |  SELECT n, n_agree,
+      |    n_agree * n - (ma_en * mb_en + (n - ma_en) * (n - mb_en))
+      |      AS kappa_num,
+      |    n * n - (ma_en * mb_en + (n - ma_en) * (n - mb_en)) AS kappa_den
+      |  FROM m)
+      |SELECT n, n_agree, kappa_num, kappa_den,
+      |  CASE WHEN kappa_num < 0
+      |    THEN -((-(1000000 * kappa_num)) // kappa_den)
+      |    ELSE (1000000 * kappa_num) // kappa_den END AS kappa_ppm,
+      |  CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE) AS kappa
+      |FROM k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_basket_lift" -> basketLift,
     "agg_ab_test" -> abTest,
     "agg_chi2_test" -> chi2Test,
     "agg_ks_test" -> ksTest,
     "agg_mannwhitney" -> mannWhitney,
+    "agg_cohen_kappa" -> cohenKappa,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -414,5 +487,6 @@ object Stats {
     "agg_chi2_test" -> chi2TestSql,
     "agg_ks_test" -> ksTestSql,
     "agg_mannwhitney" -> mannWhitneySql,
+    "agg_cohen_kappa" -> cohenKappaSql,
   )
 }

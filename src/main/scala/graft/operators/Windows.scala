@@ -1920,6 +1920,47 @@ object Windows {
        |GROUP BY 1, 2
        |ORDER BY from_tier, to_tier""".stripMargin
 
+  /** Inter-purchase gap distribution — the repeat-behavior fingerprint
+    * behind churn models: days between each customer's consecutive
+    * orders (one per-customer sort, date + key tiebreak), bucketed
+    * into power-of-two day bands with exact counts and min/max/sum
+    * per band. ≤16 output rows.
+    *
+    * Scale shape: one customer-keyed lag window + one tiny histogram
+    * aggregate — the [[winSessionize]] partitioning reused. */
+  def winInterpurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"))
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(datediff(col("day"), col("prev")).cast("long").as("gap"))
+      .select(expr("CAST(floor(log2(gap + 1)) AS BIGINT)").as("band"),
+        col("gap"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("min_days"),
+        max(col("gap")).as("max_days"), sum(col("gap")).as("sum_days"))
+      .orderBy(col("band"))
+  }
+
+  val winInterpurchaseSql: String =
+    """WITH g AS (
+      |  SELECT CAST(day - LAG(day) OVER (PARTITION BY o_custkey
+      |    ORDER BY day, o_orderkey) AS BIGINT) AS gap
+      |  FROM (SELECT o_custkey, o_orderkey,
+      |          CAST(o_orderdate AS DATE) AS day FROM orders))
+      |SELECT CAST(FLOOR(LOG2(gap + 1)) AS BIGINT) AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(MIN(gap) AS BIGINT) AS min_days,
+      |  CAST(MAX(gap) AS BIGINT) AS max_days,
+      |  CAST(SUM(gap) AS BIGINT) AS sum_days
+      |FROM g
+      |WHERE gap IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -1958,6 +1999,7 @@ object Windows {
     "win_rfm" -> winRfm,
     "ts_anomaly_resid" -> tsAnomalyResid,
     "win_quintile_migration" -> winQuintileMigration,
+    "win_interpurchase" -> winInterpurchase,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1998,5 +2040,6 @@ object Windows {
     "win_rfm" -> winRfmSql,
     "ts_anomaly_resid" -> tsAnomalyResidSql,
     "win_quintile_migration" -> winQuintileMigrationSql,
+    "win_interpurchase" -> winInterpurchaseSql,
   )
 }

@@ -37,6 +37,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "agg_bitmap_overlap" -> 9,
     // one conditional-aggregation pass over the broadcast-dim join
     "agg_ab_test" -> 1,
+    // projection + 2x2 cell agg + scalar frame
+    "agg_cohen_kappa" -> 2,
     // contingency agg + two margin windows over the tiny cell frame +
     // final scalar agg
     "agg_chi2_test" -> 4,
@@ -361,6 +363,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "ts_stl" -> 4,
     // user-keyed first-event agg + ≤70-band histogram agg + sort
     "win_time_to_event" -> 3,
+    // customer-keyed lag window + ≤16-band histogram agg + sort
+    "win_interpurchase" -> 3,
     "ts_interpolate" -> 2,
     "ts_mom_growth" -> 2,
     // daily window sort + candle aggregate

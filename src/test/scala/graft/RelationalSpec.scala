@@ -1090,6 +1090,45 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Cohen's kappa matches a driver contingency recompute") {
+    val row = graft.operators.Stats.cohenKappa(spark, sfDir).head()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    val labels = docs.map { t =>
+      val toks = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      val sr = toks.count(w => w == "the" || w == "a").toDouble /
+        math.max(toks.length, 1)
+      (if (sr >= 0.02) "en" else "und", if (sr >= 0.04) "en" else "und")
+    }
+    val n = labels.length.toLong
+    val agree = labels.count(p => p._1 == p._2).toLong
+    val maEn = labels.count(_._1 == "en").toLong
+    val mbEn = labels.count(_._2 == "en").toLong
+    val chance = maEn * mbEn + (n - maEn) * (n - mbEn)
+    assert(row.getLong(0) == n && row.getLong(1) == agree)
+    assert(row.getLong(2) == agree * n - chance, "kappa_num")
+    assert(row.getLong(3) == n * n - chance, "kappa_den")
+    val k = row.getDouble(5)
+    assert(k >= -1.0 - 1e-12 && k <= 1.0 + 1e-12)
+    graft.core.Caches.drain(spark)
+  }
+
+  test("interpurchase gaps conserve rows (orders minus customers)") {
+    val rows = graft.operators.Windows.winInterpurchase(spark, sfDir)
+      .collect()
+    val nOrders = Tables.orders(spark, sfDir).count()
+    val nCust = Tables.orders(spark, sfDir)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nOrders - nCust,
+      "one gap per order after each customer's first")
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert((1L << b) <= lo + 1 && hi + 1 < (1L << (b + 1)),
+        s"band $b holds gaps [$lo,$hi]")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
   test("decile lift conserves orders/positives and ranks monotonically") {
     val rows = graft.operators.Features.decileLift(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq == (0L until 10L))
