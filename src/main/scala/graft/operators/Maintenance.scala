@@ -460,6 +460,80 @@ object Maintenance {
       |GROUP BY priority
       |ORDER BY priority""".stripMargin
 
+  /** Referential-integrity audit — the FK half of data quality
+    * ([[dqConstraints]] covers column constraints): orphan counts for
+    * each foreign-key edge of the star schema (orders→customer,
+    * lineitem→orders, lineitem→part, lineitem→supplier), one row per
+    * edge with referencing rows, distinct keys, orphan rows, and
+    * orphan ppm — the report a warehouse runs before trusting joins.
+    *
+    * Scale shape: each edge is ONE left-anti join (fact side keyed,
+    * dim side a broadcast where it fits) aggregated to a scalar,
+    * unioned into a ≤4-row frame. Orphan counting never materializes
+    * orphan rows — the anti-join feeds straight into count. */
+  def dqReferential(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, fact: DataFrame, fk: String,
+             dim: DataFrame, pk: String): DataFrame = {
+      val n = fact.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(fk)).as("n_keys"))
+      val orphans = fact.join(dim.select(col(pk)),
+          fact(fk) === dim(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      n.crossJoin(broadcast(orphans))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_keys"),
+          col("n_orphans"),
+          expr("(1000000L * n_orphans) div n_rows").as("orphan_ppm"))
+    }
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    edge("lineitem.l_orderkey->orders", l, "l_orderkey",
+        o.select(col("o_orderkey")), "o_orderkey")
+      .unionAll(edge("lineitem.l_partkey->part", l, "l_partkey",
+        Tables.part(spark, dir).select(col("p_partkey")), "p_partkey"))
+      .unionAll(edge("lineitem.l_suppkey->supplier", l, "l_suppkey",
+        Tables.supplier(spark, dir).select(col("s_suppkey")), "s_suppkey"))
+      .unionAll(edge("orders.o_custkey->customer", o, "o_custkey",
+        Tables.customer(spark, dir).select(col("c_custkey")), "c_custkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  val dqReferentialSql: String =
+    """WITH e1 AS (
+      |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_orphans
+      |  FROM lineitem li LEFT JOIN orders o ON o.o_orderkey = li.l_orderkey),
+      |e2 AS (
+      |  SELECT 'lineitem.l_partkey->part',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+      |    CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT)
+      |  FROM lineitem li LEFT JOIN part p ON p.p_partkey = li.l_partkey),
+      |e3 AS (
+      |  SELECT 'lineitem.l_suppkey->supplier',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+      |    CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT)
+      |  FROM lineitem li LEFT JOIN supplier s ON s.s_suppkey = li.l_suppkey),
+      |e4 AS (
+      |  SELECT 'orders.o_custkey->customer',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+      |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT)
+      |  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+      |u AS (
+      |  SELECT * FROM e1 UNION ALL SELECT * FROM e2
+      |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+      |SELECT fk_edge, n_rows, n_keys, n_orphans,
+      |  (1000000 * n_orphans) // n_rows AS orphan_ppm
+      |FROM u
+      |ORDER BY fk_edge""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_apply" -> cdcApply,
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
@@ -468,6 +542,7 @@ object Maintenance {
     "table_skew" -> tableSkew,
     "write_dynamic_overwrite" -> writeDynamicOverwrite,
     "dq_constraints" -> dqConstraints,
+    "dq_referential" -> dqReferential,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -478,5 +553,6 @@ object Maintenance {
     "table_skew" -> tableSkewSql,
     "write_dynamic_overwrite" -> writeDynamicOverwriteSql,
     "dq_constraints" -> dqConstraintsSql,
+    "dq_referential" -> dqReferentialSql,
   )
 }

@@ -472,6 +472,104 @@ object Stats {
       |  CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE) AS kappa
       |FROM k""".stripMargin
 
+  /** First significant digit of a positive BIGINT by magnitude
+    * laddering — identical text runs as Spark expr and DuckDB SQL
+    * (integer `div`/`//` differ, so the divisor ladder uses nested
+    * CASE and a final small-range division both engines share). */
+  private def firstDigitExpr(c: String, intDiv: String): String = {
+    // engine-specific integer division (Spark `div`, DuckDB `//`) —
+    // a shared double-division + CAST would diverge: Spark's cast
+    // truncates, DuckDB's ROUNDS
+    val ladder = (0 to 12).reverse.map { p =>
+      val pow = math.pow(10, p).toLong
+      s"WHEN $c >= $pow THEN CAST($c $intDiv $pow AS BIGINT)"
+    }
+    ladder.mkString("CASE ", " ", " ELSE 0 END")
+  }
+
+  /** Benford's-law expected first-digit shares, ppm, as pinned
+    * literals (`log10(1+1/d)` precomputed — evaluating log10 in-query
+    * would put a libm call on the hash path for a CONSTANT). */
+  private val BenfordPpm: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford first-digit audit of order totals — the fraud/anomaly
+    * screen accountants run on money columns: observed first-digit
+    * counts vs Benford's expected shares, per-digit deviation, and a
+    * χ² statistic in micro-units (the [[chi2Test]] quantization — the
+    * cross-digit sum is an order-free integer). Expected shares are
+    * pinned ppm literals, so no libm call touches the hash path.
+    *
+    * Scale shape: first digit is a string projection; ONE 9-cell
+    * aggregate + scalar frame; χ² assembles on the 9-row frame. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val expCase = BenfordPpm.toSeq.sortBy(_._1)
+      .map { case (d, p) => s"WHEN $d THEN ${p}L" }
+      .mkString("CASE digit ", " ", " ELSE 0L END")
+    // first significant digit by INTEGER magnitude laddering on exact
+    // cents (×100 shifts the decimal point, leading digit unchanged) —
+    // a string cast would put double→text rendering parity on the
+    // hash path (Java flips to scientific notation at 10⁷)
+    val digits = Tables.orders(spark, dir)
+      .select(Det.cents(col("o_totalprice")).as("c"))
+      .where(col("c") > 0)
+      .select(expr(firstDigitExpr("c", "div")).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    val w = Window.partitionBy()
+    digits
+      .withColumn("n", sum(col("observed")).over(w))
+      .withColumn("expected_ppm", expr(expCase))
+      .withColumn("expected_micro_n",
+        expr("n * expected_ppm")) // expected count ×1e6, exact
+      .withColumn("dev_micro", expr(
+        "CAST(ROUND((CAST(observed AS DOUBLE) * 1000000.0d" +
+          " - CAST(expected_micro_n AS DOUBLE))" +
+          " * (CAST(observed AS DOUBLE) * 1000000.0d" +
+          " - CAST(expected_micro_n AS DOUBLE))" +
+          " / CAST(expected_micro_n AS DOUBLE) / 1000000.0d)" +
+          " AS BIGINT)"))
+      .select(col("digit"), col("observed"), col("n"),
+        col("expected_ppm"),
+        expr("(1000000L * observed) div n").as("observed_ppm"),
+        col("dev_micro"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordSql: String = {
+    val expCase = BenfordPpm.toSeq.sortBy(_._1)
+      .map { case (d, p) => s"WHEN $d THEN $p" }
+      .mkString("CASE digit ", " ", " ELSE 0 END")
+    s"""WITH cts AS (
+       |  SELECT ${DetSql.cents("o_totalprice")} AS c FROM orders),
+       |d AS (
+       |  SELECT ${firstDigitExpr("c", "//")} AS digit
+       |  FROM cts WHERE c > 0),
+       |cells AS (
+       |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+       |  FROM d WHERE digit BETWEEN 1 AND 9
+       |  GROUP BY digit),
+       |m AS (
+       |  SELECT digit, observed,
+       |    CAST(SUM(observed) OVER () AS BIGINT) AS n,
+       |    CAST($expCase AS BIGINT) AS expected_ppm
+       |  FROM cells),
+       |k AS (
+       |  SELECT digit, observed, n, expected_ppm,
+       |    n * expected_ppm AS expected_micro_n
+       |  FROM m)
+       |SELECT digit, observed, n, expected_ppm,
+       |  (1000000 * observed) // n AS observed_ppm,
+       |  CAST(ROUND((CAST(observed AS DOUBLE) * 1000000.0
+       |      - CAST(expected_micro_n AS DOUBLE))
+       |    * (CAST(observed AS DOUBLE) * 1000000.0
+       |      - CAST(expected_micro_n AS DOUBLE))
+       |    / CAST(expected_micro_n AS DOUBLE) / 1000000.0) AS BIGINT)
+       |    AS dev_micro
+       |FROM k
+       |ORDER BY digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_basket_lift" -> basketLift,
     "agg_ab_test" -> abTest,
@@ -479,6 +577,7 @@ object Stats {
     "agg_ks_test" -> ksTest,
     "agg_mannwhitney" -> mannWhitney,
     "agg_cohen_kappa" -> cohenKappa,
+    "agg_benford" -> benford,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -488,5 +587,6 @@ object Stats {
     "agg_ks_test" -> ksTestSql,
     "agg_mannwhitney" -> mannWhitneySql,
     "agg_cohen_kappa" -> cohenKappaSql,
+    "agg_benford" -> benfordSql,
   )
 }

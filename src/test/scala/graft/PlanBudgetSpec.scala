@@ -39,6 +39,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "agg_ab_test" -> 1,
     // projection + 2x2 cell agg + scalar frame
     "agg_cohen_kappa" -> 2,
+    // digit projection + 9-cell agg + whole-frame window + sort
+    "agg_benford" -> 2,
+    // four anti-join/count-distinct edges (each a keyed agg) unioned
+    // as 1-row frames (crossJoins = allowed bnl) + output sort
+    "dq_referential" -> 12,
     // contingency agg + two margin windows over the tiny cell frame +
     // final scalar agg
     "agg_chi2_test" -> 4,
@@ -418,7 +423,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     * equi-key. */
   private val nestedLoopAllowed: Set[String] = Set(
     "agg_basket_lift", "agg_bitmap_overlap", "agg_distinct_kmv",
-    "agg_topk_others", "dq_constraints",
+    "agg_topk_others", "dq_constraints", "dq_referential",
     "feat_binning", "feat_decile_lift", "feat_target_encode",
     "graph_triangles", "graph_modularity",
     "layout_zorder", "llm_bm25", "llm_hard_negatives", "win_pareto",

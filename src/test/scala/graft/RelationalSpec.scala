@@ -1090,6 +1090,41 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Benford digit masses reconcile and sum; expected shares pinned") {
+    val rows = graft.operators.Stats.benford(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    val prices = Tables.orders(spark, sfDir)
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+      .map(v => math.round(v * 100)).filter(_ > 0)
+    assert(rows.map(_.getLong(1)).sum == prices.length.toLong)
+    val expect = prices.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == expect.getOrElse(r.getLong(0), 0L),
+        s"digit ${r.getLong(0)}")
+    }
+    // pinned expected shares sum to ~1e6 (truncation loss < 9)
+    assert(rows.map(_.getLong(3)).sum > 999990L)
+    graft.core.Caches.drain(spark)
+  }
+
+  test("referential audit finds zero orphans on the consistent star") {
+    val rows = graft.operators.Maintenance.dqReferential(spark, sfDir)
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L,
+        s"${r.getString(0)} reports orphans on consistent testdata")
+    }
+    // row counts match the facts
+    val byEdge = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byEdge("orders.o_custkey->customer") ==
+      Tables.orders(spark, sfDir).count())
+    assert(byEdge("lineitem.l_orderkey->orders") ==
+      Tables.lineitem(spark, sfDir).count())
+    graft.core.Caches.drain(spark)
+  }
+
   test("Cohen's kappa matches a driver contingency recompute") {
     val row = graft.operators.Stats.cohenKappa(spark, sfDir).head()
     val docs = Tables.documents(spark, sfDir)
