@@ -1200,6 +1200,105 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Fuzzy name matching — the entity-resolution join: part-name
+    * pairs within Levenshtein distance 2, found WITHOUT the n² name
+    * cross product: candidates block on (first word, close length)
+    * — an equi-key the planner keeps as a hash join — and only
+    * blocked pairs pay the O(n·m) edit-distance verify. Top-20 by
+    * (distance, keys). The blocking recall trade is explicit: a typo
+    * in the first word escapes the block (production adds a second
+    * block on last word / phonetic key — same machinery).
+    *
+    * Scale shape: one blocked equi-join (cost ∝ block sizes, never
+    * names²) + per-pair Levenshtein + TakeOrdered. */
+  def joinFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey").as("k"), lower(col("p_name")).as("nm"),
+        substring_index(lower(col("p_name")), " ", 1).as("blk"),
+        length(col("p_name")).as("len"))
+    val q = p.select(col("k").as("k2"), col("nm").as("nm2"),
+      col("blk").as("blk2"), col("len").as("len2"))
+    p.join(q, col("blk") === col("blk2") && col("k") < col("k2")
+        && abs(col("len") - col("len2")) <= 2)
+      .withColumn("dist", levenshtein(col("nm"), col("nm2")))
+      .where(col("dist") <= 3)
+      .select(col("k").as("key_a"), col("k2").as("key_b"),
+        col("nm").as("name_a"), col("nm2").as("name_b"), col("dist"))
+      .orderBy(col("dist"), col("key_a"), col("key_b"))
+      .limit(20)
+  }
+
+  val joinFuzzyMatchSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey AS k, lower(p_name) AS nm,
+      |    string_split(lower(p_name), ' ')[1] AS blk,
+      |    length(p_name) AS len
+      |  FROM part)
+      |SELECT a.k AS key_a, b.k AS key_b, a.nm AS name_a, b.nm AS name_b,
+      |  CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+      |  AND ABS(a.len - b.len) <= 2
+      |WHERE levenshtein(a.nm, b.nm) <= 3
+      |ORDER BY dist, key_a, key_b
+      |LIMIT 20""".stripMargin
+
+  /** 2-D skyline (Pareto frontier) of the part catalog — the
+    * "cheapest for its size" non-dominated set: a part is ON the
+    * skyline iff no other part is both cheaper-or-equal and
+    * larger-or-equal (strict somewhere). Computed with ONE sort-based
+    * window instead of the naive n² dominance join: scan by (price
+    * asc, size desc); a part is dominated iff some STRICTLY-better-
+    * price row (or an equal-price larger row earlier in the tiebreak)
+    * reached at least its size — two running-max frames capture both
+    * cases exactly. Exact-duplicate (price, size) points collapse to
+    * the lowest key — the distinct-skyline convention, applied
+    * identically in both engines.
+    *
+    * Scale shape: one global sort window (the frontier query's
+    * inherent order) + filter; output is the frontier (≤ distinct
+    * price levels). */
+  def aggSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Det.cents(col("p_retailprice"))
+    val wStrict = Window.orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wTie = Window.partitionBy(col("price_cents"))
+      .orderBy(col("p_size").desc, col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        cents.as("price_cents"))
+      .withColumn("best_before",
+        max(col("p_size")).over(wStrict))
+      .withColumn("best_tie", max(col("p_size")).over(wTie))
+      .where(
+        (col("best_before").isNull || col("best_before") < col("p_size"))
+          && (col("best_tie").isNull || col("best_tie") < col("p_size")))
+      .select(col("p_partkey"), col("p_name"), col("price_cents"),
+        col("p_size"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
+  val aggSkylineSql: String =
+    s"""WITH p AS (
+       |  SELECT p_partkey, p_name, p_size,
+       |    ${graft.core.DetSql.cents("p_retailprice")} AS price_cents
+       |  FROM part),
+       |w AS (
+       |  SELECT p_partkey, p_name, p_size, price_cents,
+       |    MAX(p_size) OVER (ORDER BY price_cents
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS best_before,
+       |    MAX(p_size) OVER (PARTITION BY price_cents
+       |      ORDER BY p_size DESC, p_partkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS best_tie
+       |  FROM p)
+       |SELECT p_partkey, p_name, price_cents, p_size
+       |FROM w
+       |WHERE (best_before IS NULL OR best_before < p_size)
+       |  AND (best_tie IS NULL OR best_tie < p_size)
+       |ORDER BY price_cents, p_partkey""".stripMargin
+
   /** Pairwise audience overlap via bitmap intersection — the segment
     * Venn report ("how many purchase users also click?") computed the
     * way an exact 100 TB audience system does: per (type, bucket) a
@@ -2140,6 +2239,8 @@ object Relational {
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_distinct_kmv" -> aggDistinctKmv,
     "agg_bitmap_overlap" -> aggBitmapOverlap,
+    "join_fuzzy_match" -> joinFuzzyMatch,
+    "agg_skyline" -> aggSkyline,
     "agg_percentile" -> aggPercentile,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_histogram" -> aggHistogram,
@@ -2207,6 +2308,8 @@ object Relational {
     "agg_distinct" -> aggDistinctSql,
     "agg_distinct_kmv" -> aggDistinctKmvSql,
     "agg_bitmap_overlap" -> aggBitmapOverlapSql,
+    "join_fuzzy_match" -> joinFuzzyMatchSql,
+    "agg_skyline" -> aggSkylineSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_topk_others" -> aggTopkOthersSql,
     "agg_percentile" -> aggPercentileSql,

@@ -1090,6 +1090,56 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fuzzy matches are true close pairs; blocking loses none in-block") {
+    val rows = graft.operators.Relational.joinFuzzyMatch(spark, sfDir)
+      .collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { r =>
+      val d = lev(r.getString(2), r.getString(3))
+      assert(d == r.getInt(4) && d <= 3, s"${r.getString(2)}")
+    }
+    // driver exhaustive in-block sweep finds the same pair set (top-20
+    // cut aside): every blocked close pair the engine could emit
+    val names = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), lower(col("p_name"))).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = for {
+      i <- names.indices; j <- i + 1 until names.length
+      (ka, na) = names(i); (kb, nb) = names(j)
+      if na.split(" ").head == nb.split(" ").head
+      if math.abs(na.length - nb.length) <= 2
+      d = lev(na, nb) if d <= 3
+    } yield (math.min(ka, kb), math.max(ka, kb), d)
+    val expectTop = all.sortBy { case (a, b, d) => (d, a, b) }.take(20)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
+      == expectTop, "top-20 agreement")
+  }
+
+  test("skyline is exactly the non-dominated set (driver n^2 sweep)") {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), expr(
+        "CAST(round(CAST(p_retailprice AS DECIMAL(27,10)), 2) * 100 AS BIGINT)"),
+        col("p_size")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    def dominates(x: (Long, Long, Int), y: (Long, Long, Int)): Boolean =
+      x._2 <= y._2 && x._3 >= y._3 && (x._2 < y._2 || x._3 > y._3)
+    val nonDom = parts.filter(p => !parts.exists(q => dominates(q, p)))
+    // collapse exact-duplicate (price,size) points to the lowest key
+    val distinctFrontier = nonDom.groupBy(p => (p._2, p._3)).values
+      .map(_.minBy(_._1)).toSeq.sortBy(p => (p._2, p._1))
+    val rows = graft.operators.Relational.aggSkyline(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(rows.toSeq == distinctFrontier, "frontier agreement")
+    graft.core.Caches.drain(spark)
+  }
+
   test("Benford digit masses reconcile and sum; expected shares pinned") {
     val rows = graft.operators.Stats.benford(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
