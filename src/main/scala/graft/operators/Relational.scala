@@ -1200,6 +1200,85 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  private val txnLogFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Minimal transaction-log table format with TIME TRAVEL — the
+    * lakehouse mechanic (Delta/Iceberg's core idea) on the same
+    * staged-fixture discipline as the Avro round-trip: data files are
+    * immutable parquet, a JSONL log records per-version add/remove
+    * actions, and a reader resolves any version's LIVE file set from
+    * the log alone (no listing). The fixture commits two versions
+    * over orders slices (v1 adds two files; v2 removes one and adds
+    * another — a compaction-shaped swap); the query reads EVERY
+    * version and emits its (files, rows, exact-cents sum) rollup —
+    * the time-travel audit. The oracle re-derives each version's
+    * content from the shared mod rules, so log resolution itself is
+    * what the hash gate checks.
+    *
+    * Scale shape: the log is METADATA (driver-side, like every table
+    * format's); data reads are parquet scans of only the live files —
+    * version resolution never touches data. */
+  def scanTxnLog(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir)) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnlog",
+            codeTag = "scan_txn_log_mod3_v1") { target =>
+          val o = Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_totalprice"))
+          new java.io.File(target).mkdirs()
+          o.where(col("o_orderkey") % 3 === 0)
+            .coalesce(1).write.parquet(s"$target/f0")
+          o.where(col("o_orderkey") % 3 === 1)
+            .coalesce(1).write.parquet(s"$target/f1")
+          o.where(col("o_orderkey") % 3 === 2)
+            .coalesce(1).write.parquet(s"$target/f2")
+          val log =
+            """{"v":1,"action":"add","file":"f0"}
+              |{"v":1,"action":"add","file":"f1"}
+              |{"v":2,"action":"remove","file":"f0"}
+              |{"v":2,"action":"add","file":"f2"}""".stripMargin
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$target/log.jsonl"), log)
+        }
+      }
+    // resolve live sets from the log (metadata-sized driver read —
+    // what every table format's planner does)
+    val actions = spark.read.json(s"$root/log.jsonl")
+      .select(col("v").cast("int"), col("action"), col("file"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val versions = actions.map(_._1).distinct.sorted
+    val perVersion = versions.map { v =>
+      val upTo = actions.filter(_._1 <= v)
+      val live = upTo.collect { case (_, "add", f) => f }.toSet --
+        upTo.collect { case (_, "remove", f) => f }
+      val data = live.toSeq.sorted.map(f =>
+          spark.read.parquet(s"$root/$f"))
+        .reduce(_.unionAll(_))
+      data.agg(count(lit(1)).as("n_rows"),
+          sum(Det.cents(col("o_totalprice"))).as("sum_cents"))
+        .select(lit(v).as("version"), lit(live.size).as("n_files"),
+          col("n_rows"), col("sum_cents"))
+    }
+    perVersion.reduce(_.unionAll(_)).orderBy(col("version"))
+  }
+
+  val scanTxnLogSql: String =
+    """WITH v1 AS (
+      |  SELECT 1 AS version, 2 AS n_files,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |      * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+      |v2 AS (
+      |  SELECT 2 AS version, 2 AS n_files,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |      * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM orders WHERE o_orderkey % 3 IN (1, 2))
+      |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      |ORDER BY version""".stripMargin
+
   /** Fuzzy name matching — the entity-resolution join: part-name
     * pairs within Levenshtein distance 2, found WITHOUT the n² name
     * cross product: candidates block on (first word, close length)
@@ -2241,6 +2320,7 @@ object Relational {
     "agg_bitmap_overlap" -> aggBitmapOverlap,
     "join_fuzzy_match" -> joinFuzzyMatch,
     "agg_skyline" -> aggSkyline,
+    "scan_txn_log" -> scanTxnLog,
     "agg_percentile" -> aggPercentile,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_histogram" -> aggHistogram,
@@ -2310,6 +2390,7 @@ object Relational {
     "agg_bitmap_overlap" -> aggBitmapOverlapSql,
     "join_fuzzy_match" -> joinFuzzyMatchSql,
     "agg_skyline" -> aggSkylineSql,
+    "scan_txn_log" -> scanTxnLogSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_topk_others" -> aggTopkOthersSql,
     "agg_percentile" -> aggPercentileSql,

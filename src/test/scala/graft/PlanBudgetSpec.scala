@@ -110,6 +110,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "fn_variant" -> 1,
     // staged XML read + output sort (row-wise parse, like scan_json)
     "scan_xml" -> 1,
+    // per-version live-file scans -> two scalar aggs unioned + sort
+    // (log resolution is driver-side metadata, not a plan node)
+    "scan_txn_log" -> 2,
     "join_asof" -> 2,
     "join_asof_fwd" -> 3,
     "join_asof_nearest" -> 7,

@@ -1090,6 +1090,20 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("txn-log time travel resolves each version's live files exactly") {
+    val rows = graft.operators.Relational.scanTxnLog(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val v1 = o.count(k => k % 3 == 0 || k % 3 == 1).toLong
+    val v2 = o.count(k => k % 3 == 1 || k % 3 == 2).toLong
+    assert(rows(0).getLong(2) == v1, "v1 rows = mod {0,1} slice")
+    assert(rows(1).getLong(2) == v2, "v2 rows = mod {1,2} after the swap")
+    assert(rows.forall(_.getInt(1) == 2), "two live files each version")
+    graft.core.Caches.drain(spark)
+  }
+
   test("fuzzy matches are true close pairs; blocking loses none in-block") {
     val rows = graft.operators.Relational.joinFuzzyMatch(spark, sfDir)
       .collect()
