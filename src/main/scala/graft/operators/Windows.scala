@@ -1961,6 +1961,116 @@ object Windows {
       |GROUP BY 1
       |ORDER BY band""".stripMargin
 
+  /** Kaplan–Meier survival of "time to second order" with censoring —
+    * the churn-modeling staple done honestly: customers with a repeat
+    * order contribute an EVENT at their first-to-second gap; one-order
+    * customers are CENSORED at (observation end − first order). At
+    * each event day t: n_at_risk (subjects with time ≥ t), d events,
+    * and the KM factor `1 − d/n` accumulated in LOG SPACE — each
+    * step's ln quantized to micro-nats (half-up) so the cumulative is
+    * an order-free exact BIGINT sum (the [[graft.llm.Text.lmScore]]
+    * contract: the one libm ln runs on bit-identical doubles in both
+    * engines; survival itself is exp(log_surv) applied by the caller,
+    * keeping exp's parity off the hash path).
+    *
+    * Scale shape: one customer-keyed first/second aggregate, one
+    * day-keyed (event, censor) aggregate, two ordered windows over
+    * the ≤date-domain day frame. */
+  def winSurvivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"),
+      col("o_orderkey"))
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("day")).as("first_day"),
+        max(when(col("rn") === 2, col("day"))).as("second_day"))
+    val horizon = Tables.orders(spark, dir)
+      .agg(max(to_date(col("o_orderdate"))).as("end_day"))
+    val times = per.crossJoin(broadcast(horizon))
+      .select(
+        when(col("second_day").isNotNull,
+          datediff(col("second_day"), col("first_day")))
+          .otherwise(datediff(col("end_day"), col("first_day")))
+          .cast("long").as("t"),
+        when(col("second_day").isNotNull, 1L).otherwise(0L).as("is_event"))
+    val byDay = times.groupBy(col("t"))
+      .agg(sum(col("is_event")).as("d"),
+        sum(lit(1L) - col("is_event")).as("c"))
+    val wOrd = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("gone_before",
+        coalesce(sum(col("d") + col("c")).over(wOrd), lit(0L)))
+      .withColumn("total", sum(col("d") + col("c")).over(wAll))
+      .withColumn("n_risk", col("total") - col("gone_before"))
+      // n_risk = d would be ln(0): the curve hits zero — pinned to a
+      // -1e6-micro-nat-per-survivor sentinel instead of an engine-
+      // dependent -inf cast error
+      .withColumn("step_micro",
+        when(col("d") > 0 && col("n_risk") > col("d"), expr(
+          """CAST(ROUND(ln(CAST(n_risk - d AS DOUBLE)
+            |   / CAST(n_risk AS DOUBLE)) * 1000000.0d) AS BIGINT)"""
+            .stripMargin))
+        .when(col("d") > 0, lit(-13815511L))
+        .otherwise(0L))
+      .withColumn("log_surv_micro", sum(col("step_micro")).over(wCum))
+      .where(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        col("step_micro"), col("log_surv_micro"))
+      .orderBy(col("t"))
+  }
+
+  val winSurvivalKmSql: String =
+    """WITH ranked AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+      |  FROM orders),
+      |per AS (
+      |  SELECT o_custkey, MIN(day) AS first_day,
+      |    MAX(CASE WHEN rn = 2 THEN day END) AS second_day
+      |  FROM ranked WHERE rn <= 2 GROUP BY o_custkey),
+      |h AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS end_day FROM orders),
+      |times AS (
+      |  SELECT
+      |    CAST(CASE WHEN second_day IS NOT NULL
+      |      THEN second_day - first_day
+      |      ELSE h.end_day - first_day END AS BIGINT) AS t,
+      |    CASE WHEN second_day IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      |  FROM per CROSS JOIN h),
+      |by_day AS (
+      |  SELECT t, CAST(SUM(is_event) AS BIGINT) AS d,
+      |    CAST(SUM(1 - is_event) AS BIGINT) AS c
+      |  FROM times GROUP BY t),
+      |risk AS (
+      |  SELECT t, d, c,
+      |    CAST(SUM(d + c) OVER () AS BIGINT)
+      |      - COALESCE(CAST(SUM(d + c) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS BIGINT), 0) AS n_risk
+      |  FROM by_day),
+      |st AS (
+      |  SELECT t, n_risk, d, c,
+      |    CASE WHEN d > 0 AND n_risk > d THEN
+      |      CAST(ROUND(ln(CAST(n_risk - d AS DOUBLE)
+      |        / CAST(n_risk AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |    WHEN d > 0 THEN -13815511
+      |    ELSE 0 END AS step_micro
+      |  FROM risk)
+      |SELECT t, n_risk, d, c, step_micro,
+      |  CAST(SUM(step_micro) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS log_surv_micro
+      |FROM st
+      |WHERE d > 0
+      |ORDER BY t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -2000,6 +2110,7 @@ object Windows {
     "ts_anomaly_resid" -> tsAnomalyResid,
     "win_quintile_migration" -> winQuintileMigration,
     "win_interpurchase" -> winInterpurchase,
+    "win_survival_km" -> winSurvivalKm,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2041,5 +2152,6 @@ object Windows {
     "ts_anomaly_resid" -> tsAnomalyResidSql,
     "win_quintile_migration" -> winQuintileMigrationSql,
     "win_interpurchase" -> winInterpurchaseSql,
+    "win_survival_km" -> winSurvivalKmSql,
   )
 }

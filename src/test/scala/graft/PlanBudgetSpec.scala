@@ -377,6 +377,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "win_time_to_event" -> 3,
     // customer-keyed lag window + ≤16-band histogram agg + sort
     "win_interpurchase" -> 3,
+    // customer first/second agg + 1-row horizon crossJoin (allowed
+    // bnl) + day agg + ordered windows over the day frame + sort
+    "win_survival_km" -> 4,
     "ts_interpolate" -> 2,
     "ts_mom_growth" -> 2,
     // daily window sort + candle aggregate
@@ -442,7 +445,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_sim_search_ivf", "llm_sim_search_ivf_trained",
     "llm_sim_search_native", "llm_sim_search_pq", "llm_sim_search_pq_rerank",
     "llm_tfidf", "ts_anomaly_resid", "win_quintile_migration",
-    "llm_dedup_band_recall")
+    "llm_dedup_band_recall", "win_survival_km")
 
   /** Scans whose predicate must reach the parquet reader: the plan has
     * to show a non-empty pushed/partition filter, or the 100 TB scan

@@ -1090,6 +1090,52 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("KM curve reconciles with a driver survival recomputation") {
+    val rows = graft.operators.Windows.winSurvivalKm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver: per customer first/second order day, censor at max day
+    val byCust = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("day"),
+        col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2)))
+      .groupBy(_._1)
+    val endDay = byCust.values.flatten.map(_._2).max
+    val times = byCust.values.map { g =>
+      val sorted = g.toSeq.sortBy(x => (x._2, x._3))
+      val first = sorted.head._2
+      if (sorted.length >= 2) (sorted(1)._2 - first, 1L)
+      else (endDay - first, 0L)
+    }.toSeq
+    val total = times.length.toLong
+    // per event time: n_risk and d
+    val eventTimes = times.filter(_._2 == 1L).map(_._1).distinct.sorted
+    var logSum = 0L
+    val expect = eventTimes.map { t =>
+      val nRisk = times.count(_._1 >= t).toLong
+      val d = times.count(x => x._1 == t && x._2 == 1L).toLong
+      // engines ROUND half away from zero; Scala's math.round is
+      // floor(x+0.5) and differs on negative halves
+      val raw = math.log((nRisk - d).toDouble / nRisk) * 1000000.0
+      val step =
+        if (nRisk > d) { if (raw < 0) -math.round(-raw) else math.round(raw) }
+        else -13815511L
+      logSum += step
+      (t, nRisk, d, step, logSum)
+    }
+    assert(rows.length == expect.length)
+    rows.zip(expect).foreach { case (r, (t, nr, d, step, cum)) =>
+      assert(r.getLong(0) == t && r.getLong(1) == nr && r.getLong(2) == d,
+        s"risk set at $t")
+      assert(r.getLong(4) == step, s"step at $t")
+      assert(r.getLong(5) == cum, s"cumulative at $t")
+    }
+    // survival never increases: cumulative log is nonincreasing
+    val cums = rows.map(_.getLong(5))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b <= a })
+    graft.core.Caches.drain(spark)
+  }
+
   test("txn-log time travel resolves each version's live files exactly") {
     val rows = graft.operators.Relational.scanTxnLog(spark, sfDir)
       .collect()
