@@ -534,6 +534,62 @@ object Maintenance {
       |FROM u
       |ORDER BY fk_edge""".stripMargin
 
+  /** 32-bit row hash of a BIGINT key: md5 8-hex prefix parsed in two
+    * 16-bit halves with the instr idiom — identical text in both
+    * engines (no conv() in DuckDB). */
+  private def rowHashExpr(key: String): String = {
+    def hex4(off: Int): String =
+      s"""((instr('0123456789abcdef', substr(md5('ck:' || CAST($key AS STRING)), ${off}, 1)) - 1) * 4096
+         | + (instr('0123456789abcdef', substr(md5('ck:' || CAST($key AS STRING)), ${off + 1}, 1)) - 1) * 256
+         | + (instr('0123456789abcdef', substr(md5('ck:' || CAST($key AS STRING)), ${off + 2}, 1)) - 1) * 16
+         | + (instr('0123456789abcdef', substr(md5('ck:' || CAST($key AS STRING)), ${off + 3}, 1)) - 1))"""
+        .stripMargin
+    // the high half must widen BEFORE the ×65536 — 65535·65536
+    // overflows INT under ANSI
+    s"(CAST(${hex4(1)} AS BIGINT) * 65536 + CAST(${hex4(5)} AS BIGINT))"
+  }
+
+  /** Order-free table checksums — the cross-system validation op a
+    * migration runs on both sides of a copy: per table, row count and
+    * the SUM of 32-bit md5 row hashes over the primary key (addition
+    * commutes, so the checksum is partition- and order-independent —
+    * exactly why row-hash-sum is the standard table-diff primitive).
+    * One row per audited table; a single flipped/missing/extra row
+    * moves the checksum with probability ≈ 1−2⁻³².
+    *
+    * Scale shape: each table is ONE map-side-combinable scalar
+    * aggregate over a key projection — no shuffle wider than a
+    * 1-row frame, no sort. */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    def one(name: String, df: DataFrame, key: String): DataFrame =
+      df.select(expr(rowHashExpr(key)).as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hash_sum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("hash_sum"))
+    one("customer", Tables.customer(spark, dir), "c_custkey")
+      .unionAll(one("lineitem",
+        Tables.lineitem(spark, dir)
+          .withColumn("lk",
+            expr("l_orderkey * 10 + l_linenumber")), "lk"))
+      .unionAll(one("orders", Tables.orders(spark, dir), "o_orderkey"))
+      .orderBy(col("table_name"))
+  }
+
+  val tableChecksumSql: String =
+    s"""WITH c AS (
+       |  SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(${rowHashExpr("c_custkey")}) AS BIGINT) AS hash_sum
+       |  FROM customer),
+       |l AS (
+       |  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(${rowHashExpr("lk")}) AS BIGINT)
+       |  FROM (SELECT l_orderkey * 10 + l_linenumber AS lk FROM lineitem)),
+       |o AS (
+       |  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(${rowHashExpr("o_orderkey")}) AS BIGINT)
+       |  FROM orders)
+       |SELECT * FROM c UNION ALL SELECT * FROM l UNION ALL SELECT * FROM o
+       |ORDER BY table_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_apply" -> cdcApply,
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
@@ -543,6 +599,7 @@ object Maintenance {
     "write_dynamic_overwrite" -> writeDynamicOverwrite,
     "dq_constraints" -> dqConstraints,
     "dq_referential" -> dqReferential,
+    "table_checksum" -> tableChecksum,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -554,5 +611,6 @@ object Maintenance {
     "write_dynamic_overwrite" -> writeDynamicOverwriteSql,
     "dq_constraints" -> dqConstraintsSql,
     "dq_referential" -> dqReferentialSql,
+    "table_checksum" -> tableChecksumSql,
   )
 }

@@ -2071,6 +2071,72 @@ object Windows {
       |WHERE d > 0
       |ORDER BY t""".stripMargin
 
+  /** Augmented-Dickey–Fuller-style unit-root statistic on the daily
+    * purchase-revenue series — "is this series mean-reverting or a
+    * random walk", the stationarity gate before ARIMA-family
+    * modeling: regress Δy_t on y_{t−1}; the slope estimates (ρ−1) and
+    * its t-statistic is the ADF τ (no augmentation lags — the DF(0)
+    * form; the caller compares τ to the Dickey–Fuller table). Moment
+    * sums go through [[Det.dsum]] (decimal-exact, the [[aggCorr]]
+    * contract) and every derived float op is spelled out once,
+    * identically, in both engines.
+    *
+    * Scale shape: one day-keyed aggregate, one lag window over the
+    * bounded daily frame, ONE scalar moment aggregate. */
+  def tsAdf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(Det.cents(col("value"))).cast("double") / 100.0d).as("y"))
+    val w = Window.orderBy(col("day"))
+    val pairs = daily
+      .withColumn("x", lag(col("y"), 1).over(w))
+      .where(col("x").isNotNull)
+      .select(col("x"), (col("y") - col("x")).as("dy"))
+    pairs.agg(count(lit(1)).as("n"),
+        count(lit(1)).cast("double").as("n_d"),
+        Det.dsum(col("x")).as("sx"), Det.dsum(col("dy")).as("sdy"),
+        Det.dsum(col("x") * col("x")).as("sxx"),
+        Det.dsum(col("dy") * col("dy")).as("sdd"),
+        Det.dsum(col("x") * col("dy")).as("sxd"))
+      .withColumn("cov_n", expr("sxd * n_d - sx * sdy"))
+      .withColumn("varx_n", expr("sxx * n_d - sx * sx"))
+      .withColumn("vard_n", expr("sdd * n_d - sdy * sdy"))
+      .select(col("n"),
+        expr("cov_n / varx_n").as("rho_minus_1"),
+        expr("""(cov_n / varx_n)
+               |/ sqrt(((vard_n - (cov_n / varx_n) * cov_n) / n_d
+               |        / CAST(n - 2 AS DOUBLE)) * n_d / varx_n)"""
+          .stripMargin).as("t_adf"))
+  }
+
+  val tsAdfSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(SUM(${DetSql.cents("value")}) AS DOUBLE) / 100.0 AS y
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT x, y - x AS dy FROM (
+       |    SELECT y, LAG(y) OVER (ORDER BY day) AS x FROM daily)
+       |  WHERE x IS NOT NULL),
+       |m AS (
+       |  SELECT COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS n_d,
+       |    ${DetSql.dsum("x")} AS sx, ${DetSql.dsum("dy")} AS sdy,
+       |    ${DetSql.dsum("x * x")} AS sxx, ${DetSql.dsum("dy * dy")} AS sdd,
+       |    ${DetSql.dsum("x * dy")} AS sxd
+       |  FROM p),
+       |d AS (
+       |  SELECT *, sxd * n_d - sx * sdy AS cov_n,
+       |    sxx * n_d - sx * sx AS varx_n,
+       |    sdd * n_d - sdy * sdy AS vard_n
+       |  FROM m)
+       |SELECT n, cov_n / varx_n AS rho_minus_1,
+       |  (cov_n / varx_n)
+       |  / SQRT(((vard_n - (cov_n / varx_n) * cov_n) / n_d
+       |          / CAST(n - 2 AS DOUBLE)) * n_d / varx_n) AS t_adf
+       |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -2111,6 +2177,7 @@ object Windows {
     "win_quintile_migration" -> winQuintileMigration,
     "win_interpurchase" -> winInterpurchase,
     "win_survival_km" -> winSurvivalKm,
+    "ts_adf" -> tsAdf,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2153,5 +2220,6 @@ object Windows {
     "win_quintile_migration" -> winQuintileMigrationSql,
     "win_interpurchase" -> winInterpurchaseSql,
     "win_survival_km" -> winSurvivalKmSql,
+    "ts_adf" -> tsAdfSql,
   )
 }

@@ -48,6 +48,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // four anti-join/count-distinct edges (each a keyed agg) unioned
     // as 1-row frames (crossJoins = allowed bnl) + output sort
     "dq_referential" -> 12,
+    // three per-table scalar hash-sum aggs unioned + output sort
+    "table_checksum" -> 3,
     // contingency agg + two margin windows over the tiny cell frame +
     // final scalar agg
     "agg_chi2_test" -> 4,
@@ -355,6 +357,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // age) agg + cum window over the tiny frame + output sort
     "ts_cohort_ltv" -> 7,
     "ts_anomaly" -> 8,
+    // daily agg + day-ordered lag window + ONE scalar moment agg
+    "ts_adf" -> 2,
     // the full tsStl chain re-planned per consuming leg (daily agg +
     // centered window + seasonal) + two 1-row percentile crossJoins
     // (allowed bnl)

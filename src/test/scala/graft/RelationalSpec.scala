@@ -1090,6 +1090,53 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ADF statistic matches a driver OLS on the lagged series") {
+    val row = graft.operators.Windows.tsAdf(spark, sfDir).head()
+    val daily = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr(
+        "CAST(round(CAST(value AS DECIMAL(27,10)), 2) * 100 AS BIGINT)"))
+        .as("c"))
+      .orderBy(col("day")).collect().map(_.getLong(1) / 100.0)
+    val pairs = daily.sliding(2).map(a => (a(0), a(1) - a(0))).toArray
+    assert(row.getLong(0) == pairs.length.toLong, "n")
+    // slope sign/magnitude from a plain double OLS (tolerance compare:
+    // the engine's decimal-exact path differs only in rounding)
+    val n = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum; val sd = pairs.map(_._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val sxd = pairs.map(p => p._1 * p._2).sum
+    val slope = (n * sxd - sx * sd) / (n * sxx - sx * sx)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-6, "rho-1")
+    // a mean-reverting synthetic daily series: rho-1 < 0 and t < 0
+    assert(row.getDouble(1) < 0 && row.getDouble(2) < 0)
+    graft.core.Caches.drain(spark)
+  }
+
+  test("table checksums detect a single-row difference") {
+    val rows = graft.operators.Maintenance.tableChecksum(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("customer", "lineitem", "orders"))
+    val byT = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(byT("orders")._1 == Tables.orders(spark, sfDir).count())
+    // recompute orders checksum on the driver via MessageDigest
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(k: Long): Long = {
+      val hex = md.digest(s"ck:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val keys = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    assert(byT("orders")._2 == keys.map(h32).sum, "orders checksum")
+    // sensitivity: dropping one row moves the checksum
+    assert(keys.map(h32).sum - h32(keys.head) != byT("orders")._2)
+    graft.core.Caches.drain(spark)
+  }
+
   test("KM curve reconciles with a driver survival recomputation") {
     val rows = graft.operators.Windows.winSurvivalKm(spark, sfDir).collect()
     assert(rows.nonEmpty)
