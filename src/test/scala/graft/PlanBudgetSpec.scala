@@ -41,8 +41,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "agg_cohen_kappa" -> 2,
     // digit projection + 9-cell agg + whole-frame window + sort
     "agg_benford" -> 2,
-    // broadcast blocked self-join + Levenshtein filter + TakeOrdered
-    "join_fuzzy_match" -> 0,
+    // name census agg + vocabulary-sized blocked self-join +
+    // Levenshtein filter + TakeOrdered
+    "join_fuzzy_match" -> 2,
     // one global price-sort window (shared by both frames) + filter
     "agg_skyline" -> 1,
     // four anti-join/count-distinct edges (each a keyed agg) unioned

@@ -1210,23 +1210,31 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
     rows.foreach { r =>
       val d = lev(r.getString(2), r.getString(3))
-      assert(d == r.getInt(4) && d <= 3, s"${r.getString(2)}")
+      assert(d == r.getInt(6) && d >= 1 && d <= 3, s"${r.getString(2)}")
     }
-    // driver exhaustive in-block sweep finds the same pair set (top-20
-    // cut aside): every blocked close pair the engine could emit
-    val names = Tables.part(spark, sfDir)
+    // driver exhaustive in-block sweep over DISTINCT names finds the
+    // same pair set (top-20 cut aside)
+    val parts = Tables.part(spark, sfDir)
       .select(col("p_partkey"), lower(col("p_name"))).collect()
       .map(r => (r.getLong(0), r.getString(1)))
+    val names = parts.groupBy(_._2).map { case (nm, g) =>
+      (nm, g.map(_._1).min, g.length.toLong) }.toSeq
     val all = for {
       i <- names.indices; j <- i + 1 until names.length
-      (ka, na) = names(i); (kb, nb) = names(j)
+      (na, ra, _) = names(i); (nb, rb, _) = names(j)
       if na.split(" ").head == nb.split(" ").head
       if math.abs(na.length - nb.length) <= 2
       d = lev(na, nb) if d <= 3
-    } yield (math.min(ka, kb), math.max(ka, kb), d)
+    } yield (math.min(ra, rb), math.max(ra, rb), d)
     val expectTop = all.sortBy { case (a, b, d) => (d, a, b) }.take(20)
-    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(6))).toSeq
       == expectTop, "top-20 agreement")
+    // group sizes attached correctly
+    val sizeOf = names.map(n => n._2 -> n._3).toMap
+    rows.foreach { r =>
+      assert(r.getLong(4) == sizeOf(r.getLong(0)), "n_parts_a")
+      assert(r.getLong(5) == sizeOf(r.getLong(1)), "n_parts_b")
+    }
   }
 
   test("skyline is exactly the non-dominated set (driver n^2 sweep)") {
