@@ -570,7 +570,101 @@ object Stats {
        |ORDER BY digit""".stripMargin
   }
 
+  /** Mutual information between customer segment and order status —
+    * the information-theoretic lens on the same contingency table
+    * [[chi2Test]] tests: `MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))`, plus
+    * both marginal entropies and the normalized MI
+    * `2·MI/(H(X)+H(Y))`. Every ln runs on ratios of exact BIGINT
+    * counts (bit-identical doubles in both engines) and every
+    * per-cell/per-margin term is quantized to micro-nats (half away
+    * from zero, the [[graft.llm.Text.lmScore]] contract) so the
+    * cross-cell sums are order-free integers; NMI is one integer ppm
+    * division at the end.
+    *
+    * Scale shape: ONE contingency aggregate (cells ≤ |segs|·|stats|),
+    * margins from windows over the cell frame, scalar assembly. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("x"), col("o_orderstatus").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val whole = Window.partitionBy()
+    val m = cells
+      .withColumn("r", sum(col("c")).over(Window.partitionBy(col("x"))))
+      .withColumn("s", sum(col("c")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("c")).over(whole))
+      .withColumn("mi_cell_micro", expr(
+        """CAST(ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+          |  * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+          |       / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))
+          |  * 1000000.0d) AS BIGINT)""".stripMargin))
+    // marginal entropies from DISTINCT margins (each margin counted
+    // once, not once per cell)
+    val hx = m.select(col("x"), col("r"), col("n")).distinct()
+      .agg(sum(expr(
+        """CAST(ROUND(-(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+          |  * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+          |  * 1000000.0d) AS BIGINT)""".stripMargin)).as("hx_micro"))
+    val hy = m.select(col("y"), col("s"), col("n")).distinct()
+      .agg(sum(expr(
+        """CAST(ROUND(-(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |  * ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |  * 1000000.0d) AS BIGINT)""".stripMargin)).as("hy_micro"))
+    m.agg(min(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        sum(col("mi_cell_micro")).as("mi_micro"))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), col("n_cells"), col("mi_micro"),
+        col("hx_micro"), col("hy_micro"),
+        // NMI clamps the quantized MI at 0: true MI is non-negative but
+        // the rounded cell sum can dip a few micro-nats below zero,
+        // and negative `div` vs `//` semantics differ
+        expr("(1000000L * 2 * greatest(mi_micro, 0L)) div (hx_micro + hy_micro)")
+          .as("nmi_ppm"))
+  }
+
+  val mutualInfoSql: String =
+    """WITH cells AS (
+      |  SELECT c.c_mktsegment AS x, o.o_orderstatus AS y,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT x, y, c,
+      |    CAST(SUM(c) OVER (PARTITION BY x) AS BIGINT) AS r,
+      |    CAST(SUM(c) OVER (PARTITION BY y) AS BIGINT) AS s,
+      |    CAST(SUM(c) OVER () AS BIGINT) AS n
+      |  FROM cells),
+      |mic AS (
+      |  SELECT n,
+      |    CAST(ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+      |           / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))
+      |      * 1000000.0) AS BIGINT) AS mi_cell_micro
+      |  FROM m),
+      |hx AS (
+      |  SELECT CAST(SUM(CAST(ROUND(-(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+      |    AS BIGINT)) AS BIGINT) AS hx_micro
+      |  FROM (SELECT DISTINCT x, r, n FROM m)),
+      |hy AS (
+      |  SELECT CAST(SUM(CAST(ROUND(-(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+      |    AS BIGINT)) AS BIGINT) AS hy_micro
+      |  FROM (SELECT DISTINCT y, s, n FROM m)),
+      |mi AS (
+      |  SELECT CAST(MIN(n) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |    CAST(SUM(mi_cell_micro) AS BIGINT) AS mi_micro
+      |  FROM mic)
+      |SELECT mi.n, mi.n_cells, mi.mi_micro, hx.hx_micro, hy.hy_micro,
+      |  (1000000 * 2 * GREATEST(mi.mi_micro, 0)) // (hx.hx_micro + hy.hy_micro)
+      |    AS nmi_ppm
+      |FROM mi, hx, hy""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mutual_info" -> mutualInfo,
     "agg_basket_lift" -> basketLift,
     "agg_ab_test" -> abTest,
     "agg_chi2_test" -> chi2Test,
@@ -588,5 +682,6 @@ object Stats {
     "agg_mannwhitney" -> mannWhitneySql,
     "agg_cohen_kappa" -> cohenKappaSql,
     "agg_benford" -> benfordSql,
+    "agg_mutual_info" -> mutualInfoSql,
   )
 }

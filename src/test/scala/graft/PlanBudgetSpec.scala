@@ -54,6 +54,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // contingency agg + two margin windows over the tiny cell frame +
     // final scalar agg
     "agg_chi2_test" -> 4,
+    // same contingency frame + margin windows + two distinct-margin
+    // entropy aggs crossJoined as 1-row frames
+    "agg_mutual_info" -> 12,
     // cached distinct (order,item) + pair self-join agg + item-count
     // joins back onto the pruned pair table + TakeOrdered; N is a
     // 1-row crossJoin (allowed bnl); subtrees print per consuming leg

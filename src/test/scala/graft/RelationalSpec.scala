@@ -1255,6 +1255,35 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("mutual information matches a driver contingency recompute") {
+    val row = graft.operators.Stats.mutualInfo(spark, sfDir).head()
+    val cells = Tables.orders(spark, sfDir).join(
+        Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val n = cells.map(_._2).sum
+    val rM = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val sM = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    def q(x: Double): Long = if (x < 0) -math.round(-x) else math.round(x)
+    val mi = cells.map { case ((a, b), c) =>
+      q(c.toDouble / n * math.log(c.toDouble * n / (rM(a).toDouble * sM(b)))
+        * 1e6)
+    }.sum
+    val hx = rM.values.map(r =>
+      q(-(r.toDouble / n) * math.log(r.toDouble / n) * 1e6)).sum
+    val hy = sM.values.map(s =>
+      q(-(s.toDouble / n) * math.log(s.toDouble / n) * 1e6)).sum
+    assert(row.getLong(0) == n && row.getLong(1) == cells.length.toLong)
+    assert(row.getLong(2) == mi, "mi_micro")
+    assert(row.getLong(3) == hx && row.getLong(4) == hy, "entropies")
+    assert(row.getLong(5) == 1000000L * 2 * math.max(mi, 0L) / (hx + hy),
+      "nmi")
+    // information inequalities (within quantization slack)
+    assert(mi <= math.min(hx, hy) + cells.length, "MI <= min entropy")
+    graft.core.Caches.drain(spark)
+  }
+
   test("Benford digit masses reconcile and sum; expected shares pinned") {
     val rows = graft.operators.Stats.benford(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
