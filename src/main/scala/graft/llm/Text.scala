@@ -2245,7 +2245,84 @@ object Text {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Corpus drift — symmetric smoothed KL divergence between the two
+    * doc-id-parity halves of the corpus (stand-ins for "last month vs
+    * this month"): add-one-smoothed unigram distributions over the
+    * union vocabulary, each term's contribution quantized to
+    * micro-nats (the [[lmScore]] contract — order-free BIGINT sums,
+    * ln on exact-count ratios identical in both engines). The drift
+    * alarm a training pipeline wires before refreshing a mix: KL ≈ 0
+    * for a stable corpus, spikes when a source shifts vocabulary.
+    *
+    * Scale shape: ONE term-keyed aggregate with two conditional
+    * counts (both halves in one shuffle, map-side combined), a 1-row
+    * totals frame broadcast back, one scalar sum. Cost tracks
+    * distinct terms — the census, not the corpus. */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+    val totals = terms.agg(count(lit(1)).as("v"),
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    terms.crossJoin(broadcast(totals))
+      .select(col("v"), col("na"), col("nb"),
+        expr(
+          """CAST(ROUND(
+            |  (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+            |  * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+            |       / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))
+            |  * 1000000.0d) AS BIGINT)""".stripMargin).as("ab"),
+        expr(
+          """CAST(ROUND(
+            |  (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+            |  * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+            |       / (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)))
+            |  * 1000000.0d) AS BIGINT)""".stripMargin).as("ba"))
+      .groupBy(col("v"), col("na"), col("nb"))
+      .agg(sum(col("ab")).as("kl_ab_micro"), sum(col("ba")).as("kl_ba_micro"))
+      .select(col("v").as("vocab"), col("na").as("tokens_a"),
+        col("nb").as("tokens_b"), col("kl_ab_micro"), col("kl_ba_micro"))
+  }
+
+  val corpusDriftSql: String =
+    """WITH t AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+      |    doc_id % 2 = 0 AS in_a
+      |  FROM documents),
+      |census AS (
+      |  SELECT term,
+      |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM t GROUP BY term),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb
+      |  FROM census),
+      |q AS (
+      |  SELECT v, na, nb,
+      |    CAST(ROUND(
+      |      (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+      |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+      |           / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))
+      |      * 1000000.0) AS BIGINT) AS ab,
+      |    CAST(ROUND(
+      |      (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+      |      * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+      |           / (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)))
+      |      * 1000000.0) AS BIGINT) AS ba
+      |  FROM census CROSS JOIN tot)
+      |SELECT v AS vocab, na AS tokens_a, nb AS tokens_b,
+      |  CAST(SUM(ab) AS BIGINT) AS kl_ab_micro,
+      |  CAST(SUM(ba) AS BIGINT) AS kl_ba_micro
+      |FROM q
+      |GROUP BY v, na, nb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_corpus_drift" -> corpusDrift,
     "llm_lang_confusion" -> langConfusion,
     "llm_ngram_repeat" -> ngramRepeat,
     "llm_mix_apply" -> mixApply,
@@ -2292,6 +2369,7 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_corpus_drift" -> corpusDriftSql,
     "llm_lang_confusion" -> langConfusionSql,
     "llm_ngram_repeat" -> ngramRepeatSql,
     "llm_mix_apply" -> mixApplySql,

@@ -809,6 +809,39 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("corpus drift KL reconciles with a driver census recompute") {
+    import org.apache.spark.sql.functions._
+    val row = graft.llm.Text.corpusDrift(spark, sfDir).head()
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tokRe = "[a-z0-9]+".r
+    val census = scala.collection.mutable
+      .Map.empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    for ((id, t) <- docs; m <- tokRe.findAllIn(t.toLowerCase)) {
+      val (a, b) = census(m)
+      census(m) = if (id % 2 == 0) (a + 1, b) else (a, b + 1)
+    }
+    val v = census.size.toLong
+    val na = census.values.map(_._1).sum
+    val nb = census.values.map(_._2).sum
+    assert(row.getLong(0) == v && row.getLong(1) == na
+      && row.getLong(2) == nb)
+    def q(x: Double): Long = if (x < 0) -math.round(-x) else math.round(x)
+    var klAb = 0L; var klBa = 0L
+    for ((_, (ca, cb)) <- census) {
+      val pa = (ca + 1).toDouble / (na + v)
+      val pb = (cb + 1).toDouble / (nb + v)
+      klAb += q(pa * math.log(pa / pb) * 1e6)
+      klBa += q(pb * math.log(pb / pa) * 1e6)
+    }
+    assert(row.getLong(3) == klAb, "kl_ab")
+    assert(row.getLong(4) == klBa, "kl_ba")
+    // KL is non-negative up to quantization slack
+    assert(klAb >= -v && klBa >= -v)
+    graft.core.Caches.drain(spark)
+  }
+
   test("band recall reconciles true pairs with a driver all-pairs sweep") {
     import org.apache.spark.sql.functions._
     val row = graft.llm.Dedup.bandRecall(spark, sfDir).head()

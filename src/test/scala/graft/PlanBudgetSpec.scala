@@ -235,6 +235,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_lang_id" -> 1,
     // projection + ≤|langs|² cell agg + per-actual window + sort
     "llm_lang_confusion" -> 3,
+    // one term-keyed census + 1-row totals crossJoin (allowed bnl) +
+    // grouped scalar sum; census subtree prints per consuming leg
+    "llm_corpus_drift" -> 4,
     // (doc,gram) agg + doc agg + source rollup + sort
     "llm_ngram_repeat" -> 4,
     "llm_lm_score" -> 6,
@@ -453,7 +456,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_sim_search_ivf", "llm_sim_search_ivf_trained",
     "llm_sim_search_native", "llm_sim_search_pq", "llm_sim_search_pq_rerank",
     "llm_tfidf", "ts_anomaly_resid", "win_quintile_migration",
-    "llm_dedup_band_recall", "win_survival_km")
+    "llm_dedup_band_recall", "win_survival_km", "llm_corpus_drift")
 
   /** Scans whose predicate must reach the parquet reader: the plan has
     * to show a non-empty pushed/partition filter, or the 100 TB scan
