@@ -456,7 +456,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_sim_search_ivf", "llm_sim_search_ivf_trained",
     "llm_sim_search_native", "llm_sim_search_pq", "llm_sim_search_pq_rerank",
     "llm_tfidf", "ts_anomaly_resid", "win_quintile_migration",
-    "llm_dedup_band_recall", "win_survival_km", "llm_corpus_drift")
+    "llm_dedup_band_recall", "win_survival_km", "llm_corpus_drift",
+    "agg_mutual_info")
 
   /** Scans whose predicate must reach the parquet reader: the plan has
     * to show a non-empty pushed/partition filter, or the 100 TB scan
