@@ -975,6 +975,40 @@ object Graph {
        |ORDER BY part_id""".stripMargin
   }
 
+  /** Reachability summary over the staged [[bfs]] hop frame — the
+    * small-world readout: reached/unreached node counts, reached
+    * fraction ppm, max hops (the observed eccentricity bound within
+    * the horizon), and the exact mean hop distance in milli-hops.
+    * One tiny aggregate on an already-staged frame — the composition
+    * pattern: expensive iteration staged once, summaries nearly free. */
+  def reachSummary(spark: SparkSession, dir: String): DataFrame =
+    bfs(spark, dir)
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("hops") >= 0, 1L).otherwise(0L)).as("n_reached"),
+        sum(when(col("hops") >= 0, col("hops")).otherwise(0L))
+          .as("hop_sum"),
+        max(col("hops")).as("max_hops"))
+      .select(col("n_nodes"), col("n_reached"),
+        expr("(1000000L * n_reached) div n_nodes").as("reached_ppm"),
+        col("max_hops"),
+        expr("(1000L * hop_sum) div n_reached").as("mean_millihops"))
+
+  lazy val reachSummarySql: String = {
+    val core = bfsSql.stripSuffix("\nORDER BY part_id")
+    s"""WITH hops AS ($core)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(CASE WHEN hops >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_reached,
+       |  (1000000 * CAST(SUM(CASE WHEN hops >= 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS reached_ppm,
+       |  CAST(MAX(hops) AS BIGINT) AS max_hops,
+       |  (1000 * CAST(SUM(CASE WHEN hops >= 0 THEN hops ELSE 0 END)
+       |    AS BIGINT))
+       |    // CAST(SUM(CASE WHEN hops >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS mean_millihops
+       |FROM hops""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> triangles,
     "graph_degree_dist" -> degreeDist,
@@ -989,6 +1023,7 @@ object Graph {
     "graph_modularity" -> modularity,
     "graph_assortativity" -> assortativity,
     "graph_sssp" -> sssp,
+    "graph_reach_summary" -> reachSummary,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1005,5 +1040,6 @@ object Graph {
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     "graph_sssp" -> ssspSql,
+    "graph_reach_summary" -> reachSummarySql,
   )
 }

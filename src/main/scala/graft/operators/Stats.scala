@@ -663,8 +663,70 @@ object Stats {
       |    AS nmi_ppm
       |FROM mi, hx, hy""".stripMargin
 
+  /** Trimmed (5-95%) robust mean of order totals per segment — the
+    * outlier-resistant center a reporting pipeline quotes next to the
+    * raw mean: per segment, the interpolated [p5, p95] bounds (the
+    * percentile contract both engines share on integer cents), then
+    * count/sum/integer-mean of the cents strictly inside the bounds,
+    * plus the trimmed fraction in ppm. Everything after the bounds is
+    * exact BIGINT.
+    *
+    * Scale shape: one segment-keyed percentile aggregate (broadcast
+    * back — ≤|segments| rows), one conditional re-aggregate over the
+    * same broadcast-dim join. */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        Det.cents(col("o_totalprice")).as("c"))
+    val bounds = j.groupBy(col("seg"))
+      .agg(expr("percentile(c, 0.05)").as("lo"),
+        expr("percentile(c, 0.95)").as("hi"))
+    j.join(broadcast(bounds), "seg")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c") >= col("lo") && col("c") <= col("hi"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("c") >= col("lo") && col("c") <= col("hi"), col("c"))
+          .otherwise(0L)).as("sum_kept"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+      .select(col("seg"), col("n"), col("n_kept"),
+        expr("sum_kept div n_kept").as("trimmed_mean_cents"),
+        expr("(1000000L * (n - n_kept)) div n").as("trimmed_ppm"),
+        col("lo"), col("hi"))
+      .orderBy(col("seg"))
+  }
+
+  val trimmedMeanSql: String =
+    s"""WITH j AS (
+       |  SELECT c.c_mktsegment AS seg,
+       |    ${DetSql.cents("o.o_totalprice")} AS c
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+       |b AS (
+       |  SELECT seg, quantile_cont(c, 0.05) AS lo,
+       |    quantile_cont(c, 0.95) AS hi
+       |  FROM j GROUP BY seg)
+       |SELECT j.seg, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN j.c >= b.lo AND j.c <= b.hi THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN j.c >= b.lo AND j.c <= b.hi THEN j.c ELSE 0 END)
+       |    AS BIGINT)
+       |    // CAST(SUM(CASE WHEN j.c >= b.lo AND j.c <= b.hi THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS trimmed_mean_cents,
+       |  (1000000 * (CAST(COUNT(*) AS BIGINT)
+       |    - CAST(SUM(CASE WHEN j.c >= b.lo AND j.c <= b.hi THEN 1 ELSE 0 END)
+       |        AS BIGINT)))
+       |    // CAST(COUNT(*) AS BIGINT) AS trimmed_ppm,
+       |  MIN(b.lo) AS lo, MIN(b.hi) AS hi
+       |FROM j JOIN b ON b.seg = j.seg
+       |GROUP BY j.seg
+       |ORDER BY j.seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_mutual_info" -> mutualInfo,
+    "agg_trimmed_mean" -> trimmedMean,
     "agg_basket_lift" -> basketLift,
     "agg_ab_test" -> abTest,
     "agg_chi2_test" -> chi2Test,
@@ -683,5 +745,6 @@ object Stats {
     "agg_cohen_kappa" -> cohenKappaSql,
     "agg_benford" -> benfordSql,
     "agg_mutual_info" -> mutualInfoSql,
+    "agg_trimmed_mean" -> trimmedMeanSql,
   )
 }

@@ -57,6 +57,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // same contingency frame + margin windows + two distinct-margin
     // entropy aggs crossJoined as 1-row frames
     "agg_mutual_info" -> 12,
+    // segment percentile agg (broadcast back) + conditional re-agg +
+    // sort
+    "agg_trimmed_mean" -> 3,
     // cached distinct (order,item) + pair self-join agg + item-count
     // joins back onto the pruned pair table + TakeOrdered; N is a
     // 1-row crossJoin (allowed bnl); subtrees print per consuming leg
@@ -166,6 +169,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // staged min-plus distance frame read + output sort (4 weighted
     // Bellman-Ford rounds run inside Fixtures.staged)
     "graph_sssp" -> 1,
+    // one scalar aggregate over the staged bfs frame
+    "graph_reach_summary" -> 1,
     // cached edge list scanned by 4 aggregates (nodes/edges/wedges/
     // triangles); each 1-row frame crossJoins back (allowed bnl) and
     // the initial plan prints the edge subtree once per leg

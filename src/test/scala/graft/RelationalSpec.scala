@@ -1255,6 +1255,35 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("trimmed mean keeps ~90% and sits between the bounds") {
+    val rows = graft.operators.Stats.trimmedMean(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      // 90% interquantile keeps 88-92% at realistic n
+      assert(kept * 100 >= n * 85 && kept <= n, s"${r.getString(0)} kept")
+      val mean = r.getLong(3)
+      assert(mean >= r.getDouble(5).toLong - 1
+        && mean <= r.getDouble(6).toLong + 1,
+        s"${r.getString(0)} mean inside bounds")
+      assert(r.getLong(4) == 1000000L * (n - kept) / n, "trimmed ppm")
+    }
+    graft.core.Caches.drain(spark)
+  }
+
+  test("reach summary reconciles with the bfs frame") {
+    val hops = graft.operators.Graph.bfs(spark, sfDir).collect()
+      .map(_.getLong(1))
+    val row = graft.operators.Graph.reachSummary(spark, sfDir).head()
+    val reached = hops.filter(_ >= 0)
+    assert(row.getLong(0) == hops.length.toLong)
+    assert(row.getLong(1) == reached.length.toLong)
+    assert(row.getLong(2) == 1000000L * reached.length / hops.length)
+    assert(row.getLong(3) == hops.max)
+    assert(row.getLong(4) == 1000L * reached.sum / reached.length)
+    graft.core.Caches.drain(spark)
+  }
+
   test("mutual information matches a driver contingency recompute") {
     val row = graft.operators.Stats.mutualInfo(spark, sfDir).head()
     val cells = Tables.orders(spark, sfDir).join(
