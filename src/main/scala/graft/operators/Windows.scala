@@ -2137,6 +2137,68 @@ object Windows {
        |          / CAST(n - 2 AS DOUBLE)) * n_d / varx_n) AS t_adf
        |FROM d""".stripMargin
 
+  /** Mann–Kendall trend test on the daily purchase-revenue series —
+    * the nonparametric significance companion to [[tsTheilSen]]'s
+    * slope: `S = Σ_{i<j} sign(y_j − y_i)` (exact integer over the
+    * day-frame pair join, bounded by days² like Theil–Sen), the
+    * tie-corrected variance kept as the exact integer `18·Var(S)`,
+    * and the continuity-corrected z in one spelled-out float block.
+    *
+    * Scale shape: one daily aggregate, one day-frame self-join
+    * (days², never rows), one tie census over the ≤days value frame,
+    * scalar assembly. */
+  def tsMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(Det.cents(col("value"))).as("c"))
+    val b = daily.select(col("day").as("day2"), col("c").as("c2"))
+    val s = daily.join(b, col("day") < col("day2"))
+      .agg(sum(signum(col("c2") - col("c")).cast("long")).as("s"),
+        (count(lit(1))).as("n_pairs"))
+    val nF = daily.agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tie_term"))
+    s.crossJoin(broadcast(nF)).crossJoin(broadcast(ties))
+      .select(col("n"), col("s"),
+        expr("n * (n - 1) * (2 * n + 5) - tie_term").as("var18"))
+      .select(col("n"), col("s"), col("var18"),
+        expr(
+          """CASE WHEN s > 0 THEN
+            |  CAST(s - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0d)
+            |WHEN s < 0 THEN
+            |  CAST(s + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0d)
+            |ELSE 0.0d END""".stripMargin).as("z_mk"))
+  }
+
+  val tsMannKendallSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(SUM(${DetSql.cents("value")}) AS BIGINT) AS c
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY 1),
+       |sp AS (
+       |  SELECT CAST(SUM(SIGN(b.c - a.c)) AS BIGINT) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM daily a JOIN daily b ON a.day < b.day),
+       |nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+       |tt AS (
+       |  SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+       |    AS tie_term
+       |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY c)),
+       |v AS (
+       |  SELECT nf.n, sp.s,
+       |    nf.n * (nf.n - 1) * (2 * nf.n + 5) - tt.tie_term AS var18
+       |  FROM sp, nf, tt)
+       |SELECT n, s, var18,
+       |  CASE WHEN s > 0 THEN
+       |    CAST(s - 1 AS DOUBLE) / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+       |  WHEN s < 0 THEN
+       |    CAST(s + 1 AS DOUBLE) / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+       |  ELSE 0.0 END AS z_mk
+       |FROM v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
@@ -2178,6 +2240,7 @@ object Windows {
     "win_interpurchase" -> winInterpurchase,
     "win_survival_km" -> winSurvivalKm,
     "ts_adf" -> tsAdf,
+    "ts_mann_kendall" -> tsMannKendall,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2221,5 +2284,6 @@ object Windows {
     "win_interpurchase" -> winInterpurchaseSql,
     "win_survival_km" -> winSurvivalKmSql,
     "ts_adf" -> tsAdfSql,
+    "ts_mann_kendall" -> tsMannKendallSql,
   )
 }

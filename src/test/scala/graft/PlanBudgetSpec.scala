@@ -371,6 +371,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "ts_anomaly" -> 8,
     // daily agg + day-ordered lag window + ONE scalar moment agg
     "ts_adf" -> 2,
+    // daily agg + day-frame pair join (bounded bnl) + tie census +
+    // scalar crossJoins; daily subtree prints per consuming leg
+    "ts_mann_kendall" -> 8,
     // the full tsStl chain re-planned per consuming leg (daily agg +
     // centered window + seasonal) + two 1-row percentile crossJoins
     // (allowed bnl)
@@ -462,7 +465,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_sim_search_native", "llm_sim_search_pq", "llm_sim_search_pq_rerank",
     "llm_tfidf", "ts_anomaly_resid", "win_quintile_migration",
     "llm_dedup_band_recall", "win_survival_km", "llm_corpus_drift",
-    "agg_mutual_info")
+    "agg_mutual_info", "ts_mann_kendall")
 
   /** Scans whose predicate must reach the parquet reader: the plan has
     * to show a non-empty pushed/partition filter, or the 100 TB scan

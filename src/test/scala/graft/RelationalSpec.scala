@@ -1255,6 +1255,30 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("Mann-Kendall S and variance match a driver pair sweep") {
+    val row = graft.operators.Windows.tsMannKendall(spark, sfDir).head()
+    val daily = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr(
+        "CAST(round(CAST(value AS DECIMAL(27,10)), 2) * 100 AS BIGINT)"))
+        .as("c"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val n = daily.length.toLong
+    var s = 0L
+    for (i <- daily.indices; j <- i + 1 until daily.length)
+      s += java.lang.Long.signum(daily(j) - daily(i))
+    val tieTerm = daily.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    assert(row.getLong(0) == n && row.getLong(1) == s)
+    assert(row.getLong(2) == n * (n - 1) * (2 * n + 5) - tieTerm, "var18")
+    val z = row.getDouble(3)
+    // continuity correction: |S| <= 1 collapses to z = 0
+    if (math.abs(s) <= 1) assert(z == 0.0)
+    else assert(z.sign == s.sign.toDouble, "z sign follows S")
+    graft.core.Caches.drain(spark)
+  }
+
   test("trimmed mean keeps ~90% and sits between the bounds") {
     val rows = graft.operators.Stats.trimmedMean(spark, sfDir).collect()
     assert(rows.nonEmpty)
