@@ -17,17 +17,26 @@ object Bench {
     // first measured query doesn't carry one-time JIT cost.
     spark.range(1 << 20).groupBy((org.apache.spark.sql.functions.col("id") % 7)
       .as("k")).count().collect()
-    // Median of N runs per query (SURVEY §9.7): single-shot timings on a
-    // shared machine carry ±15% noise, which round-over-round diffs then
-    // misread as regressions. Caches are drained between runs — Spark's
-    // CacheManager matches by logical plan, so without the drain run 2
-    // would silently hit run 1's cached intermediates.
+    // MIN of N runs per query (VERDICT r7 #6): single-shot timings on a
+    // shared machine carry ±15% noise, and three of seven rounds burned
+    // cycles on phantom regressions from concurrent load. The minimum is
+    // the standard load-robust estimator for cold-cache-free microbenches
+    // — contention only ever ADDS time, so min converges on the true
+    // cost while median still averages the contamination in. Caches are
+    // drained between runs — Spark's CacheManager matches by logical
+    // plan, so without the drain run 2 would silently hit run 1's cached
+    // intermediates.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // Optional arg: comma-separated query subset, for iterating on one
     // query without paying the full-registry run.
     val subset = args.headOption.map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // Per-batch loadavg samples (one per measured query): the artifact
+    // records WHEN the machine was loaded, not just that it ended loaded.
+    val loadSamples = scala.collection.mutable.ArrayBuffer(loadavg)
     val results = selected.map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
@@ -37,7 +46,8 @@ object Bench {
         graft.core.Caches.drain(spark)
         if (ok) dt else -1.0
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(runs / 2))
+      loadSamples += loadavg
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // The driver's BENCH_r{N}.json artifact keeps only the LAST 2000
     // chars of output (VERDICT r5 "what's missing" #2): alphabetical
@@ -53,15 +63,19 @@ object Bench {
     val total = results.map(_._2).sum
     // System load noted in the artifact: the r4/r5 phantom regressions
     // were concurrent-load contamination, invisible in the numbers
-    // themselves. loadavg >> active cores means the medians are suspect.
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // themselves. loadavg_max >> active cores at any point in the run
+    // means even the min-of-N values may be suspect.
+    val load = f"${loadSamples.last}%.2f"
+    val loadMax = f"${loadSamples.max}%.2f"
+    val loadMean = f"${loadSamples.sum / loadSamples.size}%.2f"
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg":$load,"metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"estimator":"min","loadavg":$load,"loadavg_max":$loadMax,"loadavg_mean":$loadMean,"metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // Full, untruncated copy kept in-repo so any round's recorded tail
-    // can be cross-checked against the complete profile.
-    if (subset.isEmpty)
+    // can be cross-checked against the complete profile. Only standard
+    // testdata dirs qualify — a ScaleGen x5 ratio run must not clobber
+    // the recorded sf0.1 profile.
+    if (subset.isEmpty && sfDir.startsWith("/root/testdata/"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_local.json"), line + "\n")
     spark.stop()

@@ -452,8 +452,16 @@ object Features {
       .withColumn("cum_capture_ppm",
         expr("(1000000L * cum_pos) div total_pos"))
       .withColumn("total_n", sum(col("n_orders")).over(wAll))
+      // the triple product 10⁶·n_pos·total_n overflows BIGINT once
+      // n_pos·total_n > 9.2e12 (~TPC-H SF6), silently in Spark and as
+      // an error in DuckDB (ADVICE r7) — both engines route it through
+      // 128-bit integers instead (DECIMAL(38,0) here, HUGEINT there):
+      // exact floor division up to ~10¹² rows per decile, far past the
+      // 100 TB target
       .withColumn("lift_ppm",
-        expr("(1000000L * n_pos * total_n) div (n_orders * total_pos)"))
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * n_pos * total_n)
+               |  div (CAST(n_orders AS DECIMAL(38,0)) * total_pos)
+               |  AS BIGINT)""".stripMargin))
       .select(col("decile"), col("n_orders"), col("n_pos"),
         col("pos_rate_ppm"), col("cum_capture_ppm"), col("lift_ppm"))
       .orderBy(col("decile"))
@@ -494,8 +502,9 @@ object Features {
        |  (1000000 * CAST(SUM(n_pos) OVER (ORDER BY decile
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
        |    // CAST(SUM(n_pos) OVER () AS BIGINT) AS cum_capture_ppm,
-       |  (1000000 * n_pos * CAST(SUM(n_orders) OVER () AS BIGINT))
-       |    // (n_orders * CAST(SUM(n_pos) OVER () AS BIGINT)) AS lift_ppm
+       |  CAST((1000000::HUGEINT * n_pos * CAST(SUM(n_orders) OVER () AS BIGINT))
+       |    // (1::HUGEINT * n_orders * CAST(SUM(n_pos) OVER () AS BIGINT))
+       |    AS BIGINT) AS lift_ppm
        |FROM agg
        |ORDER BY decile""".stripMargin
 

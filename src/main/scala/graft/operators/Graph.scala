@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -191,18 +192,60 @@ object Graph {
        |FROM allnodes a LEFT JOIN comp c ON a.part_id = c.node
        |ORDER BY part_id""".stripMargin
 
+  /** Hub bound for the link-prediction wedge joins: a center of
+    * degree d emits d²/2 wedge rows, so ONE power-law hub (a
+    * celebrity node shared with everyone) makes the shuffle quadratic
+    * at 100× data — the same cliff the LSH band cap and the a<b<c
+    * triangle orientation already close elsewhere. Before the wedge
+    * self-join every node keeps only its [[WedgeCapK]]
+    * deterministically-sampled neighbors (order by
+    * md5("cap:"+b+":"+n) then n — a per-center uniform sample both
+    * engines reproduce bit-identically), bounding the wedge stream at
+    * Σ min(deg,K)² ≤ K²·|V|. Common-neighbor counts through a hub
+    * become a uniform K/d sample of its wedges — the standard
+    * neighbor-sampling estimator; on the registry fixture max degree
+    * is 62 < K at every SF, so the cap is provably inert (GraphSpec
+    * pins top-20 equality against the uncapped run). */
+  private[graft] val WedgeCapK = 64
+
+  /** Per-center top-[[WedgeCapK]] neighbor sample of a symmetrized
+    * (b, n) adjacency — deterministic hash order, engine-portable. */
+  private[graft] def capNeighbors(sym: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("b")).orderBy(
+      md5(concat_ws(":", lit("cap"), col("b"), col("n"))), col("n"))
+    sym.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= cap).drop("rk")
+  }
+
+  /** SQL twin of [[capNeighbors]] over a CTE named `sym`. (No line may
+    * START with `||`: this fragment is embedded in strings that call
+    * stripMargin again, which would eat one pipe of the operator.) */
+  private def capSql(cap: Int): String =
+    s"""symc AS (
+       |  SELECT b, n FROM (
+       |    SELECT b, n, ROW_NUMBER() OVER (PARTITION BY b
+       |      ORDER BY md5('cap:' || CAST(b AS VARCHAR) || ':' ||
+       |        CAST(n AS VARCHAR)), n) AS rk
+       |    FROM sym) WHERE rk <= $cap)""".stripMargin
+
   /** Common-neighbor link prediction — the co-purchase recommender:
     * the top-20 part pairs that are NOT adjacent but share the most
     * neighbors (the classic common-neighbours score; ties broken on
-    * ids). The pair stream is Σ deg² over the symmetrized adjacency —
-    * the same degree-bounded wedge volume the triangle census pays,
-    * never all-pairs — and the existing-edge removal is a broadcast
-    * anti-join against the (far smaller) edge list. TakeOrdered
-    * top-20; nothing global sorts. */
-  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    * ids). The pair stream is Σ min(deg, [[WedgeCapK]])² over the
+    * capped symmetrized adjacency ([[capNeighbors]] — hub-bounded,
+    * never all-pairs, inert on the fixture where max degree < K) and
+    * the existing-edge removal is a broadcast anti-join against the
+    * (far smaller) edge list. TakeOrdered top-20; nothing global
+    * sorts. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame =
+    linkPredictCapped(spark, dir, WedgeCapK)
+
+  private[graft] def linkPredictCapped(spark: SparkSession, dir: String,
+                                       cap: Int): DataFrame = {
     val e = edges(spark, dir).cache()
-    val sym = e.select(col("src").as("b"), col("dst").as("n"))
-      .union(e.select(col("dst").as("b"), col("src").as("n")))
+    val sym = capNeighbors(
+      e.select(col("src").as("b"), col("dst").as("n"))
+        .union(e.select(col("dst").as("b"), col("src").as("n"))), cap)
     val s2 = sym.select(col("b").as("b2"), col("n").as("n2"))
     val cn = sym.join(s2, col("b") === col("b2") && col("n") < col("n2"))
       .select(col("n").as("part_a"), col("n2").as("part_b"))
@@ -218,9 +261,10 @@ object Graph {
     s"""WITH e AS ($edgesSql),
        |sym AS (SELECT src AS b, dst AS n FROM e
        |        UNION ALL SELECT dst, src FROM e),
+       |${capSql(WedgeCapK)},
        |cn AS (
        |  SELECT s1.n AS part_a, s2.n AS part_b, count(*) AS n_common
-       |  FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.n < s2.n
+       |  FROM symc s1 JOIN symc s2 ON s1.b = s2.b AND s1.n < s2.n
        |  GROUP BY 1, 2)
        |SELECT cn.part_a, cn.part_b, cn.n_common
        |FROM cn ANTI JOIN e ON e.src = cn.part_a AND e.dst = cn.part_b
@@ -236,18 +280,25 @@ object Graph {
     * BIGINTs — engine-identical with no log/float in sight (the
     * related Adamic–Adar index needs 1/ln(deg), whose libm value need
     * not agree bitwise; RA keeps the same hub discount exact). Same
-    * wedge-volume cost and anti-join shape as [[linkPredict]]; the
-    * degree lookup rides the wedge row. */
-  def linkRa(spark: SparkSession, dir: String): DataFrame = {
+    * hub-capped wedge-volume cost ([[capNeighbors]]) and anti-join
+    * shape as [[linkPredict]]; the weight uses the TRUE (uncapped)
+    * degree — the cap samples which wedges are enumerated, never what
+    * a hub is worth — and rides the wedge row as a broadcast. */
+  def linkRa(spark: SparkSession, dir: String): DataFrame =
+    linkRaCapped(spark, dir, WedgeCapK)
+
+  private[graft] def linkRaCapped(spark: SparkSession, dir: String,
+                                  cap: Int): DataFrame = {
     val e = edges(spark, dir).cache()
-    val sym = e.select(col("src").as("b"), col("dst").as("n"))
+    val symRaw = e.select(col("src").as("b"), col("dst").as("n"))
       .union(e.select(col("dst").as("b"), col("src").as("n")))
-    val deg = sym.groupBy(col("b")).agg(count(lit(1)).as("deg"))
+    val deg = symRaw.groupBy(col("b")).agg(count(lit(1)).as("deg"))
+    val sym = capNeighbors(symRaw, cap)
     val s2 = sym.select(col("b").as("b2"), col("n").as("n2"))
-    // the wedge join runs over the RAW narrow adjacency (identical to
-    // [[linkPredict]]); the per-center weight joins in as a BROADCAST
-    // onto the wedge stream — weighting the adjacency before the
-    // self-join instead measured 4× slower (it re-sorts the widened
+    // the wedge join runs over the capped narrow adjacency (identical
+    // to [[linkPredict]]); the per-center weight joins in as a
+    // BROADCAST onto the wedge stream — weighting the adjacency before
+    // the self-join instead measured 4× slower (it re-sorts the widened
     // frame per leg). A graph too large to broadcast its degree table
     // would pre-bucket sym and deg on b.
     val ra = sym.join(s2, col("b") === col("b2") && col("n") < col("n2"))
@@ -268,9 +319,10 @@ object Graph {
        |sym AS (SELECT src AS b, dst AS n FROM e
        |        UNION ALL SELECT dst, src FROM e),
        |deg AS (SELECT b, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY b),
+       |${capSql(WedgeCapK)},
        |wdeg AS (
        |  SELECT s.b, s.n, 1000000 // d.deg AS w
-       |  FROM sym s JOIN deg d ON d.b = s.b),
+       |  FROM symc s JOIN deg d ON d.b = s.b),
        |ra AS (
        |  SELECT s1.n AS part_a, s2.n AS part_b,
        |    CAST(count(*) AS BIGINT) AS n_common,

@@ -515,6 +515,11 @@ object Stats {
       .select(Det.cents(col("o_totalprice")).as("c"))
       .where(col("c") > 0)
       .select(expr(firstDigitExpr("c", "div")).as("digit"))
+      // the magnitude ladder tops out at 10¹², so a cent value ≥ 10¹³
+      // (an order ≥ $100B) would emit digit 10..99 with expected_ppm 0
+      // and a ÷0 dev_micro; the oracle already filters to 1..9
+      // (ADVICE r7) — mirror the domain guard here
+      .where(col("digit").between(1, 9))
       .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
     val w = Window.partitionBy()
     digits

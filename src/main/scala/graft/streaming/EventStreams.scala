@@ -114,6 +114,21 @@ object EventStreams {
 
   private val GapMs: Long = 30L * 60 * 1000
 
+  /** Per-event cent rounding on the SAME decimal path as the batch
+    * twins' [[graft.core.Det.cents]] (ADVICE r7): `math.round(v*100)`
+    * rounds the binary double (1.005 → 100.4999… → 100) while the
+    * batch side casts through DECIMAL and half-up-rounds the decimal
+    * rendering (1.005 → 101), so stream-vs-batch equality was
+    * data-dependent. BigDecimal.valueOf uses the double's canonical
+    * decimal string — the identical value Spark's double→decimal cast
+    * sees — then mirrors the cast's scale-10 and round's scale-2
+    * half-up steps. */
+  private[streaming] def eventCents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(10, java.math.RoundingMode.HALF_UP)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
   /** Custom sessionization with explicit state:
     * flatMapGroupsWithState keyed by user, event-time timeout at
     * last-event + gap. Emits a [[SessionOut]] when the watermark
@@ -140,7 +155,7 @@ object EventStreams {
             // Fold the micro-batch into the running session. Events
             // within a micro-batch are not ordered — take min/max.
             val evs = batch.toSeq
-            val cents = evs.map(e => math.round(e.value * 100)).sum
+            val cents = evs.map(e => eventCents(e.value)).sum
             val lo = evs.map(_.ts.getTime).min
             val hi = evs.map(_.ts.getTime).max
             val (emit, next) = state.getOption match {
@@ -194,7 +209,7 @@ object EventStreams {
       val evs = rows.toSeq
       val (pn, pc) = if (st.exists()) st.get() else (0L, 0L)
       val n = pn + evs.size
-      val c = pc + evs.map(e => math.round(e.value * 100)).sum
+      val c = pc + evs.map(e => eventCents(e.value)).sum
       st.update((n, c))
       Iterator.single(UserTotal(key, n, c))
     }

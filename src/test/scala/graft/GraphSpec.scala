@@ -118,6 +118,38 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("wedge cap at K=64 leaves link-prediction top-20 unchanged") {
+    // the hub bound (VERDICT r7 #1) must be semantically inert on the
+    // fixture (max degree 62 < 64 at every SF): capped and uncapped
+    // runs agree row-for-row, for both scoring variants
+    val capPred = Graph.linkPredictCapped(spark, sfDir, 64).collect().toSeq
+    val rawPred =
+      Graph.linkPredictCapped(spark, sfDir, Int.MaxValue).collect().toSeq
+    assert(capPred == rawPred, "linkPredict top-20 changed under the cap")
+    val capRa = Graph.linkRaCapped(spark, sfDir, 64).collect().toSeq
+    val rawRa = Graph.linkRaCapped(spark, sfDir, Int.MaxValue).collect().toSeq
+    assert(capRa == rawRa, "linkRa top-20 changed under the cap")
+    graft.core.Caches.drain(spark)
+  }
+
+  test("capNeighbors bounds a synthetic hub and spares low-degree nodes") {
+    import spark.implicits._
+    // star: hub 0 adjacent to 1..100 — symmetrized (b, n) adjacency
+    val sym = ((1 to 100).map(n => (0L, n.toLong)) ++
+      (1 to 100).map(n => (n.toLong, 0L))).toDF("b", "n")
+    val capped = Graph.capNeighbors(sym, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCenter = capped.groupBy(_._1).map { case (k, v) => k -> v.length }
+    assert(byCenter(0L) == 8, "hub not capped to K")
+    assert((1 to 100).forall(n => byCenter(n.toLong) == 1),
+      "leaf adjacency lost under the cap")
+    // determinism: a second run selects the identical sample
+    val again = Graph.capNeighbors(sym, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.sorted.toSeq == again.sorted.toSeq)
+    graft.core.Caches.drain(spark)
+  }
+
   private def symAdj(mod: Long): Map[Long, Seq[Long]] = {
     val edges = bruteEdgesMod(mod)
     (edges.toSeq.map { case (a, b) => (a, b) } ++

@@ -10,7 +10,11 @@ object PlanAudit {
     val spark = SparkSpec.session
     val sfDir = "/root/testdata/sf0.001"
     val shuffleRe = "(?<!Broadcast)Exchange ".r
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional arg: comma-separated query subset
+    val subset = args.headOption.map(_.split(",").toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
         val ex = shuffleRe.findAllIn(p).size
