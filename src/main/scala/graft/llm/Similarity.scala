@@ -1049,48 +1049,61 @@ object Similarity {
 
   // ---------------------------------------- product quantization (ADC)
 
-  /** 8 subspaces × 16 codes: each 64-dim vector compresses to 8
-    * 4-bit codes (4 bytes vs 256 — 64×), the storage rung below int8.
-    * Codewords per subspace are the first [[PqK]] corpus vectors'
-    * subvectors (the [[simSearchIvf]] seed discipline, so the oracle
-    * re-derives them from the same parquet). */
-  private val PqM = 8  // subspaces of 8 dims each
-  private val PqK = 16 // codes per subspace
+  /** 16 subspaces × 256 codes: each 64-dim vector compresses to 16
+    * 8-bit codes (16 bytes vs 256 — 16×), the storage rung below
+    * int8. Codewords per subspace are the first [[PqK]] corpus
+    * vectors' subvectors (the [[simSearchIvf]] seed discipline, so
+    * the oracle re-derives them from the same parquet). This geometry
+    * replaced the original 8×16 (4-bit) trade in r8 (VERDICT r7 #5):
+    * 16 codes per 8-dim subspace left cells far wider than the
+    * fixture's ≈0.3-cosine neighbor gaps (recall@5 ≈ 0.22), and with
+    * SEED (untrained) codebooks even 256 codes in 8 dims barely
+    * helped (measured 0.26 — random codewords cover an 8-dim cell
+    * poorly). Narrowing subspaces to 4 dims is the lever that
+    * actually closes seed-codebook distortion: 256 codewords in 4
+    * dims quantize finely, first-pass recall clears the 0.5 bar
+    * (AnnRecallSpec), and the 16×256 LUT stays broadcast-small. */
+  private val PqM = 16  // subspaces of PqD dims each
+  private val PqK = 256 // codes per subspace (8-bit subquantizers)
+  private val PqD = 4   // dims per subspace (PqM * PqD = 64)
   /** 2^20 — quantizes subspace distances to exact BIGINTs: the ADC sum
     * over 8 subspace terms becomes order-free integer arithmetic, and
     * the final descale divides by a power of two (IEEE-exact). */
   private val PqScale = 1048576L
 
-  /** In-order 8-term squared-L2 chain for subspace `m` (a column in
-    * scope): explicit left-associated `+` like [[Dedup.dotSql]], so
-    * both engines evaluate the identical correctly-rounded sequence.
-    * element_at / DuckDB `[...]` are both 1-based. */
+  /** In-order [[PqD]]-term squared-L2 chain for subspace `m` (a
+    * column in scope): explicit left-associated `+` like
+    * [[Dedup.dotSql]], so both engines evaluate the identical
+    * correctly-rounded sequence. element_at / DuckDB `[...]` are both
+    * 1-based. */
   private def pqDistExpr(a: String, b: String): String =
-    (1 to 8).map { i =>
-      val (x, y) = (s"CAST(element_at($a, m*8+$i) AS DOUBLE)",
-        s"CAST(element_at($b, m*8+$i) AS DOUBLE)")
+    (1 to PqD).map { i =>
+      val (x, y) = (s"CAST(element_at($a, m*$PqD+$i) AS DOUBLE)",
+        s"CAST(element_at($b, m*$PqD+$i) AS DOUBLE)")
       s"($x - $y) * ($x - $y)"
     }.mkString(" + ")
 
   private def pqDistSql(a: String, b: String): String =
-    (1 to 8).map { i =>
-      val (x, y) = (s"CAST($a[m*8+$i] AS DOUBLE)",
-        s"CAST($b[m*8+$i] AS DOUBLE)")
+    (1 to PqD).map { i =>
+      val (x, y) = (s"CAST($a[m*$PqD+$i] AS DOUBLE)",
+        s"CAST($b[m*$PqD+$i] AS DOUBLE)")
       s"($x - $y) * ($x - $y)"
     }.mkString(" + ")
 
   /** Product-quantization search with asymmetric distance computation
     * — the billion-scale ANN rung below [[simSearchInt8]]: vectors are
-    * stored as 8 codes (encode = per-subspace argmin to the shared
-    * codebook, a corpus × 16-codeword broadcast with partial-agg min),
-    * queries build a 8×16 distance lookup table, and scoring joins
-    * codes against the broadcast LUT and SUMS 8 integers per
-    * candidate — no float math ever touches the corpus at query time,
-    * which is what makes scanning compressed codes memory-bandwidth-
-    * bound instead of FLOP-bound at 100 TB. All distances are
-    * [[PqScale]]-quantized BIGINTs (order-free sums, exact rank
-    * compare); ties break on code/cand id. AnnRecallSpec measures the
-    * 4-bit codes' recall@5 against the float brute force. */
+    * stored as [[PqM]] codes (encode = per-subspace argmin to the
+    * shared codebook, a corpus × [[PqK]]-codeword broadcast with
+    * partial-agg min), queries build a [[PqM]]×[[PqK]] distance
+    * lookup table, and scoring joins codes against the broadcast LUT
+    * and SUMS [[PqM]] integers per candidate — no float math ever
+    * touches the corpus
+    * at query time, which is what makes scanning compressed codes
+    * memory-bandwidth-bound instead of FLOP-bound at 100 TB. All
+    * distances are [[PqScale]]-quantized BIGINTs (order-free sums,
+    * exact rank compare); ties break on code/cand id. AnnRecallSpec
+    * measures the 8-bit codes' recall@5 against the float brute
+    * force. */
   /** Shortlist depth for [[simSearchPqRerank]]: ADC keeps this many
     * candidates per query for the exact re-rank pass. */
   private[llm] val PqShortlist = 50
@@ -1154,14 +1167,14 @@ object Similarity {
   }
 
   def simSearchPq(spark: SparkSession, dir: String): DataFrame = {
-    // Measured honestly (AnnRecallSpec): recall@5 ≈ 0.22 on this
-    // DIFFUSE fixture — with only 16 codes per 8-dim subspace the
-    // quantization cell is far wider than the ≈0.3-cosine neighbor
-    // gaps, so subspace distortion, not the metric, is the recall
-    // limiter. That is the real 4-bit trade: 64× compression buys a
-    // first-pass filter (re-rank survivors — [[simSearchPqRerank]]),
-    // not a standalone ranker, on hard corpora. One correctly-rounded
-    // division per element, identical cross-engine.
+    // Recall measured in AnnRecallSpec (floors pinned there and in
+    // SURVEY §8). The r7 4-bit (16-code) configuration measured 0.22
+    // — subspace cells far wider than the fixture's ≈0.3-cosine
+    // neighbor gaps, usable only as a pre-rerank filter; 8-bit
+    // subquantizers close most of that distortion, so the first pass
+    // is a usable ranker on its own and the rerank rung
+    // ([[simSearchPqRerank]]) recovers the remainder. One
+    // correctly-rounded division per element, identical cross-engine.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sd"), col("cand_id"))
     pqAdc(spark, dir)
@@ -1173,7 +1186,7 @@ object Similarity {
   }
 
   /** The production PQ pattern the [[simSearchPq]] scaladoc promises:
-    * ADC scans the 4-bit codes to a [[PqShortlist]]-deep shortlist
+    * ADC scans the 8-bit codes to a [[PqShortlist]]-deep shortlist
     * (memory-bandwidth-bound, no float math on the corpus), then ONLY
     * the shortlist is re-ranked with the exact float cosine — per
     * query a bounded [[PqShortlist]]-row second pass against vectors

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Det, DetSql, Tables}
+import graft.sources.TxnLog
 
 /** Relational operator inventory (SURVEY.md §2B).
   *
@@ -1201,29 +1202,22 @@ object Relational {
       |ORDER BY event_type""".stripMargin
 
   private val txnLogFixtures =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
-  /** Minimal transaction-log table format with TIME TRAVEL — the
-    * lakehouse mechanic (Delta/Iceberg's core idea) on the same
-    * staged-fixture discipline as the Avro round-trip: data files are
-    * immutable parquet, a JSONL log records per-version add/remove
-    * actions, and a reader resolves any version's LIVE file set from
-    * the log alone (no listing). The fixture commits two versions
-    * over orders slices (v1 adds two files; v2 removes one and adds
-    * another — a compaction-shaped swap); the query reads EVERY
-    * version and emits its (files, rows, exact-cents sum) rollup —
-    * the time-travel audit. The oracle re-derives each version's
-    * content from the shared mod rules, so log resolution itself is
-    * what the hash gate checks.
-    *
-    * Scale shape: the log is METADATA (driver-side, like every table
-    * format's); data reads are parquet scans of only the live files —
-    * version resolution never touches data. */
-  def scanTxnLog(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir)) {
+  /** Stage the shared txn-log fixture: three mod-3 orders slices as
+    * immutable parquet, v1 and v2 committed through the OPTIMISTIC
+    * [[graft.sources.TxnLog]] protocol (check-then-link — the
+    * compactor's M8/M9 commit gate wired into the table format,
+    * VERDICT r7 #4). `extra` runs additional commits (compaction)
+    * inside the same staging, so the fixture is immutable afterwards
+    * and the queries stay pure reads. */
+  private def txnLogFixture(spark: SparkSession, dir: String,
+                            codeTag: String)
+                           (extra: String => Unit): String =
+    graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, codeTag)) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnlog",
-            codeTag = "scan_txn_log_mod3_v1") { target =>
+            codeTag = codeTag) { target =>
           val o = Tables.orders(spark, dir)
             .select(col("o_orderkey"), col("o_totalprice"))
           new java.io.File(target).mkdirs()
@@ -1233,34 +1227,38 @@ object Relational {
             .coalesce(1).write.parquet(s"$target/f1")
           o.where(col("o_orderkey") % 3 === 2)
             .coalesce(1).write.parquet(s"$target/f2")
-          val log =
-            """{"v":1,"action":"add","file":"f0"}
-              |{"v":1,"action":"add","file":"f1"}
-              |{"v":2,"action":"remove","file":"f0"}
-              |{"v":2,"action":"add","file":"f2"}""".stripMargin
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$target/log.jsonl"), log)
+          val session = "stage"
+          assert(TxnLog.commitNext(target,
+            Seq(TxnLog.add("f0"), TxnLog.add("f1")), session) == 1)
+          assert(TxnLog.commitNext(target,
+            Seq(TxnLog.remove("f0"), TxnLog.add("f2")), session) == 2)
+          extra(target)
         }
       }
-    // resolve live sets from the log (metadata-sized driver read —
-    // what every table format's planner does)
-    val actions = spark.read.json(s"$root/log.jsonl")
-      .select(col("v").cast("int"), col("action"), col("file"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
-    val versions = actions.map(_._1).distinct.sorted
-    val perVersion = versions.map { v =>
-      val upTo = actions.filter(_._1 <= v)
-      val live = upTo.collect { case (_, "add", f) => f }.toSet --
-        upTo.collect { case (_, "remove", f) => f }
-      val data = live.toSeq.sorted.map(f =>
-          spark.read.parquet(s"$root/$f"))
-        .reduce(_.unionAll(_))
-      data.agg(count(lit(1)).as("n_rows"),
-          sum(Det.cents(col("o_totalprice"))).as("sum_cents"))
-        .select(lit(v).as("version"), lit(live.size).as("n_files"),
-          col("n_rows"), col("sum_cents"))
-    }
-    perVersion.reduce(_.unionAll(_)).orderBy(col("version"))
+
+  /** Minimal transaction-log table format with TIME TRAVEL — the
+    * lakehouse mechanic (Delta/Iceberg's core idea) on the same
+    * staged-fixture discipline as the Avro round-trip: data files are
+    * immutable parquet, a `_log/` of per-version JSONL files records
+    * add/remove actions, and a reader resolves any version's LIVE
+    * file set from the log alone (no listing). Commits go through
+    * [[graft.sources.TxnLog]]'s optimistic check-then-link protocol —
+    * the reference compactor's M8/M9 commit gate as the table
+    * format's concurrency story (two writers racing a version slot:
+    * exactly one wins, spec-raced in MaintenanceSpec). The fixture
+    * commits two versions over orders slices (v1 adds two files; v2
+    * removes one and adds another); the query reads EVERY version and
+    * emits its (files, rows, exact-cents sum) rollup — the
+    * time-travel audit. The oracle re-derives each version's content
+    * from the shared mod rules, so log resolution itself is what the
+    * hash gate checks.
+    *
+    * Scale shape: the log is METADATA (driver-side, like every table
+    * format's); data reads are parquet scans of only the live files —
+    * version resolution never touches data. */
+  def scanTxnLog(spark: SparkSession, dir: String): DataFrame = {
+    val root = txnLogFixture(spark, dir, "scan_txn_log_mod3_v2")(_ => ())
+    TxnLog.versionsRollup(spark, root, "o_totalprice")
   }
 
   val scanTxnLogSql: String =
@@ -1279,13 +1277,60 @@ object Relational {
       |SELECT * FROM v1 UNION ALL SELECT * FROM v2
       |ORDER BY version""".stripMargin
 
+  /** OPTIMIZE on the txn-log table — the reference's defrag semantics
+    * expressed in the table format (VERDICT r7 #4): the v2 tip (two
+    * live files, f1+f2) is rewritten into one parquet and the swap is
+    * committed OPTIMISTICALLY as v3 through [[graft.sources.TxnLog
+    * .compact]] — snapshot base version, rewrite, then win-or-abort
+    * the version slot exactly like the compactor's source-changed
+    * rename gate (M8/M9). The compaction runs once inside the staged
+    * fixture; the query is then the same time-travel rollup as
+    * [[scanTxnLog]] over all THREE versions, so the oracle's v3 row
+    * (identical rows/cents to v2, n_files 1) checks that compaction
+    * preserved content exactly while halving the file count — the
+    * whole point of OPTIMIZE. The racing-writers path (two appends
+    * contending one slot, compaction losing to a concurrent commit
+    * and aborting) is spec-raced in MaintenanceSpec.
+    *
+    * Scale shape: identical to [[scanTxnLog]] plus one bounded
+    * rewrite of the live set (the compactor's own cost model) at
+    * staging time. */
+  def txnLogCompact(spark: SparkSession, dir: String): DataFrame = {
+    val root = txnLogFixture(spark, dir, "txn_log_compact_v1") { target =>
+      val v = TxnLog.compact(spark, target, "stage")
+      assert(v.contains(3), s"compaction did not commit v3: $v")
+    }
+    TxnLog.versionsRollup(spark, root, "o_totalprice")
+  }
+
+  val txnLogCompactSql: String =
+    """WITH v1 AS (
+      |  SELECT 1 AS version, 2 AS n_files,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |      * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+      |v23 AS (
+      |  SELECT v.version, v.n_files,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |      * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM orders CROSS JOIN (VALUES (2, 2), (3, 1)) AS v(version, n_files)
+      |  WHERE o_orderkey % 3 IN (1, 2)
+      |  GROUP BY v.version, v.n_files)
+      |SELECT * FROM v1 UNION ALL SELECT * FROM v23
+      |ORDER BY version""".stripMargin
+
   /** Fuzzy name matching — the entity-resolution join: part-name
-    * pairs within Levenshtein distance 2, found WITHOUT the n² name
-    * cross product: candidates block on (first word, close length)
-    * — an equi-key the planner keeps as a hash join — and only
+    * pairs within Levenshtein distance 3, found WITHOUT the n² name
+    * cross product: candidates block on (first word, |length diff|
+    * ≤ 2) — an equi-key the planner keeps as a hash join — and only
     * blocked pairs pay the O(n·m) edit-distance verify. Top-20 by
-    * (distance, keys). The blocking recall trade is explicit: a typo
-    * in the first word escapes the block (production adds a second
+    * (distance, keys). The blocking recall trade is explicit (ADVICE
+    * r7): a typo in the first word escapes the block, and the
+    * length window deliberately truncates the distance-3 pairs whose
+    * lengths differ by 3 — pure-insert triples are the least
+    * interesting of the distance-3 space (production adds a second
     * block on last word / phonetic key — same machinery).
     *
     * Scale shape: one blocked equi-join (cost ∝ block sizes, never
@@ -1501,8 +1546,9 @@ object Relational {
     * distinct-hash frame, TakeOrdered(K), one scalar agg — the exact
     * count rides the same distinct pass. The 16-bit hash space is the
     * oracle-portability trade (DuckDB lacks conv(); 4 hex chars parse
-    * engine-identically); a production sketch widens to 64-bit hashes
-    * with the same algebra. */
+    * engine-identically); [[distinctKmv64]] is the production
+    * 64-bit-width twin of the same algebra (xxhash64, spec-tested
+    * rather than oracled). */
   def aggDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
     val keys = Tables.lineitem(spark, dir)
       .select(col("l_partkey")).distinct()
@@ -1537,6 +1583,44 @@ object Relational {
        |SELECT n_mins, h_k, est_nd, exact_nd,
        |  (1000000 * ABS(est_nd - exact_nd)) // exact_nd AS err_ppm
        |FROM est""".stripMargin
+
+  /** PRODUCTION-width KMV (VERDICT r7 #7): the same k-minimum-values
+    * algebra as [[aggDistinctKmv]] but on Spark's built-in 64-bit
+    * xxhash64 — the width a real 100 TB pipeline runs, where the
+    * 16-bit space of the oracled twin would saturate (65536 distinct
+    * hashes) after the first few hundred thousand keys. No DuckDB
+    * twin (xxhash64 is not portable SQL), so this is the library
+    * path, spec-tested against exact counts in RelationalSpec at
+    * sf0.1 rather than oracle-gated; [[aggDistinctKmv]] stays the
+    * exact-gateable 16-bit registry entry and cross-links here.
+    *
+    * The estimate `(k−1)·2⁶⁴ / h_(k)` needs the k-th minimum under
+    * UNSIGNED 64-bit order: flipping the sign bit maps unsigned order
+    * onto Spark's signed BIGINT order, and the division runs in
+    * DECIMAL(38,0) (exact — 2⁶⁴·k fits comfortably). Same scale
+    * shape as the 16-bit twin: distinct-key agg, distinct-hash agg,
+    * TakeOrdered(k), one scalar frame — no exact global shuffle of
+    * keys beyond the distinct pass the exact comparison itself
+    * needs. */
+  def distinctKmv64(keys: DataFrame, keyCol: String,
+                    k: Int = KmvK.toInt): DataFrame = {
+    val hu = keys.select(col(keyCol)).distinct()
+      .select(xxhash64(concat(lit("kmv64:"), col(keyCol).cast("string")))
+        .bitwiseXOR(lit(Long.MinValue)).as("hu"))
+      .distinct()
+    val mins = hu.orderBy(col("hu")).limit(k)
+      .agg(count(lit(1)).as("n_mins"), max(col("hu")).as("hu_k"))
+    // back to unsigned magnitude in DECIMAL(38,0): hu = h − 2⁶³
+    mins.select(col("n_mins"),
+      when(col("n_mins") < k, col("n_mins"))
+        .otherwise(expr(
+          s"""CAST((CAST(${k - 1} AS DECIMAL(38,0)) *
+             |  CAST(18446744073709551616 AS DECIMAL(38,0)))
+             |  div (CAST(hu_k AS DECIMAL(38,0)) +
+             |       CAST(9223372036854775808 AS DECIMAL(38,0)))
+             |  AS BIGINT)""".stripMargin))
+        .as("est_nd"))
+  }
 
   /** Distribution moments from exact decimal sums: population
     * variance/stddev of quantity and quantity↔price correlation per
@@ -2337,6 +2421,7 @@ object Relational {
     "join_fuzzy_match" -> joinFuzzyMatch,
     "agg_skyline" -> aggSkyline,
     "scan_txn_log" -> scanTxnLog,
+    "txn_log_compact" -> txnLogCompact,
     "agg_percentile" -> aggPercentile,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_histogram" -> aggHistogram,
@@ -2407,6 +2492,7 @@ object Relational {
     "join_fuzzy_match" -> joinFuzzyMatchSql,
     "agg_skyline" -> aggSkylineSql,
     "scan_txn_log" -> scanTxnLogSql,
+    "txn_log_compact" -> txnLogCompactSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_topk_others" -> aggTopkOthersSql,
     "agg_percentile" -> aggPercentileSql,

@@ -80,6 +80,89 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
       f"z-order span $zMean%.0f not materially below date-sort span $dMean%.0f")
   }
 
+  // ------------------------------------------------- txn-log commits
+
+  /** Scratch txn-log table root, deleted after `body`. */
+  private def withTxnScratch(body: String => Unit): Unit = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_txnrace_").toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    try body(root) finally rm(new java.io.File(root))
+  }
+
+  test("two concurrent txn-log appends race one slot; exactly one wins") {
+    import graft.sources.TxnLog
+    withTxnScratch { root =>
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "seed") == 1)
+      // both writers resolve the same next slot (v2), then race the
+      // atomic create-if-absent link from two threads; the filesystem
+      // arbitration must admit exactly one
+      val slot = TxnLog.latestVersion(root) + 1
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val races = Seq("a", "b").map { who =>
+        scala.concurrent.Future {
+          gate.await()
+          TxnLog.tryCommit(root, slot, Seq(TxnLog.add(s"f_$who")), who)
+        }
+      }
+      gate.countDown()
+      val wins = races.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration("30s")))
+      pool.shutdown()
+      assert(wins.count(identity) == 1, s"expected one winner, got $wins")
+      assert(TxnLog.versions(root) == Seq(1, 2))
+      // the loser's retry through commitNext re-resolves and lands at v3
+      val loser = if (wins.head) "b" else "a"
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add(s"f_$loser")), loser) == 3)
+      assert(TxnLog.liveFiles(root, 3).toSet == Set("f0", "f_a", "f_b"))
+      // no tmp litter survives the race
+      val leftover = Option(new java.io.File(root, "_log").listFiles())
+        .toSeq.flatten.map(_.getName).filter(_.startsWith(".tmp_"))
+      assert(leftover.isEmpty, s"tmp litter: $leftover")
+    }
+  }
+
+  test("txn-log compaction aborts when a writer commits mid-rewrite") {
+    import graft.sources.TxnLog
+    import spark.implicits._
+    withTxnScratch { root =>
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      Seq((3L, 30.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f1")
+      Seq((4L, 40.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f2")
+      assert(TxnLog.commitNext(root,
+        Seq(TxnLog.add("f0"), TxnLog.add("f1")), "seed") == 1)
+      // a writer sneaks a commit in between the rewrite and the commit
+      // gate (the Compactor's beforeCommit seam): compaction must lose
+      // the slot, abort, and delete its output — M8 source-changed
+      // parity, never a blind overwrite of someone else's version
+      val out = TxnLog.compact(spark, root, "opt", beforeCommit = () =>
+        assert(TxnLog.commitNext(root, Seq(TxnLog.add("f2")), "sneak") == 2))
+      assert(out.isEmpty, "compaction must abort on a lost race")
+      assert(!new java.io.File(root, "c00000002").exists(),
+        "aborted compaction left its rewrite behind")
+      assert(TxnLog.liveFiles(root, 2).toSet == Set("f0", "f1", "f2"))
+      // with no interference the retry wins the next slot and swaps
+      // the live set for its single rewrite
+      val v3 = TxnLog.compact(spark, root, "opt2")
+      assert(v3.contains(3))
+      assert(TxnLog.liveFiles(root, 3) == Seq("c00000003"))
+      val after = spark.read.parquet(s"$root/c00000003")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(after == Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)),
+        s"compaction content mismatch: $after")
+      // time travel still resolves every pre-compaction version
+      assert(TxnLog.liveFiles(root, 1).toSet == Set("f0", "f1"))
+    }
+  }
+
   test("table_stats matches directly computed statistics") {
     val rows = Maintenance.tableStats(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap

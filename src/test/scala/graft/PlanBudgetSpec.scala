@@ -122,6 +122,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // per-version live-file scans -> two scalar aggs unioned + sort
     // (log resolution is driver-side metadata, not a plan node)
     "scan_txn_log" -> 2,
+    // same rollup over THREE versions (v3 = post-OPTIMIZE) — one
+    // scalar agg per version + sort
+    "txn_log_compact" -> 3,
     "join_asof" -> 2,
     "join_asof_fwd" -> 3,
     "join_asof_nearest" -> 7,

@@ -1070,6 +1070,30 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       s"est $est vs exact ${keys.length}")
   }
 
+  test("64-bit production KMV estimates sf0.1 cardinalities within bounds") {
+    // The production-width twin (VERDICT r7 #7): same algebra on
+    // xxhash64, no oracle (not portable SQL), so the gate is this
+    // spec — at sf0.1, where the corpus is 10x the oracle runs'.
+    // KMV's relative standard error at K=256 is 1/sqrt(K-2) ≈ 6.3%;
+    // the hash is deterministic, so the measured error is a fixed
+    // property of the testdata and a 3-sigma bound cannot flake.
+    val dir = "/root/testdata/sf0.1"
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val exact = li.select(col("l_partkey")).distinct().count()
+    val est = graft.operators.Relational
+      .distinctKmv64(li, "l_partkey").head().getLong(1)
+    info(s"kmv64 @ sf0.1: est $est vs exact $exact " +
+      f"(err ${math.abs(est - exact).toDouble / exact * 100}%.1f%%)")
+    assert(math.abs(est - exact).toDouble / exact < 0.19,
+      s"kmv64 est $est vs exact $exact outside 3-sigma")
+    // small-cardinality regime: fewer distinct keys than K means the
+    // sketch IS the exact count
+    val nations = graft.core.Tables.nation(spark, dir)
+    assert(graft.operators.Relational
+      .distinctKmv64(nations, "n_nationkey").head().getLong(1) == 25L)
+    graft.core.Caches.drain(spark)
+  }
+
   test("spike alerts recompute from a driver trailing-window scan") {
     // events.ts is TIMESTAMP_NTZ, so the window start collects as
     // LocalDateTime, not java.sql.Timestamp
