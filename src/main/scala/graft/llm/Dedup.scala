@@ -1104,17 +1104,45 @@ object Dedup {
     s"SELECT vec_id, label, embedding, sqrt($sq) AS nrm FROM embeddings"
   }
 
+  /** Candidate-side cell cap for [[dedupEmbed]] — the same
+    * deterministic bound the LSH band buckets and the link-prediction
+    * wedge carry: with a FIXED coarse-quantizer label set, cell sizes
+    * grow linearly with the corpus, so within-cell all-pairs is
+    * quadratic (measured 7.6× at 5× data in the r8 ratio pass —
+    * cells 218 → 1090). Each cell's candidate side keeps only its
+    * [[DedupEmbedCellCap]] md5-ordered vectors, so every vector
+    * compares against ≤K cellmates — cost n × min(cell, K), linear in
+    * the corpus. A production deployment instead re-trains the coarse
+    * quantizer so nlist grows with n and cells stay bounded (the
+    * [[Similarity]] trained-IVF posture); the cap is the safety valve
+    * for the fixed-nlist window between re-trains. Inert at registry
+    * SFs (max cell 218 < 512 — LlmSpec pins capped ≡ uncapped); NN
+    * for a vector whose true neighbor falls outside a saturated
+    * cell's sample degrades to the best of the K-sample — the
+    * standard sampling estimator, deterministic in both engines. */
+  private[llm] val DedupEmbedCellCap = 512
+  // (capped ≡ uncapped on the fixture is pinned in LlmSpec)
+
   /** Embedding-cosine near-dup: nearest neighbor per vector *within
     * its coarse cluster* (`label`) — the IVF pattern: partition by a
     * coarse quantizer, pairwise only inside a cell. Cost is
-    * Σ cell², not n², and the join shuffles on label. */
-  def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    * Σ cell × min(cell, [[DedupEmbedCellCap]]), never n², and the
+    * join shuffles on label. */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbedCapped(spark, dir, DedupEmbedCellCap)
+
+  private[graft] def dedupEmbedCapped(spark: SparkSession, dir: String,
+                                    cap: Int): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
     val a = e.select(col("vec_id").as("va"), col("label"),
       col("embedding").as("ea"))
+    val wc = Window.partitionBy(col("label2")).orderBy(
+      md5(concat_ws(":", lit("cap"), col("label2"), col("vb"))), col("vb"))
     val b = e.select(col("vec_id").as("vb"), col("label").as("label2"),
       col("embedding").as("eb"))
+      .withColumn("rk", row_number().over(wc))
+      .where(col("rk") <= cap).drop("rk")
     val w = Window.partitionBy(col("va")).orderBy(col("cosine").desc, col("vb"))
     a.join(b, col("label") === col("label2") && col("va") =!= col("vb"))
       .select(col("va"), col("vb"), col("label"),
@@ -1129,10 +1157,16 @@ object Dedup {
 
   val dedupEmbedSql: String =
     s"""WITH e AS ($withNormSql),
+       |bcap AS (
+       |  SELECT vec_id, label, embedding, nrm FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY md5('cap:' || CAST(label AS VARCHAR) || ':' ||
+       |        CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM e) WHERE rk <= $DedupEmbedCellCap),
        |pairs AS (
        |  SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
        |    (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cosine
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |  FROM e a JOIN bcap b ON a.label = b.label AND a.vec_id <> b.vec_id),
        |ranked AS (
        |  SELECT va, vb, label, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cosine DESC, vb) AS rn

@@ -969,4 +969,17 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     }
     graft.core.Caches.drain(spark)
   }
+
+  test("dedup_embed cell cap at 512 is inert on the fixture") {
+    // The r8 hub-style bound (cells grow linearly when the coarse
+    // label set is fixed, so within-cell all-pairs went 7.6x at 5x
+    // data): the candidate-side cap must be semantically invisible at
+    // registry scale, where every cell is smaller than the cap.
+    val cap = graft.llm.Dedup.dedupEmbedCapped(spark, sfDir, 512)
+      .collect().toSeq
+    val raw = graft.llm.Dedup
+      .dedupEmbedCapped(spark, sfDir, Int.MaxValue).collect().toSeq
+    assert(cap == raw, "dedup_embed output changed under the cell cap")
+    graft.core.Caches.drain(spark)
+  }
 }

@@ -220,7 +220,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // band candidates + two broadcast prefix joins + sort
     "llm_dedup_edit_distance" -> 4,
     "llm_curriculum" -> 2,
-    "llm_dedup_embed" -> 2,
+    // label-cell join + candidate-side cap window + per-vector NN
+    // window + sort (cap adds one label-keyed exchange)
+    "llm_dedup_embed" -> 3,
     "llm_dedup_exact" -> 2,
     "llm_dedup_fuzzy" -> 4,
     "llm_dedup_jaccard" -> 39,
