@@ -1295,13 +1295,18 @@ object Relational {
     * Scale shape: identical to [[scanTxnLog]] plus one bounded
     * rewrite of the live set (the compactor's own cost model) at
     * staging time. */
-  def txnLogCompact(spark: SparkSession, dir: String): DataFrame = {
-    val root = txnLogFixture(spark, dir, "txn_log_compact_v1") { target =>
+  /** The v1/v2/v3 fixture shared by the post-OPTIMIZE queries:
+    * the two append commits plus one compaction, all through the
+    * optimistic protocol, staged once. */
+  private def compactedTxnFixture(spark: SparkSession, dir: String): String =
+    txnLogFixture(spark, dir, "txn_log_compact_v1") { target =>
       val v = TxnLog.compact(spark, target, "stage")
       assert(v.contains(3), s"compaction did not commit v3: $v")
     }
-    TxnLog.versionsRollup(spark, root, "o_totalprice")
-  }
+
+  def txnLogCompact(spark: SparkSession, dir: String): DataFrame =
+    TxnLog.versionsRollup(spark,
+      compactedTxnFixture(spark, dir), "o_totalprice")
 
   val txnLogCompactSql: String =
     """WITH v1 AS (
@@ -1319,6 +1324,110 @@ object Relational {
       |  WHERE o_orderkey % 3 IN (1, 2)
       |  GROUP BY v.version, v.n_files)
       |SELECT * FROM v1 UNION ALL SELECT * FROM v23
+      |ORDER BY version""".stripMargin
+
+  /** DESCRIBE HISTORY for the txn-log table: per committed version,
+    * the action census (adds/removes), the post-replay live count,
+    * and the DATA each commit brought in (rows + exact cents of the
+    * files ADDED at that version) — the audit a lakehouse operator
+    * reads before trusting time travel. Action/live counts are log
+    * replay (metadata, [[graft.sources.TxnLog]]); the added-data
+    * columns scan exactly the files each version added, so the oracle
+    * (re-deriving them from the shared mod rules) checks that the log
+    * attributes the right DATA to the right commit — including v3's
+    * rewrite, whose added rows must equal the v2 tip it compacted.
+    *
+    * Scale shape: one bounded parquet scan per version's add set +
+    * one scalar agg each; nothing joins, nothing global-sorts beyond
+    * the ≤versions-row output. */
+  def txnLogHistory(spark: SparkSession, dir: String): DataFrame = {
+    val root = compactedTxnFixture(spark, dir)
+    TxnLog.versions(root).map { v =>
+      val acts = TxnLog.actionsAt(root, v)
+      val adds = acts.collect { case TxnLog.Action("add", f) => f }
+      val nRemoves = acts.count(_.action == "remove")
+      adds.map(f => spark.read.parquet(s"$root/$f"))
+        .reduce(_ unionAll _)
+        .agg(count(lit(1)).as("rows_added"),
+          sum(Det.cents(col("o_totalprice"))).as("cents_added"))
+        .select(lit(v).as("version"), lit(adds.size).as("n_adds"),
+          lit(nRemoves).as("n_removes"),
+          lit(TxnLog.liveFiles(root, v).size).as("n_live"),
+          col("rows_added"), col("cents_added"))
+    }.reduce(_ unionAll _).orderBy(col("version"))
+  }
+
+  val txnLogHistorySql: String =
+    """SELECT 1 AS version, 2 AS n_adds, 0 AS n_removes, 2 AS n_live,
+      |  CAST(COUNT(*) AS BIGINT) AS rows_added,
+      |  CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |    * 100 AS BIGINT)) AS BIGINT) AS cents_added
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |UNION ALL
+      |SELECT 2, 1, 1, 2, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |    * 100 AS BIGINT)) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 3 IN (2)
+      |UNION ALL
+      |SELECT 3, 1, 2, 1, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |    * 100 AS BIGINT)) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+      |ORDER BY version""".stripMargin
+
+  /** VACUUM on the txn-log table — the storage-reclaim lifecycle and
+    * the honest END of the time-travel window: after the OPTIMIZE of
+    * [[txnLogCompact]], the three original slices are retired from
+    * the tip, and [[graft.sources.TxnLog.vacuum]] deletes their bytes
+    * (log metadata survives, so history still RESOLVES — it just
+    * cannot be read). The query reports, per version, the live count,
+    * how many of those files still exist, whether the version is
+    * readable, and the data rollup for readable versions (−1
+    * sentinels otherwise — the unreadable rows are the point of the
+    * audit). The oracle re-derives all three rows, v3's data from the
+    * shared mod rules.
+    *
+    * Scale shape: presence checks are driver metadata (one stat per
+    * live file — the table-format planner's job); only readable
+    * versions scan, and only their live parquet. */
+  def txnLogVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val root = txnLogFixture(spark, dir, "txn_log_vacuum_v1") { target =>
+      val v = TxnLog.compact(spark, target, "stage")
+      assert(v.contains(3), s"compaction did not commit v3: $v")
+      val gone = TxnLog.vacuum(target)
+      assert(gone == Seq("f0", "f1", "f2"), s"unexpected vacuum set: $gone")
+    }
+    TxnLog.versions(root).map { v =>
+      val live = TxnLog.liveFiles(root, v)
+      val present = live.count(f => new java.io.File(root, f).isDirectory)
+      val meta = (df: DataFrame) => df.select(
+        lit(v).as("version"), lit(live.size).as("n_live"),
+        lit(present).as("n_present"),
+        lit(present == live.size).as("readable"),
+        col("n_rows"), col("sum_cents"))
+      if (present == live.size)
+        meta(live.map(f => spark.read.parquet(s"$root/$f"))
+          .reduce(_ unionAll _)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(Det.cents(col("o_totalprice"))).as("sum_cents")))
+      else
+        meta(spark.range(1).select(lit(-1L).as("n_rows"),
+          lit(-1L).as("sum_cents")))
+    }.reduce(_ unionAll _).orderBy(col("version"))
+  }
+
+  val txnLogVacuumSql: String =
+    """SELECT 1 AS version, 2 AS n_live, 0 AS n_present, FALSE AS readable,
+      |  CAST(-1 AS BIGINT) AS n_rows, CAST(-1 AS BIGINT) AS sum_cents
+      |UNION ALL
+      |SELECT 2, 2, 0, FALSE, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      |UNION ALL
+      |SELECT 3, 1, 1, TRUE,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      |   WHERE o_orderkey % 3 IN (1, 2)),
+      |  (SELECT CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |     * 100 AS BIGINT)) AS BIGINT) FROM orders
+      |   WHERE o_orderkey % 3 IN (1, 2))
       |ORDER BY version""".stripMargin
 
   /** Fuzzy name matching — the entity-resolution join: part-name
@@ -2422,6 +2531,8 @@ object Relational {
     "agg_skyline" -> aggSkyline,
     "scan_txn_log" -> scanTxnLog,
     "txn_log_compact" -> txnLogCompact,
+    "txn_log_history" -> txnLogHistory,
+    "txn_log_vacuum" -> txnLogVacuum,
     "agg_percentile" -> aggPercentile,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_histogram" -> aggHistogram,
@@ -2493,6 +2604,8 @@ object Relational {
     "agg_skyline" -> aggSkylineSql,
     "scan_txn_log" -> scanTxnLogSql,
     "txn_log_compact" -> txnLogCompactSql,
+    "txn_log_history" -> txnLogHistorySql,
+    "txn_log_vacuum" -> txnLogVacuumSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_topk_others" -> aggTopkOthersSql,
     "agg_percentile" -> aggPercentileSql,

@@ -72,10 +72,7 @@ object TxnLog {
 
   /** Replay the log up to `v`: adds minus removes, sorted. */
   def liveFiles(root: String, v: Int): Seq[String] = {
-    val acts = versions(root).filter(_ <= v).flatMap { ver =>
-      Files.readAllLines(versionFile(root, ver).toPath).toArray
-        .map(_.toString).filter(_.nonEmpty).map(parseLine)
-    }
+    val acts = versions(root).filter(_ <= v).flatMap(actionsAt(root, _))
     (acts.collect { case Action("add", f) => f }.toSet --
       acts.collect { case Action("remove", f) => f }).toSeq.sorted
   }
@@ -163,6 +160,34 @@ object TxnLog {
       rm(out)
       None
     }
+  }
+
+  /** Per-version actions, replayed from the log (metadata). */
+  def actionsAt(root: String, v: Int): Seq[Action] =
+    Files.readAllLines(versionFile(root, v).toPath).toArray
+      .map(_.toString).filter(_.nonEmpty).map(parseLine).toSeq
+
+  /** VACUUM: delete the data of files no longer live at the tip —
+    * every table format's storage-reclaim lifecycle, and the explicit
+    * END of those files' time-travel window (a version whose live set
+    * referenced a vacuumed file stops being readable; the log itself
+    * is never touched, so history METADATA survives). Returns the
+    * deleted file names, sorted. Deletion is idempotent and safe
+    * against concurrent appends: a new commit can only ADD new files
+    * or REMOVE live ones — it cannot resurrect a file already retired
+    * from the tip, so the delete set never races with a writer. */
+  def vacuum(root: String): Seq[String] = {
+    val tip = liveFiles(root, latestVersion(root)).toSet
+    val everAdded = versions(root)
+      .flatMap(actionsAt(root, _))
+      .collect { case Action("add", f) => f }.toSet
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    val gone = (everAdded -- tip).toSeq.sorted
+      .filter(f => new File(root, f).isDirectory)
+    gone.foreach(f => rm(new File(root, f)))
+    gone
   }
 
   /** Per-version rollup — the time-travel audit both txn-log queries

@@ -163,6 +163,28 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("txn-log vacuum retires only non-tip files and is idempotent") {
+    import graft.sources.TxnLog
+    import spark.implicits._
+    withTxnScratch { root =>
+      for (f <- Seq("f0", "f1", "f2"))
+        Seq((1L, 1.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/$f")
+      assert(TxnLog.commitNext(root,
+        Seq(TxnLog.add("f0"), TxnLog.add("f1")), "s") == 1)
+      assert(TxnLog.commitNext(root,
+        Seq(TxnLog.remove("f0"), TxnLog.add("f2")), "s") == 2)
+      // only f0 is retired from the tip; the live pair survives
+      assert(TxnLog.vacuum(root) == Seq("f0"))
+      assert(!new java.io.File(root, "f0").exists())
+      assert(new java.io.File(root, "f1").isDirectory)
+      assert(new java.io.File(root, "f2").isDirectory)
+      // idempotent, and the log METADATA still resolves every version
+      assert(TxnLog.vacuum(root).isEmpty)
+      assert(TxnLog.liveFiles(root, 1) == Seq("f0", "f1"))
+      assert(TxnLog.liveFiles(root, 2) == Seq("f1", "f2"))
+    }
+  }
+
   test("table_stats matches directly computed statistics") {
     val rows = Maintenance.tableStats(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap

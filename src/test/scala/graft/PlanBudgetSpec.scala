@@ -125,6 +125,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // same rollup over THREE versions (v3 = post-OPTIMIZE) — one
     // scalar agg per version + sort
     "txn_log_compact" -> 3,
+    // per-version added-files scalar agg ×3 + sort
+    "txn_log_history" -> 3,
+    // one readable-version scalar agg (its exchange prints once per
+    // consuming leg of the union) + two literal frames + sort
+    "txn_log_vacuum" -> 2,
     "join_asof" -> 2,
     "join_asof_fwd" -> 3,
     "join_asof_nearest" -> 7,
