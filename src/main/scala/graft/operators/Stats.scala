@@ -476,16 +476,19 @@ object Stats {
     * laddering — identical text runs as Spark expr and DuckDB SQL
     * (integer `div`/`//` differ, so the divisor ladder uses nested
     * CASE and a final small-range division both engines share). */
-  private def firstDigitExpr(c: String, intDiv: String): String = {
-    // engine-specific integer division (Spark `div`, DuckDB `//`) —
-    // a shared double-division + CAST would diverge: Spark's cast
-    // truncates, DuckDB's ROUNDS
-    val ladder = (0 to 12).reverse.map { p =>
-      val pow = math.pow(10, p).toLong
-      s"WHEN $c >= $pow THEN CAST($c $intDiv $pow AS BIGINT)"
-    }
-    ladder.mkString("CASE ", " ", " ELSE 0 END")
-  }
+  /** First significant digit of a positive BIGINT, via its exact
+    * decimal STRING rendering — identical text in Spark and DuckDB
+    * (integer rendering never goes scientific; only doubles do, which
+    * is why the value must already be exact cents). Replaced the r7
+    * 13-branch magnitude-ladder CASE: after projection collapse the
+    * ladder inlined the DECIMAL(27,10) cents expression into all 26
+    * branch slots, and Spark's codegen skips common-subexpression
+    * elimination inside conditional branches — the decimal math ran
+    * per branch (measured 1.67 s → 0.26 s at sf0.1). Unbounded in
+    * magnitude, so the 10¹³ ladder ceiling (ADVICE r7) is gone too;
+    * the 1..9 guard below stays as the c>0 domain's belt-and-braces. */
+  private def firstDigitExpr(c: String): String =
+    s"CAST(substr(CAST($c AS STRING), 1, 1) AS BIGINT)"
 
   /** Benford's-law expected first-digit shares, ppm, as pinned
     * literals (`log10(1+1/d)` precomputed — evaluating log10 in-query
@@ -507,18 +510,18 @@ object Stats {
     val expCase = BenfordPpm.toSeq.sortBy(_._1)
       .map { case (d, p) => s"WHEN $d THEN ${p}L" }
       .mkString("CASE digit ", " ", " ELSE 0L END")
-    // first significant digit by INTEGER magnitude laddering on exact
-    // cents (×100 shifts the decimal point, leading digit unchanged) —
-    // a string cast would put double→text rendering parity on the
-    // hash path (Java flips to scientific notation at 10⁷)
+    // first significant digit from the exact-cents BIGINT's string
+    // rendering (×100 shifts the decimal point, leading digit
+    // unchanged; integer→text never goes scientific, unlike the
+    // double it came from) — see [[firstDigitExpr]] for why this
+    // replaced the magnitude ladder
     val digits = Tables.orders(spark, dir)
       .select(Det.cents(col("o_totalprice")).as("c"))
       .where(col("c") > 0)
-      .select(expr(firstDigitExpr("c", "div")).as("digit"))
-      // the magnitude ladder tops out at 10¹², so a cent value ≥ 10¹³
-      // (an order ≥ $100B) would emit digit 10..99 with expected_ppm 0
-      // and a ÷0 dev_micro; the oracle already filters to 1..9
-      // (ADVICE r7) — mirror the domain guard here
+      .select(expr(firstDigitExpr("c")).as("digit"))
+      // domain guard mirroring the oracle (ADVICE r7): for c > 0 the
+      // first character is always a digit 1..9, so this is pure
+      // belt-and-braces against a future non-positive domain
       .where(col("digit").between(1, 9))
       .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
     val w = Window.partitionBy()
@@ -548,7 +551,7 @@ object Stats {
     s"""WITH cts AS (
        |  SELECT ${DetSql.cents("o_totalprice")} AS c FROM orders),
        |d AS (
-       |  SELECT ${firstDigitExpr("c", "//")} AS digit
+       |  SELECT ${firstDigitExpr("c")} AS digit
        |  FROM cts WHERE c > 0),
        |cells AS (
        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
