@@ -363,6 +363,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // user-keyed agg + output sort (the converged state store,
     // materialized)
     "stream_state_totals" -> 2,
+    // the returned frame is the localized sink readback + output sort;
+    // the streaming job itself runs before the plan exists
+    "stream_file_sink" -> 1,
     "stream_sliding" -> 2,
     "stream_tumbling" -> 2,
     "table_skew" -> 3,
