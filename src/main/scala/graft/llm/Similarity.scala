@@ -1220,6 +1220,114 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------------- trained PQ (library)
+
+  /** Lloyd rounds for [[pqTrainedAdc]]'s subquantizer training. */
+  private val PqTrainIters = 5
+  /** Coordinate quantization for the trained path: 2^20 fixed-point,
+    * so sums/means/distances are exact BIGINTs (order-free — the same
+    * run is bit-identical regardless of partitioning). */
+  private val PqCoordScale = 1048576L
+
+  /** Unit corpus at (vec_id, m, i, q) granularity — subspace m,
+    * within-subspace coordinate i, 2^20-quantized value. */
+  private def pqCoords(spark: SparkSession, dir: String): DataFrame =
+    pqUnit(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(col("vec_id"),
+        (col("j") / PqD).cast("int").as("m"),
+        (col("j") % PqD).cast("int").as("i"),
+        expr(s"CAST(floor(CAST(x AS DOUBLE) * $PqCoordScale + 0.5) AS BIGINT)")
+          .as("q"))
+
+  /** Lloyd-TRAINED subquantizer codebook — the production upgrade of
+    * the seed codebook, the same train-once posture as
+    * [[trainedCentroids]] but per subspace: [[PqTrainIters]] rounds of
+    * (assign each subvector to its nearest codeword, recenter each
+    * codeword on the integer mean of its members; empty cells keep
+    * their previous centroid). All arithmetic is 2^20 fixed-point
+    * BIGINT — assignment distances, sums, and `div`-means are exact,
+    * so the trained codebook is a deterministic artifact of the
+    * corpus and the staged copy is reproducible bit-for-bit. Staged
+    * once per source content; rows are (code, m, i, c).
+    *
+    * NOT registered as a query: the unrolled 5-round 256-centroid
+    * assignment join is out of the oracle's weight class (the same
+    * no-oracle-by-design class as [[graft.operators.Relational
+    * .distinctKmv64]]); AnnRecallSpec measures its recall against the
+    * brute-force baseline next to the seed codebook's. */
+  private[graft] def pqTrainedCb(spark: SparkSession, dir: String)
+  : DataFrame = {
+    val path = graft.core.Fixtures.staged(dir, "pqtraincb",
+      codeTag = s"k${PqK}_m${PqM}_d${PqD}_it${PqTrainIters}_s$PqCoordScale") {
+      target =>
+        val coords = pqCoords(spark, dir).localCheckpoint(true)
+        // seed: codeword j of every subspace = vector j's subvector
+        var cb = coords.where(col("vec_id") < PqK)
+          .select(col("vec_id").cast("int").as("code"), col("m"),
+            col("i"), col("q").as("c"))
+          .localCheckpoint(true)
+        for (_ <- 1 to PqTrainIters) {
+          val assign = coords
+            .join(broadcast(cb), Seq("m", "i"))
+            .withColumn("d", (col("q") - col("c")) * (col("q") - col("c")))
+            .groupBy(col("vec_id"), col("m"), col("code"))
+            .agg(sum(col("d")).as("sd"))
+            .groupBy(col("vec_id"), col("m"))
+            .agg(min(struct(col("sd"), col("code"))).as("best"))
+            .select(col("vec_id"), col("m"), col("best.code").as("code"))
+          val centers = coords.join(assign, Seq("vec_id", "m"))
+            .groupBy(col("m"), col("code"), col("i"))
+            .agg(expr("sum(q) div count(1)").as("cn"))
+          cb = cb.join(centers, Seq("m", "code", "i"), "left")
+            .select(col("code"), col("m"), col("i"),
+              coalesce(col("cn"), col("c")).as("c"))
+            .localCheckpoint(true)
+        }
+        cb.write.mode("overwrite").parquet(target)
+        graft.core.Caches.drain(spark)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** ADC against the TRAINED codebook — encode + query LUT + integer
+    * sum, all in the same 2^20 fixed-point space as training. Returns
+    * (query_id, cand_id, sd) like [[pqAdc]]. */
+  private def pqTrainedAdc(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqTrainedCb(spark, dir)
+    val dist = (src: DataFrame) => src
+      .join(broadcast(cb), Seq("m", "i"))
+      .withColumn("d", (col("q") - col("c")) * (col("q") - col("c")))
+      .groupBy(col("vec_id"), col("m"), col("code"))
+      .agg(sum(col("d")).as("sd"))
+    val coords = pqCoords(spark, dir).localCheckpoint(true)
+    val codes = dist(coords)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("sd"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+    val lut = dist(coords.where(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("m"), col("code"),
+        col("sd").as("dq"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("dq")).as("sd"))
+  }
+
+  /** Top-5 by trained-PQ ADC — the library twin of [[simSearchPq]]
+    * with Lloyd-trained subquantizers ([[pqTrainedCb]]); recall
+    * measured in AnnRecallSpec. */
+  private[graft] def simSearchPqTrained(spark: SparkSession, dir: String)
+  : DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sd"), col("cand_id"))
+    pqTrainedAdc(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** CTE prefix shared by the two PQ oracles: everything up through
     * `adc` (query_id, cand_id, sd) — the SQL twin of [[pqAdc]]. */
   private val pqAdcCtesSql: String =

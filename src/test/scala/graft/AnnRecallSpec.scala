@@ -155,6 +155,25 @@ class AnnRecallSpec extends AnyFunSuite with SparkSpec {
     assert(rRer >= 0.85, f"re-ranked recall@5 $rRer%.3f below floor")
   }
 
+  test("Lloyd-trained PQ subquantizers beat the seed codebook") {
+    // The trained rung above [[simSearchPq]]'s seed codebook (the
+    // same train-once posture as the IVF pair): 5 integer-exact Lloyd
+    // rounds per 4-dim subspace. Like the trained-IVF test, the
+    // number is flattered on this fixture (256 centroids per subspace
+    // over 500 points can nearly memorize), so the assertion is the
+    // ORDERING — trained must not fall below seed — plus a floor.
+    val brute = topSets(Similarity.simSearch(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("rank") <= 5))
+    val seed = topSets(Similarity.simSearchPq(spark, sfDir))
+    val trained = topSets(Similarity.simSearchPqTrained(spark, sfDir))
+    val rSeed = recallAt5(seed, brute)
+    val rTrained = recallAt5(trained, brute)
+    info(f"recall@5 — PQ seed 16x256: $rSeed%.3f, Lloyd-trained: $rTrained%.3f")
+    assert(rTrained >= rSeed,
+      f"trained recall $rTrained%.3f below seed $rSeed%.3f")
+    assert(rTrained >= 0.6, f"trained recall $rTrained%.3f below floor")
+  }
+
   test("int8-quantized search preserves nearly all float top-5 ranking") {
     // 8-bit symmetric codes perturb each cosine by O(1/127) — tiny
     // against the fixture's neighbor gaps, so the quantized EXHAUSTIVE
