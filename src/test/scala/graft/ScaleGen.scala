@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * Run: sbt "Test/runMain graft.ScaleGen" → /tmp/graft_scale_x5
   */
 object ScaleGen {
-  val Copies = 5
+  var Copies = 5 // override with args(1); r8 adds a 10x spot-check
   val Span = 100000000L // > any sf0.1 key
 
   private def copies(spark: SparkSession, df: DataFrame)
@@ -37,6 +37,7 @@ object ScaleGen {
     val spark = SparkSpec.session
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft_scale_x5")
+    args.drop(1).headOption.foreach(c => Copies = c.toInt)
     def t(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
     def w(df: DataFrame, n: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$n.parquet")
