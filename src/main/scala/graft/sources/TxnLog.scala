@@ -70,12 +70,18 @@ object TxnLog {
   def latestVersion(root: String): Int =
     versions(root).lastOption.getOrElse(0)
 
-  /** Replay the log up to `v`: adds minus removes, sorted. */
-  def liveFiles(root: String, v: Int): Seq[String] = {
-    val acts = versions(root).filter(_ <= v).flatMap(actionsAt(root, _))
-    (acts.collect { case Action("add", f) => f }.toSet --
-      acts.collect { case Action("remove", f) => f }).toSeq.sorted
-  }
+  /** Replay the log up to `v` as an ORDERED fold (version order, line
+    * order within a version), sorted. Order matters: `adds-set minus
+    * removes-set` over the whole prefix would leave a file dead
+    * forever once removed, even if a later commit re-adds it — the
+    * MaintenanceSpec replay property caught exactly that. */
+  def liveFiles(root: String, v: Int): Seq[String] =
+    versions(root).filter(_ <= v).flatMap(actionsAt(root, _))
+      .foldLeft(Set.empty[String]) {
+        case (s, Action("add", f)) => s + f
+        case (s, Action("remove", f)) => s - f
+        case (s, _) => s
+      }.toSeq.sorted
 
   /** Parse one log line without a JSON library: the writer emits the
     * exact 2-field shape [[Action.toJson]] prints, so a pinned regex

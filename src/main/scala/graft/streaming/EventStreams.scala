@@ -123,7 +123,7 @@ object EventStreams {
     * decimal string — the identical value Spark's double→decimal cast
     * sees — then mirrors the cast's scale-10 and round's scale-2
     * half-up steps. */
-  private[streaming] def eventCents(v: Double): Long =
+  private[graft] def eventCents(v: Double): Long =
     java.math.BigDecimal.valueOf(v)
       .setScale(10, java.math.RoundingMode.HALF_UP)
       .setScale(2, java.math.RoundingMode.HALF_UP)

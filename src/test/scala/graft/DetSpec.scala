@@ -66,4 +66,29 @@ class DetSpec extends AnyFunSuite with SparkSpec {
       .select(Det.cents(col("v")).as("c")).collect().map(_.getLong(0))
     assert(out.toSeq == Seq(1L, -1L, 12345L, 9999999L))
   }
+
+  test("streaming eventCents agrees with Det.cents on arbitrary doubles") {
+    // ADVICE r7: the stream processors' driver-side rounding must be
+    // THE SAME function as the batch twins' Det.cents, or stream-vs-
+    // batch equality is data-dependent (math.round(1.005*100) = 100
+    // while the decimal path gives 101). Property: for doubles of up
+    // to 6 decimal digits — including the half-cent boundary cases the
+    // binary representation garbles — the two paths are equal row by
+    // row.
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(-9999999999L, 9999999999L)
+      scale <- Gen.oneOf(0, 1, 2, 3, 4, 5, 6)
+    } yield n.toDouble / math.pow(10, scale)
+    for (seed <- 1 to 8) {
+      val xs = Gen.nonEmptyListOf(gen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val batch = xs.toDF("v")
+        .select(Det.cents(col("v")).as("c")).collect().map(_.getLong(0))
+      val stream = xs.map(graft.streaming.EventStreams.eventCents)
+      assert(batch.toSeq == stream,
+        s"cents paths diverge at seed=$seed: " +
+          xs.zip(batch.zip(stream)).find { case (_, (b, s)) => b != s })
+    }
+  }
 }

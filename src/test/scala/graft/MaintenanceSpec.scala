@@ -163,6 +163,49 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("txn-log replay equals a reference set-fold for arbitrary logs") {
+    import graft.sources.TxnLog
+    // property: for random well-formed commit sequences, versions are
+    // contiguous from 1 and liveFiles(v) is exactly the adds-minus-
+    // removes set fold of the actions up to v
+    val names = (0 to 9).map(i => s"f$i")
+    val batchGen = Gen.nonEmptyListOf(Gen.zip(Gen.oneOf(names), Gen.prob(0.7)))
+    for (seed <- 1 to 6) withTxnScratch { root =>
+      val batches = Gen.nonEmptyListOf(batchGen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong)).take(8)
+      val committed = batches.map { b =>
+        val acts = b.map { case (f, isAdd) =>
+          if (isAdd) TxnLog.add(f) else TxnLog.remove(f)
+        }
+        TxnLog.commitNext(root, acts, s"prop$seed")
+        acts
+      }
+      assert(TxnLog.versions(root) == (1 to committed.size))
+      var live = Set.empty[String]
+      committed.zipWithIndex.foreach { case (acts, i) =>
+        live = acts.foldLeft(live) {
+          case (s, TxnLog.Action("add", f)) => s + f
+          case (s, TxnLog.Action("remove", f)) => s - f
+          case (s, _) => s
+        }
+        assert(TxnLog.liveFiles(root, i + 1) == live.toSeq.sorted,
+          s"replay diverged at v${i + 1} seed=$seed")
+      }
+    }
+  }
+
+  test("txn-log replay fails loudly on a malformed log line") {
+    import graft.sources.TxnLog
+    withTxnScratch { root =>
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, "_log", "v00000002.jsonl"),
+        """{"op":"add","file":"f1"}""" + "\n")
+      val e = intercept[IllegalArgumentException](TxnLog.liveFiles(root, 2))
+      assert(e.getMessage.contains("bad log line"))
+    }
+  }
+
   test("txn-log vacuum retires only non-tip files and is idempotent") {
     import graft.sources.TxnLog
     import spark.implicits._
