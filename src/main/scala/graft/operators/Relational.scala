@@ -1299,7 +1299,7 @@ object Relational {
     * the two append commits plus one compaction, all through the
     * optimistic protocol, staged once. */
   private def compactedTxnFixture(spark: SparkSession, dir: String): String =
-    txnLogFixture(spark, dir, "txn_log_compact_v1") { target =>
+    txnLogFixture(spark, dir, "txn_log_compact_v2") { target =>
       val v = TxnLog.compact(spark, target, "stage")
       assert(v.contains(3), s"compaction did not commit v3: $v")
     }
@@ -1391,7 +1391,7 @@ object Relational {
     * live file — the table-format planner's job); only readable
     * versions scan, and only their live parquet. */
   def txnLogVacuum(spark: SparkSession, dir: String): DataFrame = {
-    val root = txnLogFixture(spark, dir, "txn_log_vacuum_v1") { target =>
+    val root = txnLogFixture(spark, dir, "txn_log_vacuum_v2") { target =>
       val v = TxnLog.compact(spark, target, "stage")
       assert(v.contains(3), s"compaction did not commit v3: $v")
       val gone = TxnLog.vacuum(target)

@@ -150,7 +150,11 @@ object TxnLog {
     val base = latestVersion(root)
     val live = liveFiles(root, base)
     require(live.nonEmpty, "nothing to compact")
-    val outName = f"c${base + 1}%08d"
+    // session-scoped rewrite name: a crashed attempt's orphan can
+    // never collide with a retry, and two concurrent compactors write
+    // disjoint dirs — the version slot link, not the data path, is
+    // the arbiter of which rewrite becomes real
+    val outName = f"c${base + 1}%08d" + s"_$session"
     val out = new File(root, outName)
     live.map(f => spark.read.parquet(s"$root/$f"))
       .reduce(_ unionAll _)

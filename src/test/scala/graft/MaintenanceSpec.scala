@@ -146,15 +146,15 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
       val out = TxnLog.compact(spark, root, "opt", beforeCommit = () =>
         assert(TxnLog.commitNext(root, Seq(TxnLog.add("f2")), "sneak") == 2))
       assert(out.isEmpty, "compaction must abort on a lost race")
-      assert(!new java.io.File(root, "c00000002").exists(),
+      assert(!new java.io.File(root, "c00000002_opt").exists(),
         "aborted compaction left its rewrite behind")
       assert(TxnLog.liveFiles(root, 2).toSet == Set("f0", "f1", "f2"))
       // with no interference the retry wins the next slot and swaps
-      // the live set for its single rewrite
+      // the live set for its single session-scoped rewrite
       val v3 = TxnLog.compact(spark, root, "opt2")
       assert(v3.contains(3))
-      assert(TxnLog.liveFiles(root, 3) == Seq("c00000003"))
-      val after = spark.read.parquet(s"$root/c00000003")
+      assert(TxnLog.liveFiles(root, 3) == Seq("c00000003_opt2"))
+      val after = spark.read.parquet(s"$root/c00000003_opt2")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(after == Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)),
         s"compaction content mismatch: $after")
