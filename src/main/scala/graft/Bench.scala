@@ -65,9 +65,13 @@ object Bench {
     // were concurrent-load contamination, invisible in the numbers
     // themselves. loadavg_max >> active cores at any point in the run
     // means even the min-of-N values may be suspect.
-    val load = f"${loadSamples.last}%.2f"
-    val loadMax = f"${loadSamples.max}%.2f"
-    val loadMean = f"${loadSamples.sum / loadSamples.size}%.2f"
+    // Locale.ROOT: f"%.2f" renders "0,52" under comma-decimal default
+    // locales, which would corrupt the JSON artifact
+    def f2(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+    val load = f2(loadSamples.last)
+    val loadMax = f2(loadSamples.max)
+    val loadMean = f2(loadSamples.sum / loadSamples.size)
     val line =
       s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"estimator":"min","loadavg":$load,"loadavg_max":$loadMax,"loadavg_mean":$loadMean,"metric":"total","value":$total,"unit":"sec"}"""
     println(line)

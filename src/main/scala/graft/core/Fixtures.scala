@@ -29,6 +29,14 @@ object Fixtures {
     * form. Safe for tmp-dir names and catalog table names. */
   def pathTag(path: String): String = md5Hex(new File(path).getAbsolutePath)
 
+  /** Recursive delete — THE shared copy (the r8 self-review found four
+    * divergence-prone inline clones of this 3-liner). */
+  def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   /** Digest of the source's file census — (absolute path, length,
     * mtime) per regular file, sorted — so any regeneration (new files,
     * rewritten bytes, touched timestamps) changes the fingerprint. */

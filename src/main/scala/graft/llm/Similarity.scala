@@ -1067,7 +1067,8 @@ object Similarity {
   private val PqK = 256 // codes per subspace (8-bit subquantizers)
   private val PqD = 4   // dims per subspace (PqM * PqD = 64)
   /** 2^20 — quantizes subspace distances to exact BIGINTs: the ADC sum
-    * over 8 subspace terms becomes order-free integer arithmetic, and
+    * over the PqM subspace terms becomes order-free integer arithmetic,
+    * and
     * the final descale divides by a power of two (IEEE-exact). */
   private val PqScale = 1048576L
 
@@ -1110,7 +1111,7 @@ object Similarity {
 
   /** The shared ADC kernel: (query_id, cand_id, sd) for every
     * query × candidate pair, sd = PqScale-quantized squared-L2 sum
-    * over the 8 subspace LUT entries. Encode UNIT vectors: on the
+    * over the PqM subspace LUT entries. Encode UNIT vectors: on the
     * unit sphere L2² = 2 - 2·cos, so the ADC rank order estimates the
     * cosine baseline's metric instead of fighting magnitude. */
   /** Unit-normalized corpus — PQ encodes on the unit sphere (see
@@ -1121,7 +1122,7 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)")
           .as("embedding"))
 
-  /** The shared encode/LUT pipeline: src × broadcast 16-codeword
+  /** The shared encode/LUT pipeline: src × broadcast PqK-codeword
     * codebook × 8 subspaces, with the [[PqScale]]-quantized squared-L2
     * `dq` per (vec, code, subspace). */
   private def pqPairs(spark: SparkSession, dir: String, src: DataFrame)
@@ -1139,7 +1140,7 @@ object Similarity {
   /** The corpus PQ codes (vec_id, m, code), STAGED once per source
     * content like the trained IVF codebook ([[trainedCentroids]]) —
     * encode is the one corpus-sized pass of the PQ family (corpus ×
-    * 16 codewords × 8 subspaces), and without staging it re-runs in
+    * PqK codewords × PqM subspaces), and without staging it re-runs in
     * BOTH PQ queries and every bench repetition. Encoding is
     * deterministic (quantized distances, (dq, code) min tiebreak), so
     * the oracle re-derives identical codes from the same parquet and
@@ -1295,17 +1296,22 @@ object Similarity {
     * (query_id, cand_id, sd) like [[pqAdc]]. */
   private def pqTrainedAdc(spark: SparkSession, dir: String): DataFrame = {
     val cb = pqTrainedCb(spark, dir)
-    val dist = (src: DataFrame) => src
+    val coords = pqCoords(spark, dir)
+    // ONE corpus × codebook distance pass, checkpointed: the query
+    // LUT is a filter of the same frame the encode argmin consumes
+    // (queries are corpus members), so computing it twice would
+    // double the expensive join (r8 self-review)
+    val distAll = coords
       .join(broadcast(cb), Seq("m", "i"))
       .withColumn("d", (col("q") - col("c")) * (col("q") - col("c")))
       .groupBy(col("vec_id"), col("m"), col("code"))
       .agg(sum(col("d")).as("sd"))
-    val coords = pqCoords(spark, dir).localCheckpoint(true)
-    val codes = dist(coords)
+      .localCheckpoint(true)
+    val codes = distAll
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("sd"), col("code"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.code").as("code"))
-    val lut = dist(coords.where(col("vec_id") < 10))
+    val lut = distAll.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("m"), col("code"),
         col("sd").as("dq"))
     codes.join(broadcast(lut), Seq("m", "code"))

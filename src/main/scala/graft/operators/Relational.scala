@@ -1210,13 +1210,20 @@ object Relational {
     * compactor's M8/M9 commit gate wired into the table format,
     * VERDICT r7 #4). `extra` runs additional commits (compaction)
     * inside the same staging, so the fixture is immutable afterwards
-    * and the queries stay pure reads. */
+    * and the queries stay pure reads.
+    *
+    * `kind` must be DISTINCT per fixture variant: `Fixtures.staged`
+    * purges same-kind dirs with a different fingerprint as
+    * superseded, so the scan/compact/vacuum fixtures — siblings that
+    * are all live at once — each need their own purge namespace or a
+    * concurrent JVM staging one would reap the other two mid-read
+    * (r8 self-review finding). */
   private def txnLogFixture(spark: SparkSession, dir: String,
-                            codeTag: String)
+                            kind: String, codeTag: String)
                            (extra: String => Unit): String =
     graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir, codeTag)) {
-        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnlog",
+      (spark.sparkContext.applicationId, dir, kind + codeTag)) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", kind,
             codeTag = codeTag) { target =>
           val o = Tables.orders(spark, dir)
             .select(col("o_orderkey"), col("o_totalprice"))
@@ -1257,7 +1264,7 @@ object Relational {
     * format's); data reads are parquet scans of only the live files —
     * version resolution never touches data. */
   def scanTxnLog(spark: SparkSession, dir: String): DataFrame = {
-    val root = txnLogFixture(spark, dir, "scan_txn_log_mod3_v2")(_ => ())
+    val root = txnLogFixture(spark, dir, "txnscan", "mod3_v2")(_ => ())
     TxnLog.versionsRollup(spark, root, "o_totalprice")
   }
 
@@ -1299,7 +1306,7 @@ object Relational {
     * the two append commits plus one compaction, all through the
     * optimistic protocol, staged once. */
   private def compactedTxnFixture(spark: SparkSession, dir: String): String =
-    txnLogFixture(spark, dir, "txn_log_compact_v2") { target =>
+    txnLogFixture(spark, dir, "txncompact", "v2") { target =>
       val v = TxnLog.compact(spark, target, "stage")
       assert(v.contains(3), s"compaction did not commit v3: $v")
     }
@@ -1391,7 +1398,7 @@ object Relational {
     * live file — the table-format planner's job); only readable
     * versions scan, and only their live parquet. */
   def txnLogVacuum(spark: SparkSession, dir: String): DataFrame = {
-    val root = txnLogFixture(spark, dir, "txn_log_vacuum_v2") { target =>
+    val root = txnLogFixture(spark, dir, "txnvacuum", "v2") { target =>
       val v = TxnLog.compact(spark, target, "stage")
       assert(v.contains(3), s"compaction did not commit v3: $v")
       val gone = TxnLog.vacuum(target)

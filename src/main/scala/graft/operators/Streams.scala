@@ -357,6 +357,11 @@ object Streams {
     val tmpRoot = sys.props("java.io.tmpdir")
     val out = s"$tmpRoot/graft_streamsink_out_$uuid"
     val ck = s"$tmpRoot/graft_streamsink_ck_$uuid"
+    // try/finally: a failed streaming job or readback must still
+    // delete the graft_-prefixed per-run dirs, or one transient error
+    // also trips the litter gate for every query after it (r8
+    // self-review)
+    try {
     val q = spark.readStream
       .schema(spark.read.parquet(src).schema)
       .parquet(src)
@@ -384,15 +389,13 @@ object Streams {
       .map(r => (r.getAs[java.time.LocalDateTime]("wstart"),
         r.getString(1), r.getLong(2), r.getLong(3)))
       .toSeq
-    for (d <- Seq(out, ck)) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-      }
-      rm(new java.io.File(d))
-    }
     import spark.implicits._
     rows.toDF("wstart", "event_type", "n", "sum_cents")
       .orderBy(col("wstart"), col("event_type"))
+    } finally {
+      for (d <- Seq(out, ck))
+        graft.core.Fixtures.deleteRecursively(new java.io.File(d))
+    }
   }
 
   val streamFileSinkSql: String =

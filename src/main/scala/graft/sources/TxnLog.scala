@@ -150,24 +150,25 @@ object TxnLog {
     val base = latestVersion(root)
     val live = liveFiles(root, base)
     require(live.nonEmpty, "nothing to compact")
-    // session-scoped rewrite name: a crashed attempt's orphan can
-    // never collide with a retry, and two concurrent compactors write
+    // session-scoped rewrite name: two concurrent compactors write
     // disjoint dirs — the version slot link, not the data path, is
-    // the arbiter of which rewrite becomes real
+    // the arbiter of which rewrite becomes real. Overwrite mode: the
+    // only thing that can already sit at this (version, session) path
+    // is the SAME session's crashed earlier attempt (a committed one
+    // would have advanced the version), so replacing it is the retry
+    // semantics a crash demands — mode("error") left such orphans
+    // blocking every retry (r8 self-review).
     val outName = f"c${base + 1}%08d" + s"_$session"
     val out = new File(root, outName)
     live.map(f => spark.read.parquet(s"$root/$f"))
       .reduce(_ unionAll _)
       .coalesce(1)
-      .write.mode("error").parquet(out.toString)
+      .write.mode("overwrite").parquet(out.toString)
     beforeCommit()
     val actions = live.map(remove) :+ add(outName)
     if (tryCommit(root, base + 1, actions, session)) Some(base + 1)
     else { // lost the race — the rewrite no longer covers the tip
-      def rm(f: File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-      }
-      rm(out)
+      graft.core.Fixtures.deleteRecursively(out)
       None
     }
   }
@@ -191,12 +192,9 @@ object TxnLog {
     val everAdded = versions(root)
       .flatMap(actionsAt(root, _))
       .collect { case Action("add", f) => f }.toSet
-    def rm(f: File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-    }
     val gone = (everAdded -- tip).toSeq.sorted
       .filter(f => new File(root, f).isDirectory)
-    gone.foreach(f => rm(new File(root, f)))
+    gone.foreach(f => graft.core.Fixtures.deleteRecursively(new File(root, f)))
     gone
   }
 

@@ -86,10 +86,8 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
   private def withTxnScratch(body: String => Unit): Unit = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_txnrace_").toString
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-    }
-    try body(root) finally rm(new java.io.File(root))
+    try body(root)
+    finally graft.core.Fixtures.deleteRecursively(new java.io.File(root))
   }
 
   test("two concurrent txn-log appends race one slot; exactly one wins") {
