@@ -101,20 +101,16 @@ object Fixtures {
     val fp = md5Hex(sourceFingerprint(sourcePath) + "|" + codeTag)
     val tmpRoot = new File(sys.props("java.io.tmpdir"))
     val target = new File(tmpRoot, prefix + fp)
-    def rm(f: File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete()
-    }
     if (!target.isDirectory) {
       val tmp = new File(tmpRoot,
         prefix + fp + "." + java.util.UUID.randomUUID() + ".tmp")
       try write(tmp.toString)
-      catch { case e: Throwable => rm(tmp); throw e }
+      catch { case e: Throwable => deleteRecursively(tmp); throw e }
       try Files.move(tmp.toPath, target.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { // lost the staging race — the winner's copy is identical
         case _: java.nio.file.FileSystemException if target.isDirectory =>
-          rm(tmp)
+          deleteRecursively(tmp)
       }
     }
     // Purge superseded versions. Fingerprint-named dirs are immutable
@@ -133,7 +129,7 @@ object Fixtures {
         (n == prefix.dropRight(1) &&
           now - f.lastModified > 24 * 3600 * 1000L)
       }
-      .foreach(rm)
+      .foreach(deleteRecursively)
     target.toString
   }
 }

@@ -1222,7 +1222,7 @@ object Relational {
                             kind: String, codeTag: String)
                            (extra: String => Unit): String =
     graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir, kind + codeTag)) {
+      (spark.sparkContext.applicationId, dir, s"$kind|$codeTag")) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", kind,
             codeTag = codeTag) { target =>
           val o = Tables.orders(spark, dir)
@@ -1353,14 +1353,19 @@ object Relational {
       val acts = TxnLog.actionsAt(root, v)
       val adds = acts.collect { case TxnLog.Action("add", f) => f }
       val nRemoves = acts.count(_.action == "remove")
-      adds.map(f => spark.read.parquet(s"$root/$f"))
-        .reduce(_ unionAll _)
-        .agg(count(lit(1)).as("rows_added"),
-          sum(Det.cents(col("o_totalprice"))).as("cents_added"))
-        .select(lit(v).as("version"), lit(adds.size).as("n_adds"),
-          lit(nRemoves).as("n_removes"),
-          lit(TxnLog.liveFiles(root, v).size).as("n_live"),
-          col("rows_added"), col("cents_added"))
+      // a removes-only commit is legal — its add census is a zero row
+      val agg =
+        if (adds.isEmpty)
+          spark.range(1).select(lit(0L).as("rows_added"),
+            lit(0L).as("cents_added"))
+        else adds.map(f => spark.read.parquet(s"$root/$f"))
+          .reduce(_ unionAll _)
+          .agg(count(lit(1)).as("rows_added"),
+            sum(Det.cents(col("o_totalprice"))).as("cents_added"))
+      agg.select(lit(v).as("version"), lit(adds.size).as("n_adds"),
+        lit(nRemoves).as("n_removes"),
+        lit(TxnLog.liveFiles(root, v).size).as("n_live"),
+        col("rows_added"), col("cents_added"))
     }.reduce(_ unionAll _).orderBy(col("version"))
   }
 
@@ -1412,11 +1417,16 @@ object Relational {
         lit(present).as("n_present"),
         lit(present == live.size).as("readable"),
         col("n_rows"), col("sum_cents"))
-      if (present == live.size)
+      // an empty live set is vacuously readable but has nothing to
+      // scan (reduce over zero frames would throw) — zero row
+      if (present == live.size && live.nonEmpty)
         meta(live.map(f => spark.read.parquet(s"$root/$f"))
           .reduce(_ unionAll _)
           .agg(count(lit(1)).as("n_rows"),
             sum(Det.cents(col("o_totalprice"))).as("sum_cents")))
+      else if (live.isEmpty)
+        meta(spark.range(1).select(lit(0L).as("n_rows"),
+          lit(0L).as("sum_cents")))
       else
         meta(spark.range(1).select(lit(-1L).as("n_rows"),
           lit(-1L).as("sum_cents")))

@@ -183,10 +183,17 @@ object TxnLog {
     * END of those files' time-travel window (a version whose live set
     * referenced a vacuumed file stops being readable; the log itself
     * is never touched, so history METADATA survives). Returns the
-    * deleted file names, sorted. Deletion is idempotent and safe
-    * against concurrent appends: a new commit can only ADD new files
-    * or REMOVE live ones — it cannot resurrect a file already retired
-    * from the tip, so the delete set never races with a writer. */
+    * deleted file names, sorted. Deletion is idempotent, and safe
+    * against concurrent appends UNDER THE NAME-UNIQUENESS CONVENTION
+    * every writer here follows (each add publishes a fresh dir —
+    * data slices are named at creation, compaction rewrites are
+    * (version, session)-scoped): a fresh-named add can never collide
+    * with the delete set. The log PROTOCOL itself would admit
+    * re-adding a retired name (replay is an ordered fold precisely so
+    * re-add resolves correctly), and such a writer races this delete
+    * exactly as re-referencing a vacuumed file races Delta's VACUUM —
+    * if a deployment wants protocol-level re-adds, vacuum needs a
+    * retention window, not this method. */
   def vacuum(root: String): Seq[String] = {
     val tip = liveFiles(root, latestVersion(root)).toSet
     val everAdded = versions(root)
@@ -202,16 +209,22 @@ object TxnLog {
     * emit: for every committed version, (version, n_files, n_rows,
     * exact-cents sum over `valueCol`). Version resolution is pure
     * log replay (metadata); each version's data read scans only its
-    * live parquet. */
+    * live parquet. A version whose live set is EMPTY (legal: a
+    * remove-only commit can drain the table) rolls up as an explicit
+    * zero row — `reduce` over the empty scan list would throw. */
   def versionsRollup(spark: SparkSession, root: String,
                      valueCol: String): org.apache.spark.sql.DataFrame =
     versions(root).map { v =>
       val live = liveFiles(root, v)
-      live.map(f => spark.read.parquet(s"$root/$f"))
-        .reduce(_ unionAll _)
-        .agg(count(lit(1)).as("n_rows"),
-          sum(graft.core.Det.cents(col(valueCol))).as("sum_cents"))
-        .select(lit(v).as("version"), lit(live.size).as("n_files"),
-          col("n_rows"), col("sum_cents"))
+      val agg =
+        if (live.isEmpty)
+          spark.range(1).select(lit(0L).as("n_rows"),
+            lit(0L).as("sum_cents"))
+        else live.map(f => spark.read.parquet(s"$root/$f"))
+          .reduce(_ unionAll _)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(graft.core.Det.cents(col(valueCol))).as("sum_cents"))
+      agg.select(lit(v).as("version"), lit(live.size).as("n_files"),
+        col("n_rows"), col("sum_cents"))
     }.reduce(_ unionAll _).orderBy(col("version"))
 }

@@ -124,7 +124,12 @@ object EventStreams {
     * sees — then mirrors the cast's scale-10 and round's scale-2
     * half-up steps. */
   private[graft] def eventCents(v: Double): Long =
-    java.math.BigDecimal.valueOf(v)
+    // non-finite values: the batch cast double→DECIMAL yields NULL,
+    // which sum() skips — contribute 0 instead of letting
+    // BigDecimal.valueOf(NaN) throw and kill the streaming query
+    // (r8 self-review; DetSpec pins the finite domain property)
+    if (v.isNaN || v.isInfinite) 0L
+    else java.math.BigDecimal.valueOf(v)
       .setScale(10, java.math.RoundingMode.HALF_UP)
       .setScale(2, java.math.RoundingMode.HALF_UP)
       .movePointRight(2).longValueExact()

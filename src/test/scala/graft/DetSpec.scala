@@ -90,5 +90,10 @@ class DetSpec extends AnyFunSuite with SparkSpec {
         s"cents paths diverge at seed=$seed: " +
           xs.zip(batch.zip(stream)).find { case (_, (b, s)) => b != s })
     }
+    // non-finite domain: batch casts to NULL (skipped by sum) — the
+    // streaming path must contribute 0, not throw (r8 self-review)
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity))
+      assert(graft.streaming.EventStreams.eventCents(bad) == 0L)
   }
 }
