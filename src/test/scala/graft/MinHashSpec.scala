@@ -83,10 +83,22 @@ class MinHashSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("whole-stage codegen keeps the kernel projection inline, no aggregate") {
-    val df = Dedup.bandsNative(Tables.documents(spark, sfDir), "doc_id", "text")
-    val codegen = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.CodegenMode)
-    assert(codegen.contains("WholeStageCodegen"), codegen.take(2000))
+    // non-vacuous form (r8): "Found 0 WholeStageCodegen subtrees"
+    // contains the bare literal, so require a non-zero count with AQE
+    // off for the explain — the frame must also be BUILT in the
+    // AQE-off scope, or the adaptive wrapper still reports 0
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (df, codegen) =
+      try {
+        val d = Dedup.bandsNative(
+          Tables.documents(spark, sfDir), "doc_id", "text")
+        (d, d.queryExecution.explainString(
+          org.apache.spark.sql.execution.CodegenMode))
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert("Found (\\d+) WholeStageCodegen subtrees".r
+      .findFirstMatchIn(codegen).exists(_.group(1).toInt >= 1),
+      codegen.take(2000))
     val p = df.queryExecution.executedPlan.toString
     assert(!p.toLowerCase.contains("hashaggregate"),
       s"native path must not aggregate:\n$p")
