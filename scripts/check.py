@@ -91,8 +91,13 @@ def spark_rows(outdir, name):
 
 def main(outdir, sfdir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        p = f"{sfdir}/{t}.parquet"
+        # driver testdata is one file per table; ScaleGen replicas are
+        # Spark-written DIRECTORIES of part files — glob those
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):

@@ -465,7 +465,11 @@ object Relational {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("l_linenumber"), col("o_totalprice"),
         col("l_quantity"))
-      .orderBy(col("o_orderkey"), col("l_linenumber"))
+      // (o_orderkey, l_linenumber) is NOT unique in this synthetic
+      // lineitem (unlike real TPC-H) — the r8 x5 oracle gate caught
+      // the tie luck; l_quantity completes a total VALUE order (rows
+      // still tied after it are full duplicates, order-indifferent)
+      .orderBy(col("o_orderkey"), col("l_linenumber"), col("l_quantity"))
   }
 
   private val bucketFixtures =
@@ -501,7 +505,7 @@ object Relational {
   val joinBucketedSql: String =
     """SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+      |ORDER BY o_orderkey, l_linenumber, l_quantity""".stripMargin
 
   // ------------------------------------------------- filters / projections
 

@@ -1425,16 +1425,32 @@ object Windows {
 
   /** Winsorization — clip event values to each type's [p5, p95] before
     * aggregation, the standard robust-preprocessing step for
-    * long-tailed metrics. The per-type bounds are one grouped
-    * percentile pair BROADCAST back onto the events (the train-once/
-    * apply-everywhere shape); the clip itself is a pure projection
-    * (`least/greatest` — selections, no arithmetic, so clipped values
-    * are bit-exact originals or bit-exact bounds in both engines). */
+    * long-tailed metrics. Bounds are NEAREST-RANK (lower) order
+    * statistics — rank (n−1)·p div 100, an exact integer rule — taken
+    * per type with one window + one conditional aggregate, then
+    * BROADCAST back onto the events (the train-once/apply-everywhere
+    * shape); the clip itself is a pure projection (`least/greatest` —
+    * selections, no arithmetic, so clipped values are bit-exact
+    * originals or bit-exact bounds in both engines). INTERPOLATED
+    * percentiles were the r7 form: Spark's `lower + frac·(upper−lower)`
+    * and DuckDB's quantile_cont evaluate different IEEE sequences, and
+    * on the r8 5× replica one type's p95 landed a ulp apart, flipping
+    * a boundary row's `clipped` — the x5 oracle gate caught it;
+    * nearest-rank bounds are data values, engine-identical on any
+    * data. */
   def tsWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
     val bounds = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
       .groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.05)").as("lo"),
-        expr("percentile(value, 0.95)").as("hi"))
+      .agg(min(when(col("rn") === expr("(n - 1) * 5 div 100 + 1"),
+          col("value"))).as("lo"),
+        min(when(col("rn") === expr("(n - 1) * 95 div 100 + 1"),
+          col("value"))).as("hi"))
     Tables.events(spark, dir)
       .join(broadcast(bounds), Seq("event_type"))
       .select(col("event_id"), col("event_type"), col("value"),
@@ -1445,11 +1461,17 @@ object Windows {
   }
 
   val tsWinsorizeSql: String =
-    """WITH b AS (
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |b AS (
       |  SELECT event_type,
-      |    quantile_cont(value, 0.05) AS lo,
-      |    quantile_cont(value, 0.95) AS hi
-      |  FROM events GROUP BY 1)
+      |    MIN(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN value END) AS lo,
+      |    MIN(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN value END) AS hi
+      |  FROM r GROUP BY 1)
       |SELECT e.event_id, e.event_type, e.value,
       |  GREATEST(b.lo, LEAST(b.hi, e.value)) AS value_w,
       |  e.value < b.lo OR e.value > b.hi AS clipped
@@ -2084,24 +2106,37 @@ object Windows {
     * Scale shape: one day-keyed aggregate, one lag window over the
     * bounded daily frame, ONE scalar moment aggregate. */
   def tsAdf(spark: SparkSession, dir: String): DataFrame = {
+    // Moments in EXACT integer cents (the agg_corr discipline). The
+    // r7 form dsum'ed DOUBLE products (x*x, x*dy): a double→DECIMAL
+    // cast rounds Spark's shortest-string rendering while DuckDB
+    // converts the binary value, and on the r8 5× replica one product
+    // hit a boundary where the two disagree — caught by the x5 oracle
+    // gate, invisible at sf0.01/0.1. Cents are BIGINT, products run
+    // in DECIMAL(38,0) (HUGEINT twin), and doubles appear only in the
+    // final scale-invariant stat block, where both engines cast the
+    // SAME exact integers and run the identical IEEE sequence.
     val daily = Tables.events(spark, dir)
       .where(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))
-      .agg((sum(Det.cents(col("value"))).cast("double") / 100.0d).as("y"))
+      .agg(sum(Det.cents(col("value"))).as("yc"))
     val w = Window.orderBy(col("day"))
     val pairs = daily
-      .withColumn("x", lag(col("y"), 1).over(w))
-      .where(col("x").isNotNull)
-      .select(col("x"), (col("y") - col("x")).as("dy"))
+      .withColumn("xc", lag(col("yc"), 1).over(w))
+      .where(col("xc").isNotNull)
+      .select(col("xc"), (col("yc") - col("xc")).as("dyc"))
+    val dec = (e: String) => s"CAST($e AS DECIMAL(38,0))"
     pairs.agg(count(lit(1)).as("n"),
-        count(lit(1)).cast("double").as("n_d"),
-        Det.dsum(col("x")).as("sx"), Det.dsum(col("dy")).as("sdy"),
-        Det.dsum(col("x") * col("x")).as("sxx"),
-        Det.dsum(col("dy") * col("dy")).as("sdd"),
-        Det.dsum(col("x") * col("dy")).as("sxd"))
-      .withColumn("cov_n", expr("sxd * n_d - sx * sdy"))
-      .withColumn("varx_n", expr("sxx * n_d - sx * sx"))
-      .withColumn("vard_n", expr("sdd * n_d - sdy * sdy"))
+        sum(expr(dec("xc"))).as("sx"), sum(expr(dec("dyc"))).as("sdy"),
+        sum(expr(s"${dec("xc")} * ${dec("xc")}")).as("sxx"),
+        sum(expr(s"${dec("dyc")} * ${dec("dyc")}")).as("sdd"),
+        sum(expr(s"${dec("xc")} * ${dec("dyc")}")).as("sxd"))
+      .withColumn("n_d", col("n").cast("double"))
+      .withColumn("cov_n", expr(
+        s"CAST(sxd * ${dec("n")} - sx * sdy AS DOUBLE)"))
+      .withColumn("varx_n", expr(
+        s"CAST(sxx * ${dec("n")} - sx * sx AS DOUBLE)"))
+      .withColumn("vard_n", expr(
+        s"CAST(sdd * ${dec("n")} - sdy * sdy AS DOUBLE)"))
       .select(col("n"),
         expr("cov_n / varx_n").as("rho_minus_1"),
         expr("""(cov_n / varx_n)
@@ -2113,23 +2148,24 @@ object Windows {
   val tsAdfSql: String =
     s"""WITH daily AS (
        |  SELECT CAST(ts AS DATE) AS day,
-       |    CAST(SUM(${DetSql.cents("value")}) AS DOUBLE) / 100.0 AS y
+       |    CAST(SUM(${DetSql.cents("value")}) AS BIGINT) AS yc
        |  FROM events WHERE event_type = 'purchase'
        |  GROUP BY 1),
        |p AS (
-       |  SELECT x, y - x AS dy FROM (
-       |    SELECT y, LAG(y) OVER (ORDER BY day) AS x FROM daily)
-       |  WHERE x IS NOT NULL),
+       |  SELECT xc, yc - xc AS dyc FROM (
+       |    SELECT yc, LAG(yc) OVER (ORDER BY day) AS xc FROM daily)
+       |  WHERE xc IS NOT NULL),
        |m AS (
        |  SELECT COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS n_d,
-       |    ${DetSql.dsum("x")} AS sx, ${DetSql.dsum("dy")} AS sdy,
-       |    ${DetSql.dsum("x * x")} AS sxx, ${DetSql.dsum("dy * dy")} AS sdd,
-       |    ${DetSql.dsum("x * dy")} AS sxd
+       |    SUM(xc::HUGEINT) AS sx, SUM(dyc::HUGEINT) AS sdy,
+       |    SUM(xc::HUGEINT * xc) AS sxx, SUM(dyc::HUGEINT * dyc) AS sdd,
+       |    SUM(xc::HUGEINT * dyc) AS sxd
        |  FROM p),
        |d AS (
-       |  SELECT *, sxd * n_d - sx * sdy AS cov_n,
-       |    sxx * n_d - sx * sx AS varx_n,
-       |    sdd * n_d - sdy * sdy AS vard_n
+       |  SELECT *,
+       |    CAST(sxd * n::HUGEINT - sx * sdy AS DOUBLE) AS cov_n,
+       |    CAST(sxx * n::HUGEINT - sx * sx AS DOUBLE) AS varx_n,
+       |    CAST(sdd * n::HUGEINT - sdy * sdy AS DOUBLE) AS vard_n
        |  FROM m)
        |SELECT n, cov_n / varx_n AS rho_minus_1,
        |  (cov_n / varx_n)
