@@ -673,15 +673,25 @@ object Stats {
 
   /** Trimmed (5-95%) robust mean of order totals per segment — the
     * outlier-resistant center a reporting pipeline quotes next to the
-    * raw mean: per segment, the interpolated [p5, p95] bounds (the
-    * percentile contract both engines share on integer cents), then
-    * count/sum/integer-mean of the cents strictly inside the bounds,
-    * plus the trimmed fraction in ppm. Everything after the bounds is
-    * exact BIGINT.
+    * raw mean: per segment, the interpolated [p5, p95] bounds, then
+    * count/sum/integer-mean of the cents inside the bounds, plus the
+    * trimmed fraction in ppm. EVERYTHING is exact integers, including
+    * the interpolation: rank (n−1)·p splits into integer part q and
+    * hundredth remainder f, and the bound ×100 is
+    * `c₍q₊₁₎·(100−f) + c₍q₊₂₎·f` — exact BIGINT "centi-cents", so
+    * `c inside [lo, hi]` is the integer compare `100·c ∈ [lo100,
+    * hi100]`, identical to the real-valued interpolated contract
+    * without ever evaluating it in floats. The r7 form used
+    * `percentile()`/`quantile_cont` doubles — the same engine-
+    * divergent interpolation class the r8 x5 oracle gate caught in
+    * ts_winsorize (Spark and DuckDB evaluate different IEEE
+    * sequences), fixed here proactively; the emitted bounds are the
+    * exact lo100/hi100 integers.
     *
-    * Scale shape: one segment-keyed percentile aggregate (broadcast
-    * back — ≤|segments| rows), one conditional re-aggregate over the
-    * same broadcast-dim join. */
+    * Scale shape: one segment-keyed rank window + conditional
+    * aggregate for the bounds (broadcast back — ≤|segments| rows),
+    * one conditional re-aggregate over the same broadcast-dim
+    * join. */
   def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
     val j = Tables.orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir)
@@ -689,21 +699,36 @@ object Stats {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("seg"),
         Det.cents(col("o_totalprice")).as("c"))
-    val bounds = j.groupBy(col("seg"))
-      .agg(expr("percentile(c, 0.05)").as("lo"),
-        expr("percentile(c, 0.95)").as("hi"))
+    val wRank = Window.partitionBy(col("seg")).orderBy(col("c"))
+    val wSeg = Window.partitionBy(col("seg"))
+    def bound(p: Int, name: String) = Seq(
+      min(when(col("rn") === expr(s"(n - 1) * $p div 100 + 1"), col("c")))
+        .as(s"${name}_a"),
+      min(when(col("rn") === expr(s"(n - 1) * $p div 100 + 2"), col("c")))
+        .as(s"${name}_b"),
+      min(expr(s"(n - 1) * $p % 100")).as(s"${name}_f"))
+    val bounds = j
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wSeg))
+      .groupBy(col("seg"))
+      .agg(bound(5, "lo").head, bound(5, "lo").tail ++ bound(95, "hi"): _*)
+      .select(col("seg"),
+        expr("lo_a * (100 - lo_f) + coalesce(lo_b, lo_a) * lo_f")
+          .as("lo100"),
+        expr("hi_a * (100 - hi_f) + coalesce(hi_b, hi_a) * hi_f")
+          .as("hi100"))
     j.join(broadcast(bounds), "seg")
+      .withColumn("keep",
+        col("c") * 100 >= col("lo100") && col("c") * 100 <= col("hi100"))
       .groupBy(col("seg"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("c") >= col("lo") && col("c") <= col("hi"), 1L)
-          .otherwise(0L)).as("n_kept"),
-        sum(when(col("c") >= col("lo") && col("c") <= col("hi"), col("c"))
-          .otherwise(0L)).as("sum_kept"),
-        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("c")).otherwise(0L)).as("sum_kept"),
+        min(col("lo100")).as("lo100"), min(col("hi100")).as("hi100"))
       .select(col("seg"), col("n"), col("n_kept"),
         expr("sum_kept div n_kept").as("trimmed_mean_cents"),
         expr("(1000000L * (n - n_kept)) div n").as("trimmed_ppm"),
-        col("lo"), col("hi"))
+        col("lo100"), col("hi100"))
       .orderBy(col("seg"))
   }
 
@@ -712,22 +737,40 @@ object Stats {
        |  SELECT c.c_mktsegment AS seg,
        |    ${DetSql.cents("o.o_totalprice")} AS c
        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+       |r AS (
+       |  SELECT seg, c,
+       |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY c) AS rn,
+       |    COUNT(*) OVER (PARTITION BY seg) AS n
+       |  FROM j),
+       |b0 AS (
+       |  SELECT seg,
+       |    MIN(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN c END) AS lo_a,
+       |    MIN(CASE WHEN rn = (n - 1) * 5 // 100 + 2 THEN c END) AS lo_b,
+       |    MIN((n - 1) * 5 % 100) AS lo_f,
+       |    MIN(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN c END) AS hi_a,
+       |    MIN(CASE WHEN rn = (n - 1) * 95 // 100 + 2 THEN c END) AS hi_b,
+       |    MIN((n - 1) * 95 % 100) AS hi_f
+       |  FROM r GROUP BY seg),
        |b AS (
-       |  SELECT seg, quantile_cont(c, 0.05) AS lo,
-       |    quantile_cont(c, 0.95) AS hi
-       |  FROM j GROUP BY seg)
+       |  SELECT seg,
+       |    CAST(lo_a * (100 - lo_f) + COALESCE(lo_b, lo_a) * lo_f
+       |      AS BIGINT) AS lo100,
+       |    CAST(hi_a * (100 - hi_f) + COALESCE(hi_b, hi_a) * hi_f
+       |      AS BIGINT) AS hi100
+       |  FROM b0)
        |SELECT j.seg, CAST(COUNT(*) AS BIGINT) AS n,
-       |  CAST(SUM(CASE WHEN j.c >= b.lo AND j.c <= b.hi THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_kept,
-       |  CAST(SUM(CASE WHEN j.c >= b.lo AND j.c <= b.hi THEN j.c ELSE 0 END)
-       |    AS BIGINT)
-       |    // CAST(SUM(CASE WHEN j.c >= b.lo AND j.c <= b.hi THEN 1 ELSE 0 END)
-       |         AS BIGINT) AS trimmed_mean_cents,
+       |  CAST(SUM(CASE WHEN j.c * 100 >= b.lo100 AND j.c * 100 <= b.hi100
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN j.c * 100 >= b.lo100 AND j.c * 100 <= b.hi100
+       |    THEN j.c ELSE 0 END) AS BIGINT)
+       |    // CAST(SUM(CASE WHEN j.c * 100 >= b.lo100 AND j.c * 100 <= b.hi100
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_mean_cents,
        |  (1000000 * (CAST(COUNT(*) AS BIGINT)
-       |    - CAST(SUM(CASE WHEN j.c >= b.lo AND j.c <= b.hi THEN 1 ELSE 0 END)
-       |        AS BIGINT)))
+       |    - CAST(SUM(CASE WHEN j.c * 100 >= b.lo100 AND j.c * 100 <= b.hi100
+       |        THEN 1 ELSE 0 END) AS BIGINT)))
        |    // CAST(COUNT(*) AS BIGINT) AS trimmed_ppm,
-       |  MIN(b.lo) AS lo, MIN(b.hi) AS hi
+       |  CAST(MIN(b.lo100) AS BIGINT) AS lo100,
+       |  CAST(MIN(b.hi100) AS BIGINT) AS hi100
        |FROM j JOIN b ON b.seg = j.seg
        |GROUP BY j.seg
        |ORDER BY j.seg""".stripMargin

@@ -1310,9 +1310,11 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       val (n, kept) = (r.getLong(1), r.getLong(2))
       // 90% interquantile keeps 88-92% at realistic n
       assert(kept * 100 >= n * 85 && kept <= n, s"${r.getString(0)} kept")
+      // bounds are exact integer centi-cents since r8 (x100 fixed
+      // point): the kept-mean in cents must sit inside them
       val mean = r.getLong(3)
-      assert(mean >= r.getDouble(5).toLong - 1
-        && mean <= r.getDouble(6).toLong + 1,
+      assert(mean * 100 >= r.getLong(5) - 100
+        && mean * 100 <= r.getLong(6) + 100,
         s"${r.getString(0)} mean inside bounds")
       assert(r.getLong(4) == 1000000L * (n - kept) / n, "trimmed ppm")
     }
