@@ -76,12 +76,23 @@ object Bench {
       s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"estimator":"min","loadavg":$load,"loadavg_max":$loadMax,"loadavg_mean":$loadMean,"metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // Full, untruncated copy kept in-repo so any round's recorded tail
-    // can be cross-checked against the complete profile. Only standard
-    // testdata dirs qualify — a ScaleGen x5 ratio run must not clobber
-    // the recorded sf0.1 profile.
-    if (subset.isEmpty && sfDir.startsWith("/root/testdata/"))
+    // can be cross-checked against the complete profile. Recording is
+    // explicit-or-default (ADVICE r8): SPARK_GRAFT_BENCH_RECORD=1
+    // forces it for any data root, =0 suppresses it, and unset falls
+    // back to the standard-testdata-dir heuristic (a ScaleGen x5 ratio
+    // run must not clobber the recorded sf0.1 profile). A skipped
+    // write says so instead of silently not recording.
+    val record = sys.env.get("SPARK_GRAFT_BENCH_RECORD") match {
+      case Some(v) => v == "1" || v.equalsIgnoreCase("true")
+      case None => sfDir.startsWith("/root/testdata/")
+    }
+    if (subset.isEmpty && record)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_local.json"), line + "\n")
+    else
+      System.err.println(s"[bench] BENCH_local.json NOT recorded " +
+        s"(subset=${subset.isDefined}, record=$record, sf=$sfDir); " +
+        "set SPARK_GRAFT_BENCH_RECORD=1 to force")
     spark.stop()
   }
 }

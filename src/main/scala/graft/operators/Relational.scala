@@ -1268,7 +1268,7 @@ object Relational {
     * format's); data reads are parquet scans of only the live files —
     * version resolution never touches data. */
   def scanTxnLog(spark: SparkSession, dir: String): DataFrame = {
-    val root = txnLogFixture(spark, dir, "txnscan", "mod3_v2")(_ => ())
+    val root = txnLogFixture(spark, dir, "txnscan", "mod3_v3_cinfo")(_ => ())
     TxnLog.versionsRollup(spark, root, "o_totalprice")
   }
 
@@ -1310,7 +1310,7 @@ object Relational {
     * the two append commits plus one compaction, all through the
     * optimistic protocol, staged once. */
   private def compactedTxnFixture(spark: SparkSession, dir: String): String =
-    txnLogFixture(spark, dir, "txncompact", "v2") { target =>
+    txnLogFixture(spark, dir, "txncompact", "v3_cinfo") { target =>
       val v = TxnLog.compact(spark, target, "stage")
       assert(v.contains(3), s"compaction did not commit v3: $v")
     }
@@ -1348,29 +1348,51 @@ object Relational {
     * attributes the right DATA to the right commit — including v3's
     * rewrite, whose added rows must equal the v2 tip it compacted.
     *
-    * Scale shape: one bounded parquet scan per version's add set +
-    * one scalar agg each; nothing joins, nothing global-sorts beyond
-    * the ≤versions-row output. */
+    * Scale shape: ONE multi-path parquet scan over the distinct added
+    * files (input_file_name attribution, per-file exact subtotals, a
+    * broadcast membership join) — plan size O(1) in history depth;
+    * nothing global-sorts beyond the ≤versions-row output. */
   def txnLogHistory(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
     val root = compactedTxnFixture(spark, dir)
-    TxnLog.versions(root).map { v =>
+    val liveCounts = TxnLog.liveSets(root).map { case (v, fs) => v -> fs.size }
+      .toMap
+    val meta = TxnLog.versions(root).map { v =>
       val acts = TxnLog.actionsAt(root, v)
-      val adds = acts.collect { case TxnLog.Action("add", f) => f }
-      val nRemoves = acts.count(_.action == "remove")
-      // a removes-only commit is legal — its add census is a zero row
-      val agg =
-        if (adds.isEmpty)
-          spark.range(1).select(lit(0L).as("rows_added"),
-            lit(0L).as("cents_added"))
-        else adds.map(f => spark.read.parquet(s"$root/$f"))
-          .reduce(_ unionAll _)
-          .agg(count(lit(1)).as("rows_added"),
-            sum(Det.cents(col("o_totalprice"))).as("cents_added"))
-      agg.select(lit(v).as("version"), lit(adds.size).as("n_adds"),
-        lit(nRemoves).as("n_removes"),
-        lit(TxnLog.liveFiles(root, v).size).as("n_live"),
-        col("rows_added"), col("cents_added"))
-    }.reduce(_ unionAll _).orderBy(col("version"))
+      (v, acts.collect { case TxnLog.Action("add", f) => f },
+        acts.count(_.action == "remove"))
+    }
+    // action/live censuses are log replay (driver metadata); the data
+    // plan is ONE multi-path scan over the distinct added files with
+    // input_file_name attribution — same O(1)-in-history shape as
+    // [[graft.sources.TxnLog.versionsRollup]], instead of one plan
+    // branch per version's add set
+    val metaDf = spark.createDataFrame(
+      meta.map { case (v, adds, nr) =>
+        Row(v, adds.size, nr, liveCounts(v)) }.asJava,
+      StructType.fromDDL(
+        "version INT, n_adds INT, n_removes INT, n_live INT"))
+    val addMembership = spark.createDataFrame(
+      meta.flatMap { case (v, adds, _) => adds.map(f => Row(v, f)) }.asJava,
+      StructType.fromDDL("version INT, file STRING"))
+    val added = meta.flatMap(_._2).distinct.sorted
+    val perFile = spark.read.parquet(added.map(f => s"$root/$f"): _*)
+      .select(regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1)
+        .as("file"), Det.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("f_rows"), sum(col("cents")).as("f_cents"))
+    val perVersion = addMembership.join(perFile, "file")
+      .groupBy(col("version"))
+      .agg(sum(col("f_rows")).as("rows_added"),
+        sum(col("f_cents")).as("cents_added"))
+    metaDf.join(perVersion, Seq("version"), "left")
+      .select(col("version"), col("n_adds"), col("n_removes"),
+        col("n_live"),
+        coalesce(col("rows_added"), lit(0L)).as("rows_added"),
+        coalesce(col("cents_added"), lit(0L)).as("cents_added"))
+      .orderBy(col("version"))
   }
 
   val txnLogHistorySql: String =
@@ -1391,27 +1413,30 @@ object Relational {
       |FROM orders WHERE o_orderkey % 3 IN (1, 2)
       |ORDER BY version""".stripMargin
 
-  /** VACUUM on the txn-log table — the storage-reclaim lifecycle and
-    * the honest END of the time-travel window: after the OPTIMIZE of
-    * [[txnLogCompact]], the three original slices are retired from
-    * the tip, and [[graft.sources.TxnLog.vacuum]] deletes their bytes
-    * (log metadata survives, so history still RESOLVES — it just
-    * cannot be read). The query reports, per version, the live count,
-    * how many of those files still exist, whether the version is
-    * readable, and the data rollup for readable versions (−1
-    * sentinels otherwise — the unreadable rows are the point of the
-    * audit). The oracle re-derives all three rows, v3's data from the
-    * shared mod rules.
+  /** VACUUM on the txn-log table — the storage-reclaim lifecycle with
+    * a RETENTION HORIZON (Delta semantics, VERDICT r8 #6): after the
+    * OPTIMIZE of [[txnLogCompact]], `vacuum(retainVersions = 2)`
+    * deletes only the files not live in either of the two newest
+    * versions — so v2 and v3 stay fully readable and only v1 (whose
+    * live set needed the retired f0) drops out of its time-travel
+    * window. Log metadata survives, so history still RESOLVES — it
+    * just cannot be read. The query reports, per version, the live
+    * count, how many of those files still exist, whether the version
+    * is readable, and the data rollup for readable versions (−1
+    * sentinels otherwise — the unreadable row is the point of the
+    * audit). The oracle re-derives all three rows from the shared mod
+    * rules, v2 and v3 both readable with identical data — proving the
+    * horizon kept exactly the versions it promised.
     *
     * Scale shape: presence checks are driver metadata (one stat per
     * live file — the table-format planner's job); only readable
     * versions scan, and only their live parquet. */
   def txnLogVacuum(spark: SparkSession, dir: String): DataFrame = {
-    val root = txnLogFixture(spark, dir, "txnvacuum", "v2") { target =>
+    val root = txnLogFixture(spark, dir, "txnvacuum", "retain2_v1") { target =>
       val v = TxnLog.compact(spark, target, "stage")
       assert(v.contains(3), s"compaction did not commit v3: $v")
-      val gone = TxnLog.vacuum(target)
-      assert(gone == Seq("f0", "f1", "f2"), s"unexpected vacuum set: $gone")
+      val gone = TxnLog.vacuum(target, retainVersions = 2)
+      assert(gone == Seq("f0"), s"unexpected vacuum set: $gone")
     }
     TxnLog.versions(root).map { v =>
       val live = TxnLog.liveFiles(root, v)
@@ -1438,18 +1463,83 @@ object Relational {
   }
 
   val txnLogVacuumSql: String =
-    """SELECT 1 AS version, 2 AS n_live, 0 AS n_present, FALSE AS readable,
+    """WITH tip AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |      * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM orders WHERE o_orderkey % 3 IN (1, 2))
+      |SELECT 1 AS version, 2 AS n_live, 1 AS n_present, FALSE AS readable,
       |  CAST(-1 AS BIGINT) AS n_rows, CAST(-1 AS BIGINT) AS sum_cents
       |UNION ALL
-      |SELECT 2, 2, 0, FALSE, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      |SELECT 2, 2, 2, TRUE, n_rows, sum_cents FROM tip
       |UNION ALL
-      |SELECT 3, 1, 1, TRUE,
-      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-      |   WHERE o_orderkey % 3 IN (1, 2)),
-      |  (SELECT CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
-      |     * 100 AS BIGINT)) AS BIGINT) FROM orders
-      |   WHERE o_orderkey % 3 IN (1, 2))
+      |SELECT 3, 1, 1, TRUE, n_rows, sum_cents FROM tip
       |ORDER BY version""".stripMargin
+
+  /** SCHEMA EVOLUTION through the txn-log's metaData actions (VERDICT
+    * r8 #3) — the reference compactor's whole raison d'être (§1.2,
+    * `DefragmentAvroFolder.scala:17-20,83-107`: resolve the latest
+    * schema, read old files under it) expressed at the table-format
+    * layer: v1 appends a 2-column slice through
+    * [[graft.sources.TxnLog.commitAppend]], PUBLISHING its schema as
+    * the log's first metaData action; v2 appends a 3-column slice
+    * (adds o_custkey) with `evolve = true`, so the commit carries the
+    * MERGED metaData. The writer-side gate is real: an append whose
+    * shared column changes type is rejected (spec-proven in
+    * MaintenanceSpec), and a widening append without `evolve` is
+    * rejected too. The query reads the TIP under parquet mergeSchema
+    * algebra — old files null-pad the new column — and emits the
+    * census that proves attribution: total rows/cents across both
+    * schema generations, plus count/sum of the evolved column (only
+    * v2's rows have it), plus the resolved tip schema DDL itself, so
+    * the oracle hash pins the metaData plumbing, not just the data.
+    *
+    * Scale shape: two parquet scans (one per generation) + one scalar
+    * agg; schema resolution is log metadata. */
+  def txnLogSchemaEvo(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, "txnschema|evo_v1")) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnschema",
+            codeTag = "evo_v1") { target =>
+          val o = Tables.orders(spark, dir)
+          new java.io.File(target).mkdirs()
+          val gen1 = o.where(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), col("o_totalprice"))
+          val gen2 = o.where(col("o_orderkey") % 3 === 1)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_custkey"))
+          gen1.coalesce(1).write.parquet(s"$target/f0")
+          gen2.coalesce(1).write.parquet(s"$target/f1")
+          assert(TxnLog.commitAppend(target, Seq("f0"),
+            gen1.schema.toDDL, "stage") == 1)
+          assert(TxnLog.commitAppend(target, Seq("f1"),
+            gen2.schema.toDDL, "stage", evolve = true) == 2)
+        }
+      }
+    val tip = TxnLog.latestVersion(root)
+    val ddl = TxnLog.schemaAt(root, tip)
+      .getOrElse(sys.error(s"no metaData in $root")).toDDL
+    val live = TxnLog.liveFiles(root, tip).map(f => s"$root/$f")
+    spark.read.option("mergeSchema", "true").parquet(live: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("sum_cents"),
+        count(col("o_custkey")).as("n_custkey"),
+        sum(col("o_custkey")).as("sum_custkey"))
+      .select(col("n_rows"), col("sum_cents"), col("n_custkey"),
+        col("sum_custkey"), lit(ddl).as("schema_ddl"))
+  }
+
+  val txnLogSchemaEvoSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |    * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(COUNT(CASE WHEN o_orderkey % 3 = 1 THEN 1 END) AS BIGINT)
+      |    AS n_custkey,
+      |  CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN o_custkey END)
+      |    AS BIGINT) AS sum_custkey,
+      |  'o_orderkey BIGINT,o_totalprice DOUBLE,o_custkey BIGINT'
+      |    AS schema_ddl
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin
 
   /** Fuzzy name matching — the entity-resolution join: part-name
     * pairs within Levenshtein distance 3, found WITHOUT the n² name
@@ -2553,6 +2643,7 @@ object Relational {
     "scan_txn_log" -> scanTxnLog,
     "txn_log_compact" -> txnLogCompact,
     "txn_log_history" -> txnLogHistory,
+    "txn_log_schema_evo" -> txnLogSchemaEvo,
     "txn_log_vacuum" -> txnLogVacuum,
     "agg_percentile" -> aggPercentile,
     "agg_approx_percentile" -> aggApproxPercentile,
@@ -2626,6 +2717,7 @@ object Relational {
     "scan_txn_log" -> scanTxnLogSql,
     "txn_log_compact" -> txnLogCompactSql,
     "txn_log_history" -> txnLogHistorySql,
+    "txn_log_schema_evo" -> txnLogSchemaEvoSql,
     "txn_log_vacuum" -> txnLogVacuumSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_topk_others" -> aggTopkOthersSql,

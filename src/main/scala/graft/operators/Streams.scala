@@ -337,6 +337,36 @@ object Streams {
     * job runs continuously with per-trigger file batches; nothing
     * here is fixture-shaped except the sentinel, which a live stream
     * replaces with real event-time progress. */
+  /** One AvailableNow pass of the windowed file-sink job: readStream
+    * over `src` → 1 h watermark → 6 h × event_type windowed agg →
+    * append-mode parquet sink at `out`, checkpointed at `ck`.
+    * Extracted from [[streamFileSink]] so the restart/recovery spec
+    * (VERDICT r8 #5) can drive the SAME query across two separate
+    * starts sharing one checkpoint dir — the exactly-once property a
+    * production sink actually rests on. */
+  private[graft] def runFileSinkPass(spark: SparkSession, src: String,
+                                     out: String, ck: String): Unit = {
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+      // watermarks demand TIMESTAMP (LTZ); the session is pinned UTC,
+      // so the NTZ→LTZ→NTZ round-trip below is value-identical
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Det.cents(col("value"))).as("sum_cents"))
+      .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("n"), col("sum_cents"))
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+  }
+
   def streamFileSink(spark: SparkSession, dir: String): DataFrame = {
     val src = graft.core.Fixtures.memo(sinkFixtures,
       (spark.sparkContext.applicationId, dir)) {
@@ -362,25 +392,7 @@ object Streams {
     // also trips the litter gate for every query after it (r8
     // self-review)
     try {
-    val q = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .parquet(src)
-      // watermarks demand TIMESTAMP (LTZ); the session is pinned UTC,
-      // so the NTZ→LTZ→NTZ round-trip below is value-identical
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(Det.cents(col("value"))).as("sum_cents"))
-      .select(col("window.start").cast("timestamp_ntz").as("wstart"),
-        col("event_type"), col("n"), col("sum_cents"))
-      .writeStream
-      .format("parquet")
-      .option("checkpointLocation", ck)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start(out)
-    q.awaitTermination()
+    runFileSinkPass(spark, src, out, ck)
     val rows = spark.read.parquet(out)
       .where(col("event_type") =!= "zz_watermark_sentinel")
       .select(col("wstart"), col("event_type"), col("n"),

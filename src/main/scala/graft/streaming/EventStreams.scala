@@ -123,16 +123,31 @@ object EventStreams {
     * decimal string — the identical value Spark's double→decimal cast
     * sees — then mirrors the cast's scale-10 and round's scale-2
     * half-up steps. */
-  private[graft] def eventCents(v: Double): Long =
+  private[graft] def eventCents(v: Double): Long = {
     // non-finite values: the batch cast double→DECIMAL yields NULL,
     // which sum() skips — contribute 0 instead of letting
     // BigDecimal.valueOf(NaN) throw and kill the streaming query
     // (r8 self-review; DetSpec pins the finite domain property)
-    if (v.isNaN || v.isInfinite) 0L
-    else java.math.BigDecimal.valueOf(v)
+    if (v.isNaN || v.isInfinite) return 0L
+    val cents = java.math.BigDecimal.valueOf(v)
       .setScale(10, java.math.RoundingMode.HALF_UP)
       .setScale(2, java.math.RoundingMode.HALF_UP)
-      .movePointRight(2).longValueExact()
+      .movePointRight(2)
+    // out-of-range magnitudes (ADVICE r8): longValueExact() threw an
+    // uncaught ArithmeticException for finite |v| ≳ 9.2e16 (cents past
+    // ±2^63), killing the whole streaming query on one poisoned
+    // record. Contribute 0 instead. Honest asymmetry with batch: under
+    // the session's ANSI mode the batch Det.cents twin REJECTS such a
+    // row outright (DECIMAL(27,10) overflow error at |v| ≥ 1e17), so
+    // stream-vs-batch equality holds on the domain batch accepts,
+    // and outside it a long-running stream degrades gracefully where
+    // a re-runnable batch job fails fast — a stream must not be
+    // killable by one bad record (DetSpec drives both boundaries)
+    if (math.abs(v) >= 1e17 ||
+        cents.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) > 0 ||
+        cents.compareTo(java.math.BigDecimal.valueOf(Long.MinValue)) < 0) 0L
+    else cents.longValueExact()
+  }
 
   /** Custom sessionization with explicit state:
     * flatMapGroupsWithState keyed by user, event-time timeout at

@@ -96,4 +96,31 @@ class DetSpec extends AnyFunSuite with SparkSpec {
         Double.NegativeInfinity))
       assert(graft.streaming.EventStreams.eventCents(bad) == 0L)
   }
+
+  test("eventCents survives magnitudes past the DECIMAL/BIGINT boundary") {
+    // ADVICE r8: finite |v| ≳ 9.2e16 made longValueExact() throw and
+    // kill the streaming query. Past either overflow boundary (cents
+    // past ±2^63 at ~9.22e16, DECIMAL(27,10) at 1e17) the stream must
+    // contribute 0 — never throw — while values just INSIDE the
+    // boundary still round exactly.
+    import graft.streaming.EventStreams.eventCents
+    val inside = 9.2e16 // cents 9.2e18 < 2^63-1 ≈ 9.223e18
+    assert(eventCents(inside) == 9200000000000000000L)
+    assert(eventCents(-inside) == -9200000000000000000L)
+    for (big <- Seq(9.3e16, 1e17, 1e18, 4.9e307,
+        -9.3e16, -1e17, -1e18, -4.9e307))
+      assert(eventCents(big) == 0L, s"eventCents($big) must clamp to 0")
+    // property sweep across the boundary decades: NEVER throws
+    val gen = for {
+      mag <- Gen.chooseNum(15, 20)
+      m <- Gen.chooseNum(1000L, 9999L)
+      sign <- Gen.oneOf(1, -1)
+    } yield sign * (m / 1000.0) * math.pow(10, mag.toDouble)
+    val xs = Gen.listOfN(500, gen)
+      .pureApply(Gen.Parameters.default, Seed(42L))
+    xs.foreach { v =>
+      val c = eventCents(v) // must not throw anywhere in the sweep
+      if (math.abs(v) >= 1e17) assert(c == 0L, s"eventCents($v)=$c")
+    }
+  }
 }

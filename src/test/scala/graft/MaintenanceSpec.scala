@@ -226,6 +226,165 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("txn-log checkpoints: replay through a checkpoint equals the full fold") {
+    import graft.sources.TxnLog
+    // property (VERDICT r8 #2): for random commit sequences long enough
+    // to cross ≥2 checkpoint boundaries, liveFiles resolved through the
+    // checkpointed fast path equals the reference fold; and because a
+    // checkpoint is pure cache, DELETING it must change nothing.
+    val names = (0 to 9).map(i => s"f$i")
+    val batchGen = Gen.nonEmptyListOf(Gen.zip(Gen.oneOf(names), Gen.prob(0.7)))
+    for (seed <- 1 to 3) withTxnScratch { root =>
+      val batches = Gen.listOfN(25, batchGen)
+        .pureApply(Gen.Parameters.default, Seed(100L + seed))
+      val committed = batches.map { b =>
+        val acts = b.map { case (f, isAdd) =>
+          if (isAdd) TxnLog.add(f) else TxnLog.remove(f)
+        }
+        TxnLog.commitNext(root, acts, s"cp$seed")
+        acts
+      }
+      // 25 commits at interval 10 → checkpoints at v10 and v20
+      assert(TxnLog.checkpoints(root) == Seq(10, 20),
+        s"expected checkpoints at 10 and 20, got ${TxnLog.checkpoints(root)}")
+      def referenceLive(v: Int): Seq[String] =
+        committed.take(v).flatten.foldLeft(Set.empty[String]) {
+          case (s, TxnLog.Action("add", f)) => s + f
+          case (s, TxnLog.Action("remove", f)) => s - f
+          case (s, _) => s
+        }.toSeq.sorted
+      for (v <- 1 to committed.size)
+        assert(TxnLog.liveFiles(root, v) == referenceLive(v),
+          s"checkpointed replay diverged at v$v seed=$seed")
+      // checkpoints are cache, not truth: delete them, same answers
+      for (cp <- TxnLog.checkpoints(root))
+        assert(new java.io.File(root,
+          f"_log/v$cp%08d.checkpoint.jsonl").delete())
+      for (v <- 1 to committed.size)
+        assert(TxnLog.liveFiles(root, v) == referenceLive(v),
+          s"checkpoint-less replay diverged at v$v seed=$seed")
+    }
+  }
+
+  test("txn-log timestamp time travel resolves versions monotonically") {
+    import graft.sources.TxnLog
+    withTxnScratch { root =>
+      assert(TxnLog.tryCommit(root, 1, Seq(TxnLog.add("f0")), "t",
+        nowMs = 1000L))
+      assert(TxnLog.tryCommit(root, 2, Seq(TxnLog.add("f1")), "t",
+        nowMs = 2000L))
+      // clock skew: a wall clock BEHIND v2's timestamp must not break
+      // the monotonic order versionAsOf's binary search relies on —
+      // the protocol clamps to prev + 1
+      assert(TxnLog.tryCommit(root, 3, Seq(TxnLog.add("f2")), "t",
+        nowMs = 1500L))
+      val ts = (1 to 3).map(TxnLog.commitTs(root, _))
+      assert(ts == Seq(1000L, 2000L, 2001L), s"timestamps: $ts")
+      assert(TxnLog.versionAsOf(root, 999L) == 0)   // before the table
+      assert(TxnLog.liveFiles(root, 0).isEmpty)
+      assert(TxnLog.versionAsOf(root, 1000L) == 1)
+      assert(TxnLog.versionAsOf(root, 1999L) == 1)
+      assert(TxnLog.versionAsOf(root, 2000L) == 2)
+      assert(TxnLog.versionAsOf(root, 2001L) == 3)
+      assert(TxnLog.versionAsOf(root, Long.MaxValue) == 3)
+      // the resolved version reads exactly its snapshot
+      assert(TxnLog.liveFiles(root,
+        TxnLog.versionAsOf(root, 1999L)) == Seq("f0"))
+    }
+  }
+
+  test("txn-log schema actions: publish, validate, evolve, reject") {
+    import graft.sources.TxnLog
+    withTxnScratch { root =>
+      // first append publishes the schema
+      assert(TxnLog.commitAppend(root, Seq("f0"), "a BIGINT,b DOUBLE",
+        "s") == 1)
+      assert(TxnLog.schemaAt(root, 1).map(_.toDDL)
+        .contains("a BIGINT,b DOUBLE"))
+      // same-schema append carries no redundant metaData
+      assert(TxnLog.commitAppend(root, Seq("f1"), "a BIGINT,b DOUBLE",
+        "s") == 2)
+      assert(!TxnLog.entriesAt(root, 2).exists(_.isInstanceOf[TxnLog.MetaData]))
+      // widening without evolve is rejected
+      val e1 = intercept[IllegalArgumentException](
+        TxnLog.commitAppend(root, Seq("f2"), "a BIGINT,b DOUBLE,c STRING", "s"))
+      assert(e1.getMessage.contains("evolve"))
+      // an incompatible type change is rejected outright
+      val e2 = intercept[IllegalArgumentException](
+        TxnLog.commitAppend(root, Seq("f2"), "a STRING,b DOUBLE", "s",
+          evolve = true))
+      assert(e2.getMessage.contains("incompatible"))
+      // widening WITH evolve commits merged metaData
+      assert(TxnLog.commitAppend(root, Seq("f2"), "a BIGINT,b DOUBLE,c STRING",
+        "s", evolve = true) == 3)
+      assert(TxnLog.schemaAt(root, 3).map(_.toDDL)
+        .contains("a BIGINT,b DOUBLE,c STRING"))
+      // time travel sees the OLD schema at the old version
+      assert(TxnLog.schemaAt(root, 2).map(_.toDDL)
+        .contains("a BIGINT,b DOUBLE"))
+      assert(TxnLog.liveFiles(root, 3) == Seq("f0", "f1", "f2"))
+    }
+  }
+
+  test("txn-log OPTIMIZE sizes its rewrite dynamically, never one task") {
+    import graft.sources.TxnLog
+    import spark.implicits._
+    withTxnScratch { root =>
+      // two slices totalling a few KB; a ~2 KB target must bin-pack
+      // into >1 output file (VERDICT r8 #1: the coalesce(1) rewrite
+      // was the last single-task scale-killer plan)
+      (1L to 600L).map(k => (k, k * 1.5)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      (601L to 1200L).map(k => (k, k * 1.5)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f1")
+      assert(TxnLog.commitNext(root,
+        Seq(TxnLog.add("f0"), TxnLog.add("f1")), "s") == 1)
+      val v = TxnLog.compact(spark, root, "opt", targetBytes = 2048L)
+      assert(v.contains(2))
+      val live = TxnLog.liveFiles(root, 2)
+      assert(live.size > 1,
+        s"dynamic sizing produced a single output dir: $live")
+      assert(live.forall(_.startsWith("c00000002_opt_p")),
+        s"unexpected rewrite names: $live")
+      // content preserved exactly across the k-way rewrite
+      val got = spark.read.parquet(live.map(f => s"$root/$f"): _*)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == (1L to 1200L).map(k => (k, k * 1.5)).toSet)
+      // the rollup's n_files reflects the bin-packed output count
+      val rollup = TxnLog.versionsRollup(spark, root, "v").collect()
+      assert(rollup.find(_.getInt(0) == 2).map(_.getInt(1))
+        .contains(live.size))
+      // and no staging residue survives inside the table root
+      assert(!Option(new java.io.File(root).listFiles()).toSeq.flatten
+        .exists(_.getName.startsWith(".stage_")))
+    }
+  }
+
+  test("txn-log vacuum retention keeps every version inside the horizon readable") {
+    import graft.sources.TxnLog
+    import spark.implicits._
+    withTxnScratch { root =>
+      for (f <- Seq("f0", "f1", "f2", "f3"))
+        Seq((1L, 1.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/$f")
+      assert(TxnLog.commitNext(root,
+        Seq(TxnLog.add("f0"), TxnLog.add("f1")), "s") == 1)
+      assert(TxnLog.commitNext(root,
+        Seq(TxnLog.remove("f0"), TxnLog.add("f2")), "s") == 2)
+      assert(TxnLog.commitNext(root,
+        Seq(TxnLog.remove("f1"), TxnLog.add("f3")), "s") == 3)
+      // horizon of 2: v2 and v3 stay readable, so f1 (live at v2)
+      // survives even though the tip retired it; only f0 goes
+      assert(TxnLog.vacuum(root, retainVersions = 2) == Seq("f0"))
+      for (f <- TxnLog.liveFiles(root, 2) ++ TxnLog.liveFiles(root, 3))
+        assert(new java.io.File(root, f).isDirectory,
+          s"horizon version lost file $f")
+      // shrinking the horizon to tip-only then retires f1
+      assert(TxnLog.vacuum(root, retainVersions = 1) == Seq("f1"))
+      assert(TxnLog.liveFiles(root, 3).forall(f =>
+        new java.io.File(root, f).isDirectory))
+    }
+  }
+
   test("table_stats matches directly computed statistics") {
     val rows = Maintenance.tableStats(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap

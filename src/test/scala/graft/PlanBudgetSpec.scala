@@ -119,17 +119,20 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "fn_variant" -> 1,
     // staged XML read + output sort (row-wise parse, like scan_json)
     "scan_xml" -> 1,
-    // per-version live-file scans -> two scalar aggs unioned + sort
+    // ONE multi-path scan -> per-file groupBy + per-version groupBy
+    // (membership joins broadcast) + sort; O(1) in history depth
     // (log resolution is driver-side metadata, not a plan node)
-    "scan_txn_log" -> 2,
-    // same rollup over THREE versions (v3 = post-OPTIMIZE) — one
-    // scalar agg per version + sort
+    "scan_txn_log" -> 3,
+    // same O(1) rollup shape over the post-OPTIMIZE history
     "txn_log_compact" -> 3,
-    // per-version added-files scalar agg ×3 + sort
+    // one added-files multi-path scan: per-file + per-version + sort
     "txn_log_history" -> 3,
-    // one readable-version scalar agg (its exchange prints once per
-    // consuming leg of the union) + two literal frames + sort
-    "txn_log_vacuum" -> 2,
+    // one scalar agg per READABLE version (v2+v3 under the retention
+    // horizon; each exchange prints once per consuming union leg) +
+    // one literal frame + sort
+    "txn_log_vacuum" -> 3,
+    // tip read under mergeSchema -> one scalar agg, no sort
+    "txn_log_schema_evo" -> 1,
     "join_asof" -> 2,
     "join_asof_fwd" -> 3,
     "join_asof_nearest" -> 7,
