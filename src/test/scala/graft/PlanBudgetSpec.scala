@@ -296,6 +296,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_sim_search_lsh" -> 2,
     "llm_sim_search_pq" -> 4,
     "llm_sim_search_pq_rerank" -> 5,
+    // trained-codebook ADC: the Lloyd chain is staged + the per-call
+    // distance pass localCheckpointed, so the live plan is encode
+    // argmin + ADC keyed agg + rank window + output sort
+    "llm_sim_search_pq_trained" -> 4,
     "llm_sim_search_lsh_probe" -> 2,
     "llm_sim_search_native" -> 2,
     // token explode + per-doc window + ordered re-aggregation
