@@ -1294,30 +1294,48 @@ object Similarity {
     spark.read.parquet(path)
   }
 
-  /** ADC against the TRAINED codebook — encode + query LUT + integer
+  /** The trained-codebook corpus codes (vec_id, m, code), STAGED once
+    * per source content like the seed path's [[pqCodes]]: the encode
+    * argmin is the one corpus-sized pass of the trained family
+    * (corpus coords × 256-codeword broadcast), and before staging it
+    * re-ran inside every consumer call and every bench repetition —
+    * measured 11.3 s/call at sf0.1 and a superlinear 3.3× at 5× data
+    * (r9); staged, the per-call cost is the query-LUT join only.
+    * Encoding is deterministic (exact BIGINT distances, (sd, code)
+    * min tiebreak), so the oracle re-derives identical codes from the
+    * same parquet — the production "encode once, scan codes forever"
+    * shape, same as the seed path. */
+  private def pqTrainedCodes(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.Fixtures.staged(dir, "pqtraincodes",
+      codeTag = s"k${PqK}_m${PqM}_d${PqD}_it${PqTrainIters}_s$PqCoordScale") {
+      target =>
+        pqCoords(spark, dir)
+          .join(broadcast(pqTrainedCb(spark, dir)), Seq("m", "i"))
+          .withColumn("d", (col("q") - col("c")) * (col("q") - col("c")))
+          .groupBy(col("vec_id"), col("m"), col("code"))
+          .agg(sum(col("d")).as("sd"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(col("sd"), col("code"))).as("best"))
+          .select(col("vec_id"), col("m"), col("best.code").as("code"))
+          .write.mode("overwrite").parquet(target)
+        graft.core.Caches.drain(spark) // pqTrainedCb's checkpoints
+    }
+    spark.read.parquet(path)
+  }
+
+  /** ADC against the TRAINED codebook — staged codes + per-call query
+    * LUT (queries only: 10 vectors × codebook, bounded) + integer
     * sum, all in the same 2^20 fixed-point space as training. Returns
     * (query_id, cand_id, sd) like [[pqAdc]]. */
   private def pqTrainedAdc(spark: SparkSession, dir: String): DataFrame = {
-    val cb = pqTrainedCb(spark, dir)
-    val coords = pqCoords(spark, dir)
-    // ONE corpus × codebook distance pass, checkpointed: the query
-    // LUT is a filter of the same frame the encode argmin consumes
-    // (queries are corpus members), so computing it twice would
-    // double the expensive join (r8 self-review)
-    val distAll = coords
-      .join(broadcast(cb), Seq("m", "i"))
+    val lut = pqCoords(spark, dir).where(col("vec_id") < 10)
+      .join(broadcast(pqTrainedCb(spark, dir)), Seq("m", "i"))
       .withColumn("d", (col("q") - col("c")) * (col("q") - col("c")))
       .groupBy(col("vec_id"), col("m"), col("code"))
-      .agg(sum(col("d")).as("sd"))
-      .localCheckpoint(true)
-    val codes = distAll
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("sd"), col("code"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.code").as("code"))
-    val lut = distAll.where(col("vec_id") < 10)
+      .agg(sum(col("d")).as("dq"))
       .select(col("vec_id").as("query_id"), col("m"), col("code"),
-        col("sd").as("dq"))
-    codes.join(broadcast(lut), Seq("m", "code"))
+        col("dq"))
+    pqTrainedCodes(spark, dir).join(broadcast(lut), Seq("m", "code"))
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("cand_id"))
       .agg(sum(col("dq")).as("sd"))
