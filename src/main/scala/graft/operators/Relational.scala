@@ -1476,6 +1476,82 @@ object Relational {
       |SELECT 3, 1, 1, TRUE, n_rows, sum_cents FROM tip
       |ORDER BY version""".stripMargin
 
+  /** TIMESTAMP AS OF on the txn-log table — the other half of time
+    * travel (r9; version-number resolution is [[scanTxnLog]]): every
+    * commit carries a monotonic commitInfo timestamp, and
+    * [[graft.sources.TxnLog.versionAsOf]] binary-searches them. The
+    * fixture pins the commit clocks (v1@1000ms, v2@2000ms — injected,
+    * so the artifact is content-deterministic and the oracle can
+    * re-derive it), and the query probes five instants: before the
+    * table existed (resolves to version 0 — an empty, zero-row read),
+    * exactly at each commit, between commits (floor semantics: the
+    * greatest version ≤ t), and far future (the tip). Per probe it
+    * emits the resolved version and that snapshot's rollup — so the
+    * hash gate checks the resolution RULE, not just replay.
+    *
+    * Scale shape: resolution is O(log V) metadata reads; the data
+    * plan is the same single multi-path scan + membership join as
+    * [[scanTxnLog]], joined to the 5-row probe frame. */
+  def txnLogTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, "txntt|pinned_ts_v1")) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txntt",
+            codeTag = "pinned_ts_v1") { target =>
+          val o = Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_totalprice"))
+          new java.io.File(target).mkdirs()
+          o.where(col("o_orderkey") % 3 === 0)
+            .coalesce(1).write.parquet(s"$target/f0")
+          o.where(col("o_orderkey") % 3 === 1)
+            .coalesce(1).write.parquet(s"$target/f1")
+          o.where(col("o_orderkey") % 3 === 2)
+            .coalesce(1).write.parquet(s"$target/f2")
+          assert(TxnLog.tryCommit(target, 1,
+            Seq(TxnLog.add("f0"), TxnLog.add("f1")), "stage", nowMs = 1000L))
+          assert(TxnLog.tryCommit(target, 2,
+            Seq(TxnLog.remove("f0"), TxnLog.add("f2")), "stage",
+            nowMs = 2000L))
+        }
+      }
+    val probes = Seq(999L, 1000L, 1500L, 2000L, 9999999L)
+    val probeDf = spark.createDataFrame(
+      probes.map(t => Row(t, TxnLog.versionAsOf(root, t))).asJava,
+      StructType.fromDDL("probe_ts BIGINT, version INT"))
+    probeDf.join(TxnLog.versionsRollup(spark, root, "o_totalprice"),
+        Seq("version"), "left")
+      .select(col("probe_ts"), col("version"),
+        coalesce(col("n_files"), lit(0)).as("n_files"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+      .orderBy(col("probe_ts"))
+  }
+
+  val txnLogTimeTravelSql: String =
+    """WITH v1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |      * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+      |v2 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |      * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM orders WHERE o_orderkey % 3 IN (1, 2))
+      |SELECT CAST(999 AS BIGINT) AS probe_ts, 0 AS version, 0 AS n_files,
+      |  CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS sum_cents
+      |UNION ALL
+      |SELECT 1000, 1, 2, n_rows, sum_cents FROM v1
+      |UNION ALL
+      |SELECT 1500, 1, 2, n_rows, sum_cents FROM v1
+      |UNION ALL
+      |SELECT 2000, 2, 2, n_rows, sum_cents FROM v2
+      |UNION ALL
+      |SELECT 9999999, 2, 2, n_rows, sum_cents FROM v2
+      |ORDER BY probe_ts""".stripMargin
+
   /** SCHEMA EVOLUTION through the txn-log's metaData actions (VERDICT
     * r8 #3) — the reference compactor's whole raison d'être (§1.2,
     * `DefragmentAvroFolder.scala:17-20,83-107`: resolve the latest
@@ -1519,8 +1595,9 @@ object Relational {
     val tip = TxnLog.latestVersion(root)
     val ddl = TxnLog.schemaAt(root, tip)
       .getOrElse(sys.error(s"no metaData in $root")).toDDL
-    val live = TxnLog.liveFiles(root, tip).map(f => s"$root/$f")
-    spark.read.option("mergeSchema", "true").parquet(live: _*)
+    // the reader-side API under test: resolves live set + schema from
+    // the log, one mergeSchema read projected to the metaData columns
+    TxnLog.read(spark, root)
       .agg(count(lit(1)).as("n_rows"),
         sum(Det.cents(col("o_totalprice"))).as("sum_cents"),
         count(col("o_custkey")).as("n_custkey"),
@@ -2644,6 +2721,7 @@ object Relational {
     "txn_log_compact" -> txnLogCompact,
     "txn_log_history" -> txnLogHistory,
     "txn_log_schema_evo" -> txnLogSchemaEvo,
+    "txn_log_time_travel" -> txnLogTimeTravel,
     "txn_log_vacuum" -> txnLogVacuum,
     "agg_percentile" -> aggPercentile,
     "agg_approx_percentile" -> aggApproxPercentile,
@@ -2718,6 +2796,7 @@ object Relational {
     "txn_log_compact" -> txnLogCompactSql,
     "txn_log_history" -> txnLogHistorySql,
     "txn_log_schema_evo" -> txnLogSchemaEvoSql,
+    "txn_log_time_travel" -> txnLogTimeTravelSql,
     "txn_log_vacuum" -> txnLogVacuumSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_topk_others" -> aggTopkOthersSql,

@@ -345,6 +345,36 @@ object TxnLog {
     }
   }
 
+  /** Read the table as of `version` (negative = the tip): the live
+    * set and schema resolve from the log (checkpointed replay), data
+    * comes back in ONE multi-path parquet read under mergeSchema
+    * algebra (older generations null-pad evolved columns), and when
+    * the log carries metaData the result is projected to the resolved
+    * schema's columns in order — the reader-side half of the schema
+    * contract [[commitAppend]] enforces on writes. A version with an
+    * empty live set (legal: a remove-only commit can drain the table)
+    * reads as an empty frame under the resolved schema. */
+  def read(spark: SparkSession, root: String, version: Int = -1)
+  : org.apache.spark.sql.DataFrame = {
+    val v = if (version < 0) latestVersion(root) else version
+    val st = stateAt(root, v)
+    val schema = st.schemaDdl.map(StructType.fromDDL)
+    if (st.live.isEmpty) {
+      val s = schema.getOrElse(throw new IllegalStateException(
+        s"version $v of $root has no live files and no metaData schema"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(st.live.toSeq.sorted.map(f => s"$root/$f"): _*)
+    schema.map(s => base.select(s.fieldNames.map(col): _*)).getOrElse(base)
+  }
+
+  /** TIMESTAMP AS OF read: [[versionAsOf]] + [[read]]. */
+  def readAsOf(spark: SparkSession, root: String, tsMs: Long)
+  : org.apache.spark.sql.DataFrame =
+    read(spark, root, versionAsOf(root, tsMs))
+
   /** Bytes of data under a table dir (driver metadata, like the
     * compactor's M7 sizing pass). */
   private def dirBytes(d: File): Long = {

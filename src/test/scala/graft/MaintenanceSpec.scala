@@ -326,6 +326,41 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("txn-log reader resolves live set + schema per version (read/readAsOf)") {
+    import graft.sources.TxnLog
+    import spark.implicits._
+    withTxnScratch { root =>
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      Seq((3L, 30.0, "x")).toDF("k", "v", "tag")
+        .coalesce(1).write.parquet(s"$root/f1")
+      assert(TxnLog.tryCommit(root, 1, Seq(TxnLog.add("f0")), "s",
+        schemaDdl = Some("k BIGINT,v DOUBLE"), nowMs = 1000L))
+      assert(TxnLog.tryCommit(root, 2, Seq(TxnLog.add("f1")), "s",
+        schemaDdl = Some("k BIGINT,v DOUBLE,tag STRING"), nowMs = 2000L))
+      // v1 reads under the OLD schema: two columns, old rows only
+      val v1 = TxnLog.read(spark, root, 1)
+      assert(v1.columns.toSeq == Seq("k", "v"))
+      assert(v1.count() == 2)
+      // the tip reads merged: evolved column null-padded on old rows
+      val tip = TxnLog.read(spark, root)
+      assert(tip.columns.toSeq == Seq("k", "v", "tag"))
+      assert(tip.count() == 3)
+      assert(tip.where(col("tag").isNull).count() == 2)
+      // timestamp-resolved read lands on the right snapshot
+      assert(TxnLog.readAsOf(spark, root, 1500L).columns.toSeq ==
+        Seq("k", "v"))
+      assert(TxnLog.readAsOf(spark, root, 1500L).count() == 2)
+      // a drained table (remove-only commit) reads as an EMPTY frame
+      // under the resolved schema, not an error
+      assert(TxnLog.tryCommit(root, 3,
+        Seq(TxnLog.remove("f0"), TxnLog.remove("f1")), "s", nowMs = 3000L))
+      val drained = TxnLog.read(spark, root)
+      assert(drained.columns.toSeq == Seq("k", "v", "tag"))
+      assert(drained.count() == 0)
+    }
+  }
+
   test("txn-log OPTIMIZE sizes its rewrite dynamically, never one task") {
     import graft.sources.TxnLog
     import spark.implicits._

@@ -133,6 +133,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "txn_log_vacuum" -> 3,
     // tip read under mergeSchema -> one scalar agg, no sort
     "txn_log_schema_evo" -> 1,
+    // the scan_txn_log rollup shape + broadcast probe join + sort
+    "txn_log_time_travel" -> 4,
     "join_asof" -> 2,
     "join_asof_fwd" -> 3,
     "join_asof_nearest" -> 7,
