@@ -89,7 +89,7 @@ def spark_rows(outdir, name):
     return table_rows(tbl)
 
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, only=None):
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -99,6 +99,8 @@ def main(outdir, sfdir):
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:  # optional comma-separated subset, for chunked/targeted runs
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -143,4 +145,5 @@ def main(outdir, sfdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
