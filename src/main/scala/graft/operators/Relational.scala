@@ -1618,6 +1618,91 @@ object Relational {
       |    AS schema_ddl
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin
 
+  /** DATA SKIPPING from the txn log's per-file stats (r9) — the other
+    * half of why table formats keep metadata at all: each add action
+    * carries its file's stats-column bounds ([[graft.sources.TxnLog
+    * .AddStats]] — Delta's per-file `stats` JSON, Iceberg's manifest
+    * bounds), and a reader planning `k BETWEEN lo AND hi` drops every
+    * file whose [min,max] provably misses the range from the LOG
+    * ALONE — no listing, no footer reads. At 100 TB that is the
+    * difference between scanning 3 files and 3000: partition pruning
+    * for unpartitioned data.
+    *
+    * Fixture: orders sliced into 8 equal key-RANGE files (bucket =
+    * (o_orderkey*8) div (max+1), integer arithmetic so both engines
+    * agree exactly), committed as ONE version whose adds carry
+    * min/max/rows computed at write time. The query plans the range
+    * [max/4, max/2], emits the prune census (files total / scanned /
+    * pruned — the oracle RE-DERIVES the expected census from each
+    * bucket's true min/max, so the pruning rule itself is hashed) and
+    * the content rollup of the skipping read, which must equal a full
+    * scan's filter — the "skipping may never change results"
+    * invariant.
+    *
+    * Scale shape: pruning is driver metadata (O(live files) compare);
+    * the data plan scans only surviving files. */
+  def txnLogDataSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, "txnskip|range8_stats_v1")) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnskip",
+            codeTag = "range8_stats_v1") { target =>
+          val o = Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_totalprice"))
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          new java.io.File(target).mkdirs()
+          val adds = (0 until 8).flatMap { b =>
+            // `div`, not `/`: Spark's `/` is always fractional — the
+            // SQL `div` keeps the bucket rule in exact BIGINT
+            // arithmetic, matching DuckDB's `//` on positive keys
+            val slice = o.where(
+              expr(s"(o_orderkey * 8L) div ${mx + 1}L") === b)
+            val name = s"b$b"
+            slice.coalesce(1).write.parquet(s"$target/$name")
+            val st = TxnLog.statsFor(spark, target, name, "o_orderkey")
+            if (st.rows == 0L) { // empty bucket: not a table file
+              graft.core.Fixtures.deleteRecursively(
+                new java.io.File(target, name)); None
+            } else Some(TxnLog.AddStats(name, st))
+          }
+          assert(TxnLog.tryCommit(target, 1, adds, "stage"))
+        }
+      }
+    val o = Tables.orders(spark, dir)
+    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    val (df, scanned, pruned) =
+      TxnLog.readPruned(spark, root, "o_orderkey", lo.toString, hi.toString)
+    df.where(col("o_orderkey").between(lo, hi))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("sum_cents"))
+      .select(lit(scanned.size + pruned.size).cast("int").as("n_files"),
+        lit(scanned.size).cast("int").as("n_scanned"),
+        lit(pruned.size).cast("int").as("n_pruned"),
+        col("n_rows"), col("sum_cents"))
+  }
+
+  val txnLogDataSkippingSql: String =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      |b AS (SELECT o_orderkey, o_totalprice,
+      |        (o_orderkey * 8) // (m + 1) AS bucket
+      |      FROM orders, mx),
+      |fs AS (SELECT bucket, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mxk
+      |       FROM b GROUP BY bucket),
+      |bounds AS (SELECT m // 4 AS lo, m // 2 AS hi FROM mx)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM fs) AS INT) AS n_files,
+      |  CAST((SELECT COUNT(*) FROM fs, bounds
+      |        WHERE NOT (mxk < lo OR mn > hi)) AS INT) AS n_scanned,
+      |  CAST((SELECT COUNT(*) FROM fs, bounds
+      |        WHERE mxk < lo OR mn > hi) AS INT) AS n_pruned,
+      |  CAST((SELECT COUNT(*) FROM b, bounds
+      |        WHERE o_orderkey BETWEEN lo AND hi) AS BIGINT) AS n_rows,
+      |  CAST((SELECT SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)),
+      |          2) * 100 AS BIGINT))
+      |        FROM b, bounds
+      |        WHERE o_orderkey BETWEEN lo AND hi) AS BIGINT) AS sum_cents
+      |""".stripMargin
+
   /** Fuzzy name matching — the entity-resolution join: part-name
     * pairs within Levenshtein distance 3, found WITHOUT the n² name
     * cross product: candidates block on (first word, |length diff|
@@ -2719,6 +2804,7 @@ object Relational {
     "agg_skyline" -> aggSkyline,
     "scan_txn_log" -> scanTxnLog,
     "txn_log_compact" -> txnLogCompact,
+    "txn_log_data_skipping" -> txnLogDataSkipping,
     "txn_log_history" -> txnLogHistory,
     "txn_log_schema_evo" -> txnLogSchemaEvo,
     "txn_log_time_travel" -> txnLogTimeTravel,
@@ -2794,6 +2880,7 @@ object Relational {
     "agg_skyline" -> aggSkylineSql,
     "scan_txn_log" -> scanTxnLogSql,
     "txn_log_compact" -> txnLogCompactSql,
+    "txn_log_data_skipping" -> txnLogDataSkippingSql,
     "txn_log_history" -> txnLogHistorySql,
     "txn_log_schema_evo" -> txnLogSchemaEvoSql,
     "txn_log_time_travel" -> txnLogTimeTravelSql,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Det, DetSql, Tables}
+import graft.sources.TxnLog
 
 /** Time-window inventory over the `events` table (SURVEY.md §2B
   * `stream_*`). The reference has no streaming surface; these are the
@@ -418,7 +419,126 @@ object Streams {
        |GROUP BY 1, 2
        |ORDER BY wstart, event_type""".stripMargin
 
+  private val txnSinkFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** One AvailableNow pass of the TRANSACTIONAL ingest job: readStream
+    * over `inDir` → foreachBatch → parquet slice + idempotent txn-log
+    * commit ([[graft.sources.TxnLog.commitStreamBatch]] — Delta's txn
+    * action). Each micro-batch writes its rows as an immutable data
+    * dir named by batch id (deterministic, so a crashed retry
+    * OVERWRITES its own partial output, never duplicates it) and then
+    * commits `(appId, batchId, add)` — the log refuses the commit if
+    * the batch is already in, which is exactly what a restarted
+    * stream's checkpoint re-delivery hits. Extracted so the
+    * restart/recovery spec drives the same job across two starts
+    * sharing one checkpoint. */
+  private[graft] def runTxnSinkPass(spark: SparkSession, inDir: String,
+                                    root: String, ck: String): Unit = {
+    val app = "ingest"
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, event_type STRING, value DOUBLE"))
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // skip-before-write: if the log already holds this batch the
+        // whole write is a no-op, not just the commit
+        val done = TxnLog.stateAt(root, TxnLog.latestVersion(root))
+          .txns.get(app).exists(_ >= batchId)
+        if (!done) {
+          val name = f"s_b$batchId%06d"
+          batch.write.mode("overwrite").parquet(s"$root/$name")
+          TxnLog.commitStreamBatch(root, app, batchId,
+            Seq(TxnLog.add(name)), "stream")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** STREAMING INGEST INTO THE TXN-LOG TABLE FORMAT, oracled — the
+    * exactly-once triangle: Structured Streaming's checkpoint replays
+    * at-least-once, and the log's txn watermark
+    * ([[graft.sources.TxnLog.SetTxn]]) makes the replayed commit
+    * idempotent, so the TABLE sees each batch exactly once — Delta's
+    * transactional-sink story, the property a production ingest
+    * pipeline rests on. Every invocation runs the real job TWICE over
+    * one checkpoint dir: pass 1 ingests the even-id half of events,
+    * pass 2 starts a NEW query from the same checkpoint with the odd
+    * half appended — a full restart — and a final re-delivery probe
+    * re-commits the last batch and must be refused. The result is the
+    * per-type census of the TABLE TIP, which equals the whole events
+    * table iff recovery processed exactly the unseen files and the
+    * replayed delivery deduplicated.
+    *
+    * Scale shape: each micro-batch is one parquet write + one O(1)
+    * metadata commit; the readback is one scan of the live set. At
+    * production scale the same job runs continuously — nothing here
+    * is fixture-shaped except driving both passes in-process. */
+  def streamTxnSink(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.core.Fixtures.memo(txnSinkFixtures,
+      (spark.sparkContext.applicationId, dir)) {
+        graft.core.Fixtures.staged(s"$dir/events.parquet", "txnstreamsrc",
+            codeTag = "event_id_parity_v1") { target =>
+          val e = Tables.events(spark, dir)
+            .select(col("event_id"), col("event_type"), col("value"))
+          e.where(col("event_id") % 2 === 0)
+            .coalesce(1).write.parquet(s"$target/t1")
+          e.where(col("event_id") % 2 === 1)
+            .coalesce(1).write.parquet(s"$target/t2")
+        }
+      }
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmpRoot = sys.props("java.io.tmpdir")
+    val inDir = new java.io.File(s"$tmpRoot/graft_txnsink_in_$uuid")
+    val root = new java.io.File(s"$tmpRoot/graft_txnsink_tbl_$uuid")
+    val ck = s"$tmpRoot/graft_txnsink_ck_$uuid"
+    def feed(tranche: String): Unit =
+      Option(new java.io.File(s"$src/$tranche").listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.copy(f.toPath,
+          new java.io.File(inDir, f.getName).toPath))
+    try {
+      inDir.mkdirs(); root.mkdirs()
+      feed("t1")
+      runTxnSinkPass(spark, inDir.toString, root.toString, ck)
+      feed("t2") // files arrive while the stream is DOWN…
+      runTxnSinkPass(spark, inDir.toString, root.toString, ck) // …restart
+      val tip = TxnLog.latestVersion(root.toString)
+      val last = TxnLog.stateAt(root.toString, tip).txns("ingest")
+      // re-delivery probe: the crashed-and-replayed commit must be
+      // refused by the txn watermark, not appended twice
+      assert(TxnLog.commitStreamBatch(root.toString, "ingest", last,
+        Seq(TxnLog.add("dup")), "probe").isEmpty,
+        "txn watermark accepted a replayed batch")
+      val rows = TxnLog.read(spark, root.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(Det.cents(col("value"))).as("sum_cents"))
+        .collect() // bounded: one row per event type
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      import spark.implicits._
+      rows.toDF("event_type", "n_events", "sum_cents")
+        .orderBy(col("event_type"))
+    } finally {
+      for (d <- Seq(inDir, root, new java.io.File(ck)))
+        graft.core.Fixtures.deleteRecursively(d)
+    }
+  }
+
+  val streamTxnSinkSql: String =
+    s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(${DetSql.cents("value")}) AS BIGINT) AS sum_cents
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_txn_sink" -> streamTxnSink,
     "stream_file_sink" -> streamFileSink,
     "stream_state_totals" -> streamStateTotals,
     "stream_spike" -> streamSpike,
@@ -432,6 +552,7 @@ object Streams {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_txn_sink" -> streamTxnSinkSql,
     "stream_file_sink" -> streamFileSinkSql,
     "stream_topk" -> streamTopkSql,
     "stream_spike" -> streamSpikeSql,

@@ -14,9 +14,17 @@ import org.apache.spark.sql.types.StructType
   * (`v00000001.jsonl`, …). A reader resolves any version's live file
   * set from the log alone — no listing of data files, which is what
   * makes version resolution metadata-sized at 100 TB. Log lines are
-  * one of three actions:
+  * one of five actions:
   *
-  *  - `{"action":"add"|"remove","file":"<name>"}` — the data lifecycle;
+  *  - `{"action":"add"|"remove","file":"<name>"}` — the data
+  *    lifecycle; an add may carry per-file stats-column bounds
+  *    (`"col"/"min"/"max"/"rows"`, [[AddStats]]) so readers skip
+  *    non-overlapping files from the log alone (data skipping —
+  *    Delta's per-file `stats`, Iceberg's manifest bounds);
+  *  - `{"action":"txn","appId":…,"batchId":…}` — a streaming app's
+  *    durably-committed micro-batch watermark ([[SetTxn]]); restarted
+  *    streams re-delivering a batch commit it exactly once
+  *    ([[commitStreamBatch]]);
   *  - `{"action":"commitInfo","ts":<epochMs>}` — the commit timestamp
   *    (first line of every commit, written by the protocol itself;
   *    monotonic across versions so [[versionAsOf]] can binary-search);
@@ -95,6 +103,44 @@ object TxnLog {
     def toJson: String = s"""{"action":"metaData","schemaDdl":"$schemaDdl"}"""
   }
 
+  /** Per-file column statistics — the data-skipping payload (Delta's
+    * per-column min/max in `stats`, Iceberg's manifest bounds, cut to
+    * one declared stats column). `min`/`max` are the column's bounds
+    * rendered as strings (quote/newline-free, like [[MetaData]]);
+    * [[prune]] compares them numerically when every operand parses as
+    * a decimal and lexicographically otherwise — so numeric keys and
+    * ISO-rendered dates both order correctly. */
+  final case class FileStats(col: String, min: String, max: String,
+                             rows: Long) {
+    Seq(col, min, max).foreach(s =>
+      require(!s.contains('"') && !s.contains('\n'),
+        s"stats values must be quote- and newline-free: $s"))
+  }
+
+  /** `add` carrying [[FileStats]] — publishes the file AND its
+    * stats-column bounds, so a reader can skip the file on a
+    * non-overlapping predicate WITHOUT opening it: the reason table
+    * formats put stats in the log at 100 TB (file listing and footer
+    * reads are already too expensive at that scale). */
+  final case class AddStats(file: String, stats: FileStats) extends Entry {
+    def toJson: String =
+      s"""{"action":"add","file":"$file","col":"${stats.col}",""" +
+        s""""min":"${stats.min}","max":"${stats.max}","rows":${stats.rows}}"""
+  }
+
+  /** Streaming-transaction watermark (Delta's `txn` action): records
+    * that `appId` has durably committed micro-batch `batchId`, so a
+    * restarted stream re-delivering the same batch from its
+    * checkpoint SKIPS the write instead of appending twice —
+    * idempotent commits are the table-format half of streaming
+    * exactly-once. */
+  final case class SetTxn(appId: String, batchId: Long) extends Entry {
+    require(!appId.contains('"') && !appId.contains('\n'),
+      s"appId must be quote- and newline-free: $appId")
+    def toJson: String =
+      s"""{"action":"txn","appId":"$appId","batchId":$batchId}"""
+  }
+
   def add(file: String): Action = Action("add", file)
   def remove(file: String): Action = Action("remove", file)
 
@@ -133,13 +179,25 @@ object TxnLog {
   def latestVersion(root: String): Int =
     versions(root).lastOption.getOrElse(0)
 
-  /** Replayed table state at a version: live files + current schema. */
-  final case class State(live: Set[String], schemaDdl: Option[String])
+  /** Replayed table state at a version: live files + current schema +
+    * per-file stats for live files that published them + the last
+    * committed micro-batch per streaming app. A stats-less re-add of
+    * a file DROPS its previous stats (the new content has unknown
+    * bounds — conservative, so [[prune]] stops skipping it). */
+  final case class State(live: Set[String], schemaDdl: Option[String],
+                         stats: Map[String, FileStats] = Map.empty,
+                         txns: Map[String, Long] = Map.empty)
 
   private def fold(base: State, entries: Seq[Entry]): State =
     entries.foldLeft(base) {
-      case (s, Action("add", f)) => s.copy(live = s.live + f)
-      case (s, Action("remove", f)) => s.copy(live = s.live - f)
+      case (s, Action("add", f)) =>
+        s.copy(live = s.live + f, stats = s.stats - f)
+      case (s, Action("remove", f)) =>
+        s.copy(live = s.live - f, stats = s.stats - f)
+      case (s, AddStats(f, fs)) =>
+        s.copy(live = s.live + f, stats = s.stats + (f -> fs))
+      case (s, SetTxn(app, b)) =>
+        s.copy(txns = s.txns + (app -> math.max(b, s.txns.getOrElse(app, Long.MinValue))))
       case (s, MetaData(ddl)) => s.copy(schemaDdl = Some(ddl))
       case (s, _) => s
     }
@@ -173,12 +231,20 @@ object TxnLog {
     * are total over well-formed logs and fail loudly otherwise. */
   private val ActionRe =
     """\{"action":"(add|remove)","file":"([^"]+)"\}""".r
+  private val AddStatsRe =
+    ("""\{"action":"add","file":"([^"]+)","col":"([^"]+)",""" +
+      """"min":"([^"]*)","max":"([^"]*)","rows":(\d+)\}""").r
+  private val TxnRe =
+    """\{"action":"txn","appId":"([^"]+)","batchId":(-?\d+)\}""".r
   private val CommitRe =
     """\{"action":"commitInfo","ts":(\d+)\}""".r
   private val MetaRe =
     """\{"action":"metaData","schemaDdl":"([^"]+)"\}""".r
   private def parseLine(s: String): Entry = s.trim match {
+    case AddStatsRe(f, c, mn, mx, n) =>
+      AddStats(f, FileStats(c, mn, mx, n.toLong))
     case ActionRe(a, f) => Action(a, f)
+    case TxnRe(app, b) => SetTxn(app, b.toLong)
     case CommitRe(ts) => CommitInfo(ts.toLong)
     case MetaRe(ddl) => MetaData(ddl)
     case other => throw new IllegalArgumentException(s"bad log line: $other")
@@ -193,9 +259,13 @@ object TxnLog {
     parseFile(versionFile(root, v))
 
   /** Per-version data actions only (add/remove), replayed from the
-    * log (metadata). */
+    * log (metadata). A stats-carrying add IS an add — normalized so
+    * every census over the data lifecycle (history, vacuum) sees it. */
   def actionsAt(root: String, v: Int): Seq[Action] =
-    entriesAt(root, v).collect { case a: Action => a }
+    entriesAt(root, v).collect {
+      case a: Action => a
+      case AddStats(f, _) => Action("add", f)
+    }
 
   /** Commit timestamp of version `v` (its commitInfo line). Commits
     * written before commitInfo existed have none — treated as 0 so
@@ -229,7 +299,7 @@ object TxnLog {
     * (monotonic even under clock skew, so [[versionAsOf]]'s binary
     * search stays sound); `nowMs` < 0 means wall clock. The winner
     * also writes the checkpoint when `v` crosses the interval. */
-  def tryCommit(root: String, v: Int, actions: Seq[Action],
+  def tryCommit(root: String, v: Int, actions: Seq[Entry],
                 session: String, schemaDdl: Option[String] = None,
                 nowMs: Long = -1L): Boolean = {
     require(actions.nonEmpty || schemaDdl.nonEmpty, "empty commit")
@@ -272,7 +342,9 @@ object TxnLog {
     val st = stateAt(root, v)
     val entries: Seq[Entry] =
       st.schemaDdl.map(MetaData.apply).toSeq ++
-        st.live.toSeq.sorted.map(add)
+        st.txns.toSeq.sortBy(_._1).map { case (a, b) => SetTxn(a, b) } ++
+        st.live.toSeq.sorted.map(f =>
+          st.stats.get(f).map(AddStats(f, _)).getOrElse(add(f)))
     if (entries.isEmpty) return // empty table: nothing to cache
     val tmp = new File(logDir(root),
       s".tmp_${session}_cp_${java.util.UUID.randomUUID()}")
@@ -290,7 +362,7 @@ object TxnLog {
     * dependent writers (compaction, any read-modify-write) must NOT
     * use this: they go through [[tryCommit]] and abort on loss, like
     * [[compact]] does. Returns the committed version. */
-  def commitNext(root: String, actions: Seq[Action], session: String,
+  def commitNext(root: String, actions: Seq[Entry], session: String,
                  maxAttempts: Int = 10,
                  schemaDdl: Option[String] = None): Int = {
     var attempt = 0
@@ -374,6 +446,105 @@ object TxnLog {
   def readAsOf(spark: SparkSession, root: String, tsMs: Long)
   : org.apache.spark.sql.DataFrame =
     read(spark, root, versionAsOf(root, tsMs))
+
+  /** Compute [[FileStats]] for one written data dir: a single
+    * min/max/count agg over it (one scan at WRITE time buys every
+    * future read the right to skip the file — the stats are immutable
+    * with the file). Rendering is canonical: the column's own string
+    * form, which [[prune]] re-compares numerically for decimal-
+    * parsable values. */
+  def statsFor(spark: SparkSession, root: String, file: String,
+               column: String): FileStats = {
+    val r = spark.read.parquet(s"$root/$file")
+      .agg(min(col(column)).cast("string"),
+        max(col(column)).cast("string"), count(lit(1)))
+      .head()
+    FileStats(column, r.getString(0), r.getString(1), r.getLong(2))
+  }
+
+  /** `a` vs `b` under stats ordering: numeric when both parse as
+    * decimals (so "9" < "10"), lexicographic otherwise (ISO dates and
+    * plain strings order correctly there). */
+  private def statsCmp(a: String, b: String): Int =
+    (scala.util.Try(BigDecimal(a)).toOption,
+      scala.util.Try(BigDecimal(b)).toOption) match {
+      case (Some(x), Some(y)) => x.compare(y)
+      case _ => a.compareTo(b)
+    }
+
+  /** Data skipping: split version `v`'s live set into (scanned,
+    * pruned) for the predicate `colName BETWEEN lo AND hi` (bounds in
+    * stats rendering, inclusive). A file is pruned ONLY when it
+    * published stats for `colName` and its [min,max] provably misses
+    * [lo,hi] — stats-less files and other-column stats always scan
+    * (conservative: skipping may never change results, the invariant
+    * the spec property pins). Driver metadata only; no data I/O. */
+  def prune(root: String, v: Int, colName: String, lo: String, hi: String)
+  : (Seq[String], Seq[String]) = {
+    val st = stateAt(root, v)
+    val (pruned, scanned) = st.live.toSeq.sorted.partition { f =>
+      st.stats.get(f).exists(s => s.col == colName &&
+        (statsCmp(s.max, lo) < 0 || statsCmp(s.min, hi) > 0))
+    }
+    (scanned, pruned)
+  }
+
+  /** Read version `v` (negative = tip) scanning ONLY the files whose
+    * stats admit `colName BETWEEN lo AND hi`: the log's answer to
+    * partition pruning for unpartitioned data — at 100 TB the
+    * difference between scanning 3 files and 3000. Returns the frame
+    * (caller still applies the row-level predicate; skipping is
+    * file-granular) plus the (scanned, pruned) split. An all-pruned
+    * version reads as an empty frame under the resolved schema. */
+  def readPruned(spark: SparkSession, root: String, colName: String,
+                 lo: String, hi: String, version: Int = -1)
+  : (org.apache.spark.sql.DataFrame, Seq[String], Seq[String]) = {
+    val v = if (version < 0) latestVersion(root) else version
+    val st = stateAt(root, v)
+    val (scanned, pruned) = prune(root, v, colName, lo, hi)
+    val schema = st.schemaDdl.map(StructType.fromDDL)
+    val df =
+      if (scanned.isEmpty) {
+        val s = schema.orElse(
+          if (st.live.isEmpty) None
+          else Some(spark.read.parquet(s"$root/${st.live.head}").schema))
+          .getOrElse(throw new IllegalStateException(
+            s"version $v of $root has no files and no metaData schema"))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      } else {
+        val base = spark.read.option("mergeSchema", "true")
+          .parquet(scanned.map(f => s"$root/$f"): _*)
+        schema.map(s => base.select(s.fieldNames.map(col): _*))
+          .getOrElse(base)
+      }
+    (df, scanned, pruned)
+  }
+
+  /** Idempotent streaming commit (Delta's txn action): append
+    * `actions` tagged (`appId`, `batchId`) unless the log already
+    * holds this batch or a later one for the app — the restarted
+    * stream's checkpoint re-delivers the last in-flight batch, and
+    * this gate turns the re-delivery into a no-op instead of a
+    * duplicate append. The check re-runs after every lost slot race
+    * (the racer may have been THIS app's previous attempt surviving a
+    * crash). Returns the committed version, or None when skipped. */
+  def commitStreamBatch(root: String, appId: String, batchId: Long,
+                        actions: Seq[Entry], session: String,
+                        maxAttempts: Int = 10): Option[Int] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(root)
+      if (stateAt(root, base).txns.get(appId).exists(_ >= batchId))
+        return None
+      if (tryCommit(root, base + 1, SetTxn(appId, batchId) +: actions,
+          session))
+        return Some(base + 1)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit batch $batchId after $maxAttempts attempts")
+  }
 
   /** Bytes of data under a table dir (driver metadata, like the
     * compactor's M7 sizing pass). */

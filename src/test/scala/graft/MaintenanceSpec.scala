@@ -266,6 +266,132 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("txn-log data skipping prunes only provably-disjoint files") {
+    import graft.sources.TxnLog
+    import spark.implicits._
+    withTxnScratch { root =>
+      // four range files over k, one stats-less, one with stats on a
+      // DIFFERENT column — the last two must never be pruned
+      val ranges = Seq(("r0", 0L, 9L), ("r1", 10L, 19L),
+        ("r2", 20L, 29L), ("r3", 30L, 39L))
+      val adds: Seq[TxnLog.Entry] = ranges.map { case (name, lo, hi) =>
+        (lo to hi).map(k => (k, k * 2.0)).toDF("k", "v")
+          .coalesce(1).write.parquet(s"$root/$name")
+        TxnLog.AddStats(name, TxnLog.statsFor(spark, root, name, "k"))
+      } ++ Seq(
+        { (40L to 44L).map(k => (k, 0.0)).toDF("k", "v")
+            .coalesce(1).write.parquet(s"$root/nostats")
+          TxnLog.add("nostats") },
+        { (45L to 49L).map(k => (k, 0.0)).toDF("k", "v")
+            .coalesce(1).write.parquet(s"$root/othercol")
+          TxnLog.AddStats("othercol",
+            TxnLog.statsFor(spark, root, "othercol", "v")) })
+      assert(TxnLog.tryCommit(root, 1, adds, "s"))
+      // property over random bounds: pruned files are truly disjoint
+      // from [lo,hi], and the skipping read filtered equals the full
+      // read filtered — skipping may never change results
+      val full = TxnLog.read(spark, root)
+      for (seed <- 1 to 8) {
+        val rnd = new scala.util.Random(seed)
+        val a = rnd.nextLong(55) - 2
+        val b = a + rnd.nextLong(20)
+        val (df, scanned, pruned) =
+          TxnLog.readPruned(spark, root, "k", a.toString, b.toString)
+        assert((scanned ++ pruned).sorted ==
+          Seq("nostats", "othercol", "r0", "r1", "r2", "r3"))
+        assert(!pruned.contains("nostats") && !pruned.contains("othercol"),
+          "pruned a file whose bounds for k are unknown")
+        for (p <- pruned) {
+          val (_, lo, hi) = ranges.find(_._1 == p).get
+          assert(hi < a || lo > b, s"pruned overlapping file $p for [$a,$b]")
+        }
+        val got = df.where(col("k").between(a, b)).count()
+        val want = full.where(col("k").between(a, b)).count()
+        assert(got == want, s"skipping changed results for [$a,$b]")
+      }
+      // boundary inclusivity: lo equal to a file's max must scan it
+      val (_, scanned9, _) = TxnLog.readPruned(spark, root, "k", "9", "9")
+      assert(scanned9.contains("r0"))
+      // all-pruned range still reads as an empty frame, not an error
+      val (empty, scannedNone, _) =
+        TxnLog.readPruned(spark, root, "k", "-10", "-5")
+      assert(!scannedNone.exists(_.startsWith("r")))
+      assert(empty.where(col("k").between(-10, -5)).count() == 0)
+    }
+  }
+
+  test("txn-log stats and txn watermarks survive the checkpoint fast path") {
+    import graft.sources.TxnLog
+    import spark.implicits._
+    withTxnScratch { root =>
+      // 12 stats-carrying commits cross the interval-10 checkpoint
+      for (i <- 1 to 12) {
+        val name = s"g$i"
+        Seq((i.toLong, 1.0)).toDF("k", "v")
+          .coalesce(1).write.parquet(s"$root/$name")
+        assert(TxnLog.commitStreamBatch(root, "app", i.toLong,
+          Seq(TxnLog.AddStats(name,
+            TxnLog.statsFor(spark, root, name, "k"))), "s").contains(i))
+      }
+      assert(TxnLog.checkpoints(root) == Seq(10))
+      // delete every pre-checkpoint version file: the checkpoint ALONE
+      // must reconstruct stats and the txn watermark, or the fast path
+      // silently loses skipping and exactly-once after log cleanup
+      for (v <- 1 to 10)
+        assert(new java.io.File(root, f"_log/v$v%08d.jsonl").delete())
+      val st = graft.sources.TxnLog.stateAt(root, 12)
+      assert(st.live == (1 to 12).map(i => s"g$i").toSet)
+      assert(st.txns == Map("app" -> 12L))
+      assert(st.stats.size == 12 &&
+        st.stats("g7") == TxnLog.FileStats("k", "7", "7", 1L),
+        s"stats lost through the checkpoint: ${st.stats.get("g7")}")
+      val (_, scanned, pruned) =
+        TxnLog.readPruned(spark, root, "k", "7", "7")
+      assert(scanned == Seq("g7") && pruned.size == 11,
+        "skipping stopped working through the checkpoint fast path")
+    }
+  }
+
+  test("txn watermark: a re-delivered stream batch commits exactly once") {
+    import graft.sources.TxnLog
+    withTxnScratch { root =>
+      assert(TxnLog.commitStreamBatch(root, "app", 0L,
+        Seq(TxnLog.add("b0")), "s").contains(1))
+      // same batch again (checkpoint replay) → refused
+      assert(TxnLog.commitStreamBatch(root, "app", 0L,
+        Seq(TxnLog.add("b0dup")), "s").isEmpty)
+      assert(TxnLog.commitStreamBatch(root, "app", 1L,
+        Seq(TxnLog.add("b1")), "s").contains(2))
+      // an EARLIER batch re-delivered after later progress → refused
+      assert(TxnLog.commitStreamBatch(root, "app", 0L,
+        Seq(TxnLog.add("b0dup2")), "s").isEmpty)
+      // a different app's batch numbering is independent
+      assert(TxnLog.commitStreamBatch(root, "other", 0L,
+        Seq(TxnLog.add("o0")), "s").contains(3))
+      assert(TxnLog.liveFiles(root, 3) == Seq("b0", "b1", "o0"))
+      // two threads replaying the SAME batch race: exactly one commit
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val races = Seq("x", "y").map { who =>
+        scala.concurrent.Future {
+          gate.await()
+          TxnLog.commitStreamBatch(root, "app", 2L,
+            Seq(TxnLog.add(s"b2_$who")), who)
+        }
+      }
+      gate.countDown()
+      val wins = races.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration("30s")))
+      pool.shutdown()
+      assert(wins.count(_.isDefined) == 1,
+        s"expected exactly one winning replay, got $wins")
+      assert(TxnLog.stateAt(root, TxnLog.latestVersion(root))
+        .txns("app") == 2L)
+    }
+  }
+
   test("txn-log timestamp time travel resolves versions monotonically") {
     import graft.sources.TxnLog
     withTxnScratch { root =>

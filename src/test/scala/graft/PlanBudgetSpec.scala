@@ -133,6 +133,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "txn_log_vacuum" -> 3,
     // tip read under mergeSchema -> one scalar agg, no sort
     "txn_log_schema_evo" -> 1,
+    // pruned multi-path scan -> one scalar agg; pruning itself is
+    // driver-side log metadata, not a plan node
+    "txn_log_data_skipping" -> 1,
     // the scan_txn_log rollup shape + broadcast probe join + sort
     "txn_log_time_travel" -> 4,
     "join_asof" -> 2,
@@ -375,6 +378,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // the returned frame is the localized sink readback + output sort;
     // the streaming job itself runs before the plan exists
     "stream_file_sink" -> 1,
+    // localized table-tip readback + output sort; the two streaming
+    // passes and their txn commits run before the plan exists
+    "stream_txn_sink" -> 1,
     "stream_sliding" -> 2,
     "stream_tumbling" -> 2,
     "table_skew" -> 3,

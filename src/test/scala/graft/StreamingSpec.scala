@@ -329,6 +329,55 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("txn sink restart: no-data restart commits nothing, late file once") {
+    // the transactional half of stream_txn_sink, isolated: a restart
+    // over an UNCHANGED source must leave the table version untouched
+    // (checkpoint restore alone — no spurious empty commits), and a
+    // file arriving after that restart must land as exactly one new
+    // commit whose table tip equals the batch truth.
+    import graft.sources.TxnLog
+    import spark.implicits._
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmpRoot = sys.props("java.io.tmpdir")
+    val (src, root, ck) = (s"$tmpRoot/graft_txnrec_src_$uuid",
+      s"$tmpRoot/graft_txnrec_tbl_$uuid", s"$tmpRoot/graft_txnrec_ck_$uuid")
+    def addSlice(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = new java.io.File(s"$src/.w_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = Option(tmp.listFiles()).toSeq.flatten
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(src, s"$name.parquet").toPath)
+      graft.core.Fixtures.deleteRecursively(tmp)
+    }
+    try {
+      new java.io.File(src).mkdirs(); new java.io.File(root).mkdirs()
+      addSlice(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+        .toDF("event_id", "event_type", "value"), "s1")
+      graft.operators.Streams.runTxnSinkPass(spark, src, root, ck)
+      val v1 = TxnLog.latestVersion(root)
+      assert(v1 >= 1, "pass 1 committed nothing")
+      // restart with NOTHING new: the version must not move
+      graft.operators.Streams.runTxnSinkPass(spark, src, root, ck)
+      assert(TxnLog.latestVersion(root) == v1,
+        "a no-data restart advanced the table version")
+      // a file arriving after the restart lands exactly once
+      addSlice(Seq((3L, "c", 3.0)).toDF("event_id", "event_type", "value"),
+        "s2")
+      graft.operators.Streams.runTxnSinkPass(spark, src, root, ck)
+      val got = TxnLog.read(spark, root)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      assert(got == Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)),
+        s"table tip diverged from batch truth: $got")
+    } finally {
+      for (d <- Seq(src, root, ck))
+        graft.core.Fixtures.deleteRecursively(new java.io.File(d))
+    }
+  }
+
   test("session state splits on in-data gap") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.classic.SQLContext =
