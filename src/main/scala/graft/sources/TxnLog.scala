@@ -176,8 +176,13 @@ object TxnLog {
         .map(_.group(1).toInt))
       .sorted
 
+  /** The table's newest resolvable version. Checkpoints count: after
+    * [[cleanupLog]] ran right at a checkpoint boundary the newest
+    * state may exist ONLY as a checkpoint file (every version file at
+    * or below it deleted), and the table must still read and accept
+    * commits there. */
   def latestVersion(root: String): Int =
-    versions(root).lastOption.getOrElse(0)
+    (versions(root) ++ checkpoints(root)).maxOption.getOrElse(0)
 
   /** Replayed table state at a version: live files + current schema +
     * per-file stats for live files that published them + the last
@@ -267,12 +272,20 @@ object TxnLog {
       case AddStats(f, _) => Action("add", f)
     }
 
-  /** Commit timestamp of version `v` (its commitInfo line). Commits
-    * written before commitInfo existed have none — treated as 0 so
+  /** Commit timestamp of version `v` (its commitInfo line). When the
+    * version file was retired by [[cleanupLog]] the timestamp comes
+    * from `v`'s checkpoint (checkpoints carry the commit's ts exactly
+    * so cleanup cannot break clock monotonicity or [[versionAsOf]]).
+    * Commits resolvable through neither have none — treated as 0 so
     * timestamp resolution still totally orders them first. */
-  def commitTs(root: String, v: Int): Long =
-    entriesAt(root, v).collectFirst { case CommitInfo(ts) => ts }
+  def commitTs(root: String, v: Int): Long = {
+    val vf = versionFile(root, v)
+    val src = if (vf.exists()) Some(vf)
+      else Some(checkpointFile(root, v)).filter(_.exists())
+    src.flatMap(f => parseFile(f)
+        .collectFirst { case CommitInfo(ts) => ts })
       .getOrElse(0L)
+  }
 
   /** TIMESTAMP AS OF: the greatest version whose commit timestamp is
     * ≤ `tsMs`, or 0 when the table did not exist yet (liveFiles(0) is
@@ -280,7 +293,11 @@ object TxnLog {
     * commit timestamps are protocol-monotonic, so O(log V) small file
     * reads, never a full-log scan. */
   def versionAsOf(root: String, tsMs: Long): Int = {
-    val vs = versions(root).toIndexedSeq
+    // checkpointed versions stay resolvable after log cleanup — a
+    // timestamp landing between the retention floor and the next
+    // commit must resolve to the floor, not to "before the table"
+    val vs = (versions(root) ++ checkpoints(root))
+      .distinct.sorted.toIndexedSeq
     var (lo, hi, ans) = (0, vs.size - 1, 0)
     while (lo <= hi) {
       val mid = (lo + hi) / 2
@@ -346,10 +363,14 @@ object TxnLog {
         st.live.toSeq.sorted.map(f =>
           st.stats.get(f).map(AddStats(f, _)).getOrElse(add(f)))
     if (entries.isEmpty) return // empty table: nothing to cache
+    // carry the commit's OWN timestamp: after [[cleanupLog]] retires
+    // the version files at or below this checkpoint, it is the only
+    // surviving source for clock monotonicity and TIMESTAMP AS OF
+    val stamped = CommitInfo(commitTs(root, v)) +: entries
     val tmp = new File(logDir(root),
       s".tmp_${session}_cp_${java.util.UUID.randomUUID()}")
     Files.write(tmp.toPath,
-      entries.map(_.toJson).mkString("", "\n", "\n")
+      stamped.map(_.toJson).mkString("", "\n", "\n")
         .getBytes(StandardCharsets.UTF_8))
     try Files.createLink(f.toPath, tmp.toPath)
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
@@ -655,12 +676,47 @@ object TxnLog {
     gone
   }
 
+  /** LOG RETENTION (Delta's `cleanUpExpiredLogs`): delete every
+    * version file at or below the newest checkpoint, plus every older
+    * checkpoint — the newest checkpoint alone reconstructs state
+    * there, so reads at or above it lose nothing (and it carries the
+    * commit timestamp, so clock monotonicity and [[versionAsOf]]
+    * survive). Without this the log dir grows one file per commit
+    * forever — O(commits) listing cost on every read, the exact
+    * metadata failure checkpoints exist to prevent. The cost is
+    * explicit and the same as Delta's: history ([[liveSets]],
+    * [[versionsRollup]]) and time travel now FLOOR at the checkpoint
+    * version — older versions become unresolvable, which is the
+    * retention contract, not an accident. Run [[vacuum]] FIRST when
+    * both are wanted: its ever-added census reads the version files
+    * this deletes. Returns the deleted file names, sorted. */
+  def cleanupLog(root: String): Seq[String] = {
+    val cps = checkpoints(root)
+    if (cps.isEmpty) return Seq.empty
+    val doomed =
+      versions(root).filter(_ <= cps.last).map(versionFile(root, _)) ++
+        cps.init.map(checkpointFile(root, _))
+    doomed.foreach(f => Files.deleteIfExists(f.toPath))
+    doomed.map(_.getName).sorted
+  }
+
   /** The live sets of EVERY version in one ordered pass over the log
-    * — O(total actions), not O(versions²) repeated replay. */
+    * — O(total actions), not O(versions²) repeated replay. After
+    * [[cleanupLog]] the walk seeds from the surviving checkpoint
+    * (which is also emitted as the history floor's own row) and
+    * covers only retained versions — the retention contract. */
   def liveSets(root: String): Seq[(Int, Seq[String])] = {
     val vs = versions(root)
-    var st = State(Set.empty, None)
-    vs.map { v =>
+    // a checkpoint strictly below the first remaining version file
+    // exists only after log cleanup; in the un-cleaned life of a
+    // table this is None and the walk starts from empty at v1
+    val cp = checkpoints(root)
+      .filter(c => vs.headOption.forall(c < _)).lastOption
+    var st = cp.map(c => fold(State(Set.empty, None),
+        parseFile(checkpointFile(root, c))))
+      .getOrElse(State(Set.empty, None))
+    val floor = cp.map(c => c -> st.live.toSeq.sorted).toSeq
+    floor ++ vs.map { v =>
       st = fold(st, entriesAt(root, v))
       v -> st.live.toSeq.sorted
     }

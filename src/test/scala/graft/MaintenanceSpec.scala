@@ -392,6 +392,62 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("txn-log cleanup: the checkpoint alone serves the retained log") {
+    import graft.sources.TxnLog
+    withTxnScratch { root =>
+      // 12 pinned-clock commits cross the interval-10 checkpoint; v7
+      // retires a file so the checkpoint state is not just "all adds"
+      for (i <- 1 to 12) {
+        val acts: Seq[TxnLog.Entry] =
+          if (i == 7) Seq(TxnLog.add(s"f$i"), TxnLog.remove("f3"))
+          else Seq(TxnLog.add(s"f$i"))
+        assert(TxnLog.tryCommit(root, i, acts, "s", nowMs = i * 1000L))
+      }
+      val before = TxnLog.stateAt(root, 12)
+      val deleted = TxnLog.cleanupLog(root)
+      assert(deleted == (1 to 10).map(v => f"v$v%08d.jsonl").sorted,
+        s"cleanup deleted: $deleted")
+      // reads at and above the floor are bit-identical to pre-cleanup
+      assert(TxnLog.latestVersion(root) == 12)
+      assert(TxnLog.stateAt(root, 12) == before)
+      assert(TxnLog.liveFiles(root, 10) ==
+        ((1 to 10).map(i => s"f$i").toSet - "f3").toSeq.sorted)
+      // the monotonic clock survives: the checkpoint carries v10's ts,
+      // so a next commit still clamps against real history
+      assert(TxnLog.commitTs(root, 10) == 10000L)
+      // history floors at the checkpoint version, then walks retained
+      assert(TxnLog.liveSets(root).map(_._1) == Seq(10, 11, 12))
+      assert(TxnLog.liveSets(root).head._2 ==
+        ((1 to 10).map(i => s"f$i").toSet - "f3").toSeq.sorted)
+      // time travel: below the floor = before-the-table; at and above
+      // the floor resolves through the checkpoint's timestamp
+      assert(TxnLog.versionAsOf(root, 9999L) == 0)
+      assert(TxnLog.versionAsOf(root, 10500L) == 10)
+      assert(TxnLog.versionAsOf(root, 12000L) == 12)
+      // the log keeps accepting commits after cleanup
+      assert(TxnLog.tryCommit(root, 13, Seq(TxnLog.add("f13")), "s",
+        nowMs = 13000L))
+      // boundary cleanup: advance THROUGH the next checkpoint so every
+      // version file is at or below it — the table must still resolve
+      // from the checkpoint alone and accept the next commit
+      for (i <- 14 to 20)
+        assert(TxnLog.tryCommit(root, i, Seq(TxnLog.add(s"f$i")), "s",
+          nowMs = i * 1000L))
+      val deleted2 = TxnLog.cleanupLog(root)
+      assert(deleted2.contains(f"v${10}%08d.checkpoint.jsonl"),
+        "the superseded checkpoint must be retired too")
+      assert(TxnLog.versions(root).isEmpty && TxnLog.latestVersion(root) == 20)
+      assert(TxnLog.liveFiles(root, 20).size == 19) // 20 adds - f3
+      assert(TxnLog.liveSets(root).map(_._1) == Seq(20))
+      assert(TxnLog.tryCommit(root, 21, Seq(TxnLog.add("f21")), "s",
+        nowMs = 21000L))
+      assert(TxnLog.commitTs(root, 21) == 21000L)
+      assert(TxnLog.liveFiles(root, 21).size == 20)
+      // idempotent: nothing new below the checkpoint, nothing deleted
+      assert(TxnLog.cleanupLog(root).isEmpty)
+    }
+  }
+
   test("txn-log timestamp time travel resolves versions monotonically") {
     import graft.sources.TxnLog
     withTxnScratch { root =>
