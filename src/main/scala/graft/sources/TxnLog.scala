@@ -564,7 +564,12 @@ class TxnLogOps(val store: LogStore) {
     val outName = f"c${base + 1}%08d" + s"_$session"
     def writeBin(files: Seq[String], out: String): Unit = {
       store.deleteDataDir(root, out) // crashed earlier attempt
-      spark.read.parquet(files.map(f => s"$root/$f"): _*)
+      // per-file scans unioned in NAME order, then a narrow
+      // coalesce(1): deterministic row order (a multi-path scan packs
+      // splits by SIZE, which would scramble clustering run order)
+      // and still zero exchange — Union and coalesce are narrow
+      files.sorted.map(f => spark.read.parquet(s"$root/$f"))
+        .reduce(_ unionAll _)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$root/$out")
     }

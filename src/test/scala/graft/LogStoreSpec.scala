@@ -1,0 +1,438 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{HadoopLogStore, LocalLogStore, TxnLog, TxnLogOps}
+
+/** The r10 txn-log surface: the pluggable LogStore seam (local
+  * hard-link vs Hadoop rename arbitration and their interop), the
+  * conflict-aware read-modify-write commits, row-level MERGE
+  * copy-on-write byte-identity, partition + multi-column pruning, the
+  * post-cleanup vacuum census, and the ADVICE-r9 loud-failure /
+  * null-padding contracts. */
+class LogStoreSpec extends AnyFunSuite with SparkSpec {
+
+  private def withScratch(body: String => Unit): Unit = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_logstore_").toString
+    try body(root)
+    finally graft.core.Fixtures.deleteRecursively(new java.io.File(root))
+  }
+
+  private def hadoopLog: TxnLogOps =
+    new TxnLogOps(new HadoopLogStore(
+      spark.sparkContext.hadoopConfiguration))
+
+  // ----------------------------------------------------- store parity
+
+  test("hadoop store runs the full protocol: commit, checkpoint, read, evo") {
+    import spark.implicits._
+    val log = hadoopLog
+    withScratch { root =>
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      Seq((3L, 30.0, "x")).toDF("k", "v", "tag")
+        .coalesce(1).write.parquet(s"$root/f1")
+      assert(log.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "hs") == 1)
+      assert(log.commitAppend(root, Seq("f1"),
+        "k BIGINT,v DOUBLE,tag STRING", "hs", evolve = true) == 2)
+      assert(log.schemaAt(root, 2).map(_.toDDL)
+        .contains("k BIGINT,v DOUBLE,tag STRING"))
+      assert(log.read(spark, root).count() == 3)
+      assert(log.read(spark, root, 1).columns.toSeq == Seq("k", "v"))
+      // cross the checkpoint interval; state resolves from the
+      // checkpoint alone after cleanup — all through the Hadoop store
+      for (i <- 3 to 12)
+        assert(log.tryCommit(root, i, Seq(TxnLog.add(s"g$i")), "hs",
+          nowMs = i * 1000L))
+      assert(log.checkpoints(root) == Seq(10))
+      val before = log.stateAt(root, 12)
+      assert(log.cleanupLog(root).nonEmpty)
+      assert(log.stateAt(root, 12) == before)
+      // v1/v2 committed on the wall clock, so later pinned nowMs got
+      // clamped monotonic — probe with the ACTUAL timestamps
+      assert(log.versionAsOf(root, log.commitTs(root, 10)) == 10)
+      assert(log.versionAsOf(root, log.commitTs(root, 11) - 1) == 10)
+      assert(log.tryCommit(root, 13, Seq(TxnLog.add("g13")), "hs"))
+    }
+  }
+
+  test("local and hadoop stores read each other's tables byte-for-byte") {
+    import spark.implicits._
+    val log = hadoopLog
+    withScratch { root =>
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/f0")
+      // written by the local binding, read by the hadoop one
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "loc") == 1)
+      assert(log.liveFiles(root, 1) == Seq("f0"))
+      // and the reverse: hadoop commit, local replay — one on-disk
+      // format, two arbiters
+      assert(log.tryCommit(root, 2, Seq(TxnLog.remove("f0"),
+        TxnLog.add("f0")), "had"))
+      assert(TxnLog.liveFiles(root, 2) == Seq("f0"))
+      assert(TxnLog.entriesAt(root, 2) == log.entriesAt(root, 2))
+    }
+  }
+
+  test("hadoop store: two racers on one slot see exactly one winner") {
+    val log = hadoopLog
+    withScratch { root =>
+      assert(log.commitNext(root, Seq(TxnLog.add("f0")), "seed") == 1)
+      val slot = log.latestVersion(root) + 1
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val races = Seq("a", "b").map { who =>
+        scala.concurrent.Future {
+          gate.await()
+          log.tryCommit(root, slot, Seq(TxnLog.add(s"f_$who")), who)
+        }
+      }
+      gate.countDown()
+      val wins = races.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration("30s")))
+      pool.shutdown()
+      assert(wins.count(identity) == 1, s"expected one winner, got $wins")
+      assert(log.versions(root) == Seq(1, 2))
+      // no tmp litter in the log dir after the race
+      val litter = Option(new java.io.File(root, "_log").listFiles())
+        .toSeq.flatten.map(_.getName).filter(_.startsWith(".tmp_"))
+      assert(litter.isEmpty, s"tmp litter: $litter")
+    }
+  }
+
+  // ------------------------------------------- schema-evolve lost race
+
+  test("two concurrent evolving appends both land: no schema lost update") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    withScratch { root =>
+      assert(TxnLog.commitAppend(root, Seq("f0"), "a BIGINT", "seed") == 1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // each writer widens by a DIFFERENT column from the same base;
+      // the loser must re-read + re-merge, not commit its stale merge
+      // (ADVICE r9 medium: the lost update dropped the winner's column)
+      val races = Seq("a BIGINT,c1 DOUBLE" -> "e1",
+        "a BIGINT,c2 STRING" -> "e2").map { case (ddl, who) =>
+        scala.concurrent.Future {
+          gate.await()
+          TxnLog.commitAppend(root, Seq(s"f_$who"), ddl, who,
+            evolve = true)
+        }
+      }
+      gate.countDown()
+      val vs = races.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration("60s")))
+      pool.shutdown()
+      assert(vs.toSet == Set(2, 3), s"expected v2+v3, got $vs")
+      val tip = TxnLog.schemaAt(root, 3).get.fieldNames.toSet
+      assert(tip == Set("a", "c1", "c2"),
+        s"schema lost update: tip has $tip")
+    }
+  }
+
+  // ------------------------------------------------- row-level MERGE
+
+  test("mergeUpsert rewrites only touched files; untouched bytes identical") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      Seq((10L, 100.0), (11L, 110.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f1")
+      assert(TxnLog.commitNext(root,
+        Seq(TxnLog.add("f0"), TxnLog.add("f1")), "s") == 1)
+      def bytesOf(dir: String): Seq[(String, Long, Long)] =
+        Option(new java.io.File(root, dir).listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map(f => (f.getName, f.length(),
+            java.nio.file.Files.readAllBytes(f.toPath)
+              .foldLeft(17L)((h, b) => h * 31 + b)))
+      val f1Before = bytesOf("f1")
+      // update k=2 (lives in f0), insert k=99 (nowhere)
+      val src = Seq((2L, 21.0), (99L, 990.0)).toDF("k", "v")
+      val v = TxnLog.mergeUpsert(spark, root, src, "k", "m")
+      assert(v.contains(2), s"merge did not commit: $v")
+      // f0 was rewritten (removed+replaced), f1 untouched on disk
+      val acts = TxnLog.actionsAt(root, 2)
+      assert(acts.collect { case TxnLog.Action("remove", f) => f } ==
+        Seq("f0"))
+      assert(bytesOf("f1") == f1Before,
+        "merge rewrote an untouched file")
+      val got = TxnLog.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 10.0), (2L, 21.0), (10L, 100.0),
+        (11L, 110.0), (99L, 990.0)), s"merge content: $got")
+      // idempotence-ish: merging the same source again touches the
+      // NEW holder of k=2 and yields the same table content
+      assert(TxnLog.mergeUpsert(spark, root, src, "k", "m2").contains(3))
+      val again = TxnLog.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(again == got)
+    }
+  }
+
+  test("mergeUpsert conflicts: appends commute, touched-file removal aborts") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 10.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/f0")
+      Seq((5L, 50.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/f1")
+      Seq((9L, 90.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/fx")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      val src = Seq((1L, 11.0)).toDF("k", "v")
+      // an interleaved APPEND commutes: merge retries at the new tip
+      val v = TxnLog.mergeUpsert(spark, root, src, "k", "m",
+        beforeCommit = () =>
+          assert(TxnLog.commitNext(root, Seq(TxnLog.add("f1")), "sneak")
+            == 2))
+      assert(v.contains(3), s"merge racing an append must commit: $v")
+      val got = TxnLog.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 11.0), (5L, 50.0)))
+      // removing the TOUCHED file mid-merge is a true conflict: abort,
+      // and the merge's rewrite output is deleted
+      val v2 = TxnLog.mergeUpsert(spark, root,
+        Seq((5L, 55.0)).toDF("k", "v"), "k", "m2",
+        beforeCommit = () => {
+          val tip = TxnLog.latestVersion(root)
+          assert(TxnLog.tryCommit(root, tip + 1,
+            Seq(TxnLog.remove("f1"), TxnLog.add("fx")), "rival"))
+        })
+      assert(v2.isEmpty, "merge must abort when its touched file died")
+      val names = Option(new java.io.File(root).listFiles()).toSeq
+        .flatten.map(_.getName)
+      assert(!names.exists(_.startsWith("m00000004")),
+        s"aborted merge left output: $names")
+      val after = TxnLog.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(after == Set((1L, 11.0), (9L, 90.0)))
+    }
+  }
+
+  test("mergeUpsert enforces unique source keys and no-ops on empty") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      val dup = Seq((1L, 1.0), (1L, 2.0)).toDF("k", "v")
+      val e = intercept[IllegalArgumentException](
+        TxnLog.mergeUpsert(spark, root, dup, "k", "m"))
+      assert(e.getMessage.contains("duplicate"))
+      assert(TxnLog.mergeUpsert(spark, root,
+        Seq.empty[(Long, Double)].toDF("k", "v"), "k", "m").isEmpty)
+      assert(TxnLog.latestVersion(root) == 1)
+    }
+  }
+
+  test("mergeUpsert collapses a key duplicated across files to one row") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((7L, 1.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/fa")
+      Seq((7L, 2.0), (8L, 8.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/fb")
+      assert(TxnLog.commitNext(root,
+        Seq(TxnLog.add("fa"), TxnLog.add("fb")), "s") == 1)
+      assert(TxnLog.mergeUpsert(spark, root,
+        Seq((7L, 70.0)).toDF("k", "v"), "k", "m").contains(2))
+      val got = TxnLog.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((7L, 70.0), (8L, 8.0)), s"collapse: $got")
+      // both holders were rewritten
+      assert(TxnLog.actionsAt(root, 2)
+        .collect { case TxnLog.Action("remove", f) => f }.sorted ==
+        Seq("fa", "fb"))
+    }
+  }
+
+  // ------------------------------- partition + multi-column pruning
+
+  test("pruneWhere: partition equality first, then conjunctive stats") {
+    import spark.implicits._
+    withScratch { root =>
+      // 2 partitions x 2 key ranges, each with stats on k AND w
+      val files = for (p <- Seq("eu", "us"); b <- 0 to 1) yield {
+        val name = s"d_${p}_$b"
+        val lo = b * 10L
+        ((lo until lo + 10).map(k => (k, k * 100L, p)))
+          .toDF("k", "w", "region")
+          .coalesce(1).write.parquet(s"$root/$name")
+        TxnLog.AddFile(name, Seq("region" -> p),
+          Seq(TxnLog.statsFor(spark, root, name, "k"),
+            TxnLog.statsFor(spark, root, name, "w")))
+      }
+      assert(TxnLog.tryCommit(root, 1, files, "s"))
+      // partition equality alone
+      val (s1, p1) = TxnLog.pruneWhere(root, 1,
+        Seq("region" -> "eu"), Seq.empty)
+      assert(s1 == Seq("d_eu_0", "d_eu_1") && p1.size == 2)
+      // conjunctive stats: k range hits bucket 0, w range hits bucket 1
+      // -> nothing survives both
+      val (s2, _) = TxnLog.pruneWhere(root, 1, Seq.empty,
+        Seq(("k", "0", "5"), ("w", "1500", "1800")))
+      assert(s2.isEmpty, s"conjunction should prune all, scanned $s2")
+      // partition + stats together
+      val (s3, _) = TxnLog.pruneWhere(root, 1,
+        Seq("region" -> "us"), Seq(("k", "12", "13")))
+      assert(s3 == Seq("d_us_1"))
+      // an unknown partition key or stats column never prunes
+      val (s4, p4) = TxnLog.pruneWhere(root, 1,
+        Seq("tenant" -> "z"), Seq(("nosuch", "0", "1")))
+      assert(p4.isEmpty && s4.size == 4)
+      // skipping never changes results (random probes)
+      val full = TxnLog.read(spark, root)
+      for (seed <- 1 to 6) {
+        val rnd = new scala.util.Random(seed)
+        val a = rnd.nextLong(25) - 2
+        val b2 = a + rnd.nextLong(12)
+        val region = Seq("eu", "us")(rnd.nextInt(2))
+        val (df, _, _) = TxnLog.readPrunedWhere(spark, root,
+          Seq("region" -> region), Seq(("k", a.toString, b2.toString)))
+        val got = df.where(col("region") === region &&
+          col("k").between(a, b2)).count()
+        val want = full.where(col("region") === region &&
+          col("k").between(a, b2)).count()
+        assert(got == want, s"pruning changed results for $region [$a,$b2]")
+      }
+      // AddFile round-trips through the checkpoint writer's rich form
+      for (i <- 2 to 10)
+        assert(TxnLog.tryCommit(root, i, Seq(TxnLog.add(s"pad$i")), "s"))
+      assert(TxnLog.checkpoints(root) == Seq(10))
+      for (v <- 1 to 10)
+        assert(new java.io.File(root, f"_log/v$v%08d.jsonl").delete())
+      val st = TxnLog.stateAt(root, 10)
+      assert(st.parts("d_eu_0") == Seq("region" -> "eu"),
+        "partition tuple lost through the checkpoint")
+      assert(st.stats("d_eu_0").map(_.col) == Seq("k", "w"),
+        "multi-column stats lost through the checkpoint")
+    }
+  }
+
+  test("statsFor fails loudly on zero-row files and all-null columns") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq.empty[(Long, Double)].toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/empty")
+      val e1 = intercept[IllegalArgumentException](
+        TxnLog.statsFor(spark, root, "empty", "k"))
+      assert(e1.getMessage.contains("zero rows"))
+      Seq((Some(1L), Option.empty[Long])).toDF("k", "n")
+        .coalesce(1).write.parquet(s"$root/nulls")
+      val e2 = intercept[IllegalArgumentException](
+        TxnLog.statsFor(spark, root, "nulls", "n"))
+      assert(e2.getMessage.contains("all-null"))
+    }
+  }
+
+  test("read null-pads a metaData column whose files were all removed") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/f0")
+      Seq((2L, 2.0, "t")).toDF("k", "v", "tag")
+        .coalesce(1).write.parquet(s"$root/f1")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      assert(TxnLog.commitAppend(root, Seq("f1"),
+        "k BIGINT,v DOUBLE,tag STRING", "s", evolve = true) == 2)
+      // retire the ONLY file carrying `tag`: the metaData contract
+      // still promises the column — reads must null-pad, not throw
+      assert(TxnLog.tryCommit(root, 3, Seq(TxnLog.remove("f1")), "s"))
+      val df = TxnLog.read(spark, root)
+      assert(df.columns.toSeq == Seq("k", "v", "tag"))
+      assert(df.schema("tag").dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(df.where(col("tag").isNull).count() == 1)
+      val (pdf, _, _) = TxnLog.readPruned(spark, root, "k", "0", "9")
+      assert(pdf.columns.toSeq == Seq("k", "v", "tag"))
+    }
+  }
+
+  // ------------------------------------------- vacuum after cleanup
+
+  test("vacuum after cleanupLog still reclaims pre-checkpoint orphans") {
+    import spark.implicits._
+    withScratch { root =>
+      // f2 is added at v2 and removed at v5 — after cleanup its whole
+      // lifecycle is below the checkpoint, invisible to the log census
+      for (i <- 1 to 12) {
+        Seq((i.toLong, 1.0)).toDF("k", "v")
+          .coalesce(1).write.parquet(s"$root/f$i")
+        val acts: Seq[TxnLog.Entry] =
+          if (i == 5) Seq(TxnLog.add(s"f$i"), TxnLog.remove("f2"))
+          else Seq(TxnLog.add(s"f$i"))
+        assert(TxnLog.tryCommit(root, i, acts, "s", nowMs = i * 1000L))
+      }
+      assert(TxnLog.cleanupLog(root).nonEmpty)
+      // the WRONG order (cleanup first) used to leak f2 forever; the
+      // listing fallback census reclaims it (grace 0: test posture)
+      val gone = TxnLog.vacuum(root, retainVersions = 1,
+        listingGraceMs = 0L)
+      assert(gone.contains("f2"),
+        s"pre-checkpoint orphan f2 leaked; vacuum removed only $gone")
+      assert(!new java.io.File(root, "f2").exists())
+      // everything live at the tip survives
+      for (f <- TxnLog.liveFiles(root, TxnLog.latestVersion(root)))
+        assert(new java.io.File(root, f).isDirectory, s"lost live $f")
+      // idempotent
+      assert(TxnLog.vacuum(root, retainVersions = 1,
+        listingGraceMs = 0L).isEmpty)
+    }
+  }
+
+  test("vacuum listing fallback respects the mtime grace window") {
+    import spark.implicits._
+    withScratch { root =>
+      for (i <- 1 to 10) {
+        Seq((i.toLong, 1.0)).toDF("k", "v")
+          .coalesce(1).write.parquet(s"$root/f$i")
+        assert(TxnLog.tryCommit(root, i, Seq(TxnLog.add(s"f$i")), "s",
+          nowMs = i * 1000L))
+      }
+      assert(TxnLog.cleanupLog(root).nonEmpty)
+      // an in-flight writer's uncommitted dir: fresh mtime, unknown to
+      // the log — the grace window must keep the listing census away
+      Seq((99L, 9.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/inflight_rewrite")
+      val gone = TxnLog.vacuum(root, retainVersions = 1)
+      assert(!gone.contains("inflight_rewrite"),
+        "vacuum deleted an in-flight writer's uncommitted output")
+      assert(new java.io.File(root, "inflight_rewrite").isDirectory)
+    }
+  }
+
+  // --------------------------------------- OPTIMIZE plan shape (r10)
+
+  test("compact's bin rewrite plan is narrow: no Exchange anywhere") {
+    import spark.implicits._
+    withScratch { root =>
+      for (i <- 0 to 2)
+        (i * 100L until i * 100L + 100L).map(k => (k, k * 1.0))
+          .toDF("k", "v").coalesce(1).write.parquet(s"$root/f$i")
+      // the exact plan compact() executes per bin: per-file scans ->
+      // union -> coalesce(1) -> write. repartition(k) here would be an
+      // Exchange (the r9 shape); the bin path must stay a narrow
+      // dependency so OPTIMIZE never re-shuffles the data it moves
+      val bin = (0 to 2).map(i => spark.read.parquet(s"$root/f$i"))
+        .reduce(_ unionAll _).coalesce(1)
+      val plan = bin.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bin rewrite plan shuffles:\n$plan")
+      assert(TxnLog.commitNext(root,
+        (0 to 2).map(i => TxnLog.add(s"f$i")), "s") == 1)
+      // and the committed rewrite preserves scan-order clustering:
+      // each output holds whole input files, so a sorted input stays
+      // sorted per output (z-order composability)
+      val v = TxnLog.compact(spark, root, "opt", targetBytes = 1L << 40)
+      assert(v.contains(2))
+      val out = TxnLog.liveFiles(root, 2)
+      assert(out == Seq("c00000002_opt"))
+      val ks = spark.read.parquet(s"$root/${out.head}")
+        .select("k").collect().map(_.getLong(0))
+      assert(ks.toSeq == ks.sorted.toSeq,
+        "single-bin rewrite lost the inputs' clustering")
+    }
+  }
+}
