@@ -1703,6 +1703,177 @@ object Relational {
       |        WHERE o_orderkey BETWEEN lo AND hi) AS BIGINT) AS sum_cents
       |""".stripMargin
 
+  /** PARTITION PRUNING + MULTI-COLUMN DATA SKIPPING from the txn
+    * log's rich add actions (r10) — the reference's own partitioned
+    * layout (§1.1) expressed as table-format metadata: each add
+    * carries a Hive-style partition tuple AND a LIST of per-column
+    * bounds ([[graft.sources.TxnLog.AddFile]] — Delta's
+    * partitionValues + stats, Iceberg's partition tuple + manifest
+    * bounds), and a reader planning `pri = '3' AND cents BETWEEN lo
+    * AND hi AND key BETWEEN 1 AND max` drops files on partition
+    * EQUALITY first, then conjunctive stats — all from the log alone.
+    * At 100 TB this is the planner's first and cheapest cut: a
+    * 10-partition × 2-bucket layout scans 1 file in 10.
+    *
+    * Fixture: orders sliced into (priority digit × cents-half)
+    * files — partition value `pri` ∈ 1..5, bucket rule
+    * `2·cents ≤ min+max` in exact BIGINT so both engines agree —
+    * committed as ONE version of rich adds carrying o_orderkey AND
+    * o_cents bounds. The query prunes on pri='3' plus BOTH ranges,
+    * emits the census (the oracle RE-DERIVES it from each group's
+    * true bounds, so the pruning rule itself is hashed) and the
+    * rollup of the skipping read under the row-level predicate,
+    * which must equal a full scan's filter — pruning may never
+    * change results.
+    *
+    * Scale shape: pruning is driver metadata (O(live files)
+    * compares); the data plan scans only surviving files. */
+  def txnLogPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, "txnpart|pri_cents2_v1")) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnpart",
+            codeTag = "pri_cents2_v1") { target =>
+          val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+            col("o_totalprice"),
+            Det.cents(col("o_totalprice")).as("o_cents"),
+            substring(col("o_orderpriority"), 1, 1).as("pri"))
+          val mm = o.agg(min(col("o_cents")), max(col("o_cents"))).head()
+          val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+          new java.io.File(target).mkdirs()
+          val adds = for {
+            p <- (1 to 5).map(_.toString)
+            b <- Seq("lo", "hi")
+          } yield {
+            val bucketed = if (b == "lo")
+              o.where(col("pri") === p && col("o_cents") * 2 <= mn + mx)
+            else o.where(col("pri") === p && col("o_cents") * 2 > mn + mx)
+            val name = s"p${p}_$b"
+            bucketed.coalesce(1).write.parquet(s"$target/$name")
+            if (spark.read.parquet(s"$target/$name").isEmpty) {
+              graft.core.Fixtures.deleteRecursively(
+                new java.io.File(target, name)); None
+            } else Some(TxnLog.AddFile(name, Seq("pri" -> p),
+              Seq(TxnLog.statsFor(spark, target, name, "o_orderkey"),
+                TxnLog.statsFor(spark, target, name, "o_cents"))))
+          }
+          assert(TxnLog.tryCommit(target, 1, adds.flatten, "stage"))
+        }
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), Det.cents(col("o_totalprice")).as("c"))
+    val mm = o.agg(min(col("c")), max(col("c")),
+      max(col("o_orderkey"))).head()
+    val (mn, mx, mxk) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    val (loC, hiC) = (mn, (mn + mx) / 4)
+    val (df, scanned, pruned) = TxnLog.readPrunedWhere(spark, root,
+      Seq("pri" -> "3"),
+      Seq(("o_cents", loC.toString, hiC.toString),
+        ("o_orderkey", "1", mxk.toString)))
+    df.where(col("pri") === "3" && col("o_cents").between(loC, hiC) &&
+        col("o_orderkey").between(1, mxk))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_cents")).as("sum_cents"))
+      .select(lit(scanned.size + pruned.size).cast("int").as("n_files"),
+        lit(scanned.size).cast("int").as("n_scanned"),
+        lit(pruned.size).cast("int").as("n_pruned"),
+        col("n_rows"),
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+  }
+
+  val txnLogPartitionPruneSql: String =
+    """WITH c AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100
+      |      AS BIGINT) AS cents,
+      |    substring(o_orderpriority, 1, 1) AS pri
+      |  FROM orders),
+      |mm AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx,
+      |         MAX(k) AS mxk FROM c),
+      |b AS (SELECT c.*, CASE WHEN 2 * cents <= mn + mx THEN 'lo'
+      |        ELSE 'hi' END AS bkt FROM c, mm),
+      |fs AS (SELECT pri, bkt, MIN(k) AS mnk, MAX(k) AS mxk2,
+      |         MIN(cents) AS mnc, MAX(cents) AS mxc
+      |       FROM b GROUP BY pri, bkt),
+      |bounds AS (SELECT mn AS lo_c, (mn + mx) // 4 AS hi_c, mxk FROM mm)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM fs) AS INT) AS n_files,
+      |  CAST((SELECT COUNT(*) FROM fs, bounds WHERE pri = '3'
+      |        AND NOT (mxc < lo_c OR mnc > hi_c)
+      |        AND NOT (mxk2 < 1 OR mnk > mxk)) AS INT) AS n_scanned,
+      |  CAST((SELECT COUNT(*) FROM fs, bounds WHERE NOT (pri = '3'
+      |        AND NOT (mxc < lo_c OR mnc > hi_c)
+      |        AND NOT (mxk2 < 1 OR mnk > mxk))) AS INT) AS n_pruned,
+      |  CAST((SELECT COUNT(*) FROM b, bounds WHERE pri = '3'
+      |        AND cents BETWEEN lo_c AND hi_c
+      |        AND k BETWEEN 1 AND mxk) AS BIGINT) AS n_rows,
+      |  CAST((SELECT COALESCE(SUM(cents), 0) FROM b, bounds
+      |        WHERE pri = '3' AND cents BETWEEN lo_c AND hi_c
+      |        AND k BETWEEN 1 AND mxk) AS BIGINT) AS sum_cents
+      |""".stripMargin
+
+  /** Row-level MERGE on the txn-log table (r10) — copy-on-write, the
+    * most common lakehouse write after append: the source updates
+    * every order with key ≡ 10 (mod 15) (+$1.00 — those keys are
+    * ≡ 1 mod 3, so they live ONLY in the fixture's f1) and inserts
+    * the keys ≡ 0 (mod 15) (≡ 0 mod 3 — retired with f0 at v2, so
+    * nothing matches). [[graft.sources.TxnLog.mergeUpsert]] finds the
+    * touched files via a stats pre-prune + an `input_file_name`
+    * probe, rewrites ONLY f1, appends one insert file, and commits
+    * remove+add conflict-aware — f2 survives byte-identical (spec-
+    * proven in LogStoreSpec). The query reads the post-merge tip and
+    * emits the file census plus a rollup splitting updated/inserted
+    * keys, so the oracle's re-derivation (mod-rule CASE + UNION)
+    * hashes the merge semantics end to end.
+    *
+    * Scale shape: touch detection is a broadcast semi-probe over only
+    * the stats-surviving candidates; the rewrite is one narrow task
+    * per touched file — cost scales with the touched set, never the
+    * table. */
+  def txnLogMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = txnLogFixture(spark, dir, "txnmerge", "cow_v1") { target =>
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val src = o.where(col("o_orderkey") % 15 === 10)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1.0).as("o_totalprice"))
+        .unionByName(o.where(col("o_orderkey") % 15 === 0))
+      val v = TxnLog.mergeUpsert(spark, target, src, "o_orderkey",
+        "stage")
+      assert(v.contains(3), s"merge did not commit v3: $v")
+      val removed = TxnLog.actionsAt(target, 3)
+        .collect { case TxnLog.Action("remove", f) => f }
+      assert(removed == Seq("f1"),
+        s"merge touched the wrong files: $removed")
+    }
+    val nf = TxnLog.liveFiles(root, TxnLog.latestVersion(root)).size
+    TxnLog.read(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("sum_cents"),
+        count(when(col("o_orderkey") % 15 === 10, 1)).as("n_upd"),
+        count(when(col("o_orderkey") % 3 === 0, 1)).as("n_ins"))
+      .select(lit(nf).cast("int").as("n_files"), col("n_rows"),
+        col("sum_cents"), col("n_upd"), col("n_ins"))
+  }
+
+  val txnLogMergeSql: String =
+    """WITH merged AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 15 = 10 THEN o_totalprice + 1.0
+      |      ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 IN (1, 2)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 15 = 0)
+      |SELECT CAST(3 AS INT) AS n_files,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2)
+      |    * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(COUNT(CASE WHEN o_orderkey % 15 = 10 THEN 1 END)
+      |    AS BIGINT) AS n_upd,
+      |  CAST(COUNT(CASE WHEN o_orderkey % 3 = 0 THEN 1 END)
+      |    AS BIGINT) AS n_ins
+      |FROM merged""".stripMargin
+
   /** Fuzzy name matching — the entity-resolution join: part-name
     * pairs within Levenshtein distance 3, found WITHOUT the n² name
     * cross product: candidates block on (first word, |length diff|
@@ -2805,6 +2976,8 @@ object Relational {
     "scan_txn_log" -> scanTxnLog,
     "txn_log_compact" -> txnLogCompact,
     "txn_log_data_skipping" -> txnLogDataSkipping,
+    "txn_log_partition_prune" -> txnLogPartitionPrune,
+    "txn_log_merge" -> txnLogMerge,
     "txn_log_history" -> txnLogHistory,
     "txn_log_schema_evo" -> txnLogSchemaEvo,
     "txn_log_time_travel" -> txnLogTimeTravel,
@@ -2881,6 +3054,8 @@ object Relational {
     "scan_txn_log" -> scanTxnLogSql,
     "txn_log_compact" -> txnLogCompactSql,
     "txn_log_data_skipping" -> txnLogDataSkippingSql,
+    "txn_log_partition_prune" -> txnLogPartitionPruneSql,
+    "txn_log_merge" -> txnLogMergeSql,
     "txn_log_history" -> txnLogHistorySql,
     "txn_log_schema_evo" -> txnLogSchemaEvoSql,
     "txn_log_time_travel" -> txnLogTimeTravelSql,

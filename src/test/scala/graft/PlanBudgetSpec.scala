@@ -136,6 +136,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // pruned multi-path scan -> one scalar agg; pruning itself is
     // driver-side log metadata, not a plan node
     "txn_log_data_skipping" -> 1,
+    // pruned read (census is driver metadata) + one scalar agg
+    "txn_log_partition_prune" -> 1,
+    // post-merge tip read + one scalar agg
+    "txn_log_merge" -> 1,
     // the scan_txn_log rollup shape + broadcast probe join + sort
     "txn_log_time_travel" -> 4,
     "join_asof" -> 2,
