@@ -1874,6 +1874,88 @@ object Relational {
       |    AS BIGINT) AS n_ins
       |FROM merged""".stripMargin
 
+  /** Row-level DELETE on the txn-log table (r10) — copy-on-write with
+    * the CHEAPEST-action ladder: [[graft.sources.TxnLog.deleteRange]]
+    * stats-prunes files that provably hold no matching row
+    * (metadata), probe-counts matching vs total rows per survivor,
+    * and then per file either leaves it untouched, PURE-REMOVES it
+    * (all rows match — a metadata-only log action, zero data I/O; at
+    * 100 TB dropping a retention window this is most of the table),
+    * or rewrites only the survivors with one narrow task. Fixture:
+    * the 8-key-range layout of [[txnLogDataSkipping]]; deleting
+    * [max/4, max/2] pure-removes the bucket fully inside the range
+    * and rewrites the two boundary buckets. The query hashes the
+    * action census (before/pure/rewritten/after — the oracle
+    * RE-DERIVES it from each bucket's hit counts, so the ladder
+    * itself is gated) plus the tip rollup ≡ the complement filter.
+    *
+    * Scale shape: prune + census are metadata + one probe agg over
+    * candidates; rewrites cost only the boundary files. */
+  def txnLogDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, "txndelete|range8_del_v1")) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txndelete",
+            codeTag = "range8_del_v1") { target =>
+          val o = Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_totalprice"))
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          new java.io.File(target).mkdirs()
+          val adds = (0 until 8).flatMap { b =>
+            val slice = o.where(
+              expr(s"(o_orderkey * 8L) div ${mx + 1}L") === b)
+            val name = s"b$b"
+            slice.coalesce(1).write.parquet(s"$target/$name")
+            if (spark.read.parquet(s"$target/$name").isEmpty) {
+              graft.core.Fixtures.deleteRecursively(
+                new java.io.File(target, name)); None
+            } else Some(TxnLog.AddStats(name,
+              TxnLog.statsFor(spark, target, name, "o_orderkey")))
+          }
+          assert(TxnLog.tryCommit(target, 1, adds, "stage"))
+          val v = TxnLog.deleteRange(spark, target, "o_orderkey",
+            (mx / 4).toString, (mx / 2).toString, "stage")
+          assert(v.contains(2), s"delete did not commit v2: $v")
+        }
+      }
+    val acts = TxnLog.actionsAt(root, 2)
+    val (nRem, nAdd) = (acts.count(_.action == "remove"),
+      acts.count(_.action == "add"))
+    val before = TxnLog.liveFiles(root, 1).size
+    val after = TxnLog.liveFiles(root, 2).size
+    TxnLog.read(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("sum_cents"))
+      .select(lit(before).cast("int").as("n_before"),
+        lit(nRem - nAdd).cast("int").as("n_pure"),
+        lit(nAdd).cast("int").as("n_rewritten"),
+        lit(after).cast("int").as("n_after"),
+        col("n_rows"), col("sum_cents"))
+  }
+
+  val txnLogDeleteSql: String =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      |b AS (SELECT o_orderkey AS k,
+      |        CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100
+      |          AS BIGINT) AS cents,
+      |        (o_orderkey * 8) // (m + 1) AS bucket,
+      |        CASE WHEN o_orderkey BETWEEN m // 4 AND m // 2
+      |          THEN 1 ELSE 0 END AS hit
+      |      FROM orders, mx),
+      |fs AS (SELECT bucket, SUM(hit) AS hits, COUNT(*) AS total
+      |       FROM b GROUP BY bucket)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM fs) AS INT) AS n_before,
+      |  CAST((SELECT COUNT(*) FROM fs WHERE hits = total) AS INT)
+      |    AS n_pure,
+      |  CAST((SELECT COUNT(*) FROM fs WHERE hits > 0 AND hits < total)
+      |    AS INT) AS n_rewritten,
+      |  CAST((SELECT COUNT(*) FROM fs)
+      |    - (SELECT COUNT(*) FROM fs WHERE hits = total) AS INT)
+      |    AS n_after,
+      |  CAST((SELECT COUNT(*) FROM b WHERE hit = 0) AS BIGINT) AS n_rows,
+      |  CAST((SELECT SUM(cents) FROM b WHERE hit = 0) AS BIGINT)
+      |    AS sum_cents""".stripMargin
+
   /** Fuzzy name matching — the entity-resolution join: part-name
     * pairs within Levenshtein distance 3, found WITHOUT the n² name
     * cross product: candidates block on (first word, |length diff|
@@ -2978,6 +3060,7 @@ object Relational {
     "txn_log_data_skipping" -> txnLogDataSkipping,
     "txn_log_partition_prune" -> txnLogPartitionPrune,
     "txn_log_merge" -> txnLogMerge,
+    "txn_log_delete" -> txnLogDelete,
     "txn_log_history" -> txnLogHistory,
     "txn_log_schema_evo" -> txnLogSchemaEvo,
     "txn_log_time_travel" -> txnLogTimeTravel,
@@ -3056,6 +3139,7 @@ object Relational {
     "txn_log_data_skipping" -> txnLogDataSkippingSql,
     "txn_log_partition_prune" -> txnLogPartitionPruneSql,
     "txn_log_merge" -> txnLogMergeSql,
+    "txn_log_delete" -> txnLogDeleteSql,
     "txn_log_history" -> txnLogHistorySql,
     "txn_log_schema_evo" -> txnLogSchemaEvoSql,
     "txn_log_time_travel" -> txnLogTimeTravelSql,

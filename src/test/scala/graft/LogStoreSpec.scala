@@ -248,6 +248,62 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("deleteRange takes the cheapest action per file: skip, pure-remove, rewrite") {
+    import spark.implicits._
+    withScratch { root =>
+      // r0=[0,9] untouched, r1=[10,19] boundary rewrite, r2=[20,29]
+      // fully inside -> pure remove, nostats always probed
+      for ((name, lo) <- Seq(("r0", 0L), ("r1", 10L), ("r2", 20L))) {
+        (lo until lo + 10).map(k => (k, k * 2.0)).toDF("k", "v")
+          .coalesce(1).write.parquet(s"$root/$name")
+      }
+      (40L to 44L).map(k => (k, 0.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/nostats")
+      val adds: Seq[TxnLog.Entry] = Seq("r0", "r1", "r2").map(n =>
+        TxnLog.AddStats(n, TxnLog.statsFor(spark, root, n, "k"))) :+
+        TxnLog.add("nostats")
+      assert(TxnLog.tryCommit(root, 1, adds, "s"))
+      def hashOf(dir: String): Seq[Long] =
+        Option(new java.io.File(root, dir).listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map(f => java.nio.file.Files.readAllBytes(f.toPath)
+            .foldLeft(17L)((h, b) => h * 31 + b))
+      val (r0Before, noBefore) = (hashOf("r0"), hashOf("nostats"))
+      val v = TxnLog.deleteRange(spark, root, "k", "15", "29", "s")
+      assert(v.contains(2), s"delete did not commit: $v")
+      val acts = TxnLog.actionsAt(root, 2)
+      val removed = acts.collect { case TxnLog.Action("remove", f) => f }
+      val added = acts.collect { case TxnLog.Action("add", f) => f }
+      assert(removed.sorted == Seq("r1", "r2"),
+        s"wrong touch set: $removed")
+      assert(added.size == 1 && added.head.startsWith("d00000002_s_k"),
+        s"expected exactly one boundary rewrite: $added")
+      // untouched files byte-identical (r0 stats-pruned; nostats
+      // probed but holds no match)
+      assert(hashOf("r0") == r0Before && hashOf("nostats") == noBefore)
+      val got = TxnLog.read(spark, root).select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == ((0L to 14L) ++ (40L to 44L)),
+        s"delete content wrong: $got")
+      // no matching rows -> no-op, no new version
+      assert(TxnLog.deleteRange(spark, root, "k", "100", "200", "s")
+        .isEmpty)
+      assert(TxnLog.latestVersion(root) == 2)
+      // conflict: an interleaved append commutes and the delete lands
+      val v3 = TxnLog.deleteRange(spark, root, "k", "40", "44", "s2",
+        beforeCommit = () => {
+          Seq((77L, 7.0)).toDF("k", "v")
+            .coalesce(1).write.parquet(s"$root/f77")
+          assert(TxnLog.commitNext(root, Seq(TxnLog.add("f77")),
+            "sneak") == 3)
+        })
+      assert(v3.contains(4), s"delete racing an append must land: $v3")
+      assert(TxnLog.read(spark, root).select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq ==
+        ((0L to 14L) :+ 77L))
+    }
+  }
+
   // ------------------------------- partition + multi-column pruning
 
   test("pruneWhere: partition equality first, then conjunctive stats") {
