@@ -483,24 +483,32 @@ class TxnLogOps(val store: LogStore) {
       s"could not commit batch $batchId after $maxAttempts attempts")
   }
 
-  /** First-fit-decreasing bin packing of (file, bytes) toward `cap`
-    * per bin — deterministic (size desc, then name). A file larger
-    * than the cap gets its own bin: files are the atomic unit (a
-    * shuffle-free rewrite cannot split one), Delta OPTIMIZE's own
-    * posture. */
+  /** SEQUENTIAL bin packing of (file, bytes) toward `cap` per bin:
+    * walk the files in NAME order and cut a new bin when the next
+    * file would overflow. Deliberately not first-fit-decreasing —
+    * clustered tables name their files in key order (the z-order
+    * layout, range-bucketed staging), so contiguity of bin MEMBERSHIP
+    * is what keeps each OPTIMIZE output covering a narrow key range;
+    * FFD's size-greedy shuffle of membership would re-mix ranges the
+    * layout paid a sort to separate (Delta's OPTIMIZE bins contiguous
+    * clustering ranges for the same reason). A file larger than the
+    * cap gets its own bin: files are the atomic unit — a shuffle-free
+    * rewrite cannot split one. */
   private def binPack(sized: Seq[(String, Long)], cap: Long)
   : Seq[Seq[String]] = {
-    val bins = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ListBuffer[String], Long)]
-    for ((f, sz) <- sized.sortBy { case (n, s) => (-s, n) }) {
-      bins.indexWhere(_._2 + sz <= cap) match {
-        case -1 =>
-          bins += ((scala.collection.mutable.ListBuffer(f), sz))
-        case i =>
-          val (b, t) = bins(i); b += f; bins(i) = (b, t + sz)
+    val bins = scala.collection.mutable.ListBuffer
+      .empty[scala.collection.mutable.ListBuffer[String]]
+    var binBytes = 0L
+    for ((f, sz) <- sized.sortBy(_._1)) {
+      if (bins.isEmpty || binBytes + sz > cap) {
+        bins += scala.collection.mutable.ListBuffer(f)
+        binBytes = sz
+      } else {
+        bins.last += f
+        binBytes += sz
       }
     }
-    bins.map(_._1.toList).toSeq
+    bins.map(_.toList).toSeq
   }
 
   /** Conflict-aware optimistic commit for read-modify-write writers

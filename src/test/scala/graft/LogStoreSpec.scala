@@ -459,6 +459,44 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multi-bin OPTIMIZE keeps clustered key ranges disjoint per output") {
+    import spark.implicits._
+    withScratch { root =>
+      // a z-order-style layout: 4 files named in key order, each
+      // covering a disjoint range — the state layout_zorder pays a
+      // sort to produce
+      for (i <- 0 to 3)
+        (i * 1000L until (i + 1) * 1000L).map(k => (k, k * 1.0))
+          .toDF("k", "v").coalesce(1).write.parquet(s"$root/r$i")
+      assert(TxnLog.commitNext(root,
+        (0 to 3).map(i => TxnLog.add(s"r$i")), "s") == 1)
+      val oneFile = graft.sources.LocalLogStore.dataBytes(root, "r0")
+      // cap fits two files per bin -> 2 outputs; sequential name-order
+      // packing must put (r0,r1) and (r2,r3) together, so each output
+      // covers a CONTIGUOUS half of the key space — FFD-style
+      // membership would be free to mix r0 with r3 and destroy the
+      // clustering OPTIMIZE claims to preserve
+      val v = TxnLog.compact(spark, root, "opt",
+        targetBytes = oneFile * 2 + oneFile / 2)
+      assert(v.contains(2))
+      val outs = TxnLog.liveFiles(root, 2)
+      assert(outs.size == 2, s"expected 2 bins, got $outs")
+      val spans = outs.map { o =>
+        val r = spark.read.parquet(s"$root/$o")
+          .agg(min(col("k")), max(col("k")), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }.sortBy(_._1)
+      assert(spans == Seq((0L, 1999L, 2000L), (2000L, 3999L, 2000L)),
+        s"bin membership mixed clustered ranges: $spans")
+      // and within each output the rows stay in key order
+      for (o <- outs) {
+        val ks = spark.read.parquet(s"$root/$o")
+          .select("k").collect().map(_.getLong(0))
+        assert(ks.toSeq == ks.sorted.toSeq, s"$o lost row order")
+      }
+    }
+  }
+
   // --------------------------------------- OPTIMIZE plan shape (r10)
 
   test("compact's bin rewrite plan is narrow: no Exchange anywhere") {
