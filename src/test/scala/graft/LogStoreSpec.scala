@@ -406,6 +406,125 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("OPTIMIZE lands under a live append stream (no starvation)") {
+    import spark.implicits._
+    withTxnStress { root =>
+      for (i <- 0 to 2)
+        Seq((i.toLong, i * 1.0)).toDF("k", "v")
+          .coalesce(1).write.parquet(s"$root/f$i")
+      assert(TxnLog.commitNext(root,
+        (0 to 2).map(i => TxnLog.add(s"f$i")), "seed") == 1)
+      // three appenders fire 5 commits each while the compactor
+      // rewrites and retries: the r9 blanket-abort would abort on the
+      // FIRST interleaved append; the conflict checker must instead
+      // retry past every commuting append and land the swap
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // the appenders are released from compact's beforeCommit seam:
+      // the rewrite covers EXACTLY {f0,f1,f2}, and all 15 appends
+      // contend with the commit-retry loop itself
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val appenders = (1 to 3).map { a =>
+        scala.concurrent.Future {
+          gate.await()
+          for (j <- 1 to 5) {
+            assert(TxnLog.commitNext(root,
+              Seq(TxnLog.add(s"app_${a}_$j")), s"app$a",
+              maxAttempts = 100) > 0)
+            Thread.sleep(5L * a)
+          }
+        }
+      }
+      val compactor = scala.concurrent.Future {
+        TxnLog.compact(spark, root, "opt", maxAttempts = 100,
+          beforeCommit = () => { gate.countDown(); Thread.sleep(30) })
+      }
+      appenders.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration("120s")))
+      val won = scala.concurrent.Await.result(compactor,
+        scala.concurrent.duration.Duration("120s"))
+      pool.shutdown()
+      assert(won.isDefined, "compaction starved by the append stream")
+      // every append survives; the seed files were swapped for the
+      // rewrite; total content is intact
+      val tip = TxnLog.latestVersion(root)
+      val live = TxnLog.liveFiles(root, tip).toSet
+      val appended = (for (a <- 1 to 3; j <- 1 to 5)
+        yield s"app_${a}_$j").toSet
+      assert(appended.subsetOf(live),
+        s"lost appended files: ${appended -- live}")
+      assert(!live.exists(_.startsWith("f")),
+        s"compacted inputs still live: ${live.filter(_.startsWith("f"))}")
+      assert(TxnLog.versions(root).size == tip &&
+        TxnLog.versions(root) == (1 to tip),
+        "version sequence has holes")
+      val ks = spark.read
+        .parquet(live.filterNot(appended).map(f => s"$root/$f").toSeq: _*)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(ks == Set(0L, 1L, 2L), s"rewrite content wrong: $ks")
+    }
+  }
+
+  test("replay with rich adds equals a reference fold across checkpoints") {
+    withTxnStress { root =>
+      // random 25-commit logs mixing plain adds, removes, stats adds,
+      // and rich adds (partition tuple + multi-column bounds) — the
+      // r10 codec must fold exactly like a reference model through
+      // parse, checkpoint write, checkpoint replay, and log cleanup
+      val rnd = new scala.util.Random(11)
+      var refLive = Map.empty[String, (Seq[(String, String)],
+        Seq[TxnLog.FileStats])]
+      val perVersion = scala.collection.mutable.ArrayBuffer
+        .empty[Map[String, (Seq[(String, String)], Seq[TxnLog.FileStats])]]
+      for (v <- 1 to 25) {
+        val acts: Seq[TxnLog.Entry] = (0 until 1 + rnd.nextInt(3)).map { _ =>
+          val f = s"f${rnd.nextInt(8)}"
+          rnd.nextInt(4) match {
+            case 0 => refLive += f -> (Seq.empty, Seq.empty)
+              TxnLog.add(f)
+            case 1 => refLive -= f
+              TxnLog.remove(f)
+            case 2 =>
+              val st = TxnLog.FileStats("k", s"${rnd.nextInt(50)}",
+                s"${50 + rnd.nextInt(50)}", 1L + rnd.nextInt(9))
+              refLive += f -> (Seq.empty, Seq(st))
+              TxnLog.AddStats(f, st)
+            case _ =>
+              val part = Seq("pri" -> s"p${rnd.nextInt(3)}")
+              val cols = (0 to rnd.nextInt(2)).map(c =>
+                TxnLog.FileStats(s"c$c", s"${rnd.nextInt(50)}",
+                  s"${50 + rnd.nextInt(50)}", 1L + rnd.nextInt(9)))
+              refLive += f -> (part, cols)
+              TxnLog.AddFile(f, part, cols)
+          }
+        }
+        assert(TxnLog.tryCommit(root, v, acts, "prop", nowMs = v * 100L))
+        perVersion += refLive
+      }
+      assert(TxnLog.checkpoints(root) == Seq(10, 20))
+      def check(v: Int): Unit = {
+        val st = TxnLog.stateAt(root, v)
+        val ref = perVersion(v - 1)
+        assert(st.live == ref.keySet, s"live mismatch at v$v")
+        for ((f, (part, cols)) <- ref) {
+          assert(st.parts.getOrElse(f, Seq.empty) == part,
+            s"parts mismatch at v$v/$f")
+          assert(st.stats.getOrElse(f, Seq.empty) == cols,
+            s"stats mismatch at v$v/$f")
+        }
+      }
+      (1 to 25).foreach(check)
+      // cleanup floors the log at v20; the checkpoint alone must
+      // reconstruct the rich metadata for every remaining version
+      assert(TxnLog.cleanupLog(root).nonEmpty)
+      (20 to 25).foreach(check)
+    }
+  }
+
+  /** Scratch root for stress/property cases. */
+  private def withTxnStress(body: String => Unit): Unit = withScratch(body)
+
   // ------------------------------------------- vacuum after cleanup
 
   test("vacuum after cleanupLog still reclaims pre-checkpoint orphans") {
