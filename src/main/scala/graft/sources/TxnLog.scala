@@ -575,9 +575,13 @@ class TxnLogOps(val store: LogStore) {
       // per-file scans unioned in NAME order, then a narrow
       // coalesce(1): deterministic row order (a multi-path scan packs
       // splits by SIZE, which would scramble clustering run order)
-      // and still zero exchange — Union and coalesce are narrow
+      // and still zero exchange — Union and coalesce are narrow.
+      // unionByName with null-fill: a bin spanning schema GENERATIONS
+      // (evolution happened between appends) rewrites under the
+      // merged column set — OPTIMIZE materializes the evolution, so
+      // the compacted table reads without mergeSchema work
       files.sorted.map(f => spark.read.parquet(s"$root/$f"))
-        .reduce(_ unionAll _)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$root/$out")
     }
@@ -658,9 +662,16 @@ class TxnLogOps(val store: LogStore) {
     // each matched key gets ONE owner file for its replacement row
     val owners = holders.map(_.groupBy(col(keyCol))
       .agg(min(col("__file")).as("__owner")).cache())
+    // rewrites happen under the TABLE schema when the log carries one:
+    // an old-generation file rewritten under its own narrower schema
+    // would silently DROP the source rows' evolved-column values —
+    // instead the rewrite null-pads the old rows (the same algebra the
+    // reader applies) and keeps the replacement rows whole
+    val tableSchema = stateAt(root, base).schemaDdl.map(StructType.fromDDL)
     val rewrites = touched.zipWithIndex.map { case (f, i) =>
       val out = f"${outBase}_u$i%04d"
-      val fileDf = spark.read.parquet(s"$root/$f")
+      val raw = spark.read.parquet(s"$root/$f")
+      val fileDf = tableSchema.map(projectTo(raw, _)).getOrElse(raw)
       val replacements = source
         .join(owners.get.where(col("__owner") === f), Seq(keyCol),
           "left_semi")

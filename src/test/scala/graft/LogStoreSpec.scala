@@ -525,6 +525,49 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
   /** Scratch root for stress/property cases. */
   private def withTxnStress(body: String => Unit): Unit = withScratch(body)
 
+  test("OPTIMIZE and MERGE work across schema generations") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      Seq((3L, 30.0, "x")).toDF("k", "v", "tag")
+        .coalesce(1).write.parquet(s"$root/f1")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      assert(TxnLog.commitAppend(root, Seq("f1"),
+        "k BIGINT,v DOUBLE,tag STRING", "s", evolve = true) == 2)
+      val before = TxnLog.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          Option(r.getString(2)))).toSet
+      // a bin spanning both generations rewrites under the MERGED
+      // column set (unionByName null-fill) — OPTIMIZE materializes
+      // the evolution instead of failing the unionAll arity check
+      val v = TxnLog.compact(spark, root, "opt")
+      assert(v.contains(3), s"compaction failed on evolved table: $v")
+      val out = TxnLog.liveFiles(root, 3)
+      assert(out.size == 1)
+      assert(spark.read.parquet(s"$root/${out.head}")
+        .columns.toSet == Set("k", "v", "tag"),
+        "rewrite did not materialize the merged schema")
+      assert(TxnLog.read(spark, root).collect().map(r =>
+        (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+        == before, "compaction changed an evolved table's content")
+      // MERGE replacing a row that lives in an OLD-generation slice:
+      // the rewrite must keep the source row's evolved column (a
+      // rewrite under the file's own narrow schema would drop it)
+      Seq((9L, 90.0)).toDF("k", "v").coalesce(1)
+        .write.parquet(s"$root/g0")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("g0")), "s") == 4)
+      val src = Seq((9L, 91.0, "new")).toDF("k", "v", "tag")
+      assert(TxnLog.mergeUpsert(spark, root, src, "k", "m").contains(5))
+      val got = TxnLog.read(spark, root).where(col("k") === 9L)
+        .collect().map(r => (r.getDouble(1), Option(r.getString(2))))
+      assert(got.toSeq == Seq((91.0, Some("new"))),
+        s"merge dropped the evolved column through an old file: " +
+          got.mkString(","))
+    }
+  }
+
   // ------------------------------------------- vacuum after cleanup
 
   test("vacuum after cleanupLog still reclaims pre-checkpoint orphans") {
