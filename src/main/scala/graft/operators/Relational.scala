@@ -1730,9 +1730,9 @@ object Relational {
     * compares); the data plan scans only surviving files. */
   def txnLogPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir, "txnpart|pri_cents2_v1")) {
+      (spark.sparkContext.applicationId, dir, "txnpart|pri_cents2_v2")) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnpart",
-            codeTag = "pri_cents2_v1") { target =>
+            codeTag = "pri_cents2_v2") { target =>
           val o = Tables.orders(spark, dir).select(col("o_orderkey"),
             col("o_totalprice"),
             Det.cents(col("o_totalprice")).as("o_cents"),
@@ -1740,23 +1740,15 @@ object Relational {
           val mm = o.agg(min(col("o_cents")), max(col("o_cents"))).head()
           val (mn, mx) = (mm.getLong(0), mm.getLong(1))
           new java.io.File(target).mkdirs()
-          val adds = for {
-            p <- (1 to 5).map(_.toString)
-            b <- Seq("lo", "hi")
-          } yield {
-            val bucketed = if (b == "lo")
-              o.where(col("pri") === p && col("o_cents") * 2 <= mn + mx)
-            else o.where(col("pri") === p && col("o_cents") * 2 > mn + mx)
-            val name = s"p${p}_$b"
-            bucketed.coalesce(1).write.parquet(s"$target/$name")
-            if (spark.read.parquet(s"$target/$name").isEmpty) {
-              graft.core.Fixtures.deleteRecursively(
-                new java.io.File(target, name)); None
-            } else Some(TxnLog.AddFile(name, Seq("pri" -> p),
-              Seq(TxnLog.statsFor(spark, target, name, "o_orderkey"),
-                TxnLog.statsFor(spark, target, name, "o_cents"))))
-          }
-          assert(TxnLog.tryCommit(target, 1, adds.flatten, "stage"))
+          // the writer-side API under test: one narrow slice per
+          // (pri, bkt) tuple, rich adds with both columns' bounds
+          val v = TxnLog.commitPartitionedAppend(spark, target,
+            o.withColumn("bkt", when(col("o_cents") * 2 <= mn + mx,
+              "lo").otherwise("hi")),
+            partCols = Seq("pri", "bkt"),
+            statsCols = Seq("o_orderkey", "o_cents"),
+            session = "stage")
+          assert(v == 1, s"partitioned append did not commit v1: $v")
         }
       }
     val o = Tables.orders(spark, dir)

