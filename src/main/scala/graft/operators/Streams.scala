@@ -449,8 +449,17 @@ object Streams {
         if (!done) {
           val name = f"s_b$batchId%06d"
           batch.write.mode("overwrite").parquet(s"$root/$name")
+          // publish write-time stats with the add (r10): streamed
+          // tables get data skipping too — one extra scan of the
+          // just-written slice buys every future read the prune. An
+          // empty/all-null batch publishes a plain add (statsFor's
+          // documented fallback contract).
+          val add: TxnLog.Entry =
+            try TxnLog.AddStats(name,
+              TxnLog.statsFor(spark, root, name, "event_id"))
+            catch { case _: IllegalArgumentException => TxnLog.add(name) }
           TxnLog.commitStreamBatch(root, app, batchId,
-            Seq(TxnLog.add(name)), "stream")
+            Seq(add), "stream")
           ()
         }
       }

@@ -372,6 +372,16 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .toSet
       assert(got == Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)),
         s"table tip diverged from batch truth: $got")
+      // r10: streamed adds carry write-time event_id stats, so a
+      // streamed table prunes like any other — the s2 slice (id 3)
+      // must be skippable when the range misses it
+      val tip = TxnLog.latestVersion(root)
+      val st = TxnLog.stateAt(root, tip)
+      assert(st.live.forall(f => st.stats.contains(f)),
+        s"streamed files missing stats: ${st.live.filterNot(st.stats.contains)}")
+      val (scanned, pruned) = TxnLog.prune(root, tip, "event_id", "1", "2")
+      assert(pruned.nonEmpty && scanned.size < st.live.size,
+        s"streamed stats did not prune: scanned=$scanned pruned=$pruned")
     } finally {
       for (d <- Seq(src, root, ck))
         graft.core.Fixtures.deleteRecursively(new java.io.File(d))
