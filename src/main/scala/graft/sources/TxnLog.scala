@@ -629,13 +629,28 @@ class TxnLogOps(val store: LogStore) {
     * single source row: every holding file is rewritten without it,
     * and the replacement lands once, in the lexicographically first
     * holder. Returns the committed version, or None on conflict. */
-  def mergeUpsert(spark: SparkSession, root: String, source: DataFrame,
+  def mergeUpsert(spark: SparkSession, root: String, source0: DataFrame,
                   keyCol: String, session: String,
                   beforeCommit: () => Unit = () => (),
                   maxAttempts: Int = 5): Option[Int] = {
     val base = latestVersion(root)
     val live = liveFiles(root, base)
     val outBase = f"m${base + 1}%08d" + s"_$session"
+    // the source is re-referenced once per touched file plus the
+    // bounds/insert passes — pin it for the operation's duration so a
+    // computed change batch is not recomputed N times
+    val source = source0.cache()
+    try mergeUpsertPinned(spark, root, source, keyCol, session,
+      beforeCommit, maxAttempts, base, live, outBase)
+    finally { source.unpersist(); () }
+  }
+
+  private def mergeUpsertPinned(spark: SparkSession, root: String,
+                                source: DataFrame, keyCol: String,
+                                session: String, beforeCommit: () => Unit,
+                                maxAttempts: Int, base: Int,
+                                live: Seq[String], outBase: String)
+  : Option[Int] = {
     val srcKeys = broadcast(source.select(col(keyCol)).distinct())
     val bounds = source.agg(min(col(keyCol)).cast("string"),
       max(col(keyCol)).cast("string"), count(lit(1)),
