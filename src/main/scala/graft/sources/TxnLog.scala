@@ -560,10 +560,21 @@ class TxnLogOps(val store: LogStore) {
               targetBytes: Long = DefaultTargetBytes,
               maxAttempts: Int = 5): Option[Int] = {
     val base = latestVersion(root)
-    val live = liveFiles(root, base)
+    val st = stateAt(root, base)
+    val live = st.live.toSeq.sorted
     require(live.nonEmpty, "nothing to compact")
-    val bins = binPack(live.map(f => f -> store.dataBytes(root, f)),
-      targetBytes)
+    // bins never span partition tuples: OPTIMIZE on a partitioned
+    // table compacts WITHIN each partition (Delta's posture), so the
+    // outputs keep carrying the tuple and partition pruning survives
+    // the rewrite instead of silently degrading to full scans
+    val groups = live.groupBy(f => st.parts.getOrElse(f, Seq.empty))
+      .toSeq
+      .sortBy(_._1.map { case (k, v) => s"$k=$v" }.mkString("/"))
+    val bins: Seq[(Seq[(String, String)], Seq[String])] =
+      groups.flatMap { case (part, files) =>
+        binPack(files.map(f => f -> store.dataBytes(root, f)),
+          targetBytes).map(part -> _)
+      }
     // session-scoped rewrite names: two concurrent compactors write
     // disjoint dirs — the version slot, not the data path, arbitrates
     // which rewrite becomes real. Overwrite mode: the only thing that
@@ -572,7 +583,8 @@ class TxnLogOps(val store: LogStore) {
     // advanced the version), so replacing it is the retry semantics a
     // crash demands.
     val outName = f"c${base + 1}%08d" + s"_$session"
-    def writeBin(files: Seq[String], out: String): Unit = {
+    def writeBin(part: Seq[(String, String)], files: Seq[String],
+                 out: String): Entry = {
       store.deleteDataDir(root, out) // crashed earlier attempt
       // per-file scans unioned in NAME order, then a narrow
       // coalesce(1): deterministic row order (a multi-path scan packs
@@ -582,30 +594,64 @@ class TxnLogOps(val store: LogStore) {
       // (evolution happened between appends) rewrites under the
       // merged column set — OPTIMIZE materializes the evolution, so
       // the compacted table reads without mergeSchema work
-      files.sorted.map(f => spark.read.parquet(s"$root/$f"))
+      val df = files.sorted.map(f => spark.read.parquet(s"$root/$f"))
         .reduce(_.unionByName(_, allowMissingColumns = true))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/$out")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$root/$out")
+      // stats survive OPTIMIZE too: recompute bounds for every column
+      // the bin's inputs published (restricted to the output schema),
+      // ONE agg over the fresh output
+      val cols = files.flatMap(f => st.stats.getOrElse(f, Seq.empty)
+          .map(_.col)).distinct.sorted
+        .filter(df.schema.fieldNames.contains)
+      val stats = statsForCols(spark, root, out, cols)
+      if (part.nonEmpty || stats.nonEmpty) AddFile(out, part, stats)
+      else add(out)
     }
-    val outs: Seq[String] =
-      if (bins.size == 1) { writeBin(bins.head, outName); Seq(outName) }
+    val named = bins.zipWithIndex.map { case ((part, files), i) =>
+      (part, files,
+        if (bins.size == 1) outName else f"${outName}_p$i%04d")
+    }
+    val adds: Seq[Entry] =
+      if (named.size == 1)
+        Seq(writeBin(named.head._1, named.head._2, named.head._3))
       else {
-        val names = bins.indices.map(i => f"${outName}_p$i%04d")
         val pool = java.util.concurrent.Executors
-          .newFixedThreadPool(math.min(bins.size, 8))
+          .newFixedThreadPool(math.min(named.size, 8))
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
         try scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(bins.zip(names).map {
-            case (b, n) => scala.concurrent.Future(writeBin(b, n))
+          scala.concurrent.Future.sequence(named.map {
+            case (p, b, n) => scala.concurrent.Future(writeBin(p, b, n))
           }),
           scala.concurrent.duration.Duration.Inf)
         finally pool.shutdown()
-        names
       }
+    val outs = named.map(_._3)
     beforeCommit()
     commitRewrite(root, base + 1, live,
-      live.map(remove) ++ outs.map(add), outs, session, maxAttempts)
+      live.map(remove) ++ adds, outs, session, maxAttempts)
+  }
+
+  /** Bounds for several columns of one data dir in a SINGLE agg pass
+    * — the multi-column [[statsFor]]. Columns whose bounds cannot be
+    * published (all-null, or a rendering the log line codec rejects)
+    * are silently skipped: stats are an optimization, absence only
+    * costs a scan (the conservative direction). */
+  private def statsForCols(spark: SparkSession, root: String,
+                           file: String, cols: Seq[String])
+  : Seq[FileStats] = {
+    if (cols.isEmpty) return Seq.empty
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("string"),
+      max(col(c)).cast("string"))) :+ count(lit(1))
+    val r = spark.read.parquet(s"$root/$file")
+      .agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(2 * cols.size)
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      if (n == 0L || r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+      else scala.util.Try(
+        FileStats(c, r.getString(2 * i), r.getString(2 * i + 1), n))
+        .toOption
+    }
   }
 
   /** Row-level MERGE (copy-on-write upsert — the most common
@@ -815,18 +861,28 @@ class TxnLogOps(val store: LogStore) {
     if (census.isEmpty) return None // nothing matches: no-op
     val outBase = f"d${base + 1}%08d" + s"_$session"
     val touched = census.map(_._1)
-    val rewrites = census.filter { case (_, hits, total) => hits < total }
-      .zipWithIndex.map { case ((f, _, _), i) =>
-        val out = f"${outBase}_k$i%04d"
-        store.deleteDataDir(root, out) // crashed earlier attempt
-        spark.read.parquet(s"$root/$f").where(!pred)
-          .coalesce(1).write.mode("overwrite").parquet(s"$root/$out")
-        out
-      }
+    val st = stateAt(root, base)
+    // survivor rewrites inherit the input file's partition tuple (a
+    // subset of a partition stays in it) and recompute its published
+    // stats columns — pruning metadata survives the DELETE
+    val rewrites: Seq[(String, Entry)] =
+      census.filter { case (_, hits, total) => hits < total }
+        .zipWithIndex.map { case ((f, _, _), i) =>
+          val out = f"${outBase}_k$i%04d"
+          store.deleteDataDir(root, out) // crashed earlier attempt
+          spark.read.parquet(s"$root/$f").where(!pred)
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/$out")
+          val part = st.parts.getOrElse(f, Seq.empty)
+          val stats = statsForCols(spark, root, out,
+            st.stats.getOrElse(f, Seq.empty).map(_.col))
+          out -> (if (part.nonEmpty || stats.nonEmpty)
+            AddFile(out, part, stats)
+          else add(out))
+        }
     beforeCommit()
     commitRewrite(root, base + 1, touched,
-      touched.map(remove) ++ rewrites.map(add), rewrites, session,
-      maxAttempts)
+      touched.map(remove) ++ rewrites.map(_._2), rewrites.map(_._1),
+      session, maxAttempts)
   }
 
   /** VACUUM with a retention horizon: delete the data of files not

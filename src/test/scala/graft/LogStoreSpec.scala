@@ -285,6 +285,13 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(got == ((0L to 14L) ++ (40L to 44L)),
         s"delete content wrong: $got")
+      // the boundary rewrite RECOMPUTED its stats: survivors are
+      // [10,14], so a probe inside the deleted range now prunes it
+      val (scanAfter, pruneAfter) =
+        TxnLog.prune(root, 2, "k", "16", "19")
+      assert(scanAfter == Seq("nostats"),
+        s"rewrite stats not recomputed: scanned $scanAfter")
+      assert(pruneAfter.exists(_.startsWith("d00000002_s_k")))
       // no matching rows -> no-op, no new version
       assert(TxnLog.deleteRange(spark, root, "k", "100", "200", "s")
         .isEmpty)
@@ -396,6 +403,48 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
         Seq((6L, "ap", 60L)).toDF("k", "region", "w"),
         Seq("region"), Seq("k", "w"), "s2") == 2)
       assert(TxnLog.liveFiles(root, 2).size == 3)
+    }
+  }
+
+  test("OPTIMIZE compacts within partitions and keeps pruning metadata") {
+    import spark.implicits._
+    withScratch { root =>
+      // two appends -> two files per region, all with k/w bounds
+      for ((lo, s) <- Seq((0L, "s1"), (100L, "s2")))
+        assert(TxnLog.commitPartitionedAppend(spark, root,
+          Seq((lo + 1, "eu", lo + 10), (lo + 2, "us", lo + 20))
+            .toDF("k", "region", "w"),
+          Seq("region"), Seq("k", "w"), s) > 0)
+      assert(TxnLog.liveFiles(root, 2).size == 4)
+      // OPTIMIZE must not merge across regions: 2 outputs, one per
+      // partition tuple, each still carrying the tuple AND recomputed
+      // bounds — pruning survives the rewrite
+      val v = TxnLog.compact(spark, root, "opt")
+      assert(v.contains(3))
+      val st = TxnLog.stateAt(root, 3)
+      assert(st.live.size == 2,
+        s"expected one output per partition: ${st.live}")
+      for (f <- st.live) {
+        assert(st.parts(f).size == 1 &&
+          Set("eu", "us")(st.parts(f).head._2),
+          s"output lost its partition tuple: $f -> ${st.parts.get(f)}")
+        assert(st.stats(f).map(_.col) == Seq("k", "w"),
+          s"output lost its stats: $f -> ${st.stats.get(f)}")
+      }
+      val eu = st.live.find(f => st.parts(f) == Seq("region" -> "eu")).get
+      assert(st.stats(eu) == Seq(TxnLog.FileStats("k", "1", "101", 2L),
+        TxnLog.FileStats("w", "10", "110", 2L)),
+        s"eu bounds not merged: ${st.stats(eu)}")
+      // partition + stats pruning still cut after OPTIMIZE
+      val (s1, p1) = TxnLog.pruneWhere(root, 3,
+        Seq("region" -> "eu"), Seq(("w", "100", "120")))
+      assert(s1 == Seq(eu) && p1.size == 1,
+        s"pruning degraded after OPTIMIZE: scanned=$s1 pruned=$p1")
+      // and content is intact
+      assert(TxnLog.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+        Set((1L, "eu", 10L), (2L, "us", 20L),
+          (101L, "eu", 110L), (102L, "us", 120L)))
     }
   }
 
