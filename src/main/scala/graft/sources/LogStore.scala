@@ -164,7 +164,7 @@ object LocalLogStore extends LogStore {
   * All paths resolve against the FileSystem owning `root`'s scheme,
   * so `hdfs://nn/warehouse/t`, `file:/tmp/t` and plain `/tmp/t` all
   * work unchanged. */
-final class HadoopLogStore(conf: org.apache.hadoop.conf.Configuration)
+class HadoopLogStore(conf: org.apache.hadoop.conf.Configuration)
   extends LogStore {
 
   import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
@@ -195,6 +195,16 @@ final class HadoopLogStore(conf: org.apache.hadoop.conf.Configuration)
     fs(p).exists(p)
   }
 
+  /** The commit arbiter's primitive: no-overwrite rename — an atomic
+    * namespace op on HDFS; on `file:` the JVM commit lock around the
+    * caller makes the check+rename exact within a process. Protected
+    * as the fault-injection seam for the lost-race classification
+    * spec. */
+  protected def renameNoOverwrite(tmp: Path, dest: Path): Unit = {
+    val fc = FileContext.getFileContext(dest.toUri, conf)
+    fc.rename(tmp, dest, Options.Rename.NONE)
+  }
+
   def putIfAbsent(root: String, name: String, lines: Seq[String],
                   session: String): Boolean = {
     val dir = logDir(root)
@@ -208,17 +218,19 @@ final class HadoopLogStore(conf: org.apache.hadoop.conf.Configuration)
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     try LogStore.jvmCommitLock.synchronized {
-      // no-overwrite rename: atomic namespace op on HDFS; on file:
-      // the JVM lock makes the check+rename exact within a process
-      val fc = FileContext.getFileContext(dest.toUri, conf)
-      fc.rename(tmp, dest, Options.Rename.NONE)
+      renameNoOverwrite(tmp, dest)
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.nio.file.FileAlreadyExistsException => false
-      case e: java.io.IOException
-        if Option(e.getMessage).exists(_.contains("already exists")) =>
-        false
+      case e: java.io.IOException =>
+        // some Hadoop filesystems surface the taken-slot refusal as a
+        // bare IOException; classifying by MESSAGE text is fragile
+        // across versions/locales and would silently read a genuine
+        // I/O fault as a lost race (VERDICT r10 #3). Decide by
+        // re-checking the slot: taken → a race we lost; empty → the
+        // rename failed for a real reason, surface it.
+        if (logExists(root, name)) false else throw e
     } finally {
       if (f.exists(tmp)) f.delete(tmp, false)
       ()

@@ -772,4 +772,137 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
         "single-bin rewrite lost the inputs' clustering")
     }
   }
+
+  // --------------------------------------- r11 null-safety hardening
+
+  test("deleteRange keeps null-keyed rows in a partially-matching file") {
+    import spark.implicits._
+    withScratch { root =>
+      // DELETE k BETWEEN 10 AND 20: the null-keyed row does NOT match
+      // (the predicate is not TRUE for it) and must survive the
+      // rewrite — a bare `!pred` filter evaluates to null there and
+      // silently destroys it (ADVICE r10 high: data loss)
+      Seq(Some(5L), None, Some(15L)).map(k => (k, 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      val v = TxnLog.deleteRange(spark, root, "k", "10", "20", "s")
+      assert(v.contains(2), s"delete did not commit: $v")
+      val got = TxnLog.read(spark, root).select("k").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+      assert(got == Set(Some(5L), None),
+        s"range delete destroyed null-keyed rows: $got")
+      // a file of ONLY null keys is never touched at all
+      Seq(None: Option[Long]).map(k => (k, 9.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/fn")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("fn")), "s") == 3)
+      assert(TxnLog.deleteRange(spark, root, "k", "0", "5", "s")
+        .contains(4))
+      assert(TxnLog.liveFiles(root, 4).contains("fn"),
+        "all-null file must never be touched by a range delete")
+      val after = TxnLog.read(spark, root).select("k").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+      assert(after == Seq(None, None), s"survivors wrong: $after")
+    }
+  }
+
+  test("commitPartitionedAppend rejects null partition values loudly") {
+    import spark.implicits._
+    withScratch { root =>
+      // `===` slicing would route null-partition rows into NO slice
+      // (silent row loss) and render the tuple as the ambiguous
+      // literal "null" — rejected up front instead (ADVICE r10 medium)
+      val df = Seq((1L, Option("a")), (2L, None: Option[String]))
+        .toDF("k", "p")
+      val e = intercept[IllegalArgumentException](
+        TxnLog.commitPartitionedAppend(spark, root, df,
+          partCols = Seq("p"), statsCols = Seq("k"), session = "s"))
+      assert(e.getMessage.contains("null"), e.getMessage)
+      assert(TxnLog.latestVersion(root) == 0, "partial commit leaked")
+    }
+  }
+
+  test("hadoop putIfAbsent: non-race IOException surfaces; taken slot is a loss") {
+    withScratch { root =>
+      @volatile var boom = false
+      val store = new HadoopLogStore(
+        spark.sparkContext.hadoopConfiguration) {
+        override protected def renameNoOverwrite(
+            tmp: org.apache.hadoop.fs.Path,
+            dest: org.apache.hadoop.fs.Path): Unit = {
+          if (boom) throw new java.io.IOException("disk quota exceeded")
+          super.renameNoOverwrite(tmp, dest)
+        }
+      }
+      val log = new TxnLogOps(store)
+      assert(log.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      boom = true
+      // slot v2 is EMPTY and the rename failed for a non-race reason:
+      // the fault must surface, not read as a lost race (VERDICT r10
+      // #3: maxAttempts exhaustion would misreport a real I/O fault)
+      val e = intercept[java.io.IOException](
+        log.tryCommit(root, 2, Seq(TxnLog.add("f1")), "s"))
+      assert(e.getMessage.contains("quota"), e.getMessage)
+      // slot v1 is TAKEN: the same failing rename classifies as a loss
+      assert(!log.tryCommit(root, 1, Seq(TxnLog.add("f1")), "s"))
+      boom = false
+      assert(log.tryCommit(root, 2, Seq(TxnLog.add("f1")), "s"))
+    }
+  }
+
+  test("mergeUpsert keeps pruning metadata; a changed partition value drops the tuple") {
+    import spark.implicits._
+    withScratch { root =>
+      val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (5L, "b", 50.0),
+        (6L, "b", 60.0)).toDF("k", "p", "v")
+      assert(TxnLog.commitPartitionedAppend(spark, root, df,
+        partCols = Seq("p"), statsCols = Seq("k"), session = "s") == 1)
+      // update k=2 in place (p stays 'a'); insert k=9
+      val src = Seq((2L, "a", 21.0), (9L, "b", 90.0)).toDF("k", "p", "v")
+      assert(TxnLog.mergeUpsert(spark, root, src, "k", "m").contains(2))
+      val st = TxnLog.stateAt(root, 2)
+      val rewritten = TxnLog.liveFiles(root, 2)
+        .filter(_.startsWith("m00000002_m_u"))
+      assert(rewritten.size == 1, s"expected one rewrite: $rewritten")
+      // the rewrite kept its partition tuple (every row still p='a')
+      // and recomputed its k bounds (ADVICE r10: plain add() used to
+      // strip both, degrading skipping to full scans after MERGE)
+      assert(st.parts.get(rewritten.head).contains(Seq("p" -> "a")),
+        s"merge rewrite lost its partition tuple: ${st.parts}")
+      assert(st.stats.get(rewritten.head)
+        .exists(_.exists(s => s.col == "k" && s.min == "1" &&
+          s.max == "2")), s"merge rewrite lost stats: ${st.stats}")
+      // the insert file publishes k bounds too (no tuple: it may span
+      // partitions)
+      val ins = TxnLog.liveFiles(root, 2).find(_.endsWith("_ins")).get
+      assert(st.stats.get(ins)
+        .exists(_.exists(s => s.col == "k" && s.min == "9" &&
+          s.max == "9")), s"insert file lost stats: ${st.stats}")
+      // partition pruning is still effective post-merge: planning
+      // p='b' prunes the rewritten a-file from the log alone
+      val (scanned, _) = TxnLog.pruneWhere(root, 2,
+        Seq("p" -> "b"), Seq.empty)
+      assert(!scanned.contains(rewritten.head),
+        s"post-merge partition pruning degraded: scanned $scanned")
+      // a merge that MOVES a key across partitions (k=5: b -> a) makes
+      // the rewritten b-file mixed — the tuple must be dropped, not
+      // inherited wrong (wrong metadata would prune live rows away)
+      val src2 = Seq((5L, "a", 51.0)).toDF("k", "p", "v")
+      assert(TxnLog.mergeUpsert(spark, root, src2, "k", "m2").contains(3))
+      val st3 = TxnLog.stateAt(root, 3)
+      val moved = TxnLog.liveFiles(root, 3)
+        .filter(_.startsWith("m00000003_m2_u"))
+      assert(moved.size == 1)
+      assert(!st3.parts.contains(moved.head),
+        s"mixed-partition rewrite kept a wrong tuple: ${st3.parts}")
+      assert(st3.stats.get(moved.head)
+        .exists(_.exists(s => s.col == "k" && s.min == "5" &&
+          s.max == "6")), s"moved rewrite lost stats: ${st3.stats}")
+      // correctness of content throughout
+      val got = TxnLog.read(spark, root)
+        .select("k", "p", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, "a", 10.0), (2L, "a", 21.0),
+        (5L, "a", 51.0), (6L, "b", 60.0), (9L, "b", 90.0)), s"$got")
+    }
+  }
 }
