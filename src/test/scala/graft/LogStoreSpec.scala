@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{HadoopLogStore, LocalLogStore, TxnLog, TxnLogOps}
+import graft.sources.{ConditionalPutLogStore, HadoopLogStore,
+  LocalLogStore, TxnLog, TxnLogOps}
 
 /** The r10 txn-log surface: the pluggable LogStore seam (local
   * hard-link vs Hadoop rename arbitration and their interop), the
@@ -24,11 +25,22 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     new TxnLogOps(new HadoopLogStore(
       spark.sparkContext.hadoopConfiguration))
 
+  /** Every store binding the protocol runs against, by name — the
+    * storage matrix (r11: local hard link, Hadoop no-overwrite
+    * rename, object-store conditional put). A fresh ops handle per
+    * call so the in-memory store never leaks state across tests. */
+  private def allStores: Seq[(String, TxnLogOps)] = Seq(
+    "local" -> TxnLog,
+    "hadoop" -> hadoopLog,
+    "condput" -> new TxnLogOps(new ConditionalPutLogStore))
+
   // ----------------------------------------------------- store parity
 
-  test("hadoop store runs the full protocol: commit, checkpoint, read, evo") {
+  /** The full-protocol exercise every non-default store must pass:
+    * schema-publishing and evolving appends, reads at versions,
+    * checkpoint crossing, log cleanup, timestamp resolution. */
+  private def fullProtocol(log: TxnLogOps): Unit = {
     import spark.implicits._
-    val log = hadoopLog
     withScratch { root =>
       Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
         .coalesce(1).write.parquet(s"$root/f0")
@@ -43,7 +55,7 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
       assert(log.read(spark, root).count() == 3)
       assert(log.read(spark, root, 1).columns.toSeq == Seq("k", "v"))
       // cross the checkpoint interval; state resolves from the
-      // checkpoint alone after cleanup — all through the Hadoop store
+      // checkpoint alone after cleanup — all through this store
       for (i <- 3 to 12)
         assert(log.tryCommit(root, i, Seq(TxnLog.add(s"g$i")), "hs",
           nowMs = i * 1000L))
@@ -56,6 +68,35 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
       assert(log.versionAsOf(root, log.commitTs(root, 10)) == 10)
       assert(log.versionAsOf(root, log.commitTs(root, 11) - 1) == 10)
       assert(log.tryCommit(root, 13, Seq(TxnLog.add("g13")), "hs"))
+    }
+  }
+
+  test("hadoop store runs the full protocol: commit, checkpoint, read, evo") {
+    fullProtocol(hadoopLog)
+  }
+
+  test("conditional-put store runs the full protocol: commit, checkpoint, read, evo") {
+    fullProtocol(new TxnLogOps(new ConditionalPutLogStore))
+  }
+
+  test("all stores replay one pinned commit sequence to the identical state") {
+    allStores.map { case (name, log) =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_parity_$name").toString
+      try {
+        assert(log.tryCommit(root, 1, Seq(TxnLog.add("f0"),
+          TxnLog.add("f1")), "s", nowMs = 1000L))
+        assert(log.tryCommit(root, 2, Seq(TxnLog.remove("f0"),
+          TxnLog.AddStats("f2",
+            TxnLog.FileStats("k", "1", "9", 9L))), "s", nowMs = 2000L))
+        name -> (log.entriesAt(root, 1), log.entriesAt(root, 2),
+          log.stateAt(root, 2))
+      } finally graft.core.Fixtures.deleteRecursively(
+        new java.io.File(root))
+    }.sliding(2).foreach {
+      case Seq((a, sa), (b, sb)) =>
+        assert(sa == sb, s"stores $a and $b disagree:\n$sa\n$sb")
+      case _ => ()
     }
   }
 
@@ -76,9 +117,8 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("hadoop store: two racers on one slot see exactly one winner") {
-    val log = hadoopLog
-    withScratch { root =>
+  test("every store: two racers on one slot see exactly one winner") {
+    for ((name, log) <- allStores) withScratch { root =>
       assert(log.commitNext(root, Seq(TxnLog.add("f0")), "seed") == 1)
       val slot = log.latestVersion(root) + 1
       val gate = new java.util.concurrent.CountDownLatch(1)
@@ -95,12 +135,32 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
       val wins = races.map(f => scala.concurrent.Await.result(f,
         scala.concurrent.duration.Duration("30s")))
       pool.shutdown()
-      assert(wins.count(identity) == 1, s"expected one winner, got $wins")
-      assert(log.versions(root) == Seq(1, 2))
-      // no tmp litter in the log dir after the race
+      assert(wins.count(identity) == 1,
+        s"[$name] expected one winner, got $wins")
+      assert(log.versions(root) == Seq(1, 2), s"[$name]")
+      // no tmp litter in the log dir after the race (file-based
+      // stores; the conditional-put store writes no tmp at all)
       val litter = Option(new java.io.File(root, "_log").listFiles())
         .toSeq.flatten.map(_.getName).filter(_.startsWith(".tmp_"))
-      assert(litter.isEmpty, s"tmp litter: $litter")
+      assert(litter.isEmpty, s"[$name] tmp litter: $litter")
+    }
+  }
+
+  test("conditional-put: an injected put fault surfaces, log uncorrupted, retry lands") {
+    val store = new ConditionalPutLogStore
+    val log = new TxnLogOps(store)
+    withScratch { root =>
+      assert(log.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      store.failNextPuts(1)
+      // the transient object-store fault must surface (never read as
+      // a lost race) and leave the log exactly as it was
+      intercept[java.io.IOException](
+        log.tryCommit(root, 2, Seq(TxnLog.add("f1")), "s"))
+      assert(log.latestVersion(root) == 1)
+      assert(log.liveFiles(root, 1) == Seq("f0"))
+      // a plain retry of the same commit lands
+      assert(log.tryCommit(root, 2, Seq(TxnLog.add("f1")), "s"))
+      assert(log.liveFiles(root, 2) == Seq("f0", "f1"))
     }
   }
 
