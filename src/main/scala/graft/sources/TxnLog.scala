@@ -688,7 +688,50 @@ class TxnLogOps(val store: LogStore) {
   def mergeUpsert(spark: SparkSession, root: String, source0: DataFrame,
                   keyCol: String, session: String,
                   beforeCommit: () => Unit = () => (),
-                  maxAttempts: Int = 5): Option[Int] = {
+                  maxAttempts: Int = 5): Option[Int] =
+    mergeClauses(spark, root, source0, keyCol, session,
+      updateWhen = Some(lit(true)), deleteWhen = None,
+      insertUnmatched = true, beforeCommit = beforeCommit,
+      maxAttempts = maxAttempts)
+
+  /** Row-level MERGE with the FULL clause surface (r11 — the other
+    * half of the MERGE statements users actually write; [[mergeUpsert]]
+    * is the `WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT` binding):
+    *
+    *  - `deleteWhen = Some(cond)` — `WHEN MATCHED AND cond THEN
+    *    DELETE`: a matched target row satisfying `cond` is removed.
+    *    Delete has precedence over update (fixed clause order).
+    *  - `updateWhen = Some(cond)` — `WHEN MATCHED AND cond THEN
+    *    UPDATE`: a matched row satisfying `cond` (and not deleted) is
+    *    REPLACED by its source row; `Some(lit(true))` is the
+    *    unconditional update, `None` removes the clause entirely.
+    *  - `insertUnmatched` — `WHEN NOT MATCHED THEN INSERT` on/off.
+    *
+    * Conditions are Column expressions over the TARGET row's columns
+    * plus the source row's columns renamed `__src_<col>` (the key
+    * keeps its name), e.g. `col("__src_v") > col("v")` updates only
+    * when the source is newer. SQL clause semantics: a condition
+    * fires only when it evaluates to TRUE (null = no fire); a matched
+    * row firing no clause survives unchanged.
+    *
+    * The planner ladder composes [[mergeUpsert]]'s with
+    * [[deleteRange]]'s cheapest-action trick: stats pre-prune → ONE
+    * broadcast inner probe over the candidates (matched rows + clause
+    * flags, bounded by the source's key count) → per file: untouched
+    * when no clause fires, PURE REMOVE (metadata-only, zero data I/O)
+    * when every row fires delete, narrow copy-on-write rewrite
+    * otherwise. Rewrites run as concurrent Spark jobs and re-publish
+    * pruning metadata exactly like [[mergeUpsert]]. Commit is
+    * conflict-aware ([[commitRewrite]]). Returns the committed
+    * version, or None when nothing matched and nothing inserts (or on
+    * conflict). */
+  def mergeClauses(spark: SparkSession, root: String, source0: DataFrame,
+                   keyCol: String, session: String,
+                   updateWhen: Option[org.apache.spark.sql.Column],
+                   deleteWhen: Option[org.apache.spark.sql.Column],
+                   insertUnmatched: Boolean = true,
+                   beforeCommit: () => Unit = () => (),
+                   maxAttempts: Int = 5): Option[Int] = {
     val base = latestVersion(root)
     val live = liveFiles(root, base)
     val outBase = f"m${base + 1}%08d" + s"_$session"
@@ -696,18 +739,19 @@ class TxnLogOps(val store: LogStore) {
     // bounds/insert passes — pin it for the operation's duration so a
     // computed change batch is not recomputed N times
     val source = source0.cache()
-    try mergeUpsertPinned(spark, root, source, keyCol, session,
-      beforeCommit, maxAttempts, base, live, outBase)
+    try mergeClausesPinned(spark, root, source, keyCol, session,
+      updateWhen, deleteWhen, insertUnmatched, beforeCommit,
+      maxAttempts, base, live, outBase)
     finally { source.unpersist(); () }
   }
 
-  private def mergeUpsertPinned(spark: SparkSession, root: String,
-                                source: DataFrame, keyCol: String,
-                                session: String, beforeCommit: () => Unit,
-                                maxAttempts: Int, base: Int,
-                                live: Seq[String], outBase: String)
+  private def mergeClausesPinned(spark: SparkSession, root: String,
+      source: DataFrame, keyCol: String, session: String,
+      updateWhen: Option[org.apache.spark.sql.Column],
+      deleteWhen: Option[org.apache.spark.sql.Column],
+      insertUnmatched: Boolean, beforeCommit: () => Unit,
+      maxAttempts: Int, base: Int, live: Seq[String], outBase: String)
   : Option[Int] = {
-    val srcKeys = broadcast(source.select(col(keyCol)).distinct())
     val bounds = source.agg(min(col(keyCol)).cast("string"),
       max(col(keyCol)).cast("string"), count(lit(1)),
       countDistinct(col(keyCol))).head()
@@ -721,19 +765,54 @@ class TxnLogOps(val store: LogStore) {
       else pruneWhere(root, base, Seq.empty,
         Seq((keyCol, bounds.getString(0), bounds.getString(1))))
     val fileOf = regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1)
-    // (key, holding file) for every matched key — bounded by the
-    // source's key count, the merge's own scale; kept distributed
-    val holders =
+    // source columns renamed __src_<c> (key keeps its name) so clause
+    // conditions can reference BOTH sides of the match
+    val srcRen = broadcast(source.select(
+      (col(keyCol) +: source.columns.filterNot(_ == keyCol).toSeq
+        .map(c => col(c).as(s"__src_$c"))): _*))
+    // a clause fires only when its condition is TRUE — null-safe, and
+    // null for unmatched rows' __src_ references folds to no-fire
+    val delC = deleteWhen.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    val updC = updateWhen.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    // ONE probe pass: every matched (row, holding file) with its
+    // clause flags — bounded by the source's key count times holders,
+    // the merge's own scale; kept distributed and pinned for reuse
+    val probe =
       if (candidates.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true")
         .parquet(candidates.map(f => s"$root/$f"): _*)
-        .select(col(keyCol), fileOf.as("__file"))
-        .join(srcKeys, keyCol).cache())
-    val touched: Seq[String] = holders.toSeq.flatMap(
-      _.select(col("__file")).distinct()
-        .collect().map(_.getString(0))).sorted
-    // each matched key gets ONE owner file for its replacement row
-    val owners = holders.map(_.groupBy(col(keyCol))
+        .withColumn("__file", fileOf)
+        .join(srcRen, Seq(keyCol))
+        .select(col(keyCol), col("__file"), delC.as("__d"),
+          (!delC && updC).as("__u"))
+        .cache())
+    val byFile: Map[String, (Long, Long)] = probe.map(
+      _.groupBy(col("__file"))
+        .agg(count(when(col("__d"), 1)).as("dels"),
+          count(when(col("__u"), 1)).as("upds"))
+        .collect().map(r =>
+          r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap)
+      .getOrElse(Map.empty)
+    // the cheapest-action ladder, per file: untouched when no clause
+    // fired; PURE REMOVE when every row fires delete (row totals for
+    // delete-affected files come from one narrow count scan — zero
+    // data I/O on the happy path); narrow rewrite otherwise
+    val delFiles = byFile.filter(_._2._1 > 0).keys.toSeq.sorted
+    val totals: Map[String, Long] =
+      if (delFiles.isEmpty) Map.empty
+      else spark.read.option("mergeSchema", "true")
+        .parquet(delFiles.map(f => s"$root/$f"): _*)
+        .select(fileOf.as("__file")).groupBy(col("__file")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pure = delFiles.filter(f => byFile(f)._1 == totals(f))
+    val rewriteFiles = byFile.keys.toSeq
+      .filter(f => byFile(f)._1 + byFile(f)._2 > 0)
+      .filterNot(pure.contains).sorted
+    val touched = (pure ++ rewriteFiles).sorted
+    // each update-firing key gets ONE owner file for its replacement
+    val owners = probe.map(_.where(col("__u")).groupBy(col(keyCol))
       .agg(min(col("__file")).as("__owner")).cache())
     // rewrites happen under the TABLE schema when the log carries one:
     // an old-generation file rewritten under its own narrower schema
@@ -750,17 +829,24 @@ class TxnLogOps(val store: LogStore) {
     // value than the row it replaces, so each k=v is re-verified
     // against the output's own bounds (min==max==v) and dropped
     // otherwise (conservative: absent metadata only costs a scan).
-    val rewriteTasks = touched.zipWithIndex.map { case (f, i) =>
+    val rewriteTasks = rewriteFiles.zipWithIndex.map { case (f, i) =>
       () => {
         val out = f"${outBase}_u$i%04d"
         val raw = spark.read.parquet(s"$root/$f")
         val fileDf = tableSchema.map(projectTo(raw, _)).getOrElse(raw)
-        val replacements = source
-          .join(owners.get.where(col("__owner") === f), Seq(keyCol),
-            "left_semi")
+        val cols = fileDf.columns.map(col).toSeq
+        // keep: unmatched rows, and matched rows firing NO clause
+        val kept = fileDf.join(srcRen
+            .withColumn("__matched", lit(true)), Seq(keyCol), "left")
+          .where(!coalesce(col("__matched"), lit(false)) ||
+            (!delC && !updC))
+          .select(cols: _*)
+        val replacements = owners
+          .map(o => source.join(o.where(col("__owner") === f),
+            Seq(keyCol), "left_semi"))
+          .getOrElse(source.limit(0))
         store.deleteDataDir(root, out) // crashed earlier attempt
-        fileDf.join(srcKeys, Seq(keyCol), "left_anti")
-          .unionByName(replacements.select(fileDf.columns.map(col).toSeq: _*))
+        kept.unionByName(replacements.select(cols: _*))
           .coalesce(1).write.mode("overwrite").parquet(s"$root/$out")
         val part = st.parts.getOrElse(f, Seq.empty)
         val statCols = st.stats.getOrElse(f, Seq.empty).map(_.col)
@@ -776,10 +862,12 @@ class TxnLogOps(val store: LogStore) {
       }
     }
     val rewrites: Seq[(String, Entry)] = inPool(rewriteTasks)
-    val inserts = owners
-      .map(o => source.join(o.select(col(keyCol)), Seq(keyCol),
+    // a matched key is never an insert, whatever clauses fired
+    val inserts0 = probe
+      .map(p => source.join(p.select(col(keyCol)), Seq(keyCol),
         "left_anti"))
       .getOrElse(source)
+    val inserts = if (insertUnmatched) inserts0 else source.limit(0)
     val insertOut: Option[(String, Entry)] =
       if (inserts.isEmpty) None
       else {
@@ -796,10 +884,11 @@ class TxnLogOps(val store: LogStore) {
           (if (stats.nonEmpty) AddFile(out, Seq.empty, stats)
           else add(out)))
       }
-    holders.foreach(_.unpersist())
+    probe.foreach(_.unpersist())
     owners.foreach(_.unpersist())
     val outs = rewrites ++ insertOut.toSeq
-    if (outs.isEmpty) return None // nothing matched, nothing to insert
+    if (outs.isEmpty && pure.isEmpty)
+      return None // nothing fired, nothing to insert
     beforeCommit()
     commitRewrite(root, base + 1, touched,
       touched.map(remove) ++ outs.map(_._2), outs.map(_._1), session,

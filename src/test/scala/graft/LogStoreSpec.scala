@@ -308,6 +308,80 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mergeClauses: delete clause pure-removes full-match files, rewrites boundaries") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/fa")
+      Seq((3L, 30.0), (4L, 40.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/fb")
+      assert(TxnLog.commitNext(root,
+        Seq(TxnLog.add("fa"), TxnLog.add("fb")), "s") == 1)
+      // WHEN MATCHED DELETE, no update, no insert: matches ALL of fa
+      // (pure remove — deleteRange's metadata-only trick) and half of
+      // fb (narrow rewrite)
+      val src = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)).toDF("k", "v")
+      val v = TxnLog.mergeClauses(spark, root, src, "k", "m",
+        updateWhen = None, deleteWhen = Some(lit(true)),
+        insertUnmatched = false)
+      assert(v.contains(2), s"clause merge did not commit: $v")
+      val acts = TxnLog.actionsAt(root, 2)
+      assert(acts.collect { case TxnLog.Action("remove", f) => f }
+        .sorted == Seq("fa", "fb"))
+      val added = acts.collect { case TxnLog.Action("add", f) => f }
+      assert(added.size == 1 && added.head.contains("_u"),
+        s"fa must pure-remove without a rewrite: $added")
+      assert(TxnLog.read(spark, root).select("k")
+        .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    }
+  }
+
+  test("mergeClauses: conditional update/delete over both sides, precedence, no-insert") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+        .toDF("k", "v").coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      // k=1: source newer -> update fires;  k=2: source older -> no
+      // clause fires, row survives UNCHANGED;  k=3: tombstone ->
+      // delete fires;  k=4: BOTH fire -> delete has precedence;
+      // k=9: unmatched and insertUnmatched=false -> dropped
+      val src = Seq((1L, 11.0), (2L, 5.0), (3L, -1.0), (4L, 50.0),
+        (9L, 99.0)).toDF("k", "v")
+      val v = TxnLog.mergeClauses(spark, root, src, "k", "m",
+        updateWhen = Some(col("__src_v") > col("v")),
+        deleteWhen = Some(col("__src_v") < 0 || col("__src_v") > 45),
+        insertUnmatched = false)
+      assert(v.contains(2), s"clause merge did not commit: $v")
+      val got = TxnLog.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 11.0), (2L, 20.0)), s"clause merge: $got")
+      assert(!TxnLog.liveFiles(root, 2).exists(_.endsWith("_ins")),
+        "insertUnmatched=false must not write an insert file")
+    }
+  }
+
+  test("mergeClauses: a null condition never fires; all-no-op merge is a no-op") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 10.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      val src = Seq((1L, 99.0)).toDF("k", "v")
+      // SQL clause semantics: a condition evaluating to null is NOT
+      // TRUE — the clause must not fire, and with no insert either the
+      // whole merge is a no-op (no new version)
+      val v = TxnLog.mergeClauses(spark, root, src, "k", "m",
+        updateWhen = Some(lit(null).cast("boolean")),
+        deleteWhen = Some(lit(null).cast("boolean")),
+        insertUnmatched = false)
+      assert(v.isEmpty, s"no-op clause merge committed: $v")
+      assert(TxnLog.latestVersion(root) == 1)
+      val got = TxnLog.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 10.0)))
+    }
+  }
+
   test("deleteRange takes the cheapest action per file: skip, pure-remove, rewrite") {
     import spark.implicits._
     withScratch { root =>

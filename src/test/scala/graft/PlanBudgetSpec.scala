@@ -140,6 +140,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "txn_log_partition_prune" -> 1,
     // post-merge tip read + one scalar agg
     "txn_log_merge" -> 1,
+    // post-clause-merge tip read + one scalar agg (probe/census are
+    // fixture staging, not the query plan)
+    "txn_log_merge_clauses" -> 1,
     // post-delete tip read + one scalar agg (census is log metadata)
     "txn_log_delete" -> 1,
     // the scan_txn_log rollup shape + broadcast probe join + sort
