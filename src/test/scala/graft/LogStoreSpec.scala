@@ -907,6 +907,60 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("OPTIMIZE ZORDER creates the 2-D clustering pruneWhere exploits") {
+    import spark.implicits._
+    // the same unclustered ingest (4 interleaved slices, every file
+    // spanning the full x AND y domains) lands in two tables; one
+    // gets the default clustering-PRESERVING OPTIMIZE, the other the
+    // clustering-CREATING zorder mode
+    def mkTable(root: String): Unit = {
+      val rows = (0 until 4096).map(i =>
+        ((i.toLong * 37) % 1024, (i.toLong * 101) % 1024))
+      for (s <- 0 until 4)
+        rows.zipWithIndex.filter(_._2 % 4 == s).map(_._1)
+          .toDF("x", "y").coalesce(1).write.parquet(s"$root/f$s")
+      val adds: Seq[TxnLog.Entry] = (0 until 4).map { s =>
+        TxnLog.AddFile(s"f$s", Seq.empty, Seq(
+          TxnLog.statsFor(spark, root, s"f$s", "x"),
+          TxnLog.statsFor(spark, root, s"f$s", "y")))
+      }
+      assert(TxnLog.tryCommit(root, 1, adds, "s"))
+    }
+    withScratch { plain =>
+      withScratch { zed =>
+        mkTable(plain); mkTable(zed)
+        assert(TxnLog.compact(spark, plain, "opt",
+          targetBytes = 1L).contains(2))
+        assert(TxnLog.compactZorder(spark, zed, Seq("x", "y"), "opt",
+          zBuckets = 16).contains(2))
+        // 2-D predicate box: the bottom-left sixteenth of the domain
+        val preds = Seq(("x", "0", "255"), ("y", "0", "255"))
+        val (_, prunedPlain) = TxnLog.pruneWhere(plain, 2, Seq.empty, preds)
+        val (zScan, zPruned) = TxnLog.pruneWhere(zed, 2, Seq.empty, preds)
+        // plain OPTIMIZE can only preserve what the ingest had: every
+        // bin still spans both domains, nothing prunes
+        assert(prunedPlain.isEmpty,
+          s"interleaved ingest should not prune: $prunedPlain")
+        // the z-order rewrite cuts the space so the box touches few
+        // cells — strictly more pruning, and most files skipped
+        assert(zPruned.size > prunedPlain.size &&
+          zPruned.size > zScan.size,
+          s"zorder pruned ${zPruned.size} vs scanned ${zScan.size}")
+        // re-layout may never change content
+        val a = TxnLog.read(spark, plain).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val b = TxnLog.read(spark, zed).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(a == b, "zorder changed table content")
+        // outputs carry BOTH columns' bounds (the point of the mode)
+        val st = TxnLog.stateAt(zed, 2)
+        assert(st.live.forall(f => st.stats.get(f)
+          .exists(s => s.map(_.col).toSet == Set("x", "y"))),
+          s"zorder outputs missing 2-D bounds: ${st.stats}")
+      }
+    }
+  }
+
   // --------------------------------------- r11 null-safety hardening
 
   test("deleteRange keeps null-keyed rows in a partially-matching file") {

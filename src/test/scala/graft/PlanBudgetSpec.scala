@@ -143,6 +143,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // post-clause-merge tip read + one scalar agg (probe/census are
     // fixture staging, not the query plan)
     "txn_log_merge_clauses" -> 1,
+    // pruned multi-path scan of surviving z cells + one scalar agg
+    // (the z rewrite's one exchange happens at fixture staging)
+    "txn_log_zorder" -> 1,
     // post-delete tip read + one scalar agg (census is log metadata)
     "txn_log_delete" -> 1,
     // the scan_txn_log rollup shape + broadcast probe join + sort
