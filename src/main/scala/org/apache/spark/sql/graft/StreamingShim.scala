@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graft
+
+/** The one internal bridge a V1 streaming [[org.apache.spark.sql
+  * .execution.streaming.Source]] built OUTSIDE the Spark tree needs:
+  * `getBatch` must return a DataFrame whose logical plan carries the
+  * `isStreaming` flag (MicroBatchExecution asserts it before wiring
+  * the batch into the incremental plan), and the only constructor of
+  * that flag is `SparkSession.internalCreateDataFrame` — which is
+  * `private[sql]`, so this shim lives under `org.apache.spark.sql`.
+  * This is the standard technique every pre-DSv2 external connector
+  * used (public knowledge); the rest of the source implementation
+  * stays in `graft.streaming` against public traits only. */
+object StreamingShim {
+
+  /** Re-root `df`'s compiled plan as a streaming-flagged scan. The
+    * physical plan is compiled HERE (so the batch frame keeps its
+    * pushed filters and pruned columns); execution still happens when
+    * the micro-batch runs. */
+  def asStreamingFrame(df: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+}

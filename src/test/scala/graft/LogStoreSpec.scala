@@ -907,6 +907,46 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("readChanges diffs the journal exactly and fails below the retention floor") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      // v2 is a copy-on-write DELETE rewrite: its add re-writes the
+      // surviving k=2 row, which must CANCEL in the diff — only the
+      // actually-deleted row appears
+      assert(TxnLog.deleteRange(spark, root, "k", "1", "1", "s")
+        .contains(2))
+      val ch = TxnLog.readChanges(spark, root, 0)
+        .select(col("_commit_version"), col("_change_type"), col("k"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      assert(ch == Set((1, "insert", 1L), (1, "insert", 2L),
+        (2, "delete", 1L)), s"journal diff wrong: $ch")
+      // a sub-range sees only its own versions
+      val ch2 = TxnLog.readChanges(spark, root, 1)
+        .select(col("_change_type"), col("k")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(ch2 == Set(("delete", 1L)), s"sub-range wrong: $ch2")
+      // below the retention floor (cleanupLog retired the version
+      // files) CDF must fail loudly, never return partial changes
+      for (i <- 3 to 10)
+        assert(TxnLog.tryCommit(root, i, Seq(TxnLog.add(s"g$i")), "s",
+          nowMs = i * 1000L))
+      assert(TxnLog.cleanupLog(root).nonEmpty)
+      val e = intercept[IllegalArgumentException](
+        TxnLog.readChanges(spark, root, 0))
+      assert(e.getMessage.contains("retention"), e.getMessage)
+      // above the floor the tail keeps working
+      Seq((9L, 9.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/g11")
+      assert(TxnLog.tryCommit(root, 11, Seq(TxnLog.add("g11")), "s"))
+      val ch3 = TxnLog.readChanges(spark, root, 10)
+        .select(col("k")).collect().map(_.getLong(0)).toSeq
+      assert(ch3 == Seq(9L), s"post-floor tail wrong: $ch3")
+    }
+  }
+
   test("OPTIMIZE ZORDER creates the 2-D clustering pruneWhere exploits") {
     import spark.implicits._
     // the same unclustered ingest (4 interleaved slices, every file

@@ -146,6 +146,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // pruned multi-path scan of surviving z cells + one scalar agg
     // (the z rewrite's one exchange happens at fixture staging)
     "txn_log_zorder" -> 1,
+    // append versions diff shuffle-free; the two rewrite versions pay
+    // one exceptAll aggregate each way (4) + feed groupBy + sort
+    "txn_log_cdf" -> 6,
     // post-delete tip read + one scalar agg (census is log metadata)
     "txn_log_delete" -> 1,
     // the scan_txn_log rollup shape + broadcast probe join + sort

@@ -406,4 +406,103 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(rows(0).getAs[Timestamp]("send") == ts(30))
     } finally q.stop()
   }
+
+  // ------------------------------- r11: txn-log table as a SOURCE
+
+  private def txnTailPass(root: String, out: String, ck: String,
+                          options: Map[String, String] = Map.empty)
+  : Unit = {
+    val reader = spark.readStream
+      .format(classOf[graft.streaming.TxnLogSourceProvider].getName)
+      .option("path", root)
+    val q = options.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+  }
+
+  test("txn-log streaming source: version-offset tail survives a restart") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmpRoot = sys.props("java.io.tmpdir")
+    val (root, out, ck) = (s"$tmpRoot/graft_txnsrc_$uuid",
+      s"$tmpRoot/graft_txnsrc_out_$uuid", s"$tmpRoot/graft_txnsrc_ck_$uuid")
+    try {
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      // pass 1: the whole committed history is the first batch
+      txnTailPass(root, out, ck)
+      assert(spark.read.parquet(out).count() == 2)
+      // two commits while the stream is DOWN; the checkpointed version
+      // offset must resume at exactly v2 — new rows once, no replay
+      Seq((3L, 30.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/f1")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f1")), "s") == 2)
+      Seq((4L, 40.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/f2")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f2")), "s") == 3)
+      txnTailPass(root, out, ck)
+      val got = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+      assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)),
+        s"restart re-delivered or dropped rows: $got")
+      // a rewrite commit is NOT an append: the tail fails loudly…
+      assert(TxnLog.mergeUpsert(spark, root,
+        Seq((2L, 21.0)).toDF("k", "v"), "k", "m").contains(4))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        txnTailPass(root, out, ck))
+      assert(e.getMessage.contains("rewrites files") ||
+        Option(e.getCause).exists(_.getMessage.contains("rewrites files")),
+        s"wrong failure: ${e.getMessage}")
+    } finally {
+      for (d <- Seq(root, out, ck))
+        graft.core.Fixtures.deleteRecursively(new java.io.File(d))
+    }
+  }
+
+  test("txn-log streaming source: change-feed mode streams exact rewrite diffs") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmpRoot = sys.props("java.io.tmpdir")
+    val (root, out, ck) = (s"$tmpRoot/graft_txncdf_$uuid",
+      s"$tmpRoot/graft_txncdf_out_$uuid", s"$tmpRoot/graft_txncdf_ck_$uuid")
+    try {
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      // v2 rewrites k=2 (MERGE): CDF mode must deliver the exact
+      // delete/insert pair, not re-deliver the copied k=1 row
+      assert(TxnLog.mergeUpsert(spark, root,
+        Seq((2L, 21.0)).toDF("k", "v"), "k", "m").contains(2))
+      txnTailPass(root, out, ck, Map("readChangeFeed" -> "true"))
+      val got = spark.read.parquet(out)
+        .select(col("_commit_version"), col("_change_type"), col("k"),
+          col("v"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got == Set(
+        (1, "insert", 1L, 10.0), (1, "insert", 2L, 20.0),
+        (2, "delete", 2L, 20.0), (2, "insert", 2L, 21.0)),
+        s"change feed wrong: $got")
+      // tail continues from the checkpoint: an append delivers only
+      // its own inserts
+      Seq((9L, 90.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/f9")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f9")), "s") == 3)
+      txnTailPass(root, out, ck, Map("readChangeFeed" -> "true"))
+      val v3 = spark.read.parquet(out)
+        .where(col("_commit_version") === 3)
+        .collect().map(r => (r.getAs[String]("_change_type"),
+          r.getAs[Long]("k"))).toSet
+      assert(v3 == Set(("insert", 9L)), s"tail after restart: $v3")
+      assert(spark.read.parquet(out).count() == 5)
+    } finally {
+      for (d <- Seq(root, out, ck))
+        graft.core.Fixtures.deleteRecursively(new java.io.File(d))
+    }
+  }
 }
