@@ -270,6 +270,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_hard_negatives" -> 2,
     "llm_fingerprint" -> 1,
     "llm_incremental_dedup" -> 11,
+    // same band/digest machinery, increment membership via CDF-id
+    // joins instead of mod filters — measured equal to the twin
+    "llm_dedup_cdf" -> 11,
     "llm_lang_id" -> 1,
     // projection + ≤|langs|² cell agg + per-actual window + sort
     "llm_lang_confusion" -> 3,
