@@ -30,6 +30,10 @@ import graft.sources.TxnLog
   *    silently re-delivering rewritten rows. With the option set, the
   *    commit's added files stream anyway (documented at-least-once
   *    re-delivery on rewrites).
+  *  - `maxVersionsPerTrigger` (default unlimited): cap how many
+  *    commits one micro-batch drains — the backfill throttle; a
+  *    startingVersion=0 catch-up over a long history becomes N
+  *    checkpointed batches instead of one giant one.
   *  - `readChangeFeed` (default false): stream row-level CHANGES
   *    instead of appended rows — each batch is
   *    [[graft.sources.TxnLog.readChanges]] over (start, end], so
@@ -64,7 +68,8 @@ class TxnLogSourceProvider extends StreamSourceProvider
       TxnLogSource.resolveSchema(sqlContext, schema, parameters),
       parameters.get("startingVersion").map(_.toInt).getOrElse(0),
       parameters.get("ignoreChanges").exists(_.toBoolean),
-      parameters.get("readChangeFeed").exists(_.toBoolean))
+      parameters.get("readChangeFeed").exists(_.toBoolean),
+      parameters.get("maxVersionsPerTrigger").map(_.toInt))
 }
 
 object TxnLogSource {
@@ -101,7 +106,8 @@ object TxnLogSource {
 
 private[streaming] class TxnLogSource(sqlContext: SQLContext,
     rootPath: String, override val schema: StructType,
-    startingVersion: Int, ignoreChanges: Boolean, changeFeed: Boolean)
+    startingVersion: Int, ignoreChanges: Boolean, changeFeed: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming
     .SupportsTriggerAvailableNow {
@@ -123,13 +129,28 @@ private[streaming] class TxnLogSource(sqlContext: SQLContext,
     availableNowCap = Some(TxnLog.latestVersion(rootPath))
 
   /** Admission control (the interface AvailableNow rides on): the
-    * newest admissible offset, null when nothing new. Read limits
-    * don't subdivide here — a commit is the atomic admission unit. */
+    * newest admissible offset, null when nothing new. The commit is
+    * the atomic admission unit; `maxVersionsPerTrigger` caps how many
+    * commits one micro-batch drains — the backfill throttle (a
+    * startingVersion=0 catch-up over a long history becomes N
+    * checkpointed batches instead of one giant one). Under
+    * Trigger.AvailableNow the engine keeps calling this until the
+    * pinned tip is reached, so a capped catch-up still terminates. */
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-  : org.apache.spark.sql.connector.read.streaming.Offset =
-    getOffset.orNull
+  : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val tip = getOffset.map(ver)
+    val from = Option(start).map(_.json.trim.toInt)
+      .getOrElse(startingVersion)
+    tip match {
+      case None => null
+      case Some(t) if t <= from => null
+      case Some(t) =>
+        VersionOffset(maxVersionsPerTrigger
+          .fold(t)(n => math.min(t, from + math.max(1, n))))
+    }
+  }
 
   override def getOffset: Option[Offset] = {
     val tip0 = TxnLog.latestVersion(rootPath)

@@ -1001,6 +1001,44 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("OPTIMIZE ZORDER runs within partition tuples and keeps them") {
+    import spark.implicits._
+    withScratch { root =>
+      // two partitions, each ingested as 2 interleaved slices
+      val df = (0 until 512).map(i =>
+        ((i.toLong * 37) % 256, (i.toLong * 101) % 256,
+          if (i % 2 == 0) "a" else "b")).toDF("x", "y", "p")
+      assert(TxnLog.commitPartitionedAppend(spark, root, df,
+        partCols = Seq("p"), statsCols = Seq("x"), session = "s") == 1)
+      val v = TxnLog.compactZorder(spark, root, Seq("x", "y"), "opt",
+        zBuckets = 4)
+      assert(v.contains(2), s"partitioned zorder did not commit: $v")
+      val st = TxnLog.stateAt(root, 2)
+      // every output still carries its partition tuple (zorder runs
+      // WITHIN partitions) plus bounds on both z columns
+      assert(st.live.nonEmpty)
+      st.live.foreach { f =>
+        val part = st.parts.getOrElse(f, Seq.empty)
+        assert(part.size == 1 && part.head._1 == "p",
+          s"zorder output $f lost its partition tuple: $part")
+        assert(st.stats.get(f)
+          .exists(s => s.map(_.col).toSet == Set("x", "y")),
+          s"zorder output $f missing 2-D bounds: ${st.stats.get(f)}")
+      }
+      // partition pruning still cuts after the rewrite
+      val (scanned, pruned) = TxnLog.pruneWhere(root, 2,
+        Seq("p" -> "a"), Seq.empty)
+      assert(pruned.nonEmpty && scanned.nonEmpty,
+        s"partition pruning degraded: scanned=$scanned pruned=$pruned")
+      // content survived
+      val got = TxnLog.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      val want = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      assert(got.toSeq == want.toSeq, "partitioned zorder changed content")
+    }
+  }
+
   // --------------------------------------- r11 null-safety hardening
 
   test("deleteRange keeps null-keyed rows in a partially-matching file") {

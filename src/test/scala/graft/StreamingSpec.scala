@@ -464,6 +464,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("txn-log streaming source: maxVersionsPerTrigger paces a catch-up") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmpRoot = sys.props("java.io.tmpdir")
+    val (root, out, ck) = (s"$tmpRoot/graft_txnrate_$uuid",
+      s"$tmpRoot/graft_txnrate_out_$uuid", s"$tmpRoot/graft_txnrate_ck_$uuid")
+    try {
+      for (i <- 1 to 3) {
+        Seq((i.toLong, i * 10.0)).toDF("k", "v")
+          .coalesce(1).write.parquet(s"$root/f$i")
+        assert(TxnLog.commitNext(root, Seq(TxnLog.add(s"f$i")), "s") == i)
+      }
+      // one AvailableNow pass, capped at one commit per micro-batch:
+      // the 3-version catch-up must drain as 3 checkpointed batches
+      val q = spark.readStream
+        .format(classOf[graft.streaming.TxnLogSourceProvider].getName)
+        .option("path", root)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+      val got = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+      assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+        s"paced catch-up lost or duplicated rows: $got")
+      // 3 committed batches in the checkpoint (offsets 0,1,2)
+      val batches = Option(new java.io.File(s"$ck/commits").listFiles())
+        .toSeq.flatten.map(_.getName).filterNot(_.startsWith("."))
+        .filterNot(_.endsWith(".crc")).sorted
+      assert(batches == Seq("0", "1", "2"),
+        s"expected one batch per commit, got $batches")
+    } finally {
+      for (d <- Seq(root, out, ck))
+        graft.core.Fixtures.deleteRecursively(new java.io.File(d))
+    }
+  }
+
   test("txn-log streaming source: change-feed mode streams exact rewrite diffs") {
     import spark.implicits._
     import graft.sources.TxnLog
