@@ -235,7 +235,11 @@ class TxnLogOps(val store: LogStore) {
           val part = st.parts.getOrElse(f, Seq.empty)
           if (part.nonEmpty || cols.size > 1) AddFile(f, part, cols)
           else cols.headOption.map(AddStats(f, _)).getOrElse(add(f))
-        }
+        } ++
+        // DVs AFTER the adds: fold clears a file's DV on re-add, so
+        // the checkpoint's replay order must re-attach them last
+        st.dvs.toSeq.filter { case (f, _) => st.live.contains(f) }
+          .sortBy(_._1).map { case (f, (d, n)) => SetDV(f, d, n) }
     if (entries.isEmpty) return // empty table: nothing to cache
     // carry the commit's OWN timestamp: after [[cleanupLog]] retires
     // the version files at or below this checkpoint, it is the only
@@ -334,14 +338,79 @@ class TxnLogOps(val store: LogStore) {
       else lit(null).cast(f.dataType).as(f.name)): _*)
   }
 
+  /** Relative leaf path of a scanned parquet row: the last two
+    * segments of `_metadata.file_path` — `dataDir/part-file`, the
+    * root-independent rendering deletion vectors key row positions
+    * by (a moved table keeps its DVs). */
+  private def relPath: org.apache.spark.sql.Column = regexp_extract(
+    col("_metadata.file_path"), "/([^/]+/[^/]+)$", 1)
+
+  /** The deleted `(path, pos)` rows of `files`' deletion vectors at
+    * state `st`, or None when none carries a DV. Each DISTINCT
+    * sidecar dir is read once and filtered to the files that point
+    * at it NOW — sidecars are shared per commit and replaced per
+    * file, so a retired pointer's leftover rows never leak in. DV
+    * frames are deleted-row-count sized: broadcastable by design
+    * (that is when merge-on-read is the right call at all). */
+  private def dvRows(spark: SparkSession, root: String, st: State,
+                     files: Seq[String]): Option[DataFrame] = {
+    val here = files
+      .flatMap(f => st.dvs.get(f).map { case (d, _) => (d, f) })
+    if (here.isEmpty) None
+    else Some(here.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, fs) =>
+        spark.read.parquet(s"$root/$d")
+          .where(regexp_extract(col("path"), "^([^/]+)/", 1)
+            .isin(fs.map(_._2): _*))
+          .select(col("path"), col("pos"))
+      }.reduce(_ unionAll _))
+  }
+
+  /** Scan `files` (one multi-path mergeSchema read) with deletion
+    * vectors applied: rows whose (relative leaf path, row index)
+    * appear in a live DV drop out via a BROADCAST left-anti join —
+    * no shuffle on the data side, row order within each file
+    * preserved; a version with no DVs pays nothing (plain scan).
+    * `fileCol = Some(name)` appends a column holding the row's data
+    * dir name — the file-attribution the probe/census passes need,
+    * computed from `_metadata.file_path` on the scan side (an
+    * `input_file_name()` evaluated after the anti join would not be
+    * reliable). */
+  private def scanWithDVs(spark: SparkSession, root: String, st: State,
+                          files: Seq[String],
+                          fileCol: Option[String] = None): DataFrame = {
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$root/$f"): _*)
+    val dataCols = base.columns.toSeq
+    val dv = dvRows(spark, root, st, files)
+    if (dv.isEmpty && fileCol.isEmpty) return base
+    val withMeta = base.select((dataCols.map(col) :+
+      relPath.as("__path") :+
+      col("_metadata.row_index").as("__pos")): _*)
+    val surviving = dv match {
+      case None => withMeta
+      case Some(d) =>
+        withMeta.join(broadcast(d.withColumnRenamed("path", "__path")
+          .withColumnRenamed("pos", "__pos")),
+          Seq("__path", "__pos"), "left_anti")
+    }
+    fileCol match {
+      case Some(n) => surviving
+        .withColumn(n, regexp_extract(col("__path"), "^([^/]+)/", 1))
+        .select((dataCols :+ n).map(col): _*)
+      case None => surviving.select(dataCols.map(col): _*)
+    }
+  }
+
   /** Read the table as of `version` (negative = the tip): the live
     * set and schema resolve from the log (checkpointed replay), data
     * comes back in ONE multi-path parquet read under mergeSchema
-    * algebra (older generations null-pad evolved columns), and when
-    * the log carries metaData the result is projected to the resolved
-    * schema's columns in order — the reader-side half of the schema
-    * contract [[commitAppend]] enforces on writes. A version with an
-    * empty live set (legal: a remove-only commit can drain the table)
+    * algebra (older generations null-pad evolved columns) with that
+    * version's deletion vectors applied, and when the log carries
+    * metaData the result is projected to the resolved schema's
+    * columns in order — the reader-side half of the schema contract
+    * [[commitAppend]] enforces on writes. A version with an empty
+    * live set (legal: a remove-only commit can drain the table)
     * reads as an empty frame under the resolved schema. */
   def read(spark: SparkSession, root: String, version: Int = -1)
   : DataFrame = {
@@ -354,8 +423,7 @@ class TxnLogOps(val store: LogStore) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(st.live.toSeq.sorted.map(f => s"$root/$f"): _*)
+    val base = scanWithDVs(spark, root, st, st.live.toSeq.sorted)
     schema.map(projectTo(base, _)).getOrElse(base)
   }
 
@@ -447,8 +515,7 @@ class TxnLogOps(val store: LogStore) {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       } else {
-        val base = spark.read.option("mergeSchema", "true")
-          .parquet(scanned.map(f => s"$root/$f"): _*)
+        val base = scanWithDVs(spark, root, st, scanned)
         schema.map(projectTo(base, _)).getOrElse(base)
       }
     (df, scanned, pruned)
@@ -537,22 +604,31 @@ class TxnLogOps(val store: LogStore) {
   /** Conflict-aware optimistic commit for read-modify-write writers
     * (Delta's conflict checker, VERDICT r9 #2): try the intended
     * slot; on a lost race, re-validate that every file this rewrite
-    * REMOVES is still live at the new tip — append-only interleavers
-    * commute (their files stay live untouched), so the commit retries
-    * at tip+1; an interleaver that removed any of them (a concurrent
-    * compaction/merge) is a true conflict and the rewrite aborts,
-    * deleting its output. Returns the committed version or None. */
+    * READ (and removes or re-vectors) is still live at the new tip
+    * WITH THE SAME deletion-vector pointer the rewrite saw —
+    * append-only interleavers commute (their files stay live
+    * untouched), so the commit retries at tip+1; an interleaver that
+    * removed any of them (a concurrent compaction/merge) OR changed
+    * a DV (a concurrent merge-on-read delete this rewrite's output
+    * would silently resurrect) is a true conflict and the rewrite
+    * aborts, deleting its output. `readDvs` is the dv-pointer map
+    * the writer planned against, restricted by this check to the
+    * `removed` files. Returns the committed version or None. */
   private def commitRewrite(root: String, firstSlot: Int,
                             removed: Seq[String], actions: Seq[Entry],
                             outs: Seq[String], session: String,
-                            maxAttempts: Int): Option[Int] = {
+                            maxAttempts: Int,
+                            readDvs: Map[String, (String, Long)] =
+                              Map.empty): Option[Int] = {
     var v = firstSlot
     var attempt = 0
     while (attempt < maxAttempts) {
       if (tryCommit(root, v, actions, session)) return Some(v)
       val tip = latestVersion(root)
-      val nowLive = stateAt(root, tip).live
-      if (!removed.forall(nowLive.contains)) {
+      val nowSt = stateAt(root, tip)
+      val ok = removed.forall(f => nowSt.live.contains(f) &&
+        nowSt.dvs.get(f).map(_._1) == readDvs.get(f).map(_._1))
+      if (!ok) {
         outs.foreach(store.deleteDataDir(root, _))
         return None
       }
@@ -617,7 +693,10 @@ class TxnLogOps(val store: LogStore) {
       // (evolution happened between appends) rewrites under the
       // merged column set — OPTIMIZE materializes the evolution, so
       // the compacted table reads without mergeSchema work
-      val df = files.sorted.map(f => spark.read.parquet(s"$root/$f"))
+      // per-file DV application (order-preserving filter): OPTIMIZE
+      // MATERIALIZES deletion vectors — outputs hold only surviving
+      // rows and the vectors retire with their files
+      val df = files.sorted.map(f => scanWithDVs(spark, root, st, Seq(f)))
         .reduce(_.unionByName(_, allowMissingColumns = true))
       df.coalesce(1).write.mode("overwrite").parquet(s"$root/$out")
       // stats survive OPTIMIZE too: recompute bounds for every column
@@ -639,7 +718,8 @@ class TxnLogOps(val store: LogStore) {
     val outs = named.map(_._3)
     beforeCommit()
     commitRewrite(root, base + 1, live,
-      live.map(remove) ++ adds, outs, session, maxAttempts)
+      live.map(remove) ++ adds, outs, session, maxAttempts,
+      readDvs = st.dvs)
   }
 
   /** OPTIMIZE ZORDER BY (r11 — VERDICT r10 "missing" #4): the
@@ -692,8 +772,9 @@ class TxnLogOps(val store: LogStore) {
     val outBase = f"z${base + 1}%08d" + s"_$session"
     def rewriteGroup(part: Seq[(String, String)], files: Seq[String],
                      gi: Int): Seq[(String, Entry)] = {
-      val raw = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$root/$f"): _*)
+      // DV-applied scan: the z-order rewrite materializes deletion
+      // vectors like the default OPTIMIZE (outputs = surviving rows)
+      val raw = scanWithDVs(spark, root, st, files)
       val df0 = tableSchema.map(projectTo(raw, _)).getOrElse(raw)
       val b = df0.agg(
         min(col(cx).cast("long")), max(col(cx).cast("long")),
@@ -761,7 +842,7 @@ class TxnLogOps(val store: LogStore) {
     beforeCommit()
     commitRewrite(root, base + 1, live,
       live.map(remove) ++ adds.map(_._2), adds.map(_._1), session,
-      maxAttempts)
+      maxAttempts, readDvs = st.dvs)
   }
 
   /** Bounds for several columns of one data dir in a SINGLE agg pass
@@ -886,7 +967,7 @@ class TxnLogOps(val store: LogStore) {
       if (live.isEmpty) (Seq.empty[String], Seq.empty[String])
       else pruneWhere(root, base, Seq.empty,
         Seq((keyCol, bounds.getString(0), bounds.getString(1))))
-    val fileOf = regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1)
+    val st = stateAt(root, base)
     // source columns renamed __src_<c> (key keeps its name) so clause
     // conditions can reference BOTH sides of the match
     val srcRen = broadcast(source.select(
@@ -903,9 +984,8 @@ class TxnLogOps(val store: LogStore) {
     // the merge's own scale; kept distributed and pinned for reuse
     val probe =
       if (candidates.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(candidates.map(f => s"$root/$f"): _*)
-        .withColumn("__file", fileOf)
+      else Some(scanWithDVs(spark, root, st, candidates,
+          fileCol = Some("__file"))
         .join(srcRen, Seq(keyCol))
         .select(col(keyCol), col("__file"), delC.as("__d"),
           (!delC && updC).as("__u"))
@@ -922,11 +1002,13 @@ class TxnLogOps(val store: LogStore) {
     // delete-affected files come from one narrow count scan — zero
     // data I/O on the happy path); narrow rewrite otherwise
     val delFiles = byFile.filter(_._2._1 > 0).keys.toSeq.sorted
+    // totals are SURVIVING rows (DV-applied): on a vectored file the
+    // pure-remove bar is "every not-yet-deleted row fires delete"
     val totals: Map[String, Long] =
       if (delFiles.isEmpty) Map.empty
-      else spark.read.option("mergeSchema", "true")
-        .parquet(delFiles.map(f => s"$root/$f"): _*)
-        .select(fileOf.as("__file")).groupBy(col("__file")).count()
+      else scanWithDVs(spark, root, st, delFiles,
+          fileCol = Some("__file"))
+        .select(col("__file")).groupBy(col("__file")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val pure = delFiles.filter(f => byFile(f)._1 == totals(f))
     val rewriteFiles = byFile.keys.toSeq
@@ -941,7 +1023,6 @@ class TxnLogOps(val store: LogStore) {
     // would silently DROP the source rows' evolved-column values —
     // instead the rewrite null-pads the old rows (the same algebra the
     // reader applies) and keeps the replacement rows whole
-    val st = stateAt(root, base)
     val tableSchema = st.schemaDdl.map(StructType.fromDDL)
     // pruning metadata survives the MERGE (ADVICE r10: plain add()
     // actions used to strip it, degrading skipping to full scans):
@@ -954,7 +1035,8 @@ class TxnLogOps(val store: LogStore) {
     val rewriteTasks = rewriteFiles.zipWithIndex.map { case (f, i) =>
       () => {
         val out = f"${outBase}_u$i%04d"
-        val raw = spark.read.parquet(s"$root/$f")
+        // DV-applied: a merge rewrite materializes the file's vector
+        val raw = scanWithDVs(spark, root, st, Seq(f))
         val fileDf = tableSchema.map(projectTo(raw, _)).getOrElse(raw)
         val cols = fileDf.columns.map(col).toSeq
         // keep: unmatched rows, and matched rows firing NO clause
@@ -1014,7 +1096,7 @@ class TxnLogOps(val store: LogStore) {
     beforeCommit()
     commitRewrite(root, base + 1, touched,
       touched.map(remove) ++ outs.map(_._2), outs.map(_._1), session,
-      maxAttempts)
+      maxAttempts, readDvs = st.dvs)
   }
 
   /** Partitioned APPEND — the writer-side half of the partition
@@ -1092,12 +1174,14 @@ class TxnLogOps(val store: LogStore) {
     val (candidates, _) =
       pruneWhere(root, base, Seq.empty, Seq((colName, lo, hi)))
     if (candidates.isEmpty) return None
-    val fileOf = regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1)
+    val st = stateAt(root, base)
     // mergeSchema: candidates may span schema generations — a file
     // predating the predicate column reads it as null (no hit), and
-    // the scan must not depend on which file's footer gets sampled
-    val scan = spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(f => s"$root/$f"): _*)
+    // the scan must not depend on which file's footer gets sampled.
+    // DV-applied: census counts SURVIVING rows, so the pure-remove
+    // bar on a vectored file is "every not-yet-deleted row matches"
+    val scan = scanWithDVs(spark, root, st, candidates,
+      fileCol = Some("__file"))
     val dt = scan.schema(colName).dataType
     // DELETE semantics: a row is deleted iff the predicate is TRUE.
     // A null key makes BETWEEN null, and a bare `!pred` filter would
@@ -1107,7 +1191,7 @@ class TxnLogOps(val store: LogStore) {
     val pred = coalesce(
       col(colName).between(lit(lo).cast(dt), lit(hi).cast(dt)),
       lit(false))
-    val census = scan.select(fileOf.as("__file"), pred.as("__hit"))
+    val census = scan.select(col("__file"), pred.as("__hit"))
       .groupBy(col("__file"))
       .agg(count(when(col("__hit"), 1)).as("hits"),
         count(lit(1)).as("total"))
@@ -1117,7 +1201,6 @@ class TxnLogOps(val store: LogStore) {
     if (census.isEmpty) return None // nothing matches: no-op
     val outBase = f"d${base + 1}%08d" + s"_$session"
     val touched = census.map(_._1)
-    val st = stateAt(root, base)
     // survivor rewrites inherit the input file's partition tuple (a
     // subset of a partition stays in it) and recompute its published
     // stats columns — pruning metadata survives the DELETE
@@ -1127,7 +1210,7 @@ class TxnLogOps(val store: LogStore) {
           () => {
             val out = f"${outBase}_k$i%04d"
             store.deleteDataDir(root, out) // crashed earlier attempt
-            spark.read.parquet(s"$root/$f").where(!pred)
+            scanWithDVs(spark, root, st, Seq(f)).where(!pred)
               .coalesce(1).write.mode("overwrite").parquet(s"$root/$out")
             val part = st.parts.getOrElse(f, Seq.empty)
             val stats = statsForCols(spark, root, out,
@@ -1140,7 +1223,100 @@ class TxnLogOps(val store: LogStore) {
     beforeCommit()
     commitRewrite(root, base + 1, touched,
       touched.map(remove) ++ rewrites.map(_._2), rewrites.map(_._1),
-      session, maxAttempts)
+      session, maxAttempts, readDvs = st.dvs)
+  }
+
+  /** Row-level DELETE, MERGE-ON-READ (r11 — deletion vectors,
+    * Delta's DV / Iceberg's positional deletes): identical semantics
+    * to [[deleteRange]] (`colName BETWEEN lo AND hi`, TRUE-only,
+    * null-safe), but a partially-matching file is NOT rewritten —
+    * the delete publishes one small DELETION-VECTOR sidecar naming
+    * the matched row positions and a [[TxnLog.SetDV]] pointer per
+    * touched file. Why this exists at 100 TB: deleting 0.1% of a
+    * 1 GB file's rows costs a KB-sized sidecar write instead of a
+    * 1 GB copy — the write amplification of copy-on-write is the
+    * single biggest cost of small deletes at scale. The read price
+    * (a broadcast anti join on every scan of the vectored file) is
+    * paid until OPTIMIZE materializes the vector.
+    *
+    * The ladder keeps [[deleteRange]]'s cheapest actions where they
+    * are STILL cheapest: an untouched file stays untouched, a file
+    * whose every surviving row matches PURE-REMOVES (metadata-only —
+    * strictly cheaper than any vector); only the partial files get
+    * vectors. A repeated delete UNIONS: the new sidecar carries the
+    * file's previous vector rows forward (the pointer REPLACES, so
+    * the union is the writer's job), and the census counts only
+    * surviving rows — already-deleted rows can neither re-match nor
+    * re-delete. Commit is conflict-aware: touched files must still
+    * be live with an unchanged vector at the retry tip
+    * ([[commitRewrite]]'s DV check). Returns the committed version,
+    * None when no surviving row matched or on conflict. */
+  def deleteRangeDV(spark: SparkSession, root: String, colName: String,
+                    lo: String, hi: String, session: String,
+                    beforeCommit: () => Unit = () => (),
+                    maxAttempts: Int = 5): Option[Int] = {
+    val base = latestVersion(root)
+    if (liveFiles(root, base).isEmpty) return None
+    val (candidates, _) =
+      pruneWhere(root, base, Seq.empty, Seq((colName, lo, hi)))
+    if (candidates.isEmpty) return None
+    val st = stateAt(root, base)
+    val baseScan = spark.read.option("mergeSchema", "true")
+      .parquet(candidates.map(f => s"$root/$f"): _*)
+    val dt = baseScan.schema(colName).dataType
+    val pred = coalesce(
+      col(colName).between(lit(lo).cast(dt), lit(hi).cast(dt)),
+      lit(false))
+    // one scan: hit flag + (path, pos) identity per SURVIVING row
+    val withMeta = baseScan.select(pred.as("__hit"),
+      relPath.as("__path"), col("_metadata.row_index").as("__pos"))
+    val surviving = dvRows(spark, root, st, candidates) match {
+      case None => withMeta
+      case Some(d) =>
+        withMeta.join(broadcast(d.withColumnRenamed("path", "__path")
+          .withColumnRenamed("pos", "__pos")),
+          Seq("__path", "__pos"), "left_anti")
+    }
+    val marked = surviving.select(
+      regexp_extract(col("__path"), "^([^/]+)/", 1).as("__file"),
+      col("__hit"), col("__path"), col("__pos")).cache()
+    try {
+      val census = marked.groupBy(col("__file"))
+        .agg(count(when(col("__hit"), 1)).as("hits"),
+          count(lit(1)).as("total"))
+        .where(col("hits") > 0)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      if (census.isEmpty) return None // nothing matches: no-op
+      val pure = census.filter { case (_, h, t) => h == t }.map(_._1)
+      val vectored = census.filter { case (_, h, t) => h < t }
+      val touched = census.map(_._1)
+      val dvName = f"dv${base + 1}%08d" + s"_$session"
+      val outs: Seq[String] =
+        if (vectored.isEmpty) Seq.empty
+        else {
+          val vecFiles = vectored.map(_._1)
+          val fresh = marked.where(col("__hit") &&
+              col("__file").isin(vecFiles: _*))
+            .select(col("__path").as("path"), col("__pos").as("pos"))
+          // carry each file's PREVIOUS vector forward: the SetDV
+          // pointer replaces, so the sidecar must hold the union
+          val carried = dvRows(spark, root, st, vecFiles)
+          val all = carried.map(fresh.unionAll).getOrElse(fresh)
+          store.deleteDataDir(root, dvName) // crashed earlier attempt
+          all.coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/$dvName")
+          Seq(dvName)
+        }
+      val actions: Seq[Entry] = pure.map(remove) ++
+        vectored.map { case (f, h, _) =>
+          val old = st.dvs.get(f).map(_._2).getOrElse(0L)
+          SetDV(f, dvName, old + h)
+        }
+      beforeCommit()
+      commitRewrite(root, base + 1, touched, actions, outs, session,
+        maxAttempts, readDvs = st.dvs)
+    } finally { marked.unpersist(); () }
   }
 
   /** CHANGE DATA FEED (r11 — VERDICT r10 "missing" #1, the most
@@ -1181,8 +1357,13 @@ class TxnLogOps(val store: LogStore) {
     range.foreach(v => require(store.logExists(root, versionName(v)),
       s"version $v of $root is outside the log retention window — " +
         "its per-commit changes are no longer resolvable"))
-    val perV = range.map(v => v -> actionsAt(root, v))
-    val touched = perV.flatMap(_._2).map(_.file).distinct.sorted
+    val perV = range.map(v => v -> entriesAt(root, v))
+    val touched = perV.flatMap(_._2).collect {
+      case Action(_, f) => f
+      case AddStats(f, _) => f
+      case AddFile(f, _, _) => f
+      case SetDV(f, _, _) => f
+    }.distinct.sorted
     val cdfFields = StructType.fromDDL(
       "_change_type STRING, _commit_version INT, _commit_timestamp BIGINT")
     val schema = schemaAt(root, to).getOrElse {
@@ -1194,30 +1375,152 @@ class TxnLogOps(val store: LogStore) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     if (touched.isEmpty)
       return empty(StructType(schema.fields ++ cdfFields.fields))
-    def rowsOf(files: Seq[String]): DataFrame =
-      if (files.isEmpty) empty(schema)
-      else projectTo(spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$root/$f"): _*), schema)
-    val frames = perV.flatMap { case (v, acts) =>
+    val frames = perV.flatMap { case (v, entries) =>
+      // same add normalization as [[actionsAt]]: a stats- or
+      // partition-carrying add IS an add
+      val acts = entries.collect {
+        case a: Action => a
+        case AddStats(f, _) => Action("add", f)
+        case AddFile(f, _, _) => Action("add", f)
+      }
+      val dvSets = entries.collect { case d: SetDV => d }
       val adds = acts.filter(_.action == "add").map(_.file).distinct
       val rems = acts.filter(_.action == "remove").map(_.file).distinct
+      // removed files' content is what the PREVIOUS version could
+      // read — their vectors at v−1 applied (a pure remove after a
+      // vectored delete must not re-announce already-deleted rows);
+      // added files' content is what v reads (a fresh add has no DV)
+      lazy val preSt = stateAt(root, v - 1)
+      lazy val postSt = stateAt(root, v)
+      def rowsOfAt(files: Seq[String], stX: State): DataFrame =
+        if (files.isEmpty) empty(schema)
+        else projectTo(scanWithDVs(spark, root, stX, files), schema)
       val (ins, del) =
         if (rems.isEmpty)
-          (Some(rowsOf(adds)).filter(_ => adds.nonEmpty), None)
-        else if (adds.isEmpty) (None, Some(rowsOf(rems)))
-        else (Some(rowsOf(adds).exceptAll(rowsOf(rems))),
-          Some(rowsOf(rems).exceptAll(rowsOf(adds))))
+          (Some(rowsOfAt(adds, postSt)).filter(_ => adds.nonEmpty), None)
+        else if (adds.isEmpty) (None, Some(rowsOfAt(rems, preSt)))
+        else (Some(rowsOfAt(adds, postSt)
+            .exceptAll(rowsOfAt(rems, preSt))),
+          Some(rowsOfAt(rems, preSt).exceptAll(rowsOfAt(adds, postSt))))
+      // a SetDV commit (merge-on-read delete) announces exactly the
+      // NEWLY vectored rows: the new sidecar's positions for the file
+      // minus its previous vector's, resolved back to data rows by a
+      // broadcast semi join — position-delta-sized, never file-sized
+      val dvDel: Option[DataFrame] =
+        if (dvSets.isEmpty) None
+        else {
+          val delta = dvSets.map { case SetDV(f, d, _) =>
+            def rowsIn(dir: String) = spark.read.parquet(s"$root/$dir")
+              .where(regexp_extract(col("path"), "^([^/]+)/", 1) === f)
+              .select(col("path"), col("pos"))
+            preSt.dvs.get(f) match {
+              case Some((od, _)) => rowsIn(d).exceptAll(rowsIn(od))
+              case None => rowsIn(d)
+            }
+          }.reduce(_ unionAll _)
+          val files = dvSets.map(_.file).distinct.sorted
+          val base = spark.read.option("mergeSchema", "true")
+            .parquet(files.map(f => s"$root/$f"): _*)
+          val dataCols = base.columns.toSeq
+          Some(projectTo(base.select((dataCols.map(col) :+
+              relPath.as("__path") :+
+              col("_metadata.row_index").as("__pos")): _*)
+            .join(broadcast(delta.withColumnRenamed("path", "__path")
+              .withColumnRenamed("pos", "__pos")),
+              Seq("__path", "__pos"), "left_semi")
+            .select(dataCols.map(col): _*), schema))
+        }
       val ts = commitTs(root, v)
       def tag(df: DataFrame, t: String): DataFrame = df.select(
         (schema.fieldNames.toSeq.map(col) :+
           lit(t).as("_change_type") :+
           lit(v).as("_commit_version") :+
           lit(ts).as("_commit_timestamp")): _*)
-      ins.map(tag(_, "insert")).toSeq ++ del.map(tag(_, "delete"))
+      ins.map(tag(_, "insert")).toSeq ++ del.map(tag(_, "delete")) ++
+        dvDel.map(tag(_, "delete"))
     }
     if (frames.isEmpty)
       empty(StructType(schema.fields ++ cdfFields.fields))
     else frames.reduce(_ unionAll _)
+  }
+
+  /** RESTORE TABLE TO VERSION (Delta's RESTORE — the recovery
+    * command after a bad write): make the tip's CONTENT equal
+    * `toV`'s by committing the state diff as a NEW version — time
+    * travel written forward into history. Nothing is rewritten and
+    * no history is lost: the restored-away versions stay fully
+    * resolvable, and the restore itself is one metadata commit —
+    * at 100 TB, undoing a botched MERGE is O(diff actions), zero
+    * data I/O. The diff:
+    *
+    *  - files live now but not at `toV` → `remove`;
+    *  - files live at `toV` but not now → re-`add` WITH `toV`'s
+    *    partition tuple and stats (pruning survives the restore);
+    *  - a file live in both whose deletion vector differs → restored
+    *    via remove + re-add (+ SetDV when `toV` had one), so the
+    *    vector state rolls back exactly;
+    *  - the schema is restored when it changed (the diff commit
+    *    carries `toV`'s metaData).
+    *
+    * Streaming txn watermarks deliberately do NOT roll back (they
+    * are monotonic dedup floors, not content). Fails loudly when
+    * `toV`'s data (or a needed sidecar) was already vacuumed — the
+    * retention contract bounds RESTORE's reach. Conflict posture:
+    * the diff depends on the tip, so on a lost race the WHOLE diff
+    * recomputes against the new tip and retries — restore converges
+    * on "tip content == toV content". Returns the committed version,
+    * or None when the tip already equals `toV` (no-op). */
+  def restore(root: String, toV: Int, session: String,
+              maxAttempts: Int = 5): Option[Int] = {
+    val want = stateAt(root, toV)
+    require(toV >= 1, s"cannot restore to v$toV")
+    val missing = want.live.toSeq.sorted
+      .filterNot(f => store.dataDirExists(root, f))
+    require(missing.isEmpty,
+      s"cannot restore $root to v$toV: data vacuumed for " +
+        missing.mkString(","))
+    val missingDv = want.dvs.toSeq.sorted.collect {
+      case (f, (d, _)) if want.live.contains(f) &&
+        !store.dataDirExists(root, d) => d
+    }
+    require(missingDv.isEmpty,
+      s"cannot restore $root to v$toV: sidecars vacuumed: " +
+        missingDv.distinct.mkString(","))
+    def richAdd(f: String): Entry = {
+      val part = want.parts.getOrElse(f, Seq.empty)
+      val cols = want.stats.getOrElse(f, Seq.empty)
+      if (part.nonEmpty || cols.size > 1) AddFile(f, part, cols)
+      else cols.headOption.map(AddStats(f, _)).getOrElse(add(f))
+    }
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(root)
+      require(toV <= base, s"cannot restore to future v$toV (tip $base)")
+      val cur = stateAt(root, base)
+      val removes = (cur.live -- want.live).toSeq.sorted.map(remove)
+      val readds = (want.live -- cur.live).toSeq.sorted
+      val both = (want.live & cur.live).toSeq.sorted
+      // a surviving file whose vector differs restores by
+      // remove + re-add (clearing), then SetDV when toV had one
+      val dvDiff = both.filter(f => cur.dvs.get(f) != want.dvs.get(f))
+      val reAttach = (readds ++ dvDiff).sorted.flatMap { f =>
+        Seq(richAdd(f)) ++
+          want.dvs.get(f).map { case (d, n) => SetDV(f, d, n) }
+      }
+      val schemaFix =
+        if (want.schemaDdl != cur.schemaDdl) want.schemaDdl
+          .map(MetaData.apply).toSeq
+        else Seq.empty
+      val actions: Seq[Entry] = schemaFix ++ removes ++
+        dvDiff.sorted.map(remove) ++ reAttach
+      if (actions.isEmpty) return None // tip already equals toV
+      if (tryCommit(root, base + 1, actions, session)) {
+        return Some(base + 1)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not restore after $maxAttempts attempts (writer storm?)")
   }
 
   /** VACUUM with a retention horizon: delete the data of files not
@@ -1258,11 +1561,26 @@ class TxnLogOps(val store: LogStore) {
     val resolvable = (vs ++ cps).distinct.sorted
     val horizon =
       resolvable.drop(math.max(0, resolvable.size - retainVersions))
-    val keep = horizon.flatMap(liveFiles(root, _)).toSet
-    val logged = vs.flatMap(actionsAt(root, _))
-      .collect { case Action("add", f) => f } ++
-      cps.flatMap(c => fold(State(Set.empty, None),
-        parseName(root, checkpointName(c))).live)
+    // keep: each horizon version's live files AND the deletion-vector
+    // sidecars its live files point at — a retained version must stay
+    // FULLY readable, vectors included
+    val keep = horizon.flatMap { v =>
+      val stV = stateAt(root, v)
+      stV.live.toSeq ++
+        stV.dvs.collect { case (f, (d, _)) if stV.live(f) => d }
+    }.toSet
+    val logged = vs.flatMap(entriesAt(root, _))
+      .collect {
+        case Action("add", f) => f
+        case AddStats(f, _) => f
+        case AddFile(f, _, _) => f
+        case SetDV(_, d, _) => d
+      } ++
+      cps.flatMap { c =>
+        val stC = fold(State(Set.empty, None),
+          parseName(root, checkpointName(c)))
+        stC.live.toSeq ++ stC.dvs.values.map(_._1)
+      }
     // log cleanup ran iff a checkpoint has no version file at or
     // below it — only then can the log census be incomplete
     val cleaned = cps.nonEmpty && !vs.exists(_ <= cps.last)
@@ -1308,7 +1626,14 @@ class TxnLogOps(val store: LogStore) {
     * [[cleanupLog]] the walk seeds from the surviving checkpoint
     * (which is also emitted as the history floor's own row) and
     * covers only retained versions — the retention contract. */
-  def liveSets(root: String): Seq[(Int, Seq[String])] = {
+  def liveSets(root: String): Seq[(Int, Seq[String])] =
+    statesWalk(root).map { case (v, s) => v -> s.live.toSeq.sorted }
+
+  /** Every retained version's fully replayed [[TxnLog.State]] in the
+    * same single ordered pass as [[liveSets]] (which is now its
+    * projection) — the walk history-and-rollup consumers use when
+    * they need MORE than the live set (deletion vectors, schema). */
+  def statesWalk(root: String): Seq[(Int, State)] = {
     val vs = versions(root)
     // a checkpoint strictly below the first remaining version file
     // exists only after log cleanup; in the un-cleaned life of a
@@ -1318,10 +1643,10 @@ class TxnLogOps(val store: LogStore) {
     var st = cp.map(c => fold(State(Set.empty, None),
         parseName(root, checkpointName(c))))
       .getOrElse(State(Set.empty, None))
-    val floor = cp.map(c => c -> st.live.toSeq.sorted).toSeq
+    val floor = cp.map(c => c -> st).toSeq
     floor ++ vs.map { v =>
       st = fold(st, entriesAt(root, v))
-      v -> st.live.toSeq.sorted
+      v -> st
     }
   }
 
@@ -1342,12 +1667,19 @@ class TxnLogOps(val store: LogStore) {
   def versionsRollup(spark: SparkSession, root: String,
                      valueCol: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val sets = liveSets(root)
+    val states = statesWalk(root)
+    val sets = states.map { case (v, s) => v -> s.live.toSeq.sorted }
     val files = sets.flatMap(_._2).distinct.sorted
+    // a version's content subtotal = raw file subtotal MINUS the
+    // file's deletion-vector correction AT THAT VERSION — vectors
+    // differ across versions, so membership carries the pointer and
+    // corrections key on (file, dv); a version without vectors joins
+    // nothing and pays nothing
     val membership = spark.createDataFrame(
-      sets.flatMap { case (v, fs) =>
-        fs.map(f => org.apache.spark.sql.Row(v, f)) }.asJava,
-      StructType.fromDDL("version INT, file STRING"))
+      states.flatMap { case (v, s) =>
+        s.live.toSeq.sorted.map(f => org.apache.spark.sql.Row(
+          v, f, s.dvs.get(f).map(_._1).orNull)) }.asJava,
+      StructType.fromDDL("version INT, file STRING, dv STRING"))
     val versionsDf = spark.createDataFrame(
       sets.map { case (v, fs) => org.apache.spark.sql.Row(v, fs.size) }
         .asJava,
@@ -1362,10 +1694,41 @@ class TxnLogOps(val store: LogStore) {
         graft.core.Det.cents(col(valueCol)).as("cents"))
       .groupBy(col("file"))
       .agg(count(lit(1)).as("f_rows"), sum(col("cents")).as("f_cents"))
-    val perVersion = membership.join(perFile, "file")
-      .groupBy(col("version"))
-      .agg(sum(col("f_rows")).as("n_rows"),
-        sum(col("f_cents")).as("sum_cents"))
+    val pairs = states.flatMap { case (_, s) =>
+      s.dvs.collect { case (f, (d, _)) if s.live(f) => (f, d) }
+    }.distinct.sorted
+    val corrected =
+      if (pairs.isEmpty)
+        membership.join(perFile, "file")
+          .select(col("version"), col("f_rows").as("v_rows"),
+            col("f_cents").as("v_cents"))
+      else {
+        val dvAll = pairs.map(_._2).distinct.sorted.map(d =>
+          spark.read.parquet(s"$root/$d")
+            .select(col("path"), col("pos"), lit(d).as("dv")))
+          .reduce(_ unionAll _)
+        val dvFiles = pairs.map(_._1).distinct.sorted
+        val corr = spark.read
+          .parquet(dvFiles.map(f => s"$root/$f"): _*)
+          .select(relPath.as("path"),
+            col("_metadata.row_index").as("pos"),
+            graft.core.Det.cents(col(valueCol)).as("cents"))
+          .join(broadcast(dvAll), Seq("path", "pos"))
+          .select(regexp_extract(col("path"), "^([^/]+)/", 1).as("file"),
+            col("dv"), col("cents"))
+          .groupBy(col("file"), col("dv"))
+          .agg(count(lit(1)).as("c_rows"), sum(col("cents")).as("c_cents"))
+        membership.join(perFile, "file")
+          .join(corr, Seq("file", "dv"), "left")
+          .select(col("version"),
+            (col("f_rows") - coalesce(col("c_rows"), lit(0L)))
+              .as("v_rows"),
+            (col("f_cents") - coalesce(col("c_cents"), lit(0L)))
+              .as("v_cents"))
+      }
+    val perVersion = corrected.groupBy(col("version"))
+      .agg(sum(col("v_rows")).as("n_rows"),
+        sum(col("v_cents")).as("sum_cents"))
     versionsDf.join(perVersion, Seq("version"), "left")
       .select(col("version"), col("n_files"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
@@ -1450,6 +1813,30 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
     }
   }
 
+  /** Deletion vector (r11 — merge-on-read DELETE, Delta's DV /
+    * Iceberg's positional delete): associates live data file `file`
+    * with sidecar dir `dv`, a parquet of `(path STRING, pos BIGINT)`
+    * rows naming the DELETED row positions — `path` is the leaf
+    * parquet file relative to the table root (its last two path
+    * segments, `dataDir/part-file`), `pos` the row's index within
+    * that leaf file (`_metadata.row_index`). REPLACES any previous
+    * DV for the file — writers publish the UNION, so a second delete
+    * carries the first's positions forward. `rows` is the vector's
+    * cardinality for this file (the accounting the pure-remove
+    * ladder and CDF use). A plain re-`add` or `remove` of the file
+    * clears its DV from state, like stats. Why merge-on-read at
+    * 100 TB: deleting 0.1% of the rows of a 1 GB file costs one tiny
+    * sidecar write instead of a 1 GB copy-on-write rewrite; OPTIMIZE
+    * later materializes the vector and retires it. */
+  final case class SetDV(file: String, dv: String, rows: Long)
+    extends Entry {
+    Seq(file, dv).foreach(s =>
+      require(!s.contains('"') && !s.contains('\n'),
+        s"dv names must be quote- and newline-free: $s"))
+    def toJson: String =
+      s"""{"action":"dv","file":"$file","dvFile":"$dv","rows":$rows}"""
+  }
+
   /** Streaming-transaction watermark (Delta's `txn` action): records
     * that `appId` has durably committed micro-batch `batchId`, so a
     * restarted stream re-delivering the same batch from its
@@ -1478,30 +1865,41 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
     "^v(\\d{8})\\.checkpoint\\.jsonl$".r
 
   /** Replayed table state at a version: live files + current schema +
-    * per-file stats and partition tuples for live files that
-    * published them + the last committed micro-batch per streaming
-    * app. A metadata-less re-add of a file DROPS its previous
-    * stats/partition (the new content has unknown bounds —
-    * conservative, so pruning stops skipping it). */
+    * per-file stats, partition tuples, and deletion vectors for live
+    * files that published them + the last committed micro-batch per
+    * streaming app. A metadata-less re-add of a file DROPS its
+    * previous stats/partition/DV (the new content has unknown bounds
+    * and no deleted rows — conservative for pruning, exact for
+    * DVs). `dvs` maps file → (dv sidecar dir, cardinality). */
   final case class State(live: Set[String], schemaDdl: Option[String],
                          stats: Map[String, Seq[FileStats]] = Map.empty,
                          parts: Map[String, Seq[(String, String)]] =
                            Map.empty,
-                         txns: Map[String, Long] = Map.empty)
+                         txns: Map[String, Long] = Map.empty,
+                         dvs: Map[String, (String, Long)] = Map.empty)
 
   private[sources] def fold(base: State, entries: Seq[Entry]): State =
     entries.foldLeft(base) {
       case (s, Action("add", f)) =>
-        s.copy(live = s.live + f, stats = s.stats - f, parts = s.parts - f)
+        s.copy(live = s.live + f, stats = s.stats - f,
+          parts = s.parts - f, dvs = s.dvs - f)
       case (s, Action("remove", f)) =>
-        s.copy(live = s.live - f, stats = s.stats - f, parts = s.parts - f)
+        s.copy(live = s.live - f, stats = s.stats - f,
+          parts = s.parts - f, dvs = s.dvs - f)
       case (s, AddStats(f, fs)) =>
         s.copy(live = s.live + f, stats = s.stats + (f -> Seq(fs)),
-          parts = s.parts - f)
+          parts = s.parts - f, dvs = s.dvs - f)
       case (s, AddFile(f, part, cols)) =>
         s.copy(live = s.live + f,
           stats = if (cols.isEmpty) s.stats - f else s.stats + (f -> cols),
-          parts = if (part.isEmpty) s.parts - f else s.parts + (f -> part))
+          parts = if (part.isEmpty) s.parts - f else s.parts + (f -> part),
+          dvs = s.dvs - f)
+      case (s, SetDV(f, d, n)) =>
+        // a vector may only attach to a LIVE file — a dangling
+        // pointer is a no-op, so state round-trips exactly through
+        // checkpoints (which emit only live files' vectors)
+        if (s.live.contains(f)) s.copy(dvs = s.dvs + (f -> (d, n)))
+        else s
       case (s, SetTxn(app, b)) =>
         s.copy(txns = s.txns +
           (app -> math.max(b, s.txns.getOrElse(app, Long.MinValue))))
@@ -1524,6 +1922,9 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
     """\{"col":"([^"]+)","min":"([^"]*)","max":"([^"]*)","rows":(\d+)\}""".r
   private val TxnRe =
     """\{"action":"txn","appId":"([^"]+)","batchId":(-?\d+)\}""".r
+  private val DvRe =
+    ("""\{"action":"dv","file":"([^"]+)","dvFile":"([^"]+)",""" +
+      """"rows":(\d+)\}""").r
   private val CommitRe =
     """\{"action":"commitInfo","ts":(\d+)\}""".r
   private val MetaRe =
@@ -1545,6 +1946,7 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
     case AddStatsRe(f, c, mn, mx, n) =>
       AddStats(f, FileStats(c, mn, mx, n.toLong))
     case ActionRe(a, f) => Action(a, f)
+    case DvRe(f, d, n) => SetDV(f, d, n.toLong)
     case TxnRe(app, b) => SetTxn(app, b.toLong)
     case CommitRe(ts) => CommitInfo(ts.toLong)
     case MetaRe(ddl) => MetaData(ddl)

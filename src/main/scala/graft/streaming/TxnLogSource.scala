@@ -173,18 +173,21 @@ private[streaming] class TxnLogSource(sqlContext: SQLContext,
   }
 
   /** Rows of the files ADDED in (from, to] — the append tail. A
-    * commit that removes files is a rewrite, not an append: loud
-    * failure unless `ignoreChanges` accepted the re-delivery. */
+    * commit that removes files OR attaches a deletion vector is a
+    * content change, not an append: loud failure unless
+    * `ignoreChanges` accepted the re-delivery. */
   private def appendedRows(from: Int, to: Int): DataFrame = {
     val files = ((from + 1) to to).flatMap { v =>
       val acts = TxnLog.actionsAt(rootPath, v)
-      if (!ignoreChanges && acts.exists(_.action == "remove"))
+      val hasDv = TxnLog.entriesAt(rootPath, v)
+        .exists(_.isInstanceOf[TxnLog.SetDV])
+      if (!ignoreChanges && (acts.exists(_.action == "remove") || hasDv))
         throw new IllegalStateException(
-          s"version $v of $rootPath rewrites files (MERGE/DELETE/" +
-            "OPTIMIZE); streaming it as appends would re-deliver " +
-            "rows. Use option(\"ignoreChanges\",\"true\") to accept " +
-            "that, or option(\"readChangeFeed\",\"true\") for exact " +
-            "row-level changes")
+          s"version $v of $rootPath rewrites files or deletes rows " +
+            "(MERGE/DELETE/OPTIMIZE/deletion vector); streaming it " +
+            "as appends would re-deliver rows. Use option(" +
+            "\"ignoreChanges\",\"true\") to accept that, or option(" +
+            "\"readChangeFeed\",\"true\") for exact row-level changes")
       acts.filter(_.action == "add").map(_.file)
     }.distinct.sorted
     val spark = sqlContext.sparkSession

@@ -445,6 +445,47 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("RESTORE undoes a COW delete and an append in one metadata commit") {
+    import spark.implicits._
+    withScratch { root =>
+      for ((name, lo) <- Seq(("r0", 0L), ("r1", 10L), ("r2", 20L))) {
+        (lo until lo + 10).map(k => (k, k * 2.0)).toDF("k", "v")
+          .coalesce(1).write.parquet(s"$root/$name")
+      }
+      val adds: Seq[TxnLog.Entry] = Seq("r0", "r1", "r2").map(n =>
+        TxnLog.AddStats(n, TxnLog.statsFor(spark, root, n, "k")))
+      assert(TxnLog.tryCommit(root, 1, adds, "s"))
+      // v2: COW delete rewrites r1's boundary, pure-removes r2;
+      // v3: an unrelated append
+      assert(TxnLog.deleteRange(spark, root, "k", "15", "29", "s")
+        .contains(2))
+      Seq((77L, 7.0)).toDF("k", "v").coalesce(1)
+        .write.parquet(s"$root/f77")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f77")), "s") == 3)
+      def keys(v: Int = -1): Seq[Long] =
+        TxnLog.read(spark, root, v).select("k")
+          .collect().map(_.getLong(0)).sorted.toSeq
+      assert(keys() == ((0L to 14L) :+ 77L))
+      // restore to v1: the rewrite output and f77 retire, the
+      // originals re-add WITH their stats — zero data I/O
+      assert(TxnLog.restore(root, 1, "r").contains(4))
+      assert(keys() == (0L to 29L), "restored content wrong")
+      val st4 = TxnLog.stateAt(root, 4)
+      assert(st4.live == Set("r0", "r1", "r2"))
+      assert(st4.stats.get("r2").exists(_.nonEmpty),
+        "re-added file lost its stats through the restore")
+      // the restored-away versions stay readable (history intact)
+      assert(keys(3) == ((0L to 14L) :+ 77L))
+      assert(keys(2) == (0L to 14L))
+      // restore forward again to v3's content
+      assert(TxnLog.restore(root, 3, "r").contains(5))
+      assert(keys() == ((0L to 14L) :+ 77L))
+      // a restore that changes nothing is a no-op
+      assert(TxnLog.restore(root, 5, "r").isEmpty)
+      assert(TxnLog.latestVersion(root) == 5)
+    }
+  }
+
   // ------------------------------- partition + multi-column pruning
 
   test("pruneWhere: partition equality first, then conjunctive stats") {
@@ -690,37 +731,50 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
       val rnd = new scala.util.Random(11)
       var refLive = Map.empty[String, (Seq[(String, String)],
         Seq[TxnLog.FileStats])]
+      var refDvs = Map.empty[String, (String, Long)]
       val perVersion = scala.collection.mutable.ArrayBuffer
-        .empty[Map[String, (Seq[(String, String)], Seq[TxnLog.FileStats])]]
+        .empty[(Map[String, (Seq[(String, String)],
+          Seq[TxnLog.FileStats])], Map[String, (String, Long)])]
       for (v <- 1 to 25) {
         val acts: Seq[TxnLog.Entry] = (0 until 1 + rnd.nextInt(3)).map { _ =>
           val f = s"f${rnd.nextInt(8)}"
-          rnd.nextInt(4) match {
+          rnd.nextInt(5) match {
             case 0 => refLive += f -> (Seq.empty, Seq.empty)
+              refDvs -= f
               TxnLog.add(f)
             case 1 => refLive -= f
+              refDvs -= f
               TxnLog.remove(f)
             case 2 =>
               val st = TxnLog.FileStats("k", s"${rnd.nextInt(50)}",
                 s"${50 + rnd.nextInt(50)}", 1L + rnd.nextInt(9))
               refLive += f -> (Seq.empty, Seq(st))
+              refDvs -= f
               TxnLog.AddStats(f, st)
-            case _ =>
+            case 3 =>
               val part = Seq("pri" -> s"p${rnd.nextInt(3)}")
               val cols = (0 to rnd.nextInt(2)).map(c =>
                 TxnLog.FileStats(s"c$c", s"${rnd.nextInt(50)}",
                   s"${50 + rnd.nextInt(50)}", 1L + rnd.nextInt(9)))
               refLive += f -> (part, cols)
+              refDvs -= f
               TxnLog.AddFile(f, part, cols)
+            case _ =>
+              // r11: a deletion vector — attaches only to a LIVE
+              // file (a dangling pointer is a protocol no-op)
+              val dv = s"dv${rnd.nextInt(5)}"
+              val n = 1L + rnd.nextInt(9)
+              if (refLive.contains(f)) refDvs += f -> (dv, n)
+              TxnLog.SetDV(f, dv, n)
           }
         }
         assert(TxnLog.tryCommit(root, v, acts, "prop", nowMs = v * 100L))
-        perVersion += refLive
+        perVersion += ((refLive, refDvs))
       }
       assert(TxnLog.checkpoints(root) == Seq(10, 20))
       def check(v: Int): Unit = {
         val st = TxnLog.stateAt(root, v)
-        val ref = perVersion(v - 1)
+        val (ref, refDv) = perVersion(v - 1)
         assert(st.live == ref.keySet, s"live mismatch at v$v")
         for ((f, (part, cols)) <- ref) {
           assert(st.parts.getOrElse(f, Seq.empty) == part,
@@ -728,6 +782,7 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
           assert(st.stats.getOrElse(f, Seq.empty) == cols,
             s"stats mismatch at v$v/$f")
         }
+        assert(st.dvs == refDv, s"dvs mismatch at v$v")
       }
       (1 to 25).foreach(check)
       // cleanup floors the log at v20; the checkpoint alone must

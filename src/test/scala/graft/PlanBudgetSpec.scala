@@ -151,6 +151,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "txn_log_cdf" -> 6,
     // post-delete tip read + one scalar agg (census is log metadata)
     "txn_log_delete" -> 1,
+    // dv-applied tip read (broadcast anti join, shuffle-free) + one
+    // scalar agg; both delete censuses are log metadata
+    "txn_log_delete_dv" -> 1,
+    // post-restore tip read + one scalar agg (the whole restore is
+    // one metadata commit; censuses are log replay)
+    "txn_log_restore" -> 1,
     // the scan_txn_log rollup shape + broadcast probe join + sort
     "txn_log_time_travel" -> 4,
     "join_asof" -> 2,

@@ -547,4 +547,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         graft.core.Fixtures.deleteRecursively(new java.io.File(d))
     }
   }
+
+  test("txn-log streaming source: a deletion-vector commit is a change, not an append") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmpRoot = sys.props("java.io.tmpdir")
+    val (root, out, ck, out2, ck2) = (s"$tmpRoot/graft_txndv_$uuid",
+      s"$tmpRoot/graft_txndv_out_$uuid", s"$tmpRoot/graft_txndv_ck_$uuid",
+      s"$tmpRoot/graft_txndv_out2_$uuid", s"$tmpRoot/graft_txndv_ck2_$uuid")
+    try {
+      (1L to 6L).map(k => (k, k * 10.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      txnTailPass(root, out, ck)
+      // v2: a merge-on-read delete — no file is removed, but rows
+      // are gone; the append tail must refuse (re-delivery hazard)
+      assert(TxnLog.deleteRangeDV(spark, root, "k", "2", "3", "s")
+        .contains(2))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        txnTailPass(root, out, ck))
+      assert(e.getMessage.contains("deletes rows") ||
+        Option(e.getCause).exists(_.getMessage.contains("deletes rows")),
+        s"wrong failure: ${e.getMessage}")
+      // change-feed mode delivers the exact vector delta as deletes
+      txnTailPass(root, out2, ck2, Map("readChangeFeed" -> "true"))
+      val got = spark.read.parquet(out2)
+        .where(col("_commit_version") === 2)
+        .collect().map(r => (r.getAs[String]("_change_type"),
+          r.getAs[Long]("k"))).toSet
+      assert(got == Set(("delete", 2L), ("delete", 3L)),
+        s"dv commit change feed wrong: $got")
+    } finally {
+      for (d <- Seq(root, out, ck, out2, ck2))
+        graft.core.Fixtures.deleteRecursively(new java.io.File(d))
+    }
+  }
 }
