@@ -2283,6 +2283,189 @@ object Relational {
       |  CAST((SELECT SUM(cents) FROM b) AS BIGINT) AS sum_cents
       |FROM c""".stripMargin
 
+  /** CHECK constraints on the txn-log table (r11 — Delta's `ALTER
+    * TABLE ADD CONSTRAINT`): write-path data quality as TABLE STATE.
+    * [[graft.sources.TxnLog.addConstraint]] proves the existing
+    * content satisfies the expression before publishing it;
+    * [[graft.sources.TxnLog.commitAppendChecked]] then refuses any
+    * append whose rows make it FALSE (one pass over the appended
+    * rows, never the table — the enforcement cost a 100 TB ingest
+    * can afford). Fixture: v1 = the orders slice as one file; v2 =
+    * `price_pos CHECK(o_totalprice > 0)` (existing data passes); an
+    * `o_orderkey < max/2` constraint is REJECTED (existing data
+    * violates); an append with negated prices is REJECTED (the
+    * version does not move); v3 = the keys ≡0 (mod 9) slice appended
+    * CLEAN. The query hashes the constraint census, both rejection
+    * outcomes, and the tip rollup ≡ orders ∪ the mod-9 slice — the
+    * bad append provably never landed. */
+  def txnLogConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, "txncons|r8_cons_v1")) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txncons",
+            codeTag = "r8_cons_v1") { target =>
+          val o = Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_totalprice"))
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          new java.io.File(target).mkdirs()
+          o.coalesce(1).write.parquet(s"$target/base")
+          assert(TxnLog.commitAppend(target, Seq("base"),
+            o.schema.toDDL, "stage") == 1)
+          assert(TxnLog.addConstraint(spark, target, "price_pos",
+            "o_totalprice > 0", "stage") == 2)
+          val addRej =
+            try { TxnLog.addConstraint(spark, target, "small_keys",
+              s"o_orderkey < ${mx / 2}", "stage"); 0 }
+            catch { case _: IllegalArgumentException => 1 }
+          assert(addRej == 1, "violating constraint must be rejected")
+          o.where(col("o_orderkey") % 9 === 0)
+            .withColumn("o_totalprice", -col("o_totalprice"))
+            .coalesce(1).write.parquet(s"$target/bad")
+          val appRej =
+            try { TxnLog.commitAppendChecked(spark, target, Seq("bad"),
+              o.schema.toDDL, "stage"); 0 }
+            catch { case _: IllegalArgumentException => 1 }
+          assert(appRej == 1 && TxnLog.latestVersion(target) == 2,
+            "violating append must be refused without moving the tip")
+          graft.core.Fixtures.deleteRecursively(
+            new java.io.File(target, "bad"))
+          o.where(col("o_orderkey") % 9 === 0)
+            .coalesce(1).write.parquet(s"$target/clean")
+          assert(TxnLog.commitAppendChecked(spark, target,
+            Seq("clean"), o.schema.toDDL, "stage") == 3)
+        }
+      }
+    val cons = TxnLog.stateAt(root, TxnLog.latestVersion(root))
+      .constraints
+    TxnLog.read(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("sum_cents"))
+      .select(lit(cons.size).cast("int").as("n_cons"),
+        lit(if (cons.contains("price_pos")) 1 else 0).cast("int")
+          .as("has_price_pos"),
+        lit(if (cons.contains("small_keys")) 1 else 0).cast("int")
+          .as("has_small_keys"),
+        col("n_rows"), col("sum_cents"))
+  }
+
+  val txnLogConstraintsSql: String =
+    """WITH s AS (SELECT o_orderkey AS k,
+      |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100
+      |      AS BIGINT) AS cents
+      |  FROM orders),
+      |a AS (SELECT k, cents FROM s
+      |      UNION ALL SELECT k, cents FROM s WHERE k % 9 = 0)
+      |SELECT CAST(1 AS INT) AS n_cons,
+      |  CAST(1 AS INT) AS has_price_pos,
+      |  CAST(0 AS INT) AS has_small_keys,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM a""".stripMargin
+
+  /** SHALLOW CLONE of the txn-log table (r11 — Delta's
+    * `CREATE TABLE ... SHALLOW CLONE`): a zero-copy table fork.
+    * [[graft.sources.TxnLog.cloneTable]] commits ONE metadata version
+    * referencing the source's live files in place (`ExtRef` absolute
+    * paths — at 100 TB the clone costs the same as at 100 MB), with
+    * schema, stats, partition tuples, constraints, and deletion
+    * vectors carried. Writes to the clone then PRIVATIZE
+    * copy-on-write: the fixture clones the 8-key-range source,
+    * deletes [max/4, max/2] on the CLONE (interior bucket
+    * pure-removes, boundary buckets rewrite into LOCAL files; the
+    * untouched buckets stay external), and appends the keys ≡0
+    * (mod 9) slice locally. The query hashes the clone tip's
+    * ext-vs-local file census (the oracle RE-DERIVES it from
+    * per-bucket hit arithmetic: untouched buckets stay ext, partial
+    * buckets privatize, +1 local append) + the clone's content
+    * rollup (complement ∪ mod-9 slice) + the SOURCE's untouched
+    * rollup — the whole fork isolation contract in one row.
+    *
+    * Scale shape: the clone commit is driver metadata (zero data
+    * I/O); the delete rewrites only boundary files; the returned
+    * plan is the tip read + one scalar agg. */
+  def txnLogClone(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, "txnclone|range8_cl_v2")) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnclone",
+            codeTag = "range8_cl_v2") { target =>
+          val o = Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_totalprice"))
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val src = s"$target/src"
+          val dst = s"$target/clone"
+          new java.io.File(src).mkdirs()
+          new java.io.File(dst).mkdirs()
+          val adds = (0 until 8).flatMap { b =>
+            val slice = o.where(
+              expr(s"(o_orderkey * 8L) div ${mx + 1}L") === b)
+            val name = s"b$b"
+            slice.coalesce(1).write.parquet(s"$src/$name")
+            if (spark.read.parquet(s"$src/$name").isEmpty) {
+              graft.core.Fixtures.deleteRecursively(
+                new java.io.File(src, name)); None
+            } else Some(TxnLog.AddStats(name,
+              TxnLog.statsFor(spark, src, name, "o_orderkey")))
+          }
+          assert(TxnLog.tryCommit(src, 1, adds, "stage"))
+          // relative refs: src and clone live in ONE staged tree that
+          // the staging protocol renames into place as a unit
+          assert(TxnLog.cloneTable(src, dst, "stage",
+            relativeRefs = true) == 1)
+          val v = TxnLog.deleteRange(spark, dst, "o_orderkey",
+            (mx / 4).toString, (mx / 2).toString, "stage")
+          assert(v.contains(2), s"clone delete did not commit v2: $v")
+          o.where(col("o_orderkey") % 9 === 0)
+            .coalesce(1).write.parquet(s"$dst/app9")
+          assert(TxnLog.tryCommit(dst, 3, Seq(TxnLog.AddStats("app9",
+            TxnLog.statsFor(spark, dst, "app9", "o_orderkey"))),
+            "stage"))
+          // fork isolation: the source never moved
+          assert(TxnLog.latestVersion(src) == 1,
+            "clone writes leaked into the source log")
+        }
+      }
+    val (src, dst) = (s"$root/src", s"$root/clone")
+    val st = TxnLog.stateAt(dst, TxnLog.latestVersion(dst))
+    val (extF, localF) = st.live.toSeq.partition(st.ext.contains)
+    val srcAgg = TxnLog.read(spark, src)
+      .agg(count(lit(1)), sum(Det.cents(col("o_totalprice")))).head()
+    TxnLog.read(spark, dst)
+      .agg(count(lit(1)).as("clone_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("clone_cents"))
+      .select(
+        lit(TxnLog.liveFiles(src, 1).size).cast("int").as("n_src_files"),
+        lit(st.live.size).cast("int").as("n_clone_files"),
+        lit(extF.size).cast("int").as("n_ext"),
+        lit(localF.size).cast("int").as("n_local"),
+        col("clone_rows"), col("clone_cents"),
+        lit(srcAgg.getLong(0)).as("src_rows"),
+        lit(srcAgg.getLong(1)).as("src_cents"))
+  }
+
+  val txnLogCloneSql: String =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      |b AS (SELECT o_orderkey AS k,
+      |        CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100
+      |          AS BIGINT) AS cents,
+      |        (o_orderkey * 8) // (m + 1) AS bucket,
+      |        CASE WHEN o_orderkey BETWEEN m // 4 AND m // 2
+      |          THEN 1 ELSE 0 END AS hit
+      |      FROM orders, mx),
+      |fs AS (SELECT bucket, SUM(hit) AS hits, COUNT(*) AS total
+      |       FROM b GROUP BY bucket),
+      |cl AS (SELECT k, cents FROM b WHERE hit = 0
+      |       UNION ALL SELECT k, cents FROM b WHERE k % 9 = 0)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM fs) AS INT) AS n_src_files,
+      |  CAST((SELECT COUNT(*) FROM fs WHERE hits < total) + 1 AS INT)
+      |    AS n_clone_files,
+      |  CAST((SELECT COUNT(*) FROM fs WHERE hits = 0) AS INT) AS n_ext,
+      |  CAST((SELECT COUNT(*) FROM fs WHERE hits > 0 AND hits < total)
+      |    + 1 AS INT) AS n_local,
+      |  CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS clone_rows,
+      |  CAST((SELECT SUM(cents) FROM cl) AS BIGINT) AS clone_cents,
+      |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS src_rows,
+      |  CAST((SELECT SUM(cents) FROM b) AS BIGINT) AS src_cents""".stripMargin
+
   /** OPTIMIZE ZORDER BY on the txn-log table (r11 — VERDICT r10
     * "missing" #4): the clustering-CREATING maintenance mode. The
     * fixture ingests orders as 4 INTERLEAVED slices (k mod 4 — every
@@ -3491,6 +3674,8 @@ object Relational {
     "txn_log_cdf" -> txnLogCdf,
     "txn_log_delete_dv" -> txnLogDeleteDv,
     "txn_log_restore" -> txnLogRestore,
+    "txn_log_constraints" -> txnLogConstraints,
+    "txn_log_clone" -> txnLogClone,
     "txn_log_delete" -> txnLogDelete,
     "txn_log_history" -> txnLogHistory,
     "txn_log_schema_evo" -> txnLogSchemaEvo,
@@ -3575,6 +3760,8 @@ object Relational {
     "txn_log_cdf" -> txnLogCdfSql,
     "txn_log_delete_dv" -> txnLogDeleteDvSql,
     "txn_log_restore" -> txnLogRestoreSql,
+    "txn_log_constraints" -> txnLogConstraintsSql,
+    "txn_log_clone" -> txnLogCloneSql,
     "txn_log_delete" -> txnLogDeleteSql,
     "txn_log_history" -> txnLogHistorySql,
     "txn_log_schema_evo" -> txnLogSchemaEvoSql,

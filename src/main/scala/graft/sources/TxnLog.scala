@@ -229,6 +229,8 @@ class TxnLogOps(val store: LogStore) {
     val st = stateAt(root, v)
     val entries: Seq[Entry] =
       st.schemaDdl.map(MetaData.apply).toSeq ++
+        st.constraints.toSeq.sorted.map { case (n, e) =>
+          Constraint(n, e) } ++
         st.txns.toSeq.sortBy(_._1).map { case (a, b) => SetTxn(a, b) } ++
         st.live.toSeq.sorted.map { f =>
           val cols = st.stats.getOrElse(f, Seq.empty)
@@ -236,6 +238,11 @@ class TxnLogOps(val store: LogStore) {
           if (part.nonEmpty || cols.size > 1) AddFile(f, part, cols)
           else cols.headOption.map(AddStats(f, _)).getOrElse(add(f))
         } ++
+        // ext refs AFTER the adds (fold clears a name's mapping on
+        // re-add) — ALL of them, so state round-trips exactly: refs
+        // for names no longer referenced are a few bytes each and
+        // die when the name is reused
+        st.ext.toSeq.sorted.map { case (f, s) => ExtRef(f, s) } ++
         // DVs AFTER the adds: fold clears a file's DV on re-add, so
         // the checkpoint's replay order must re-attach them last
         st.dvs.toSeq.filter { case (f, _) => st.live.contains(f) }
@@ -325,6 +332,75 @@ class TxnLogOps(val store: LogStore) {
       s"could not append after $maxAttempts attempts (writer storm?)")
   }
 
+  /** Fail loudly when any row of `df` makes a constraint expression
+    * strictly FALSE (SQL CHECK semantics: NULL passes). ONE scan
+    * counts every constraint's violations simultaneously — the
+    * enforcement cost is one pass over the rows being written,
+    * never over the table. */
+  private def enforceConstraints(df: DataFrame,
+                                 cons: Map[String, String],
+                                 what: String): Unit = {
+    if (cons.isEmpty) return
+    val named = cons.toSeq.sorted
+    val aggs = named.map { case (_, e) =>
+      count(when(!coalesce(expr(e), lit(true)), 1)) }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val bad = named.zipWithIndex.collect {
+      case ((n, e), i) if r.getLong(i) > 0 =>
+        s"$n (CHECK $e): ${r.getLong(i)} rows"
+    }
+    require(bad.isEmpty,
+      s"$what violates table constraints — ${bad.mkString("; ")}")
+  }
+
+  /** ADD CONSTRAINT (r11 — Delta's CHECK constraint): publish `name
+    * CHECK(exprSql)` after proving the CURRENT content satisfies it
+    * (one DV-applied scan of the tip); every future CHECKED write
+    * (`commitAppendChecked`, `commitPartitionedAppend`, the merge
+    * source) is then validated in one pass over its own rows. NULL
+    * passes, SQL CHECK semantics. The validate-then-commit pair has
+    * the WriteSerializable anomaly every optimistic writer here
+    * shares: a concurrent unchecked append can interleave; checked
+    * writers re-read constraints per attempt. Returns the committed
+    * version. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    exprSql: String, session: String): Int = {
+    val tip = latestVersion(root)
+    val st = stateAt(root, tip)
+    require(!st.constraints.contains(name),
+      s"constraint $name already exists on $root")
+    if (st.live.nonEmpty)
+      enforceConstraints(read(spark, root, tip), Map(name -> exprSql),
+        s"existing content of $root")
+    commitNext(root, Seq(Constraint(name, exprSql)), session)
+  }
+
+  /** DROP CONSTRAINT — retires `name`; fails if it does not exist
+    * (dropping a typo'd name silently would leave the real
+    * constraint enforced). */
+  def dropConstraint(root: String, name: String, session: String): Int = {
+    require(stateAt(root, latestVersion(root)).constraints
+        .contains(name), s"no constraint $name on $root")
+    commitNext(root, Seq(DropConstraint(name)), session)
+  }
+
+  /** [[commitAppend]] behind the table's CHECK constraints: scans the
+    * already-written `files` once (all constraints in one pass) and
+    * refuses the commit naming every violated constraint. The
+    * unchecked [[commitAppend]] stays available as the protocol-layer
+    * slot op. */
+  def commitAppendChecked(spark: SparkSession, root: String,
+                          files: Seq[String], schemaDdl: String,
+                          session: String, evolve: Boolean = false,
+                          maxAttempts: Int = 10): Int = {
+    val cons = stateAt(root, latestVersion(root)).constraints
+    if (cons.nonEmpty && files.nonEmpty)
+      enforceConstraints(spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$root/$f"): _*), cons,
+        s"append of ${files.mkString(",")}")
+    commitAppend(root, files, schemaDdl, session, evolve, maxAttempts)
+  }
+
   /** Project `base` to schema `s`'s columns in order, null-padding
     * any column the scanned parquet union lacks: legal when every
     * live file carrying an evolved column has since been removed —
@@ -352,6 +428,38 @@ class TxnLogOps(val store: LogStore) {
     * file, so a retired pointer's leftover rows never leak in. DV
     * frames are deleted-row-count sized: broadcastable by design
     * (that is when merge-on-read is the right call at all). */
+  /** An ext ref is either ABSOLUTE (starts with '/': tables that move
+    * independently — Delta's posture) or RELATIVE to this table's
+    * root ('../src/f0': a source and clone moved TOGETHER — e.g. one
+    * staged tree — keep working). */
+  private def resolveExt(root: String, p: String): String =
+    if (p.startsWith("/")) p else s"$root/$p"
+
+  /** Physical location of logged data-dir name `f`: an ext-mapped
+    * name (shallow clone) resolves to its source path, anything else
+    * lives under this table's root. Resolution never changes the
+    * NAME — DV keys and file attribution use the last two path
+    * segments, which are identical either way. */
+  private def dataPath(root: String, st: State, f: String): String =
+    st.ext.get(f).map(resolveExt(root, _)).getOrElse(s"$root/$f")
+
+  /** Recursive byte size of `f` wherever it lives — the store for
+    * local names, a filesystem walk for ext-backed ones (compaction
+    * bin sizing must see the source files' real sizes, or a clone's
+    * first OPTIMIZE would pack everything into one bin). */
+  private def dataBytesOf(root: String, st: State, f: String): Long =
+    st.ext.get(f) match {
+      case None => store.dataBytes(root, f)
+      case Some(p) =>
+        def walk(d: java.io.File): Long =
+          if (d.isFile) d.length
+          else Option(d.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(resolveExt(root, p)))
+    }
+
+  private def dataPaths(root: String, st: State, files: Seq[String])
+  : Seq[String] = files.map(dataPath(root, st, _))
+
   private def dvRows(spark: SparkSession, root: String, st: State,
                      files: Seq[String]): Option[DataFrame] = {
     val here = files
@@ -359,7 +467,7 @@ class TxnLogOps(val store: LogStore) {
     if (here.isEmpty) None
     else Some(here.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (d, fs) =>
-        spark.read.parquet(s"$root/$d")
+        spark.read.parquet(dataPath(root, st, d))
           .where(regexp_extract(col("path"), "^([^/]+)/", 1)
             .isin(fs.map(_._2): _*))
           .select(col("path"), col("pos"))
@@ -380,7 +488,7 @@ class TxnLogOps(val store: LogStore) {
                           files: Seq[String],
                           fileCol: Option[String] = None): DataFrame = {
     val base = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$root/$f"): _*)
+      .parquet(dataPaths(root, st, files): _*)
     val dataCols = base.columns.toSeq
     val dv = dvRows(spark, root, st, files)
     if (dv.isEmpty && fileCol.isEmpty) return base
@@ -509,7 +617,8 @@ class TxnLogOps(val store: LogStore) {
       if (scanned.isEmpty) {
         val s = schema.orElse(
           if (st.live.isEmpty) None
-          else Some(spark.read.parquet(s"$root/${st.live.head}").schema))
+          else Some(spark.read.parquet(
+            dataPath(root, st, st.live.head)).schema))
           .getOrElse(throw new IllegalStateException(
             s"version $v of $root has no files and no metaData schema"))
         spark.createDataFrame(
@@ -671,7 +780,7 @@ class TxnLogOps(val store: LogStore) {
       .sortBy(_._1.map { case (k, v) => s"$k=$v" }.mkString("/"))
     val bins: Seq[(Seq[(String, String)], Seq[String])] =
       groups.flatMap { case (part, files) =>
-        binPack(files.map(f => f -> store.dataBytes(root, f)),
+        binPack(files.map(f => f -> dataBytesOf(root, st, f)),
           targetBytes).map(part -> _)
       }
     // session-scoped rewrite names: two concurrent compactors write
@@ -788,7 +897,7 @@ class TxnLogOps(val store: LogStore) {
       val k0 =
         if (zBuckets > 0) zBuckets
         else {
-          val bytes = files.map(store.dataBytes(root, _)).sum
+          val bytes = files.map(dataBytesOf(root, st, _)).sum
           val want = math.max(1,
             math.ceil(bytes.toDouble / targetBytes).toInt)
           // next power of two >= want, capped at 256 cells
@@ -962,6 +1071,12 @@ class TxnLogOps(val store: LogStore) {
       s"merge source has duplicate $keyCol values " +
         s"(${bounds.getLong(2)} rows, ${bounds.getLong(3)} keys)")
     if (bounds.getLong(2) == 0L) return None // empty merge: no-op
+    // CHECK constraints: every row a merge WRITES (replacements and
+    // inserts) originates in the source — kept rows already satisfy
+    // by induction — so validating the source once enforces the
+    // whole operation
+    enforceConstraints(source, stateAt(root, base).constraints,
+      "merge source")
     // stats pre-prune, then the exact probe over surviving candidates
     val (candidates, _) =
       if (live.isEmpty) (Seq.empty[String], Seq.empty[String])
@@ -1119,6 +1234,11 @@ class TxnLogOps(val store: LogStore) {
                               statsCols: Seq[String], session: String,
                               maxAttempts: Int = 10): Int = {
     require(partCols.nonEmpty, "partitioned append needs partCols")
+    // CHECK constraints validate the INPUT frame before any slice is
+    // written — the cheapest enforcement point (one pass, no cleanup)
+    enforceConstraints(df,
+      stateAt(root, latestVersion(root)).constraints,
+      "partitioned append")
     // keep the ORIGINAL values for the slice predicate (no
     // string-cast round trip) and the string rendering for the log
     val tuples = df.select(partCols.map(col): _*).distinct().collect()
@@ -1262,7 +1382,7 @@ class TxnLogOps(val store: LogStore) {
     if (candidates.isEmpty) return None
     val st = stateAt(root, base)
     val baseScan = spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(f => s"$root/$f"): _*)
+      .parquet(dataPaths(root, st, candidates): _*)
     val dt = baseScan.schema(colName).dataType
     val pred = coalesce(
       col(colName).between(lit(lo).cast(dt), lit(hi).cast(dt)),
@@ -1368,8 +1488,16 @@ class TxnLogOps(val store: LogStore) {
       "_change_type STRING, _commit_version INT, _commit_timestamp BIGINT")
     val schema = schemaAt(root, to).getOrElse {
       if (touched.isEmpty) StructType(Seq.empty)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(f => s"$root/$f"): _*).schema
+      else {
+        // resolve ext-backed names across the whole range: every
+        // version's state in the range can contribute a mapping
+        val extAll = (fromV to to).foldLeft(Map.empty[String, String])(
+          (m, v) => m ++ stateAt(root, v).ext)
+        spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(f => extAll.get(f)
+            .map(resolveExt(root, _)).getOrElse(s"$root/$f")): _*)
+          .schema
+      }
     }
     def empty(s: StructType): DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -1410,7 +1538,11 @@ class TxnLogOps(val store: LogStore) {
         if (dvSets.isEmpty) None
         else {
           val delta = dvSets.map { case SetDV(f, d, _) =>
-            def rowsIn(dir: String) = spark.read.parquet(s"$root/$dir")
+            // a sidecar name may be ext-backed (cloned vector): the
+            // post state maps the new one, the pre state the old
+            def rowsIn(dir: String) = spark.read.parquet(
+                postSt.ext.get(dir).orElse(preSt.ext.get(dir))
+                  .map(resolveExt(root, _)).getOrElse(s"$root/$dir"))
               .where(regexp_extract(col("path"), "^([^/]+)/", 1) === f)
               .select(col("path"), col("pos"))
             preSt.dvs.get(f) match {
@@ -1420,7 +1552,7 @@ class TxnLogOps(val store: LogStore) {
           }.reduce(_ unionAll _)
           val files = dvSets.map(_.file).distinct.sorted
           val base = spark.read.option("mergeSchema", "true")
-            .parquet(files.map(f => s"$root/$f"): _*)
+            .parquet(dataPaths(root, postSt, files): _*)
           val dataCols = base.columns.toSeq
           Some(projectTo(base.select((dataCols.map(col) :+
               relPath.as("__path") :+
@@ -1474,14 +1606,19 @@ class TxnLogOps(val store: LogStore) {
               maxAttempts: Int = 5): Option[Int] = {
     val want = stateAt(root, toV)
     require(toV >= 1, s"cannot restore to v$toV")
-    val missing = want.live.toSeq.sorted
-      .filterNot(f => store.dataDirExists(root, f))
+    // an ext-backed name lives outside this table's root: its
+    // existence check goes to the referenced path directly (the
+    // source table's vacuum, not ours, governs its lifetime)
+    def gone(f: String): Boolean = want.ext.get(f) match {
+      case Some(p) => !new java.io.File(resolveExt(root, p)).exists
+      case None => !store.dataDirExists(root, f)
+    }
+    val missing = want.live.toSeq.sorted.filter(gone)
     require(missing.isEmpty,
       s"cannot restore $root to v$toV: data vacuumed for " +
         missing.mkString(","))
     val missingDv = want.dvs.toSeq.sorted.collect {
-      case (f, (d, _)) if want.live.contains(f) &&
-        !store.dataDirExists(root, d) => d
+      case (f, (d, _)) if want.live.contains(f) && gone(d) => d
     }
     require(missingDv.isEmpty,
       s"cannot restore $root to v$toV: sidecars vacuumed: " +
@@ -1500,18 +1637,31 @@ class TxnLogOps(val store: LogStore) {
       val removes = (cur.live -- want.live).toSeq.sorted.map(remove)
       val readds = (want.live -- cur.live).toSeq.sorted
       val both = (want.live & cur.live).toSeq.sorted
-      // a surviving file whose vector differs restores by
-      // remove + re-add (clearing), then SetDV when toV had one
-      val dvDiff = both.filter(f => cur.dvs.get(f) != want.dvs.get(f))
+      // a surviving file whose vector OR ext mapping differs restores
+      // by remove + re-add (clearing), then ExtRef/SetDV as toV had
+      val dvDiff = both.filter(f => cur.dvs.get(f) != want.dvs.get(f) ||
+        cur.ext.get(f) != want.ext.get(f))
       val reAttach = (readds ++ dvDiff).sorted.flatMap { f =>
         Seq(richAdd(f)) ++
-          want.dvs.get(f).map { case (d, n) => SetDV(f, d, n) }
+          want.ext.get(f).map(ExtRef(f, _)) ++
+          want.dvs.get(f).toSeq.flatMap { case (d, n) =>
+            want.ext.get(d).map(ExtRef(d, _)).toSeq :+ SetDV(f, d, n)
+          }
       }
       val schemaFix =
         if (want.schemaDdl != cur.schemaDdl) want.schemaDdl
           .map(MetaData.apply).toSeq
         else Seq.empty
-      val actions: Seq[Entry] = schemaFix ++ removes ++
+      // constraints are table state too: drop the ones added since,
+      // re-publish the ones dropped or changed since
+      val consFix: Seq[Entry] =
+        (cur.constraints.keySet -- want.constraints.keySet)
+          .toSeq.sorted.map(DropConstraint.apply) ++
+        want.constraints.toSeq.sorted.collect {
+          case (n, e) if !cur.constraints.get(n).contains(e) =>
+            Constraint(n, e)
+        }
+      val actions: Seq[Entry] = schemaFix ++ consFix ++ removes ++
         dvDiff.sorted.map(remove) ++ reAttach
       if (actions.isEmpty) return None // tip already equals toV
       if (tryCommit(root, base + 1, actions, session)) {
@@ -1521,6 +1671,70 @@ class TxnLogOps(val store: LogStore) {
     }
     throw new IllegalStateException(
       s"could not restore after $maxAttempts attempts (writer storm?)")
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): create
+    * `dstRoot` as a new table whose v1 references the SOURCE version's
+    * live files IN PLACE — one metadata commit, zero data I/O at any
+    * source size (cloning a 100 TB table costs the same as a 100 MB
+    * one). The clone carries the source's schema, CHECK constraints,
+    * partition tuples, per-column stats, and deletion vectors; every
+    * referenced data dir and DV sidecar gets an [[TxnLog.ExtRef]]
+    * resolving to its ABSOLUTE source path — resolved through the
+    * source's OWN ext map first, so a clone of a clone points at the
+    * ORIGINAL files, never a chain. Writes to the clone are ordinary
+    * commits: appends land local files; a rewrite of an ext-backed
+    * file (merge / delete / OPTIMIZE) outputs locally and its remove
+    * clears the mapping — copy-on-write privatization, file by file,
+    * with the source untouched. The clone's vacuum can never reclaim
+    * source data (ext paths are outside its root); the SOURCE's
+    * vacuum does not know about clones, so source retention must
+    * outlive them (Delta's exact caveat). Streaming txn watermarks do
+    * NOT clone: the clone is a NEW table and a restarted stream must
+    * not dedup against the source's batch history. `relativeRefs`
+    * renders refs relative to the CLONE's root instead of absolute —
+    * for a source and clone that move together as one tree (absolute,
+    * the default, is Delta's posture for tables that move
+    * independently). Returns the clone's committed version (always
+    * 1). */
+  def cloneTable(srcRoot: String, dstRoot: String, session: String,
+                 version: Int = -1, relativeRefs: Boolean = false)
+  : Int = {
+    val v = if (version < 0) latestVersion(srcRoot) else version
+    require(v >= 1, s"cannot clone $srcRoot: no committed version")
+    val st = stateAt(srcRoot, v)
+    require(latestVersion(dstRoot) == 0,
+      s"clone target $dstRoot already has commits")
+    val srcAbs = new java.io.File(srcRoot).getAbsolutePath
+    def resolve(f: String): String = st.ext.get(f)
+      .map(resolveExt(srcAbs, _)).getOrElse(s"$srcAbs/$f")
+    val dstAbs = java.nio.file.Paths.get(dstRoot)
+      .toAbsolutePath.normalize
+    def ref(f: String): String =
+      if (!relativeRefs) resolve(f)
+      else dstAbs.relativize(java.nio.file.Paths.get(resolve(f))
+        .toAbsolutePath.normalize).toString
+    def richAdd(f: String): Entry = {
+      val part = st.parts.getOrElse(f, Seq.empty)
+      val cols = st.stats.getOrElse(f, Seq.empty)
+      if (part.nonEmpty || cols.size > 1) AddFile(f, part, cols)
+      else cols.headOption.map(AddStats(f, _)).getOrElse(add(f))
+    }
+    val liveSorted = st.live.toSeq.sorted
+    val liveDvs = st.dvs.toSeq
+      .filter { case (f, _) => st.live.contains(f) }.sortBy(_._1)
+    val entries: Seq[Entry] =
+      st.schemaDdl.map(MetaData.apply).toSeq ++
+        st.constraints.toSeq.sorted.map { case (n, e) =>
+          Constraint(n, e) } ++
+        liveSorted.map(richAdd) ++
+        liveSorted.map(f => ExtRef(f, ref(f))) ++
+        liveDvs.map { case (_, (d, _)) => ExtRef(d, ref(d)) }
+          .distinct ++
+        liveDvs.map { case (f, (d, n)) => SetDV(f, d, n) }
+    require(tryCommit(dstRoot, 1, entries, session),
+      s"clone target $dstRoot raced: another writer took its v1")
+    1
   }
 
   /** VACUUM with a retention horizon: delete the data of files not
@@ -1670,6 +1884,12 @@ class TxnLogOps(val store: LogStore) {
     val states = statesWalk(root)
     val sets = states.map { case (v, s) => v -> s.live.toSeq.sorted }
     val files = sets.flatMap(_._2).distinct.sorted
+    // ext resolution across the WHOLE history: any version may have
+    // read a name at its external (cloned) location
+    val extAll = states.foldLeft(Map.empty[String, String])(
+      (m, vs) => m ++ vs._2.ext)
+    def path(f: String): String = extAll.get(f)
+      .map(resolveExt(root, _)).getOrElse(s"$root/$f")
     // a version's content subtotal = raw file subtotal MINUS the
     // file's deletion-vector correction AT THAT VERSION — vectors
     // differ across versions, so membership carries the pointer and
@@ -1688,7 +1908,7 @@ class TxnLogOps(val store: LogStore) {
       return versionsDf.select(col("version"), col("n_files"),
         lit(0L).as("n_rows"), lit(0L).as("sum_cents"))
         .orderBy(col("version"))
-    val perFile = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    val perFile = spark.read.parquet(files.map(path): _*)
       .select(regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1)
         .as("file"),
         graft.core.Det.cents(col(valueCol)).as("cents"))
@@ -1704,12 +1924,12 @@ class TxnLogOps(val store: LogStore) {
             col("f_cents").as("v_cents"))
       else {
         val dvAll = pairs.map(_._2).distinct.sorted.map(d =>
-          spark.read.parquet(s"$root/$d")
+          spark.read.parquet(path(d))
             .select(col("path"), col("pos"), lit(d).as("dv")))
           .reduce(_ unionAll _)
         val dvFiles = pairs.map(_._1).distinct.sorted
         val corr = spark.read
-          .parquet(dvFiles.map(f => s"$root/$f"): _*)
+          .parquet(dvFiles.map(path): _*)
           .select(relPath.as("path"),
             col("_metadata.row_index").as("pos"),
             graft.core.Det.cents(col(valueCol)).as("cents"))
@@ -1837,6 +2057,59 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
       s"""{"action":"dv","file":"$file","dvFile":"$dv","rows":$rows}"""
   }
 
+  /** Table CHECK constraint (r11 — Delta's `ALTER TABLE ADD
+    * CONSTRAINT`): `expr` is a SQL boolean expression over the
+    * table's columns that every row a CHECKED writer lands must not
+    * make FALSE (SQL CHECK semantics: a NULL result PASSES —
+    * constrain nullability separately with `c IS NOT NULL`).
+    * Enforcement happens at the checked write surfaces
+    * ([[TxnLogOps.commitAppendChecked]],
+    * [[TxnLogOps.commitPartitionedAppend]], [[TxnLogOps.mergeClauses]]
+    * source validation); the raw [[TxnLogOps.commitAppend]] slot op
+    * stays unchecked by design — it is the protocol layer, not the
+    * writer. */
+  final case class Constraint(name: String, expr: String)
+    extends Entry {
+    Seq(name, expr).foreach(s =>
+      require(!s.contains('"') && !s.contains('\n'),
+        s"constraint parts must be quote- and newline-free: $s"))
+    def toJson: String =
+      s"""{"action":"constraint","name":"$name","expr":"$expr"}"""
+  }
+
+  /** Retires a named [[Constraint]]. */
+  final case class DropConstraint(name: String) extends Entry {
+    require(!name.contains('"') && !name.contains('\n'),
+      s"constraint name must be quote- and newline-free: $name")
+    def toJson: String =
+      s"""{"action":"dropConstraint","name":"$name"}"""
+  }
+
+  /** External file reference (r11 — the SHALLOW CLONE payload,
+    * Delta's shallow clone / Iceberg's snapshot-ref posture):
+    * declares that logged data-dir name `file` physically lives at
+    * absolute path `src` instead of under this table's root. A clone
+    * commits the source's live adds verbatim plus one ExtRef per
+    * file — zero data I/O at any table size; the first write that
+    * REWRITES an ext-backed file (merge, delete, OPTIMIZE) lands a
+    * local output and the remove clears the mapping, so clones
+    * privatize copy-on-write, file by file. Resolution keeps the
+    * LOGGED name (DV `path` keys and file-census attribution use the
+    * last two path segments, which are root-independent), so vectors
+    * and per-file metadata work unchanged on ext files. Lifecycle
+    * caveat (same as Delta's): the CLONE's vacuum can never touch
+    * ext files (they are not under its root), but the SOURCE's
+    * vacuum does not know about clones — retain source versions at
+    * least as long as clones reference them. An add or remove of the
+    * same name clears the mapping (the name becomes local again). */
+  final case class ExtRef(file: String, src: String) extends Entry {
+    Seq(file, src).foreach(s =>
+      require(!s.contains('"') && !s.contains('\n'),
+        s"ext-ref parts must be quote- and newline-free: $s"))
+    def toJson: String =
+      s"""{"action":"extRef","file":"$file","src":"$src"}"""
+  }
+
   /** Streaming-transaction watermark (Delta's `txn` action): records
     * that `appId` has durably committed micro-batch `batchId`, so a
     * restarted stream re-delivering the same batch from its
@@ -1876,24 +2149,26 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
                          parts: Map[String, Seq[(String, String)]] =
                            Map.empty,
                          txns: Map[String, Long] = Map.empty,
-                         dvs: Map[String, (String, Long)] = Map.empty)
+                         dvs: Map[String, (String, Long)] = Map.empty,
+                         constraints: Map[String, String] = Map.empty,
+                         ext: Map[String, String] = Map.empty)
 
   private[sources] def fold(base: State, entries: Seq[Entry]): State =
     entries.foldLeft(base) {
       case (s, Action("add", f)) =>
         s.copy(live = s.live + f, stats = s.stats - f,
-          parts = s.parts - f, dvs = s.dvs - f)
+          parts = s.parts - f, dvs = s.dvs - f, ext = s.ext - f)
       case (s, Action("remove", f)) =>
         s.copy(live = s.live - f, stats = s.stats - f,
-          parts = s.parts - f, dvs = s.dvs - f)
+          parts = s.parts - f, dvs = s.dvs - f, ext = s.ext - f)
       case (s, AddStats(f, fs)) =>
         s.copy(live = s.live + f, stats = s.stats + (f -> Seq(fs)),
-          parts = s.parts - f, dvs = s.dvs - f)
+          parts = s.parts - f, dvs = s.dvs - f, ext = s.ext - f)
       case (s, AddFile(f, part, cols)) =>
         s.copy(live = s.live + f,
           stats = if (cols.isEmpty) s.stats - f else s.stats + (f -> cols),
           parts = if (part.isEmpty) s.parts - f else s.parts + (f -> part),
-          dvs = s.dvs - f)
+          dvs = s.dvs - f, ext = s.ext - f)
       case (s, SetDV(f, d, n)) =>
         // a vector may only attach to a LIVE file — a dangling
         // pointer is a no-op, so state round-trips exactly through
@@ -1903,6 +2178,13 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
       case (s, SetTxn(app, b)) =>
         s.copy(txns = s.txns +
           (app -> math.max(b, s.txns.getOrElse(app, Long.MinValue))))
+      // ExtRef AFTER its add in a commit (add clears the mapping);
+      // unconditional set: sidecar dirs carry refs without being live
+      case (s, ExtRef(f, src)) => s.copy(ext = s.ext + (f -> src))
+      case (s, Constraint(n, e)) =>
+        s.copy(constraints = s.constraints + (n -> e))
+      case (s, DropConstraint(n)) =>
+        s.copy(constraints = s.constraints - n)
       case (s, MetaData(ddl)) => s.copy(schemaDdl = Some(ddl))
       case (s, _) => s
     }
@@ -1925,6 +2207,12 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
   private val DvRe =
     ("""\{"action":"dv","file":"([^"]+)","dvFile":"([^"]+)",""" +
       """"rows":(\d+)\}""").r
+  private val ExtRefRe =
+    """\{"action":"extRef","file":"([^"]+)","src":"([^"]+)"\}""".r
+  private val ConstraintRe =
+    """\{"action":"constraint","name":"([^"]+)","expr":"([^"]+)"\}""".r
+  private val DropConstraintRe =
+    """\{"action":"dropConstraint","name":"([^"]+)"\}""".r
   private val CommitRe =
     """\{"action":"commitInfo","ts":(\d+)\}""".r
   private val MetaRe =
@@ -1947,6 +2235,9 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
       AddStats(f, FileStats(c, mn, mx, n.toLong))
     case ActionRe(a, f) => Action(a, f)
     case DvRe(f, d, n) => SetDV(f, d, n.toLong)
+    case ExtRefRe(f, s) => ExtRef(f, s)
+    case ConstraintRe(n, e) => Constraint(n, e)
+    case DropConstraintRe(n) => DropConstraint(n)
     case TxnRe(app, b) => SetTxn(app, b.toLong)
     case CommitRe(ts) => CommitInfo(ts.toLong)
     case MetaRe(ddl) => MetaData(ddl)

@@ -164,6 +164,132 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --------------------------------------------------- shallow clone
+
+  test("shallow clone: zero-copy create, copy-on-write privatization, isolation") {
+    import spark.implicits._
+    withScratch { src =>
+      withScratch { dst =>
+        // source: two stats-carrying files + a deletion vector
+        (0L to 4L).map(k => (k, k * 10.0)).toDF("k", "v")
+          .coalesce(1).write.parquet(s"$src/f0")
+        (5L to 9L).map(k => (k, k * 10.0)).toDF("k", "v")
+          .coalesce(1).write.parquet(s"$src/f1")
+        assert(TxnLog.commitNext(src, Seq("f0", "f1").map(f =>
+          TxnLog.AddStats(f, TxnLog.statsFor(spark, src, f, "k"))) :+
+          TxnLog.MetaData("k BIGINT,v DOUBLE"), "s") == 1)
+        assert(TxnLog.deleteRangeDV(spark, src, "k", "7", "8", "s")
+          .contains(2))
+        val srcRows = TxnLog.read(spark, src).collect().toSet
+        assert(srcRows.size == 8)
+
+        // clone = ONE metadata commit; no data dir appears under dst
+        assert(TxnLog.cloneTable(src, dst, "c") == 1)
+        val dataDirs = Option(new java.io.File(dst).listFiles())
+          .toSeq.flatten.filter(_.isDirectory).map(_.getName)
+          .filterNot(_ == "_log")
+        assert(dataDirs.isEmpty, s"clone wrote data: $dataDirs")
+        assert(TxnLog.read(spark, dst).collect().toSet == srcRows)
+        val st1 = TxnLog.stateAt(dst, 1)
+        assert(st1.live == Set("f0", "f1"))
+        assert(st1.ext.keySet.contains("f0") &&
+          st1.ext.keySet.contains("f1"))
+        assert(st1.dvs.contains("f1"), "cloned vector lost")
+        // stats carried: pruning works on the clone from its own log
+        assert(TxnLog.prune(dst, 1, "k", "0", "4")._2 == Seq("f1"))
+
+        // copy-on-write on the CLONE privatizes only the touched file
+        assert(TxnLog.deleteRange(spark, dst, "k", "0", "2", "w")
+          .contains(2))
+        val st2 = TxnLog.stateAt(dst, 2)
+        assert(!st2.live.contains("f0") && st2.live.contains("f1"))
+        assert(st2.live.exists(f => !st2.ext.contains(f)),
+          "rewrite output should be a LOCAL file")
+        assert(st2.ext.contains("f1"), "untouched file stays ext")
+        // the source never moved
+        assert(TxnLog.read(spark, src).collect().toSet == srcRows)
+        assert(TxnLog.latestVersion(src) == 2)
+        assert(TxnLog.read(spark, dst).collect().toSet ==
+          srcRows.filterNot(r => r.getLong(0) <= 2))
+
+        // clone-of-clone: still-ext files resolve to the ORIGINAL
+        withScratch { dst2 =>
+          assert(TxnLog.cloneTable(dst, dst2, "c2") == 1)
+          val stc = TxnLog.stateAt(dst2, 1)
+          val srcAbs = new java.io.File(src).getAbsolutePath
+          assert(stc.ext("f1") == s"$srcAbs/f1",
+            s"chained ref: ${stc.ext("f1")}")
+          assert(TxnLog.read(spark, dst2).collect().toSet ==
+            TxnLog.read(spark, dst).collect().toSet)
+        }
+
+        // the clone's vacuum cannot reclaim source data
+        TxnLog.vacuum(dst, retainVersions = 1, listingGraceMs = 0L)
+        assert(new java.io.File(src, "f0").exists &&
+          new java.io.File(src, "f1").exists,
+          "clone vacuum reclaimed SOURCE data")
+        assert(TxnLog.read(spark, src).collect().toSet == srcRows)
+
+        // CDF on the clone announces exactly its own delete
+        val cdf = TxnLog.readChanges(spark, dst, 1, 2)
+        assert(cdf.where(col("_change_type") === "delete")
+          .select(col("k")).collect().map(_.getLong(0)).toSet ==
+          Set(0L, 1L, 2L))
+
+        // restore the clone to v1: ext refs + vector re-attach
+        assert(TxnLog.restore(dst, 1, "r").contains(3))
+        assert(TxnLog.read(spark, dst).collect().toSet == srcRows)
+        val st3 = TxnLog.stateAt(dst, 3)
+        assert(st3.ext.contains("f0") && st3.dvs.contains("f1"))
+      }
+    }
+  }
+
+  test("relative-ref clone survives moving the whole tree") {
+    import spark.implicits._
+    withScratch { tree =>
+      val src = s"$tree/src"; val dst = s"$tree/clone"
+      new java.io.File(src).mkdirs(); new java.io.File(dst).mkdirs()
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$src/f0")
+      assert(TxnLog.commitAppend(src, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      assert(TxnLog.cloneTable(src, dst, "c", relativeRefs = true) == 1)
+      assert(TxnLog.stateAt(dst, 1).ext("f0") == "../src/f0")
+      assert(TxnLog.read(spark, dst).count() == 2)
+      // move the WHOLE tree: a relative clone keeps reading
+      val moved = s"${tree}_moved"
+      assert(new java.io.File(tree).renameTo(new java.io.File(moved)))
+      try assert(TxnLog.read(spark, s"$moved/clone").count() == 2)
+      finally {
+        // move back so withScratch's cleanup finds the dir
+        assert(new java.io.File(moved).renameTo(new java.io.File(tree)))
+      }
+    }
+  }
+
+  test("clone carries constraints; checked writes on the clone enforce them") {
+    import spark.implicits._
+    withScratch { src =>
+      withScratch { dst =>
+        Seq((1L, 1.0)).toDF("k", "v").coalesce(1)
+          .write.parquet(s"$src/base")
+        assert(TxnLog.commitAppend(src, Seq("base"),
+          "k BIGINT,v DOUBLE", "s") == 1)
+        assert(TxnLog.addConstraint(spark, src, "k_pos", "k > 0",
+          "s") == 2)
+        assert(TxnLog.cloneTable(src, dst, "c") == 1)
+        Seq((-1L, 2.0)).toDF("k", "v").coalesce(1)
+          .write.parquet(s"$dst/bad")
+        val e = intercept[IllegalArgumentException](
+          TxnLog.commitAppendChecked(spark, dst, Seq("bad"),
+            "k BIGINT,v DOUBLE", "s"))
+        assert(e.getMessage.contains("k_pos"))
+        assert(TxnLog.latestVersion(dst) == 1)
+      }
+    }
+  }
+
   // ------------------------------------------- schema-evolve lost race
 
   test("two concurrent evolving appends both land: no schema lost update") {
@@ -486,6 +612,73 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("CHECK constraints: add validates existing, checked writes enforce, drop restores") {
+    import spark.implicits._
+    withScratch { root =>
+      (0L to 9L).map(k => (k, Option(k * 2.0))).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/base")
+      assert(TxnLog.commitAppend(root, Seq("base"),
+        "k BIGINT,v DOUBLE", "s") == 1)
+      // adding a constraint the EXISTING data satisfies lands; one
+      // it violates is rejected naming the constraint
+      assert(TxnLog.addConstraint(spark, root, "k_nonneg", "k >= 0",
+        "s") == 2)
+      val e1 = intercept[IllegalArgumentException](
+        TxnLog.addConstraint(spark, root, "small", "k < 5", "s"))
+      assert(e1.getMessage.contains("small") &&
+        e1.getMessage.contains("violates"), e1.getMessage)
+      // a checked append of violating rows is refused; the table
+      // version does not move
+      Seq((-1L, Option(1.0))).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/bad")
+      val e2 = intercept[IllegalArgumentException](
+        TxnLog.commitAppendChecked(spark, root, Seq("bad"),
+          "k BIGINT,v DOUBLE", "s"))
+      assert(e2.getMessage.contains("k_nonneg"), e2.getMessage)
+      assert(TxnLog.latestVersion(root) == 2)
+      // NULL passes (SQL CHECK): a null-v row under `v > -1` lands
+      assert(TxnLog.addConstraint(spark, root, "v_pos", "v > -1",
+        "s") == 3)
+      Seq((100L, Option.empty[Double])).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/ok")
+      assert(TxnLog.commitAppendChecked(spark, root, Seq("ok"),
+        "k BIGINT,v DOUBLE", "s") == 4)
+      // a merge whose source violates is refused before any write
+      val e3 = intercept[IllegalArgumentException](
+        TxnLog.mergeUpsert(spark, root,
+          Seq((-5L, Option(1.0))).toDF("k", "v"), "k", "m"))
+      assert(e3.getMessage.contains("k_nonneg"), e3.getMessage)
+      // so is a partitioned append
+      val e4 = intercept[IllegalArgumentException](
+        TxnLog.commitPartitionedAppend(spark, root,
+          Seq((-7L, Option(1.0))).toDF("k", "v"), Seq("k"),
+          Seq.empty, "s"))
+      assert(e4.getMessage.contains("k_nonneg"), e4.getMessage)
+      // constraints survive checkpoint + log cleanup
+      for (i <- 5 to 10) {
+        Seq((200L + i, Option(1.0))).toDF("k", "v")
+          .coalesce(1).write.parquet(s"$root/pad$i")
+        assert(TxnLog.commitNext(root, Seq(TxnLog.add(s"pad$i")),
+          "s") == i)
+      }
+      assert(TxnLog.cleanupLog(root).nonEmpty)
+      assert(TxnLog.stateAt(root, TxnLog.latestVersion(root))
+        .constraints.keySet == Set("k_nonneg", "v_pos"),
+        "constraints lost through checkpoint replay")
+      val e5 = intercept[IllegalArgumentException](
+        TxnLog.commitAppendChecked(spark, root, Seq("bad"),
+          "k BIGINT,v DOUBLE", "s"))
+      assert(e5.getMessage.contains("k_nonneg"), e5.getMessage)
+      // dropping the constraint re-admits the file; dropping a
+      // missing name is loud
+      assert(TxnLog.dropConstraint(root, "k_nonneg", "s") == 11)
+      assert(TxnLog.commitAppendChecked(spark, root, Seq("bad"),
+        "k BIGINT,v DOUBLE", "s") == 12)
+      intercept[IllegalArgumentException](
+        TxnLog.dropConstraint(root, "nope", "s"))
+    }
+  }
+
   // ------------------------------- partition + multi-column pruning
 
   test("pruneWhere: partition equality first, then conjunctive stats") {
@@ -732,24 +925,30 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
       var refLive = Map.empty[String, (Seq[(String, String)],
         Seq[TxnLog.FileStats])]
       var refDvs = Map.empty[String, (String, Long)]
+      var refCons = Map.empty[String, String]
+      var refExt = Map.empty[String, String]
       val perVersion = scala.collection.mutable.ArrayBuffer
         .empty[(Map[String, (Seq[(String, String)],
-          Seq[TxnLog.FileStats])], Map[String, (String, Long)])]
+          Seq[TxnLog.FileStats])], Map[String, (String, Long)],
+          Map[String, String], Map[String, String])]
       for (v <- 1 to 25) {
         val acts: Seq[TxnLog.Entry] = (0 until 1 + rnd.nextInt(3)).map { _ =>
           val f = s"f${rnd.nextInt(8)}"
-          rnd.nextInt(5) match {
+          rnd.nextInt(7) match {
             case 0 => refLive += f -> (Seq.empty, Seq.empty)
               refDvs -= f
+              refExt -= f
               TxnLog.add(f)
             case 1 => refLive -= f
               refDvs -= f
+              refExt -= f
               TxnLog.remove(f)
             case 2 =>
               val st = TxnLog.FileStats("k", s"${rnd.nextInt(50)}",
                 s"${50 + rnd.nextInt(50)}", 1L + rnd.nextInt(9))
               refLive += f -> (Seq.empty, Seq(st))
               refDvs -= f
+              refExt -= f
               TxnLog.AddStats(f, st)
             case 3 =>
               val part = Seq("pri" -> s"p${rnd.nextInt(3)}")
@@ -758,23 +957,42 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
                   s"${50 + rnd.nextInt(50)}", 1L + rnd.nextInt(9)))
               refLive += f -> (part, cols)
               refDvs -= f
+              refExt -= f
               TxnLog.AddFile(f, part, cols)
-            case _ =>
+            case 4 =>
               // r11: a deletion vector — attaches only to a LIVE
               // file (a dangling pointer is a protocol no-op)
               val dv = s"dv${rnd.nextInt(5)}"
               val n = 1L + rnd.nextInt(9)
               if (refLive.contains(f)) refDvs += f -> (dv, n)
               TxnLog.SetDV(f, dv, n)
+            case 5 =>
+              // r11: ext refs (shallow clone) set unconditionally and
+              // clear on any add/remove of the name
+              val src = s"/ext/src${rnd.nextInt(4)}/$f"
+              refExt += f -> src
+              TxnLog.ExtRef(f, src)
+            case _ =>
+              // r11: CHECK constraints cycle through a small name
+              // space, alternating add and drop
+              val cn = s"c${rnd.nextInt(3)}"
+              if (rnd.nextBoolean() || !refCons.contains(cn)) {
+                val ex = s"k > ${rnd.nextInt(9)}"
+                refCons += cn -> ex
+                TxnLog.Constraint(cn, ex)
+              } else {
+                refCons -= cn
+                TxnLog.DropConstraint(cn)
+              }
           }
         }
         assert(TxnLog.tryCommit(root, v, acts, "prop", nowMs = v * 100L))
-        perVersion += ((refLive, refDvs))
+        perVersion += ((refLive, refDvs, refCons, refExt))
       }
       assert(TxnLog.checkpoints(root) == Seq(10, 20))
       def check(v: Int): Unit = {
         val st = TxnLog.stateAt(root, v)
-        val (ref, refDv) = perVersion(v - 1)
+        val (ref, refDv, refCn, refEx) = perVersion(v - 1)
         assert(st.live == ref.keySet, s"live mismatch at v$v")
         for ((f, (part, cols)) <- ref) {
           assert(st.parts.getOrElse(f, Seq.empty) == part,
@@ -783,6 +1001,8 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
             s"stats mismatch at v$v/$f")
         }
         assert(st.dvs == refDv, s"dvs mismatch at v$v")
+        assert(st.constraints == refCn, s"constraints mismatch at v$v")
+        assert(st.ext == refEx, s"ext mismatch at v$v")
       }
       (1 to 25).foreach(check)
       // cleanup floors the log at v20; the checkpoint alone must

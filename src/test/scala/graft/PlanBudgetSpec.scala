@@ -157,6 +157,13 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // post-restore tip read + one scalar agg (the whole restore is
     // one metadata commit; censuses are log replay)
     "txn_log_restore" -> 1,
+    // tip read + one scalar agg; constraint checks run at fixture
+    // staging (one pass per checked write), census is log state
+    "txn_log_constraints" -> 1,
+    // clone-tip read + one scalar agg; the clone itself is one
+    // metadata commit (zero data I/O), the src rollup a bounded
+    // 1-row readback
+    "txn_log_clone" -> 1,
     // the scan_txn_log rollup shape + broadcast probe join + sort
     "txn_log_time_travel" -> 4,
     "join_asof" -> 2,
