@@ -2361,6 +2361,112 @@ object Relational {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM a""".stripMargin
 
+  /** RENAME + DROP COLUMN on the txn-log table (r11 — Delta's
+    * column-mapping `name` mode): metadata-only schema surgery.
+    * [[graft.sources.TxnLog.renameColumn]] re-keys a logical name
+    * with ZERO data I/O — old files keep their physical column, the
+    * log's `ColMap` feeds it to the new name, and writes after the
+    * rename use the new name directly (two physical generations, one
+    * logical column); [[graft.sources.TxnLog.dropColumn]] removes a
+    * column from the logical schema (bytes stay for time travel; the
+    * name is tombstoned against resurrection). Fixture: the 8-range
+    * layout of (o_orderkey, o_totalprice, o_orderpriority) with stats
+    * on o_orderkey; v2 renames o_orderkey → k; v3 appends the keys
+    * ≡0 (mod 9) slice WRITTEN UNDER the new name with stats on `k`;
+    * v4 drops o_orderpriority. The query prunes `k BETWEEN max/4 AND
+    * max/2` — the census must mix old-name stats (8 files logged
+    * under o_orderkey) and new-name stats (the appended file) — and
+    * hashes it with the pruned read's in-range rollup ≡ the full
+    * filter over orders ∪ the mod-9 slice, plus the tip's column
+    * census. The oracle re-derives every number from bucket bounds +
+    * the slice's own min/max.
+    *
+    * Scale shape: rename/drop are one metadata commit each at any
+    * table size; the returned plan is one pruned multi-path scan +
+    * one scalar agg. */
+  def txnLogRenameDrop(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, "txnrename|range8_rn_v1")) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnrename",
+            codeTag = "range8_rn_v1") { target =>
+          val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+            col("o_totalprice"), col("o_orderpriority"))
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          new java.io.File(target).mkdirs()
+          val adds = (0 until 8).flatMap { b =>
+            val slice = o.where(
+              expr(s"(o_orderkey * 8L) div ${mx + 1}L") === b)
+            val name = s"b$b"
+            slice.coalesce(1).write.parquet(s"$target/$name")
+            if (spark.read.parquet(s"$target/$name").isEmpty) {
+              graft.core.Fixtures.deleteRecursively(
+                new java.io.File(target, name)); None
+            } else Some(TxnLog.AddStats(name,
+              TxnLog.statsFor(spark, target, name, "o_orderkey")))
+          }
+          assert(TxnLog.tryCommit(target, 1, adds :+ TxnLog.MetaData(
+            "o_orderkey BIGINT,o_totalprice DOUBLE," +
+              "o_orderpriority STRING"), "stage"))
+          assert(TxnLog.renameColumn(target, "o_orderkey", "k",
+            "stage") == 2)
+          o.where(col("o_orderkey") % 9 === 0)
+            .withColumnRenamed("o_orderkey", "k")
+            .coalesce(1).write.parquet(s"$target/app9")
+          assert(TxnLog.tryCommit(target, 3, Seq(TxnLog.AddStats("app9",
+            TxnLog.statsFor(spark, target, "app9", "k"))), "stage"))
+          assert(TxnLog.dropColumn(target, "o_orderpriority",
+            "stage") == 4)
+        }
+      }
+    val tipV = TxnLog.latestVersion(root)
+    val mx = spark.read.parquet(s"$dir/orders.parquet")
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    val (lo, hi) = ((mx / 4).toString, (mx / 2).toString)
+    val (df, scanned, pruned) = TxnLog.readPruned(spark, root, "k",
+      lo, hi, tipV)
+    val nCols = df.columns.length
+    df.where(col("k").between(lo.toLong, hi.toLong))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("sum_cents"))
+      .select(lit(nCols).cast("int").as("n_cols"),
+        lit(if (df.columns.contains("k")) 1 else 0).cast("int")
+          .as("has_k"),
+        lit(if (df.columns.contains("o_orderkey")) 1 else 0).cast("int")
+          .as("has_old"),
+        lit(scanned.size).cast("int").as("n_scanned"),
+        lit(pruned.size).cast("int").as("n_pruned"),
+        col("n_rows"), col("sum_cents"))
+  }
+
+  val txnLogRenameDropSql: String =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      |b AS (SELECT o_orderkey AS k,
+      |        CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100
+      |          AS BIGINT) AS cents,
+      |        (o_orderkey * 8) // (m + 1) AS bucket
+      |      FROM orders, mx),
+      |fs AS (SELECT bucket, MIN(k) AS mn, MAX(k) AS mx2, COUNT(*) AS n
+      |       FROM b GROUP BY bucket),
+      |f9 AS (SELECT MIN(k) AS mn, MAX(k) AS mx2 FROM b WHERE k % 9 = 0),
+      |sc AS (SELECT COUNT(*) AS s FROM fs, mx
+      |       WHERE NOT (mx2 < m // 4 OR mn > m // 2)),
+      |s9 AS (SELECT CASE WHEN NOT (f9.mx2 < m // 4 OR f9.mn > m // 2)
+      |         THEN 1 ELSE 0 END AS s FROM f9, mx),
+      |hit AS (SELECT k, cents FROM b, mx WHERE k BETWEEN m // 4 AND m // 2
+      |        UNION ALL
+      |        SELECT k, cents FROM b, mx
+      |        WHERE k % 9 = 0 AND k BETWEEN m // 4 AND m // 2)
+      |SELECT CAST(2 AS INT) AS n_cols,
+      |  CAST(1 AS INT) AS has_k,
+      |  CAST(0 AS INT) AS has_old,
+      |  CAST((SELECT s FROM sc) + (SELECT s FROM s9) AS INT)
+      |    AS n_scanned,
+      |  CAST((SELECT COUNT(*) FROM fs) + 1
+      |    - (SELECT s FROM sc) - (SELECT s FROM s9) AS INT)
+      |    AS n_pruned,
+      |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_rows,
+      |  CAST((SELECT SUM(cents) FROM hit) AS BIGINT) AS sum_cents""".stripMargin
+
   /** SHALLOW CLONE of the txn-log table (r11 — Delta's
     * `CREATE TABLE ... SHALLOW CLONE`): a zero-copy table fork.
     * [[graft.sources.TxnLog.cloneTable]] commits ONE metadata version
@@ -3676,6 +3782,7 @@ object Relational {
     "txn_log_restore" -> txnLogRestore,
     "txn_log_constraints" -> txnLogConstraints,
     "txn_log_clone" -> txnLogClone,
+    "txn_log_rename_drop" -> txnLogRenameDrop,
     "txn_log_delete" -> txnLogDelete,
     "txn_log_history" -> txnLogHistory,
     "txn_log_schema_evo" -> txnLogSchemaEvo,
@@ -3762,6 +3869,7 @@ object Relational {
     "txn_log_restore" -> txnLogRestoreSql,
     "txn_log_constraints" -> txnLogConstraintsSql,
     "txn_log_clone" -> txnLogCloneSql,
+    "txn_log_rename_drop" -> txnLogRenameDropSql,
     "txn_log_delete" -> txnLogDeleteSql,
     "txn_log_history" -> txnLogHistorySql,
     "txn_log_schema_evo" -> txnLogSchemaEvoSql,

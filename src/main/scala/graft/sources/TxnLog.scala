@@ -231,6 +231,9 @@ class TxnLogOps(val store: LogStore) {
       st.schemaDdl.map(MetaData.apply).toSeq ++
         st.constraints.toSeq.sorted.map { case (n, e) =>
           Constraint(n, e) } ++
+        st.colmap.toSeq.sortBy(_._1).flatMap { case (l, ps) =>
+          ps.map(ColMap(l, _)) } ++
+        st.dropped.toSeq.sorted.map(ColDrop.apply) ++
         st.txns.toSeq.sortBy(_._1).map { case (a, b) => SetTxn(a, b) } ++
         st.live.toSeq.sorted.map { f =>
           val cols = st.stats.getOrElse(f, Seq.empty)
@@ -320,6 +323,15 @@ class TxnLogOps(val store: LogStore) {
             require(evolve,
               s"append adds columns ${newCols.map(_.name).mkString(",")} " +
                 "— pass evolve=true to widen the table schema")
+            // a rename/drop tombstoned name may still exist PHYSICALLY
+            // in old files: re-admitting it as a logical column would
+            // resurrect those values into the new column
+            val tomb = stateAt(root, base).dropped
+            val reused = newCols.map(_.name).filter(tomb)
+            require(reused.isEmpty,
+              s"columns ${reused.mkString(",")} were retired by an " +
+                "earlier rename/drop — old files still carry them " +
+                "physically; pick fresh names")
             Some(StructType(table.fields ++ newCols).toDDL)
           }
       }
@@ -382,6 +394,82 @@ class TxnLogOps(val store: LogStore) {
     require(stateAt(root, latestVersion(root)).constraints
         .contains(name), s"no constraint $name on $root")
     commitNext(root, Seq(DropConstraint(name)), session)
+  }
+
+  /** True iff SQL expression `e` references column `c` as a word —
+    * the conservative guard rename/drop use to refuse retiring a
+    * name a CHECK constraint still reads. */
+  private def exprMentions(e: String, c: String): Boolean =
+    ("""(?i)(?<![A-Za-z0-9_`])""" + java.util.regex.Pattern.quote(c) +
+      """(?![A-Za-z0-9_])""").r.findFirstIn(e).isDefined
+
+  /** RENAME COLUMN, metadata-only (r11 — Delta's column-mapping
+    * rename): re-keys logical name `from` to `to` without touching a
+    * byte of data. The commit carries the renamed schema, a
+    * [[TxnLog.ColMap]] (`to` reads old files' physical `from`
+    * column), and a [[TxnLog.ColDrop]] tombstone on `from` — files
+    * still physically carry it, so re-introducing it as a logical
+    * column would resurrect stale values. Reads at versions BEFORE
+    * the rename still see `from` (name resolution time-travels with
+    * state); stats and partition tuples logged under the old name
+    * keep pruning (see [[pruneWhere]]); rewrites privatize the new
+    * name file by file. Refused while a CHECK constraint references
+    * `from` (recreate the constraint against the new name first). */
+  def renameColumn(root: String, from: String, to: String,
+                   session: String): Int = {
+    val tip = latestVersion(root)
+    val st = stateAt(root, tip)
+    val schema = st.schemaDdl.map(StructType.fromDDL).getOrElse(
+      throw new IllegalStateException(
+        s"$root has no metaData schema — rename needs one"))
+    require(schema.fieldNames.contains(from),
+      s"no column $from in ${schema.toDDL}")
+    require(!schema.fieldNames.contains(to),
+      s"column $to already exists in ${schema.toDDL}")
+    require(!st.dropped.contains(to),
+      s"column name $to was retired by an earlier rename/drop — old " +
+        "files still carry it physically; pick a fresh name")
+    st.constraints.foreach { case (n, e) =>
+      require(!exprMentions(e, from),
+        s"constraint $n (CHECK $e) references $from — drop and " +
+          "recreate it against the new name first")
+    }
+    // every spelling old files may carry for this column: its prior
+    // physical names (chained renames) plus the name being retired
+    val spellings = st.colmap.getOrElse(from, Seq.empty) :+ from
+    val renamed = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    commitNext(root, Seq(MetaData(renamed.toDDL)) ++
+      spellings.filterNot(_ == to).map(ColMap(to, _)) :+
+      ColDrop(from), session) // also clears any mapping keyed `from`
+  }
+
+  /** DROP COLUMN, metadata-only (r11): removes `name` from the
+    * logical schema — data files keep their bytes (time travel still
+    * reads them; vacuum-by-rewrite is OPTIMIZE's job) and the name is
+    * tombstoned against logical reuse. Refused while a CHECK
+    * constraint references it, and for the table's last column. */
+  def dropColumn(root: String, name: String, session: String): Int = {
+    val tip = latestVersion(root)
+    val st = stateAt(root, tip)
+    val schema = st.schemaDdl.map(StructType.fromDDL).getOrElse(
+      throw new IllegalStateException(
+        s"$root has no metaData schema — drop needs one"))
+    require(schema.fieldNames.contains(name),
+      s"no column $name in ${schema.toDDL}")
+    require(schema.fields.length > 1,
+      s"cannot drop the last column of $root")
+    st.constraints.foreach { case (n, e) =>
+      require(!exprMentions(e, name),
+        s"constraint $n (CHECK $e) references $name — drop the " +
+          "constraint first")
+    }
+    val narrowed = StructType(schema.fields.filterNot(_.name == name))
+    // every physical spelling a mapping fed this name from is
+    // tombstoned WITH it (all exist in files; none may be reused)
+    commitNext(root, Seq(MetaData(narrowed.toDDL)) ++
+      st.colmap.getOrElse(name, Seq.empty).map(ColDrop.apply) :+
+      ColDrop(name), session)
   }
 
   /** [[commitAppend]] behind the table's CHECK constraints: scans the
@@ -484,11 +572,31 @@ class TxnLogOps(val store: LogStore) {
     * computed from `_metadata.file_path` on the scan side (an
     * `input_file_name()` evaluated after the anti join would not be
     * reliable). */
+  /** Apply the state's column mapping to a raw multi-file scan:
+    * logical column L fed by physical column P coalesces — a post-
+    * rename file carries L, a pre-rename file's P feeds it, a file
+    * with neither null-pads (plain evolution algebra). The physical
+    * name drops out, so everything downstream — predicates, DV
+    * probes, rewrites — speaks logical names only; a REWRITE of an
+    * old file thus privatizes the rename, file by file, exactly like
+    * clone rewrites privatize location. */
+  private def applyColMap(df: DataFrame, st: State): DataFrame =
+    st.colmap.toSeq.sortBy(_._1).foldLeft(df) { case (d, (l, ps)) =>
+      val present = ps.filter(d.columns.contains)
+      if (present.isEmpty) d
+      else if (d.columns.contains(l))
+        d.withColumn(l, coalesce((col(l) +: present.map(col)): _*))
+          .drop(present: _*)
+      else if (present.size == 1) d.withColumnRenamed(present.head, l)
+      else d.withColumn(l, coalesce(present.map(col): _*))
+        .drop(present: _*)
+    }
+
   private def scanWithDVs(spark: SparkSession, root: String, st: State,
                           files: Seq[String],
                           fileCol: Option[String] = None): DataFrame = {
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(dataPaths(root, st, files): _*)
+    val base = applyColMap(spark.read.option("mergeSchema", "true")
+      .parquet(dataPaths(root, st, files): _*), st)
     val dataCols = base.columns.toSeq
     val dv = dvRows(spark, root, st, files)
     if (dv.isEmpty && fileCol.isEmpty) return base
@@ -577,13 +685,21 @@ class TxnLogOps(val store: LogStore) {
                  preds: Seq[(String, String, String)])
   : (Seq[String], Seq[String]) = {
     val st = stateAt(root, v)
+    // column mapping: a file written BEFORE a rename published its
+    // stats/partition tuple under the physical name — a predicate on
+    // the logical name consults both spellings (either pins the same
+    // values, so pruning on whichever the file logged is exact)
+    def names(c: String): Set[String] =
+      Set(c) ++ st.colmap.getOrElse(c, Seq.empty)
     val (pruned, scanned) = st.live.toSeq.sorted.partition { f =>
       val partMiss = partEq.exists { case (k, want) =>
+        val ks = names(k)
         st.parts.getOrElse(f, Seq.empty)
-          .exists { case (pk, pv) => pk == k && pv != want }
+          .exists { case (pk, pv) => ks(pk) && pv != want }
       }
       val statsMiss = preds.exists { case (c, lo, hi) =>
-        st.stats.getOrElse(f, Seq.empty).exists(s => s.col == c &&
+        val cs = names(c)
+        st.stats.getOrElse(f, Seq.empty).exists(s => cs(s.col) &&
           (statsCmp(s.max, lo) < 0 || statsCmp(s.min, hi) > 0))
       }
       partMiss || statsMiss
@@ -1381,8 +1497,8 @@ class TxnLogOps(val store: LogStore) {
       pruneWhere(root, base, Seq.empty, Seq((colName, lo, hi)))
     if (candidates.isEmpty) return None
     val st = stateAt(root, base)
-    val baseScan = spark.read.option("mergeSchema", "true")
-      .parquet(dataPaths(root, st, candidates): _*)
+    val baseScan = applyColMap(spark.read.option("mergeSchema", "true")
+      .parquet(dataPaths(root, st, candidates): _*), st)
     val dt = baseScan.schema(colName).dataType
     val pred = coalesce(
       col(colName).between(lit(lo).cast(dt), lit(hi).cast(dt)),
@@ -1551,8 +1667,9 @@ class TxnLogOps(val store: LogStore) {
             }
           }.reduce(_ unionAll _)
           val files = dvSets.map(_.file).distinct.sorted
-          val base = spark.read.option("mergeSchema", "true")
-            .parquet(dataPaths(root, postSt, files): _*)
+          val base = applyColMap(
+            spark.read.option("mergeSchema", "true")
+              .parquet(dataPaths(root, postSt, files): _*), postSt)
           val dataCols = base.columns.toSeq
           Some(projectTo(base.select((dataCols.map(col) :+
               relPath.as("__path") :+
@@ -1661,7 +1778,26 @@ class TxnLogOps(val store: LogStore) {
           case (n, e) if !cur.constraints.get(n).contains(e) =>
             Constraint(n, e)
         }
-      val actions: Seq[Entry] = schemaFix ++ consFix ++ removes ++
+      // column mapping + tombstones are table state too: undrop/drop
+      // first (ColDrop also clears a name's mapping), then clear and
+      // re-emit each logical name's spelling list where it differs
+      val colFix: Seq[Entry] =
+        (cur.dropped -- want.dropped).toSeq.sorted
+          .map(ColUndrop.apply) ++
+        (want.dropped -- cur.dropped).toSeq.sorted
+          .map(ColDrop.apply) ++
+        (cur.colmap.keySet ++ want.colmap.keySet).toSeq.sorted
+          .flatMap { l =>
+            (cur.colmap.get(l), want.colmap.get(l)) match {
+              case (c, w) if c == w => Seq.empty
+              case (_, None) => Seq(ColMap(l, l))
+              case (None, Some(ws)) => ws.map(ColMap(l, _))
+              case (Some(_), Some(ws)) =>
+                ColMap(l, l) +: ws.map(ColMap(l, _))
+            }
+          }
+      val actions: Seq[Entry] = schemaFix ++ consFix ++ colFix ++
+        removes ++
         dvDiff.sorted.map(remove) ++ reAttach
       if (actions.isEmpty) return None // tip already equals toV
       if (tryCommit(root, base + 1, actions, session)) {
@@ -1727,6 +1863,9 @@ class TxnLogOps(val store: LogStore) {
       st.schemaDdl.map(MetaData.apply).toSeq ++
         st.constraints.toSeq.sorted.map { case (n, e) =>
           Constraint(n, e) } ++
+        st.colmap.toSeq.sortBy(_._1).flatMap { case (l, ps) =>
+          ps.map(ColMap(l, _)) } ++
+        st.dropped.toSeq.sorted.map(ColDrop.apply) ++
         liveSorted.map(richAdd) ++
         liveSorted.map(f => ExtRef(f, ref(f))) ++
         liveDvs.map { case (_, (d, _)) => ExtRef(d, ref(d)) }
@@ -1908,7 +2047,13 @@ class TxnLogOps(val store: LogStore) {
       return versionsDf.select(col("version"), col("n_files"),
         lit(0L).as("n_rows"), lit(0L).as("sum_cents"))
         .orderBy(col("version"))
-    val perFile = spark.read.parquet(files.map(path): _*)
+    // tip colmap covers every prior spelling (lists accumulate), so
+    // one mapped scan reads valueCol across rename generations
+    val tipSt = states.lastOption.map(_._2)
+      .getOrElse(State(Set.empty, None))
+    val perFile = applyColMap(spark.read
+        .option("mergeSchema", "true").parquet(files.map(path): _*),
+        tipSt)
       .select(regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1)
         .as("file"),
         graft.core.Det.cents(col(valueCol)).as("cents"))
@@ -1928,8 +2073,9 @@ class TxnLogOps(val store: LogStore) {
             .select(col("path"), col("pos"), lit(d).as("dv")))
           .reduce(_ unionAll _)
         val dvFiles = pairs.map(_._1).distinct.sorted
-        val corr = spark.read
-          .parquet(dvFiles.map(path): _*)
+        val corr = applyColMap(spark.read
+            .option("mergeSchema", "true")
+            .parquet(dvFiles.map(path): _*), tipSt)
           .select(relPath.as("path"),
             col("_metadata.row_index").as("pos"),
             graft.core.Det.cents(col(valueCol)).as("cents"))
@@ -2110,6 +2256,47 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
       s"""{"action":"extRef","file":"$file","src":"$src"}"""
   }
 
+  /** Column mapping (r11 — Delta's column-mapping `name` mode, the
+    * metadata-only RENAME COLUMN): logical column `logical` reads
+    * from PHYSICAL column `physical` in files written before the
+    * rename — data files are never touched, the log re-keys the
+    * name. Readers coalesce: a file carrying the logical name (post-
+    * rename write) uses it, an older file's physical column feeds it,
+    * and a file with neither null-pads (ordinary evolution algebra).
+    * `physical == logical` CLEARS the mapping (identity = unmapped) —
+    * the form RESTORE uses to reconcile. */
+  final case class ColMap(logical: String, physical: String)
+    extends Entry {
+    Seq(logical, physical).foreach(s =>
+      require(!s.contains('"') && !s.contains('\n'),
+        s"column-map parts must be quote- and newline-free: $s"))
+    def toJson: String =
+      s"""{"action":"colMap","logical":"$logical",""" +
+        s""""physical":"$physical"}"""
+  }
+
+  /** Tombstone for a retired LOGICAL column name (r11 — emitted by
+    * both DROP COLUMN and RENAME COLUMN for the old name): data files
+    * may still physically carry the name, so re-introducing it as a
+    * logical column would silently RESURRECT those values into the
+    * new column — schema evolution and renames refuse tombstoned
+    * names (Delta solves this with per-column physical ids; the
+    * tombstone is the honest flat-name equivalent). */
+  final case class ColDrop(name: String) extends Entry {
+    require(!name.contains('"') && !name.contains('\n'),
+      s"column name must be quote- and newline-free: $name")
+    def toJson: String = s"""{"action":"colDrop","name":"$name"}"""
+  }
+
+  /** Lifts a [[ColDrop]] tombstone — RESTORE's reconciliation only:
+    * rolling a table back BEFORE the rename/drop makes the old name
+    * logical again, and files carrying it must feed it again. */
+  final case class ColUndrop(name: String) extends Entry {
+    require(!name.contains('"') && !name.contains('\n'),
+      s"column name must be quote- and newline-free: $name")
+    def toJson: String = s"""{"action":"colUndrop","name":"$name"}"""
+  }
+
   /** Streaming-transaction watermark (Delta's `txn` action): records
     * that `appId` has durably committed micro-batch `batchId`, so a
     * restarted stream re-delivering the same batch from its
@@ -2151,7 +2338,9 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
                          txns: Map[String, Long] = Map.empty,
                          dvs: Map[String, (String, Long)] = Map.empty,
                          constraints: Map[String, String] = Map.empty,
-                         ext: Map[String, String] = Map.empty)
+                         ext: Map[String, String] = Map.empty,
+                         colmap: Map[String, Seq[String]] = Map.empty,
+                         dropped: Set[String] = Set.empty)
 
   private[sources] def fold(base: State, entries: Seq[Entry]): State =
     entries.foldLeft(base) {
@@ -2181,6 +2370,17 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
       // ExtRef AFTER its add in a commit (add clears the mapping);
       // unconditional set: sidecar dirs carry refs without being live
       case (s, ExtRef(f, src)) => s.copy(ext = s.ext + (f -> src))
+      case (s, ColMap(l, p)) =>
+        // a logical column may read from SEVERAL prior spellings
+        // (chained renames: files written between renames carry the
+        // intermediate name) — entries accumulate; identity clears
+        if (l == p) s.copy(colmap = s.colmap - l)
+        else s.copy(colmap = s.colmap +
+          (l -> (s.colmap.getOrElse(l, Seq.empty)
+            .filterNot(_ == p) :+ p)))
+      case (s, ColDrop(n)) =>
+        s.copy(dropped = s.dropped + n, colmap = s.colmap - n)
+      case (s, ColUndrop(n)) => s.copy(dropped = s.dropped - n)
       case (s, Constraint(n, e)) =>
         s.copy(constraints = s.constraints + (n -> e))
       case (s, DropConstraint(n)) =>
@@ -2209,6 +2409,13 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
       """"rows":(\d+)\}""").r
   private val ExtRefRe =
     """\{"action":"extRef","file":"([^"]+)","src":"([^"]+)"\}""".r
+  private val ColMapRe =
+    ("""\{"action":"colMap","logical":"([^"]+)",""" +
+      """"physical":"([^"]+)"\}""").r
+  private val ColDropRe =
+    """\{"action":"colDrop","name":"([^"]+)"\}""".r
+  private val ColUndropRe =
+    """\{"action":"colUndrop","name":"([^"]+)"\}""".r
   private val ConstraintRe =
     """\{"action":"constraint","name":"([^"]+)","expr":"([^"]+)"\}""".r
   private val DropConstraintRe =
@@ -2236,6 +2443,9 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
     case ActionRe(a, f) => Action(a, f)
     case DvRe(f, d, n) => SetDV(f, d, n.toLong)
     case ExtRefRe(f, s) => ExtRef(f, s)
+    case ColMapRe(l, p) => ColMap(l, p)
+    case ColDropRe(n) => ColDrop(n)
+    case ColUndropRe(n) => ColUndrop(n)
     case ConstraintRe(n, e) => Constraint(n, e)
     case DropConstraintRe(n) => DropConstraint(n)
     case TxnRe(app, b) => SetTxn(app, b.toLong)

@@ -290,6 +290,151 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --------------------------------------------------- column mapping
+
+  test("rename column: metadata-only, time-travels, chains, prunes, rewrites privatize") {
+    import spark.implicits._
+    withScratch { root =>
+      // two stats-carrying files under the ORIGINAL name `k`
+      (0L to 4L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      (5L to 9L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f1")
+      assert(TxnLog.tryCommit(root, 1, Seq("f0", "f1").map(f =>
+        TxnLog.AddStats(f, TxnLog.statsFor(spark, root, f, "k"))) :+
+        TxnLog.MetaData("k BIGINT,v DOUBLE"), "s"))
+      // rename k -> id: zero data I/O (no new data dir appears)
+      val dirsBefore = Option(new java.io.File(root).listFiles())
+        .toSeq.flatten.count(_.isDirectory)
+      assert(TxnLog.renameColumn(root, "k", "id", "s") == 2)
+      assert(Option(new java.io.File(root).listFiles())
+        .toSeq.flatten.count(_.isDirectory) == dirsBefore)
+      // tip reads the new name with the OLD files' values
+      val tip = TxnLog.read(spark, root)
+      assert(tip.columns.toSeq == Seq("id", "v"))
+      assert(tip.agg(sum(col("id"))).head().getLong(0) == 45L)
+      // ...while v1 still reads the old name: names time-travel
+      assert(TxnLog.read(spark, root, 1).columns.toSeq == Seq("k", "v"))
+      // stats logged under `k` keep pruning a predicate on `id`
+      assert(TxnLog.prune(root, 2, "id", "0", "4")._2 == Seq("f1"))
+      // a post-rename append writes the NEW name; both generations read
+      (10L to 11L).map(k => (k, k * 1.0)).toDF("id", "v")
+        .coalesce(1).write.parquet(s"$root/f2")
+      assert(TxnLog.tryCommit(root, 3, Seq(TxnLog.AddStats("f2",
+        TxnLog.statsFor(spark, root, "f2", "id"))), "s"))
+      assert(TxnLog.read(spark, root).agg(sum(col("id")))
+        .head().getLong(0) == 66L)
+      // chained rename: id -> key still reads ALL THREE generations
+      // (f0/f1 carry physical k, f2 carries physical id)
+      assert(TxnLog.renameColumn(root, "id", "key", "s") == 4)
+      assert(TxnLog.read(spark, root).agg(sum(col("key")))
+        .head().getLong(0) == 66L)
+      assert(TxnLog.prune(root, 4, "key", "0", "4")._2.toSet ==
+        Set("f1", "f2"))
+      // row-level ops speak the logical name across generations
+      assert(TxnLog.deleteRange(spark, root, "key", "10", "11", "d")
+        .contains(5))
+      assert(TxnLog.read(spark, root).agg(sum(col("key")))
+        .head().getLong(0) == 45L)
+      // a rewrite of an old file privatizes the rename: merge on the
+      // logical key rewrites f1's rows under the CURRENT names
+      assert(TxnLog.mergeUpsert(spark, root,
+        Seq((5L, 50.0)).toDF("key", "v"), "key", "m").isDefined)
+      val rw = TxnLog.read(spark, root)
+      assert(rw.where(col("key") === 5L).head().getDouble(1) == 50.0)
+      assert(rw.agg(sum(col("key"))).head().getLong(0) == 45L)
+      // tombstones: neither retired spelling can come back
+      val e1 = intercept[IllegalArgumentException](
+        TxnLog.commitAppend(root, Seq("fx"),
+          "key BIGINT,v DOUBLE,k STRING", "s", evolve = true))
+      assert(e1.getMessage.contains("retired"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        TxnLog.renameColumn(root, "key", "id", "s"))
+      assert(e2.getMessage.contains("retired"), e2.getMessage)
+      // the mapping survives checkpoints (v1..v6 so far; cross 10)
+      for (i <- 7 to 11)
+        assert(TxnLog.tryCommit(root, i,
+          Seq(TxnLog.SetTxn("pad", i)), "s"))
+      assert(TxnLog.cleanupLog(root).nonEmpty)
+      assert(TxnLog.read(spark, root).columns.head == "key")
+      assert(TxnLog.stateAt(root, TxnLog.latestVersion(root))
+        .colmap("key").toSet == Set("k", "id"))
+    }
+  }
+
+  test("drop column: metadata-only, constraint-guarded, restore brings names back") {
+    import spark.implicits._
+    withScratch { root =>
+      (1L to 4L).map(k => (k, k * 2.0, s"t$k")).toDF("k", "v", "tag")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"),
+        "k BIGINT,v DOUBLE,tag STRING", "s") == 1)
+      assert(TxnLog.addConstraint(spark, root, "v_pos", "v > 0",
+        "s") == 2)
+      // a constraint referencing the column blocks rename AND drop
+      val e1 = intercept[IllegalArgumentException](
+        TxnLog.renameColumn(root, "v", "value", "s"))
+      assert(e1.getMessage.contains("v_pos"))
+      val e2 = intercept[IllegalArgumentException](
+        TxnLog.dropColumn(root, "v", "s"))
+      assert(e2.getMessage.contains("v_pos"))
+      // dropping an unreferenced column is one metadata commit
+      assert(TxnLog.dropColumn(root, "tag", "s") == 3)
+      val tip = TxnLog.read(spark, root)
+      assert(tip.columns.toSeq == Seq("k", "v"))
+      // time travel still reads it; evolve cannot re-admit it
+      assert(TxnLog.read(spark, root, 2).columns.contains("tag"))
+      val e3 = intercept[IllegalArgumentException](
+        TxnLog.commitAppend(root, Seq("fy"),
+          "k BIGINT,v DOUBLE,tag STRING", "s", evolve = true))
+      assert(e3.getMessage.contains("retired"))
+      // RESTORE to before the drop: schema, values, and the name's
+      // usability all come back (the tombstone is lifted)
+      assert(TxnLog.restore(root, 2, "r").contains(4))
+      val back = TxnLog.read(spark, root)
+      assert(back.columns.toSeq == Seq("k", "v", "tag"))
+      assert(back.where(col("k") === 2L).select(col("tag"))
+        .head().getString(0) == "t2")
+      assert(TxnLog.stateAt(root, 4).dropped.isEmpty)
+      // restore ACROSS a rename rolls the mapping back too
+      assert(TxnLog.renameColumn(root, "tag", "label", "s") == 5)
+      assert(TxnLog.read(spark, root).columns.toSeq ==
+        Seq("k", "v", "label"))
+      assert(TxnLog.restore(root, 4, "r2").contains(6))
+      val undone = TxnLog.read(spark, root)
+      assert(undone.columns.toSeq == Seq("k", "v", "tag"))
+      assert(undone.agg(sum(col("v"))).head().getDouble(0) == 20.0)
+      assert(TxnLog.stateAt(root, 6).colmap.isEmpty)
+      assert(TxnLog.stateAt(root, 6).dropped.isEmpty)
+    }
+  }
+
+  test("deletion vectors and CDF work across a rename") {
+    import spark.implicits._
+    withScratch { root =>
+      (0L to 9L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      assert(TxnLog.renameColumn(root, "k", "id", "s") == 2)
+      // merge-on-read delete through the LOGICAL name on a physical-k
+      // file: the vector applies and the read drops the rows
+      assert(TxnLog.deleteRangeDV(spark, root, "id", "3", "5", "d")
+        .contains(3))
+      assert(TxnLog.read(spark, root).agg(sum(col("id")))
+        .head().getLong(0) == (0L to 9L).sum - 3 - 4 - 5)
+      // CDF announces the vectored rows under the CURRENT schema
+      val cdf = TxnLog.readChanges(spark, root, 2, 3)
+      assert(cdf.columns.contains("id") && !cdf.columns.contains("k"))
+      assert(cdf.where(col("_change_type") === "delete")
+        .select(col("id")).collect().map(_.getLong(0)).toSet ==
+        Set(3L, 4L, 5L))
+      // the rollup reads the renamed value column across generations
+      val roll = TxnLog.versionsRollup(spark, root, "v")
+      assert(roll.where(col("version") === 3).head().getLong(2) == 7L)
+    }
+  }
+
   // ------------------------------------------- schema-evolve lost race
 
   test("two concurrent evolving appends both land: no schema lost update") {
@@ -927,14 +1072,17 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
       var refDvs = Map.empty[String, (String, Long)]
       var refCons = Map.empty[String, String]
       var refExt = Map.empty[String, String]
+      var refCm = Map.empty[String, Seq[String]]
+      var refDrop = Set.empty[String]
       val perVersion = scala.collection.mutable.ArrayBuffer
         .empty[(Map[String, (Seq[(String, String)],
           Seq[TxnLog.FileStats])], Map[String, (String, Long)],
-          Map[String, String], Map[String, String])]
+          Map[String, String], Map[String, String],
+          Map[String, Seq[String]], Set[String])]
       for (v <- 1 to 25) {
         val acts: Seq[TxnLog.Entry] = (0 until 1 + rnd.nextInt(3)).map { _ =>
           val f = s"f${rnd.nextInt(8)}"
-          rnd.nextInt(7) match {
+          rnd.nextInt(8) match {
             case 0 => refLive += f -> (Seq.empty, Seq.empty)
               refDvs -= f
               refExt -= f
@@ -972,6 +1120,21 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
               val src = s"/ext/src${rnd.nextInt(4)}/$f"
               refExt += f -> src
               TxnLog.ExtRef(f, src)
+            case 6 =>
+              // r11: column mapping — spelling lists accumulate,
+              // identity clears, drop tombstones + clears, undrop
+              // lifts the tombstone
+              val l = s"L${rnd.nextInt(3)}"
+              rnd.nextInt(4) match {
+                case 0 =>
+                  val ph = s"P${rnd.nextInt(3)}"
+                  refCm += l -> (refCm.getOrElse(l, Seq.empty)
+                    .filterNot(_ == ph) :+ ph)
+                  TxnLog.ColMap(l, ph)
+                case 1 => refCm -= l; TxnLog.ColMap(l, l)
+                case 2 => refDrop += l; refCm -= l; TxnLog.ColDrop(l)
+                case _ => refDrop -= l; TxnLog.ColUndrop(l)
+              }
             case _ =>
               // r11: CHECK constraints cycle through a small name
               // space, alternating add and drop
@@ -987,12 +1150,14 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
           }
         }
         assert(TxnLog.tryCommit(root, v, acts, "prop", nowMs = v * 100L))
-        perVersion += ((refLive, refDvs, refCons, refExt))
+        perVersion += ((refLive, refDvs, refCons, refExt, refCm,
+          refDrop))
       }
       assert(TxnLog.checkpoints(root) == Seq(10, 20))
       def check(v: Int): Unit = {
         val st = TxnLog.stateAt(root, v)
-        val (ref, refDv, refCn, refEx) = perVersion(v - 1)
+        val (ref, refDv, refCn, refEx, refMap, refDr) =
+          perVersion(v - 1)
         assert(st.live == ref.keySet, s"live mismatch at v$v")
         for ((f, (part, cols)) <- ref) {
           assert(st.parts.getOrElse(f, Seq.empty) == part,
@@ -1003,6 +1168,8 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
         assert(st.dvs == refDv, s"dvs mismatch at v$v")
         assert(st.constraints == refCn, s"constraints mismatch at v$v")
         assert(st.ext == refEx, s"ext mismatch at v$v")
+        assert(st.colmap == refMap, s"colmap mismatch at v$v")
+        assert(st.dropped == refDr, s"dropped mismatch at v$v")
       }
       (1 to 25).foreach(check)
       // cleanup floors the log at v20; the checkpoint alone must

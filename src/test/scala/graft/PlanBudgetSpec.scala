@@ -164,6 +164,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // metadata commit (zero data I/O), the src rollup a bounded
     // 1-row readback
     "txn_log_clone" -> 1,
+    // pruned multi-path scan + one scalar agg; rename/drop are
+    // metadata commits at staging, the prune census is log replay
+    "txn_log_rename_drop" -> 1,
     // the scan_txn_log rollup shape + broadcast probe join + sort
     "txn_log_time_travel" -> 4,
     "join_asof" -> 2,
