@@ -2467,6 +2467,115 @@ object Relational {
       |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_rows,
       |  CAST((SELECT SUM(cents) FROM hit) AS BIGINT) AS sum_cents""".stripMargin
 
+  /** BLOOM-FILTER point-lookup skipping on the txn-log table (r11 —
+    * Delta's bloom index / Iceberg's puffin blobs, carried in the
+    * log like stats): the skipping kind min/max stats CANNOT serve.
+    * The fixture's 8 files are range-partitioned on o_orderkey, so
+    * every file's o_custkey min/max spans the whole domain — range
+    * stats prune NOTHING for `o_custkey = x`; each file instead logs
+    * a 4096-bit filter ([[graft.sources.TxnLog.bloomFor]], md5-hex
+    * positions, k=2) and [[graft.sources.TxnLog.pruneEq]] drops every
+    * file whose filter provably lacks the probe. The query probes the
+    * 8 SMALLEST distinct custkeys (present — their holders must all
+    * scan: zero false negatives is the bloom invariant) and 8 keys
+    * past the max (absent — almost everything prunes, false
+    * positives exactly reproducible), hashing both scan censuses —
+    * the oracle RE-DERIVES every bit position from the same md5
+    * arithmetic, so the skipping decision itself is gated — plus the
+    * smallest probe's point-lookup rollup ≡ the full-table filter.
+    *
+    * Scale shape: probe census is driver metadata; the returned plan
+    * is one pruned multi-path scan + a scalar agg. */
+  def txnLogBloom(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, "txnbloom|range8_bl_v1")) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnbloom",
+            codeTag = "range8_bl_v1") { target =>
+          val o = Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"))
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          new java.io.File(target).mkdirs()
+          val adds = (0 until 8).flatMap { b =>
+            val slice = o.where(
+              expr(s"(o_orderkey * 8L) div ${mx + 1}L") === b)
+            val name = s"b$b"
+            slice.coalesce(1).write.parquet(s"$target/$name")
+            if (spark.read.parquet(s"$target/$name").isEmpty) {
+              graft.core.Fixtures.deleteRecursively(
+                new java.io.File(target, name)); None
+            } else Seq[TxnLog.Entry](TxnLog.AddStats(name,
+              TxnLog.statsFor(spark, target, name, "o_orderkey")),
+              TxnLog.bloomFor(spark, target, name, "o_custkey"))
+          }
+          assert(TxnLog.tryCommit(target, 1, adds, "stage"))
+        }
+      }
+    val custs = Tables.orders(spark, dir).select(col("o_custkey"))
+    val present = custs.distinct().orderBy(col("o_custkey"))
+      .limit(8).collect().map(_.getLong(0))
+    val maxc = custs.agg(max(col("o_custkey"))).head().getLong(0)
+    val absent = (1L to 8L).map(maxc + _)
+    def scansOf(ps: Seq[Long]): Int =
+      ps.map(p => TxnLog.pruneEq(root, 1, "o_custkey",
+        p.toString)._1.size).sum
+    val (df, scanned, _) = TxnLog.readPointLookup(spark, root,
+      "o_custkey", present.head.toString)
+    df.where(col("o_custkey") === present.head)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("sum_cents"))
+      .select(lit(scansOf(present)).cast("int").as("scan_present"),
+        lit(scansOf(absent)).cast("int").as("scan_absent"),
+        lit(scanned.size).cast("int").as("scan_probe0"),
+        col("n_rows"), col("sum_cents"))
+  }
+
+  val txnLogBloomSql: String =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS mk, MAX(o_custkey) AS mc
+      |           FROM orders),
+      |b AS (SELECT o_custkey AS c,
+      |        CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100
+      |          AS BIGINT) AS cents,
+      |        (o_orderkey * 8) // (mk + 1) AS bucket
+      |      FROM orders, mx),
+      |pos AS MATERIALIZED (
+      |  SELECT DISTINCT bucket,
+      |    CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 4096 AS p FROM b
+      |  UNION
+      |  SELECT DISTINCT bucket,
+      |    CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 9, 8))
+      |      AS UBIGINT) % 4096 AS p FROM b),
+      |probes AS (
+      |  SELECT c AS v, 1 AS present, ROW_NUMBER() OVER (ORDER BY c)
+      |    AS rn
+      |  FROM (SELECT DISTINCT c FROM b ORDER BY c LIMIT 8)
+      |  UNION ALL
+      |  SELECT mc + i AS v, 0 AS present, i AS rn
+      |  FROM mx, RANGE(1, 9) t(i)),
+      |pq AS (SELECT v, present, rn,
+      |    CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 4096 AS q1,
+      |    CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 9, 8))
+      |      AS UBIGINT) % 4096 AS q2 FROM probes),
+      |scans AS (SELECT pq.v, pq.present, pq.rn, fs.bucket
+      |  FROM pq, (SELECT DISTINCT bucket FROM b) fs
+      |  WHERE EXISTS (SELECT 1 FROM pos
+      |          WHERE pos.bucket = fs.bucket AND pos.p = pq.q1)
+      |    AND EXISTS (SELECT 1 FROM pos
+      |          WHERE pos.bucket = fs.bucket AND pos.p = pq.q2)),
+      |hit AS (SELECT b.c, b.cents FROM b, pq
+      |        WHERE pq.present = 1 AND pq.rn = 1 AND b.c = pq.v)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM scans WHERE present = 1) AS INT)
+      |    AS scan_present,
+      |  CAST((SELECT COUNT(*) FROM scans WHERE present = 0) AS INT)
+      |    AS scan_absent,
+      |  CAST((SELECT COUNT(*) FROM scans WHERE present = 1 AND rn = 1)
+      |    AS INT) AS scan_probe0,
+      |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_rows,
+      |  CAST((SELECT SUM(cents) FROM hit) AS BIGINT) AS sum_cents""".stripMargin
+
   /** SHALLOW CLONE of the txn-log table (r11 — Delta's
     * `CREATE TABLE ... SHALLOW CLONE`): a zero-copy table fork.
     * [[graft.sources.TxnLog.cloneTable]] commits ONE metadata version
@@ -3783,6 +3892,7 @@ object Relational {
     "txn_log_constraints" -> txnLogConstraints,
     "txn_log_clone" -> txnLogClone,
     "txn_log_rename_drop" -> txnLogRenameDrop,
+    "txn_log_bloom" -> txnLogBloom,
     "txn_log_delete" -> txnLogDelete,
     "txn_log_history" -> txnLogHistory,
     "txn_log_schema_evo" -> txnLogSchemaEvo,
@@ -3870,6 +3980,7 @@ object Relational {
     "txn_log_constraints" -> txnLogConstraintsSql,
     "txn_log_clone" -> txnLogCloneSql,
     "txn_log_rename_drop" -> txnLogRenameDropSql,
+    "txn_log_bloom" -> txnLogBloomSql,
     "txn_log_delete" -> txnLogDeleteSql,
     "txn_log_history" -> txnLogHistorySql,
     "txn_log_schema_evo" -> txnLogSchemaEvoSql,

@@ -246,8 +246,11 @@ class TxnLogOps(val store: LogStore) {
         // for names no longer referenced are a few bytes each and
         // die when the name is reused
         st.ext.toSeq.sorted.map { case (f, s) => ExtRef(f, s) } ++
-        // DVs AFTER the adds: fold clears a file's DV on re-add, so
-        // the checkpoint's replay order must re-attach them last
+        // per-file metadata AFTER the adds: fold clears a file's DV
+        // and blooms on re-add, so replay order must re-attach last
+        st.blooms.toSeq.filter { case ((f, _), _) => st.live.contains(f) }
+          .sortBy(_._1).map { case ((f, c), (m, b)) =>
+            SetBloom(f, c, m, b) } ++
         st.dvs.toSeq.filter { case (f, _) => st.live.contains(f) }
           .sortBy(_._1).map { case (f, (d, n)) => SetDV(f, d, n) }
     if (entries.isEmpty) return // empty table: nothing to cache
@@ -668,6 +671,100 @@ class TxnLogOps(val store: LogStore) {
          else "the column is all-null") +
         " — publish a plain add (no stats) for this file instead")
     FileStats(column, r.getString(0), r.getString(1), r.getLong(2))
+  }
+
+  /** The k=2 bloom positions of a value's canonical string rendering:
+    * md5 hex digits [0,8) and [8,16) as integers mod `m` — the same
+    * arithmetic [[bloomFor]] evaluates with Spark's `conv` and a SQL
+    * oracle evaluates with a hex cast, so every engine agrees
+    * bit-exactly on membership. */
+  def bloomPositions(value: String, m: Int): (Int, Int) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    ((java.lang.Long.parseLong(hex.substring(0, 8), 16) % m).toInt,
+      (java.lang.Long.parseLong(hex.substring(8, 16), 16) % m).toInt)
+  }
+
+  /** Build the [[TxnLog.SetBloom]] entry for one written file: ONE
+    * scan collects the distinct bit positions its `col` values set
+    * (driver-side result bounded by m, never by rows), packed into
+    * the hex form the log carries. Size m to the column's expected
+    * per-file distinct count (~8x NDV keeps false positives ~6%);
+    * like stats, the write-time scan buys every future point lookup
+    * the right to skip the file. Values hash by their canonical
+    * string rendering — integer and string columns agree across
+    * engines (floats' renderings may not; bloom those advisedly). */
+  def bloomFor(spark: SparkSession, root: String, file: String,
+               column: String, m: Int = 4096): SetBloom = {
+    require(m > 0 && (m & (m - 1)) == 0, s"bloom m must be 2^k: $m")
+    val h = s"md5(cast(`$column` as string))"
+    def posExpr(off: Int) =
+      expr(s"cast(conv(substring($h,$off,8),16,10) as bigint) % $m")
+    val df = spark.read.parquet(s"$root/$file")
+    val positions = df.select(posExpr(1).as("p"))
+      .union(df.select(posExpr(9).as("p")))
+      .where(col("p").isNotNull).distinct()
+      .collect().map(_.getLong(0).toInt)
+    val nibbles = Array.fill(m / 4)(0)
+    positions.foreach(i => nibbles(i >> 2) |= 1 << (i & 3))
+    SetBloom(file, column, m,
+      nibbles.map(n => f"$n%x").mkString)
+  }
+
+  /** Point-lookup skipping: split version `v`'s live set into
+    * (scanned, pruned) for `col = value` using BOTH metadata kinds —
+    * a file prunes when its min/max stats provably exclude the value
+    * (reusing the range rule) or when its bloom filter for the
+    * column lacks either of the value's bit positions. Conservative:
+    * files without metadata scan; bloom false positives only ever
+    * ADD scans. Driver metadata only; no data I/O. */
+  def pruneEq(root: String, v: Int, colName: String, value: String)
+  : (Seq[String], Seq[String]) = {
+    val st = stateAt(root, v)
+    val names = Set(colName) ++ st.colmap.getOrElse(colName, Seq.empty)
+    val (pruned, scanned) = st.live.toSeq.sorted.partition { f =>
+      val statsMiss = st.stats.getOrElse(f, Seq.empty).exists(s =>
+        names(s.col) &&
+          (statsCmp(s.max, value) < 0 || statsCmp(s.min, value) > 0))
+      val bloomMiss = names.exists { n =>
+        st.blooms.get((f, n)).exists { case (m, bits) =>
+          val (p1, p2) = bloomPositions(value, m)
+          def bit(i: Int): Boolean =
+            (Integer.parseInt(bits.charAt(i >> 2).toString, 16) &
+              (1 << (i & 3))) != 0
+          !(bit(p1) && bit(p2))
+        }
+      }
+      statsMiss || bloomMiss
+    }
+    (scanned, pruned)
+  }
+
+  /** Point-lookup read: scan ONLY the files [[pruneEq]] keeps for
+    * `col = value` — at 100 TB, a needle query touches the handful
+    * of files whose bloom admits the value instead of every file
+    * whose min/max range happens to cover it. Caller still applies
+    * the row-level equality (skipping is file-granular). */
+  def readPointLookup(spark: SparkSession, root: String,
+                      colName: String, value: String,
+                      version: Int = -1)
+  : (DataFrame, Seq[String], Seq[String]) = {
+    val v = if (version < 0) latestVersion(root) else version
+    val st = stateAt(root, v)
+    val (scanned, pruned) = pruneEq(root, v, colName, value)
+    val schema = st.schemaDdl.map(StructType.fromDDL)
+    val df =
+      if (scanned.isEmpty) {
+        val s = schema.getOrElse(throw new IllegalStateException(
+          s"version $v of $root has no scanned files and no schema"))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      } else {
+        val base = scanWithDVs(spark, root, st, scanned)
+        schema.map(projectTo(base, _)).getOrElse(base)
+      }
+    (df, scanned, pruned)
   }
 
   /** Data skipping: split version `v`'s live set into (scanned,
@@ -1754,13 +1851,19 @@ class TxnLogOps(val store: LogStore) {
       val removes = (cur.live -- want.live).toSeq.sorted.map(remove)
       val readds = (want.live -- cur.live).toSeq.sorted
       val both = (want.live & cur.live).toSeq.sorted
-      // a surviving file whose vector OR ext mapping differs restores
-      // by remove + re-add (clearing), then ExtRef/SetDV as toV had
+      // a surviving file whose vector, ext mapping, or bloom set
+      // differs restores by remove + re-add (clearing), then
+      // ExtRef/SetBloom/SetDV as toV had
+      def bloomsOf(st: State, f: String) =
+        st.blooms.filter(_._1._1 == f)
       val dvDiff = both.filter(f => cur.dvs.get(f) != want.dvs.get(f) ||
-        cur.ext.get(f) != want.ext.get(f))
+        cur.ext.get(f) != want.ext.get(f) ||
+        bloomsOf(cur, f) != bloomsOf(want, f))
       val reAttach = (readds ++ dvDiff).sorted.flatMap { f =>
         Seq(richAdd(f)) ++
           want.ext.get(f).map(ExtRef(f, _)) ++
+          bloomsOf(want, f).toSeq.sortBy(_._1).map {
+            case ((_, c), (m, b)) => SetBloom(f, c, m, b) } ++
           want.dvs.get(f).toSeq.flatMap { case (d, n) =>
             want.ext.get(d).map(ExtRef(d, _)).toSeq :+ SetDV(f, d, n)
           }
@@ -1870,6 +1973,10 @@ class TxnLogOps(val store: LogStore) {
         liveSorted.map(f => ExtRef(f, ref(f))) ++
         liveDvs.map { case (_, (d, _)) => ExtRef(d, ref(d)) }
           .distinct ++
+        st.blooms.toSeq
+          .filter { case ((f, _), _) => st.live.contains(f) }
+          .sortBy(_._1).map { case ((f, c), (m, b)) =>
+            SetBloom(f, c, m, b) } ++
         liveDvs.map { case (f, (d, n)) => SetDV(f, d, n) }
     require(tryCommit(dstRoot, 1, entries, session),
       s"clone target $dstRoot raced: another writer took its v1")
@@ -2297,6 +2404,34 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
     def toJson: String = s"""{"action":"colUndrop","name":"$name"}"""
   }
 
+  /** Per-file BLOOM FILTER (r11 — Delta's bloom-filter index,
+    * Iceberg's puffin blobs, here carried in the log like stats):
+    * `bits` is an `m`-bit filter (hex, lowercase, nibble 0 first;
+    * bit i lives in nibble i>>2 at weight 1<<(i&3)) over column
+    * `col`'s values in data dir `file`. Membership hashes the
+    * value's CANONICAL STRING rendering with md5 — k=2 positions
+    * from the first and second 8 hex digits mod m — an arithmetic
+    * both Spark (`conv`) and any SQL oracle (hex cast) reproduce
+    * bit-exactly, so the skipping decision itself is testable.
+    * Point-lookup skipping on columns UNCORRELATED with the layout
+    * is the use case min/max stats cannot serve: a needle-in-100-TB
+    * `WHERE user_id = x` prunes every file whose filter provably
+    * lacks the value, at ~0.1-1 KB of log per file. Like stats, a
+    * re-add or remove of the file clears its filters. */
+  final case class SetBloom(file: String, col: String, m: Int,
+                            bits: String) extends Entry {
+    require(m > 0 && (m & (m - 1)) == 0, s"bloom m must be 2^k: $m")
+    require(bits.length == m / 4 &&
+      bits.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"bloom bits must be ${m / 4} lowercase hex chars")
+    Seq(file, col).foreach(s =>
+      require(!s.contains('"') && !s.contains('\n'),
+        s"bloom names must be quote- and newline-free: $s"))
+    def toJson: String =
+      s"""{"action":"bloom","file":"$file","col":"$col",""" +
+        s""""m":$m,"bits":"$bits"}"""
+  }
+
   /** Streaming-transaction watermark (Delta's `txn` action): records
     * that `appId` has durably committed micro-batch `batchId`, so a
     * restarted stream re-delivering the same batch from its
@@ -2340,29 +2475,41 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
                          constraints: Map[String, String] = Map.empty,
                          ext: Map[String, String] = Map.empty,
                          colmap: Map[String, Seq[String]] = Map.empty,
-                         dropped: Set[String] = Set.empty)
+                         dropped: Set[String] = Set.empty,
+                         blooms: Map[(String, String), (Int, String)] =
+                           Map.empty)
 
   private[sources] def fold(base: State, entries: Seq[Entry]): State =
     entries.foldLeft(base) {
       case (s, Action("add", f)) =>
         s.copy(live = s.live + f, stats = s.stats - f,
-          parts = s.parts - f, dvs = s.dvs - f, ext = s.ext - f)
+          parts = s.parts - f, dvs = s.dvs - f, ext = s.ext - f,
+          blooms = s.blooms.filterNot(_._1._1 == f))
       case (s, Action("remove", f)) =>
         s.copy(live = s.live - f, stats = s.stats - f,
-          parts = s.parts - f, dvs = s.dvs - f, ext = s.ext - f)
+          parts = s.parts - f, dvs = s.dvs - f, ext = s.ext - f,
+          blooms = s.blooms.filterNot(_._1._1 == f))
       case (s, AddStats(f, fs)) =>
         s.copy(live = s.live + f, stats = s.stats + (f -> Seq(fs)),
-          parts = s.parts - f, dvs = s.dvs - f, ext = s.ext - f)
+          parts = s.parts - f, dvs = s.dvs - f, ext = s.ext - f,
+          blooms = s.blooms.filterNot(_._1._1 == f))
       case (s, AddFile(f, part, cols)) =>
         s.copy(live = s.live + f,
           stats = if (cols.isEmpty) s.stats - f else s.stats + (f -> cols),
           parts = if (part.isEmpty) s.parts - f else s.parts + (f -> part),
-          dvs = s.dvs - f, ext = s.ext - f)
+          dvs = s.dvs - f, ext = s.ext - f,
+          blooms = s.blooms.filterNot(_._1._1 == f))
       case (s, SetDV(f, d, n)) =>
         // a vector may only attach to a LIVE file — a dangling
         // pointer is a no-op, so state round-trips exactly through
         // checkpoints (which emit only live files' vectors)
         if (s.live.contains(f)) s.copy(dvs = s.dvs + (f -> (d, n)))
+        else s
+      case (s, SetBloom(f, c, m, bits)) =>
+        // like a DV: attaches only to a LIVE file, so checkpoints
+        // (which emit only live files' filters) round-trip exactly
+        if (s.live.contains(f))
+          s.copy(blooms = s.blooms + ((f, c) -> (m, bits)))
         else s
       case (s, SetTxn(app, b)) =>
         s.copy(txns = s.txns +
@@ -2416,6 +2563,9 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
     """\{"action":"colDrop","name":"([^"]+)"\}""".r
   private val ColUndropRe =
     """\{"action":"colUndrop","name":"([^"]+)"\}""".r
+  private val BloomRe =
+    ("""\{"action":"bloom","file":"([^"]+)","col":"([^"]+)",""" +
+      """"m":(\d+),"bits":"([a-f0-9]+)"\}""").r
   private val ConstraintRe =
     """\{"action":"constraint","name":"([^"]+)","expr":"([^"]+)"\}""".r
   private val DropConstraintRe =
@@ -2446,6 +2596,7 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
     case ColMapRe(l, p) => ColMap(l, p)
     case ColDropRe(n) => ColDrop(n)
     case ColUndropRe(n) => ColUndrop(n)
+    case BloomRe(f, c, m, b) => SetBloom(f, c, m.toInt, b)
     case ConstraintRe(n, e) => Constraint(n, e)
     case DropConstraintRe(n) => DropConstraint(n)
     case TxnRe(app, b) => SetTxn(app, b.toLong)

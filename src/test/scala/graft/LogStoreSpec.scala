@@ -435,6 +435,64 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --------------------------------------------------- bloom skipping
+
+  test("bloom point-lookup skipping: exact-arithmetic, conservative, carried") {
+    import spark.implicits._
+    withScratch { root =>
+      // two files of distinct key populations on a column whose
+      // min/max overlap completely — range stats are USELESS here
+      (0L until 50L).map(k => (k * 2, k)).toDF("c", "x")
+        .coalesce(1).write.parquet(s"$root/even")
+      (0L until 50L).map(k => (k * 2 + 1, k)).toDF("c", "x")
+        .coalesce(1).write.parquet(s"$root/odd")
+      val adds = Seq("even", "odd").flatMap(f => Seq[TxnLog.Entry](
+        TxnLog.add(f), TxnLog.bloomFor(spark, root, f, "c", m = 1024)))
+      assert(TxnLog.tryCommit(root, 1, adds, "s"))
+      // the builder's positions and the driver-side hash agree: a
+      // PRESENT value's bits are always set (no false negatives over
+      // every key — the bloom correctness invariant)
+      for (k <- 0L until 100L) {
+        val (scanned, _) = TxnLog.pruneEq(root, 1, "c", k.toString)
+        val holder = if (k % 2 == 0) "even" else "odd"
+        assert(scanned.contains(holder),
+          s"bloom LOST key $k (false negative)")
+      }
+      // and they do prune: most absent probes drop the other file
+      val prunes = (0L until 100L).count { k =>
+        TxnLog.pruneEq(root, 1, "c", k.toString)._2.nonEmpty
+      }
+      assert(prunes > 50, s"bloom never prunes (got $prunes/100)")
+      // absent-everywhere probes prune both files (mod false pos.)
+      val far = (1000L until 1100L).count { k =>
+        TxnLog.pruneEq(root, 1, "c", k.toString)._1.isEmpty
+      }
+      assert(far > 50, s"absent probes rarely fully pruned ($far/100)")
+      // filters survive checkpoints and log cleanup
+      for (i <- 2 to 11)
+        assert(TxnLog.tryCommit(root, i,
+          Seq(TxnLog.SetTxn("pad", i)), "s"))
+      assert(TxnLog.cleanupLog(root).nonEmpty)
+      assert(TxnLog.stateAt(root, 11).blooms.keySet ==
+        Set(("even", "c"), ("odd", "c")))
+      // a re-add clears the filter (metadata dies with the file)
+      assert(TxnLog.tryCommit(root, 12, Seq(TxnLog.add("even")), "s"))
+      assert(TxnLog.stateAt(root, 12).blooms.keySet ==
+        Set(("odd", "c")))
+      // RESTORE re-attaches it
+      assert(TxnLog.restore(root, 11, "r").contains(13))
+      assert(TxnLog.stateAt(root, 13).blooms.keySet ==
+        Set(("even", "c"), ("odd", "c")))
+      // a clone carries filters
+      withScratch { dst =>
+        assert(TxnLog.cloneTable(root, dst, "c") == 1)
+        assert(TxnLog.stateAt(dst, 1).blooms.keySet ==
+          Set(("even", "c"), ("odd", "c")))
+        assert(TxnLog.pruneEq(dst, 1, "c", "2")._1 == Seq("even"))
+      }
+    }
+  }
+
   // ------------------------------------------- schema-evolve lost race
 
   test("two concurrent evolving appends both land: no schema lost update") {
@@ -1074,22 +1132,26 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
       var refExt = Map.empty[String, String]
       var refCm = Map.empty[String, Seq[String]]
       var refDrop = Set.empty[String]
+      var refBloom = Map.empty[(String, String), (Int, String)]
       val perVersion = scala.collection.mutable.ArrayBuffer
         .empty[(Map[String, (Seq[(String, String)],
           Seq[TxnLog.FileStats])], Map[String, (String, Long)],
           Map[String, String], Map[String, String],
-          Map[String, Seq[String]], Set[String])]
+          Map[String, Seq[String]], Set[String],
+          Map[(String, String), (Int, String)])]
       for (v <- 1 to 25) {
         val acts: Seq[TxnLog.Entry] = (0 until 1 + rnd.nextInt(3)).map { _ =>
           val f = s"f${rnd.nextInt(8)}"
-          rnd.nextInt(8) match {
+          rnd.nextInt(9) match {
             case 0 => refLive += f -> (Seq.empty, Seq.empty)
               refDvs -= f
               refExt -= f
+              refBloom = refBloom.filterNot(_._1._1 == f)
               TxnLog.add(f)
             case 1 => refLive -= f
               refDvs -= f
               refExt -= f
+              refBloom = refBloom.filterNot(_._1._1 == f)
               TxnLog.remove(f)
             case 2 =>
               val st = TxnLog.FileStats("k", s"${rnd.nextInt(50)}",
@@ -1097,6 +1159,7 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
               refLive += f -> (Seq.empty, Seq(st))
               refDvs -= f
               refExt -= f
+              refBloom = refBloom.filterNot(_._1._1 == f)
               TxnLog.AddStats(f, st)
             case 3 =>
               val part = Seq("pri" -> s"p${rnd.nextInt(3)}")
@@ -1106,6 +1169,7 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
               refLive += f -> (part, cols)
               refDvs -= f
               refExt -= f
+              refBloom = refBloom.filterNot(_._1._1 == f)
               TxnLog.AddFile(f, part, cols)
             case 4 =>
               // r11: a deletion vector — attaches only to a LIVE
@@ -1120,6 +1184,13 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
               val src = s"/ext/src${rnd.nextInt(4)}/$f"
               refExt += f -> src
               TxnLog.ExtRef(f, src)
+            case 7 =>
+              // r11: bloom filters — live-gated like a DV; cleared
+              // by any add/remove of the file
+              val bits = Seq.fill(4)("0123456789abcdef".charAt(
+                rnd.nextInt(16))).mkString
+              if (refLive.contains(f)) refBloom += (f, "c") -> (16, bits)
+              TxnLog.SetBloom(f, "c", 16, bits)
             case 6 =>
               // r11: column mapping — spelling lists accumulate,
               // identity clears, drop tombstones + clears, undrop
@@ -1151,12 +1222,12 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
         }
         assert(TxnLog.tryCommit(root, v, acts, "prop", nowMs = v * 100L))
         perVersion += ((refLive, refDvs, refCons, refExt, refCm,
-          refDrop))
+          refDrop, refBloom))
       }
       assert(TxnLog.checkpoints(root) == Seq(10, 20))
       def check(v: Int): Unit = {
         val st = TxnLog.stateAt(root, v)
-        val (ref, refDv, refCn, refEx, refMap, refDr) =
+        val (ref, refDv, refCn, refEx, refMap, refDr, refBl) =
           perVersion(v - 1)
         assert(st.live == ref.keySet, s"live mismatch at v$v")
         for ((f, (part, cols)) <- ref) {
@@ -1170,6 +1241,7 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
         assert(st.ext == refEx, s"ext mismatch at v$v")
         assert(st.colmap == refMap, s"colmap mismatch at v$v")
         assert(st.dropped == refDr, s"dropped mismatch at v$v")
+        assert(st.blooms == refBl, s"blooms mismatch at v$v")
       }
       (1 to 25).foreach(check)
       // cleanup floors the log at v20; the checkpoint alone must

@@ -167,6 +167,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // pruned multi-path scan + one scalar agg; rename/drop are
     // metadata commits at staging, the prune census is log replay
     "txn_log_rename_drop" -> 1,
+    // bloom-pruned point-lookup scan + one scalar agg; the probe
+    // census is driver metadata (pruneEq over log state)
+    "txn_log_bloom" -> 1,
     // the scan_txn_log rollup shape + broadcast probe join + sort
     "txn_log_time_travel" -> 4,
     "join_asof" -> 2,
