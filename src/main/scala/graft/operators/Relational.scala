@@ -2486,8 +2486,11 @@ object Relational {
     *
     * Scale shape: probe census is driver metadata; the returned plan
     * is one pruned multi-path scan + a scalar agg. */
-  def txnLogBloom(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.core.Fixtures.memo(txnLogFixtures,
+  /** The 8-range + per-file-bloom fixture [[txnLogBloom]] and
+    * [[txnLogSqlPushdown]] share (one staging, one memo key). */
+  private def bloomFixtureRoot(spark: SparkSession, dir: String)
+  : String =
+    graft.core.Fixtures.memo(txnLogFixtures,
       (spark.sparkContext.applicationId, dir, "txnbloom|range8_bl_v1")) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnbloom",
             codeTag = "range8_bl_v1") { target =>
@@ -2511,6 +2514,9 @@ object Relational {
           assert(TxnLog.tryCommit(target, 1, adds, "stage"))
         }
       }
+
+  def txnLogBloom(spark: SparkSession, dir: String): DataFrame = {
+    val root = bloomFixtureRoot(spark, dir)
     val custs = Tables.orders(spark, dir).select(col("o_custkey"))
     val present = custs.distinct().orderBy(col("o_custkey"))
       .limit(8).collect().map(_.getLong(0))
@@ -2575,6 +2581,101 @@ object Relational {
       |    AS INT) AS scan_probe0,
       |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_rows,
       |  CAST((SELECT SUM(cents) FROM hit) AS BIGINT) AS sum_cents""".stripMargin
+
+  /** SQL over the txn-log table through the BATCH DataSource (r11 —
+    * the `spark.read.format(...).load()` / temp-view face):
+    * [[graft.sources.TxnTableProvider]] is a V1
+    * `RelationProvider` + `PrunedFilteredScan` — Catalyst pushes the
+    * WHERE clause's predicates into the relation, which turns them
+    * into FILE-level pruning against the log's metadata (min/max
+    * stats for the range, bloom filters for the equality) and
+    * re-applies nothing itself (all filters declared unhandled, so
+    * Spark keeps the row-level semantics — pruning can only remove
+    * I/O). The query registers the bloom fixture as a temp view and
+    * runs plain `spark.sql`: one key-range rollup (stats pushdown)
+    * and one customer point lookup (bloom pushdown), hashing both
+    * results + both file censuses ([[graft.sources.TxnLog
+    * .pruneBounds]]/[[graft.sources.TxnLog.pruneEq]] — the exact
+    * functions the relation's pushdown calls). The oracle re-derives
+    * everything from bucket arithmetic + the md5 position algebra.
+    *
+    * Scale shape: predicate → file-list is driver metadata; each SQL
+    * query scans only its admitted files. */
+  def txnLogSqlPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val root = bloomFixtureRoot(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val probe = o.select(col("o_custkey")).distinct()
+      .orderBy(col("o_custkey")).limit(1).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    spark.read
+      .format(classOf[graft.sources.TxnTableProvider].getName)
+      .option("path", root).load()
+      .createOrReplaceTempView("graft_txn_orders")
+    val range = spark.sql(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS range_rows,
+         |  CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)),
+         |    2) * 100 AS BIGINT)) AS BIGINT) AS range_cents
+         |FROM graft_txn_orders
+         |WHERE o_orderkey BETWEEN $lo AND $hi""".stripMargin)
+    val point = spark.sql(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS point_rows,
+         |  CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)),
+         |    2) * 100 AS BIGINT)) AS BIGINT) AS point_cents
+         |FROM graft_txn_orders WHERE o_custkey = $probe""".stripMargin)
+    val rangeScan = TxnLog.pruneBounds(root, 1, Seq.empty,
+      Seq(("o_orderkey", Some(lo.toString), Some(hi.toString))))._1
+    val pointScan = TxnLog.pruneEq(root, 1, "o_custkey",
+      probe.toString)._1
+    range.crossJoin(point)
+      .select(lit(rangeScan.size).cast("int").as("range_scanned"),
+        col("range_rows"), col("range_cents"),
+        lit(pointScan.size).cast("int").as("point_scanned"),
+        col("point_rows"), col("point_cents"))
+  }
+
+  val txnLogSqlPushdownSql: String =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |b AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |        CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100
+      |          AS BIGINT) AS cents,
+      |        (o_orderkey * 8) // (mk + 1) AS bucket
+      |      FROM orders, mx),
+      |probe AS (SELECT MIN(c) AS v FROM b),
+      |fs AS (SELECT bucket, MIN(k) AS mn, MAX(k) AS mx2
+      |       FROM b GROUP BY bucket),
+      |pos AS MATERIALIZED (
+      |  SELECT DISTINCT bucket,
+      |    CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 4096 AS p FROM b
+      |  UNION
+      |  SELECT DISTINCT bucket,
+      |    CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 9, 8))
+      |      AS UBIGINT) % 4096 AS p FROM b),
+      |pq AS (SELECT
+      |    CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 4096 AS q1,
+      |    CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 9, 8))
+      |      AS UBIGINT) % 4096 AS q2 FROM probe),
+      |ps AS (SELECT COUNT(*) AS n FROM fs, pq
+      |  WHERE EXISTS (SELECT 1 FROM pos
+      |          WHERE pos.bucket = fs.bucket AND pos.p = pq.q1)
+      |    AND EXISTS (SELECT 1 FROM pos
+      |          WHERE pos.bucket = fs.bucket AND pos.p = pq.q2))
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM fs, mx
+      |    WHERE NOT (mx2 < mk // 4 OR mn > mk // 2)) AS INT)
+      |    AS range_scanned,
+      |  CAST((SELECT COUNT(*) FROM b, mx
+      |    WHERE k BETWEEN mk // 4 AND mk // 2) AS BIGINT) AS range_rows,
+      |  CAST((SELECT SUM(cents) FROM b, mx
+      |    WHERE k BETWEEN mk // 4 AND mk // 2) AS BIGINT)
+      |    AS range_cents,
+      |  CAST((SELECT n FROM ps) AS INT) AS point_scanned,
+      |  CAST((SELECT COUNT(*) FROM b, probe WHERE c = v) AS BIGINT)
+      |    AS point_rows,
+      |  CAST((SELECT SUM(cents) FROM b, probe WHERE c = v) AS BIGINT)
+      |    AS point_cents""".stripMargin
 
   /** SHALLOW CLONE of the txn-log table (r11 — Delta's
     * `CREATE TABLE ... SHALLOW CLONE`): a zero-copy table fork.
@@ -3893,6 +3994,7 @@ object Relational {
     "txn_log_clone" -> txnLogClone,
     "txn_log_rename_drop" -> txnLogRenameDrop,
     "txn_log_bloom" -> txnLogBloom,
+    "txn_log_sql_pushdown" -> txnLogSqlPushdown,
     "txn_log_delete" -> txnLogDelete,
     "txn_log_history" -> txnLogHistory,
     "txn_log_schema_evo" -> txnLogSchemaEvo,
@@ -3981,6 +4083,7 @@ object Relational {
     "txn_log_clone" -> txnLogCloneSql,
     "txn_log_rename_drop" -> txnLogRenameDropSql,
     "txn_log_bloom" -> txnLogBloomSql,
+    "txn_log_sql_pushdown" -> txnLogSqlPushdownSql,
     "txn_log_delete" -> txnLogDeleteSql,
     "txn_log_history" -> txnLogHistorySql,
     "txn_log_schema_evo" -> txnLogSchemaEvoSql,

@@ -780,6 +780,15 @@ class TxnLogOps(val store: LogStore) {
     * property pins). Driver metadata only; no data I/O. */
   def pruneWhere(root: String, v: Int, partEq: Seq[(String, String)],
                  preds: Seq[(String, String, String)])
+  : (Seq[String], Seq[String]) =
+    pruneBounds(root, v, partEq,
+      preds.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) })
+
+  /** [[pruneWhere]] with OPTIONAL bounds — the shape pushed-down
+    * one-sided inequalities (`c >= lo` with no upper bound) reduce
+    * to; a missing side simply never trips its comparison. */
+  def pruneBounds(root: String, v: Int, partEq: Seq[(String, String)],
+                  preds: Seq[(String, Option[String], Option[String])])
   : (Seq[String], Seq[String]) = {
     val st = stateAt(root, v)
     // column mapping: a file written BEFORE a rename published its
@@ -797,11 +806,38 @@ class TxnLogOps(val store: LogStore) {
       val statsMiss = preds.exists { case (c, lo, hi) =>
         val cs = names(c)
         st.stats.getOrElse(f, Seq.empty).exists(s => cs(s.col) &&
-          (statsCmp(s.max, lo) < 0 || statsCmp(s.min, hi) > 0))
+          (lo.exists(statsCmp(s.max, _) < 0) ||
+            hi.exists(statsCmp(s.min, _) > 0)))
       }
       partMiss || statsMiss
     }
     (scanned, pruned)
+  }
+
+  /** Read version `v` restricted to `files` (a subset of its live
+    * set, e.g. one a pushdown planner pruned) under the version's
+    * schema and deletion vectors; empty subset reads as an empty
+    * frame under the resolved schema. */
+  def readFiles(spark: SparkSession, root: String, version: Int,
+                files: Seq[String]): DataFrame = {
+    val v = if (version < 0) latestVersion(root) else version
+    val st = stateAt(root, v)
+    val bad = files.filterNot(st.live.contains)
+    require(bad.isEmpty,
+      s"not live at v$v of $root: ${bad.mkString(",")}")
+    val schema = st.schemaDdl.map(StructType.fromDDL)
+    if (files.isEmpty) {
+      val s = schema.orElse(
+        if (st.live.isEmpty) None
+        else Some(spark.read.parquet(
+          dataPath(root, st, st.live.head)).schema))
+        .getOrElse(throw new IllegalStateException(
+          s"version $v of $root has no files and no metaData schema"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    val base = scanWithDVs(spark, root, st, files.sorted)
+    schema.map(projectTo(base, _)).getOrElse(base)
   }
 
   /** Single-range data skipping — [[pruneWhere]] with one predicate

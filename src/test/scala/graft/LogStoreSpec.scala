@@ -493,6 +493,78 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ------------------------------------------- batch DataSource (V1)
+
+  test("graft-txn batch source: reads, SQL, pushdown prunes files, time travel") {
+    import spark.implicits._
+    import graft.sources.TxnTableRelation
+    withScratch { root =>
+      // four key-range files with stats on k and blooms on c (c's
+      // min/max spans every file — only the bloom can prune it)
+      val rows = (0L until 40L).map(k => (k, k % 10, s"s$k"))
+      for (b <- 0 until 4) {
+        rows.filter(_._1 / 10 == b).toDF("k", "c", "tag")
+          .coalesce(1).write.parquet(s"$root/f$b")
+      }
+      val adds = (0 until 4).flatMap(b => Seq[TxnLog.Entry](
+        TxnLog.AddStats(s"f$b",
+          TxnLog.statsFor(spark, root, s"f$b", "k")),
+        TxnLog.bloomFor(spark, root, s"f$b", "c", m = 256)))
+      assert(TxnLog.tryCommit(root, 1,
+        adds :+ TxnLog.MetaData("k BIGINT,c BIGINT,tag STRING"), "s"))
+      Seq((100L, 100L, "late")).toDF("k", "c", "tag")
+        .coalesce(1).write.parquet(s"$root/f4")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.AddStats("f4",
+        TxnLog.statsFor(spark, root, "f4", "k"))), "s") == 2)
+
+      def load(opts: (String, String)*) = {
+        val r = spark.read
+          .format(classOf[graft.sources.TxnTableProvider].getName)
+          .option("path", root)
+        opts.foldLeft(r) { case (x, (k, v)) => x.option(k, v) }.load()
+      }
+      // plain read equals the native read
+      assert(load().collect().toSet ==
+        TxnLog.read(spark, root).collect().toSet)
+      // the short name resolves through META-INF/services
+      assert(spark.read.format("graft-txn").option("path", root)
+        .load().count() == 41)
+      // SQL face + range pushdown: only f2 (k 20-29) scans
+      load().createOrReplaceTempView("txn_t")
+      val s1 = spark.sql(
+        "SELECT CAST(SUM(k) AS BIGINT) FROM txn_t " +
+          "WHERE k BETWEEN 20 AND 29").head().getLong(0)
+      assert(s1 == (20L until 30L).sum)
+      assert(TxnTableRelation.lastScan.get()._1 == Seq("f2"),
+        s"range pushdown scanned ${TxnTableRelation.lastScan.get()}")
+      // equality pushdown uses stats AND blooms: k = 5 pins f0 by
+      // stats; c = 100 lives only in f4, every other file's bloom
+      // lacks it (mod deterministic false positives)
+      assert(load().where(col("k") === 5L).count() == 1)
+      assert(TxnTableRelation.lastScan.get()._1 == Seq("f0"))
+      assert(load().where(col("c") === 100L)
+        .select(col("tag")).head().getString(0) == "late")
+      val eqScan = TxnTableRelation.lastScan.get()._1
+      assert(eqScan.contains("f4") && eqScan.size < 5,
+        s"bloom equality pushdown scanned $eqScan")
+      // one-sided bound on a STRING column must not mis-prune
+      // (tag has no stats: everything must scan, conservatively)
+      assert(load().where(col("tag") >= "s").count() == 40)
+      assert(TxnTableRelation.lastScan.get()._1.size == 5,
+        s"stats-less column mis-pruned ${TxnTableRelation.lastScan.get()}")
+      // IN-list pushdown unions the admitted files
+      val in = load().where(col("k").isin(5L, 25L)).count()
+      assert(in == 2)
+      assert(TxnTableRelation.lastScan.get()._1.toSet
+        .subsetOf(Set("f0", "f2")))
+      // time travel: versionAsOf reads v1's 40 rows
+      assert(load("versionAsOf" -> "1").count() == 40)
+      // an unknown-filter-only query scans everything, correctly
+      assert(load().where(col("tag").contains("late")).count() == 1)
+      assert(TxnTableRelation.lastScan.get()._1.size == 5)
+    }
+  }
+
   // ------------------------------------------- schema-evolve lost race
 
   test("two concurrent evolving appends both land: no schema lost update") {

@@ -170,6 +170,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // bloom-pruned point-lookup scan + one scalar agg; the probe
     // census is driver metadata (pruneEq over log state)
     "txn_log_bloom" -> 1,
+    // two pushdown-pruned V1-relation scans (one scalar agg each)
+    // crossJoined as 1-row frames (allowed bnl); censuses are
+    // driver metadata
+    "txn_log_sql_pushdown" -> 2,
     // the scan_txn_log rollup shape + broadcast probe join + sort
     "txn_log_time_travel" -> 4,
     "join_asof" -> 2,
@@ -530,7 +534,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_sim_search_native", "llm_sim_search_pq", "llm_sim_search_pq_rerank",
     "llm_tfidf", "ts_anomaly_resid", "win_quintile_migration",
     "llm_dedup_band_recall", "win_survival_km", "llm_corpus_drift",
-    "agg_mutual_info", "ts_mann_kendall")
+    "agg_mutual_info", "ts_mann_kendall",
+    // two 1-row pushdown rollups joined into the single output row
+    "txn_log_sql_pushdown")
 
   /** Scans whose predicate must reach the parquet reader: the plan has
     * to show a non-empty pushed/partition filter, or the 100 TB scan
