@@ -2677,6 +2677,81 @@ object Relational {
       |  CAST((SELECT SUM(cents) FROM b, probe WHERE c = v) AS BIGINT)
       |    AS point_cents""".stripMargin
 
+  /** PROTOCOL VERSIONING on the txn-log table (r11 — Delta's
+    * `protocol` action, the format-evolution safety gate): the table
+    * declares the minimum reader/writer implementation versions its
+    * features need, and an OLDER engine fails loudly at access time
+    * instead of silently misreading state (scanning rows a deletion
+    * vector killed, feeding a renamed column from stale bytes...).
+    * Fixture: v1 = the orders slice; v2 = upgrade to (2,2)
+    * ([[graft.sources.TxnLog.upgradeProtocol]], monotonic, refused
+    * beyond the engine's own support); a simulated v1-only engine
+    * (an ops handle whose supported versions are overridden down)
+    * must be REFUSED on read and on write WITHOUT moving the tip;
+    * v3 = the keys ≡0 (mod 9) slice appended by the current engine.
+    * The query hashes the protocol tuple, both refusal outcomes, the
+    * tip version, and the content rollup ≡ orders ∪ the mod-9 slice
+    * — the old engine provably neither read nor wrote.
+    *
+    * Scale shape: the gate is one comparison on already-replayed
+    * state — zero additional I/O at any table size. */
+  def txnLogProtocol(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, "txnproto|r8_proto_v1")) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnproto",
+            codeTag = "r8_proto_v1") { target =>
+          val o = Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_totalprice"))
+          new java.io.File(target).mkdirs()
+          o.coalesce(1).write.parquet(s"$target/base")
+          assert(TxnLog.commitAppend(target, Seq("base"),
+            o.schema.toDDL, "stage") == 1)
+          assert(TxnLog.upgradeProtocol(target, 2, 2, "stage") == 2)
+          val old = new graft.sources.TxnLogOps(
+              graft.sources.LocalLogStore) {
+            override protected def supportedReader: Int = 1
+            override protected def supportedWriter: Int = 1
+          }
+          val readRefused =
+            try { old.read(spark, target).count(); 0 }
+            catch { case _: IllegalArgumentException => 1 }
+          val writeRefused =
+            try { old.commitNext(target,
+              Seq(TxnLog.add("ghost")), "old"); 0 }
+            catch { case _: IllegalArgumentException => 1 }
+          assert(readRefused == 1 && writeRefused == 1 &&
+            TxnLog.latestVersion(target) == 2,
+            "the v1 engine was not refused cleanly")
+          o.where(col("o_orderkey") % 9 === 0)
+            .coalesce(1).write.parquet(s"$target/app9")
+          assert(TxnLog.commitAppend(target, Seq("app9"),
+            o.schema.toDDL, "stage") == 3)
+        }
+      }
+    val st = TxnLog.stateAt(root, TxnLog.latestVersion(root))
+    TxnLog.read(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("sum_cents"))
+      .select(lit(st.protocol._1).cast("int").as("min_reader"),
+        lit(st.protocol._2).cast("int").as("min_writer"),
+        lit(TxnLog.latestVersion(root)).cast("int").as("tip"),
+        col("n_rows"), col("sum_cents"))
+  }
+
+  val txnLogProtocolSql: String =
+    """WITH s AS (SELECT o_orderkey AS k,
+      |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100
+      |      AS BIGINT) AS cents
+      |  FROM orders),
+      |a AS (SELECT k, cents FROM s
+      |      UNION ALL SELECT k, cents FROM s WHERE k % 9 = 0)
+      |SELECT CAST(2 AS INT) AS min_reader,
+      |  CAST(2 AS INT) AS min_writer,
+      |  CAST(3 AS INT) AS tip,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM a""".stripMargin
+
   /** SHALLOW CLONE of the txn-log table (r11 — Delta's
     * `CREATE TABLE ... SHALLOW CLONE`): a zero-copy table fork.
     * [[graft.sources.TxnLog.cloneTable]] commits ONE metadata version
@@ -3995,6 +4070,7 @@ object Relational {
     "txn_log_rename_drop" -> txnLogRenameDrop,
     "txn_log_bloom" -> txnLogBloom,
     "txn_log_sql_pushdown" -> txnLogSqlPushdown,
+    "txn_log_protocol" -> txnLogProtocol,
     "txn_log_delete" -> txnLogDelete,
     "txn_log_history" -> txnLogHistory,
     "txn_log_schema_evo" -> txnLogSchemaEvo,
@@ -4084,6 +4160,7 @@ object Relational {
     "txn_log_rename_drop" -> txnLogRenameDropSql,
     "txn_log_bloom" -> txnLogBloomSql,
     "txn_log_sql_pushdown" -> txnLogSqlPushdownSql,
+    "txn_log_protocol" -> txnLogProtocolSql,
     "txn_log_delete" -> txnLogDeleteSql,
     "txn_log_history" -> txnLogHistorySql,
     "txn_log_schema_evo" -> txnLogSchemaEvoSql,

@@ -96,6 +96,32 @@ import org.apache.spark.sql.types.StructType
 class TxnLogOps(val store: LogStore) {
   import TxnLog._
 
+  /** The protocol versions THIS implementation understands (v2 =
+    * deletion vectors, clone refs, column mapping, constraints,
+    * blooms). Overridable so specs can impersonate an older engine. */
+  protected def supportedReader: Int = 2
+  protected def supportedWriter: Int = 2
+
+  /** The reader-side protocol gate: every read surface calls this
+    * with its resolved state — a table demanding a newer reader fails
+    * loudly HERE instead of silently misreading features this engine
+    * does not know (the whole point of the protocol action). */
+  protected def requireReadable(root: String, st: State): Unit =
+    require(st.protocol._1 <= supportedReader,
+      s"$root requires reader version ${st.protocol._1}; this engine " +
+        s"supports $supportedReader — upgrade the engine, not the table")
+
+  /** Raise the table's protocol floor (monotonic; Delta's `ALTER
+    * TABLE ... SET` protocol upgrade). Refused when the target is
+    * beyond THIS engine (committing it would brick the committer). */
+  def upgradeProtocol(root: String, minReader: Int, minWriter: Int,
+                      session: String): Int = {
+    val cur = stateAt(root, latestVersion(root)).protocol
+    require(minReader >= cur._1 && minWriter >= cur._2,
+      s"protocol upgrades are monotonic: $cur -> ($minReader, $minWriter)")
+    commitNext(root, Seq(Protocol(minReader, minWriter)), session)
+  }
+
   private def versionName(v: Int): String = f"v$v%08d.jsonl"
   private def checkpointName(v: Int): String = f"v$v%08d.checkpoint.jsonl"
 
@@ -209,6 +235,23 @@ class TxnLogOps(val store: LogStore) {
                 session: String, schemaDdl: Option[String] = None,
                 nowMs: Long = -1L): Boolean = {
     require(actions.nonEmpty || schemaDdl.nonEmpty, "empty commit")
+    // protocol gate (the ONE write choke point): an engine below the
+    // table's declared minWriter must not append — it would commit
+    // state transitions it does not understand
+    if (v > 1) {
+      val (_, w) = stateAt(root, v - 1).protocol
+      require(w <= supportedWriter,
+        s"$root requires writer version $w; this engine supports " +
+          s"$supportedWriter — upgrade the engine, not the table")
+    }
+    actions.foreach {
+      case Protocol(r, pw) =>
+        require(r <= supportedReader && pw <= supportedWriter,
+          s"cannot upgrade $root to protocol ($r, $pw): this engine " +
+            s"supports ($supportedReader, $supportedWriter) and would " +
+            "brick itself")
+      case _ => ()
+    }
     val wall = if (nowMs >= 0) nowMs else System.currentTimeMillis()
     val ts = if (v > 1) math.max(wall, commitTs(root, v - 1) + 1) else wall
     val entries: Seq[Entry] =
@@ -228,6 +271,8 @@ class TxnLogOps(val store: LogStore) {
     if (store.logExists(root, checkpointName(v))) return
     val st = stateAt(root, v)
     val entries: Seq[Entry] =
+      (if (st.protocol != (1, 1))
+        Seq(Protocol(st.protocol._1, st.protocol._2)) else Seq.empty) ++
       st.schemaDdl.map(MetaData.apply).toSeq ++
         st.constraints.toSeq.sorted.map { case (n, e) =>
           Constraint(n, e) } ++
@@ -635,6 +680,7 @@ class TxnLogOps(val store: LogStore) {
   : DataFrame = {
     val v = if (version < 0) latestVersion(root) else version
     val st = stateAt(root, v)
+    requireReadable(root, st)
     val schema = st.schemaDdl.map(StructType.fromDDL)
     if (st.live.isEmpty) {
       val s = schema.getOrElse(throw new IllegalStateException(
@@ -752,6 +798,7 @@ class TxnLogOps(val store: LogStore) {
   : (DataFrame, Seq[String], Seq[String]) = {
     val v = if (version < 0) latestVersion(root) else version
     val st = stateAt(root, v)
+    requireReadable(root, st)
     val (scanned, pruned) = pruneEq(root, v, colName, value)
     val schema = st.schemaDdl.map(StructType.fromDDL)
     val df =
@@ -822,6 +869,7 @@ class TxnLogOps(val store: LogStore) {
                 files: Seq[String]): DataFrame = {
     val v = if (version < 0) latestVersion(root) else version
     val st = stateAt(root, v)
+    requireReadable(root, st)
     val bad = files.filterNot(st.live.contains)
     require(bad.isEmpty,
       s"not live at v$v of $root: ${bad.mkString(",")}")
@@ -860,6 +908,7 @@ class TxnLogOps(val store: LogStore) {
   : (DataFrame, Seq[String], Seq[String]) = {
     val v = if (version < 0) latestVersion(root) else version
     val st = stateAt(root, v)
+    requireReadable(root, st)
     val (scanned, pruned) = pruneWhere(root, v, partEq, preds)
     val schema = st.schemaDdl.map(StructType.fromDDL)
     val df =
@@ -1719,6 +1768,7 @@ class TxnLogOps(val store: LogStore) {
   def readChanges(spark: SparkSession, root: String, fromV: Int,
                   toV: Int = -1): DataFrame = {
     val to = if (toV < 0) latestVersion(root) else toV
+    requireReadable(root, stateAt(root, to))
     require(fromV <= to, s"empty change range ($fromV, $to]")
     val range = (fromV + 1) to to
     // a version whose file cleanupLog retired has unresolvable
@@ -1999,6 +2049,8 @@ class TxnLogOps(val store: LogStore) {
     val liveDvs = st.dvs.toSeq
       .filter { case (f, _) => st.live.contains(f) }.sortBy(_._1)
     val entries: Seq[Entry] =
+      (if (st.protocol != (1, 1))
+        Seq(Protocol(st.protocol._1, st.protocol._2)) else Seq.empty) ++
       st.schemaDdl.map(MetaData.apply).toSeq ++
         st.constraints.toSeq.sorted.map { case (n, e) =>
           Constraint(n, e) } ++
@@ -2164,6 +2216,7 @@ class TxnLogOps(val store: LogStore) {
                      valueCol: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val states = statesWalk(root)
+    states.lastOption.foreach { case (_, st) => requireReadable(root, st) }
     val sets = states.map { case (v, s) => v -> s.live.toSeq.sorted }
     val files = sets.flatMap(_._2).distinct.sorted
     // ext resolution across the WHOLE history: any version may have
@@ -2468,6 +2521,27 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
         s""""m":$m,"bits":"$bits"}"""
   }
 
+  /** Protocol versioning (r11 — Delta's `protocol` action, the
+    * format-evolution safety gate): a table declares the MINIMUM
+    * reader and writer implementation versions that understand its
+    * features; an older engine fails LOUDLY at access time instead of
+    * silently misreading state (e.g. scanning deleted rows because it
+    * ignores deletion vectors). Version history of THIS format:
+    * v1 = base actions (add/remove/stats/metaData/txn/commitInfo);
+    * v2 = deletion vectors, ext refs (clone), column mapping,
+    * constraints, bloom filters. Upgrades are MONOTONIC (fold takes
+    * the elementwise max) and never roll back — RESTORE deliberately
+    * keeps the protocol (Delta's posture: features may have touched
+    * the log shape itself). */
+  final case class Protocol(minReader: Int, minWriter: Int)
+    extends Entry {
+    require(minReader >= 1 && minWriter >= 1,
+      s"protocol versions start at 1: ($minReader, $minWriter)")
+    def toJson: String =
+      s"""{"action":"protocol","minReader":$minReader,""" +
+        s""""minWriter":$minWriter}"""
+  }
+
   /** Streaming-transaction watermark (Delta's `txn` action): records
     * that `appId` has durably committed micro-batch `batchId`, so a
     * restarted stream re-delivering the same batch from its
@@ -2513,7 +2587,8 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
                          colmap: Map[String, Seq[String]] = Map.empty,
                          dropped: Set[String] = Set.empty,
                          blooms: Map[(String, String), (Int, String)] =
-                           Map.empty)
+                           Map.empty,
+                         protocol: (Int, Int) = (1, 1))
 
   private[sources] def fold(base: State, entries: Seq[Entry]): State =
     entries.foldLeft(base) {
@@ -2547,6 +2622,9 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
         if (s.live.contains(f))
           s.copy(blooms = s.blooms + ((f, c) -> (m, bits)))
         else s
+      case (s, Protocol(r, w)) =>
+        s.copy(protocol = (math.max(s.protocol._1, r),
+          math.max(s.protocol._2, w)))
       case (s, SetTxn(app, b)) =>
         s.copy(txns = s.txns +
           (app -> math.max(b, s.txns.getOrElse(app, Long.MinValue))))
@@ -2606,6 +2684,9 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
     """\{"action":"constraint","name":"([^"]+)","expr":"([^"]+)"\}""".r
   private val DropConstraintRe =
     """\{"action":"dropConstraint","name":"([^"]+)"\}""".r
+  private val ProtocolRe =
+    ("""\{"action":"protocol","minReader":(\d+),""" +
+      """"minWriter":(\d+)\}""").r
   private val CommitRe =
     """\{"action":"commitInfo","ts":(\d+)\}""".r
   private val MetaRe =
@@ -2636,10 +2717,15 @@ object TxnLog extends TxnLogOps(LocalLogStore) {
     case ConstraintRe(n, e) => Constraint(n, e)
     case DropConstraintRe(n) => DropConstraint(n)
     case TxnRe(app, b) => SetTxn(app, b.toLong)
+    case ProtocolRe(r, w) => Protocol(r.toInt, w.toInt)
     case CommitRe(ts) => CommitInfo(ts.toLong)
     case MetaRe(ddl) => MetaData(ddl)
     case other =>
-      throw new IllegalArgumentException(s"bad log line: $other")
+      // an unrecognized action usually means a NEWER writer touched
+      // the table without (or after) a protocol bump — name the seam
+      throw new IllegalArgumentException(
+        s"unknown log action (written by a newer engine? check the " +
+          s"table's protocol action): $other")
   }
 
   /** `a` vs `b` under stats ordering: numeric when both parse as

@@ -493,6 +493,74 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ----------------------------------------------- protocol versions
+
+  test("protocol gate: old engines fail loudly, upgrades are monotonic and carried") {
+    import spark.implicits._
+    // an "old engine": understands only protocol v1
+    val oldEngine = new TxnLogOps(LocalLogStore) {
+      override protected def supportedReader: Int = 1
+      override protected def supportedWriter: Int = 1
+    }
+    withScratch { root =>
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      // an undeclared table reads and writes everywhere
+      assert(oldEngine.read(spark, root).count() == 2)
+      // upgrade to (2, 2); downgrade and over-reach are refused
+      assert(TxnLog.upgradeProtocol(root, 2, 2, "s") == 2)
+      intercept[IllegalArgumentException](
+        TxnLog.upgradeProtocol(root, 1, 1, "s"))
+      intercept[IllegalArgumentException](
+        TxnLog.upgradeProtocol(root, 3, 3, "s"))
+      assert(TxnLog.stateAt(root, 2).protocol == ((2, 2)))
+      // the old engine now fails LOUDLY on every surface, naming
+      // both versions; the current engine keeps working
+      val er = intercept[IllegalArgumentException](
+        oldEngine.read(spark, root))
+      assert(er.getMessage.contains("reader version 2") &&
+        er.getMessage.contains("supports 1"), er.getMessage)
+      intercept[IllegalArgumentException](
+        oldEngine.readChanges(spark, root, 1))
+      intercept[IllegalArgumentException](
+        oldEngine.versionsRollup(spark, root, "v"))
+      val ew = intercept[IllegalArgumentException](
+        oldEngine.commitNext(root, Seq(TxnLog.add("fX")), "old"))
+      assert(ew.getMessage.contains("writer version 2"), ew.getMessage)
+      assert(TxnLog.latestVersion(root) == 2, "old engine moved the tip")
+      assert(TxnLog.read(spark, root).count() == 2)
+      // survives checkpoints + cleanup; clones carry it; restore
+      // keeps it (monotonic — features touched the log shape)
+      for (i <- 3 to 11)
+        assert(TxnLog.tryCommit(root, i,
+          Seq(TxnLog.SetTxn("pad", i)), "s"))
+      assert(TxnLog.cleanupLog(root).nonEmpty)
+      assert(TxnLog.stateAt(root, 11).protocol == ((2, 2)))
+      withScratch { dst =>
+        assert(TxnLog.cloneTable(root, dst, "c") == 1)
+        assert(TxnLog.stateAt(dst, 1).protocol == ((2, 2)))
+        intercept[IllegalArgumentException](
+          oldEngine.read(spark, dst))
+      }
+      assert(TxnLog.commitNext(root,
+        Seq(TxnLog.remove("f0")), "s") == 12)
+      assert(TxnLog.restore(root, 11, "r").contains(13))
+      assert(TxnLog.stateAt(root, 13).protocol == ((2, 2)))
+      assert(TxnLog.read(spark, root).count() == 2)
+      // an unknown action from a future writer names the seam
+      withScratch { r2 =>
+        assert(TxnLog.commitNext(r2, Seq(TxnLog.add("f0")), "s") == 1)
+        assert(LocalLogStore.putIfAbsent(r2, "v00000002.jsonl",
+          Seq("""{"action":"futureThing","x":1}"""), "s"))
+        val eu = intercept[IllegalArgumentException](
+          TxnLog.stateAt(r2, 2))
+        assert(eu.getMessage.contains("newer engine"), eu.getMessage)
+      }
+    }
+  }
+
   // ------------------------------------------- batch DataSource (V1)
 
   test("graft-txn batch source: reads, SQL, pushdown prunes files, time travel") {
@@ -1205,16 +1273,17 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
       var refCm = Map.empty[String, Seq[String]]
       var refDrop = Set.empty[String]
       var refBloom = Map.empty[(String, String), (Int, String)]
+      var refProto = (1, 1)
       val perVersion = scala.collection.mutable.ArrayBuffer
         .empty[(Map[String, (Seq[(String, String)],
           Seq[TxnLog.FileStats])], Map[String, (String, Long)],
           Map[String, String], Map[String, String],
           Map[String, Seq[String]], Set[String],
-          Map[(String, String), (Int, String)])]
+          Map[(String, String), (Int, String)], (Int, Int))]
       for (v <- 1 to 25) {
         val acts: Seq[TxnLog.Entry] = (0 until 1 + rnd.nextInt(3)).map { _ =>
           val f = s"f${rnd.nextInt(8)}"
-          rnd.nextInt(9) match {
+          rnd.nextInt(10) match {
             case 0 => refLive += f -> (Seq.empty, Seq.empty)
               refDvs -= f
               refExt -= f
@@ -1256,6 +1325,13 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
               val src = s"/ext/src${rnd.nextInt(4)}/$f"
               refExt += f -> src
               TxnLog.ExtRef(f, src)
+            case 8 =>
+              // r11: protocol bumps — elementwise-max monotonic fold
+              // (values stay <= this engine's own (2,2) support)
+              val (r, w) = (1 + rnd.nextInt(2), 1 + rnd.nextInt(2))
+              refProto = (math.max(refProto._1, r),
+                math.max(refProto._2, w))
+              TxnLog.Protocol(r, w)
             case 7 =>
               // r11: bloom filters — live-gated like a DV; cleared
               // by any add/remove of the file
@@ -1294,12 +1370,12 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
         }
         assert(TxnLog.tryCommit(root, v, acts, "prop", nowMs = v * 100L))
         perVersion += ((refLive, refDvs, refCons, refExt, refCm,
-          refDrop, refBloom))
+          refDrop, refBloom, refProto))
       }
       assert(TxnLog.checkpoints(root) == Seq(10, 20))
       def check(v: Int): Unit = {
         val st = TxnLog.stateAt(root, v)
-        val (ref, refDv, refCn, refEx, refMap, refDr, refBl) =
+        val (ref, refDv, refCn, refEx, refMap, refDr, refBl, refPr) =
           perVersion(v - 1)
         assert(st.live == ref.keySet, s"live mismatch at v$v")
         for ((f, (part, cols)) <- ref) {
@@ -1314,6 +1390,7 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
         assert(st.colmap == refMap, s"colmap mismatch at v$v")
         assert(st.dropped == refDr, s"dropped mismatch at v$v")
         assert(st.blooms == refBl, s"blooms mismatch at v$v")
+        assert(st.protocol == refPr, s"protocol mismatch at v$v")
       }
       (1 to 25).foreach(check)
       // cleanup floors the log at v20; the checkpoint alone must

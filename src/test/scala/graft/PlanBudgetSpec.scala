@@ -174,6 +174,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // crossJoined as 1-row frames (allowed bnl); censuses are
     // driver metadata
     "txn_log_sql_pushdown" -> 2,
+    // tip read + one scalar agg; the protocol gate is one comparison
+    // on already-replayed driver state
+    "txn_log_protocol" -> 1,
     // the scan_txn_log rollup shape + broadcast probe join + sort
     "txn_log_time_travel" -> 4,
     "join_asof" -> 2,
