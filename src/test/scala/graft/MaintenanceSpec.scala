@@ -215,7 +215,7 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
         java.nio.file.Paths.get(root, "_log", "v00000002.jsonl"),
         """{"op":"add","file":"f1"}""" + "\n")
       val e = intercept[IllegalArgumentException](TxnLog.liveFiles(root, 2))
-      assert(e.getMessage.contains("bad log line"))
+      assert(e.getMessage.contains("unknown log action"))
     }
   }
 
