@@ -2102,7 +2102,8 @@ class TxnLogOps(val store: LogStore) {
     * (version, session)-scoped): a fresh-named add can never collide
     * with the delete set. */
   def vacuum(root: String, retainVersions: Int = 1,
-             listingGraceMs: Long = 24L * 60 * 60 * 1000): Seq[String] = {
+             listingGraceMs: Long = 24L * 60 * 60 * 1000,
+             dryRun: Boolean = false): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the tip")
     val vs = versions(root)
     val cps = checkpoints(root)
@@ -2141,7 +2142,11 @@ class TxnLogOps(val store: LogStore) {
       }
     val gone = ((logged ++ listed).toSet -- keep).toSeq.sorted
       .filter(f => store.dataDirExists(root, f))
-    gone.foreach(f => store.deleteDataDir(root, f))
+    // dryRun (Delta's VACUUM ... DRY RUN): report the reclaim set
+    // without deleting a byte — the operational preview before an
+    // IRREVERSIBLE cleanup (vacuumed versions leave the time-travel
+    // window forever)
+    if (!dryRun) gone.foreach(f => store.deleteDataDir(root, f))
     gone
   }
 

@@ -1462,10 +1462,18 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
         assert(TxnLog.tryCommit(root, i, acts, "s", nowMs = i * 1000L))
       }
       assert(TxnLog.cleanupLog(root).nonEmpty)
+      // DRY RUN first: same reclaim set, zero deletion — the preview
+      // before the irreversible cleanup
+      val preview = TxnLog.vacuum(root, retainVersions = 1,
+        listingGraceMs = 0L, dryRun = true)
+      assert(preview.contains("f2"))
+      assert(new java.io.File(root, "f2").exists(),
+        "dry-run vacuum deleted data")
       // the WRONG order (cleanup first) used to leak f2 forever; the
       // listing fallback census reclaims it (grace 0: test posture)
       val gone = TxnLog.vacuum(root, retainVersions = 1,
         listingGraceMs = 0L)
+      assert(gone == preview, s"dry-run promised $preview, got $gone")
       assert(gone.contains("f2"),
         s"pre-checkpoint orphan f2 leaked; vacuum removed only $gone")
       assert(!new java.io.File(root, "f2").exists())
