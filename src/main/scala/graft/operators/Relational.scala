@@ -1310,7 +1310,7 @@ object Relational {
     * the two append commits plus one compaction, all through the
     * optimistic protocol, staged once. */
   private def compactedTxnFixture(spark: SparkSession, dir: String): String =
-    txnLogFixture(spark, dir, "txncompact", "v3_cinfo") { target =>
+    txnLogFixture(spark, dir, "txncompact", "v3_ndc_r12") { target =>
       val v = TxnLog.compact(spark, target, "stage")
       assert(v.contains(3), s"compaction did not commit v3: $v")
     }
@@ -1483,7 +1483,7 @@ object Relational {
     * live file — the table-format planner's job); only readable
     * versions scan, and only their live parquet. */
   def txnLogVacuum(spark: SparkSession, dir: String): DataFrame = {
-    val root = txnLogFixture(spark, dir, "txnvacuum", "retain2_v1") { target =>
+    val root = txnLogFixture(spark, dir, "txnvacuum", "retain2_r12") { target =>
       val v = TxnLog.compact(spark, target, "stage")
       assert(v.contains(3), s"compaction did not commit v3: $v")
       val gone = TxnLog.vacuum(target, retainVersions = 2)
@@ -2095,9 +2095,9 @@ object Relational {
     * only data WRITE is the position sidecars. */
   def txnLogDeleteDv(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir, "txndeletedv|range8_dv_v1")) {
+      (spark.sparkContext.applicationId, dir, "txndeletedv|range8_dv_r12")) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", "txndeletedv",
-            codeTag = "range8_dv_v1") { target =>
+            codeTag = "range8_dv_r12") { target =>
           val o = Tables.orders(spark, dir)
             .select(col("o_orderkey"), col("o_totalprice"))
           val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -2202,9 +2202,9 @@ object Relational {
     * table — the restore undid both deletes exactly. */
   def txnLogRestore(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir, "txnrestore|r8_restore_v1")) {
+      (spark.sparkContext.applicationId, dir, "txnrestore|r8_restore_r12")) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnrestore",
-            codeTag = "r8_restore_v1") { target =>
+            codeTag = "r8_restore_r12") { target =>
           val o = Tables.orders(spark, dir)
             .select(col("o_orderkey"), col("o_totalprice"))
           val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -2300,9 +2300,9 @@ object Relational {
     * bad append provably never landed. */
   def txnLogConstraints(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir, "txncons|r8_cons_v1")) {
+      (spark.sparkContext.applicationId, dir, "txncons|r8_cons_r12")) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", "txncons",
-            codeTag = "r8_cons_v1") { target =>
+            codeTag = "r8_cons_r12") { target =>
           val o = Tables.orders(spark, dir)
             .select(col("o_orderkey"), col("o_totalprice"))
           val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -2386,9 +2386,9 @@ object Relational {
     * one scalar agg. */
   def txnLogRenameDrop(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir, "txnrename|range8_rn_v1")) {
+      (spark.sparkContext.applicationId, dir, "txnrename|range8_rn_r12")) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnrename",
-            codeTag = "range8_rn_v1") { target =>
+            codeTag = "range8_rn_r12") { target =>
           val o = Tables.orders(spark, dir).select(col("o_orderkey"),
             col("o_totalprice"), col("o_orderpriority"))
           val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -2491,9 +2491,9 @@ object Relational {
   private def bloomFixtureRoot(spark: SparkSession, dir: String)
   : String =
     graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir, "txnbloom|range8_bl_v1")) {
+      (spark.sparkContext.applicationId, dir, "txnbloom|range8_bl_r12")) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnbloom",
-            codeTag = "range8_bl_v1") { target =>
+            codeTag = "range8_bl_r12") { target =>
           val o = Tables.orders(spark, dir)
             .select(col("o_orderkey"), col("o_custkey"),
               col("o_totalprice"))
@@ -2775,9 +2775,9 @@ object Relational {
     * plan is the tip read + one scalar agg. */
   def txnLogClone(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir, "txnclone|range8_cl_v2")) {
+      (spark.sparkContext.applicationId, dir, "txnclone|range8_cl_r12")) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnclone",
-            codeTag = "range8_cl_v2") { target =>
+            codeTag = "range8_cl_r12") { target =>
           val o = Tables.orders(spark, dir)
             .select(col("o_orderkey"), col("o_totalprice"))
           val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -2879,9 +2879,9 @@ object Relational {
     * every read after it prunes on the 2-D box from the log alone. */
   def txnLogZorder(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir, "txnzorder|z16_v1")) {
+      (spark.sparkContext.applicationId, dir, "txnzorder|z16_r12")) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnzorder",
-            codeTag = "z16_v1") { target =>
+            codeTag = "z16_r12") { target =>
           val o = Tables.orders(spark, dir)
             .select(col("o_orderkey"), col("o_totalprice"),
               Det.cents(col("o_totalprice")).as("o_cents"))

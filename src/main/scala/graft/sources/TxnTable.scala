@@ -79,43 +79,79 @@ object TxnTableRelation {
   val lastScan: AtomicReference[(Seq[String], Seq[String])] =
     new AtomicReference((Seq.empty, Seq.empty))
 
+  /** Canonical string rendering of a pushed filter value — Spark's
+    * OWN cast-to-string semantics, evaluated through Catalyst
+    * (`Cast(Literal(v), StringType)` under the session timezone), so
+    * the rendering is bit-identical to what [[TxnLogOps.statsFor]] /
+    * [[TxnLogOps.bloomFor]] logged at write time (`min(col)
+    * .cast("string")`). ADVICE r11 high: `String.valueOf` rendered a
+    * pushed `java.sql.Timestamp` as "2024-01-01 00:00:00.0", which
+    * never equals the logged "2024-01-01 00:00:00" — the stats
+    * comparison and bloom hash then PRUNED files holding matching
+    * rows, and pruning must only ever remove I/O, never rows. A value
+    * Catalyst cannot render (None) makes its filter prune NOTHING —
+    * the conservative direction. */
+  private[graft] def canonical(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some(s)
+    case _ => scala.util.Try {
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(v),
+        org.apache.spark.sql.types.StringType,
+        Some(org.apache.spark.sql.internal.SQLConf.get
+          .sessionLocalTimeZone))
+        .eval(null)
+    }.toOption.flatMap(Option(_)).map(_.toString)
+  }
+
   /** Fold Catalyst's pushed filters into the log's two pruning
     * shapes: BETWEEN-style bounds feed [[TxnLogOps.pruneWhere]] (the
     * bound of a strict inequality is used inclusively — conservative)
     * and equality/IN feed [[TxnLogOps.pruneEq]] (stats + bloom; an IN
     * file survives when ANY listed value is admitted). Unrecognized
-    * filters prune nothing. Values participate via the same canonical
-    * string rendering the stats/bloom writers used. */
-  private[sources] def pruneFor(root: String, version: Int,
-                                filters: Array[Filter])
+    * filters — and values [[canonical]] cannot render the writers'
+    * way — prune nothing. */
+  private[graft] def pruneFor(root: String, version: Int,
+                              filters: Array[Filter])
   : (Seq[String], Seq[String]) = {
     def flat(f: Filter): Seq[Filter] = f match {
       case And(l, r) => flat(l) ++ flat(r)
       case other => Seq(other)
     }
     val fs = filters.toSeq.flatMap(flat)
-    def s(v: Any): String = String.valueOf(v)
     // each pushed bound becomes its own one-sided predicate (the
     // bound of a strict inequality used inclusively — conservative);
     // an equality bounds both sides AND prunes on partition tuples
     val ranges: Seq[(String, Option[String], Option[String])] =
-      fs.collect {
-        case GreaterThanOrEqual(c, v) => (c, Some(s(v)), None)
-        case GreaterThan(c, v) => (c, Some(s(v)), None)
-        case LessThanOrEqual(c, v) => (c, None, Some(s(v)))
-        case LessThan(c, v) => (c, None, Some(s(v)))
-        case EqualTo(c, v) => (c, Some(s(v)), Some(s(v)))
+      fs.flatMap {
+        case GreaterThanOrEqual(c, v) =>
+          canonical(v).map(s => (c, Some(s), None))
+        case GreaterThan(c, v) => canonical(v).map(s => (c, Some(s), None))
+        case LessThanOrEqual(c, v) =>
+          canonical(v).map(s => (c, None, Some(s)))
+        case LessThan(c, v) => canonical(v).map(s => (c, None, Some(s)))
+        case EqualTo(c, v) => canonical(v).map(s => (c, Some(s), Some(s)))
+        case _ => None
       }
-    val partEq = fs.collect { case EqualTo(c, v) => c -> s(v) }
+    val partEq = fs.flatMap {
+      case EqualTo(c, v) => canonical(v).map(c -> _)
+      case _ => None
+    }
     val (rangeScanned, _) =
       TxnLog.pruneBounds(root, version, partEq, ranges)
     // equality + IN: bloom-capable pruning; IN = union of survivors
-    val eqSurvivors: Seq[Set[String]] = fs.collect {
-      case EqualTo(c, v) =>
-        TxnLog.pruneEq(root, version, c, s(v))._1.toSet
+    // (an IN with ANY unrenderable value prunes nothing — dropping
+    // just that value would wrongly prune its holders)
+    val eqSurvivors: Seq[Set[String]] = fs.flatMap {
+      case EqualTo(c, v) => canonical(v).map(s =>
+        TxnLog.pruneEq(root, version, c, s)._1.toSet)
       case In(c, vs) if vs.nonEmpty =>
-        vs.map(v => TxnLog.pruneEq(root, version, c, s(v))._1.toSet)
-          .reduce(_ | _)
+        val rendered = vs.toSeq.map(canonical)
+        if (rendered.exists(_.isEmpty)) None
+        else Some(rendered.flatten
+          .map(s => TxnLog.pruneEq(root, version, c, s)._1.toSet)
+          .reduce(_ | _))
+      case _ => None
     }
     val scanned = eqSurvivors
       .foldLeft(rangeScanned.toSet)(_ & _).toSeq.sorted

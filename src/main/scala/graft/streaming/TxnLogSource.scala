@@ -175,20 +175,26 @@ private[streaming] class TxnLogSource(sqlContext: SQLContext,
   /** Rows of the files ADDED in (from, to] — the append tail. A
     * commit that removes files OR attaches a deletion vector is a
     * content change, not an append: loud failure unless
-    * `ignoreChanges` accepted the re-delivery. */
+    * `ignoreChanges` accepted the re-delivery. A commit flagged
+    * [[TxnLog.NoDataChange]] (OPTIMIZE/ZORDER) moved bytes, not
+    * content: skipped silently — neither a failure nor a re-delivery,
+    * the marker's whole point for streaming consumers. */
   private def appendedRows(from: Int, to: Int): DataFrame = {
     val files = ((from + 1) to to).flatMap { v =>
-      val acts = TxnLog.actionsAt(rootPath, v)
-      val hasDv = TxnLog.entriesAt(rootPath, v)
-        .exists(_.isInstanceOf[TxnLog.SetDV])
-      if (!ignoreChanges && (acts.exists(_.action == "remove") || hasDv))
-        throw new IllegalStateException(
-          s"version $v of $rootPath rewrites files or deletes rows " +
-            "(MERGE/DELETE/OPTIMIZE/deletion vector); streaming it " +
-            "as appends would re-deliver rows. Use option(" +
-            "\"ignoreChanges\",\"true\") to accept that, or option(" +
-            "\"readChangeFeed\",\"true\") for exact row-level changes")
-      acts.filter(_.action == "add").map(_.file)
+      val entries = TxnLog.entriesAt(rootPath, v)
+      if (entries.contains(TxnLog.NoDataChange)) Seq.empty
+      else {
+        val acts = TxnLog.actionsAt(rootPath, v)
+        val hasDv = entries.exists(_.isInstanceOf[TxnLog.SetDV])
+        if (!ignoreChanges && (acts.exists(_.action == "remove") || hasDv))
+          throw new IllegalStateException(
+            s"version $v of $rootPath rewrites files or deletes rows " +
+              "(MERGE/DELETE/deletion vector); streaming it " +
+              "as appends would re-deliver rows. Use option(" +
+              "\"ignoreChanges\",\"true\") to accept that, or option(" +
+              "\"readChangeFeed\",\"true\") for exact row-level changes")
+        acts.filter(_.action == "add").map(_.file)
+      }
     }.distinct.sorted
     val spark = sqlContext.sparkSession
     if (files.isEmpty)

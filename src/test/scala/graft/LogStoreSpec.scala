@@ -1368,6 +1368,17 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
               }
           }
         }
+        // r12 feature-triggered raise: a commit carrying any v2 action
+        // auto-raises a sub-(2,2) table to (2,2) in the same commit
+        val hasV2 = acts.exists {
+          case _: TxnLog.SetDV | _: TxnLog.ExtRef | _: TxnLog.ColMap |
+               _: TxnLog.ColDrop | _: TxnLog.ColUndrop |
+               _: TxnLog.Constraint | _: TxnLog.DropConstraint |
+               _: TxnLog.SetBloom | TxnLog.NoDataChange => true
+          case _ => false
+        }
+        if (hasV2) refProto = (math.max(refProto._1, 2),
+          math.max(refProto._2, 2))
         assert(TxnLog.tryCommit(root, v, acts, "prop", nowMs = v * 100L))
         perVersion += ((refLive, refDvs, refCons, refExt, refCm,
           refDrop, refBloom, refProto))

@@ -1,0 +1,278 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{LocalLogStore, TxnLog, TxnLogOps, TxnTableRelation}
+
+/** Round-12 txn-log contracts: the re-layout marker and its CDF /
+  * streaming short-circuits, the feature-triggered protocol raise,
+  * canonical pushdown-value rendering (the ADVICE r11 high —
+  * timestamp pruning must never lose rows), backquoted constraint
+  * references, written-rows-only MERGE constraint enforcement, and
+  * RESTORE rolling pruning metadata back with content. */
+class TxnLogR12Spec extends AnyFunSuite with SparkSpec {
+
+  private def withScratch(body: String => Unit): Unit = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r12_").toString
+    try body(root)
+    finally graft.core.Fixtures.deleteRecursively(new java.io.File(root))
+  }
+
+  // ------------------------------------------ re-layout marker + CDF
+
+  test("OPTIMIZE flags noDataChange; a re-layout-only CDF range plans " +
+    "zero data scan") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, "a"), (2L, "b")).toDF("k", "t")
+        .coalesce(1).write.parquet(s"$root/f0")
+      Seq((3L, "c")).toDF("k", "t")
+        .coalesce(1).write.parquet(s"$root/f1")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,t STRING",
+        "s") == 1)
+      assert(TxnLog.commitAppend(root, Seq("f1"), "k BIGINT,t STRING",
+        "s") == 2)
+      assert(TxnLog.compact(spark, root, "opt").contains(3))
+      assert(TxnLog.entriesAt(root, 3).contains(TxnLog.NoDataChange),
+        "compact must flag its commit as a re-layout")
+      // the OPTIMIZE-only range emits nothing AND plans nothing: the
+      // short-circuit happens on the marker, before any file is named
+      val onlyOpt = TxnLog.readChanges(spark, root, 2, 3)
+      assert(onlyOpt.count() == 0)
+      val leaves = onlyOpt.queryExecution.optimizedPlan.collectLeaves()
+      assert(!leaves.exists(_.toString.contains(root)),
+        s"re-layout CDF range still scans table files:\n$leaves")
+      // the full range still carries v1+v2's inserts exactly
+      val all = TxnLog.readChanges(spark, root, 0)
+        .groupBy(col("_commit_version")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(all == Map(1 -> 2L, 2 -> 1L), s"unexpected feed: $all")
+    }
+  }
+
+  test("ZORDER flags noDataChange; the streaming append tail skips " +
+    "re-layout commits instead of failing") {
+    import spark.implicits._
+    withScratch { root =>
+      (0L until 64L).map(k => (k, (k * 7) % 64, k % 13))
+        .toDF("x", "y", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"),
+        "x BIGINT,y BIGINT,v BIGINT", "s") == 1)
+      assert(TxnLog.compactZorder(spark, root, Seq("x", "y"), "z",
+        zBuckets = 4).contains(2))
+      assert(TxnLog.entriesAt(root, 2).contains(TxnLog.NoDataChange))
+      // append-mode stream across the zorder version: no loud
+      // failure, no re-delivery — the marker says bytes moved, not
+      // content (pre-marker this threw unless ignoreChanges)
+      val q = spark.readStream.format("graft-txnlog")
+        .option("path", root).option("startingVersion", "1")
+        .load()
+        .writeStream.format("memory").queryName("r12_tail")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(spark.sql("SELECT COUNT(*) FROM r12_tail").head().getLong(0)
+        == 0L, "re-layout commit must deliver no appended rows")
+    }
+  }
+
+  test("zorder output stats come from one staged agg and still prune") {
+    import spark.implicits._
+    withScratch { root =>
+      (0L until 256L).map(k => (k, (k * 11) % 256)).toDF("x", "y")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "x BIGINT,y BIGINT",
+        "s") == 1)
+      // count the Spark jobs the rewrite runs (status tracker over a
+      // job group — the single-group rewrite stays on this thread):
+      // the per-cell stats loop used to cost one job per output cell
+      val sc = spark.sparkContext
+      sc.setJobGroup("r12_zorder", "zorder job census")
+      try assert(TxnLog.compactZorder(spark, root, Seq("x", "y"), "z",
+        zBuckets = 16).contains(2))
+      finally sc.clearJobGroup()
+      val jobs = sc.statusTracker.getJobIdsForGroup("r12_zorder").length
+      // bounds agg + staging write + one stats agg + small fixed
+      // overhead — NOT one job per cell (16 cells; pre-fix this was
+      // ≥ 16 stats jobs on top)
+      assert(jobs <= 8, s"zorder ran $jobs jobs for 16 cells")
+      // every output cell still publishes bounds for both z columns
+      val st = TxnLog.stateAt(root, 2)
+      assert(st.live.size > 1)
+      st.live.foreach { f =>
+        val cols = st.stats.getOrElse(f, Seq.empty).map(_.col).toSet
+        assert(cols == Set("x", "y"), s"$f published $cols")
+      }
+      // and the 2-D box prune works off them
+      val (scanned, pruned) = TxnLog.pruneWhere(root, 2, Seq.empty,
+        Seq(("x", "0", "31"), ("y", "0", "31")))
+      assert(pruned.nonEmpty, "zorder stats pruned nothing")
+      assert(scanned.nonEmpty)
+    }
+  }
+
+  // ------------------------------------ feature-triggered protocol
+
+  test("first v2 action auto-raises a (1,1) table to (2,2); the old " +
+    "engine hits the protocol gate, not a parse error") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 10.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      assert(TxnLog.stateAt(root, 1).protocol == ((1, 1)))
+      assert(TxnLog.addConstraint(spark, root, "pos", "v > 0", "s") == 2)
+      assert(TxnLog.stateAt(root, 2).protocol == ((2, 2)),
+        "constraint write did not raise the protocol")
+      val old = new TxnLogOps(LocalLogStore) {
+        override protected def supportedReader: Int = 1
+        override protected def supportedWriter: Int = 1
+      }
+      val e = intercept[IllegalArgumentException](old.read(spark, root))
+      assert(e.getMessage.contains("requires reader version 2"),
+        e.getMessage)
+      val w = intercept[IllegalArgumentException](
+        old.commitNext(root, Seq(TxnLog.add("ghost")), "old"))
+      assert(w.getMessage.contains("requires writer version 2"),
+        w.getMessage)
+    }
+  }
+
+  test("merge-on-read DELETE auto-raises: DV tables refuse old readers") {
+    import spark.implicits._
+    withScratch { root =>
+      (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      assert(TxnLog.deleteRangeDV(spark, root, "k", "2", "3", "d")
+        .contains(2))
+      assert(TxnLog.stateAt(root, 2).protocol == ((2, 2)),
+        "a DV commit must carry the protocol raise — a v1 reader " +
+          "would silently scan the deleted rows otherwise")
+    }
+  }
+
+  // ---------------------------- canonical pushdown value rendering
+
+  test("timestamp pushdown never prunes files holding matching rows") {
+    import spark.implicits._
+    withScratch { root =>
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      Seq((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-02 00:00:00"), 2L))
+        .toDF("ev", "k").coalesce(1).write.parquet(s"$root/f0")
+      Seq((ts("2024-02-01 00:00:00"), 3L), (ts("2024-02-02 00:00:00"), 4L))
+        .toDF("ev", "k").coalesce(1).write.parquet(s"$root/f1")
+      val adds = Seq("f0", "f1").flatMap(f => Seq[TxnLog.Entry](
+        TxnLog.AddStats(f, TxnLog.statsFor(spark, root, f, "ev")),
+        TxnLog.bloomFor(spark, root, f, "ev", m = 256)))
+      assert(TxnLog.tryCommit(root, 1,
+        adds :+ TxnLog.MetaData("ev TIMESTAMP,k BIGINT"), "s"))
+      val df = spark.read.format("graft-txn").option("path", root).load()
+      // boundary equality: f0's max IS this instant; String.valueOf
+      // rendered "…00:00:00.0" which compared past the logged max and
+      // pruned f0 — the row silently vanished (ADVICE r11 high)
+      assert(df.where(col("ev") === ts("2024-01-02 00:00:00")).count()
+        == 1, "equality on a stats boundary lost its row")
+      // range with timestamp bounds: both files' rows inside survive
+      assert(df.where(col("ev")
+          .between(ts("2024-01-02 00:00:00"), ts("2024-02-01 00:00:00")))
+        .count() == 2, "timestamp range pushdown lost rows")
+      // and pruning still WORKS with the canonical rendering: a probe
+      // inside f1's range only scans f1
+      val (scanned, pruned) = TxnTableRelation.pruneFor(root, 1,
+        Array(org.apache.spark.sql.sources.EqualTo("ev",
+          ts("2024-02-01 00:00:00"))))
+      assert(scanned == Seq("f1") && pruned == Seq("f0"),
+        s"canonical rendering should prune exactly f0: ($scanned, $pruned)")
+      val _ = fmt // keep the formatter import honest
+    }
+  }
+
+  // --------------------------------- backquoted constraint mentions
+
+  test("rename/drop refuse a column a backquoted CHECK still reads") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 2L)).toDF("k", "v").coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v BIGINT",
+        "s") == 1)
+      assert(TxnLog.addConstraint(spark, root, "kpos", "`k` > 0", "s") == 2)
+      val e = intercept[IllegalArgumentException](
+        TxnLog.renameColumn(root, "k", "key", "s"))
+      assert(e.getMessage.contains("kpos"), e.getMessage)
+      val d = intercept[IllegalArgumentException](
+        TxnLog.dropColumn(root, "k", "s"))
+      assert(d.getMessage.contains("kpos"), d.getMessage)
+      // an UNRELATED column whose name merely appears inside the
+      // backquoted identifier still renames fine
+      assert(TxnLog.renameColumn(root, "v", "val", "s") == 3)
+    }
+  }
+
+  // ------------------------- written-rows-only MERGE constraints
+
+  test("MERGE validates only written rows: a violating DELETE-only " +
+    "source row cannot veto; a violating insert still does") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 5.0), (2L, 6.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      assert(TxnLog.addConstraint(spark, root, "pos", "v > 0", "s") == 2)
+      // source row (1, -1): violates, but only fires DELETE — never
+      // written, must not be able to veto the merge
+      val delOnly = Seq((1L, -1.0)).toDF("k", "v")
+      assert(TxnLog.mergeClauses(spark, root, delOnly, "k", "m1",
+        updateWhen = None, deleteWhen = Some(lit(true)),
+        insertUnmatched = false).contains(3))
+      assert(TxnLog.read(spark, root).select("k")
+        .collect().map(_.getLong(0)).toSeq == Seq(2L))
+      // a violating row that WOULD insert is still refused
+      val badIns = Seq((9L, -1.0)).toDF("k", "v")
+      val e = intercept[IllegalArgumentException](
+        TxnLog.mergeUpsert(spark, root, badIns, "k", "m2"))
+      assert(e.getMessage.contains("pos"), e.getMessage)
+      // and a violating row whose update condition never fires is
+      // not written either: the matched row survives unchanged
+      val noFire = Seq((2L, -2.0)).toDF("k", "v")
+      val r = TxnLog.mergeClauses(spark, root, noFire, "k", "m3",
+        updateWhen = Some(col("__src_v") > col("v")), deleteWhen = None,
+        insertUnmatched = false)
+      assert(r.isEmpty, s"nothing fired, nothing written: $r")
+    }
+  }
+
+  // --------------------------------- RESTORE rolls pruning state back
+
+  test("RESTORE reconciles stats and partition tuples for files live " +
+    "in both versions") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 10.0)).toDF("k", "v").coalesce(1).write.parquet(s"$root/f0")
+      val s1 = TxnLog.FileStats("k", "1", "1", 1L)
+      assert(TxnLog.tryCommit(root, 1, Seq(
+        TxnLog.AddFile("f0", Seq("pri" -> "a"), Seq(s1)),
+        TxnLog.MetaData("k BIGINT,v DOUBLE")), "s"))
+      // v2 re-adds f0 with DIFFERENT stats + partition tuple (the
+      // shape a partition-repair or stats-refresh job produces)
+      val s2 = TxnLog.FileStats("k", "0", "99", 1L)
+      assert(TxnLog.tryCommit(root, 2, Seq(
+        TxnLog.AddFile("f0", Seq("pri" -> "b"), Seq(s2))), "s"))
+      assert(TxnLog.restore(root, 1, "r").contains(3))
+      val st = TxnLog.stateAt(root, 3)
+      assert(st.stats.get("f0").contains(Seq(s1)),
+        s"stats did not roll back: ${st.stats.get("f0")}")
+      assert(st.parts.get("f0").contains(Seq("pri" -> "a")),
+        s"partition tuple did not roll back: ${st.parts.get("f0")}")
+      // and restore is still a no-op when nothing differs
+      assert(TxnLog.restore(root, 3, "r2").isEmpty)
+    }
+  }
+}
