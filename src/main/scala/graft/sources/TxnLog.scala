@@ -881,6 +881,45 @@ class TxnLogOps(val store: LogStore) {
     (scanned, pruned)
   }
 
+  /** Physical locations of logged data-dir names at `version`
+    * (ext-ref-aware) — the resolution seam an EXTERNAL scan planner
+    * (the V2 DataSource's parquet delegate) uses to hand Spark's own
+    * reader the right paths without knowing the clone mechanics. */
+  def dataLocations(root: String, version: Int, files: Seq[String])
+  : Seq[String] = {
+    val st = stateAt(root, version)
+    files.map(dataPath(root, st, _))
+  }
+
+  /** Planner statistics for `files` at `version`, from the log alone:
+    * (exact row count when EVERY file published stats — DV-corrected,
+    * a vectored file contributes its surviving rows — else None; total
+    * bytes). Driver metadata: one stat per file, no data I/O. This is
+    * what makes SQL over the table stats-AWARE — join-side broadcast
+    * decisions and AQE read these through the V2 scan's
+    * reportStatistics seam instead of guessing from file sizes. */
+  def fileFootprint(root: String, version: Int, files: Seq[String])
+  : (Option[Long], Long) = {
+    val st = stateAt(root, version)
+    val rows = files.map { f =>
+      st.stats.getOrElse(f, Seq.empty).headOption.map(s =>
+        s.rows - st.dvs.get(f).map(_._2).getOrElse(0L))
+    }
+    val bytes = files.map(dataBytesOf(root, st, _)).sum
+    (if (rows.nonEmpty && rows.forall(_.isDefined))
+      Some(rows.flatten.sum) else None, bytes)
+  }
+
+  /** True iff a read of `files` at `version` needs the FULL read path
+    * (deletion vectors to anti-join, a column mapping to coalesce) —
+    * the V2 DataSource's dispatch test between the columnar parquet
+    * delegate and the correctness-first V1 fallback. */
+  def needsMergeRead(root: String, version: Int, files: Seq[String])
+  : Boolean = {
+    val st = stateAt(root, version)
+    st.colmap.nonEmpty || files.exists(st.dvs.contains)
+  }
+
   /** Read version `v` restricted to `files` (a subset of its live
     * set, e.g. one a pushdown planner pruned) under the version's
     * schema and deletion vectors; empty subset reads as an empty
