@@ -2473,7 +2473,8 @@ object Relational {
     * The fixture's 8 files are range-partitioned on o_orderkey, so
     * every file's o_custkey min/max spans the whole domain — range
     * stats prune NOTHING for `o_custkey = x`; each file instead logs
-    * a 4096-bit filter ([[graft.sources.TxnLog.bloomFor]], md5-hex
+    * an FPP-sized filter (m = 2^ceil(log2(8*NDV)), the bloomSizeFor
+    * rule the oracle re-derives per bucket) ([[graft.sources.TxnLog.bloomFor]], md5-hex
     * positions, k=2) and [[graft.sources.TxnLog.pruneEq]] drops every
     * file whose filter provably lacks the probe. The query probes the
     * 8 SMALLEST distinct custkeys (present — their holders must all
@@ -2491,9 +2492,9 @@ object Relational {
   private def bloomFixtureRoot(spark: SparkSession, dir: String)
   : String =
     graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir, "txnbloom|range8_bl_r12")) {
+      (spark.sparkContext.applicationId, dir, "txnbloom|range8_bl_r12b")) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", "txnbloom",
-            codeTag = "range8_bl_r12") { target =>
+            codeTag = "range8_bl_r12b") { target =>
           val o = Tables.orders(spark, dir)
             .select(col("o_orderkey"), col("o_custkey"),
               col("o_totalprice"))
@@ -2544,14 +2545,19 @@ object Relational {
       |          AS BIGINT) AS cents,
       |        (o_orderkey * 8) // (mk + 1) AS bucket
       |      FROM orders, mx),
+      |ms AS MATERIALIZED (
+      |  SELECT bucket, CAST(LEAST(1048576, GREATEST(256,
+      |      CAST(POWER(2, CEIL(LOG2(CAST(8 * COUNT(DISTINCT c)
+      |        AS DOUBLE)))) AS BIGINT))) AS UBIGINT) AS m
+      |  FROM b GROUP BY bucket),
       |pos AS MATERIALIZED (
       |  SELECT DISTINCT bucket,
       |    CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 8))
-      |      AS UBIGINT) % 4096 AS p FROM b
+      |      AS UBIGINT) % m AS p FROM b JOIN ms USING (bucket)
       |  UNION
       |  SELECT DISTINCT bucket,
       |    CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 9, 8))
-      |      AS UBIGINT) % 4096 AS p FROM b),
+      |      AS UBIGINT) % m AS p FROM b JOIN ms USING (bucket)),
       |probes AS (
       |  SELECT c AS v, 1 AS present, ROW_NUMBER() OVER (ORDER BY c)
       |    AS rn
@@ -2559,19 +2565,18 @@ object Relational {
       |  UNION ALL
       |  SELECT mc + i AS v, 0 AS present, i AS rn
       |  FROM mx, RANGE(1, 9) t(i)),
-      |pq AS (SELECT v, present, rn,
-      |    CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))
-      |      AS UBIGINT) % 4096 AS q1,
-      |    CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 9, 8))
-      |      AS UBIGINT) % 4096 AS q2 FROM probes),
-      |scans AS (SELECT pq.v, pq.present, pq.rn, fs.bucket
-      |  FROM pq, (SELECT DISTINCT bucket FROM b) fs
+      |scans AS (SELECT pr.v, pr.present, pr.rn, ms.bucket
+      |  FROM probes pr CROSS JOIN ms
       |  WHERE EXISTS (SELECT 1 FROM pos
-      |          WHERE pos.bucket = fs.bucket AND pos.p = pq.q1)
+      |          WHERE pos.bucket = ms.bucket AND pos.p =
+      |            CAST(('0x' || substr(md5(CAST(pr.v AS VARCHAR)),
+      |              1, 8)) AS UBIGINT) % ms.m)
       |    AND EXISTS (SELECT 1 FROM pos
-      |          WHERE pos.bucket = fs.bucket AND pos.p = pq.q2)),
-      |hit AS (SELECT b.c, b.cents FROM b, pq
-      |        WHERE pq.present = 1 AND pq.rn = 1 AND b.c = pq.v)
+      |          WHERE pos.bucket = ms.bucket AND pos.p =
+      |            CAST(('0x' || substr(md5(CAST(pr.v AS VARCHAR)),
+      |              9, 8)) AS UBIGINT) % ms.m)),
+      |hit AS (SELECT b.c, b.cents FROM b, probes pr
+      |        WHERE pr.present = 1 AND pr.rn = 1 AND b.c = pr.v)
       |SELECT
       |  CAST((SELECT COUNT(*) FROM scans WHERE present = 1) AS INT)
       |    AS scan_present,
@@ -2644,24 +2649,28 @@ object Relational {
       |probe AS (SELECT MIN(c) AS v FROM b),
       |fs AS (SELECT bucket, MIN(k) AS mn, MAX(k) AS mx2
       |       FROM b GROUP BY bucket),
+      |ms AS MATERIALIZED (
+      |  SELECT bucket, CAST(LEAST(1048576, GREATEST(256,
+      |      CAST(POWER(2, CEIL(LOG2(CAST(8 * COUNT(DISTINCT c)
+      |        AS DOUBLE)))) AS BIGINT))) AS UBIGINT) AS m
+      |  FROM b GROUP BY bucket),
       |pos AS MATERIALIZED (
       |  SELECT DISTINCT bucket,
       |    CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 8))
-      |      AS UBIGINT) % 4096 AS p FROM b
+      |      AS UBIGINT) % m AS p FROM b JOIN ms USING (bucket)
       |  UNION
       |  SELECT DISTINCT bucket,
       |    CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 9, 8))
-      |      AS UBIGINT) % 4096 AS p FROM b),
-      |pq AS (SELECT
-      |    CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))
-      |      AS UBIGINT) % 4096 AS q1,
-      |    CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 9, 8))
-      |      AS UBIGINT) % 4096 AS q2 FROM probe),
-      |ps AS (SELECT COUNT(*) AS n FROM fs, pq
+      |      AS UBIGINT) % m AS p FROM b JOIN ms USING (bucket)),
+      |ps AS (SELECT COUNT(*) AS n FROM ms CROSS JOIN probe
       |  WHERE EXISTS (SELECT 1 FROM pos
-      |          WHERE pos.bucket = fs.bucket AND pos.p = pq.q1)
+      |          WHERE pos.bucket = ms.bucket AND pos.p =
+      |            CAST(('0x' || substr(md5(CAST(v AS VARCHAR)),
+      |              1, 8)) AS UBIGINT) % ms.m)
       |    AND EXISTS (SELECT 1 FROM pos
-      |          WHERE pos.bucket = fs.bucket AND pos.p = pq.q2))
+      |          WHERE pos.bucket = ms.bucket AND pos.p =
+      |            CAST(('0x' || substr(md5(CAST(v AS VARCHAR)),
+      |              9, 8)) AS UBIGINT) % ms.m))
       |SELECT
       |  CAST((SELECT COUNT(*) FROM fs, mx
       |    WHERE NOT (mx2 < mk // 4 OR mn > mk // 2)) AS INT)

@@ -249,6 +249,47 @@ class TxnLogR12Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // -------------------------------------- FPP-sized bloom filters
+
+  test("bloom m derives from NDV: big files get big filters, and the " +
+    "absent-probe prune rate holds at both sizes") {
+    import spark.implicits._
+    withScratch { root =>
+      // f_small: 40 distinct keys; f_big: 40k — under the old fixed
+      // m=4096 the big file's FPP (and pointless scans) exploded
+      (0L until 40L).map(k => (k, k)).toDF("c", "v")
+        .coalesce(1).write.parquet(s"$root/f_small")
+      (1000000L until 1040000L).map(k => (k, k)).toDF("c", "v")
+        .coalesce(1).write.parquet(s"$root/f_big")
+      val bs = TxnLog.bloomFor(spark, root, "f_small", "c")
+      val bb = TxnLog.bloomFor(spark, root, "f_big", "c")
+      assert(bs.m == TxnLog.bloomSizeFor(40) && bs.m == 512,
+        s"small m = ${bs.m}")
+      assert(bb.m == TxnLog.bloomSizeFor(40000) && bb.m == 524288,
+        s"big m = ${bb.m}")
+      assert(TxnLog.tryCommit(root, 1, Seq(
+        TxnLog.add("f_small"), TxnLog.add("f_big"), bs, bb,
+        TxnLog.MetaData("c BIGINT,v BIGINT")), "s"))
+      // zero false negatives: every present probe scans its holder
+      Seq(0L, 39L, 1000000L, 1039999L).foreach { p =>
+        val (scanned, _) = TxnLog.pruneEq(root, 1, "c", p.toString)
+        val holder = if (p < 1000L) "f_small" else "f_big"
+        assert(scanned.contains(holder), s"probe $p missed $holder")
+      }
+      // absent probes: both filters prune at their target FPP —
+      // allow a generous margin over the ~5% design point
+      val absent = (500000L until 500200L)
+      val scans = absent.map(p =>
+        TxnLog.pruneEq(root, 1, "c", p.toString)._1.size).sum
+      assert(scans <= absent.size * 2 * 0.2,
+        s"absent probes scanned $scans/${absent.size * 2} file-slots")
+      // sizing rule edges: exact powers of two stay, floor and cap bind
+      assert(TxnLog.bloomSizeFor(32) == 256)   // 8*32 = 256 exactly
+      assert(TxnLog.bloomSizeFor(1) == 256)    // floor
+      assert(TxnLog.bloomSizeFor(1000000) == (1 << 20)) // cap
+    }
+  }
+
   // --------------------------------- RESTORE rolls pruning state back
 
   test("RESTORE reconciles stats and partition tuples for files live " +
