@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.PruneAsofJoinColumns)
+    // r12: the GRAFT DML verbs (OPTIMIZE/DELETE/MERGE/RESTORE/VACUUM
+    // over txn-log tables) — a delegating parser, Spark SQL untouched
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxnLog
+
+/** The GRAFT SQL DML verbs (r12): each statement drives the same
+  * Scala-API verb; malformed GRAFT statements fail loudly; everything
+  * non-GRAFT delegates to Spark's parser untouched. */
+class GraftSqlSpec extends AnyFunSuite with SparkSpec {
+
+  private def withScratch(body: String => Unit): Unit = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sql_").toString
+    try body(root)
+    finally graft.core.Fixtures.deleteRecursively(new java.io.File(root))
+  }
+
+  private def run1(sql: String): Int = spark.sql(sql).head().getInt(0)
+
+  test("GRAFT DELETE / MERGE / OPTIMIZE / RESTORE / VACUUM round-trip") {
+    import spark.implicits._
+    withScratch { root =>
+      (1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      assert(run1(s"GRAFT DELETE FROM '$root' WHERE k BETWEEN '10' " +
+        "AND '19'") == 2)
+      assert(TxnLog.read(spark, root).count() == 90)
+      Seq((5L, 555.0), (200L, 200.0)).toDF("k", "v")
+        .createOrReplaceTempView("sql_spec_src")
+      assert(run1(s"GRAFT MERGE INTO '$root' USING sql_spec_src ON k")
+        == 3)
+      val m = TxnLog.read(spark, root)
+      assert(m.count() == 91)
+      assert(m.where(col("k") === 5L).head().getDouble(1) == 555.0)
+      assert(run1(s"GRAFT OPTIMIZE '$root'") == 4)
+      assert(TxnLog.entriesAt(root, 4).contains(TxnLog.NoDataChange))
+      assert(run1(s"GRAFT RESTORE '$root' TO VERSION 3") == 5)
+      assert(TxnLog.read(spark, root).count() == 91)
+      // vacuum dry run reports without deleting; the real one reclaims
+      val dry = spark.sql(s"GRAFT VACUUM '$root' RETAIN 1 VERSIONS " +
+        "DRY RUN")
+      assert(dry.columns.toSeq == Seq("n_reclaimed"))
+      val n = dry.head().getInt(0)
+      assert(n >= 1)
+      assert(run1(s"GRAFT VACUUM '$root' RETAIN 1 VERSIONS") == n)
+      assert(TxnLog.read(spark, root).count() == 91) // tip unaffected
+    }
+  }
+
+  test("GRAFT DELETE USING DV publishes a vector; ZORDER BY re-clusters") {
+    import spark.implicits._
+    withScratch { root =>
+      (0L until 64L).map(k => (k, (k * 7) % 64)).toDF("x", "y")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "x BIGINT,y BIGINT",
+        "s") == 1)
+      assert(run1(s"GRAFT DELETE FROM '$root' WHERE x BETWEEN '0' " +
+        "AND '3' USING DV") == 2)
+      assert(TxnLog.stateAt(root, 2).dvs.contains("f0"),
+        "USING DV should merge-on-read, not rewrite")
+      assert(TxnLog.read(spark, root).count() == 60)
+      assert(run1(s"GRAFT OPTIMIZE '$root' ZORDER BY (x, y)") == 3)
+      assert(TxnLog.read(spark, root).count() == 60)
+      assert(TxnLog.entriesAt(root, 3).contains(TxnLog.NoDataChange))
+      // the rewrite materialized the vector and published both
+      // z-columns' bounds (tiny data → one cell; sizing is byte-driven)
+      val st = TxnLog.stateAt(root, 3)
+      assert(st.dvs.isEmpty, "zorder should materialize the DV")
+      st.live.foreach { f =>
+        assert(st.stats.getOrElse(f, Seq.empty).map(_.col).toSet
+          == Set("x", "y"), s"$f missing z-column bounds")
+      }
+    }
+  }
+
+  test("malformed GRAFT fails loudly; non-GRAFT SQL and expressions " +
+    "delegate untouched") {
+    val e = intercept[Exception](spark.sql("GRAFT FROBNICATE 'x'"))
+    assert(e.getMessage.contains("malformed GRAFT statement"),
+      e.getMessage)
+    // a GRAFT verb with broken operands must NOT fall through to Spark
+    val e2 = intercept[Exception](spark.sql("GRAFT DELETE FROM t"))
+    assert(e2.getMessage.contains("malformed GRAFT statement"),
+      e2.getMessage)
+    // ordinary SQL still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    assert(spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS " +
+        "FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .head().getDouble(0) == 1.0)
+    // a table whose name merely starts with graft is untouched
+    spark.range(3).createOrReplaceTempView("graft_named_view")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_named_view")
+      .head().getLong(0) == 3)
+  }
+}

@@ -177,6 +177,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // tip read + one scalar agg; the protocol gate is one comparison
     // on already-replayed driver state
     "txn_log_protocol" -> 1,
+    // one global agg over the post-DML tip (lifecycle runs at staging)
+    "txn_log_sql_dml" -> 1,
     // the scan_txn_log rollup shape + broadcast probe join + sort
     "txn_log_time_travel" -> 4,
     "join_asof" -> 2,
