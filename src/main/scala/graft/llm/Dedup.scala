@@ -393,6 +393,128 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup off a PERSISTED SIGNATURE INDEX (r12 — VERDICT
+    * r11 #2: `llm_dedup_cdf` recomputed the standing corpus's digests
+    * and band signatures on every increment, so "cost scales with the
+    * increment" held only for the change feed, not the base scans).
+    * The index is ITSELF a txn-log table — (doc_id, digest, sig)
+    * maintained by the same nightly job THROUGH the log:
+    *
+    *  - backfill: one signature pass over corpus v1 commits index v1;
+    *  - advance: the job consumes the corpus CHANGE FEED, computes
+    *    signatures for the INSERTED rows only, and appends them with
+    *    [[graft.sources.TxnLog.commitStreamBatch]] keyed
+    *    (`dedup_index`, consumed-corpus-version) — so a re-run of
+    *    tonight's job is an idempotent no-op (the staging asserts it),
+    *    and the index's own log RECORDS how far it has consumed;
+    *  - being a txn-log table, the index inherits the whole
+    *    maintenance surface: OPTIMIZE bin-packs its nightly appends,
+    *    vacuum retires them, time travel reproduces any night's
+    *    verdicts.
+    *
+    * The VERDICT query then reads: tonight's batch (the CDF insert
+    * rows — file-bounded), the standing index AT ITS PRE-ADVANCE
+    * version (parquet signatures, ~40 bytes/doc instead of the
+    * document text), and NOTHING else — the base documents' text is
+    * never rescanned (spec-pinned: the plan names no base file).
+    * Verdict algebra is byte-identical to [[dedupCdf]] /
+    * [[incrementalDedup]] (same digest rung, same band machinery over
+    * index-sigs ∪ batch-sigs with the shared bucket valve), so the
+    * oracle is the SAME SQL — proving the index path loses nothing.
+    *
+    * Scale shape at 100 TB: tonight's cost = signature pass over the
+    * increment + a digest semi-join and band join against an index
+    * whose size is docs × ~40 B (0.04% of a 100 KB-doc corpus) — the
+    * difference between re-hashing 100 TB nightly and reading a
+    * 40 GB index. */
+  def dedupIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val sigDdl = "doc_id BIGINT,digest STRING,sig ARRAY<STRING>"
+    def sigsOf(docs: DataFrame): DataFrame = {
+      graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
+      docs.select(col("doc_id"),
+        md5(lower(trim(col("text")))).as("digest"),
+        expr("graft_minhash8(lower(text))").as("sig"))
+    }
+    val root = graft.core.Fixtures.memo(txnFixtures,
+      (spark.sparkContext.applicationId, dir, "docsidx|sig_index_v1")) {
+        graft.core.Fixtures.staged(s"$dir/documents.parquet", "docsidx",
+            codeTag = "sig_index_v1") { target =>
+          val d = Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text"))
+          val corpus = s"$target/corpus"
+          val index = s"$target/index"
+          Seq(corpus, index).foreach(p => new java.io.File(p).mkdirs())
+          d.where(col("doc_id") % 10 =!= 0)
+            .coalesce(1).write.parquet(s"$corpus/basefile")
+          d.where(col("doc_id") % 10 === 0)
+            .coalesce(1).write.parquet(s"$corpus/incfile")
+          assert(TxnLog.commitAppend(corpus, Seq("basefile"),
+            d.schema.toDDL, "stage") == 1)
+          assert(TxnLog.commitAppend(corpus, Seq("incfile"),
+            d.schema.toDDL, "stage") == 2)
+          // index backfill from corpus v1 — the ONE full signature pass
+          sigsOf(TxnLog.read(spark, corpus, 1))
+            .coalesce(1).write.parquet(s"$index/s00001")
+          assert(TxnLog.commitAppend(index, Seq("s00001"), sigDdl,
+            "stage") == 1)
+          // nightly advance: signatures for the CDF inserts only,
+          // batch-keyed by the consumed corpus version (idempotent)
+          sigsOf(TxnLog.readChanges(spark, corpus, 1, 2)
+              .where(col("_change_type") === "insert")
+              .select(col("doc_id"), col("text")))
+            .coalesce(1).write.parquet(s"$index/s00002")
+          assert(TxnLog.commitStreamBatch(index, "dedup_index", 2L,
+            Seq(TxnLog.add("s00002")), "stage").contains(2))
+          assert(TxnLog.commitStreamBatch(index, "dedup_index", 2L,
+            Seq(TxnLog.add("s00002")), "stage").isEmpty,
+            "re-delivered index advance must be a no-op")
+        }
+      }
+    val corpus = s"$root/corpus"
+    val index = s"$root/index"
+    val batch = TxnLog.readChanges(spark, corpus, 1)
+      .where(col("_change_type") === "insert")
+      .select(col("doc_id"), col("text"))
+    // the standing index at its PRE-advance version: base digests +
+    // signatures WITHOUT touching base text
+    val idx = TxnLog.read(spark, index, 1)
+    val exactIds = batch
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("digest"))
+      .join(idx.select(col("digest")).distinct(), "digest")
+      .select(col("doc_id")).distinct()
+    val batchIds = batch.select(col("doc_id"))
+    // bands over index-sigs ∪ fresh batch-sigs: identical buckets (and
+    // the identical bucket valve) to recomputing everything — by
+    // construction, since the index holds the same kernel's output
+    val combined = idx.select(col("doc_id"), col("sig"))
+      .unionByName(signaturesNative(batch, "doc_id", "text"))
+    val pairs = candidatePairs(bandsOfSigs(combined).cache())
+    val nearIds = pairs
+      .join(batchIds.withColumnRenamed("doc_id", "doc_a"),
+        Seq("doc_a"), "left_semi")
+      .join(batchIds.withColumnRenamed("doc_id", "doc_b"),
+        Seq("doc_b"), "left_anti")
+      .select(col("doc_a").as("doc_id"))
+      .union(pairs
+        .join(batchIds.withColumnRenamed("doc_id", "doc_b"),
+          Seq("doc_b"), "left_semi")
+        .join(batchIds.withColumnRenamed("doc_id", "doc_a"),
+          Seq("doc_a"), "left_anti")
+        .select(col("doc_b").as("doc_id")))
+      .distinct()
+    batchIds
+      .join(exactIds.withColumn("is_exact", lit(true)),
+        Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(true)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), "drop_exact")
+          .when(col("is_near"), "drop_near")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Minimum signature-chunk agreements for a candidate pair to reach
     * exact verification: est = n_agree/8 ≥ 3/8, under the 0.5 report
     * threshold, so most borderline-true pairs reach the exact rung
@@ -1354,6 +1476,7 @@ object Dedup {
     "llm_doc_overlap" -> docOverlap,
     "llm_incremental_dedup" -> incrementalDedup,
     "llm_dedup_cdf" -> dedupCdf,
+    "llm_dedup_index" -> dedupIndex,
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_jaccard_est" -> dedupJaccardEst,
     "llm_dedup_edit_distance" -> dedupEditDistance,
@@ -1377,6 +1500,9 @@ object Dedup {
     // IDENTICAL oracle by design: the CDF-driven increment must equal
     // the declarative mod-rule split row for row
     "llm_dedup_cdf" -> incrementalDedupSql,
+    // IDENTICAL oracle again: the persisted-index path must lose
+    // nothing vs recomputing every signature (same verdict algebra)
+    "llm_dedup_index" -> incrementalDedupSql,
     "llm_dedup_jaccard" -> dedupJaccardSql,
     "llm_dedup_jaccard_est" -> dedupJaccardEstSql,
     "llm_dedup_edit_distance" -> dedupEditDistanceSql,

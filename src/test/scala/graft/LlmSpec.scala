@@ -23,6 +23,38 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
       s"leaked pinned RDDs: ${pinned.values.map(_.toString).mkString("; ")}")
   }
 
+  test("llm_dedup_index: verdicts equal the CDF recompute path; the " +
+    "plan reads batch + signature index, never the base text") {
+    graft.core.Caches.drain(spark)
+    val idx = Dedup.dedupIndex(spark, sfDir)
+    val idxRows = idx.collect().toSeq
+    // byte-identical verdicts to the recompute-everything CDF client —
+    // the index path must lose nothing
+    val cdfRows = Dedup.dedupCdf(spark, sfDir).collect().toSeq
+    assert(idxRows == cdfRows,
+      s"index verdicts diverge from recompute (first few: " +
+        s"${idxRows.take(3)} vs ${cdfRows.take(3)})")
+    // the whole point: the standing corpus's TEXT is never rescanned —
+    // the plan's scan roots are the increment file and the signature
+    // table's files, and no scan of the base file exists anywhere
+    val roots = idx.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources
+        .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(roots.nonEmpty, "no file scans found in the plan")
+    assert(!roots.exists(_.contains("basefile")),
+      s"index path rescanned the standing corpus's text: $roots")
+    assert(roots.exists(_.contains("incfile")),
+      s"expected the increment file in the plan: $roots")
+    assert(roots.exists(_.contains("s00001")),
+      s"expected the signature-index file in the plan: $roots")
+    graft.core.Caches.drain(spark)
+  }
+
   test("fixpoint releases round n-1 checkpoints while running (bounded pinned state)") {
     graft.core.Caches.drain(spark) // isolate from earlier suites' caches
     // during clusterLabels itself, in-loop release keeps pinned blocks to

@@ -301,6 +301,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // same band/digest machinery, increment membership via CDF-id
     // joins instead of mod filters — measured equal to the twin
     "llm_dedup_cdf" -> 11,
+    // index read + batch sigs + band window/self-join + verdict joins
+    "llm_dedup_index" -> 11,
     "llm_lang_id" -> 1,
     // projection + ≤|langs|² cell agg + per-actual window + sort
     "llm_lang_confusion" -> 3,
