@@ -1319,7 +1319,7 @@ object Dedup {
     * for a vector whose true neighbor falls outside a saturated
     * cell's sample degrades to the best of the K-sample — the
     * standard sampling estimator, deterministic in both engines. */
-  private[llm] val DedupEmbedCellCap = 512
+  private[graft] val DedupEmbedCellCap = 512
   // (capped ≡ uncapped on the fixture is pinned in LlmSpec)
 
   /** Embedding-cosine near-dup: nearest neighbor per vector *within
@@ -1331,9 +1331,13 @@ object Dedup {
     dedupEmbedCapped(spark, dir, DedupEmbedCellCap)
 
   private[graft] def dedupEmbedCapped(spark: SparkSession, dir: String,
-                                    cap: Int): DataFrame = {
-    graft.plans.GraftExtensions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
+                                      cap: Int): DataFrame =
+    dedupEmbedOn(Tables.embeddings(spark, dir), cap)
+
+  /** Frame-generic core of [[dedupEmbed]] — the spec seam (synthetic
+    * corpora exercise the cap/recall trade the fixture cannot). */
+  private[graft] def dedupEmbedOn(e: DataFrame, cap: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(e.sparkSession)
     val a = e.select(col("vec_id").as("va"), col("label"),
       col("embedding").as("ea"))
     val wc = Window.partitionBy(col("label2")).orderBy(

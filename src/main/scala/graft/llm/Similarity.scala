@@ -607,6 +607,132 @@ object Similarity {
     ivfSearch(e, trainedCentroids(spark, dir))
   }
 
+  // -------- nlist ∝ n retrain for the embedding near-dup rung (r12)
+
+  /** Target members per IVF cell for the RETRAINED near-dup quantizer:
+    * nlist = max(16, 2^ceil(log2(ceil(n / target)))) — the codebook
+    * grows WITH the corpus so expected cell size stays ~[[
+    * DedupEmbedRetrainTarget]] and the per-cell candidate cap stops
+    * being the thing that silently bounds recall (VERDICT r11: at x10
+    * the fixed-16-cell layout filled the 512 cap and recall, not cost,
+    * degraded). Deterministic integer rule so the oracle re-derives
+    * nlist from COUNT(*) alone. */
+  private[graft] val DedupEmbedRetrainTarget = 256
+
+  private[graft] def retrainNlist(n: Long): Int = {
+    val want = math.max(1L,
+      (n + DedupEmbedRetrainTarget - 1) / DedupEmbedRetrainTarget)
+    val p =
+      if (want <= 1) 1L else java.lang.Long.highestOneBit(want - 1) * 2
+    math.max(16L, p).toInt
+  }
+
+  /** The size-derived codebook: first `nlist` vectors seed, refined by
+    * the same grid-exact Lloyd rounds as [[trainedCentroids]] —
+    * k-generic by construction (nothing in [[lloydRound]] knows 16). */
+  private[graft] def retrainedCodebook(e: DataFrame, nlist: Int)
+  : DataFrame =
+    (1 to IvfLloydRounds).foldLeft(
+      e.where(col("vec_id") < nlist)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce")))(
+      (c, _) => lloydRound(e, c))
+
+  /** Embedding near-dup on the RETRAINED quantizer — DataFrame-generic
+    * core ([[dedupEmbedRetrained]] is the registry binding; specs feed
+    * synthetic corpora): assign every vector to its trained cell, then
+    * nearest neighbor within the cell under the same md5-ordered
+    * candidate cap as [[Dedup.dedupEmbedCapped]]. Because nlist grew
+    * with n, expected cell size ≈ [[DedupEmbedRetrainTarget]] < cap —
+    * the cap is back to being a skew valve instead of a silent recall
+    * ceiling. */
+  private def nnWithinCells(e: DataFrame, cent: DataFrame, cap: Int)
+  : DataFrame = {
+    val cells = assignCells(e, cent).select(col("vec_id"), col("cell"))
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    val a = cells.select(col("vec_id").as("va"), col("cell"),
+      col("embedding").as("ea"))
+    val wc = Window.partitionBy(col("cell2")).orderBy(
+      md5(concat_ws(":", lit("cap"), col("cell2"), col("vb"))), col("vb"))
+    val b = cells.select(col("vec_id").as("vb"),
+        col("cell").as("cell2"), col("embedding").as("eb"))
+      .withColumn("rk", row_number().over(wc))
+      .where(col("rk") <= cap).drop("rk")
+    val w = Window.partitionBy(col("va"))
+      .orderBy(col("cosine").desc, col("vb"))
+    a.join(b, col("cell") === col("cell2") && col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), col("cell"),
+        expr("graft_cosine(ea, eb)").as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("va").as("vec_id"), col("vb").as("nn_id"), col("cell"),
+        col("cosine"), (col("cosine") >= 0.9).as("is_near_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  private[graft] def dedupEmbedRetrainedOn(e: DataFrame, nlist: Int,
+                                           cap: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(e.sparkSession)
+    nnWithinCells(e, retrainedCodebook(e, nlist), cap)
+  }
+
+  /** Registry binding: nlist from the corpus's own count, codebook
+    * STAGED per content (the [[trainedCentroids]] production pattern —
+    * train once, broadcast everywhere; the codeTag pins grid, rounds,
+    * target AND the derived nlist so a corpus-size change re-stages). */
+  def dedupEmbedRetrained(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val nlist = retrainNlist(e.count())
+    val path = graft.core.Fixtures.staged(dir, "dedupcent",
+      codeTag = s"grid${CentGrid}_r${IvfLloydRounds}" +
+        s"_t${DedupEmbedRetrainTarget}_k$nlist") { target =>
+      retrainedCodebook(e, nlist).write.mode("overwrite").parquet(target)
+    }
+    nnWithinCells(e, spark.read.parquet(path), Dedup.DedupEmbedCellCap)
+  }
+
+  /** DuckDB twin: nlist re-derived from COUNT(*), the same seed rule,
+    * the same two unrolled grid-exact Lloyd rounds, the same cap. */
+  lazy val dedupEmbedRetrainedSql: String = {
+    val nlistSql =
+      s"""GREATEST(16, CAST(POWER(2, CEIL(LOG2(CAST(
+         |  (COUNT(*) + ${DedupEmbedRetrainTarget - 1}) //
+         |    $DedupEmbedRetrainTarget AS DOUBLE)))) AS BIGINT))"""
+        .stripMargin
+    s"""WITH n AS (${Dedup.withNormSql}),
+       |nl AS (SELECT $nlistSql AS k FROM n),
+       |cent0 AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+       |          FROM n, nl WHERE vec_id < nl.k),
+       |${lloydRoundSql("cent0", "rcent1")},
+       |${lloydRoundSql("rcent1", "rcent2")},
+       |fcell AS (
+       |  ${argmaxCellSql("rcent2")}),
+       |cells AS (
+       |  SELECT f.vec_id, f.cell, e.embedding, e.nrm
+       |  FROM fcell f JOIN n e ON f.vec_id = e.vec_id),
+       |bcap AS (
+       |  SELECT vec_id, cell, embedding, nrm FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+       |      ORDER BY md5('cap:' || CAST(cell AS VARCHAR) || ':' ||
+       |        CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM cells) WHERE rk <= ${Dedup.DedupEmbedCellCap}),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cell,
+       |    (${Dedup.dotSql("a.embedding", "b.embedding")}) /
+       |      (a.nrm * b.nrm) AS cosine
+       |  FROM cells a JOIN bcap b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT va, vb, cell, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY va
+       |      ORDER BY cosine DESC, vb) AS rn
+       |  FROM pairs)
+       |SELECT va AS vec_id, vb AS nn_id, cell, cosine,
+       |  cosine >= 0.9 AS is_near_dup
+       |FROM ranked WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Corpus clustering report — the "what is in this embedding
     * corpus" summary a dataset curator reads before sampling: every
     * vector assigned to its trained-codebook cell, then per cell the
@@ -1737,6 +1863,7 @@ object Similarity {
     "llm_sim_search_lsh_probe" -> simSearchLshProbe,
     "llm_sim_search_ivf" -> simSearchIvf,
     "llm_sim_search_ivf_trained" -> simSearchIvfTrained,
+    "llm_dedup_embed_retrained" -> dedupEmbedRetrained,
     "llm_embed_cluster" -> embedCluster,
     "llm_embed_outliers" -> embedOutliers,
     "llm_embed_quantize" -> embedQuantize,
@@ -1759,6 +1886,7 @@ object Similarity {
     "llm_sim_search_lsh_probe" -> simSearchLshProbeSql,
     "llm_sim_search_ivf" -> simSearchIvfSql,
     "llm_sim_search_ivf_trained" -> simSearchIvfTrainedSql,
+    "llm_dedup_embed_retrained" -> dedupEmbedRetrainedSql,
     "llm_embed_cluster" -> embedClusterSql,
     "llm_embed_outliers" -> embedOutliersSql,
     "llm_embed_quantize" -> embedQuantizeSql,

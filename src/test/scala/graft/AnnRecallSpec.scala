@@ -186,4 +186,45 @@ class AnnRecallSpec extends AnyFunSuite with SparkSpec {
     info(f"recall@5 — int8 exhaustive vs float: $r%.3f")
     assert(r >= 0.9, f"int8 recall@5 $r%.3f below floor")
   }
+
+  test("retrained quantizer recovers the recall the fixed-cell cap " +
+    "silently drops (nlist grows with n)") {
+    import spark.implicits._
+    // planted-pair corpus at a scale where the FIXED 16-cell layout
+    // saturates the candidate cap: 12k vectors, 16 labels -> 750 per
+    // cell > the 512 cap, so ~1/3 of partners are cap-dropped and the
+    // fixed path's recall ceiling is the cap ratio, not geometry. The
+    // retrained quantizer derives nlist = 64 from n, cells land ~187
+    // < cap, and recall returns to ~1 (VERDICT r11 watch item).
+    val rnd = new scala.util.Random(42)
+    val n = 12000
+    val rows = (0 until n / 2).flatMap { i =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val pert = base.map(x => x + (rnd.nextGaussian() * 0.001).toFloat)
+      Seq((2L * i, i % 16, base), (2L * i + 1, i % 16, pert))
+    }
+    val e = rows.toDF("vec_id", "label", "embedding").cache()
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("vec_id", "nn_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until n).count(v =>
+        got.get(v.toLong).contains(v.toLong ^ 1L)).toDouble / n
+    }
+    val cap = graft.llm.Dedup.DedupEmbedCellCap
+    val fixed = recallOf(graft.llm.Dedup.dedupEmbedOn(e, cap))
+    val nlist = Similarity.retrainNlist(n)
+    assert(nlist == 64, s"retrain rule: expected 64 cells, got $nlist")
+    val retrained = recallOf(Similarity.dedupEmbedRetrainedOn(e, nlist, cap))
+    info(f"planted-pair recall - fixed 16-label: $fixed%.3f, " +
+      f"retrained nlist=$nlist: $retrained%.3f")
+    // the fixed path's ceiling is ~cap/cell = 512/750 ~ 0.68
+    assert(fixed <= 0.85,
+      f"fixed path unexpectedly clears the cap ceiling: $fixed%.3f")
+    assert(retrained >= 0.95,
+      f"retrained recall $retrained%.3f below floor")
+    assert(retrained > fixed + 0.1,
+      f"retrain did not recover recall: $retrained%.3f vs $fixed%.3f")
+    e.unpersist()
+    graft.core.Caches.drain(spark)
+  }
 }

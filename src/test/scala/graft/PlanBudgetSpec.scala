@@ -279,6 +279,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // label-cell join + candidate-side cap window + per-vector NN
     // window + sort (cap adds one label-keyed exchange)
     "llm_dedup_embed" -> 3,
+    // retrain adds the Lloyd rounds' (cell,dim) shuffles + assignment
+    "llm_dedup_embed_retrained" -> 9,
     "llm_dedup_exact" -> 2,
     "llm_dedup_fuzzy" -> 4,
     "llm_dedup_jaccard" -> 39,
