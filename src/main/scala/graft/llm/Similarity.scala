@@ -647,8 +647,12 @@ object Similarity {
     * ceiling. */
   private def nnWithinCells(e: DataFrame, cent: DataFrame, cap: Int)
   : DataFrame = {
+    // cached like the LSH bands: both sides of the within-cell join
+    // derive from the assignment, and Catalyst has no common-subplan
+    // reuse — uncached, the codebook cross-join would run twice
     val cells = assignCells(e, cent).select(col("vec_id"), col("cell"))
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .cache()
     val a = cells.select(col("vec_id").as("va"), col("cell"),
       col("embedding").as("ea"))
     val wc = Window.partitionBy(col("cell2")).orderBy(

@@ -280,7 +280,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // window + sort (cap adds one label-keyed exchange)
     "llm_dedup_embed" -> 3,
     // retrain adds the Lloyd rounds' (cell,dim) shuffles + assignment
-    "llm_dedup_embed_retrained" -> 9,
+    "llm_dedup_embed_retrained" -> 7,
     "llm_dedup_exact" -> 2,
     "llm_dedup_fuzzy" -> 4,
     "llm_dedup_jaccard" -> 39,
@@ -540,6 +540,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_lm_score", "llm_rank_fusion", "llm_sim_search",
     "llm_sim_search_int8",
     "llm_sim_search_ivf", "llm_sim_search_ivf_trained",
+    "llm_dedup_embed_retrained",
     "llm_sim_search_native", "llm_sim_search_pq", "llm_sim_search_pq_rerank",
     "llm_tfidf", "ts_anomaly_resid", "win_quintile_migration",
     "llm_dedup_band_recall", "win_survival_km", "llm_corpus_drift",
