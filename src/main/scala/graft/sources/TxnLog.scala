@@ -1879,12 +1879,18 @@ class TxnLogOps(val store: LogStore) {
     *  - an append (no removes) emits pure inserts — short-circuited,
     *    NO shuffle, the common tail-consumption case;
     *  - a pure remove emits pure deletes, same short-circuit;
-    *  - a copy-on-write rewrite (MERGE / DELETE boundary files /
-    *    OPTIMIZE) diffs both sides: every COPIED row cancels, leaving
-    *    exactly the rows that changed — an update appears as its
-    *    delete/insert pair and a pure re-layout (compaction, zorder)
-    *    emits NOTHING, which is correct: the table's content did not
-    *    change.
+    *  - a copy-on-write rewrite (MERGE / DELETE boundary files) diffs
+    *    both sides: every COPIED row cancels, leaving exactly the rows
+    *    that changed — an update appears as its delete/insert pair;
+    *  - a commit flagged [[TxnLog.NoDataChange]] (OPTIMIZE / ZORDER —
+    *    bytes moved, content identical) is skipped from the MARKER
+    *    alone, before any of its files are even named (r12): the diff
+    *    that would prove "nothing changed" is never planned, so a CDF
+    *    consumer's cost scales with churn, never maintenance volume.
+    *    An UNFLAGGED re-layout (a table written by an older engine)
+    *    still diffs to the correct empty set — the marker is an
+    *    optimization with a graceful fallback, not a correctness
+    *    dependency.
     *
     * Output: the table schema at `toV` (older generations null-pad)
     * plus `_change_type` ('insert'|'delete'), `_commit_version`,

@@ -25,11 +25,14 @@ import graft.sources.TxnLog
   *  - `startingVersion` (default 0): exclusive floor of the first
   *    batch; 0 replays the whole committed history first.
   *  - `ignoreChanges` (default false): a commit that REMOVES files
-  *    (MERGE/DELETE/OPTIMIZE rewrite) is not an append; by default
+  *    (MERGE/DELETE rewrite) is not an append; by default
   *    the stream FAILS LOUDLY on one (Delta's posture) rather than
   *    silently re-delivering rewritten rows. With the option set, the
   *    commit's added files stream anyway (documented at-least-once
-  *    re-delivery on rewrites).
+  *    re-delivery on rewrites). A commit FLAGGED as a re-layout
+  *    ([[graft.sources.TxnLog.NoDataChange]] — OPTIMIZE/ZORDER) is
+  *    skipped silently instead (r12): bytes moved, content did not,
+  *    so there is nothing to deliver and nothing to fail about.
   *  - `maxVersionsPerTrigger` (default unlimited): cap how many
   *    commits one micro-batch drains — the backfill throttle; a
   *    startingVersion=0 catch-up over a long history becomes N
