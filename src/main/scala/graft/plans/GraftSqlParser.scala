@@ -23,6 +23,13 @@ import graft.sources.TxnLog
   * GRAFT MERGE INTO '<root>' USING <tempView> ON <keyCol>
   * GRAFT RESTORE '<root>' TO VERSION <n>
   * GRAFT VACUUM '<root>' [RETAIN <n> VERSIONS] [DRY RUN]
+  * GRAFT CLONE '<srcRoot>' TO '<dstRoot>'
+  * GRAFT ALTER '<root>' ADD CONSTRAINT <name> CHECK(<expr>)
+  * GRAFT ALTER '<root>' DROP CONSTRAINT <name>
+  * GRAFT ALTER '<root>' RENAME COLUMN <a> TO <b>
+  * GRAFT ALTER '<root>' DROP COLUMN <a>
+  * GRAFT UPGRADE '<root>' TO PROTOCOL(<r>, <w>)
+  * GRAFT DESCRIBE HISTORY '<root>'          -- read-only, multi-row
   * }}}
   *
   * Each parses to a [[GraftDmlCommand]] — a `LeafRunnableCommand`
@@ -63,11 +70,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftDmlCommand("vacuum", path,
           Seq(Option(retain).getOrElse("1"),
             (dry != null).toString))
+      case CloneRe(src, dst) =>
+        GraftDmlCommand("clone", src, Seq(dst))
+      case AddConstraintRe(path, name, exprSql) =>
+        GraftDmlCommand("add_constraint", path, Seq(name, exprSql))
+      case DropConstraintRe(path, name) =>
+        GraftDmlCommand("drop_constraint", path, Seq(name))
+      case RenameColRe(path, from, to) =>
+        GraftDmlCommand("rename_column", path, Seq(from, to))
+      case DropColRe(path, name) =>
+        GraftDmlCommand("drop_column", path, Seq(name))
+      case UpgradeRe(path, r, w) =>
+        GraftDmlCommand("upgrade_protocol", path, Seq(r, w))
+      case HistoryRe(path) =>
+        GraftHistoryCommand(path)
       case other => throw new IllegalArgumentException(
         "malformed GRAFT statement (supported: OPTIMIZE [ZORDER BY], " +
           "DELETE FROM ... WHERE c BETWEEN 'lo' AND 'hi' [USING DV], " +
           "MERGE INTO ... USING view ON key, RESTORE ... TO VERSION n, " +
-          s"VACUUM [RETAIN n VERSIONS] [DRY RUN]): $other")
+          "VACUUM [RETAIN n VERSIONS] [DRY RUN], CLONE src TO dst, " +
+          "ALTER t ADD CONSTRAINT name CHECK(expr) / DROP CONSTRAINT " +
+          "name / RENAME COLUMN a TO b / DROP COLUMN a, " +
+          "UPGRADE t TO PROTOCOL(r, w), DESCRIBE HISTORY t): $other")
     }
   }
 
@@ -108,6 +132,19 @@ object GraftSqlParser {
     s"""RESTORE\\s+$P\\s+TO\\s+VERSION\\s+(\\d+)""")
   private[plans] val VacuumRe = re(
     s"""VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?""")
+  private[plans] val CloneRe = re(s"""CLONE\\s+$P\\s+TO\\s+$P""")
+  // greedy body up to the LAST ')': CHECK expressions may nest parens
+  private[plans] val AddConstraintRe = re(
+    s"""ALTER\\s+$P\\s+ADD\\s+CONSTRAINT\\s+$I\\s+CHECK\\s*\\((.+)\\)""")
+  private[plans] val DropConstraintRe = re(
+    s"""ALTER\\s+$P\\s+DROP\\s+CONSTRAINT\\s+$I""")
+  private[plans] val RenameColRe = re(
+    s"""ALTER\\s+$P\\s+RENAME\\s+COLUMN\\s+$I\\s+TO\\s+$I""")
+  private[plans] val DropColRe = re(
+    s"""ALTER\\s+$P\\s+DROP\\s+COLUMN\\s+$I""")
+  private[plans] val UpgradeRe = re(
+    s"""UPGRADE\\s+$P\\s+TO\\s+PROTOCOL\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)""")
+  private[plans] val HistoryRe = re(s"""DESCRIBE\\s+HISTORY\\s+$P""")
 }
 
 /** One GRAFT DML statement, planned as a leaf command: `run` drives
@@ -142,9 +179,48 @@ case class GraftDmlCommand(verb: String, path: String,
       case "vacuum" =>
         TxnLog.vacuum(path, retainVersions = args(0).toInt,
           dryRun = args(1).toBoolean).size
+      case "clone" =>
+        TxnLog.cloneTable(path, args(0), session)
+      case "add_constraint" =>
+        TxnLog.addConstraint(spark, path, args(0), args(1), session)
+      case "drop_constraint" =>
+        TxnLog.dropConstraint(path, args(0), session)
+      case "rename_column" =>
+        TxnLog.renameColumn(path, args(0), args(1), session)
+      case "drop_column" =>
+        TxnLog.dropColumn(path, args(0), session)
+      case "upgrade_protocol" =>
+        TxnLog.upgradeProtocol(path, args(0).toInt, args(1).toInt,
+          session)
       case other =>
         throw new IllegalStateException(s"unknown GRAFT verb $other")
     }
     Seq(Row(n))
+  }
+}
+
+/** `GRAFT DESCRIBE HISTORY 't'` — the read-side utility statement:
+  * per committed version, the action census and post-replay live
+  * count, straight from the log (driver metadata, zero data I/O at
+  * any table size — the audit an operator runs before trusting time
+  * travel or choosing a RESTORE target). */
+case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType)(),
+    AttributeReference("ts", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("n_adds", IntegerType)(),
+    AttributeReference("n_removes", IntegerType)(),
+    AttributeReference("n_live", IntegerType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val liveCounts = TxnLog.liveSets(path).toMap
+    TxnLog.versions(path).map { v =>
+      val acts = TxnLog.actionsAt(path, v)
+      Row(v, TxnLog.commitTs(path, v),
+        acts.count(_.action == "add"),
+        acts.count(_.action == "remove"),
+        liveCounts.get(v).map(_.size).getOrElse(0))
+    }
   }
 }

@@ -77,6 +77,56 @@ class GraftSqlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("GRAFT DDL verbs: CLONE, constraints, column surgery, protocol " +
+    "upgrade, DESCRIBE HISTORY") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      // constraints through SQL: add enforces on future checked
+      // writes; a violating add is refused against existing content
+      assert(run1(s"GRAFT ALTER '$root' ADD CONSTRAINT pos " +
+        "CHECK(v > 0)") == 2)
+      assert(TxnLog.stateAt(root, 2).constraints == Map("pos" -> "v > 0"))
+      val bad = intercept[Exception](spark.sql(
+        s"GRAFT ALTER '$root' ADD CONSTRAINT neg CHECK(v < 0)"))
+      assert(bad.getMessage.contains("neg"), bad.getMessage)
+      // nested parens parse greedily to the last ')'
+      assert(run1(s"GRAFT ALTER '$root' ADD CONSTRAINT rng " +
+        "CHECK((v > 0) AND (v < 1000))") == 3)
+      assert(run1(s"GRAFT ALTER '$root' DROP CONSTRAINT rng") == 4)
+      // column surgery through SQL — constraint guard still bites
+      val guard = intercept[Exception](spark.sql(
+        s"GRAFT ALTER '$root' RENAME COLUMN v TO amount"))
+      assert(guard.getMessage.contains("pos"), guard.getMessage)
+      assert(run1(s"GRAFT ALTER '$root' RENAME COLUMN k TO id") == 5)
+      assert(TxnLog.read(spark, root).columns.toSeq == Seq("id", "v"))
+      assert(run1(s"GRAFT ALTER '$root' DROP CONSTRAINT pos") == 6)
+      assert(run1(s"GRAFT ALTER '$root' DROP COLUMN v") == 7)
+      assert(TxnLog.read(spark, root).columns.toSeq == Seq("id"))
+      // protocol upgrade through SQL; over-reach still refused
+      assert(run1(s"GRAFT UPGRADE '$root' TO PROTOCOL(2, 2)") == 8)
+      intercept[Exception](
+        spark.sql(s"GRAFT UPGRADE '$root' TO PROTOCOL(9, 9)"))
+      // clone through SQL: zero-copy fork reading identically
+      withScratch { dst =>
+        assert(run1(s"GRAFT CLONE '$root' TO '$dst'") == 1)
+        assert(TxnLog.read(spark, dst).collect().toSet ==
+          TxnLog.read(spark, root).collect().toSet)
+      }
+      // history is a real multi-row frame from the log alone
+      val h = spark.sql(s"GRAFT DESCRIBE HISTORY '$root'")
+      assert(h.columns.toSeq ==
+        Seq("version", "ts", "n_adds", "n_removes", "n_live"))
+      val rows = h.collect()
+      assert(rows.length == 8 && rows.head.getInt(0) == 1 &&
+        rows.head.getInt(2) == 1 && rows.head.getInt(4) == 1,
+        rows.mkString(";"))
+    }
+  }
+
   test("malformed GRAFT fails loudly; non-GRAFT SQL and expressions " +
     "delegate untouched") {
     val e = intercept[Exception](spark.sql("GRAFT FROBNICATE 'x'"))

@@ -55,6 +55,41 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.drain(spark)
   }
 
+  test("the signature index is a real txn-log table: OPTIMIZE compacts " +
+    "its nightly appends without changing a verdict") {
+    import graft.sources.TxnLog
+    graft.core.Caches.drain(spark)
+    val before = Dedup.dedupIndex(spark, sfDir).collect().toSeq
+    graft.core.Caches.drain(spark)
+    // the staged fixture's index root: resolve it the way the query
+    // does (memoized), then OPTIMIZE the index table itself
+    val idxRoot = {
+      val probe = Dedup.dedupIndex(spark, sfDir)
+      val roots = probe.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => l.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      val s = roots.find(_.contains("/index/")).getOrElse(
+        fail(s"no index root in $roots"))
+      s.substring(s.indexOf("/tmp"), s.indexOf("/index/") + "/index".length)
+    }
+    graft.core.Caches.drain(spark)
+    val tipBefore = TxnLog.latestVersion(idxRoot)
+    val v = TxnLog.compact(spark, idxRoot, "idxopt")
+    assert(v.contains(tipBefore + 1), s"index OPTIMIZE did not land: $v")
+    assert(TxnLog.entriesAt(idxRoot, tipBefore + 1)
+      .contains(TxnLog.NoDataChange))
+    // verdicts must not move: reads at version 1 (pre-advance) and the
+    // band algebra are content-addressed, and OPTIMIZE moved bytes only
+    val after = Dedup.dedupIndex(spark, sfDir).collect().toSeq
+    assert(after == before, "index compaction changed dedup verdicts")
+    graft.core.Caches.drain(spark)
+  }
+
   test("fixpoint releases round n-1 checkpoints while running (bounded pinned state)") {
     graft.core.Caches.drain(spark) // isolate from earlier suites' caches
     // during clusterLabels itself, in-loop release keeps pinned blocks to
