@@ -2523,8 +2523,11 @@ object Relational {
       .limit(8).collect().map(_.getLong(0))
     val maxc = custs.agg(max(col("o_custkey"))).head().getLong(0)
     val absent = (1L to 8L).map(maxc + _)
+    // one state resolution serves all 16 probe censuses (pruneEqSt —
+    // the N-probe discipline the V2 scan builder uses)
+    val st1 = TxnLog.stateAt(root, 1)
     def scansOf(ps: Seq[Long]): Int =
-      ps.map(p => TxnLog.pruneEq(root, 1, "o_custkey",
+      ps.map(p => TxnLog.pruneEqSt(st1, "o_custkey",
         p.toString)._1.size).sum
     val (df, scanned, _) = TxnLog.readPointLookup(spark, root,
       "o_custkey", present.head.toString)

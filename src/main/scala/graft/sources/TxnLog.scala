@@ -811,8 +811,17 @@ class TxnLogOps(val store: LogStore) {
     * files without metadata scan; bloom false positives only ever
     * ADD scans. Driver metadata only; no data I/O. */
   def pruneEq(root: String, v: Int, colName: String, value: String)
+  : (Seq[String], Seq[String]) =
+    pruneEqSt(stateAt(root, v), colName, value)
+
+  /** [[pruneEq]] over an ALREADY-RESOLVED state — the form N-probe
+    * callers (the V2 scan's IN-list, the bloom census) use so N
+    * probes cost ONE log replay instead of N (r12: at 1M-file scale
+    * `stateAt` is the metadata cost; every prune call re-paying it
+    * was the planner's hidden quadratic). State at a version is
+    * immutable, so threading it is always sound. */
+  def pruneEqSt(st: State, colName: String, value: String)
   : (Seq[String], Seq[String]) = {
-    val st = stateAt(root, v)
     val names = Set(colName) ++ st.colmap.getOrElse(colName, Seq.empty)
     val (pruned, scanned) = st.live.toSeq.sorted.partition { f =>
       val statsMiss = st.stats.getOrElse(f, Seq.empty).exists(s =>
@@ -844,7 +853,7 @@ class TxnLogOps(val store: LogStore) {
     val v = if (version < 0) latestVersion(root) else version
     val st = stateAt(root, v)
     requireReadable(root, st)
-    val (scanned, pruned) = pruneEq(root, v, colName, value)
+    val (scanned, pruned) = pruneEqSt(st, colName, value)
     val schema = st.schemaDdl.map(StructType.fromDDL)
     val df =
       if (scanned.isEmpty) {
@@ -881,8 +890,14 @@ class TxnLogOps(val store: LogStore) {
     * to; a missing side simply never trips its comparison. */
   def pruneBounds(root: String, v: Int, partEq: Seq[(String, String)],
                   preds: Seq[(String, Option[String], Option[String])])
+  : (Seq[String], Seq[String]) =
+    pruneBoundsSt(stateAt(root, v), partEq, preds)
+
+  /** [[pruneBounds]] over an already-resolved state — see
+    * [[pruneEqSt]] for why callers thread the state. */
+  def pruneBoundsSt(st: State, partEq: Seq[(String, String)],
+                    preds: Seq[(String, Option[String], Option[String])])
   : (Seq[String], Seq[String]) = {
-    val st = stateAt(root, v)
     // column mapping: a file written BEFORE a rename published its
     // stats/partition tuple under the physical name — a predicate on
     // the logical name consults both spellings (either pins the same
@@ -911,10 +926,13 @@ class TxnLogOps(val store: LogStore) {
     * (the V2 DataSource's parquet delegate) uses to hand Spark's own
     * reader the right paths without knowing the clone mechanics. */
   def dataLocations(root: String, version: Int, files: Seq[String])
-  : Seq[String] = {
-    val st = stateAt(root, version)
+  : Seq[String] =
+    dataLocationsSt(root, stateAt(root, version), files)
+
+  /** [[dataLocations]] over an already-resolved state. */
+  def dataLocationsSt(root: String, st: State, files: Seq[String])
+  : Seq[String] =
     files.map(dataPath(root, st, _))
-  }
 
   /** Planner statistics for `files` at `version`, from the log alone:
     * (exact row count when EVERY file published stats — DV-corrected,
@@ -924,8 +942,12 @@ class TxnLogOps(val store: LogStore) {
     * decisions and AQE read these through the V2 scan's
     * reportStatistics seam instead of guessing from file sizes. */
   def fileFootprint(root: String, version: Int, files: Seq[String])
+  : (Option[Long], Long) =
+    fileFootprintSt(root, stateAt(root, version), files)
+
+  /** [[fileFootprint]] over an already-resolved state. */
+  def fileFootprintSt(root: String, st: State, files: Seq[String])
   : (Option[Long], Long) = {
-    val st = stateAt(root, version)
     val rows = files.map { f =>
       st.stats.getOrElse(f, Seq.empty).headOption.map(s =>
         s.rows - st.dvs.get(f).map(_._2).getOrElse(0L))
@@ -940,10 +962,12 @@ class TxnLogOps(val store: LogStore) {
     * the V2 DataSource's dispatch test between the columnar parquet
     * delegate and the correctness-first V1 fallback. */
   def needsMergeRead(root: String, version: Int, files: Seq[String])
-  : Boolean = {
-    val st = stateAt(root, version)
+  : Boolean =
+    needsMergeReadSt(stateAt(root, version), files)
+
+  /** [[needsMergeRead]] over an already-resolved state. */
+  def needsMergeReadSt(st: State, files: Seq[String]): Boolean =
     st.colmap.nonEmpty || files.exists(st.dvs.contains)
-  }
 
   /** Read version `v` restricted to `files` (a subset of its live
     * set, e.g. one a pushdown planner pruned) under the version's

@@ -145,16 +145,22 @@ private[sources] class GraftTxnScanBuilder(spark: SparkSession,
   }
 
   override def build(): Scan = {
+    // ONE log replay serves the whole plan: pruning (N probes), the
+    // merge-path dispatch, statistics, and path resolution all read
+    // the same immutable state (r12 — each helper re-resolving cost
+    // the planner one full replay PER CALL, the hidden metadata
+    // quadratic at 1M-file scale)
+    val st = TxnLog.stateAt(root, version)
     val (scanned, pruned) =
-      TxnTableRelation.pruneFor(root, version, filters)
+      TxnTableRelation.pruneForSt(st, filters)
     TxnTableRelation.lastScan.set((scanned, pruned))
-    val (rows, bytes) = TxnLog.fileFootprint(root, version, scanned)
-    if (scanned.nonEmpty && TxnLog.schemaAt(root, version).nonEmpty &&
-        !TxnLog.needsMergeRead(root, version, scanned)) {
+    val (rows, bytes) = TxnLog.fileFootprintSt(root, st, scanned)
+    if (scanned.nonEmpty && st.schemaDdl.nonEmpty &&
+        !TxnLog.needsMergeReadSt(st, scanned)) {
       // columnar delegate: Spark's own parquet V2 scan over exactly
       // the admitted files — vectorized batches + codegen; the pushed
       // filters go down again for row-group/page skipping
-      val paths = TxnLog.dataLocations(root, version, scanned)
+      val paths = TxnLog.dataLocationsSt(root, st, scanned)
         .map(new Path(_))
       val index = new InMemoryFileIndex(spark, paths,
         Map.empty[String, String], Some(tableSchema))
@@ -280,6 +286,13 @@ object TxnTableRelation {
     * way — prune nothing. */
   private[graft] def pruneFor(root: String, version: Int,
                               filters: Array[Filter])
+  : (Seq[String], Seq[String]) =
+    pruneForSt(TxnLog.stateAt(root, version), filters)
+
+  /** [[pruneFor]] over an already-resolved state: the N pushed
+    * probes (equality, IN members) share ONE log replay. */
+  private[graft] def pruneForSt(st: graft.sources.TxnLog.State,
+                                filters: Array[Filter])
   : (Seq[String], Seq[String]) = {
     def flat(f: Filter): Seq[Filter] = f match {
       case And(l, r) => flat(l) ++ flat(r)
@@ -304,25 +317,24 @@ object TxnTableRelation {
       case EqualTo(c, v) => canonical(v).map(c -> _)
       case _ => None
     }
-    val (rangeScanned, _) =
-      TxnLog.pruneBounds(root, version, partEq, ranges)
+    val (rangeScanned, _) = TxnLog.pruneBoundsSt(st, partEq, ranges)
     // equality + IN: bloom-capable pruning; IN = union of survivors
     // (an IN with ANY unrenderable value prunes nothing — dropping
     // just that value would wrongly prune its holders)
     val eqSurvivors: Seq[Set[String]] = fs.flatMap {
       case EqualTo(c, v) => canonical(v).map(s =>
-        TxnLog.pruneEq(root, version, c, s)._1.toSet)
+        TxnLog.pruneEqSt(st, c, s)._1.toSet)
       case In(c, vs) if vs.nonEmpty =>
         val rendered = vs.toSeq.map(canonical)
         if (rendered.exists(_.isEmpty)) None
         else Some(rendered.flatten
-          .map(s => TxnLog.pruneEq(root, version, c, s)._1.toSet)
+          .map(s => TxnLog.pruneEqSt(st, c, s)._1.toSet)
           .reduce(_ | _))
       case _ => None
     }
     val scanned = eqSurvivors
       .foldLeft(rangeScanned.toSet)(_ & _).toSeq.sorted
-    val all = TxnLog.liveFiles(root, version)
+    val all = st.live.toSeq.sorted
     (scanned, all.filterNot(scanned.contains))
   }
 }
