@@ -148,20 +148,65 @@ class TxnLogOps(val store: LogStore) {
   private def parseName(root: String, name: String): Seq[Entry] =
     store.readLog(root, name).filter(_.nonEmpty).map(parseLine)
 
+  /** Bounded per-handle memo of resolved states (r12). SOUND because
+    * a version's state is IMMUTABLE once the version exists: log
+    * files are never rewritten (every store binding publishes with
+    * create-if-absent — the commit protocol's own arbiter), and the
+    * ordered fold over immutable inputs is a pure function. Only
+    * EXISTING versions are cached — `stateAt(root, 99)` on a
+    * 3-version table answers "state at the tip", which a later
+    * commit CHANGES, so future versions never enter the memo
+    * (spec-pinned). LRU-bounded: a state is O(live files); 64
+    * entries cover every realistic working set (a CDF walk, a
+    * planner's repeated lookups) without pinning a million-file
+    * census per table forever. */
+  private val stateMemo =
+    new java.util.LinkedHashMap[(String, Int), State](128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), State]): Boolean =
+        size > 64
+    }
+
   /** Replay to `v`: start from the newest checkpoint ≤ v (O(interval)
     * suffix fold instead of O(versions) — the metadata scale story),
     * then fold the remaining commits as an ORDERED fold (version
     * order, line order within a version). Order matters: `adds-set
     * minus removes-set` over the whole prefix would leave a file dead
     * forever once removed, even if a later commit re-adds it — the
-    * MaintenanceSpec replay property caught exactly that. */
+    * MaintenanceSpec replay property caught exactly that.
+    *
+    * r12: resolved states are memoized per version (see [[stateMemo]]
+    * for the immutability argument), and a MISS whose predecessor is
+    * cached folds ONE commit on top instead of replaying the prefix —
+    * a sequential walk (the change feed's per-version pre/post states,
+    * a history audit) is O(total actions), and a planner's N metadata
+    * lookups against one version cost one replay total. */
   def stateAt(root: String, v: Int): State = {
-    val cp = checkpoints(root).filter(_ <= v).lastOption
-    val base = cp.map(c => fold(State(Set.empty, None),
-        parseName(root, checkpointName(c))))
-      .getOrElse(State(Set.empty, None))
-    val suffix = versions(root).filter(x => x > cp.getOrElse(0) && x <= v)
-    suffix.foldLeft(base)((s, x) => fold(s, entriesAt(root, x)))
+    val vs = versions(root)
+    val cps = checkpoints(root)
+    val exists = vs.contains(v) || cps.contains(v)
+    if (exists) {
+      val hit = stateMemo.synchronized(Option(stateMemo.get((root, v))))
+      if (hit.isDefined) return hit.get
+    }
+    // incremental: fold v's own commit onto the cached v−1 state
+    // (state(v) ≡ fold(state(v−1), entries(v)) by definition)
+    val prev =
+      if (vs.contains(v))
+        stateMemo.synchronized(Option(stateMemo.get((root, v - 1))))
+      else None
+    val st = prev match {
+      case Some(p) => fold(p, entriesAt(root, v))
+      case None =>
+        val cp = cps.filter(_ <= v).lastOption
+        val base = cp.map(c => fold(State(Set.empty, None),
+            parseName(root, checkpointName(c))))
+          .getOrElse(State(Set.empty, None))
+        val suffix = vs.filter(x => x > cp.getOrElse(0) && x <= v)
+        suffix.foldLeft(base)((s, x) => fold(s, entriesAt(root, x)))
+    }
+    if (exists) stateMemo.synchronized { stateMemo.put((root, v), st); () }
+    st
   }
 
   /** The live file set at `v`, sorted. */

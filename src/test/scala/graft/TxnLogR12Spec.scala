@@ -249,6 +249,35 @@ class TxnLogR12Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // -------------------------------------------- state memo soundness
+
+  test("state memo: existing versions are stable; a FUTURE-version " +
+    "lookup is never cached and tracks new commits") {
+    withScratch { root =>
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      // future-version lookup answers the tip...
+      assert(TxnLog.stateAt(root, 99).live == Set("f0"))
+      // ...and a later commit must CHANGE that answer (a cached
+      // future version would serve the stale tip forever)
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f1")), "s") == 2)
+      assert(TxnLog.stateAt(root, 99).live == Set("f0", "f1"))
+      // pinned versions stay exact as the table grows
+      assert(TxnLog.stateAt(root, 1).live == Set("f0"))
+      assert(TxnLog.commitNext(root, Seq(TxnLog.remove("f0")), "s") == 3)
+      assert(TxnLog.stateAt(root, 1).live == Set("f0"))
+      assert(TxnLog.stateAt(root, 2).live == Set("f0", "f1"))
+      assert(TxnLog.stateAt(root, 3).live == Set("f1"))
+      // incremental fold across a checkpoint + cleanup keeps agreeing
+      // with the reference full replay
+      for (i <- 4 to 12)
+        assert(TxnLog.commitNext(root, Seq(TxnLog.add(s"g$i")), "s") == i)
+      val direct = TxnLog.stateAt(root, 12)
+      assert(TxnLog.cleanupLog(root).nonEmpty)
+      assert(TxnLog.stateAt(root, 12).live == direct.live)
+      assert(TxnLog.stateAt(root, 11).live == direct.live - "g12")
+    }
+  }
+
   // -------------------------------------- FPP-sized bloom filters
 
   test("bloom m derives from NDV: big files get big filters, and the " +
