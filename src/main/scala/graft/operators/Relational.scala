@@ -2851,6 +2851,110 @@ object Relational {
       |    AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM fin""".stripMargin
 
+  /** V2 TABLE CATALOG over txn-log tables (r12 —
+    * [[graft.sources.GraftCatalog]], the NAME face that finishes D10
+    * parity: path-free SQL). The fixture drives the WHOLE lifecycle
+    * through `spark.sql(...)` by name, never a path:
+    *
+    *  1. `CREATE NAMESPACE gcat.main` + `CREATE TABLE gcat.main.ord`
+    *     → v1 (the schema-only birth commit: metaData, zero files);
+    *  2. `INSERT INTO` the keys ≡0 (mod 3) → v2, `INSERT INTO` the
+    *     keys ≡1 → v3 — each through the V2 write seam
+    *     ([[graft.sources.TxnLog.writeAppend]]: one distributed
+    *     staged file, write-time multi-column stats, blind-append
+    *     commit);
+    *  3. `INSERT INTO ... WHERE false` — an EMPTY insert must be a
+    *     no-op (no zero-row file, no version; asserted);
+    *  4. `INSERT OVERWRITE` the keys ≡2 → v4 (truncate-and-append:
+    *     remove both insert files + add one, atomically);
+    *  5. Spark's NATIVE time travel: `SELECT ... VERSION AS OF 3`
+    *     must see exactly the pre-overwrite union, and `TIMESTAMP AS
+    *     OF` v3's own commit wall-clock resolves to the same version
+    *     (asserted at staging).
+    *
+    * The query hashes the tip version, the LIVE FILE CENSUS at v3
+    * (2: one per insert) and at the tip (1: the overwrite's single
+    * replacement), and both versions' content rollups — the oracle
+    * re-derives everything from the mod-3 slice algebra.
+    *
+    * Scale shape: every catalog operation is driver metadata (create
+    * = one log line, load = one memoized replay); the inserts are
+    * distributed writes; the reads are the V2 columnar scan over
+    * admitted files. */
+  def txnLogCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Fixtures.memo(txnLogFixtures,
+      (spark.sparkContext.applicationId, dir, "txncat|catalog_v1")) {
+        graft.core.Fixtures.staged(s"$dir/orders.parquet", "txncat",
+            codeTag = "catalog_v1") { target =>
+          val o = Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_totalprice"))
+          new java.io.File(target).mkdirs()
+          spark.conf.set("spark.sql.catalog.gcat",
+            classOf[graft.sources.GraftCatalog].getName)
+          spark.conf.set("spark.sql.catalog.gcat.warehouse", target)
+          spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.main")
+          spark.sql(s"CREATE TABLE gcat.main.ord (${o.schema.toDDL})")
+          val tbl = s"$target/main/ord"
+          assert(TxnLog.latestVersion(tbl) == 1,
+            "CREATE TABLE did not land the v1 birth commit")
+          o.createOrReplaceTempView("graft_cat_src")
+          spark.sql("INSERT INTO gcat.main.ord SELECT * FROM " +
+            "graft_cat_src WHERE o_orderkey % 3 = 0")
+          spark.sql("INSERT INTO gcat.main.ord SELECT * FROM " +
+            "graft_cat_src WHERE o_orderkey % 3 = 1")
+          assert(TxnLog.latestVersion(tbl) == 3,
+            "the two INSERTs did not land v2/v3")
+          spark.sql("INSERT INTO gcat.main.ord SELECT * FROM " +
+            "graft_cat_src WHERE false")
+          assert(TxnLog.latestVersion(tbl) == 3,
+            "an empty INSERT must be a no-op")
+          // native TIMESTAMP AS OF: v3's own commit wall-clock must
+          // resolve back to v3 (micros at the SQL face, ms in the log)
+          val n3 = spark.sql("SELECT COUNT(*) FROM gcat.main.ord " +
+            s"TIMESTAMP AS OF timestamp_millis(${TxnLog.commitTs(tbl, 3)})")
+            .head().getLong(0)
+          val want3 = spark.sql(
+            "SELECT COUNT(*) FROM gcat.main.ord").head().getLong(0)
+          assert(n3 == want3, s"TIMESTAMP AS OF v3 read $n3 != $want3")
+          spark.sql("INSERT OVERWRITE gcat.main.ord SELECT * FROM " +
+            "graft_cat_src WHERE o_orderkey % 3 = 2")
+          assert(TxnLog.latestVersion(tbl) == 4,
+            "INSERT OVERWRITE did not land v4")
+        }
+      }
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", root)
+    val tbl = s"$root/main/ord"
+    val v3 = spark.sql("SELECT * FROM gcat.main.ord VERSION AS OF 3")
+      .agg(count(lit(1)), sum(Det.cents(col("o_totalprice")))).head()
+    spark.sql("SELECT * FROM gcat.main.ord")
+      .agg(count(lit(1)).as("tip_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("tip_cents"))
+      .select(lit(TxnLog.latestVersion(tbl)).cast("int").as("tip_v"),
+        lit(TxnLog.liveFiles(tbl, 3).size).cast("int").as("n_v3_files"),
+        lit(TxnLog.liveFiles(tbl, 4).size).cast("int").as("n_tip_files"),
+        lit(v3.getLong(0)).as("v3_rows"),
+        lit(v3.getLong(1)).as("v3_cents"),
+        col("tip_rows"), col("tip_cents"))
+  }
+
+  val txnLogCatalogSql: String =
+    """WITH s AS (SELECT o_orderkey AS k,
+      |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(27,10)), 2) * 100
+      |      AS BIGINT) AS cents
+      |  FROM orders),
+      |v3 AS (SELECT * FROM s WHERE k % 3 IN (0, 1)),
+      |tp AS (SELECT * FROM s WHERE k % 3 = 2)
+      |SELECT CAST(4 AS INT) AS tip_v,
+      |  CAST(2 AS INT) AS n_v3_files,
+      |  CAST(1 AS INT) AS n_tip_files,
+      |  CAST((SELECT COUNT(*) FROM v3) AS BIGINT) AS v3_rows,
+      |  CAST((SELECT SUM(cents) FROM v3) AS BIGINT) AS v3_cents,
+      |  CAST(COUNT(*) AS BIGINT) AS tip_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS tip_cents
+      |FROM tp""".stripMargin
+
   /** SHALLOW CLONE of the txn-log table (r11 — Delta's
     * `CREATE TABLE ... SHALLOW CLONE`): a zero-copy table fork.
     * [[graft.sources.TxnLog.cloneTable]] commits ONE metadata version
@@ -4171,6 +4275,7 @@ object Relational {
     "txn_log_sql_pushdown" -> txnLogSqlPushdown,
     "txn_log_protocol" -> txnLogProtocol,
     "txn_log_sql_dml" -> txnLogSqlDml,
+    "txn_log_catalog" -> txnLogCatalog,
     "txn_log_delete" -> txnLogDelete,
     "txn_log_history" -> txnLogHistory,
     "txn_log_schema_evo" -> txnLogSchemaEvo,
@@ -4262,6 +4367,7 @@ object Relational {
     "txn_log_sql_pushdown" -> txnLogSqlPushdownSql,
     "txn_log_protocol" -> txnLogProtocolSql,
     "txn_log_sql_dml" -> txnLogSqlDmlSql,
+    "txn_log_catalog" -> txnLogCatalogSql,
     "txn_log_delete" -> txnLogDeleteSql,
     "txn_log_history" -> txnLogHistorySql,
     "txn_log_schema_evo" -> txnLogSchemaEvoSql,

@@ -409,47 +409,63 @@ class TxnLogOps(val store: LogStore) {
     * schema). Returns the committed version. */
   def commitAppend(root: String, files: Seq[String], schemaDdl: String,
                    session: String, evolve: Boolean = false,
-                   maxAttempts: Int = 10): Int = {
+                   maxAttempts: Int = 10,
+                   rich: Map[String, Entry] = Map.empty): Int = {
     val append = StructType.fromDDL(schemaDdl)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(root)
-      val meta: Option[String] = schemaAt(root, base) match {
-        case None => Some(append.toDDL)
-        case Some(table) =>
-          append.fields.foreach { f =>
-            table.fields.find(_.name == f.name).foreach { tf =>
-              require(tf.dataType == f.dataType,
-                s"incompatible append: column ${f.name} is ${f.dataType} " +
-                  s"but the table schema has ${tf.dataType}")
-            }
-          }
-          val newCols = append.fields
-            .filterNot(f => table.fields.exists(_.name == f.name))
-          if (newCols.isEmpty) None
-          else {
-            require(evolve,
-              s"append adds columns ${newCols.map(_.name).mkString(",")} " +
-                "— pass evolve=true to widen the table schema")
-            // a rename/drop tombstoned name may still exist PHYSICALLY
-            // in old files: re-admitting it as a logical column would
-            // resurrect those values into the new column
-            val tomb = stateAt(root, base).dropped
-            val reused = newCols.map(_.name).filter(tomb)
-            require(reused.isEmpty,
-              s"columns ${reused.mkString(",")} were retired by an " +
-                "earlier rename/drop — old files still carry them " +
-                "physically; pick fresh names")
-            Some(StructType(table.fields ++ newCols).toDDL)
-          }
-      }
-      if (tryCommit(root, base + 1, files.map(add), session,
+      val meta = resolveWriteSchema(root, base, append, evolve)
+      if (tryCommit(root, base + 1,
+          files.map(f => rich.getOrElse(f, add(f))), session,
           schemaDdl = meta))
         return base + 1
       attempt += 1
     }
     throw new IllegalStateException(
       s"could not append after $maxAttempts attempts (writer storm?)")
+  }
+
+  /** The schema contract every write resolves against the table's
+    * metaData at `base` (extracted from [[commitAppend]] so
+    * [[writeOverwrite]] shares the exact rules): first write on a
+    * schema-less table PUBLISHES its schema; a column present in both
+    * must have the identical type (otherwise the write is REJECTED);
+    * new columns are evolution — rejected unless `evolve`, in which
+    * case the merged metaData is returned and a tombstoned
+    * (renamed/dropped) name may never be reused. Returns the metaData
+    * DDL the commit must carry, None when the table schema is
+    * unchanged. */
+  private def resolveWriteSchema(root: String, base: Int,
+                                 append: StructType, evolve: Boolean)
+  : Option[String] = schemaAt(root, base) match {
+    case None => Some(append.toDDL)
+    case Some(table) =>
+      append.fields.foreach { f =>
+        table.fields.find(_.name == f.name).foreach { tf =>
+          require(tf.dataType == f.dataType,
+            s"incompatible append: column ${f.name} is ${f.dataType} " +
+              s"but the table schema has ${tf.dataType}")
+        }
+      }
+      val newCols = append.fields
+        .filterNot(f => table.fields.exists(_.name == f.name))
+      if (newCols.isEmpty) None
+      else {
+        require(evolve,
+          s"append adds columns ${newCols.map(_.name).mkString(",")} " +
+            "— pass evolve=true to widen the table schema")
+        // a rename/drop tombstoned name may still exist PHYSICALLY
+        // in old files: re-admitting it as a logical column would
+        // resurrect those values into the new column
+        val tomb = stateAt(root, base).dropped
+        val reused = newCols.map(_.name).filter(tomb)
+        require(reused.isEmpty,
+          s"columns ${reused.mkString(",")} were retired by an " +
+            "earlier rename/drop — old files still carry them " +
+            "physically; pick fresh names")
+        Some(StructType(table.fields ++ newCols).toDDL)
+      }
   }
 
   /** Fail loudly when any row of `df` makes a constraint expression
@@ -585,6 +601,27 @@ class TxnLogOps(val store: LogStore) {
       ColDrop(name), session)
   }
 
+  /** ADD COLUMNS, metadata-only (r12 — the catalog's `ALTER TABLE
+    * ... ADD COLUMNS` verb): widen the logical schema by `cols` in
+    * ONE commit; existing files read the new columns as typed nulls
+    * (the same null-padding contract schema evolution on append
+    * publishes). The shared [[resolveWriteSchema]] enforces the
+    * rules: an existing name must not change type, a tombstoned
+    * (renamed/dropped) name may never be reused. */
+  def addColumns(root: String, cols: StructType, session: String)
+  : Int = {
+    val tip = latestVersion(root)
+    val schema = schemaAt(root, tip).getOrElse(
+      throw new IllegalStateException(
+        s"$root has no metaData schema — add columns needs one"))
+    val widened = resolveWriteSchema(root, tip,
+      StructType(schema.fields ++ cols.fields), evolve = true)
+      .getOrElse(throw new IllegalArgumentException(
+        s"columns ${cols.fieldNames.mkString(",")} already exist in " +
+          s"${schema.toDDL}"))
+    commitNext(root, Seq.empty, session, schemaDdl = Some(widened))
+  }
+
   /** [[commitAppend]] behind the table's CHECK constraints: scans the
     * already-written `files` once (all constraints in one pass) and
     * refuses the commit naming every violated constraint. The
@@ -600,6 +637,118 @@ class TxnLogOps(val store: LogStore) {
         .parquet(files.map(f => s"$root/$f"): _*), cons,
         s"append of ${files.mkString(",")}")
     commitAppend(root, files, schemaDdl, session, evolve, maxAttempts)
+  }
+
+  /** Stage `df` as ONE new data dir under `root` with a fully
+    * DISTRIBUTED parquet write (a SQL INSERT can be any size — no
+    * `coalesce(1)` here; small-file hygiene is OPTIMIZE's job, the
+    * posture every table format takes for its write path), then
+    * compute multi-column bounds in a single agg pass so the add
+    * publishes skipping metadata at write time. Columns getting
+    * stats = `statsCols` ∪ the columns the table's live files
+    * already track ∪ (by default) every top-level atomic column —
+    * a fresh catalog table must earn pruning from its FIRST insert,
+    * not after someone remembers to configure it; all-null/
+    * unrenderable columns silently fall out ([[statsForCols]]).
+    * Returns None for an empty frame (the staging dir is cleaned
+    * up; an empty INSERT must not commit a zero-row file that every
+    * future scan pays to open). */
+  private def stageWrite(spark: SparkSession, root: String,
+                         df: DataFrame, tag: String,
+                         statsCols: Seq[String]): Option[(String, Entry)] = {
+    val out = s"w_$tag"
+    store.deleteDataDir(root, out) // crashed earlier attempt
+    df.write.mode("overwrite").parquet(s"$root/$out")
+    val tracked = stateAt(root, latestVersion(root))
+      .stats.values.flatten.map(_.col).toSeq
+    val atomic = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType] ||
+        f.dataType == org.apache.spark.sql.types.StringType ||
+        f.dataType == org.apache.spark.sql.types.DateType ||
+        f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.BooleanType => f.name
+    }.toSeq
+    val cols = (statsCols ++ tracked ++ atomic).distinct.sorted
+      .filter(df.columns.contains)
+    val probe = spark.read.parquet(s"$root/$out")
+    if (probe.isEmpty) {
+      store.deleteDataDir(root, out)
+      None
+    } else {
+      val stats = statsForCols(spark, root, out, cols)
+      Some(out -> (if (stats.nonEmpty)
+        AddFile(out, Seq.empty, stats) else add(out)))
+    }
+  }
+
+  /** Engine-side APPEND of a DataFrame — the verb behind the V2
+    * write seam's `INSERT INTO` ([[GraftTxnTable]]): enforce CHECK
+    * constraints on the rows being written (one pass, before any
+    * byte lands), stage ONE distributed data dir with write-time
+    * stats ([[stageWrite]]), and commit it under the shared schema
+    * contract ([[resolveWriteSchema]] via [[commitAppend]] — blind
+    * append, commutes with everything but a schema change). `tag`
+    * must be writer-unique (the SQL face passes the query id); an
+    * empty frame is a NO-OP returning −1. Returns the committed
+    * version.
+    *
+    * Scale shape: the data write is `df`'s own distributed plan; the
+    * stats pass is one agg over the staged file; the commit is one
+    * conditional-put log line. */
+  def writeAppend(spark: SparkSession, root: String, df: DataFrame,
+                  session: String, tag: String,
+                  evolve: Boolean = false,
+                  statsCols: Seq[String] = Seq.empty,
+                  maxAttempts: Int = 10): Int = {
+    enforceConstraints(df,
+      stateAt(root, latestVersion(root)).constraints, "append")
+    stageWrite(spark, root, df, tag, statsCols) match {
+      case None => -1
+      case Some((name, entry)) =>
+        try commitAppend(root, Seq(name), df.schema.toDDL, session,
+          evolve, maxAttempts, rich = Map(name -> entry))
+        catch { case e: Throwable =>
+          store.deleteDataDir(root, name); throw e }
+    }
+  }
+
+  /** Engine-side truncate-and-write — the verb behind the V2 write
+    * seam's `INSERT OVERWRITE`: stage the replacement ONCE, then
+    * commit remove(every live file) + add(staged) as one atomic
+    * version. The removes are re-resolved against the CURRENT tip on
+    * each slot-race retry — INSERT OVERWRITE replaces whatever is
+    * there at commit time (the standard semantics: a concurrent
+    * append landing first is swallowed by the overwrite, exactly as
+    * if it had landed just before it). Schema follows the same
+    * contract as append, without evolution (an overwrite that wants
+    * new columns is a schema migration — do it explicitly).
+    * An empty frame truncates the table to zero live files; on an
+    * already-empty table with an unchanged schema it is a no-op
+    * returning the current tip. */
+  def writeOverwrite(spark: SparkSession, root: String, df: DataFrame,
+                     session: String, tag: String,
+                     statsCols: Seq[String] = Seq.empty,
+                     maxAttempts: Int = 10): Int = {
+    enforceConstraints(df,
+      stateAt(root, latestVersion(root)).constraints, "overwrite")
+    val staged = stageWrite(spark, root, df, tag, statsCols)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(root)
+      val meta = resolveWriteSchema(root, base, df.schema,
+        evolve = false)
+      val actions: Seq[Entry] =
+        stateAt(root, base).live.toSeq.sorted.map(remove) ++
+          staged.map(_._2).toSeq
+      if (actions.isEmpty && meta.isEmpty) return base // empty on empty
+      if (tryCommit(root, base + 1, actions, session, schemaDdl = meta))
+        return base + 1
+      attempt += 1
+    }
+    staged.foreach { case (name, _) => store.deleteDataDir(root, name) }
+    throw new IllegalStateException(
+      s"could not overwrite after $maxAttempts attempts (writer storm?)")
   }
 
   /** Project `base` to schema `s`'s columns in order, null-padding

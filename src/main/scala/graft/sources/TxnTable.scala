@@ -5,12 +5,14 @@ import java.util.{Map => JMap, OptionalLong}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SparkSession, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead,
+  SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder,
   Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns,
   SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
+  Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources.{
@@ -89,25 +91,80 @@ class TxnTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
-    val (root, version) =
-      resolve(new CaseInsensitiveStringMap(properties))
-    new GraftTxnTable(root, version, schema)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (root, version) = resolve(opts)
+    // a time-traveled load is a READ-ONLY view of history; writes
+    // only ever target the tip
+    new GraftTxnTable(root, version, schema,
+      writable = !opts.containsKey("versionAsOf") &&
+        !opts.containsKey("timestampAsOf"))
   }
 }
 
 private[sources] class GraftTxnTable(root: String, version: Int,
-                                     tableSchema: StructType)
-  extends Table with SupportsRead {
+                                     tableSchema: StructType,
+                                     writable: Boolean = false)
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-txn `$root` @v$version"
   override def schema(): StructType = tableSchema
+  // declares BATCH_WRITE for the analyzers' capability gate but
+  // EXECUTES through the V1Write/InsertableRelation seam (the
+  // physical planner dispatches on the returned Write's type, not
+  // the capability) — Delta's exact posture for whole-DataFrame
+  // write verbs; TRUNCATE admits INSERT OVERWRITE as
+  // truncate-and-append. Declared even on a time-traveled load so a
+  // write against history fails in [[newWriteBuilder]] with the
+  // NAMED refusal instead of the capability gate's opaque one.
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
   : ScanBuilder =
     new GraftTxnScanBuilder(SparkSession.active, root, version,
       tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(writable, s"graft-txn `$root` was loaded with time " +
+      "travel — historical versions are immutable; load the table " +
+      "without versionAsOf/timestampAsOf to write")
+    new GraftTxnWriteBuilder(root, info)
+  }
+}
+
+/** The V2 write seam: `INSERT INTO` appends, `INSERT OVERWRITE`
+  * (truncate) replaces — both committed through the txn log's own
+  * verbs ([[TxnLogOps.writeAppend]] / [[TxnLogOps.writeOverwrite]]),
+  * so SQL writers get the same schema contract, CHECK enforcement,
+  * write-time stats, and conflict posture as the Scala API. The
+  * query id tags the staged data dir (writer-unique names under
+  * concurrent INSERTs). */
+private[sources] class GraftTxnWriteBuilder(root: String,
+    info: LogicalWriteInfo)
+  extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation
+    : org.apache.spark.sql.sources.InsertableRelation =
+      (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+        val tag = info.queryId().replaceAll("[^A-Za-z0-9]", "")
+          .take(16)
+        if (overwrite)
+          TxnLog.writeOverwrite(data.sparkSession, root, data,
+            "sqlw", tag)
+        else
+          TxnLog.writeAppend(data.sparkSession, root, data,
+            "sqlw", tag)
+        ()
+      }
+  }
 }
 
 /** The pushdown seam: filters shrink the FILE list (stats + blooms +

@@ -1,0 +1,271 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, TxnLog}
+
+/** The r12 catalog + V2 write seam: txn-log tables by NAME — CREATE /
+  * INSERT INTO / INSERT OVERWRITE / native time travel / ALTER /
+  * RENAME / DROP — every verb driving the same log commit protocol
+  * as the Scala API. */
+class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
+
+  private val cat = "gspec"
+
+  /** Fresh warehouse per test; the catalog resolves it from the conf
+    * DYNAMICALLY, so repointing works even though Spark caches the
+    * catalog instance per session. */
+  private def withWarehouse(body: String => Unit): Unit = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_cat_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try body(wh)
+    finally graft.core.Fixtures.deleteRecursively(new java.io.File(wh))
+  }
+
+  private def scanDescs(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }
+
+  test("full lifecycle by name: create, insert, overwrite, time " +
+    "travel, drop") {
+    withWarehouse { wh =>
+      spark.sql(s"CREATE NAMESPACE $cat.main")
+      spark.sql(s"CREATE TABLE $cat.main.t (k BIGINT, t STRING)")
+      val root = s"$wh/main/t"
+      assert(TxnLog.latestVersion(root) == 1)
+      assert(TxnLog.schemaAt(root, 1).get.fieldNames.toSeq ==
+        Seq("k", "t"))
+      // the birth commit reads as an EMPTY typed frame
+      assert(spark.sql(s"SELECT * FROM $cat.main.t").count() == 0)
+
+      spark.sql(s"INSERT INTO $cat.main.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql(s"INSERT INTO $cat.main.t VALUES (3, 'c')")
+      assert(TxnLog.latestVersion(root) == 3)
+      assert(spark.sql(s"SELECT * FROM $cat.main.t").count() == 3)
+
+      // SHOW TABLES sees it
+      val shown = spark.sql(s"SHOW TABLES IN $cat.main")
+        .select("tableName").collect().map(_.getString(0)).toSeq
+      assert(shown == Seq("t"))
+
+      // native VERSION AS OF: v2 = first insert only
+      assert(spark.sql(
+        s"SELECT * FROM $cat.main.t VERSION AS OF 2").count() == 2)
+      // native TIMESTAMP AS OF (micros at the seam, ms in the log)
+      val ts2 = TxnLog.commitTs(root, 2)
+      assert(spark.sql(s"SELECT * FROM $cat.main.t TIMESTAMP AS OF " +
+        s"timestamp_millis($ts2)").count() == 2)
+
+      spark.sql(s"INSERT OVERWRITE $cat.main.t VALUES (9, 'z')")
+      assert(TxnLog.latestVersion(root) == 4)
+      assert(spark.sql(s"SELECT k FROM $cat.main.t")
+        .head().getLong(0) == 9)
+      // the overwrite retired both insert files for one replacement
+      assert(TxnLog.liveFiles(root, 3).size == 2)
+      assert(TxnLog.liveFiles(root, 4).size == 1)
+      // history is intact: v3 still reads pre-overwrite
+      assert(spark.sql(
+        s"SELECT * FROM $cat.main.t VERSION AS OF 3").count() == 3)
+
+      assert(spark.sql(s"DROP TABLE $cat.main.t").collect().isEmpty)
+      assert(!new java.io.File(root).exists())
+      assert(spark.sql(s"SHOW TABLES IN $cat.main").count() == 0)
+    }
+  }
+
+  test("catalog reads keep the V2 metadata pruning: a keyed WHERE " +
+    "over two insert files scans one") {
+    withWarehouse { _ =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns2")
+      spark.sql(s"CREATE TABLE $cat.ns2.p (k BIGINT, v DOUBLE)")
+      import spark.implicits._
+      (0L until 100L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .createOrReplaceTempView("lo_src")
+      (1000L until 1100L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .createOrReplaceTempView("hi_src")
+      spark.sql(s"INSERT INTO $cat.ns2.p SELECT * FROM lo_src")
+      spark.sql(s"INSERT INTO $cat.ns2.p SELECT * FROM hi_src")
+      val df = spark.sql(s"SELECT * FROM $cat.ns2.p WHERE k = 1050")
+      assert(df.count() == 1)
+      // write-time stats admitted only the hi file; the columnar
+      // delegate reports the census in the scan description
+      val descs = scanDescs(df)
+      assert(descs.exists(d => d.contains("scanned=1") &&
+        d.contains("pruned=1")),
+        s"expected a 1-scanned/1-pruned census, got: $descs")
+    }
+  }
+
+  test("a time-traveled relation is read-only") {
+    withWarehouse { _ =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns3")
+      spark.sql(s"CREATE TABLE $cat.ns3.r (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.ns3.r VALUES (1)")
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.ns3.r VERSION AS OF 1 VALUES (2)")
+      }
+      assert(e.getMessage != null)
+      // the tip never moved
+      assert(TxnLog.latestVersion(
+        s"${spark.conf.get(s"spark.sql.catalog.$cat.warehouse")}" +
+          "/ns3/r") == 2)
+    }
+  }
+
+  test("SQL INSERT enforces CHECK constraints and an empty INSERT " +
+    "is a version no-op") {
+    withWarehouse { wh =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns4")
+      spark.sql(s"CREATE TABLE $cat.ns4.c (k BIGINT)")
+      val root = s"$wh/ns4/c"
+      assert(TxnLog.addConstraint(spark, root, "pos", "k > 0",
+        "spec") == 2)
+      spark.sql(s"INSERT INTO $cat.ns4.c VALUES (5)")
+      assert(TxnLog.latestVersion(root) == 3)
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.ns4.c VALUES (-1)")
+      }
+      assert(e.getMessage.contains("pos") ||
+        e.getCause != null && e.getCause.getMessage.contains("pos"),
+        s"constraint name missing from: ${e.getMessage}")
+      assert(TxnLog.latestVersion(root) == 3,
+        "a refused INSERT must not commit")
+      // staged bytes from the refused write are cleaned up: the next
+      // read sees exactly the accepted row
+      assert(spark.sql(s"SELECT * FROM $cat.ns4.c").count() == 1)
+      spark.sql(
+        s"INSERT INTO $cat.ns4.c SELECT * FROM VALUES (1) WHERE false")
+      assert(TxnLog.latestVersion(root) == 3,
+        "an empty INSERT must be a no-op")
+    }
+  }
+
+  test("ALTER TABLE by name: ADD COLUMNS / RENAME COLUMN / DROP " +
+    "COLUMN are the log's metadata-only surgery") {
+    withWarehouse { wh =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns5")
+      spark.sql(s"CREATE TABLE $cat.ns5.a (k BIGINT, x STRING)")
+      spark.sql(s"INSERT INTO $cat.ns5.a VALUES (1, 'one')")
+      val root = s"$wh/ns5/a"
+
+      spark.sql(s"ALTER TABLE $cat.ns5.a ADD COLUMNS (w DOUBLE)")
+      // old file null-pads the new column
+      val r = spark.sql(s"SELECT k, x, w FROM $cat.ns5.a").head()
+      assert(r.getLong(0) == 1 && r.isNullAt(2))
+
+      spark.sql(s"ALTER TABLE $cat.ns5.a RENAME COLUMN x TO label")
+      assert(spark.sql(s"SELECT label FROM $cat.ns5.a")
+        .head().getString(0) == "one")
+
+      spark.sql(s"ALTER TABLE $cat.ns5.a DROP COLUMN w")
+      assert(spark.sql(s"SELECT * FROM $cat.ns5.a").columns.toSeq ==
+        Seq("k", "label"))
+      // all three were metadata-only: the single data file survives
+      assert(TxnLog.liveFiles(root,
+        TxnLog.latestVersion(root)).size == 1)
+    }
+  }
+
+  test("ALTER TABLE RENAME TO moves the directory; the relative-path " +
+    "log design keeps the whole state") {
+    withWarehouse { wh =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns6")
+      spark.sql(s"CREATE TABLE $cat.ns6.before (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.ns6.before VALUES (1), (2)")
+      // the RENAME TO target is CATALOG-RELATIVE in Spark's grammar
+      spark.sql(s"ALTER TABLE $cat.ns6.before RENAME TO ns6.after")
+      assert(!new java.io.File(s"$wh/ns6/before").exists())
+      assert(spark.sql(s"SELECT * FROM $cat.ns6.after").count() == 2)
+      // history moved with it
+      assert(spark.sql(
+        s"SELECT * FROM $cat.ns6.after VERSION AS OF 1").count() == 0)
+    }
+  }
+
+  test("DataFrameWriterV2 appends by name; writeTo overwrite " +
+    "truncates") {
+    withWarehouse { _ =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns7")
+      spark.sql(s"CREATE TABLE $cat.ns7.w (k BIGINT, t STRING)")
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("k", "t")
+        .writeTo(s"$cat.ns7.w").append()
+      assert(spark.table(s"$cat.ns7.w").count() == 2)
+      Seq((3L, "c")).toDF("k", "t")
+        .writeTo(s"$cat.ns7.w").overwrite(lit(true))
+      assert(spark.table(s"$cat.ns7.w").as[(Long, String)]
+        .collect().toSeq == Seq((3L, "c")))
+    }
+  }
+
+  test("path-based V2 write: df.write.format(graft-txn).save appends " +
+    "to an existing table root") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pathw_").toString
+    try {
+      Seq((1L, "a")).toDF("k", "t").coalesce(1)
+        .write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,t STRING",
+        "spec") == 1)
+      Seq((2L, "b")).toDF("k", "t").write.format("graft-txn")
+        .option("path", root).mode("append").save()
+      assert(TxnLog.latestVersion(root) == 2)
+      assert(TxnLog.read(spark, root).count() == 2)
+      // a time-traveled path load refuses writes
+      val e = intercept[Exception] {
+        Seq((3L, "c")).toDF("k", "t").write.format("graft-txn")
+          .option("path", root).option("versionAsOf", "1")
+          .mode("append").save()
+      }
+      assert(e.getMessage.contains("time travel"),
+        s"wrong refusal: ${e.getMessage}")
+    } finally graft.core.Fixtures.deleteRecursively(
+      new java.io.File(root))
+  }
+
+  test("CREATE TABLE AS SELECT by name: the non-atomic V2 CTAS — " +
+    "birth commit then the first distributed insert") {
+    withWarehouse { wh =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns9")
+      spark.sql(s"CREATE TABLE $cat.ns9.cts AS " +
+        "SELECT id AS k, id * 2.0 AS v FROM range(10)")
+      assert(spark.table(s"$cat.ns9.cts").count() == 10)
+      val root = s"$wh/ns9/cts"
+      assert(TxnLog.latestVersion(root) == 2,
+        "CTAS must land create (v1) + append (v2)")
+      assert(TxnLog.schemaAt(root, 1).get.fieldNames.toSeq ==
+        Seq("k", "v"))
+    }
+  }
+
+  test("create refuses a static PARTITIONED BY; namespaces list and " +
+    "drop; a nonexistent table fails loudly") {
+    withWarehouse { _ =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns8")
+      val e = intercept[Exception] {
+        spark.sql(
+          s"CREATE TABLE $cat.ns8.p (k BIGINT, d STRING) " +
+            "PARTITIONED BY (d)")
+      }
+      assert(e.getMessage.contains("partition tuples"),
+        s"wrong refusal: ${e.getMessage}")
+      val nss = spark.sql(s"SHOW NAMESPACES IN $cat")
+        .collect().map(_.getString(0)).toSet
+      assert(nss.contains("ns8"))
+      assert(intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.ns8.ghost").collect()
+      }.getMessage.toLowerCase.contains("table"))
+      spark.sql(s"DROP NAMESPACE $cat.ns8")
+      assert(!spark.sql(s"SHOW NAMESPACES IN $cat")
+        .collect().map(_.getString(0)).toSet.contains("ns8"))
+    }
+  }
+}

@@ -179,6 +179,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "txn_log_protocol" -> 1,
     // one global agg over the post-DML tip (lifecycle runs at staging)
     "txn_log_sql_dml" -> 1,
+    // catalog tip read (V2 columnar) + one scalar agg; the v3 rollup
+    // is a bounded 1-row readback, censuses are log metadata
+    "txn_log_catalog" -> 1,
     // the scan_txn_log rollup shape + broadcast probe join + sort
     "txn_log_time_travel" -> 4,
     "join_asof" -> 2,
