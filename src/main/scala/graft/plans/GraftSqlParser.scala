@@ -15,21 +15,25 @@ import graft.sources.TxnLog
   * "the D10 parity story stops at SELECT"): a delegating parser
   * injected via `spark.sql.extensions` that recognizes the GRAFT
   * maintenance/DML verbs and hands everything else to Spark's own
-  * parser untouched. The statements (paths quoted, identifiers bare):
+  * parser untouched. Every `<t>` below is a quoted table-root path
+  * OR (r12) a dotted `catalog.ns.table` identifier resolved through
+  * a registered [[graft.sources.GraftCatalog]] — the DML face
+  * follows the catalog:
   *
   * {{{
-  * GRAFT OPTIMIZE '<table root>' [ZORDER BY (colA, colB)]
-  * GRAFT DELETE FROM '<root>' WHERE col BETWEEN 'lo' AND 'hi' [USING DV]
-  * GRAFT MERGE INTO '<root>' USING <tempView> ON <keyCol>
-  * GRAFT RESTORE '<root>' TO VERSION <n>
-  * GRAFT VACUUM '<root>' [RETAIN <n> VERSIONS] [DRY RUN]
-  * GRAFT CLONE '<srcRoot>' TO '<dstRoot>'
-  * GRAFT ALTER '<root>' ADD CONSTRAINT <name> CHECK(<expr>)
-  * GRAFT ALTER '<root>' DROP CONSTRAINT <name>
-  * GRAFT ALTER '<root>' RENAME COLUMN <a> TO <b>
-  * GRAFT ALTER '<root>' DROP COLUMN <a>
-  * GRAFT UPGRADE '<root>' TO PROTOCOL(<r>, <w>)
-  * GRAFT DESCRIBE HISTORY '<root>'          -- read-only, multi-row
+  * GRAFT OPTIMIZE <t> [ZORDER BY (colA, colB)]
+  * GRAFT DELETE FROM <t> WHERE col BETWEEN 'lo' AND 'hi' [USING DV]
+  * GRAFT MERGE INTO <t> USING <tempView> ON <keyCol>
+  * GRAFT RESTORE <t> TO VERSION <n>
+  * GRAFT VACUUM <t> [RETAIN <n> VERSIONS] [DRY RUN]
+  * GRAFT CLONE <t> TO <t'>
+  * GRAFT ALTER <t> ADD CONSTRAINT <name> CHECK(<expr>)
+  * GRAFT ALTER <t> DROP CONSTRAINT <name>
+  * GRAFT ALTER <t> RENAME COLUMN <a> TO <b>
+  * GRAFT ALTER <t> DROP COLUMN <a>
+  * GRAFT UPGRADE <t> TO PROTOCOL(<r>, <w>)
+  * GRAFT DESCRIBE HISTORY <t>               -- read-only, multi-row
+  * GRAFT CHANGES <t> FROM <v> [TO <v>]      -- the CDF, distributed
   * }}}
   *
   * Each parses to a [[GraftDmlCommand]] — a `LeafRunnableCommand`
@@ -84,6 +88,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftDmlCommand("upgrade_protocol", path, Seq(r, w))
       case HistoryRe(path) =>
         GraftHistoryCommand(path)
+      case ChangesRe(t, fromV, toV) =>
+        // the change feed is a DISTRIBUTED read, not a driver-side
+        // command: the statement resolves straight to readChanges'
+        // own logical plan, so `spark.sql("GRAFT CHANGES ...")`
+        // scans only the files the commits in range name — never a
+        // collect (Delta's table_changes, as a statement)
+        val spark = SparkSession.active
+        TxnLog.readChanges(spark,
+            GraftSqlParser.resolveTable(spark, t), fromV.toInt,
+            Option(toV).map(_.toInt).getOrElse(-1))
+          .queryExecution.logical
       case other => throw new IllegalArgumentException(
         "malformed GRAFT statement (supported: OPTIMIZE [ZORDER BY], " +
           "DELETE FROM ... WHERE c BETWEEN 'lo' AND 'hi' [USING DV], " +
@@ -91,7 +106,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           "VACUUM [RETAIN n VERSIONS] [DRY RUN], CLONE src TO dst, " +
           "ALTER t ADD CONSTRAINT name CHECK(expr) / DROP CONSTRAINT " +
           "name / RENAME COLUMN a TO b / DROP COLUMN a, " +
-          "UPGRADE t TO PROTOCOL(r, w), DESCRIBE HISTORY t): $other")
+          "UPGRADE t TO PROTOCOL(r, w), DESCRIBE HISTORY t, " +
+          "CHANGES t FROM v [TO v]; t = 'path' or catalog.ns.table): " +
+          s"$other")
     }
   }
 
@@ -114,44 +131,85 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
-  // the GRAFT prefix is the dispatch guarantee; within it, paths are
-  // single-quoted (no embedded quotes), identifiers are bare words
+  // the GRAFT prefix is the dispatch guarantee; within it, VALUES are
+  // single-quoted strings (P), column/view names are bare words (I),
+  // and TABLE slots (T) accept either a quoted path or a dotted
+  // `catalog.ns.table` identifier resolved through a registered
+  // [[graft.sources.GraftCatalog]] (r12: the DML face follows the
+  // catalog — verbs by name, not just by path)
   private val P = """'([^']+)'"""
   private val I = """([A-Za-z_][A-Za-z0-9_]*)"""
+  private val T = """('[^']+'|[A-Za-z_][A-Za-z0-9_.]*)"""
   private def re(body: String) =
     ("""(?is)\s*GRAFT\s+""" + body + """\s*;?\s*""").r
 
   private[plans] val OptimizeZRe = re(
-    s"""OPTIMIZE\\s+$P\\s+ZORDER\\s+BY\\s*\\(\\s*$I\\s*,\\s*$I\\s*\\)""")
-  private[plans] val OptimizeRe = re(s"""OPTIMIZE\\s+$P""")
+    s"""OPTIMIZE\\s+$T\\s+ZORDER\\s+BY\\s*\\(\\s*$I\\s*,\\s*$I\\s*\\)""")
+  private[plans] val OptimizeRe = re(s"""OPTIMIZE\\s+$T""")
   private[plans] val DeleteRe = re(
-    s"""DELETE\\s+FROM\\s+$P\\s+WHERE\\s+$I\\s+BETWEEN\\s+$P\\s+AND\\s+$P(\\s+USING\\s+DV)?""")
+    s"""DELETE\\s+FROM\\s+$T\\s+WHERE\\s+$I\\s+BETWEEN\\s+$P\\s+AND\\s+$P(\\s+USING\\s+DV)?""")
   private[plans] val MergeRe = re(
-    s"""MERGE\\s+INTO\\s+$P\\s+USING\\s+$I\\s+ON\\s+$I""")
+    s"""MERGE\\s+INTO\\s+$T\\s+USING\\s+$I\\s+ON\\s+$I""")
   private[plans] val RestoreRe = re(
-    s"""RESTORE\\s+$P\\s+TO\\s+VERSION\\s+(\\d+)""")
+    s"""RESTORE\\s+$T\\s+TO\\s+VERSION\\s+(\\d+)""")
   private[plans] val VacuumRe = re(
-    s"""VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?""")
-  private[plans] val CloneRe = re(s"""CLONE\\s+$P\\s+TO\\s+$P""")
+    s"""VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?""")
+  private[plans] val CloneRe = re(s"""CLONE\\s+$T\\s+TO\\s+$T""")
   // greedy body up to the LAST ')': CHECK expressions may nest parens
   private[plans] val AddConstraintRe = re(
-    s"""ALTER\\s+$P\\s+ADD\\s+CONSTRAINT\\s+$I\\s+CHECK\\s*\\((.+)\\)""")
+    s"""ALTER\\s+$T\\s+ADD\\s+CONSTRAINT\\s+$I\\s+CHECK\\s*\\((.+)\\)""")
   private[plans] val DropConstraintRe = re(
-    s"""ALTER\\s+$P\\s+DROP\\s+CONSTRAINT\\s+$I""")
+    s"""ALTER\\s+$T\\s+DROP\\s+CONSTRAINT\\s+$I""")
   private[plans] val RenameColRe = re(
-    s"""ALTER\\s+$P\\s+RENAME\\s+COLUMN\\s+$I\\s+TO\\s+$I""")
+    s"""ALTER\\s+$T\\s+RENAME\\s+COLUMN\\s+$I\\s+TO\\s+$I""")
   private[plans] val DropColRe = re(
-    s"""ALTER\\s+$P\\s+DROP\\s+COLUMN\\s+$I""")
+    s"""ALTER\\s+$T\\s+DROP\\s+COLUMN\\s+$I""")
   private[plans] val UpgradeRe = re(
-    s"""UPGRADE\\s+$P\\s+TO\\s+PROTOCOL\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)""")
-  private[plans] val HistoryRe = re(s"""DESCRIBE\\s+HISTORY\\s+$P""")
+    s"""UPGRADE\\s+$T\\s+TO\\s+PROTOCOL\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)""")
+  private[plans] val HistoryRe = re(s"""DESCRIBE\\s+HISTORY\\s+$T""")
+  private[plans] val ChangesRe = re(
+    s"""CHANGES\\s+$T\\s+FROM\\s+(\\d+)(?:\\s+TO\\s+(\\d+))?""")
+
+  /** A table token from the grammar's T slot → the table's
+    * filesystem root: a quoted token IS the path (quotes stripped);
+    * a dotted identifier resolves through the session's catalog
+    * manager to a registered [[graft.sources.GraftCatalog]] (loud
+    * failure when the catalog is missing or not graft's —
+    * maintenance verbs must never silently target a directory named
+    * like a catalog). `mustExist = false` serves create-like slots
+    * (CLONE's destination). */
+  private[graft] def resolveTable(spark: SparkSession, token: String,
+                                  mustExist: Boolean = true): String = {
+    if (token.startsWith("'") && token.endsWith("'") && token.length >= 2)
+      return token.substring(1, token.length - 1)
+    val parts = token.split('.').toSeq
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"a graft table identifier needs catalog.[ns.]table: $token")
+    val cat =
+      try spark.sessionState.catalogManager.catalog(parts.head)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"unknown catalog `${parts.head}` in $token — register it " +
+          s"via spark.sql.catalog.${parts.head}", e) }
+    cat match {
+      case g: graft.sources.GraftCatalog =>
+        g.tableRoot(org.apache.spark.sql.connector.catalog.Identifier
+          .of(parts.tail.init.toArray, parts.last), mustExist)
+      case other => throw new IllegalArgumentException(
+        s"catalog `${parts.head}` is not a graft catalog " +
+          s"(${other.getClass.getName}) — GRAFT verbs only drive " +
+          "txn-log tables")
+    }
+  }
 }
 
 /** One GRAFT DML statement, planned as a leaf command: `run` drives
   * the Scala-API verb and returns its committed version (−1 = no-op)
-  * — VACUUM returns the reclaim-set size instead. The session tag
+  * — VACUUM returns the reclaim-set size instead. The table token is
+  * resolved at RUN time ([[GraftSqlParser.resolveTable]]: quoted =
+  * path, dotted = catalog identifier), so a statement planned before
+  * its catalog was registered still lands. The session tag
   * identifies SQL-face writers in tmp names and the audit trail. */
-case class GraftDmlCommand(verb: String, path: String,
+case class GraftDmlCommand(verb: String, table: String,
                            args: Seq[String])
   extends LeafRunnableCommand {
 
@@ -160,6 +218,7 @@ case class GraftDmlCommand(verb: String, path: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val session = "sqldml"
+    val path = GraftSqlParser.resolveTable(spark, table)
     val n = verb match {
       case "optimize" =>
         TxnLog.compact(spark, path, session).getOrElse(-1)
@@ -180,7 +239,8 @@ case class GraftDmlCommand(verb: String, path: String,
         TxnLog.vacuum(path, retainVersions = args(0).toInt,
           dryRun = args(1).toBoolean).size
       case "clone" =>
-        TxnLog.cloneTable(path, args(0), session)
+        TxnLog.cloneTable(path, GraftSqlParser.resolveTable(spark,
+          args(0), mustExist = false), session)
       case "add_constraint" =>
         TxnLog.addConstraint(spark, path, args(0), args(1), session)
       case "drop_constraint" =>
@@ -204,7 +264,8 @@ case class GraftDmlCommand(verb: String, path: String,
   * count, straight from the log (driver metadata, zero data I/O at
   * any table size — the audit an operator runs before trusting time
   * travel or choosing a RESTORE target). */
-case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
+case class GraftHistoryCommand(table: String)
+  extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType)(),
@@ -214,6 +275,7 @@ case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("n_live", IntegerType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTable(spark, table)
     val liveCounts = TxnLog.liveSets(path).toMap
     TxnLog.versions(path).map { v =>
       val acts = TxnLog.actionsAt(path, v)

@@ -147,4 +147,69 @@ class GraftSqlSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM graft_named_view")
       .head().getLong(0) == 3)
   }
+
+  test("GRAFT verbs accept catalog identifiers: the DML face follows " +
+    "the catalog (r12)") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_sqlcat_").toString
+    spark.conf.set("spark.sql.catalog.gdml",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE gdml.m")
+      spark.sql("CREATE TABLE gdml.m.t (k BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO gdml.m.t SELECT id, id * 1.0 FROM " +
+        "range(1, 101)")
+      val root = s"$wh/m/t"
+      // maintenance by NAME: delete, history, clone — same verbs,
+      // identifier slot
+      assert(run1("GRAFT DELETE FROM gdml.m.t WHERE k BETWEEN '10' " +
+        "AND '19'") == 3)
+      assert(spark.sql("SELECT * FROM gdml.m.t").count() == 90)
+      assert(spark.sql("GRAFT DESCRIBE HISTORY gdml.m.t").count() == 3)
+      assert(run1("GRAFT CLONE gdml.m.t TO gdml.m.t2") == 1)
+      assert(spark.sql("SELECT * FROM gdml.m.t2").count() == 90)
+      // an unregistered catalog and a non-graft catalog fail loudly
+      val e = intercept[Exception](
+        spark.sql("GRAFT DESCRIBE HISTORY nosuch.m.t").collect())
+      assert(e.getMessage.contains("unknown catalog"), e.getMessage)
+      val e2 = intercept[Exception](
+        spark.sql("GRAFT DESCRIBE HISTORY spark_catalog.default.x")
+          .collect())
+      assert(e2.getMessage.contains("not a graft catalog"),
+        e2.getMessage)
+    } finally graft.core.Fixtures.deleteRecursively(
+      new java.io.File(wh))
+  }
+
+  test("GRAFT CHANGES streams the change feed as a distributed plan " +
+    "(row feed, append + delete, re-layouts skipped)") {
+    import spark.implicits._
+    withScratch { root =>
+      (1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      (51L to 60L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f1")
+      assert(TxnLog.commitAppend(root, Seq("f1"), "k BIGINT,v DOUBLE",
+        "s") == 2)
+      assert(TxnLog.deleteRange(spark, root, "k", "1", "5", "s")
+        .contains(3))
+      val feed = spark.sql(s"GRAFT CHANGES '$root' FROM 1 TO 3")
+      // v2 = 10 inserts, v3 = 5 deletes
+      val byType = feed.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType.get("insert").contains(10L) &&
+        byType.get("delete").contains(5L), byType.toString)
+      // open range (FROM without TO) reaches the tip; equals the
+      // Scala API row for row
+      val open = spark.sql(s"GRAFT CHANGES '$root' FROM 0")
+      assert(open.exceptAll(TxnLog.readChanges(spark, root, 0))
+        .isEmpty)
+      // the feed is a real distributed plan, not a collected command
+      assert(open.queryExecution.executedPlan.toString
+        .contains("Scan parquet"), "CHANGES must plan a file scan")
+    }
+  }
 }
