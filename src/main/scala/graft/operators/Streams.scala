@@ -423,46 +423,26 @@ object Streams {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** One AvailableNow pass of the TRANSACTIONAL ingest job: readStream
-    * over `inDir` → foreachBatch → parquet slice + idempotent txn-log
-    * commit ([[graft.sources.TxnLog.commitStreamBatch]] — Delta's txn
-    * action). Each micro-batch writes its rows as an immutable data
-    * dir named by batch id (deterministic, so a crashed retry
-    * OVERWRITES its own partial output, never duplicates it) and then
-    * commits `(appId, batchId, add)` — the log refuses the commit if
-    * the batch is already in, which is exactly what a restarted
-    * stream's checkpoint re-delivery hits. Extracted so the
-    * restart/recovery spec drives the same job across two starts
-    * sharing one checkpoint. */
+    * over `inDir` → `writeStream.format("graft-txnlog")` — the
+    * engine's own streaming SINK ([[graft.streaming.TxnLogSink]],
+    * r12; this job drove the same [[graft.sources.TxnLog
+    * .writeStreamBatch]] algebra through foreachBatch until the sink
+    * face shipped). Each micro-batch stages one data dir named
+    * deterministically by (app, batch) — a crashed retry OVERWRITES
+    * its own partial output, never duplicates it — publishes
+    * write-time stats, and commits tagged (`appId`, batchId); the log
+    * refuses the commit if the batch is already in, which is exactly
+    * what a restarted stream's checkpoint re-delivery hits. Extracted
+    * so the restart/recovery spec drives the same job across two
+    * starts sharing one checkpoint. */
   private[graft] def runTxnSinkPass(spark: SparkSession, inDir: String,
                                     root: String, ck: String): Unit = {
-    val app = "ingest"
     val q = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "event_id BIGINT, event_type STRING, value DOUBLE"))
       .parquet(inDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // skip-before-write: if the log already holds this batch the
-        // whole write is a no-op, not just the commit
-        val done = TxnLog.stateAt(root, TxnLog.latestVersion(root))
-          .txns.get(app).exists(_ >= batchId)
-        if (!done) {
-          val name = f"s_b$batchId%06d"
-          batch.write.mode("overwrite").parquet(s"$root/$name")
-          // publish write-time stats with the add (r10): streamed
-          // tables get data skipping too — one extra scan of the
-          // just-written slice buys every future read the prune. An
-          // empty/all-null batch publishes a plain add (statsFor's
-          // documented fallback contract).
-          val add: TxnLog.Entry =
-            try TxnLog.AddStats(name,
-              TxnLog.statsFor(spark, root, name, "event_id"))
-            catch { case _: IllegalArgumentException => TxnLog.add(name) }
-          TxnLog.commitStreamBatch(root, app, batchId,
-            Seq(add), "stream")
-          ()
-        }
-      }
+      .writeStream.format("graft-txnlog")
+      .option("path", root).option("appId", "ingest")
       .option("checkpointLocation", ck)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

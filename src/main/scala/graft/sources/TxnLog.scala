@@ -1243,22 +1243,74 @@ class TxnLogOps(val store: LogStore) {
     * this gate turns the re-delivery into a no-op instead of a
     * duplicate append. The check re-runs after every lost slot race
     * (the racer may have been THIS app's previous attempt surviving a
-    * crash). Returns the committed version, or None when skipped. */
+    * crash). `appendSchema` (r12, for the streaming SINK) threads the
+    * batch's schema through the shared [[resolveWriteSchema]]
+    * contract per attempt — the first batch on a fresh table
+    * publishes metaData, a drifted batch is refused. Returns the
+    * committed version, or None when skipped. */
   def commitStreamBatch(root: String, appId: String, batchId: Long,
                         actions: Seq[Entry], session: String,
-                        maxAttempts: Int = 10): Option[Int] = {
+                        maxAttempts: Int = 10,
+                        appendSchema: Option[StructType] = None)
+  : Option[Int] = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(root)
       if (stateAt(root, base).txns.get(appId).exists(_ >= batchId))
         return None
+      val meta = appendSchema.flatMap(
+        resolveWriteSchema(root, base, _, evolve = false))
       if (tryCommit(root, base + 1, SetTxn(appId, batchId) +: actions,
-          session))
+          session, schemaDdl = meta))
         return Some(base + 1)
       attempt += 1
     }
     throw new IllegalStateException(
       s"could not commit batch $batchId after $maxAttempts attempts")
+  }
+
+  /** The streaming SINK's whole micro-batch verb (r12 — the write
+    * half of the streaming face, `writeStream.format("graft-txnlog")`
+    * via [[graft.streaming.TxnLogSink]]): skip-before-WRITE when the
+    * log already holds this (app, batch) — a checkpoint re-delivery
+    * costs one state lookup, zero I/O — else enforce CHECK
+    * constraints on the batch, stage ONE data dir named
+    * DETERMINISTICALLY by (app, batch) (a crashed retry overwrites
+    * its own partial bytes, never duplicates them) with write-time
+    * stats, and commit it tagged (`appId`, `batchId`) under the
+    * shared schema contract. An empty batch commits just the SetTxn
+    * marker — the batch is recorded consumed without a zero-row file
+    * every future scan would pay to open. Returns the committed
+    * version, None when the batch was already in. */
+  def writeStreamBatch(spark: SparkSession, root: String,
+                       df: DataFrame, appId: String, batchId: Long,
+                       session: String,
+                       statsCols: Seq[String] = Seq.empty)
+  : Option[Int] = {
+    val base = latestVersion(root)
+    if (stateAt(root, base).txns.get(appId).exists(_ >= batchId))
+      return None
+    enforceConstraints(df, stateAt(root, base).constraints,
+      s"stream batch $batchId of $appId")
+    val staged = stageWrite(spark, root, df,
+      f"${appId}_b$batchId%06d", statsCols)
+    // NOTE on the duplicate-discovered-at-commit race (None below):
+    // the staged dir is NOT deleted — its name is deterministic per
+    // (app, batch), so a concurrent duplicate writer's LIVE add may
+    // point at the very same dir our staging just rewrote with the
+    // same batch's bytes; deleting it would drop committed data. A
+    // genuine commit failure (throw) has no winner and cleans up.
+    try commitStreamBatch(root, appId, batchId,
+      staged.map(_._2).toSeq, session,
+      appendSchema = Some(df.schema))
+    catch { case e: Throwable =>
+      // clean up ONLY if no same-app duplicate landed meanwhile —
+      // its live add points at this very (deterministically named)
+      // dir, and deleting it would drop committed data
+      if (!stateAt(root, latestVersion(root)).txns.get(appId)
+          .exists(_ >= batchId))
+        staged.foreach { case (n, _) => store.deleteDataDir(root, n) }
+      throw e }
   }
 
   /** SEQUENTIAL bin packing of (file, bytes) toward `cap` per bin:

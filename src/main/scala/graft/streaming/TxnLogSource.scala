@@ -1,9 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister,
+  StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.TxnLog
@@ -53,7 +55,7 @@ import graft.sources.TxnLog
   * metadata; each batch scans exactly the files its commits added.
   * Backpressure = commit granularity (a version is atomic). */
 class TxnLogSourceProvider extends StreamSourceProvider
-  with DataSourceRegister {
+  with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-txnlog"
 
@@ -73,6 +75,65 @@ class TxnLogSourceProvider extends StreamSourceProvider
       parameters.get("ignoreChanges").exists(_.toBoolean),
       parameters.get("readChangeFeed").exists(_.toBoolean),
       parameters.get("maxVersionsPerTrigger").map(_.toInt))
+
+  /** The SINK half (r12): `writeStream.format("graft-txnlog")` lands
+    * micro-batches as idempotent txn-log commits —
+    * [[graft.sources.TxnLog.writeStreamBatch]] tags every commit
+    * (`appId`, batchId) so a restarted stream's checkpoint
+    * re-delivery is a one-lookup no-op (exactly-once at the TABLE,
+    * not just the checkpoint). Options: `path` (required), `appId`
+    * (required — the idempotency key; two queries sharing an appId
+    * on one table would silently absorb each other's batch ids, so
+    * it must be an explicit choice, not a default). Append mode
+    * appends; Complete mode OVERWRITES the table per batch (the
+    * natural sink for a streaming aggregate — the table always holds
+    * the latest full result, with history time-travelable); Update
+    * is refused. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-txnlog sink: partition tuples are per-append in this " +
+        "format (commitPartitionedAppend) — partitionBy is not " +
+        "supported at the sink")
+    require(outputMode == OutputMode.Append() ||
+        outputMode == OutputMode.Complete(),
+      s"graft-txnlog sink supports Append (idempotent appends) and " +
+        s"Complete (overwrite-per-batch); got $outputMode")
+    new TxnLogSink(TxnLogSource.root(parameters),
+      parameters.getOrElse("appId", throw new IllegalArgumentException(
+        """txn-log sink needs option("appId", <stable writer id>) — """ +
+          "the idempotency key the log dedupes restarted batches by")),
+      complete = outputMode == OutputMode.Complete())
+  }
+}
+
+/** V1 streaming sink over the txn log — see
+  * [[TxnLogSourceProvider.createSink]]. The frame `addBatch` hands us
+  * is streaming-flagged; [[org.apache.spark.sql.graft.StreamingShim
+  * .asBatchFrame]] re-roots its compiled plan as a batch scan (what
+  * ForeachBatchSink does) so the engine's batch write verbs apply.
+  *
+  * Scale shape: each micro-batch is one distributed staged file +
+  * one conditional-put log line; a re-delivered batch costs one
+  * driver state lookup and zero I/O. */
+private[streaming] class TxnLogSink(root: String, appId: String,
+                                    complete: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graft.StreamingShim
+      .asBatchFrame(data)
+    if (complete)
+      TxnLog.writeOverwrite(batch.sparkSession, root, batch,
+        "streamsink", f"${appId}_b$batchId%06d")
+    else
+      TxnLog.writeStreamBatch(batch.sparkSession, root, batch, appId,
+        batchId, "streamsink")
+    ()
+  }
+
+  override def toString: String = s"TxnLogSink[$root, app=$appId]"
 }
 
 object TxnLogSource {

@@ -23,4 +23,17 @@ object StreamingShim {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The SINK-side inverse (r12): the frame a V1 `Sink.addBatch`
+    * receives is streaming-flagged, so batch verbs (`.write`, a
+    * windowless agg) refuse it; re-rooting the compiled plan as a
+    * plain batch scan is exactly what Spark's own ForeachBatchSink
+    * does before handing the user their batch frame. */
+  def asBatchFrame(df: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

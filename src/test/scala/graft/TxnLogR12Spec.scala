@@ -345,4 +345,129 @@ class TxnLogR12Spec extends AnyFunSuite with SparkSpec {
       assert(TxnLog.restore(root, 3, "r2").isEmpty)
     }
   }
+
+  test("streaming SINK: writeStream.format(graft-txnlog) appends " +
+    "idempotently across a checkpoint restart") {
+    import spark.implicits._
+    withScratch { root =>
+      val in = s"$root/in"; val tbl = s"$root/tbl"; val ck = s"$root/ck"
+      def pass(): Unit = {
+        val q = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "k BIGINT, v DOUBLE"))
+          .parquet(in)
+          .writeStream.format("graft-txnlog")
+          .option("path", tbl).option("appId", "sink_spec")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(in)
+      pass()
+      val v1 = TxnLog.latestVersion(tbl)
+      assert(v1 >= 1 && TxnLog.read(spark, tbl).count() == 10)
+      // first batch PUBLISHED the schema contract
+      assert(TxnLog.schemaAt(tbl, v1).map(_.toDDL)
+        .contains("k BIGINT,v DOUBLE"))
+      // write-time stats landed with the streamed add
+      assert(TxnLog.stateAt(tbl, v1).stats.values.flatten
+        .exists(_.col == "k"), "streamed add published no stats")
+      // restart on the same checkpoint with nothing new: no version
+      pass()
+      assert(TxnLog.latestVersion(tbl) == v1,
+        "an empty restart must not commit")
+      // new input lands exactly once
+      (11L to 15L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(in)
+      pass()
+      assert(TxnLog.read(spark, tbl).count() == 15)
+      // the RE-DELIVERY gate itself: replaying batch 0 against the
+      // table is a one-lookup no-op
+      assert(TxnLog.writeStreamBatch(spark, tbl,
+        Seq((99L, 9.9)).toDF("k", "v"), "sink_spec", 0L, "s").isEmpty)
+      assert(TxnLog.read(spark, tbl).count() == 15)
+      // a DRIFTED batch schema is refused by the shared contract
+      val e = intercept[Exception](TxnLog.writeStreamBatch(spark, tbl,
+        Seq((99L, "x")).toDF("k", "v"), "sink_spec", 999L, "s"))
+      assert(e.getMessage.contains("incompatible append"), e.getMessage)
+    }
+  }
+
+  test("streaming SINK in Complete mode overwrites per batch: the " +
+    "table always holds the latest aggregate, history time-travels") {
+    import spark.implicits._
+    withScratch { root =>
+      val tbl = s"$root/agg"
+      implicit val sq: org.apache.spark.sql.classic.SQLContext =
+        spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val q = in.toDS().toDF("k")
+        .groupBy((col("k") % 2).as("par")).agg(count(lit(1)).as("n"))
+        .writeStream.format("graft-txnlog")
+        .option("path", tbl).option("appId", "agg_spec")
+        .option("checkpointLocation", s"$root/ck2")
+        .outputMode("complete")
+        .start()
+      try {
+        in.addData(1L, 2L, 3L)
+        q.processAllAvailable()
+        in.addData(4L, 5L)
+        q.processAllAvailable()
+      } finally q.stop()
+      val tip = TxnLog.read(spark, tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(tip == Map(0L -> 2L, 1L -> 3L), tip.toString)
+      // the tip is the ONLY live state, but batch 0's aggregate is a
+      // time travel away
+      val v1 = TxnLog.read(spark, tbl, TxnLog.latestVersion(tbl) - 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(v1 == Map(0L -> 1L, 1L -> 2L), v1.toString)
+    }
+  }
+
+  test("streaming SINK refuses Update mode, partitionBy, and a " +
+    "missing appId — loudly") {
+    import spark.implicits._
+    withScratch { root =>
+      implicit val sq: org.apache.spark.sql.classic.SQLContext =
+        spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      def start(f: org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] => org.apache.spark.sql.streaming
+          .DataStreamWriter[org.apache.spark.sql.Row]) = {
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[Long]
+        in.addData(1L)
+        f(in.toDS().toDF("k").writeStream.format("graft-txnlog")
+          .option("checkpointLocation", s"$root/ck_${
+            java.util.UUID.randomUUID().toString.take(8)}"))
+          .start()
+      }
+      val e1 = intercept[Exception] {
+        val q = start(_.option("path", s"$root/t1")
+          .option("appId", "a").outputMode("update"))
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(exists(e1, "Append"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        val q = start(_.option("path", s"$root/t2")
+          .option("appId", "a").partitionBy("k"))
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(exists(e2, "partition"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        val q = start(_.option("path", s"$root/t3"))
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(exists(e3, "appId"), e3.getMessage)
+    }
+  }
+
+  /** The streaming runtime wraps sink-construction failures — match
+    * the message anywhere on the causal chain. */
+  private def exists(e: Throwable, needle: String): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(t => Option(t.getMessage).exists(_.contains(needle)))
 }
