@@ -2510,15 +2510,17 @@ class TxnLogOps(val store: LogStore) {
     * classic aggressive vacuum.
     *
     * The ever-added census reads the surviving version files PLUS
-    * every checkpoint's live set; and when [[cleanupLog]] has already
-    * retired the pre-checkpoint log (detected: a checkpoint with no
-    * version file at or below it), the census additionally falls back
-    * to LISTING the table root (Delta's listing-based VACUUM) so
-    * files added and removed entirely below the checkpoint still get
-    * reclaimed instead of leaking forever (ADVICE r9). The listing
-    * only trusts dirs older than `listingGraceMs` — an in-flight
-    * writer's uncommitted rewrite is younger and survives, the same
-    * mtime-retention guard Delta uses. The default grace is 24 HOURS
+    * every checkpoint's live set, PLUS (r12: always, not only after
+    * [[cleanupLog]]) a LISTING of the table root (Delta's
+    * listing-based VACUUM). The listing serves two leaks the log
+    * census cannot see: files whose whole add/remove lifecycle sits
+    * below a cleaned-away checkpoint (ADVICE r9), and ORPHANED
+    * STAGING dirs a crashed writer left behind with no log entry at
+    * all — the SQL write faces stage under deterministic names
+    * before committing, so a killed INSERT leaks exactly such a dir.
+    * The listing only trusts dirs older than `listingGraceMs` — an
+    * in-flight writer's uncommitted staging/rewrite is younger and
+    * survives, the same mtime-retention guard Delta uses. The default grace is 24 HOURS
     * (Delta's equivalent guard defaults to days, not minutes): rewrite
     * outputs sit at their final names until commit, so a grace shorter
     * than the longest conceivable rewrite job could reclaim an
@@ -2560,16 +2562,12 @@ class TxnLogOps(val store: LogStore) {
           parseName(root, checkpointName(c)))
         stC.live.toSeq ++ stC.dvs.values.map(_._1)
       }
-    // log cleanup ran iff a checkpoint has no version file at or
-    // below it — only then can the log census be incomplete
-    val cleaned = cps.nonEmpty && !vs.exists(_ <= cps.last)
-    val listed =
-      if (!cleaned) Seq.empty
-      else {
-        val now = System.currentTimeMillis()
-        store.listDataDirs(root)
-          .collect { case (d, mtime) if now - mtime >= listingGraceMs => d }
-      }
+    // the listing census ALWAYS runs (r12): the log alone cannot see
+    // pre-cleanup lifecycles OR a crashed writer's never-committed
+    // staging dir; grace-aged mtimes keep in-flight writers safe
+    val now = System.currentTimeMillis()
+    val listed = store.listDataDirs(root)
+      .collect { case (d, mtime) if now - mtime >= listingGraceMs => d }
     val gone = ((logged ++ listed).toSet -- keep).toSeq.sorted
       .filter(f => store.dataDirExists(root, f))
     // dryRun (Delta's VACUUM ... DRY RUN): report the reclaim set

@@ -1497,6 +1497,29 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("vacuum reclaims a crashed writer's orphaned staging dir on a " +
+    "NEVER-cleaned table (r12: the listing census always runs)") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1)
+        .write.parquet(s"$root/f1")
+      assert(TxnLog.tryCommit(root, 1, Seq(TxnLog.add("f1")), "s"))
+      // a killed SQL INSERT: bytes staged under the write face's
+      // deterministic name, no log entry anywhere
+      Seq((9L, 9.0)).toDF("k", "v").coalesce(1)
+        .write.parquet(s"$root/w_deadbeef")
+      val preview = TxnLog.vacuum(root, retainVersions = 1,
+        listingGraceMs = 0L, dryRun = true)
+      assert(preview == Seq("w_deadbeef"), preview.toString)
+      assert(TxnLog.vacuum(root, retainVersions = 1,
+        listingGraceMs = 0L) == Seq("w_deadbeef"))
+      assert(!new java.io.File(root, "w_deadbeef").exists())
+      assert(new java.io.File(root, "f1").isDirectory, "lost live f1")
+      // with the default grace the same dir would have survived as
+      // in-flight (the other spec pins that side)
+    }
+  }
+
   test("vacuum listing fallback respects the mtime grace window") {
     import spark.implicits._
     withScratch { root =>
