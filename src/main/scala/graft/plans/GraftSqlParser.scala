@@ -21,7 +21,8 @@ import graft.sources.TxnLog
   * follows the catalog:
   *
   * {{{
-  * GRAFT OPTIMIZE <t> [ZORDER BY (colA, colB)]
+  * GRAFT OPTIMIZE <t> [ZORDER BY (colA, colB)
+  *                     | WHERE col BETWEEN 'lo' AND 'hi']
   * GRAFT DELETE FROM <t> WHERE col BETWEEN 'lo' AND 'hi' [USING DV]
   * GRAFT MERGE INTO <t> USING <tempView> ON <keyCol>
   * GRAFT RESTORE <t> TO VERSION <n>
@@ -61,6 +62,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     t match {
       case OptimizeZRe(path, cx, cy) =>
         GraftDmlCommand("zorder", path, Seq(cx, cy))
+      case OptimizeWhereRe(path, colName, lo, hi) =>
+        GraftDmlCommand("optimize_where", path, Seq(colName, lo, hi))
       case OptimizeRe(path) =>
         GraftDmlCommand("optimize", path, Seq.empty)
       case DeleteRe(path, colName, lo, hi, dv) =>
@@ -145,6 +148,8 @@ object GraftSqlParser {
 
   private[plans] val OptimizeZRe = re(
     s"""OPTIMIZE\\s+$T\\s+ZORDER\\s+BY\\s*\\(\\s*$I\\s*,\\s*$I\\s*\\)""")
+  private[plans] val OptimizeWhereRe = re(
+    s"""OPTIMIZE\\s+$T\\s+WHERE\\s+$I\\s+BETWEEN\\s+$P\\s+AND\\s+$P""")
   private[plans] val OptimizeRe = re(s"""OPTIMIZE\\s+$T""")
   private[plans] val DeleteRe = re(
     s"""DELETE\\s+FROM\\s+$T\\s+WHERE\\s+$I\\s+BETWEEN\\s+$P\\s+AND\\s+$P(\\s+USING\\s+DV)?""")
@@ -222,6 +227,9 @@ case class GraftDmlCommand(verb: String, table: String,
     val n = verb match {
       case "optimize" =>
         TxnLog.compact(spark, path, session).getOrElse(-1)
+      case "optimize_where" =>
+        TxnLog.compact(spark, path, session,
+          where = Seq((args(0), args(1), args(2)))).getOrElse(-1)
       case "zorder" =>
         TxnLog.compactZorder(spark, path, args, session).getOrElse(-1)
       case "delete" =>

@@ -1414,15 +1414,35 @@ class TxnLogOps(val store: LogStore) {
     * file (a racing compaction) aborts the rewrite, which deletes its
     * output — the compactor's source-changed gate (M8) narrowed to
     * true conflicts. `beforeCommit` is the test seam between rewrite
-    * and commit. Returns the committed version when it wins. */
+    * and commit. Returns the committed version when it wins.
+    *
+    * r12 incrementality: `where` bounds scope the job to the files a
+    * stats prune admits (compact yesterday's range, not the table),
+    * and single-file bins without deletion vectors are skipped as
+    * already-optimal — an OPTIMIZE with nothing real to do returns
+    * None without committing, so the nightly job on a compacted
+    * 100 TB table costs a log replay, not a rewrite. */
   def compact(spark: SparkSession, root: String, session: String,
               beforeCommit: () => Unit = () => (),
               targetBytes: Long = DefaultTargetBytes,
-              maxAttempts: Int = 5): Option[Int] = {
+              maxAttempts: Int = 5,
+              where: Seq[(String, String, String)] = Seq.empty)
+  : Option[Int] = {
     val base = latestVersion(root)
     val st = stateAt(root, base)
-    val live = st.live.toSeq.sorted
-    require(live.nonEmpty, "nothing to compact")
+    val liveAll = st.live.toSeq.sorted
+    require(liveAll.nonEmpty, "nothing to compact")
+    // r12: SCOPED OPTIMIZE — `where` (col, lo, hi) bounds restrict
+    // the bin universe to the files the stats prune admits; at 100 TB
+    // the nightly job compacts yesterday's range, not the table
+    // (Delta's OPTIMIZE ... WHERE). Everything outside the scope is
+    // untouched — not removed, not rewritten, not a conflict.
+    val live =
+      if (where.isEmpty) liveAll
+      else pruneBoundsSt(st, Seq.empty,
+        where.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) })
+        ._1.sorted
+    if (live.isEmpty) return None
     // bins never span partition tuples: OPTIMIZE on a partitioned
     // table compacts WITHIN each partition (Delta's posture), so the
     // outputs keep carrying the tuple and partition pruning survives
@@ -1430,11 +1450,23 @@ class TxnLogOps(val store: LogStore) {
     val groups = live.groupBy(f => st.parts.getOrElse(f, Seq.empty))
       .toSeq
       .sortBy(_._1.map { case (k, v) => s"$k=$v" }.mkString("/"))
-    val bins: Seq[(Seq[(String, String)], Seq[String])] =
+    val allBins: Seq[(Seq[(String, String)], Seq[String])] =
       groups.flatMap { case (part, files) =>
         binPack(files.map(f => f -> dataBytesOf(root, st, f)),
           targetBytes).map(part -> _)
       }
+    // r12: a SINGLE-file bin with no deletion vector is already
+    // optimal — rewriting it copies every byte for zero layout gain,
+    // which at 100 TB turns the nightly no-op OPTIMIZE into a
+    // full-table rewrite. Such bins keep their file as-is; a DV'd
+    // file still rewrites (OPTIMIZE materializes vectors). When every
+    // bin is trivial the whole OPTIMIZE is a no-op: no commit at all.
+    // (Schema-evolution materialization becomes best-effort for
+    // skipped files — readers mergeSchema/null-pad regardless.)
+    val bins = allBins.filterNot { case (_, fs) =>
+      fs.size == 1 && !fs.exists(st.dvs.contains) }
+    if (bins.isEmpty) return None
+    val touched = bins.flatMap(_._2)
     // session-scoped rewrite names: two concurrent compactors write
     // disjoint dirs — the version slot, not the data path, arbitrates
     // which rewrite becomes real. Overwrite mode: the only thing that
@@ -1480,9 +1512,11 @@ class TxnLogOps(val store: LogStore) {
     beforeCommit()
     // OPTIMIZE moves bytes, never content: the commit carries the
     // re-layout marker so content consumers (CDF, streaming tail)
-    // skip it from metadata alone
-    commitRewrite(root, base + 1, live,
-      live.map(remove) ++ adds :+ NoDataChange, outs, session,
+    // skip it from metadata alone. Only the binned files are touched
+    // (removed + conflict-checked); skipped and out-of-scope files
+    // stay live untouched.
+    commitRewrite(root, base + 1, touched,
+      touched.map(remove) ++ adds :+ NoDataChange, outs, session,
       maxAttempts, readDvs = st.dvs)
   }
 

@@ -165,13 +165,21 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
         "compaction must abort when an input file was removed")
       assert(!new java.io.File(root, "c00000004_opt2").exists(),
         "aborted compaction left its rewrite behind")
-      // with no interference the retry wins the next slot
-      val v5 = TxnLog.compact(spark, root, "opt3")
-      assert(v5.contains(5))
-      assert(TxnLog.liveFiles(root, 5) == Seq("c00000005_opt3"))
-      val after = spark.read.parquet(s"$root/c00000005_opt3")
+      // the tip is now ONE optimal file — r12: OPTIMIZE refuses the
+      // pointless 1:1 rewrite instead of copying every byte
+      assert(TxnLog.compact(spark, root, "opt3").isEmpty)
+      assert(TxnLog.latestVersion(root) == 4)
+      // with fresh input the retry wins the next slot
+      Seq((9L, 90.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f9")
+      assert(TxnLog.commitNext(root, Seq(TxnLog.add("f9")), "s") == 5)
+      val v6 = TxnLog.compact(spark, root, "opt3")
+      assert(v6.contains(6))
+      assert(TxnLog.liveFiles(root, 6) == Seq("c00000006_opt3"))
+      val after = spark.read.parquet(s"$root/c00000006_opt3")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-      assert(after == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      assert(after == Set((1L, 10.0), (2L, 20.0), (3L, 30.0),
+        (9L, 90.0)),
         s"post-conflict compaction content mismatch: $after")
     }
   }
@@ -562,16 +570,19 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     import graft.sources.TxnLog
     import spark.implicits._
     withTxnScratch { root =>
-      // two slices totalling a few KB; a ~2 KB target must bin-pack
+      // four slices; a target sized for two-per-bin must bin-pack
       // into >1 output file (VERDICT r8 #1: the coalesce(1) rewrite
-      // was the last single-task scale-killer plan)
-      (1L to 600L).map(k => (k, k * 1.5)).toDF("k", "v")
-        .coalesce(1).write.parquet(s"$root/f0")
-      (601L to 1200L).map(k => (k, k * 1.5)).toDF("k", "v")
-        .coalesce(1).write.parquet(s"$root/f1")
+      // was the last single-task scale-killer plan; r12: the target
+      // must hold at least one MERGE or every bin is a single file
+      // and the skip rule makes the whole job a no-op)
+      for (i <- 0 until 4)
+        (i * 300L + 1 to (i + 1) * 300L).map(k => (k, k * 1.5))
+          .toDF("k", "v").coalesce(1).write.parquet(s"$root/f$i")
       assert(TxnLog.commitNext(root,
-        Seq(TxnLog.add("f0"), TxnLog.add("f1")), "s") == 1)
-      val v = TxnLog.compact(spark, root, "opt", targetBytes = 2048L)
+        (0 until 4).map(i => TxnLog.add(s"f$i")), "s") == 1)
+      val one = graft.sources.LocalLogStore.dataBytes(root, "f0")
+      val v = TxnLog.compact(spark, root, "opt",
+        targetBytes = one * 2 + one / 2)
       assert(v.contains(2))
       val live = TxnLog.liveFiles(root, 2)
       assert(live.size > 1,
@@ -582,6 +593,7 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
       val got = spark.read.parquet(live.map(f => s"$root/$f"): _*)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(got == (1L to 1200L).map(k => (k, k * 1.5)).toSet)
+      assert(live.size == 2, s"expected two 2-file bins: $live")
       // the rollup's n_files reflects the bin-packed output count
       val rollup = TxnLog.versionsRollup(spark, root, "v").collect()
       assert(rollup.find(_.getInt(0) == 2).map(_.getInt(1))

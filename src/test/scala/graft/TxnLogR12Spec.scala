@@ -346,6 +346,69 @@ class TxnLogR12Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("OPTIMIZE skips already-optimal files: single-file bins do " +
+    "not rewrite, and an all-trivial OPTIMIZE is a version no-op") {
+    import spark.implicits._
+    withScratch { root =>
+      // one big file: its bin is just itself -> nothing to do
+      (0L until 1000L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/big")
+      assert(TxnLog.commitAppend(root, Seq("big"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      val before = Option(new java.io.File(root, "big").listFiles())
+        .toSeq.flatten.map(f => f.getName -> f.lastModified).toMap
+      assert(TxnLog.compact(spark, root, "opt").isEmpty,
+        "an all-trivial OPTIMIZE must not commit")
+      assert(TxnLog.latestVersion(root) == 1)
+      val after = Option(new java.io.File(root, "big").listFiles())
+        .toSeq.flatten.map(f => f.getName -> f.lastModified).toMap
+      assert(after == before, "skipped file was touched")
+      // a DV'd single file is NOT trivial: OPTIMIZE materializes it
+      assert(TxnLog.deleteRangeDV(spark, root, "k", "0", "9", "s")
+        .contains(2))
+      val v = TxnLog.compact(spark, root, "opt2")
+      assert(v.contains(3), s"DV materialization skipped: $v")
+      assert(TxnLog.read(spark, root).count() == 990)
+      assert(TxnLog.stateAt(root, 3).dvs.isEmpty,
+        "the vector must retire with its file")
+    }
+  }
+
+  test("scoped OPTIMIZE compacts only the WHERE range; out-of-scope " +
+    "files stay byte-identical (SQL face included)") {
+    import spark.implicits._
+    withScratch { root =>
+      for (i <- 0 until 4) {
+        (i * 100L until (i + 1) * 100L).map(k => (k, k * 1.0))
+          .toDF("k", "v").coalesce(1).write.parquet(s"$root/f$i")
+      }
+      val adds = (0 until 4).map(i => TxnLog.AddStats(s"f$i",
+        TxnLog.statsFor(spark, root, s"f$i", "k")))
+      assert(TxnLog.tryCommit(root, 1, adds, "s"))
+      val untouched = Option(new java.io.File(root, "f3").listFiles())
+        .toSeq.flatten.map(f => f.getName -> f.lastModified).toMap
+      // SQL face: compact only the first two files' key range
+      val v = spark.sql(
+        s"GRAFT OPTIMIZE '$root' WHERE k BETWEEN '0' AND '199'")
+        .head().getInt(0)
+      assert(v == 2, s"scoped OPTIMIZE did not land v2: $v")
+      val st = TxnLog.stateAt(root, 2)
+      assert(st.live.size == 3, s"expected f2,f3 + 1 rewrite: ${st.live}")
+      assert(st.live.contains("f2") && st.live.contains("f3"))
+      assert(!st.live.contains("f0") && !st.live.contains("f1"))
+      assert(Option(new java.io.File(root, "f3").listFiles())
+        .toSeq.flatten.map(f => f.getName -> f.lastModified).toMap ==
+        untouched, "out-of-scope file was rewritten")
+      assert(TxnLog.read(spark, root).count() == 400)
+      // the re-layout marker still flags the scoped commit
+      assert(TxnLog.entriesAt(root, 2).contains(TxnLog.NoDataChange))
+      // an out-of-range scope is a no-op, not an empty commit
+      assert(TxnLog.compact(spark, root, "s2",
+        where = Seq(("k", "9000", "9999"))).isEmpty)
+      assert(TxnLog.latestVersion(root) == 2)
+    }
+  }
+
   test("streaming SINK: writeStream.format(graft-txnlog) appends " +
     "idempotently across a checkpoint restart") {
     import spark.implicits._
