@@ -34,6 +34,7 @@ import graft.sources.TxnLog
   * GRAFT ALTER <t> DROP COLUMN <a>
   * GRAFT UPGRADE <t> TO PROTOCOL(<r>, <w>)
   * GRAFT DESCRIBE HISTORY <t>               -- read-only, multi-row
+  * GRAFT DESCRIBE DETAIL <t>                -- read-only, one row
   * GRAFT CHANGES <t> FROM <v> [TO <v>]      -- the CDF, distributed
   * }}}
   *
@@ -91,6 +92,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftDmlCommand("upgrade_protocol", path, Seq(r, w))
       case HistoryRe(path) =>
         GraftHistoryCommand(path)
+      case DetailRe(path) =>
+        GraftDetailCommand(path)
       case ChangesRe(t, fromV, toV) =>
         // the change feed is a DISTRIBUTED read, not a driver-side
         // command: the statement resolves straight to readChanges'
@@ -172,6 +175,7 @@ object GraftSqlParser {
   private[plans] val UpgradeRe = re(
     s"""UPGRADE\\s+$T\\s+TO\\s+PROTOCOL\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)""")
   private[plans] val HistoryRe = re(s"""DESCRIBE\\s+HISTORY\\s+$T""")
+  private[plans] val DetailRe = re(s"""DESCRIBE\\s+DETAIL\\s+$T""")
   private[plans] val ChangesRe = re(
     s"""CHANGES\\s+$T\\s+FROM\\s+(\\d+)(?:\\s+TO\\s+(\\d+))?""")
 
@@ -272,6 +276,52 @@ case class GraftDmlCommand(verb: String, table: String,
   * count, straight from the log (driver metadata, zero data I/O at
   * any table size — the audit an operator runs before trusting time
   * travel or choosing a RESTORE target). */
+/** `GRAFT DESCRIBE DETAIL t` — the one-row operational census
+  * (Delta's DESCRIBE DETAIL): tip version, create/last commit
+  * timestamps, live-file/ext-ref counts, byte footprint, row count
+  * when every live file logged stats (−1 otherwise — never a scan),
+  * protocol, constraint count, and the schema DDL. Driver metadata
+  * only: one memoized log replay, zero data I/O at any table size. */
+case class GraftDetailCommand(table: String)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("location",
+      org.apache.spark.sql.types.StringType)(),
+    AttributeReference("tip", IntegerType)(),
+    AttributeReference("created_ts",
+      org.apache.spark.sql.types.LongType)(),
+    AttributeReference("last_ts",
+      org.apache.spark.sql.types.LongType)(),
+    AttributeReference("n_files", IntegerType)(),
+    AttributeReference("n_ext", IntegerType)(),
+    AttributeReference("size_bytes",
+      org.apache.spark.sql.types.LongType)(),
+    AttributeReference("n_rows",
+      org.apache.spark.sql.types.LongType)(),
+    AttributeReference("min_reader", IntegerType)(),
+    AttributeReference("min_writer", IntegerType)(),
+    AttributeReference("n_constraints", IntegerType)(),
+    AttributeReference("schema_ddl",
+      org.apache.spark.sql.types.StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTable(spark, table)
+    val tip = TxnLog.latestVersion(path)
+    require(tip >= 1, s"$path has no committed version")
+    val st = TxnLog.stateAt(path, tip)
+    val live = st.live.toSeq.sorted
+    val (rows, bytes) = TxnLog.fileFootprintSt(path, st, live)
+    Seq(Row(path, tip,
+      TxnLog.commitTs(path, TxnLog.versions(path).min),
+      TxnLog.commitTs(path, tip),
+      live.size, live.count(st.ext.contains), bytes,
+      rows.getOrElse(-1L),
+      st.protocol._1, st.protocol._2, st.constraints.size,
+      st.schemaDdl.orNull))
+  }
+}
+
 case class GraftHistoryCommand(table: String)
   extends LeafRunnableCommand {
 

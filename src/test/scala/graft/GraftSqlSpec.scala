@@ -182,6 +182,30 @@ class GraftSqlSpec extends AnyFunSuite with SparkSpec {
       new java.io.File(wh))
   }
 
+  test("GRAFT DESCRIBE DETAIL reports the one-row census from the " +
+    "log alone") {
+    import spark.implicits._
+    withScratch { root =>
+      (1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.tryCommit(root, 1, Seq(TxnLog.AddStats("f0",
+        TxnLog.statsFor(spark, root, "f0", "k")),
+        TxnLog.MetaData("k BIGINT,v DOUBLE")), "s"))
+      assert(TxnLog.addConstraint(spark, root, "pos", "k > 0",
+        "s") == 2)
+      val d = spark.sql(s"GRAFT DESCRIBE DETAIL '$root'").head()
+      assert(d.getString(0) == root)
+      assert(d.getInt(1) == 2, "tip")
+      assert(d.getInt(4) == 1 && d.getInt(5) == 0, "file census")
+      assert(d.getLong(6) > 0, "bytes")
+      assert(d.getLong(7) == 100L, "stats-derived row count")
+      // the constraint write auto-raised the protocol to (2,2)
+      assert(d.getInt(8) == 2 && d.getInt(9) == 2, "protocol")
+      assert(d.getInt(10) == 1, "constraint count")
+      assert(d.getString(11) == "k BIGINT,v DOUBLE")
+    }
+  }
+
   test("GRAFT CHANGES streams the change feed as a distributed plan " +
     "(row feed, append + delete, re-layouts skipped)") {
     import spark.implicits._
