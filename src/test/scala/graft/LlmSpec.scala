@@ -78,11 +78,25 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
       s.substring(s.indexOf("/tmp"), s.indexOf("/index/") + "/index".length)
     }
     graft.core.Caches.drain(spark)
+    // the staged fixture persists across JVM runs, so the index may
+    // arrive already compacted by an earlier suite run — r12's skip
+    // rule then correctly refuses the 1:1 rewrite. Both states pin
+    // real semantics: multi-file compacts once, and the nightly
+    // re-run is ALWAYS a metadata no-op (no version, no rewrite).
     val tipBefore = TxnLog.latestVersion(idxRoot)
+    val liveBefore = TxnLog.liveFiles(idxRoot, tipBefore)
     val v = TxnLog.compact(spark, idxRoot, "idxopt")
-    assert(v.contains(tipBefore + 1), s"index OPTIMIZE did not land: $v")
-    assert(TxnLog.entriesAt(idxRoot, tipBefore + 1)
-      .contains(TxnLog.NoDataChange))
+    if (liveBefore.size >= 2) {
+      assert(v.contains(tipBefore + 1),
+        s"index OPTIMIZE did not land: $v")
+      assert(TxnLog.entriesAt(idxRoot, tipBefore + 1)
+        .contains(TxnLog.NoDataChange))
+    } else {
+      assert(v.isEmpty, s"1:1 rewrite not skipped: $v")
+      assert(TxnLog.latestVersion(idxRoot) == tipBefore)
+    }
+    assert(TxnLog.compact(spark, idxRoot, "idxopt2").isEmpty,
+      "re-running OPTIMIZE on the compacted index must be a no-op")
     // verdicts must not move: reads at version 1 (pre-advance) and the
     // band algebra are content-addressed, and OPTIMIZE moved bytes only
     val after = Dedup.dedupIndex(spark, sfDir).collect().toSeq
