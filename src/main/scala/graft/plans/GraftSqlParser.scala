@@ -58,7 +58,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val t = sqlText.trim
-    if (!t.toUpperCase(java.util.Locale.ROOT).startsWith("GRAFT "))
+    // ANY whitespace after the keyword dispatches here (a formatter
+    // may put a newline after GRAFT) — the loud-failure guarantee
+    // must not depend on which whitespace character follows
+    if (!t.take(6).toUpperCase(java.util.Locale.ROOT)
+        .matches("""GRAFT\s"""))
       return delegate.parsePlan(sqlText)
     t match {
       case OptimizeZRe(path, cx, cy) =>
@@ -312,8 +316,11 @@ case class GraftDetailCommand(table: String)
     val st = TxnLog.stateAt(path, tip)
     val live = st.live.toSeq.sorted
     val (rows, bytes) = TxnLog.fileFootprintSt(path, st, live)
+    // oldest RESOLVABLE version: after log cleanup the floor may
+    // exist only as a checkpoint (versions() alone would be empty)
+    val floor = (TxnLog.versions(path) ++ TxnLog.checkpoints(path)).min
     Seq(Row(path, tip,
-      TxnLog.commitTs(path, TxnLog.versions(path).min),
+      TxnLog.commitTs(path, floor),
       TxnLog.commitTs(path, tip),
       live.size, live.count(st.ext.contains), bytes,
       rows.getOrElse(-1L),

@@ -114,12 +114,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     tableAt(ident, None, writable = true)
 
   /** `VERSION AS OF v` — Spark's native time-travel syntax lands
-    * here with the version string. */
+    * here with the version string. A version BEYOND the tip fails
+    * loudly: `stateAt` would silently answer "state at the tip",
+    * which the next commit changes — a typo'd version number must
+    * not masquerade as immutable history. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft version must be an integer commit number: $version")
     }
+    val root = rootFor(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val tip = TxnLog.latestVersion(root)
+    require(v >= 1 && v <= tip,
+      s"version $v of ${ident.toString} does not exist " +
+        s"(committed versions: 1..$tip)")
     tableAt(ident, Some(v), writable = false)
   }
 
@@ -194,10 +203,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  override def invalidateTable(ident: Identifier): Unit =
+    TxnLog.invalidateState(rootFor(ident))
+
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootFor(ident)
     if (!isTable(root)) return false
     graft.core.Fixtures.deleteRecursively(new java.io.File(root))
+    // a NEW table created at this root is a new incarnation whose
+    // version numbers collide with the dead one's — purge the state
+    // memo or its reads would serve the old table's cached states
+    TxnLog.invalidateState(root)
     true
   }
 
@@ -216,6 +232,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     java.nio.file.Files.move(java.nio.file.Paths.get(src),
       java.nio.file.Paths.get(dst),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // the vacated root may be re-taken by a new table (new
+    // incarnation, colliding version numbers) — purge its memo
+    TxnLog.invalidateState(src)
   }
 
   // ---- namespaces --------------------------------------------------
@@ -273,6 +292,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"namespace ${namespace.mkString(".")} is not empty — " +
         "drop its tables first or pass CASCADE")
     graft.core.Fixtures.deleteRecursively(dir)
+    // cascade deletes every table under the dir: prefix-purge
+    TxnLog.invalidateState(dir.getPath)
     true
   }
 }

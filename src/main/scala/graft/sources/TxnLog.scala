@@ -167,6 +167,22 @@ class TxnLogOps(val store: LogStore) {
         size > 64
     }
 
+  /** Drop every memoized state under `root` (prefix-inclusive: a
+    * namespace cascade names the parent dir). The memo's immutability
+    * argument — version files are never rewritten — holds within ONE
+    * incarnation of a table; DROP TABLE + CREATE at the same root (or
+    * a RENAME vacating a root a new table then takes) starts a new
+    * incarnation whose version numbers collide with the dead one's,
+    * so the catalog's destructive verbs must purge here or reads of
+    * the new table would serve the old table's cached states. */
+  def invalidateState(root: String): Unit = stateMemo.synchronized {
+    val it = stateMemo.keySet.iterator
+    while (it.hasNext) {
+      val k = it.next()._1
+      if (k == root || k.startsWith(root + "/")) it.remove()
+    }
+  }
+
   /** Replay to `v`: start from the newest checkpoint ≤ v (O(interval)
     * suffix fold instead of O(versions) — the metadata scale story),
     * then fold the remaining commits as an ORDERED fold (version
@@ -302,10 +318,17 @@ class TxnLogOps(val store: LogStore) {
     // older engine hits the intended protocol refusal instead of an
     // opaque parse error (or, worse for a tolerant third-party
     // reader, a silent scan of DV-deleted rows)
+    // NoDataChange is deliberately NOT in this set (r12 second pass):
+    // the marker is ADVISORY — an engine that ignores it still
+    // resolves the exact same state (unlike a DV or column mapping,
+    // where ignoring means WRONG rows), it only pays the re-layout
+    // I/O the marker would have saved. Raising minReader for a plain
+    // nightly OPTIMIZE would permanently lock v1 readers out of a
+    // table whose content they can read perfectly (Delta's
+    // dataChange=false does not raise the protocol either).
     val needsV2 = actions.exists {
       case _: SetDV | _: ExtRef | _: ColMap | _: ColDrop | _: ColUndrop |
-           _: Constraint | _: DropConstraint | _: SetBloom |
-           NoDataChange => true
+           _: Constraint | _: DropConstraint | _: SetBloom => true
       case _ => false
     }
     val raise: Seq[Entry] =
@@ -725,30 +748,58 @@ class TxnLogOps(val store: LogStore) {
     * new columns is a schema migration — do it explicitly).
     * An empty frame truncates the table to zero live files; on an
     * already-empty table with an unchanged schema it is a no-op
-    * returning the current tip. */
+    * returning the current tip.
+    *
+    * `txn` (appId, batchId) makes the overwrite IDEMPOTENT under
+    * streaming re-delivery: the commit carries the SetTxn watermark
+    * atomically, and a batch the log already holds returns the
+    * current tip without staging a byte — the Complete-mode sink's
+    * exactly-once contract, same algebra as [[writeStreamBatch]]. */
   def writeOverwrite(spark: SparkSession, root: String, df: DataFrame,
                      session: String, tag: String,
                      statsCols: Seq[String] = Seq.empty,
-                     maxAttempts: Int = 10): Int = {
+                     maxAttempts: Int = 10,
+                     txn: Option[(String, Long)] = None): Int = {
+    def replayed(base: Int): Boolean = txn.exists { case (app, b) =>
+      stateAt(root, base).txns.get(app).exists(_ >= b) }
+    val base0 = latestVersion(root)
+    if (replayed(base0)) return base0 // re-delivery: zero I/O
     enforceConstraints(df,
-      stateAt(root, latestVersion(root)).constraints, "overwrite")
+      stateAt(root, base0).constraints, "overwrite")
     val staged = stageWrite(spark, root, df, tag, statsCols)
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      val base = latestVersion(root)
-      val meta = resolveWriteSchema(root, base, df.schema,
-        evolve = false)
-      val actions: Seq[Entry] =
-        stateAt(root, base).live.toSeq.sorted.map(remove) ++
-          staged.map(_._2).toSeq
-      if (actions.isEmpty && meta.isEmpty) return base // empty on empty
-      if (tryCommit(root, base + 1, actions, session, schemaDdl = meta))
-        return base + 1
-      attempt += 1
+    // under a txn the staging NAME is deterministic per (app, batch),
+    // so a duplicate writer's LIVE add may point at the very dir we
+    // staged — cleanup only when no same-app duplicate has landed
+    // (mirrors [[writeStreamBatch]]'s posture)
+    def cleanup(): Unit =
+      if (!replayed(latestVersion(root)))
+        staged.foreach { case (name, _) =>
+          store.deleteDataDir(root, name) }
+    try {
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        val base = latestVersion(root)
+        if (replayed(base)) { cleanup(); return base }
+        val meta = resolveWriteSchema(root, base, df.schema,
+          evolve = false)
+        val actions: Seq[Entry] =
+          txn.map { case (app, b) => SetTxn(app, b) }.toSeq ++
+            stateAt(root, base).live.toSeq.sorted.map(remove) ++
+            staged.map(_._2).toSeq
+        if (actions.isEmpty && meta.isEmpty) return base // empty on empty
+        if (tryCommit(root, base + 1, actions, session,
+            schemaDdl = meta))
+          return base + 1
+        attempt += 1
+      }
+      cleanup()
+      throw new IllegalStateException(
+        s"could not overwrite after $maxAttempts attempts (writer storm?)")
+    } catch {
+      // the staged replacement must not leak on a refused commit
+      // (schema mismatch, protocol gate)
+      case e: Throwable => cleanup(); throw e
     }
-    staged.foreach { case (name, _) => store.deleteDataDir(root, name) }
-    throw new IllegalStateException(
-      s"could not overwrite after $maxAttempts attempts (writer storm?)")
   }
 
   /** Project `base` to schema `s`'s columns in order, null-padding
@@ -980,8 +1031,11 @@ class TxnLogOps(val store: LogStore) {
     val df = spark.read.parquet(s"$root/$file")
     val sized =
       if (m > 0) m
-      else bloomSizeFor(df.agg(countDistinct(col(column))).head()
-        .getLong(0))
+      // an all-null/empty column has NDV 0: publish the floor-sized
+      // filter (trivially correct — no positions set, every probe
+      // prunes) instead of throwing on a healthy sparse column
+      else bloomSizeFor(math.max(1L,
+        df.agg(countDistinct(col(column))).head().getLong(0)))
     require(sized > 0 && (sized & (sized - 1)) == 0,
       s"bloom m must be 2^k: $sized")
     val h = s"md5(cast(`$column` as string))"
@@ -1147,8 +1201,10 @@ class TxnLogOps(val store: LogStore) {
         s.rows - st.dvs.get(f).map(_._2).getOrElse(0L))
     }
     val bytes = files.map(dataBytesOf(root, st, _)).sum
-    (if (rows.nonEmpty && rows.forall(_.isDefined))
-      Some(rows.flatten.sum) else None, bytes)
+    // an EMPTY file list is exactly known (0 rows) — an empty table
+    // must report Some(0), not "stats missing"
+    (if (rows.forall(_.isDefined)) Some(rows.flatten.sum) else None,
+      bytes)
   }
 
   /** True iff a read of `files` at `version` needs the FULL read path

@@ -74,10 +74,17 @@ class TxnTableProvider extends TableProvider with DataSourceRegister {
     require(!(options.containsKey("versionAsOf") &&
       options.containsKey("timestampAsOf")),
       "versionAsOf and timestampAsOf are mutually exclusive")
+    val tip = TxnLog.latestVersion(root)
     val version = Option(options.get("versionAsOf")).map(_.toInt)
       .orElse(Option(options.get("timestampAsOf"))
         .map(ts => TxnLog.versionAsOf(root, ts.toLong)))
-      .getOrElse(TxnLog.latestVersion(root))
+      .getOrElse(tip)
+    // a version beyond the tip must fail loudly, not silently read
+    // the tip as if it were immutable history (typo'd time travel)
+    require(!options.containsKey("versionAsOf") ||
+        (version >= 1 && version <= tip),
+      s"version $version of $root does not exist " +
+        s"(committed versions: 1..$tip)")
     (root, version)
   }
 

@@ -125,8 +125,11 @@ private[streaming] class TxnLogSink(root: String, appId: String,
     val batch = org.apache.spark.sql.graft.StreamingShim
       .asBatchFrame(data)
     if (complete)
+      // the txn marker makes the overwrite idempotent too: a
+      // re-delivered Complete batch must not land a phantom version
       TxnLog.writeOverwrite(batch.sparkSession, root, batch,
-        "streamsink", f"${appId}_b$batchId%06d")
+        "streamsink", f"${appId}_b$batchId%06d",
+        txn = Some((appId, batchId)))
     else
       TxnLog.writeStreamBatch(batch.sparkSession, root, batch, appId,
         batchId, "streamsink")

@@ -231,6 +231,34 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       new java.io.File(root))
   }
 
+  test("DROP + re-CREATE at the same root is a NEW incarnation: no " +
+    "stale memoized state leaks, and VERSION AS OF beyond the tip " +
+    "fails loudly") {
+    withWarehouse { _ =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns10")
+      spark.sql(s"CREATE TABLE $cat.ns10.r (k BIGINT, t STRING)")
+      spark.sql(s"INSERT INTO $cat.ns10.r VALUES (1, 'old')")
+      // warm the state memo for (root, 1) and (root, 2)
+      assert(spark.sql(s"SELECT * FROM $cat.ns10.r").count() == 1)
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.ns10.r VERSION AS OF 99")
+          .collect()
+      }
+      assert(e.getMessage.contains("does not exist"), e.getMessage)
+      spark.sql(s"DROP TABLE $cat.ns10.r")
+      // same name, DIFFERENT schema — the old incarnation's cached
+      // states must not serve the new table
+      spark.sql(s"CREATE TABLE $cat.ns10.r (x DOUBLE)")
+      assert(spark.sql(s"SELECT * FROM $cat.ns10.r").columns.toSeq ==
+        Seq("x"))
+      assert(spark.sql(s"SELECT * FROM $cat.ns10.r").count() == 0,
+        "the dead incarnation's rows leaked through the state memo")
+      spark.sql(s"INSERT INTO $cat.ns10.r VALUES (9.5)")
+      assert(spark.sql(s"SELECT x FROM $cat.ns10.r")
+        .head().getDouble(0) == 9.5)
+    }
+  }
+
   test("CREATE TABLE AS SELECT by name: the non-atomic V2 CTAS — " +
     "birth commit then the first distributed insert") {
     withWarehouse { wh =>

@@ -1370,11 +1370,12 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
         }
         // r12 feature-triggered raise: a commit carrying any v2 action
         // auto-raises a sub-(2,2) table to (2,2) in the same commit
+        // (NoDataChange is advisory — deliberately NOT in the set)
         val hasV2 = acts.exists {
           case _: TxnLog.SetDV | _: TxnLog.ExtRef | _: TxnLog.ColMap |
                _: TxnLog.ColDrop | _: TxnLog.ColUndrop |
                _: TxnLog.Constraint | _: TxnLog.DropConstraint |
-               _: TxnLog.SetBloom | TxnLog.NoDataChange => true
+               _: TxnLog.SetBloom => true
           case _ => false
         }
         if (hasV2) refProto = (math.max(refProto._1, 2),

@@ -141,6 +141,23 @@ class TxnLogR12Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a plain OPTIMIZE does NOT raise the protocol: the re-layout " +
+    "marker is advisory and v1 readers keep the table") {
+    import spark.implicits._
+    withScratch { root =>
+      for (i <- 0 until 2)
+        Seq((i.toLong, i * 1.0)).toDF("k", "v")
+          .coalesce(1).write.parquet(s"$root/f$i")
+      assert(TxnLog.commitNext(root,
+        Seq(TxnLog.add("f0"), TxnLog.add("f1")), "s") == 1)
+      assert(TxnLog.compact(spark, root, "opt").contains(2))
+      assert(TxnLog.entriesAt(root, 2).contains(TxnLog.NoDataChange))
+      assert(TxnLog.stateAt(root, 2).protocol == ((1, 1)),
+        "an advisory marker must not lock out v1 readers — ignoring " +
+          "it resolves the same state, it only costs the saved I/O")
+    }
+  }
+
   test("merge-on-read DELETE auto-raises: DV tables refuse old readers") {
     import spark.implicits._
     withScratch { root =>
@@ -321,6 +338,20 @@ class TxnLogR12Spec extends AnyFunSuite with SparkSpec {
 
   // --------------------------------- RESTORE rolls pruning state back
 
+  test("bloomFor on an all-null column publishes the floor filter " +
+    "instead of throwing (NDV 0)") {
+    import spark.implicits._
+    withScratch { root =>
+      Seq((1L, null: String), (2L, null: String)).toDF("k", "s")
+        .coalesce(1).write.parquet(s"$root/f0")
+      val b = TxnLog.bloomFor(spark, root, "f0", "s")
+      assert(b.m == 256, s"expected the floor size, got ${b.m}")
+      // no positions set: every probe proves absence — trivially
+      // correct for a column with no values
+      assert(b.bits.forall(_ == '0'), "an all-null filter set bits")
+    }
+  }
+
   test("RESTORE reconciles stats and partition tuples for files live " +
     "in both versions") {
     import spark.implicits._
@@ -488,6 +519,17 @@ class TxnLogR12Spec extends AnyFunSuite with SparkSpec {
       val v1 = TxnLog.read(spark, tbl, TxnLog.latestVersion(tbl) - 1)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(v1 == Map(0L -> 1L, 1L -> 2L), v1.toString)
+      // Complete mode is idempotent too: a re-delivered batch must
+      // not land a phantom overwrite version (the txn watermark
+      // carries into writeOverwrite)
+      val tipV = TxnLog.latestVersion(tbl)
+      val batches = TxnLog.stateAt(tbl, tipV).txns("agg_spec")
+      assert(TxnLog.writeOverwrite(spark, tbl,
+        spark.range(1).toDF("par")
+          .selectExpr("par", "CAST(99 AS BIGINT) AS n"),
+        "s", "dup_probe", txn = Some(("agg_spec", batches))) == tipV,
+        "a replayed Complete batch committed a phantom version")
+      assert(TxnLog.latestVersion(tbl) == tipV)
     }
   }
 
