@@ -174,7 +174,14 @@ object Functions {
         (col("l_orderkey") % 7).as("key_mod"),
         signum(col("l_extendedprice") - lit(50000.0)).as("sign_d"),
         greatest(col("l_quantity"), lit(25.0)).as("qty_floor25"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (orderkey, linenumber) is NOT unique in the synthetic data,
+      // so the sort adds one injective image of each base column
+      // (sqrt for price, ceil/floor for discount/tax, square for
+      // quantity): rows tying on ALL sort keys are byte-identical in
+      // every output column — the order is total over the OUTPUT
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("sqrt_price"), col("disc_pct_ceil"), col("tax_pct_floor"),
+        col("qty_sq"))
 
   val fnMathSql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -189,7 +196,8 @@ object Functions {
       |  CAST(SIGN(l_extendedprice - 50000.0) AS DOUBLE) AS sign_d,
       |  GREATEST(l_quantity, 25.0) AS qty_floor25
       |FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, sqrt_price, disc_pct_ceil,
+      |  tax_pct_floor, qty_sq""".stripMargin
 
   /** Array + higher-order functions on documents: tokenize, size,
     * element access, membership, sort/distinct, slice, lambda filter.

@@ -33,12 +33,19 @@ object Relational {
 
   /** Full scan: parquet → DataFrame, vectorized reader, no shuffle
     * except the oracle-mandated final sort. */
-  def scanParquet(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  // NOTE on lineitem row-dump ordering (this and the other three
+  // row-level lineitem queries): (l_orderkey, l_linenumber) is NOT
+  // unique in the synthetic data, and engines order ties by scan
+  // order — stable at one scale by luck, divergent at another. Every
+  // row dump therefore sorts by ENOUGH columns that tied sort keys
+  // imply identical output rows (a total order over the output).
+  def scanParquet(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.orderBy(li.columns.toSeq.map(col): _*)
+  }
 
   val scanParquetSql: String =
-    "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber"
+    "SELECT * FROM lineitem ORDER BY ALL"
 
   /** Scan with column pruning + predicate pushdown: only 4 columns leave
     * the parquet reader and the shipdate/quantity predicates reach
@@ -49,13 +56,14 @@ object Relational {
              col("l_quantity") > 30.0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
               col("l_shipdate"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_shipdate"))
 
   val scanFilterProjectSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '2000-01-01' AND l_quantity > 30.0
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin
 
   /** Hive-style partition pruning (reference §1.1 partitioned-folder
     * model): lineitem written partitioned by l_returnflag, then read
@@ -68,7 +76,8 @@ object Relational {
       .where(col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
   }
 
   /** Stage the partitioned lineitem copy once per source dir at a
@@ -91,7 +100,7 @@ object Relational {
     """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
       |FROM lineitem
       |WHERE l_returnflag = 'R'
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin
 
   /** JSON source scan with an explicit schema (reference D8: the
     * TemplateApp JSON lift, TemplateApp.scala:62, made a first-class
@@ -544,7 +553,8 @@ object Relational {
         when(col("l_quantity") >= 40.0, "bulk")
           .when(col("l_quantity") >= 15.0, "mid")
           .otherwise("small").as("qty_band"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("revenue"), col("charge"), col("qty_band"))
 
   val projectExprSql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -554,7 +564,8 @@ object Relational {
       |       WHEN l_quantity >= 15.0 THEN 'mid'
       |       ELSE 'small' END AS qty_band
       |FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, revenue, charge,
+      |  qty_band""".stripMargin
 
   // ---------------------------------------------------------------- joins
 
@@ -4067,7 +4078,11 @@ object Relational {
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_discount"), col("l_tax")),
         "metric", "value")
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+      // the synthetic lineitem has DISTINCT rows sharing (orderkey,
+      // linenumber), so the sort must include `value` to be total —
+      // engines order ties by scan order, which diverges at scale
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
+        col("value"))
 
   val aggUnpivotSql: String =
     """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
@@ -4075,7 +4090,7 @@ object Relational {
       |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
       |UNION ALL
       |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin
 
   /** The reference's latent full-SQL surface (D10, TemplateApp's
     * SQLContext) exercised end-to-end: temp views + a CTE + a
