@@ -29,6 +29,20 @@ object Maintenance {
         s"((($y) $intDiv $p) % 2) * ${1L << (2 * k + 1)}"
     }.mkString(" + ")
 
+  /** N-dimensional bit interleave (r13 — the table format's ZORDER BY
+    * grew past 2 columns): bit k of dimension j lands at position
+    * k·n + j, so `zFormulaN(Seq(x, y), _)` computes EXACTLY
+    * [[zFormula]]'s 16-bit value (layouts and oracles stay stable)
+    * and wider arities round-robin the same 8-bit quantization into
+    * an 8n-bit z-value. Pure integer SQL — deterministic across
+    * engines and retries, like the 2-D form. */
+  private[graft] def zFormulaN(qs: Seq[String], intDiv: String): String =
+    (0 until 8).flatMap { k =>
+      qs.zipWithIndex.map { case (q, j) =>
+        s"((($q) $intDiv ${1L << k}) % 2) * ${1L << (k * qs.size + j)}"
+      }
+    }.mkString(" + ")
+
   /** Z-order layout planning: cluster orders on (custkey, orderdate)
     * by interleaved-bit z-value, cut into 5000-row files, and report
     * each file's min/max on BOTH dimensions — the row-group skipping

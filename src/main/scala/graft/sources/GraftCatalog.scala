@@ -137,7 +137,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = rootFor(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    tableAt(ident, Some(TxnLog.versionAsOf(root, timestamp / 1000L)),
+    // strict: a timestamp before the first commit fails loudly naming
+    // the earliest resolvable commit (ADVICE r12 — the version-string
+    // overload got a loud range check, the timestamp one did not)
+    tableAt(ident, Some(TxnLog.versionAsOfStrict(root, timestamp / 1000L)),
       writable = false)
   }
 

@@ -283,6 +283,27 @@ class TxnLogOps(val store: LogStore) {
     ans
   }
 
+  /** [[versionAsOf]] with the PRE-BIRTH guard (ADVICE r12): a
+    * timestamp before the table's first resolvable commit fails
+    * loudly, naming the earliest commit it could resolve — instead of
+    * returning v0 and having the read either throw a misleading
+    * "no live files" downstream or silently scan an empty pre-birth
+    * state (Delta's 'before earliest version' error). The timestamp
+    * faces (catalog `TIMESTAMP AS OF`, the path option) route here;
+    * [[versionAsOf]] itself keeps the total v0 floor for internal
+    * range algebra. */
+  def versionAsOfStrict(root: String, tsMs: Long): Int = {
+    val v = versionAsOf(root, tsMs)
+    if (v >= 1) return v
+    val floor = (versions(root) ++ checkpoints(root)).distinct.sorted
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        s"$root has no committed version"))
+    throw new IllegalArgumentException(
+      s"timestamp $tsMs ms is before the first resolvable commit of " +
+        s"$root (version $floor, committed at " +
+        s"${commitTs(root, floor)} ms) — nothing existed to read")
+  }
+
   /** Try to commit `actions` (plus optional new metaData) as exactly
     * version `v`. Returns true iff this writer won the slot — the
     * store's atomic create-if-absent publish, so two racers on the
@@ -487,7 +508,12 @@ class TxnLogOps(val store: LogStore) {
           s"columns ${reused.mkString(",")} were retired by an " +
             "earlier rename/drop — old files still carry them " +
             "physically; pick fresh names")
-        Some(StructType(table.fields ++ newCols).toDDL)
+        // evolved columns are ALWAYS nullable in the table schema:
+        // every pre-evolution file reads them as null, whatever the
+        // appended frame's own nullability said (ADVICE r12 medium —
+        // same misdeclared-nullability hazard as ADD COLUMNS)
+        Some(StructType(table.fields ++
+          newCols.map(_.copy(nullable = true))).toDDL)
       }
   }
 
@@ -633,6 +659,14 @@ class TxnLogOps(val store: LogStore) {
     * (renamed/dropped) name may never be reused. */
   def addColumns(root: String, cols: StructType, session: String)
   : Int = {
+    // ADVICE r12 medium: existing files null-pad a new column, so a
+    // NOT NULL declaration would lie to the planner — Spark trusts
+    // reported nullability and may fold IS NULL predicates or strip
+    // null checks, yielding wrong results (Delta refuses non-nullable
+    // adds for exactly this reason)
+    cols.fields.foreach(f => require(f.nullable,
+      s"new column ${f.name} must be nullable — existing files " +
+        "null-pad it, so NOT NULL would misdeclare real nulls"))
     val tip = latestVersion(root)
     val schema = schemaAt(root, tip).getOrElse(
       throw new IllegalStateException(
@@ -1169,6 +1203,83 @@ class TxnLogOps(val store: LogStore) {
     (scanned, pruned)
   }
 
+  /** An arbitrary SQL predicate's PRUNABLE conjuncts, as DataSource
+    * filters (r13 — VERDICT r12 #1: the SQL face's DELETE / UPDATE /
+    * OPTIMIZE take arbitrary predicates without giving up metadata
+    * pruning). The predicate parses through Spark's OWN expression
+    * parser; the conjunction splits; each `col <op> literal` conjunct
+    * (=, <, <=, >, >=, IN — BETWEEN parses to its >=/<= pair) renders
+    * its literal through Catalyst's cast-to-string under the session
+    * timezone, the exact rendering the write path logged
+    * ([[TxnTableRelation.canonical]]'s contract). Any conjunct the
+    * log cannot reason about (OR trees, functions, subqueries,
+    * NOT...) simply contributes no filter — it still filters EXACTLY
+    * at scan time, so unprunable degrades to scan-all, never to
+    * wrong rows. */
+  private[graft] def predicateFilters(spark: SparkSession,
+                                      predSql: String)
+  : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.{sources => sf}
+    def split(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => split(l) ++ split(r)
+      case o => Seq(o)
+    }
+    def attr(e: ce.Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    def render(e: ce.Expression): Option[String] = e match {
+      case l: ce.Literal => scala.util.Try(ce.Cast(l,
+          org.apache.spark.sql.types.StringType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone))
+        .eval(null)).toOption.flatMap(Option(_)).map(_.toString)
+      case _ => None
+    }
+    val parsed = spark.sessionState.sqlParser.parseExpression(predSql)
+    split(parsed).flatMap {
+      case ce.EqualTo(a, v) if attr(a).isDefined =>
+        for (c <- attr(a); s <- render(v)) yield sf.EqualTo(c, s)
+      case ce.EqualTo(v, a) =>
+        for (c <- attr(a); s <- render(v)) yield sf.EqualTo(c, s)
+      case ce.GreaterThan(a, v) if attr(a).isDefined =>
+        for (c <- attr(a); s <- render(v)) yield sf.GreaterThan(c, s)
+      case ce.GreaterThan(v, a) => // v > a  ⇔  a < v
+        for (c <- attr(a); s <- render(v)) yield sf.LessThan(c, s)
+      case ce.GreaterThanOrEqual(a, v) if attr(a).isDefined =>
+        for (c <- attr(a); s <- render(v))
+          yield sf.GreaterThanOrEqual(c, s)
+      case ce.GreaterThanOrEqual(v, a) =>
+        for (c <- attr(a); s <- render(v)) yield sf.LessThanOrEqual(c, s)
+      case ce.LessThan(a, v) if attr(a).isDefined =>
+        for (c <- attr(a); s <- render(v)) yield sf.LessThan(c, s)
+      case ce.LessThan(v, a) =>
+        for (c <- attr(a); s <- render(v)) yield sf.GreaterThan(c, s)
+      case ce.LessThanOrEqual(a, v) if attr(a).isDefined =>
+        for (c <- attr(a); s <- render(v)) yield sf.LessThanOrEqual(c, s)
+      case ce.LessThanOrEqual(v, a) =>
+        for (c <- attr(a); s <- render(v))
+          yield sf.GreaterThanOrEqual(c, s)
+      case ce.In(a, vs) if attr(a).isDefined && vs.nonEmpty =>
+        val rendered = vs.map(render)
+        if (rendered.exists(_.isEmpty)) None
+        else attr(a).map(c => sf.In(c, rendered.flatten.toArray))
+      case _ => None
+    }.toArray
+  }
+
+  /** The live files at state `st` an arbitrary SQL predicate might
+    * touch: [[predicateFilters]]' prunable conjuncts fed to the SAME
+    * stats/partition/bloom pruning the V2 pushdown uses
+    * ([[TxnTableRelation.pruneForSt]]). Conservative by construction:
+    * a file is dropped only when its logged metadata PROVES no row
+    * can match every conjunct. */
+  private[graft] def pruneForPredicateSt(spark: SparkSession, st: State,
+                                         predSql: String): Seq[String] =
+    TxnTableRelation.pruneForSt(st, predicateFilters(spark, predSql))._1
+
   /** Physical locations of logged data-dir names at `version`
     * (ext-ref-aware) — the resolution seam an EXTERNAL scan planner
     * (the V2 DataSource's parquet delegate) uses to hand Spark's own
@@ -1482,7 +1593,8 @@ class TxnLogOps(val store: LogStore) {
               beforeCommit: () => Unit = () => (),
               targetBytes: Long = DefaultTargetBytes,
               maxAttempts: Int = 5,
-              where: Seq[(String, String, String)] = Seq.empty)
+              where: Seq[(String, String, String)] = Seq.empty,
+              whereSql: Option[String] = None)
   : Option[Int] = {
     val base = latestVersion(root)
     val st = stateAt(root, base)
@@ -1493,8 +1605,14 @@ class TxnLogOps(val store: LogStore) {
     // the nightly job compacts yesterday's range, not the table
     // (Delta's OPTIMIZE ... WHERE). Everything outside the scope is
     // untouched — not removed, not rewritten, not a conflict.
+    // r13: `whereSql` is the ARBITRARY-predicate scope — its prunable
+    // conjuncts admit the file universe ([[pruneForPredicateSt]]); an
+    // unprunable predicate scopes nothing out (the whole table
+    // compacts — conservative, and loud in the returned touch count).
     val live =
-      if (where.isEmpty) liveAll
+      if (whereSql.nonEmpty)
+        pruneForPredicateSt(spark, st, whereSql.get).sorted
+      else if (where.isEmpty) liveAll
       else pruneBoundsSt(st, Seq.empty,
         where.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) })
         ._1.sorted
@@ -1611,15 +1729,21 @@ class TxnLogOps(val store: LogStore) {
                     beforeCommit: () => Unit = () => (),
                     targetBytes: Long = DefaultTargetBytes,
                     maxAttempts: Int = 5): Option[Int] = {
-    require(zorderBy.size == 2,
-      s"zorder takes exactly 2 columns (got $zorderBy): the interleave " +
-        "is 2-D; wider layouts compose it (z the two most-filtered)")
+    // r13 (VERDICT r12 #3): 2..4 columns. The interleave generalizes —
+    // bit k of dimension j lands at position k·n + j, so n=2 is
+    // BIT-IDENTICAL to the historic 2-D formula (layouts and oracles
+    // are stable) and n=3/4 round-robin the same 8-bit quantization.
+    // Beyond 4 dimensions each gets <2 effective bits per level and
+    // the curve stops skipping — refused, not silently useless.
+    require(zorderBy.size >= 2 && zorderBy.size <= 4,
+      s"zorder takes 2..4 columns (got $zorderBy)")
     val base = latestVersion(root)
     val st = stateAt(root, base)
     val live = st.live.toSeq.sorted
     require(live.nonEmpty, "nothing to z-order")
     val tableSchema = st.schemaDdl.map(StructType.fromDDL)
-    val Seq(cx, cy) = zorderBy
+    val nDim = zorderBy.size
+    val zSpace = 1L << (8 * nDim)
     val groups = live.groupBy(f => st.parts.getOrElse(f, Seq.empty))
       .toSeq
       .sortBy(_._1.map { case (k, v) => s"$k=$v" }.mkString("/"))
@@ -1630,15 +1754,17 @@ class TxnLogOps(val store: LogStore) {
       // vectors like the default OPTIMIZE (outputs = surviving rows)
       val raw = scanWithDVs(spark, root, st, files)
       val df0 = tableSchema.map(projectTo(raw, _)).getOrElse(raw)
-      val b = df0.agg(
-        min(col(cx).cast("long")), max(col(cx).cast("long")),
-        min(col(cy).cast("long")), max(col(cy).cast("long")),
-        count(when(col(cx).isNull || col(cy).isNull, 1))).head()
-      require(!b.isNullAt(0) && !b.isNullAt(2) && b.getLong(4) == 0L,
-        s"zorder columns $cx/$cy must be non-null in every row " +
-          "(quantization has no null cell)")
-      val (mnx, mxx) = (b.getLong(0), b.getLong(1))
-      val (mny, mxy) = (b.getLong(2), b.getLong(3))
+      // one agg pass: every dimension's long bounds + null census
+      val aggsZ = zorderBy.flatMap(c => Seq(min(col(c).cast("long")),
+        max(col(c).cast("long")))) :+
+        count(when(zorderBy.map(col(_).isNull).reduce(_ || _), 1))
+      val b = df0.agg(aggsZ.head, aggsZ.tail: _*).head()
+      require(zorderBy.indices.forall(j => !b.isNullAt(2 * j)) &&
+          b.getLong(2 * nDim) == 0L,
+        s"zorder columns ${zorderBy.mkString("/")} must be non-null " +
+          "in every row (quantization has no null cell)")
+      val bounds = zorderBy.indices.map(j =>
+        (b.getLong(2 * j), b.getLong(2 * j + 1)))
       val k0 =
         if (zBuckets > 0) zBuckets
         else {
@@ -1649,14 +1775,13 @@ class TxnLogOps(val store: LogStore) {
           if (want <= 1) 1
           else math.min(256, Integer.highestOneBit(want - 1) * 2)
         }
-      require(k0 > 0 && 65536 % k0 == 0 && (k0 & (k0 - 1)) == 0,
-        s"zBuckets must be a power of two dividing 65536: $k0")
-      val width = 65536 / k0
-      val qx = s"((CAST($cx AS BIGINT) - ($mnx)) * 256) DIV " +
-        s"(${mxx - mnx + 1})"
-      val qy = s"((CAST($cy AS BIGINT) - ($mny)) * 256) DIV " +
-        s"(${mxy - mny + 1})"
-      val z = graft.operators.Maintenance.zFormula(qx, qy, "DIV")
+      require(k0 > 0 && zSpace % k0 == 0 && (k0 & (k0 - 1)) == 0,
+        s"zBuckets must be a power of two dividing $zSpace: $k0")
+      val width = zSpace / k0
+      val qs = zorderBy.zip(bounds).map { case (c, (mn, mx)) =>
+        s"((CAST($c AS BIGINT) - ($mn)) * 256) DIV (${mx - mn + 1})"
+      }
+      val z = graft.operators.Maintenance.zFormulaN(qs, "DIV")
       val stage = s".zstage_${session}_$gi"
       store.deleteDataDir(root, stage) // crashed earlier attempt
       // ONE hash exchange on the cell id colocates each cell in one
@@ -2085,6 +2210,44 @@ class TxnLogOps(val store: LogStore) {
       pruneWhere(root, base, Seq.empty, Seq((colName, lo, hi)))
     if (candidates.isEmpty) return None
     val st = stateAt(root, base)
+    // the bounds compare in the COLUMN's own type (exact at any
+    // magnitude — no string-vs-numeric promotion)
+    def pred(scan: DataFrame) = {
+      val dt = scan.schema(colName).dataType
+      col(colName).between(lit(lo).cast(dt), lit(hi).cast(dt))
+    }
+    deleteCore(spark, root, base, st, candidates, pred, session,
+      beforeCommit, maxAttempts)
+  }
+
+  /** Row-level DELETE with an ARBITRARY SQL predicate (r13 — VERDICT
+    * r12 #1: "a real DELETE has OR, IN, inequalities"): the same
+    * TRUE-only, null-safe copy-on-write ladder as [[deleteRange]],
+    * with candidates pre-pruned by the predicate's prunable conjuncts
+    * ([[pruneForPredicateSt]]) — a conjunct the log cannot prune on
+    * degrades to scanning every file, never to wrong rows. */
+  def deletePredicate(spark: SparkSession, root: String,
+                      predSql: String, session: String,
+                      beforeCommit: () => Unit = () => (),
+                      maxAttempts: Int = 5): Option[Int] = {
+    val base = latestVersion(root)
+    if (liveFiles(root, base).isEmpty) return None
+    val st = stateAt(root, base)
+    val candidates = pruneForPredicateSt(spark, st, predSql)
+    if (candidates.isEmpty) return None
+    deleteCore(spark, root, base, st, candidates, _ => expr(predSql),
+      session, beforeCommit, maxAttempts)
+  }
+
+  /** The shared copy-on-write DELETE body: census + cheapest-action
+    * ladder + conflict-aware commit, parameterized by the delete
+    * predicate (built against the candidates' merged scan, so typed
+    * bounds can resolve their column's type first). */
+  private def deleteCore(spark: SparkSession, root: String, base: Int,
+                         st: State, candidates: Seq[String],
+                         mkPred: DataFrame => org.apache.spark.sql.Column,
+                         session: String, beforeCommit: () => Unit,
+                         maxAttempts: Int): Option[Int] = {
     // mergeSchema: candidates may span schema generations — a file
     // predating the predicate column reads it as null (no hit), and
     // the scan must not depend on which file's footer gets sampled.
@@ -2092,15 +2255,12 @@ class TxnLogOps(val store: LogStore) {
     // bar on a vectored file is "every not-yet-deleted row matches"
     val scan = scanWithDVs(spark, root, st, candidates,
       fileCol = Some("__file"))
-    val dt = scan.schema(colName).dataType
     // DELETE semantics: a row is deleted iff the predicate is TRUE.
-    // A null key makes BETWEEN null, and a bare `!pred` filter would
-    // DROP those rows (null is not true) — a range delete silently
+    // A null key makes the comparison null, and a bare `!pred` filter
+    // would DROP those rows (null is not true) — a delete silently
     // destroying every null-keyed row in a partially-matching file
     // (ADVICE r10 high). The null-safe complement keeps them.
-    val pred = coalesce(
-      col(colName).between(lit(lo).cast(dt), lit(hi).cast(dt)),
-      lit(false))
+    val pred = coalesce(mkPred(scan), lit(false))
     val census = scan.select(col("__file"), pred.as("__hit"))
       .groupBy(col("__file"))
       .agg(count(when(col("__hit"), 1)).as("hits"),
@@ -2120,7 +2280,16 @@ class TxnLogOps(val store: LogStore) {
           () => {
             val out = f"${outBase}_k$i%04d"
             store.deleteDataDir(root, out) // crashed earlier attempt
-            scanWithDVs(spark, root, st, Seq(f)).where(!pred)
+            // rewrite under the TABLE schema when the log carries one:
+            // an arbitrary predicate may reference an evolved column a
+            // file of an older generation lacks physically — the
+            // census scan null-padded it (so the file CAN hold hits,
+            // e.g. `evolved IS NULL OR ...`), and the rewrite must
+            // resolve the same way instead of failing analysis
+            val raw = scanWithDVs(spark, root, st, Seq(f))
+            val fileDf = st.schemaDdl.map(StructType.fromDDL)
+              .map(projectTo(raw, _)).getOrElse(raw)
+            fileDf.where(!pred)
               .coalesce(1).write.mode("overwrite").parquet(s"$root/$out")
             val part = st.parts.getOrElse(f, Seq.empty)
             val stats = statsForCols(spark, root, out,
@@ -2171,12 +2340,42 @@ class TxnLogOps(val store: LogStore) {
       pruneWhere(root, base, Seq.empty, Seq((colName, lo, hi)))
     if (candidates.isEmpty) return None
     val st = stateAt(root, base)
+    def pred(scan: DataFrame) = {
+      val dt = scan.schema(colName).dataType
+      col(colName).between(lit(lo).cast(dt), lit(hi).cast(dt))
+    }
+    deleteCoreDV(spark, root, base, st, candidates, pred, session,
+      beforeCommit, maxAttempts)
+  }
+
+  /** [[deletePredicate]]'s MERGE-ON-READ twin (r13): an arbitrary
+    * SQL predicate delete that publishes deletion vectors instead of
+    * rewriting partial files — same prunable-conjunct pre-prune, same
+    * sidecar/pointer algebra as [[deleteRangeDV]]. */
+  def deletePredicateDV(spark: SparkSession, root: String,
+                        predSql: String, session: String,
+                        beforeCommit: () => Unit = () => (),
+                        maxAttempts: Int = 5): Option[Int] = {
+    val base = latestVersion(root)
+    if (liveFiles(root, base).isEmpty) return None
+    val st = stateAt(root, base)
+    val candidates = pruneForPredicateSt(spark, st, predSql)
+    if (candidates.isEmpty) return None
+    deleteCoreDV(spark, root, base, st, candidates, _ => expr(predSql),
+      session, beforeCommit, maxAttempts)
+  }
+
+  /** The shared merge-on-read DELETE body — census, cheapest-action
+    * ladder (pure removes stay metadata-only), sidecar union, pointer
+    * commit — parameterized by the delete predicate. */
+  private def deleteCoreDV(spark: SparkSession, root: String, base: Int,
+                           st: State, candidates: Seq[String],
+                           mkPred: DataFrame => org.apache.spark.sql.Column,
+                           session: String, beforeCommit: () => Unit,
+                           maxAttempts: Int): Option[Int] = {
     val baseScan = applyColMap(spark.read.option("mergeSchema", "true")
       .parquet(dataPaths(root, st, candidates): _*), st)
-    val dt = baseScan.schema(colName).dataType
-    val pred = coalesce(
-      col(colName).between(lit(lo).cast(dt), lit(hi).cast(dt)),
-      lit(false))
+    val pred = coalesce(mkPred(baseScan), lit(false))
     // one scan: hit flag + (path, pos) identity per SURVIVING row
     val withMeta = baseScan.select(pred.as("__hit"),
       relPath.as("__path"), col("_metadata.row_index").as("__pos"))
@@ -2227,6 +2426,103 @@ class TxnLogOps(val store: LogStore) {
       commitRewrite(root, base + 1, touched, actions, outs, session,
         maxAttempts, readDvs = st.dvs)
     } finally { marked.unpersist(); () }
+  }
+
+  /** Row-level UPDATE, copy-on-write (r13 — VERDICT r12 #1: "users
+    * reach for UPDATE before MERGE"): wherever `predSql` is TRUE
+    * (omitted = every row; null = no match, SQL semantics), replace
+    * the row by its SET image. Every SET expression is evaluated
+    * against the PRE-update row (SQL UPDATE semantics — assignments
+    * never see each other), and each assignment casts to its column's
+    * declared type: UPDATE is not schema evolution.
+    *
+    * The planner ladder is [[deletePredicate]]'s: the predicate's
+    * prunable conjuncts pre-prune candidates from the log alone, one
+    * census pass finds the files actually holding a match, and ONLY
+    * those rewrite (narrow per-file copy-on-write tasks in the shared
+    * pool — there is no pure-remove rung, updated rows stay). CHECK
+    * constraints gate the rows the update WRITES: one pass over the
+    * matched rows' post-SET image (kept rows satisfy by induction,
+    * the MERGE posture). Pruning metadata survives: each rewrite
+    * recomputes its input's published bounds, and the partition tuple
+    * is re-verified against the output (an UPDATE may move a row's
+    * partition value) — dropped when no longer uniform, conservative.
+    * Commit is conflict-aware ([[commitRewrite]]). Returns the
+    * committed version, None when nothing matched or on conflict. */
+  def update(spark: SparkSession, root: String,
+             sets: Seq[(String, String)], predSql: Option[String],
+             session: String, beforeCommit: () => Unit = () => (),
+             maxAttempts: Int = 5): Option[Int] = {
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"duplicate assignment targets: ${sets.map(_._1).mkString(",")}")
+    val base = latestVersion(root)
+    if (liveFiles(root, base).isEmpty) return None
+    val st = stateAt(root, base)
+    val candidates = predSql
+      .map(p => pruneForPredicateSt(spark, st, p))
+      .getOrElse(st.live.toSeq.sorted)
+    if (candidates.isEmpty) return None
+    val pred = predSql.map(p => coalesce(expr(p), lit(false)))
+      .getOrElse(lit(true))
+    val tableSchema = st.schemaDdl.map(StructType.fromDDL)
+    val scan = scanWithDVs(spark, root, st, candidates,
+      fileCol = Some("__file"))
+    val dataCols = tableSchema.map(_.fieldNames.toSeq)
+      .getOrElse(scan.columns.filterNot(_ == "__file").toSeq)
+    sets.foreach { case (c, _) => require(dataCols.contains(c),
+      s"UPDATE target column $c is not in the table schema " +
+        s"(${dataCols.mkString(",")})") }
+    val assigned = sets.toMap
+    def updated(df0: DataFrame): DataFrame = {
+      val df = tableSchema.map(projectTo(df0, _)).getOrElse(df0)
+      df.select(dataCols.map { c =>
+        assigned.get(c) match {
+          case Some(e) =>
+            when(pred, expr(e).cast(df.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+    // census: every file holding at least one matching SURVIVING row
+    // rewrites (DV-applied — an already-deleted row cannot re-match)
+    val touched = scan.select(col("__file"), pred.as("__hit"))
+      .groupBy(col("__file"))
+      .agg(count(when(col("__hit"), 1)).as("hits"))
+      .where(col("hits") > 0)
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (touched.isEmpty) return None
+    if (st.constraints.nonEmpty)
+      enforceConstraints(
+        updated(scanWithDVs(spark, root, st, touched).where(pred)),
+        st.constraints, "update")
+    val outBase = f"up${base + 1}%08d" + s"_$session"
+    val rewrites: Seq[(String, Entry)] = inPool(
+      touched.zipWithIndex.map { case (f, i) =>
+        () => {
+          val out = f"${outBase}_r$i%04d"
+          store.deleteDataDir(root, out) // crashed earlier attempt
+          val fileDf = scanWithDVs(spark, root, st, Seq(f))
+          updated(fileDf).coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/$out")
+          val part = st.parts.getOrElse(f, Seq.empty)
+          val statCols = st.stats.getOrElse(f, Seq.empty).map(_.col)
+          val all = statsForCols(spark, root, out,
+            (statCols ++ part.map(_._1)).distinct
+              .filter(dataCols.contains))
+          val keptPart = part.filter { case (k, v) =>
+            all.exists(s => s.col == k && s.min == v && s.max == v) }
+          val stats = all.filter(s => statCols.contains(s.col))
+          out -> (if (keptPart.nonEmpty || stats.nonEmpty)
+            AddFile(out, keptPart, stats)
+          else add(out))
+        }
+      })
+    beforeCommit()
+    commitRewrite(root, base + 1, touched,
+      touched.map(remove) ++ rewrites.map(_._2), rewrites.map(_._1),
+      session, maxAttempts, readDvs = st.dvs)
   }
 
   /** CHANGE DATA FEED (r11 — VERDICT r10 "missing" #1, the most

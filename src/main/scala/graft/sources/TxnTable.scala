@@ -75,9 +75,12 @@ class TxnTableProvider extends TableProvider with DataSourceRegister {
       options.containsKey("timestampAsOf")),
       "versionAsOf and timestampAsOf are mutually exclusive")
     val tip = TxnLog.latestVersion(root)
+    // timestampAsOf is strict for the same reason the catalog's
+    // TIMESTAMP AS OF is (ADVICE r12): a pre-birth timestamp fails
+    // loudly naming the earliest resolvable commit
     val version = Option(options.get("versionAsOf")).map(_.toInt)
       .orElse(Option(options.get("timestampAsOf"))
-        .map(ts => TxnLog.versionAsOf(root, ts.toLong)))
+        .map(ts => TxnLog.versionAsOfStrict(root, ts.toLong)))
       .getOrElse(tip)
     // a version beyond the tip must fail loudly, not silently read
     // the tip as if it were immutable history (typo'd time travel)

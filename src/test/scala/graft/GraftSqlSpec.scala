@@ -236,4 +236,121 @@ class GraftSqlSpec extends AnyFunSuite with SparkSpec {
         .contains("Scan parquet"), "CHANGES must plan a file scan")
     }
   }
+
+  test("r13: GRAFT UPDATE and arbitrary-predicate DELETE/OPTIMIZE " +
+    "through the SQL face") {
+    import spark.implicits._
+    withScratch { root =>
+      (1L to 100L).map(k => (k, k * 1.0, s"g${k % 3}"))
+        .toDF("k", "v", "g").coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"),
+        "k BIGINT,v DOUBLE,g STRING", "s") == 1)
+      // UPDATE: expressions over the pre-update row, OR/IN WHERE,
+      // a function in an assignment (comma inside parens must not
+      // split the SET list)
+      assert(run1(s"GRAFT UPDATE '$root' SET v = v * 10, " +
+        "g = concat(upper(g), '!') WHERE k < 3 OR k IN (42)") == 2)
+      val r = TxnLog.read(spark, root)
+      assert(r.where(col("k") === 2L).head().getDouble(1) == 20.0)
+      assert(r.where(col("k") === 42L).head().getString(2) == "G0!")
+      assert(r.where(col("k") === 50L).head().getDouble(1) == 50.0)
+      // UPDATE without WHERE touches every row
+      assert(run1(s"GRAFT UPDATE '$root' SET v = v + 0.5") == 3)
+      assert(TxnLog.read(spark, root).where(col("k") === 50L)
+        .head().getDouble(1) == 50.5)
+      // DELETE with OR + inequality + IN
+      assert(run1(s"GRAFT DELETE FROM '$root' WHERE k > 95 " +
+        "OR k IN (7, 8)") == 4)
+      assert(TxnLog.read(spark, root).count() == 93)
+      // arbitrary-predicate DV delete
+      assert(run1(s"GRAFT DELETE FROM '$root' WHERE k = 9 OR k = 10 " +
+        "USING DV") == 5)
+      assert(TxnLog.stateAt(root, 5).dvs.nonEmpty)
+      assert(TxnLog.read(spark, root).count() == 91)
+      // OPTIMIZE with an arbitrary-predicate scope lands (the DV'd
+      // file is in scope and rewrites; content is unchanged)
+      assert(run1(s"GRAFT OPTIMIZE '$root' WHERE k <= 50 " +
+        "AND g <> 'zzz'") == 6)
+      assert(TxnLog.read(spark, root).count() == 91)
+      // a no-match predicate is a loud no-op, not wrong rows
+      assert(run1(s"GRAFT DELETE FROM '$root' WHERE k > 100000") == -1)
+    }
+  }
+
+  test("r13: ZORDER BY three columns publishes all three bounds") {
+    import spark.implicits._
+    withScratch { root =>
+      (0L until 128L).map(k => (k, (k * 7) % 64, (k * 13) % 32))
+        .toDF("x", "y", "w").coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"),
+        "x BIGINT,y BIGINT,w BIGINT", "s") == 1)
+      assert(run1(s"GRAFT OPTIMIZE '$root' ZORDER BY (x, y, w)") == 2)
+      val st = TxnLog.stateAt(root, 2)
+      assert(TxnLog.read(spark, root).count() == 128)
+      st.live.foreach { f =>
+        assert(st.stats.getOrElse(f, Seq.empty).map(_.col).toSet
+          == Set("x", "y", "w"), s"$f missing a z-column's bounds")
+      }
+    }
+  }
+
+  test("r13: VACUUM GRACE widens the listing horizon; GRACE 0 " +
+    "reclaims a fresh orphan") {
+    import spark.implicits._
+    withScratch { root =>
+      (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      // a crashed writer's never-committed staging dir, just created
+      (1L to 3L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/w_orphan")
+      // default grace (24h) protects the young orphan
+      assert(run1(s"GRAFT VACUUM '$root' RETAIN 1 VERSIONS DRY RUN")
+        == 0)
+      // an explicit wide grace does too
+      assert(run1(s"GRAFT VACUUM '$root' RETAIN 1 VERSIONS " +
+        "GRACE 48 HOURS DRY RUN") == 0)
+      // GRACE 0 HOURS: the orphan ages out immediately and reclaims
+      assert(run1(s"GRAFT VACUUM '$root' RETAIN 1 VERSIONS " +
+        "GRACE 0 HOURS") == 1)
+      assert(!new java.io.File(s"$root/w_orphan").exists())
+      assert(TxnLog.read(spark, root).count() == 10)
+    }
+  }
+
+  test("r13: CHANGES parses side-effect-free and takes TIMESTAMP specs") {
+    import spark.implicits._
+    withScratch { root =>
+      // parse-only on a nonexistent catalog/table must NOT touch any
+      // log or catalog (ADVICE r12: it used to resolve at parse time)
+      val parsed = spark.sessionState.sqlParser.parsePlan(
+        "GRAFT CHANGES never_registered.ns.t FROM 1")
+      assert(!parsed.resolved, "CHANGES should parse to an unresolved leaf")
+      // ... while RUNNING it fails loudly at analysis
+      intercept[Exception] {
+        spark.sql("GRAFT CHANGES never_registered.ns.t FROM 1").collect()
+      }
+      (1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f0")
+      assert(TxnLog.commitAppend(root, Seq("f0"), "k BIGINT,v DOUBLE",
+        "s") == 1)
+      (51L to 60L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$root/f1")
+      assert(TxnLog.commitAppend(root, Seq("f1"), "k BIGINT,v DOUBLE",
+        "s") == 2)
+      // FROM TIMESTAMP of v2's own commit: inclusive — exactly v2's
+      // 10 inserts
+      val ts2 = new java.sql.Timestamp(TxnLog.commitTs(root, 2))
+      val feed = spark.sql(
+        s"GRAFT CHANGES '$root' FROM TIMESTAMP '$ts2'")
+      assert(feed.count() == 10)
+      assert(feed.groupBy("_commit_version").count().head().getInt(0)
+        == 2)
+      // TO TIMESTAMP of v1: inclusive — exactly v1's 50 inserts
+      val ts1 = new java.sql.Timestamp(TxnLog.commitTs(root, 1))
+      assert(spark.sql(s"GRAFT CHANGES '$root' FROM 0 " +
+        s"TO TIMESTAMP '$ts1'").count() == 50)
+    }
+  }
 }

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxnLog
+
+/** Round-13 txn-log surface: arbitrary-predicate DELETE/UPDATE with
+  * prunable-conjunct extraction, the UPDATE verb's SQL semantics,
+  * strict pre-birth timestamp resolution, and the nullability rules
+  * for widened schemas (ADVICE r12). */
+class TxnLogR13Spec extends AnyFunSuite with SparkSpec {
+
+  private def withScratch(body: String => Unit): Unit = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r13_").toString
+    try body(root)
+    finally graft.core.Fixtures.deleteRecursively(new java.io.File(root))
+  }
+
+  test("deletePredicate: OR/IN/inequality delete is exact and " +
+    "null-safe; unprunable conjuncts degrade to scan, never wrong rows") {
+    import spark.implicits._
+    withScratch { root =>
+      val rows = (1L to 100L).map(k => (Some(k), k * 1.0)) :+
+        ((Option.empty[Long], -1.0))
+      val df = rows.toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      // OR of a range, an IN list, and an equality
+      assert(TxnLog.deletePredicate(spark, root,
+        "k > 90 OR k IN (1, 2) OR v = 50.0", "s").contains(2))
+      val r = TxnLog.read(spark, root)
+      assert(r.count() == 88) // 100 - 10 - 2 - 1 + the null row
+      // the null-keyed row SURVIVES (predicate null = not TRUE)
+      assert(r.where(col("k").isNull).count() == 1)
+      // unprunable conjunct (a function call) still deletes exactly
+      assert(TxnLog.deletePredicate(spark, root,
+        "pmod(k, 10) = 3 AND k < 50", "s").contains(3))
+      assert(TxnLog.read(spark, root).count() == 83) // 3,13,23,33,43
+      // nothing-matched is a no-op
+      assert(TxnLog.deletePredicate(spark, root, "k > 10000", "s").isEmpty)
+    }
+  }
+
+  test("deletePredicate prunes untouched files from the log alone") {
+    import spark.implicits._
+    withScratch { root =>
+      val lo = (1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v")
+      val hi = (51L to 100L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, lo, "s", "lo") == 1)
+      assert(TxnLog.writeAppend(spark, root, hi, "s", "hi") == 2)
+      val liveBefore = TxnLog.stateAt(root, 2).live
+      val hiFile = liveBefore.find(_.contains("hi")).get
+      // the predicate's prunable conjunct (k <= 10) excludes the hi
+      // file by its logged bounds — even though the OTHER conjunct is
+      // unprunable, the conjunction's range still prunes
+      assert(TxnLog.deletePredicate(spark, root,
+        "k <= 10 AND pmod(k, 2) = 0", "s").contains(3))
+      val st = TxnLog.stateAt(root, 3)
+      assert(st.live.contains(hiFile),
+        "hi file must survive UNREWRITTEN (pruned, not scanned)")
+      assert(TxnLog.read(spark, root).count() == 95)
+    }
+  }
+
+  test("deletePredicateDV publishes a vector for an OR predicate") {
+    import spark.implicits._
+    withScratch { root =>
+      val df = (0L until 64L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      assert(TxnLog.deletePredicateDV(spark, root,
+        "k < 2 OR k >= 62", "s").contains(2))
+      val st = TxnLog.stateAt(root, 2)
+      assert(st.dvs.nonEmpty, "partial match should vector, not rewrite")
+      assert(TxnLog.read(spark, root).count() == 60)
+    }
+  }
+
+  test("update: SET sees the PRE-update row, casts to the column " +
+    "type, and only matching files rewrite") {
+    import spark.implicits._
+    withScratch { root =>
+      val lo = (1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v")
+      val hi = (51L to 100L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, lo, "s", "lo") == 1)
+      assert(TxnLog.writeAppend(spark, root, hi, "s", "hi") == 2)
+      val hiFile = TxnLog.stateAt(root, 2).live.find(_.contains("hi")).get
+      // both assignments read the pre-update row: v = k*2 uses the
+      // ORIGINAL k, not the reassigned one (and k+v casts to BIGINT)
+      assert(TxnLog.update(spark, root,
+        Seq("k" -> "k + 1000 + v - v", "v" -> "k * 2"),
+        Some("k <= 3"), "s").contains(3))
+      val r = TxnLog.read(spark, root)
+      assert(r.count() == 100)
+      // k=2 → (1002, 4.0); had v seen the new k it would be 2004.0
+      assert(r.where(col("k") === 1002L).head().getDouble(1) == 4.0)
+      // untouched rows keep their values; the hi file never rewrote
+      assert(r.where(col("k") === 80L).head().getDouble(1) == 80.0)
+      assert(TxnLog.stateAt(root, 3).live.contains(hiFile))
+      // schema unchanged (UPDATE is not evolution)
+      assert(TxnLog.schemaAt(root, 3).get.toDDL ==
+        TxnLog.schemaAt(root, 2).get.toDDL)
+      // no match → no-op; unknown target → loud
+      assert(TxnLog.update(spark, root, Seq("v" -> "0.0"),
+        Some("k > 10000"), "s").isEmpty)
+      intercept[IllegalArgumentException] {
+        TxnLog.update(spark, root, Seq("nope" -> "1"), None, "s")
+      }
+    }
+  }
+
+  test("update enforces CHECK constraints on the post-SET image") {
+    import spark.implicits._
+    withScratch { root =>
+      val df = (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      assert(TxnLog.addConstraint(spark, root, "pos", "v > 0", "s") == 2)
+      intercept[IllegalArgumentException] {
+        TxnLog.update(spark, root, Seq("v" -> "-1.0"),
+          Some("k = 1"), "s")
+      }
+      // the refused update committed nothing
+      assert(TxnLog.latestVersion(root) == 2)
+      // a compliant update lands
+      assert(TxnLog.update(spark, root, Seq("v" -> "v + 1"),
+        Some("k = 1"), "s").contains(3))
+      assert(TxnLog.read(spark, root)
+        .where(col("k") === 1L).head().getDouble(1) == 2.0)
+    }
+  }
+
+  test("versionAsOfStrict: pre-birth timestamps fail loudly on every " +
+    "timestamp face") {
+    import spark.implicits._
+    withScratch { root =>
+      val df = (1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      val e = intercept[IllegalArgumentException] {
+        TxnLog.versionAsOfStrict(root, 0L)
+      }
+      assert(e.getMessage.contains("before the first resolvable commit"))
+      intercept[IllegalArgumentException] {
+        spark.read.format("graft-txn").option("path", root)
+          .option("timestampAsOf", "0").load()
+      }
+      // at-or-after the first commit resolves normally
+      assert(TxnLog.versionAsOfStrict(root,
+        TxnLog.commitTs(root, 1)) == 1)
+    }
+  }
+
+  test("widened schemas are always nullable: ADD COLUMNS refuses NOT " +
+    "NULL, append evolution forces nullable (ADVICE r12)") {
+    import spark.implicits._
+    withScratch { root =>
+      val df = (1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      intercept[IllegalArgumentException] {
+        TxnLog.addColumns(root, org.apache.spark.sql.types.StructType
+          .fromDDL("w BIGINT NOT NULL"), "s")
+      }
+      // evolution by append: the new column arrives nullable even if
+      // the appended frame declared it required
+      assert(TxnLog.commitAppend(root, Seq.empty,
+        "k BIGINT,v DOUBLE,w BIGINT NOT NULL", "s",
+        evolve = true) == 2)
+      val w = TxnLog.schemaAt(root, 2).get.fields.find(_.name == "w").get
+      assert(w.nullable, "evolved column must be nullable — old files " +
+        "null-pad it")
+    }
+  }
+
+  test("zFormulaN(x, y) is bit-identical to the historic 2-D zFormula") {
+    val qx = "CAST(173 AS BIGINT)"
+    val qy = "CAST(41 AS BIGINT)"
+    val two = graft.operators.Maintenance.zFormula(qx, qy, "DIV")
+    val n = graft.operators.Maintenance.zFormulaN(Seq(qx, qy), "DIV")
+    val r = spark.sql(s"SELECT ($two) AS a, ($n) AS b").head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+}
