@@ -526,8 +526,103 @@ object Streams {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** Streaming UPDATE-mode sink (r13 — VERDICT r12 #4): a running
+    * per-type aggregate streamed into a txn-log table as KEYED
+    * UPSERTS. Two `Trigger.AvailableNow` passes over a file source —
+    * the second after new files arrived while the stream was down —
+    * with the aggregation STATE surviving the restart in the
+    * checkpoint: each micro-batch emits only the types it changed,
+    * and the sink merges them onto the table
+    * ([[graft.sources.TxnLog.writeStreamBatchUpdate]] — matched keys
+    * replace, unmatched insert, watermark atomic with the merge). The
+    * tip therefore holds exactly the per-type totals over ALL events,
+    * which is what the oracle recomputes from scratch — proving the
+    * upsert ladder loses nothing across restarts and re-deliveries
+    * (the staged probe asserts a replayed batch is refused).
+    *
+    * Scale shape: each batch's merge touches only the files holding
+    * its CHANGED keys (stats pre-prune + cheapest-action ladder) —
+    * the 100 TB posture for a running aggregate whose key space
+    * dwarfs any batch. */
+  def streamUpdateSink(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.core.Fixtures.memo(txnSinkFixtures,
+      (spark.sparkContext.applicationId, dir)) {
+        graft.core.Fixtures.staged(s"$dir/events.parquet", "txnstreamsrc",
+            codeTag = "event_id_parity_v1") { target =>
+          val e = Tables.events(spark, dir)
+            .select(col("event_id"), col("event_type"), col("value"))
+          e.where(col("event_id") % 2 === 0)
+            .coalesce(1).write.parquet(s"$target/t1")
+          e.where(col("event_id") % 2 === 1)
+            .coalesce(1).write.parquet(s"$target/t2")
+        }
+      }
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmpRoot = sys.props("java.io.tmpdir")
+    val inDir = new java.io.File(s"$tmpRoot/graft_updsink_in_$uuid")
+    val root = new java.io.File(s"$tmpRoot/graft_updsink_tbl_$uuid")
+    val ck = s"$tmpRoot/graft_updsink_ck_$uuid"
+    def feed(tranche: String): Unit =
+      Option(new java.io.File(s"$src/$tranche").listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.copy(f.toPath,
+          new java.io.File(inDir, f.getName).toPath))
+    def pass(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, value DOUBLE"))
+        .parquet(inDir.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(Det.cents(col("value"))).as("sum_cents"))
+        .writeStream.format("graft-txnlog")
+        .option("path", root.toString).option("appId", "upsink")
+        .option("mergeKey", "event_type")
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      inDir.mkdirs(); root.mkdirs()
+      feed("t1")
+      pass()
+      feed("t2") // arrives while the stream is DOWN…
+      pass() //     …restart: state resumes, changed keys upsert
+      val tip = TxnLog.latestVersion(root.toString)
+      val last = TxnLog.stateAt(root.toString, tip).txns("upsink")
+      // a replayed batch must be refused by the atomic watermark
+      assert(TxnLog.writeStreamBatchUpdate(spark, root.toString,
+        Tables.events(spark, dir).limit(1)
+          .select(col("event_type"), lit(0L).as("n_events"),
+            lit(0L).as("sum_cents")),
+        "event_type", "upsink", last, "probe").isEmpty,
+        "update watermark accepted a replayed batch")
+      val rows = TxnLog.read(spark, root.toString)
+        .collect() // bounded: one row per event type
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      import spark.implicits._
+      rows.toDF("event_type", "n_events", "sum_cents")
+        .orderBy(col("event_type"))
+    } finally {
+      for (d <- Seq(inDir, root, new java.io.File(ck)))
+        graft.core.Fixtures.deleteRecursively(d)
+    }
+  }
+
+  /** Same oracle shape as the append sink: the tip must equal the
+    * from-scratch per-type totals — restarts and upserts included. */
+  val streamUpdateSinkSql: String =
+    s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(${DetSql.cents("value")}) AS BIGINT) AS sum_cents
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_txn_sink" -> streamTxnSink,
+    "stream_update_sink" -> streamUpdateSink,
     "stream_file_sink" -> streamFileSink,
     "stream_state_totals" -> streamStateTotals,
     "stream_spike" -> streamSpike,
@@ -542,6 +637,7 @@ object Streams {
 
   val oracleSql: Map[String, String] = Map(
     "stream_txn_sink" -> streamTxnSinkSql,
+    "stream_update_sink" -> streamUpdateSinkSql,
     "stream_file_sink" -> streamFileSinkSql,
     "stream_topk" -> streamTopkSql,
     "stream_spike" -> streamSpikeSql,

@@ -454,11 +454,14 @@ class TxnLogOps(val store: LogStore) {
   def commitAppend(root: String, files: Seq[String], schemaDdl: String,
                    session: String, evolve: Boolean = false,
                    maxAttempts: Int = 10,
-                   rich: Map[String, Entry] = Map.empty): Int = {
+                   rich: Map[String, Entry] = Map.empty,
+                   enforcedCons: Option[Map[String, String]] = None)
+  : Int = {
     val append = StructType.fromDDL(schemaDdl)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(root)
+      enforcedCons.foreach(requireConstraintsStable(root, base, _))
       val meta = resolveWriteSchema(root, base, append, evolve)
       if (tryCommit(root, base + 1,
           files.map(f => rich.getOrElse(f, add(f))), session,
@@ -468,6 +471,28 @@ class TxnLogOps(val store: LogStore) {
     }
     throw new IllegalStateException(
       s"could not append after $maxAttempts attempts (writer storm?)")
+  }
+
+  /** ADVICE r12: a constraint committed CONCURRENTLY between a write's
+    * enforcement and its won slot would land this write's rows
+    * unchecked — the retry loop re-resolves the schema per attempt
+    * but used to trust the entry-time constraint check forever. A
+    * commit is refused when the base now carries a constraint the
+    * write did not enforce (added or changed); a DROPPED constraint
+    * only weakens the set and never invalidates enforced rows, so it
+    * does not abort. The refusal is loud — the caller cleans its
+    * staging and the user retries, the same posture as a true
+    * conflict (Delta's metadata-change conflict rule). */
+  private def requireConstraintsStable(root: String, base: Int,
+                                       enforced: Map[String, String])
+  : Unit = {
+    val now = stateAt(root, base).constraints
+    val unchecked = now.filter { case (n, e) =>
+      !enforced.get(n).contains(e) }
+    require(unchecked.isEmpty,
+      "table constraints changed concurrently during this write — " +
+        s"${unchecked.keys.toSeq.sorted.mkString(",")} were added " +
+        "after enforcement; aborting the commit (re-run the write)")
   }
 
   /** The schema contract every write resolves against the table's
@@ -537,6 +562,51 @@ class TxnLogOps(val store: LogStore) {
     require(bad.isEmpty,
       s"$what violates table constraints — ${bad.mkString("; ")}")
   }
+
+  /** Fail-fast CHECK enforcement FUSED into a write's own scan (r13 —
+    * VERDICT r12 #2: the separate [[enforceConstraints]] pass made
+    * every checked INSERT read its input twice; at 100 TB ingest that
+    * doubles write-side read I/O). Each row evaluates every
+    * constraint inside an always-true filter; a violating row raises
+    * a tagged error that [[unwrapCheckViolation]] surfaces as the
+    * same `IllegalArgumentException` the two-pass path threw. SQL
+    * CHECK semantics preserved: NULL passes ([[enforceConstraints]]'
+    * coalesce), and an empty frame never evaluates a guard. The
+    * filter cannot be optimized away: `raise_error` is non-foldable
+    * and the planner cannot prove the branch dead. */
+  private def checkGuard(df: DataFrame, cons: Map[String, String],
+                         what: String): DataFrame = {
+    if (cons.isEmpty) return df
+    val guards = cons.toSeq.sorted.map { case (n, e) =>
+      when(!coalesce(expr(e), lit(true)),
+        raise_error(lit(s"$CheckViolationTag$what violates table " +
+          s"constraints — $n (CHECK $e)")).cast("int"))
+        .otherwise(lit(1))
+    }
+    df.where(guards.reduce(_ + _) >= 0)
+  }
+
+  /** The first [[checkGuard]] violation in `t`'s cause chain, rebuilt
+    * as the write path's refusal exception (Spark wraps a task-side
+    * `raise_error` in SparkException layers; callers intercept
+    * `IllegalArgumentException` with the constraint's name). */
+  private def unwrapCheckViolation(t: Throwable)
+  : Option[IllegalArgumentException] = {
+    var cur: Throwable = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      val m = cur.getMessage
+      if (m != null && m.contains(CheckViolationTag))
+        return Some(new IllegalArgumentException(
+          m.substring(m.indexOf(CheckViolationTag) +
+            CheckViolationTag.length).takeWhile(_ != '\n').trim, t))
+      cur = cur.getCause
+      depth += 1
+    }
+    None
+  }
+
+  private val CheckViolationTag = "GRAFT_CHECK: "
 
   /** ADD CONSTRAINT (r11 — Delta's CHECK constraint): publish `name
     * CHECK(exprSql)` after proving the CURRENT content satisfies it
@@ -693,7 +763,8 @@ class TxnLogOps(val store: LogStore) {
       enforceConstraints(spark.read.option("mergeSchema", "true")
         .parquet(files.map(f => s"$root/$f"): _*), cons,
         s"append of ${files.mkString(",")}")
-    commitAppend(root, files, schemaDdl, session, evolve, maxAttempts)
+    commitAppend(root, files, schemaDdl, session, evolve, maxAttempts,
+      enforcedCons = Some(cons))
   }
 
   /** Stage `df` as ONE new data dir under `root` with a fully
@@ -709,13 +780,31 @@ class TxnLogOps(val store: LogStore) {
     * unrenderable columns silently fall out ([[statsForCols]]).
     * Returns None for an empty frame (the staging dir is cleaned
     * up; an empty INSERT must not commit a zero-row file that every
-    * future scan pays to open). */
+    * future scan pays to open).
+    *
+    * r13 (VERDICT r12 #2): CHECK constraints are FUSED into the
+    * staging write as a fail-fast guard ([[checkGuard]]) instead of a
+    * separate validation pass — a checked INSERT reads its input
+    * ONCE. A violating row aborts the write mid-job; the partial
+    * staging dir is deleted and the failure surfaces as the same
+    * `IllegalArgumentException` naming the constraint that the
+    * two-pass enforcement threw, BEFORE any commit — the
+    * refuse-before-commit semantics are unchanged, only the second
+    * scan is gone. */
   private def stageWrite(spark: SparkSession, root: String,
-                         df: DataFrame, tag: String,
-                         statsCols: Seq[String]): Option[(String, Entry)] = {
+                         df0: DataFrame, tag: String,
+                         statsCols: Seq[String],
+                         cons: Map[String, String] = Map.empty,
+                         what: String = "write")
+  : Option[(String, Entry)] = {
+    val df = checkGuard(df0, cons, what)
     val out = s"w_$tag"
     store.deleteDataDir(root, out) // crashed earlier attempt
-    df.write.mode("overwrite").parquet(s"$root/$out")
+    try df.write.mode("overwrite").parquet(s"$root/$out")
+    catch { case t: Throwable =>
+      store.deleteDataDir(root, out)
+      throw unwrapCheckViolation(t).getOrElse(t)
+    }
     val tracked = stateAt(root, latestVersion(root))
       .stats.values.flatten.map(_.col).toSeq
     val atomic = df.schema.fields.collect {
@@ -758,13 +847,16 @@ class TxnLogOps(val store: LogStore) {
                   evolve: Boolean = false,
                   statsCols: Seq[String] = Seq.empty,
                   maxAttempts: Int = 10): Int = {
-    enforceConstraints(df,
-      stateAt(root, latestVersion(root)).constraints, "append")
-    stageWrite(spark, root, df, tag, statsCols) match {
+    // CHECK enforcement rides the staging scan itself (one pass, r13)
+    // and the commit loop refuses if the constraint set drifted
+    // between enforcement and the won slot (ADVICE r12)
+    val cons = stateAt(root, latestVersion(root)).constraints
+    stageWrite(spark, root, df, tag, statsCols, cons, "append") match {
       case None => -1
       case Some((name, entry)) =>
         try commitAppend(root, Seq(name), df.schema.toDDL, session,
-          evolve, maxAttempts, rich = Map(name -> entry))
+          evolve, maxAttempts, rich = Map(name -> entry),
+          enforcedCons = Some(cons))
         catch { case e: Throwable =>
           store.deleteDataDir(root, name); throw e }
     }
@@ -798,9 +890,10 @@ class TxnLogOps(val store: LogStore) {
       stateAt(root, base).txns.get(app).exists(_ >= b) }
     val base0 = latestVersion(root)
     if (replayed(base0)) return base0 // re-delivery: zero I/O
-    enforceConstraints(df,
-      stateAt(root, base0).constraints, "overwrite")
-    val staged = stageWrite(spark, root, df, tag, statsCols)
+    // one-pass CHECK enforcement fused into staging (r13)
+    val cons = stateAt(root, base0).constraints
+    val staged = stageWrite(spark, root, df, tag, statsCols, cons,
+      "overwrite")
     // under a txn the staging NAME is deterministic per (app, batch),
     // so a duplicate writer's LIVE add may point at the very dir we
     // staged — cleanup only when no same-app duplicate has landed
@@ -814,6 +907,7 @@ class TxnLogOps(val store: LogStore) {
       while (attempt < maxAttempts) {
         val base = latestVersion(root)
         if (replayed(base)) { cleanup(); return base }
+        requireConstraintsStable(root, base, cons) // ADVICE r12
         val meta = resolveWriteSchema(root, base, df.schema,
           evolve = false)
         val actions: Seq[Entry] =
@@ -1418,13 +1512,15 @@ class TxnLogOps(val store: LogStore) {
   def commitStreamBatch(root: String, appId: String, batchId: Long,
                         actions: Seq[Entry], session: String,
                         maxAttempts: Int = 10,
-                        appendSchema: Option[StructType] = None)
+                        appendSchema: Option[StructType] = None,
+                        enforcedCons: Option[Map[String, String]] = None)
   : Option[Int] = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(root)
       if (stateAt(root, base).txns.get(appId).exists(_ >= batchId))
         return None
+      enforcedCons.foreach(requireConstraintsStable(root, base, _))
       val meta = appendSchema.flatMap(
         resolveWriteSchema(root, base, _, evolve = false))
       if (tryCommit(root, base + 1, SetTxn(appId, batchId) +: actions,
@@ -1457,10 +1553,12 @@ class TxnLogOps(val store: LogStore) {
     val base = latestVersion(root)
     if (stateAt(root, base).txns.get(appId).exists(_ >= batchId))
       return None
-    enforceConstraints(df, stateAt(root, base).constraints,
-      s"stream batch $batchId of $appId")
+    // one-pass CHECK enforcement fused into staging (r13); the commit
+    // loop refuses on concurrent constraint drift (ADVICE r12)
+    val cons = stateAt(root, base).constraints
     val staged = stageWrite(spark, root, df,
-      f"${appId}_b$batchId%06d", statsCols)
+      f"${appId}_b$batchId%06d", statsCols, cons,
+      s"stream batch $batchId of $appId")
     // NOTE on the duplicate-discovered-at-commit race (None below):
     // the staged dir is NOT deleted — its name is deterministic per
     // (app, batch), so a concurrent duplicate writer's LIVE add may
@@ -1469,7 +1567,7 @@ class TxnLogOps(val store: LogStore) {
     // genuine commit failure (throw) has no winner and cleans up.
     try commitStreamBatch(root, appId, batchId,
       staged.map(_._2).toSeq, session,
-      appendSchema = Some(df.schema))
+      appendSchema = Some(df.schema), enforcedCons = Some(cons))
     catch { case e: Throwable =>
       // clean up ONLY if no same-app duplicate landed meanwhile —
       // its live add points at this very (deterministically named)
@@ -1478,6 +1576,40 @@ class TxnLogOps(val store: LogStore) {
           .exists(_ >= batchId))
         staged.foreach { case (n, _) => store.deleteDataDir(root, n) }
       throw e }
+  }
+
+  /** Streaming UPDATE output mode (r13 — VERDICT r12 #4: "an
+    * aggregating stream at scale wants keyed upsert through the
+    * existing MERGE machinery"): land a micro-batch as a KEYED UPSERT
+    * — matched keys replace their rows, unmatched insert — with the
+    * (appId, batchId) watermark committed ATOMICALLY with the merge's
+    * own actions, so a checkpoint re-delivery is a one-lookup no-op
+    * exactly like Append/Complete. An empty batch commits just the
+    * marker. The merge's cheapest-action ladder applies unchanged
+    * (stats pre-prune, untouched files stay untouched, narrow
+    * rewrites), so a keyed update stream touches only the files
+    * holding its keys — the 100 TB posture for a running aggregate
+    * whose key space dwarfs any batch. A lost merge conflict (a
+    * concurrent rewrite removed a probed file) throws so the engine
+    * retries the batch; a DUPLICATE writer having landed it is a
+    * clean None. */
+  def writeStreamBatchUpdate(spark: SparkSession, root: String,
+                             df: DataFrame, keyCol: String,
+                             appId: String, batchId: Long,
+                             session: String): Option[Int] = {
+    val base = latestVersion(root)
+    if (stateAt(root, base).txns.get(appId).exists(_ >= batchId))
+      return None
+    if (df.isEmpty)
+      return commitStreamBatch(root, appId, batchId, Seq.empty, session)
+    val r = mergeClauses(spark, root, df, keyCol, session,
+      updateWhen = Some(lit(true)), deleteWhen = None,
+      insertUnmatched = true, txn = Some((appId, batchId)))
+    if (r.isEmpty && !stateAt(root, latestVersion(root)).txns
+        .get(appId).exists(_ >= batchId))
+      throw new IllegalStateException(
+        s"batch $batchId of $appId lost a merge conflict — retry")
+    r
   }
 
   /** SEQUENTIAL bin packing of (file, bytes) toward `cap` per bin:
@@ -1547,11 +1679,24 @@ class TxnLogOps(val store: LogStore) {
                             outs: Seq[String], session: String,
                             maxAttempts: Int,
                             readDvs: Map[String, (String, Long)] =
-                              Map.empty): Option[Int] = {
+                              Map.empty,
+                            txn: Option[(String, Long)] = None)
+  : Option[Int] = {
+    // r13: a rewrite carrying a streaming watermark (the Update-mode
+    // sink's keyed merge) commits SetTxn atomically with its actions,
+    // and a duplicate writer that already landed this (app, batch)
+    // turns the retry into a clean no-op instead of a conflict
+    val all = txn.map { case (a, b) => SetTxn(a, b) }.toSeq ++ actions
+    def replayed(tip: Int): Boolean = txn.exists { case (a, b) =>
+      stateAt(root, tip).txns.get(a).exists(_ >= b) }
     var v = firstSlot
     var attempt = 0
     while (attempt < maxAttempts) {
-      if (tryCommit(root, v, actions, session)) return Some(v)
+      if (replayed(v - 1)) {
+        outs.foreach(store.deleteDataDir(root, _))
+        return None
+      }
+      if (tryCommit(root, v, all, session)) return Some(v)
       val tip = latestVersion(root)
       val nowSt = stateAt(root, tip)
       val ok = removed.forall(f => nowSt.live.contains(f) &&
@@ -1943,7 +2088,8 @@ class TxnLogOps(val store: LogStore) {
                    deleteWhen: Option[org.apache.spark.sql.Column],
                    insertUnmatched: Boolean = true,
                    beforeCommit: () => Unit = () => (),
-                   maxAttempts: Int = 5): Option[Int] = {
+                   maxAttempts: Int = 5,
+                   txn: Option[(String, Long)] = None): Option[Int] = {
     val base = latestVersion(root)
     val live = liveFiles(root, base)
     val outBase = f"m${base + 1}%08d" + s"_$session"
@@ -1953,7 +2099,7 @@ class TxnLogOps(val store: LogStore) {
     val source = source0.cache()
     try mergeClausesPinned(spark, root, source, keyCol, session,
       updateWhen, deleteWhen, insertUnmatched, beforeCommit,
-      maxAttempts, base, live, outBase)
+      maxAttempts, base, live, outBase, txn)
     finally { source.unpersist(); () }
   }
 
@@ -1962,7 +2108,8 @@ class TxnLogOps(val store: LogStore) {
       updateWhen: Option[org.apache.spark.sql.Column],
       deleteWhen: Option[org.apache.spark.sql.Column],
       insertUnmatched: Boolean, beforeCommit: () => Unit,
-      maxAttempts: Int, base: Int, live: Seq[String], outBase: String)
+      maxAttempts: Int, base: Int, live: Seq[String], outBase: String,
+      txn: Option[(String, Long)] = None)
   : Option[Int] = {
     val bounds = source.agg(min(col(keyCol)).cast("string"),
       max(col(keyCol)).cast("string"), count(lit(1)),
@@ -2126,7 +2273,7 @@ class TxnLogOps(val store: LogStore) {
     beforeCommit()
     commitRewrite(root, base + 1, touched,
       touched.map(remove) ++ outs.map(_._2), outs.map(_._1), session,
-      maxAttempts, readDvs = st.dvs)
+      maxAttempts, readDvs = st.dvs, txn = txn)
   }
 
   /** Partitioned APPEND — the writer-side half of the partition
@@ -2149,11 +2296,10 @@ class TxnLogOps(val store: LogStore) {
                               statsCols: Seq[String], session: String,
                               maxAttempts: Int = 10): Int = {
     require(partCols.nonEmpty, "partitioned append needs partCols")
-    // CHECK constraints validate the INPUT frame before any slice is
-    // written — the cheapest enforcement point (one pass, no cleanup)
-    enforceConstraints(df,
-      stateAt(root, latestVersion(root)).constraints,
-      "partitioned append")
+    // CHECK constraints ride each slice's own write scan (r13 — one
+    // pass total: every row lands in exactly one slice); a violation
+    // aborts all slices and cleans their staging below
+    val cons = stateAt(root, latestVersion(root)).constraints
     // keep the ORIGINAL values for the slice predicate (no
     // string-cast round trip) and the string rendering for the log
     val tuples = df.select(partCols.map(col): _*).distinct().collect()
@@ -2174,8 +2320,8 @@ class TxnLogOps(val store: LogStore) {
     def writeSlice(tuple: Seq[(String, Any, String)], out: String)
     : TxnLog.AddFile = {
       store.deleteDataDir(root, out) // crashed earlier attempt
-      df.where(tuple.map { case (c, v, _) => col(c) <=> lit(v) }
-          .reduce(_ && _))
+      checkGuard(df.where(tuple.map { case (c, v, _) => col(c) <=> lit(v) }
+          .reduce(_ && _)), cons, "partitioned append")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/$out")
       TxnLog.AddFile(out, tuple.map { case (c, _, s) => c -> s },
         statsCols.map(statsFor(spark, root, out, _)))
@@ -2183,7 +2329,11 @@ class TxnLogOps(val store: LogStore) {
     val named = tuples.zipWithIndex.map { case (t, i) =>
       t -> f"${outBase}_t$i%04d" }
     val adds: Seq[Entry] =
-      inPool(named.map { case (t, n) => () => writeSlice(t, n) })
+      try inPool(named.map { case (t, n) => () => writeSlice(t, n) })
+      catch { case t: Throwable =>
+        named.foreach { case (_, n) => store.deleteDataDir(root, n) }
+        throw unwrapCheckViolation(t).getOrElse(t)
+      }
     commitNext(root, adds, session, maxAttempts)
   }
 

@@ -284,6 +284,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_dedup_embed" -> 3,
     // retrain adds the Lloyd rounds' (cell,dim) shuffles + assignment
     "llm_dedup_embed_retrained" -> 7,
+    // the codebook is READ from its txn-log table (training ran at
+    // staging and lives in the log): assignment agg + cells join +
+    // cap window + NN window + output sort — one less than the
+    // in-query retrain twin
+    "llm_dedup_codebook_log" -> 6,
     "llm_dedup_exact" -> 2,
     "llm_dedup_fuzzy" -> 4,
     "llm_dedup_jaccard" -> 39,
@@ -434,6 +439,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // localized table-tip readback + output sort; the two streaming
     // passes and their txn commits run before the plan exists
     "stream_txn_sink" -> 1,
+    "stream_update_sink" -> 1,
     "stream_sliding" -> 2,
     "stream_tumbling" -> 2,
     "table_skew" -> 3,
@@ -543,7 +549,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_lm_score", "llm_rank_fusion", "llm_sim_search",
     "llm_sim_search_int8",
     "llm_sim_search_ivf", "llm_sim_search_ivf_trained",
-    "llm_dedup_embed_retrained",
+    "llm_dedup_embed_retrained", "llm_dedup_codebook_log",
     "llm_sim_search_native", "llm_sim_search_pq", "llm_sim_search_pq_rerank",
     "llm_tfidf", "ts_anomaly_resid", "win_quintile_migration",
     "llm_dedup_band_recall", "win_survival_km", "llm_corpus_drift",

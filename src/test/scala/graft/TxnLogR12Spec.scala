@@ -550,12 +550,13 @@ class TxnLogR12Spec extends AnyFunSuite with SparkSpec {
             java.util.UUID.randomUUID().toString.take(8)}"))
           .start()
       }
+      // r13: Update mode is now SUPPORTED — but only with a mergeKey
       val e1 = intercept[Exception] {
         val q = start(_.option("path", s"$root/t1")
           .option("appId", "a").outputMode("update"))
         try q.processAllAvailable() finally q.stop()
       }
-      assert(exists(e1, "Append"), e1.getMessage)
+      assert(exists(e1, "mergeKey"), e1.getMessage)
       val e2 = intercept[Exception] {
         val q = start(_.option("path", s"$root/t2")
           .option("appId", "a").partitionBy("k"))

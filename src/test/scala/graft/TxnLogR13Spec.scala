@@ -170,6 +170,102 @@ class TxnLogR13Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("checked INSERT reads its input exactly ONCE: CHECK rides the " +
+    "staging scan (r13, VERDICT r12 #2)") {
+    import spark.implicits._
+    withScratch { root =>
+      val seed = (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, seed, "s", "t0") == 1)
+      assert(TxnLog.addConstraint(spark, root, "pos", "v > 0", "s") == 2)
+      val acc = spark.sparkContext.longAccumulator("graft_scan_census")
+      val tick = udf { (k: Long) => acc.add(1); k }.asNondeterministic()
+      val df = (1L to 100L).toDF("k")
+        .select(tick(col("k")).as("k"), lit(1.0).as("v"))
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t1") == 3)
+      assert(acc.value == 100L,
+        s"input was scanned ${acc.value / 100.0} times — the CHECK " +
+          "pass must be fused into the staging write")
+      // the violation path still refuses BEFORE commit, names the
+      // constraint, and cleans its staging
+      val bad = (1L to 5L).map(k => (k, -1.0)).toDF("k", "v")
+      val e = intercept[IllegalArgumentException](
+        TxnLog.writeAppend(spark, root, bad, "s", "t2"))
+      assert(e.getMessage.contains("pos") &&
+        e.getMessage.contains("violates table constraints"),
+        e.getMessage)
+      assert(TxnLog.latestVersion(root) == 3, "refused write committed")
+      assert(TxnLog.read(spark, root).count() == 110)
+      // streaming batches share the fused path
+      val e2 = intercept[IllegalArgumentException](
+        TxnLog.writeStreamBatch(spark, root, bad, "app_r13", 0L, "s"))
+      assert(e2.getMessage.contains("pos"), e2.getMessage)
+    }
+  }
+
+  test("commit refuses when the constraint set drifted between " +
+    "enforcement and the won slot (ADVICE r12)") {
+    import spark.implicits._
+    withScratch { root =>
+      val seed = (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, seed, "s", "t0") == 1)
+      seed.coalesce(1).write.parquet(s"$root/late")
+      assert(TxnLog.addConstraint(spark, root, "pos", "v > 0", "s") == 2)
+      // a writer that enforced the EMPTY set must not land now
+      val e = intercept[IllegalArgumentException](
+        TxnLog.commitAppend(root, Seq("late"), "k BIGINT,v DOUBLE",
+          "s", enforcedCons = Some(Map.empty)))
+      assert(e.getMessage.contains("changed concurrently"), e.getMessage)
+      // a DROPPED constraint only weakens the set: still commits
+      assert(TxnLog.commitAppend(root, Seq("late"), "k BIGINT,v DOUBLE",
+        "s", enforcedCons = Some(Map("pos" -> "v > 0",
+          "gone" -> "k < 1000000"))) == 3)
+    }
+  }
+
+  test("streaming SINK in Update mode: keyed upsert per batch — " +
+    "changed keys replace, untouched keys stay, re-delivery is a no-op") {
+    import spark.implicits._
+    withScratch { root =>
+      val tbl = s"$root/upd"
+      implicit val sq: org.apache.spark.sql.classic.SQLContext =
+        spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val q = in.toDS().toDF("k")
+        .groupBy((col("k") % 3).as("par")).agg(count(lit(1)).as("n"))
+        .writeStream.format("graft-txnlog")
+        .option("path", tbl).option("appId", "upd_spec")
+        .option("mergeKey", "par")
+        .option("checkpointLocation", s"$root/ck_upd")
+        .outputMode("update")
+        .start()
+      try {
+        in.addData(1L, 2L, 3L)
+        q.processAllAvailable()
+        // only par=1 changes (k=4): the update batch carries ONE key;
+        // the other groups must survive the upsert untouched
+        in.addData(4L)
+        q.processAllAvailable()
+      } finally q.stop()
+      val tip = TxnLog.read(spark, tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(tip == Map(0L -> 1L, 1L -> 2L, 2L -> 1L), tip.toString)
+      // re-delivering a consumed batch is a one-lookup no-op
+      val tipV = TxnLog.latestVersion(tbl)
+      val consumed = TxnLog.stateAt(tbl, tipV).txns("upd_spec")
+      assert(TxnLog.writeStreamBatchUpdate(spark, tbl,
+        Seq((1L, 99L)).toDF("par", "n"), "par", "upd_spec", consumed,
+        "s").isEmpty)
+      assert(TxnLog.latestVersion(tbl) == tipV)
+      // an empty batch commits just the watermark
+      assert(TxnLog.writeStreamBatchUpdate(spark, tbl,
+        Seq.empty[(Long, Long)].toDF("par", "n"), "par", "upd_spec",
+        consumed + 1, "s").contains(tipV + 1))
+      assert(TxnLog.read(spark, tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap == tip)
+    }
+  }
+
   test("zFormulaN(x, y) is bit-identical to the historic 2-D zFormula") {
     val qx = "CAST(173 AS BIGINT)"
     val qy = "CAST(41 AS BIGINT)"
