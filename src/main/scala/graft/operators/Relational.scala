@@ -3379,9 +3379,30 @@ object Relational {
     * count(distinct) at 100 TB (no exact shuffle of all keys). No
     * DuckDB oracle: approximate results are engine-specific; bounds
     * are asserted in ScalaTest instead. */
+  /** HLL approximate distinct with a MACHINE-CHECKABLE oracle row
+    * (r13 — VERDICT r12 #5: sketch contents are engine-specific, so
+    * this rode spec-only tolerance bounds and the driver gate carried
+    * `err: no_oracle` forever). The sketch still runs
+    * (approx_count_distinct, rsd 0.02); the emitted row is the
+    * TOLERANCE VERDICT — the exact distinct count (bit-identical in
+    * both engines) plus whether the estimate landed within the
+    * declared ε = 5·rsd = 10%. The oracle asserts TRUE, so the hash
+    * gate now FAILS if the sketch ever drifts outside its guarantee
+    * at any scale, instead of skipping the query. The exact count
+    * rides the same aggregate — one pass. */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_part"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        countDistinct(col("l_partkey")).as("exact_nd"))
+      .select(col("exact_nd"),
+        (abs(col("approx").cast("double") /
+          col("exact_nd").cast("double") - 1.0) <= 0.10)
+          .as("within_10pct"))
+
+  val aggApproxDistinctSql: String =
+    """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+      |  TRUE AS within_10pct
+      |FROM lineitem""".stripMargin
 
   /** [[aggDistinctKmv]] sketch size. */
   private val KmvK = 256L
@@ -3580,14 +3601,44 @@ object Relational {
     * the corpus. No DuckDB oracle (sketch contents are
     * engine-specific); RelationalSpec bounds it against the exact
     * percentile. */
-  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val sk = li.groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
-        expr("approx_percentile(l_quantity, 0.95, 1000)").as("p95_approx"),
-        count(lit(1)).as("n"))
+        expr("approx_percentile(l_quantity, 0.95, 1000)").as("p95_approx"))
+    // r13 tolerance verdict (VERDICT r12 #5): a value v is a valid
+    // ε-approximate q-quantile iff frac(< v) ≤ q + ε AND
+    // frac(≤ v) ≥ q − ε — the tie-safe rank test (l_quantity is
+    // integer-valued with heavy ties, so a value-distance test would
+    // be distribution-dependent). accuracy=1000 guarantees rank error
+    // ≤ 1/1000; ε = 0.01 declares a 10× margin. The oracle asserts
+    // TRUE, turning the sketch's guarantee into a hash-gated fact.
+    val eps = lit(0.01)
+    def rankOk(lt: org.apache.spark.sql.Column,
+               le: org.apache.spark.sql.Column, q: Double) =
+      (lt.cast("double") <= (lit(q) + eps) * col("n").cast("double")) &&
+        (le.cast("double") >= (lit(q) - eps) * col("n").cast("double"))
+    li.join(broadcast(sk), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("l_quantity") < col("p50_approx"), 1)).as("lt50"),
+        count(when(col("l_quantity") <= col("p50_approx"), 1)).as("le50"),
+        count(when(col("l_quantity") < col("p95_approx"), 1)).as("lt95"),
+        count(when(col("l_quantity") <= col("p95_approx"), 1)).as("le95"))
+      .select(col("l_returnflag"), col("n"),
+        rankOk(col("lt50"), col("le50"), 0.5).as("p50_ok"),
+        rankOk(col("lt95"), col("le95"), 0.95).as("p95_ok"))
       .orderBy(col("l_returnflag"))
+  }
+
+  val aggApproxPercentileSql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** Fixed-width histogram of order totals: floor-division bucketing
     * (shared arithmetic — DuckDB lacks width_bucket), per-bucket count
@@ -4340,10 +4391,14 @@ object Relational {
     "set_intersect_except" -> setIntersectExcept,
   )
 
-  /** Oracle SQL fragment contributed by this module (agg_approx_distinct
-    * and agg_approx_percentile intentionally omitted — approximate,
-    * verified by ScalaTest bounds). */
+  /** Oracle SQL fragment contributed by this module. r13: the two
+    * approximate sketches now ride the gate too — their oracles
+    * assert the TOLERANCE VERDICT (exact anchor + within-ε boolean),
+    * so sketch drift fails the hash compare instead of being
+    * unverifiable (`err: no_oracle` retired). */
   val oracleSql: Map[String, String] = Map(
+    "agg_approx_distinct" -> aggApproxDistinctSql,
+    "agg_approx_percentile" -> aggApproxPercentileSql,
     "scan_parquet" -> scanParquetSql,
     "scan_filter_project" -> scanFilterProjectSql,
     "scan_partition_pruned" -> scanPartitionPrunedSql,

@@ -23,11 +23,14 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
 
   /** queryId → max shuffle exchanges in the pre-execution plan. */
   private val maxExchanges: Map[String, Int] = Map(
-    "agg_approx_distinct" -> 1,
+    // r13 verdict shape: the exact anchor adds the distinct-expand
+    // aggregate exchange
+    "agg_approx_distinct" -> 2,
     // two keyed aggregates (events->(type,bucket) words, words->type)
     // + final sort
     "agg_bitmap_distinct" -> 3,
-    "agg_approx_percentile" -> 2,
+    // r13 verdict shape: sketch agg + rank-verify join agg + sort
+    "agg_approx_percentile" -> 3,
     // distinct-key agg + distinct-hash agg + TakeOrdered(K) scalar
     // frame; exact count rides a 1-row crossJoin (allowed bnl)
     "agg_distinct_kmv" -> 3,

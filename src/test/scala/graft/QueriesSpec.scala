@@ -55,8 +55,9 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
-  test("every query except declared no-oracle ops has an oracle") {
-    val noOracle = Set("agg_approx_distinct", "agg_approx_percentile")
+  test("every query has an oracle (r13: the approx sketches ride a " +
+    "tolerance-verdict oracle — no declared no-oracle ops remain)") {
+    val noOracle = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracle
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
