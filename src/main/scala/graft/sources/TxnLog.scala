@@ -3058,11 +3058,15 @@ class TxnLogOps(val store: LogStore) {
     * in-flight writer's uncommitted staging/rewrite is younger and
     * survives, the same mtime-retention guard Delta uses. The default grace is 24 HOURS
     * (Delta's equivalent guard defaults to days, not minutes): rewrite
-    * outputs sit at their final names until commit, so a grace shorter
-    * than the longest conceivable rewrite job could reclaim an
-    * in-flight output and have the later commit publish adds pointing
-    * at deleted data (ADVICE r10 medium). Tighten it only when no
-    * writer can be mid-rewrite. Returns the deleted file
+    * outputs AND staged writes (a SQL INSERT / stream batch's `w_*`
+    * dir, whose distributed stage may run long before its commit) sit
+    * at their final names until commit, so the grace must exceed the
+    * longest WRITE of any kind — stage included — or vacuum could
+    * reclaim an in-flight output and have the later commit publish
+    * adds pointing at deleted data (ADVICE r10 medium; ADVICE r12
+    * low). Tighten it only when no writer can be mid-write; operators
+    * on slow-ingest tables RAISE it through the SQL face's
+    * `GRAFT VACUUM t GRACE <n> HOURS` knob (r13). Returns the deleted file
     * names, sorted. Deletion is idempotent, and safe against
     * concurrent appends UNDER THE NAME-UNIQUENESS CONVENTION every
     * writer here follows (each add publishes a fresh dir — data

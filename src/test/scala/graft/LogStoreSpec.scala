@@ -32,7 +32,9 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
   private def allStores: Seq[(String, TxnLogOps)] = Seq(
     "local" -> TxnLog,
     "hadoop" -> hadoopLog,
-    "condput" -> new TxnLogOps(new ConditionalPutLogStore))
+    "condput" -> new TxnLogOps(new ConditionalPutLogStore),
+    "objectstore" -> new TxnLogOps(new graft.sources.ObjectStoreLogStore(
+      new graft.sources.LocalFakeObjectStore)))
 
   // ----------------------------------------------------- store parity
 
@@ -77,6 +79,39 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
 
   test("conditional-put store runs the full protocol: commit, checkpoint, read, evo") {
     fullProtocol(new TxnLogOps(new ConditionalPutLogStore))
+  }
+
+  test("object-store binding runs the full protocol over the S3-shaped " +
+    "client (r13): commit, checkpoint, read, evo") {
+    fullProtocol(new TxnLogOps(new graft.sources.ObjectStoreLogStore(
+      new graft.sources.LocalFakeObjectStore)))
+  }
+
+  test("object-store binding: injected PUT fault surfaces, log " +
+    "uncorrupted, retry lands; losers of a conditional-put race abort") {
+    val client = new graft.sources.LocalFakeObjectStore
+    val log = new TxnLogOps(new graft.sources.ObjectStoreLogStore(client))
+    withScratch { root =>
+      assert(log.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      client.failNextPuts(1)
+      intercept[java.io.IOException](
+        log.tryCommit(root, 2, Seq(TxnLog.add("f1")), "s"))
+      assert(log.latestVersion(root) == 1)
+      assert(log.liveFiles(root, 1) == Seq("f0"))
+      assert(log.tryCommit(root, 2, Seq(TxnLog.add("f1")), "s"))
+      assert(log.liveFiles(root, 2) == Seq("f0", "f1"))
+      // of N racers on one slot, exactly one conditional PUT wins
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val wins = try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence((0 until 8).map(i =>
+          scala.concurrent.Future(log.tryCommit(root, 3,
+            Seq(TxnLog.add(s"r$i")), s"race$i")))),
+        scala.concurrent.duration.Duration.Inf).count(identity)
+      finally pool.shutdown()
+      assert(wins == 1, s"conditional put arbitration broke: $wins wins")
+    }
   }
 
   test("all stores replay one pinned commit sequence to the identical state") {
