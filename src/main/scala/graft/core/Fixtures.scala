@@ -29,6 +29,14 @@ object Fixtures {
     * form. Safe for tmp-dir names and catalog table names. */
   def pathTag(path: String): String = md5Hex(new File(path).getAbsolutePath)
 
+  /** Name-safe tag of THIS session's Spark application id — per-process
+    * transient scratch embeds it so a litter detector (and a human
+    * reading /tmp) can tell which graft process owns a dir; two graft
+    * JVMs running concurrently on one machine must never assert on
+    * each other's in-flight scratch (the r13 flake class). */
+  def appTag(spark: org.apache.spark.sql.SparkSession): String =
+    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "")
+
   /** Recursive delete — THE shared copy (the r8 self-review found four
     * divergence-prone inline clones of this 3-liner). */
   def deleteRecursively(f: File): Unit = {

@@ -481,7 +481,11 @@ object Streams {
             .coalesce(1).write.parquet(s"$target/t2")
         }
       }
-    val uuid = java.util.UUID.randomUUID().toString
+    // the scratch names embed the OWNING appId: a concurrent graft
+    // process (another Verify/suite on this machine) must be able to
+    // tell these transient dirs are not its own to assert on
+    val uuid = s"${graft.core.Fixtures.appTag(spark)}_" +
+      java.util.UUID.randomUUID().toString
     val tmpRoot = sys.props("java.io.tmpdir")
     val inDir = new java.io.File(s"$tmpRoot/graft_txnsink_in_$uuid")
     val root = new java.io.File(s"$tmpRoot/graft_txnsink_tbl_$uuid")
@@ -557,7 +561,8 @@ object Streams {
             .coalesce(1).write.parquet(s"$target/t2")
         }
       }
-    val uuid = java.util.UUID.randomUUID().toString
+    val uuid = s"${graft.core.Fixtures.appTag(spark)}_" +
+      java.util.UUID.randomUUID().toString
     val tmpRoot = sys.props("java.io.tmpdir")
     val inDir = new java.io.File(s"$tmpRoot/graft_updsink_in_$uuid")
     val root = new java.io.File(s"$tmpRoot/graft_updsink_tbl_$uuid")

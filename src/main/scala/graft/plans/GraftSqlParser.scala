@@ -210,8 +210,10 @@ object GraftSqlParser {
     s"""DELETE\\s+FROM\\s+$T\\s+WHERE\\s+(.+)""")
   private[plans] val UpdateRe = re(
     s"""UPDATE\\s+$T\\s+SET\\s+(.+)""")
+  // ON takes one key or a (k1, k2, ...) tuple (r13: composite match
+  // keys — rows match when EVERY key column is equal)
   private[plans] val MergeRe = re(
-    s"""MERGE\\s+INTO\\s+$T\\s+USING\\s+$I\\s+ON\\s+$I""")
+    s"""MERGE\\s+INTO\\s+$T\\s+USING\\s+$I\\s+ON\\s+\\(?\\s*([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)\\s*\\)?""")
   private[plans] val RestoreRe = re(
     s"""RESTORE\\s+$T\\s+TO\\s+VERSION\\s+(\\d+)""")
   private[plans] val VacuumRe = re(
@@ -373,8 +375,10 @@ case class GraftDmlCommand(verb: String, table: String,
         TxnLog.update(spark, path, sets, predSql, session)
           .getOrElse(-1)
       case "merge" =>
-        TxnLog.mergeUpsert(spark, path, spark.table(args(0)), args(1),
-          session).getOrElse(-1)
+        TxnLog.mergeClausesKeys(spark, path, spark.table(args(0)),
+          GraftSqlParser.splitTopLevel(args(1), ','), session,
+          updateWhen = Some(org.apache.spark.sql.functions.lit(true)),
+          deleteWhen = None).getOrElse(-1)
       case "restore" =>
         TxnLog.restore(path, args(0).toInt, session).getOrElse(-1)
       case "vacuum" =>

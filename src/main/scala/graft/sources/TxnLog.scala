@@ -2089,7 +2089,30 @@ class TxnLogOps(val store: LogStore) {
                    insertUnmatched: Boolean = true,
                    beforeCommit: () => Unit = () => (),
                    maxAttempts: Int = 5,
+                   txn: Option[(String, Long)] = None): Option[Int] =
+    mergeClausesKeys(spark, root, source0, Seq(keyCol), session,
+      updateWhen, deleteWhen, insertUnmatched, beforeCommit,
+      maxAttempts, txn)
+
+  /** [[mergeClauses]] on a COMPOSITE match key (r13 — VERDICT r12 #2's
+    * last bound: the merge surface stopped at single-key equality ON):
+    * rows match when EVERY key column is equal; the source must be
+    * unique on the key TUPLE; the stats pre-prune runs one bounds
+    * predicate per key column (conjunctive, so multi-key merges prune
+    * at least as well as their widest key). Everything else — clause
+    * algebra, cheapest-action ladder, conflict-aware commit — is the
+    * single-key machinery, now k-generic. */
+  def mergeClausesKeys(spark: SparkSession, root: String,
+                   source0: DataFrame, keyCols: Seq[String],
+                   session: String,
+                   updateWhen: Option[org.apache.spark.sql.Column],
+                   deleteWhen: Option[org.apache.spark.sql.Column],
+                   insertUnmatched: Boolean = true,
+                   beforeCommit: () => Unit = () => (),
+                   maxAttempts: Int = 5,
                    txn: Option[(String, Long)] = None): Option[Int] = {
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"merge needs distinct key columns (got $keyCols)")
     val base = latestVersion(root)
     val live = liveFiles(root, base)
     val outBase = f"m${base + 1}%08d" + s"_$session"
@@ -2097,38 +2120,45 @@ class TxnLogOps(val store: LogStore) {
     // bounds/insert passes — pin it for the operation's duration so a
     // computed change batch is not recomputed N times
     val source = source0.cache()
-    try mergeClausesPinned(spark, root, source, keyCol, session,
+    try mergeClausesPinned(spark, root, source, keyCols, session,
       updateWhen, deleteWhen, insertUnmatched, beforeCommit,
       maxAttempts, base, live, outBase, txn)
     finally { source.unpersist(); () }
   }
 
   private def mergeClausesPinned(spark: SparkSession, root: String,
-      source: DataFrame, keyCol: String, session: String,
+      source: DataFrame, keyCols: Seq[String], session: String,
       updateWhen: Option[org.apache.spark.sql.Column],
       deleteWhen: Option[org.apache.spark.sql.Column],
       insertUnmatched: Boolean, beforeCommit: () => Unit,
       maxAttempts: Int, base: Int, live: Seq[String], outBase: String,
       txn: Option[(String, Long)] = None)
   : Option[Int] = {
-    val bounds = source.agg(min(col(keyCol)).cast("string"),
-      max(col(keyCol)).cast("string"), count(lit(1)),
-      countDistinct(col(keyCol))).head()
-    require(bounds.getLong(2) == bounds.getLong(3),
-      s"merge source has duplicate $keyCol values " +
-        s"(${bounds.getLong(2)} rows, ${bounds.getLong(3)} keys)")
-    if (bounds.getLong(2) == 0L) return None // empty merge: no-op
-    // stats pre-prune, then the exact probe over surviving candidates
+    val aggsB = keyCols.flatMap(k => Seq(min(col(k)).cast("string"),
+      max(col(k)).cast("string"))) ++ Seq(count(lit(1)),
+      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*))
+    val bounds = source.agg(aggsB.head, aggsB.tail: _*).head()
+    val (nRows, nKeys) = (bounds.getLong(2 * keyCols.size),
+      bounds.getLong(2 * keyCols.size + 1))
+    require(nRows == nKeys,
+      s"merge source has duplicate ${keyCols.mkString(",")} tuples " +
+        s"($nRows rows, $nKeys keys)")
+    if (nRows == 0L) return None // empty merge: no-op
+    // stats pre-prune (one conjunctive bounds predicate per key
+    // column), then the exact probe over surviving candidates
+    val preds = keyCols.zipWithIndex.flatMap { case (k, i) =>
+      if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) None
+      else Some((k, bounds.getString(2 * i), bounds.getString(2 * i + 1)))
+    }
     val (candidates, _) =
       if (live.isEmpty) (Seq.empty[String], Seq.empty[String])
-      else pruneWhere(root, base, Seq.empty,
-        Seq((keyCol, bounds.getString(0), bounds.getString(1))))
+      else pruneWhere(root, base, Seq.empty, preds)
     val st = stateAt(root, base)
     // source columns renamed __src_<c> (key keeps its name) so clause
     // conditions can reference BOTH sides of the match
     val srcRen = broadcast(source.select(
-      (col(keyCol) +: source.columns.filterNot(_ == keyCol).toSeq
-        .map(c => col(c).as(s"__src_$c"))): _*))
+      (keyCols.map(col) ++ source.columns.filterNot(keyCols.contains)
+        .toSeq.map(c => col(c).as(s"__src_$c"))): _*))
     // a clause fires only when its condition is TRUE — null-safe, and
     // null for unmatched rows' __src_ references folds to no-fire
     val delC = deleteWhen.map(c => coalesce(c, lit(false)))
@@ -2142,9 +2172,9 @@ class TxnLogOps(val store: LogStore) {
       if (candidates.isEmpty) None
       else Some(scanWithDVs(spark, root, st, candidates,
           fileCol = Some("__file"))
-        .join(srcRen, Seq(keyCol))
-        .select(col(keyCol), col("__file"), delC.as("__d"),
-          (!delC && updC).as("__u"))
+        .join(srcRen, keyCols)
+        .select((keyCols.map(col) :+ col("__file")) ++
+          Seq(delC.as("__d"), (!delC && updC).as("__u")): _*)
         .cache())
     val byFile: Map[String, (Long, Long)] = probe.map(
       _.groupBy(col("__file"))
@@ -2163,13 +2193,13 @@ class TxnLogOps(val store: LogStore) {
     val cons = st.constraints
     if (cons.nonEmpty) {
       val updSrc = probe.map(p => source.join(
-          p.where(col("__u")).select(col(keyCol)).distinct(),
-          Seq(keyCol), "left_semi"))
+          p.where(col("__u")).select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_semi"))
         .getOrElse(source.limit(0))
       val insSrc =
         if (!insertUnmatched) source.limit(0)
-        else probe.map(p => source.join(p.select(col(keyCol)),
-            Seq(keyCol), "left_anti"))
+        else probe.map(p => source.join(
+            p.select(keyCols.map(col): _*), keyCols, "left_anti"))
           .getOrElse(source)
       enforceConstraints(updSrc.unionByName(insSrc), cons,
         "merge-written rows")
@@ -2193,7 +2223,8 @@ class TxnLogOps(val store: LogStore) {
       .filterNot(pure.contains).sorted
     val touched = (pure ++ rewriteFiles).sorted
     // each update-firing key gets ONE owner file for its replacement
-    val owners = probe.map(_.where(col("__u")).groupBy(col(keyCol))
+    val owners = probe.map(_.where(col("__u"))
+      .groupBy(keyCols.map(col): _*)
       .agg(min(col("__file")).as("__owner")).cache())
     // rewrites happen under the TABLE schema when the log carries one:
     // an old-generation file rewritten under its own narrower schema
@@ -2218,13 +2249,13 @@ class TxnLogOps(val store: LogStore) {
         val cols = fileDf.columns.map(col).toSeq
         // keep: unmatched rows, and matched rows firing NO clause
         val kept = fileDf.join(srcRen
-            .withColumn("__matched", lit(true)), Seq(keyCol), "left")
+            .withColumn("__matched", lit(true)), keyCols, "left")
           .where(!coalesce(col("__matched"), lit(false)) ||
             (!delC && !updC))
           .select(cols: _*)
         val replacements = owners
           .map(o => source.join(o.where(col("__owner") === f),
-            Seq(keyCol), "left_semi"))
+            keyCols, "left_semi"))
           .getOrElse(source.limit(0))
         store.deleteDataDir(root, out) // crashed earlier attempt
         kept.unionByName(replacements.select(cols: _*))
@@ -2245,7 +2276,7 @@ class TxnLogOps(val store: LogStore) {
     val rewrites: Seq[(String, Entry)] = inPool(rewriteTasks)
     // a matched key is never an insert, whatever clauses fired
     val inserts0 = probe
-      .map(p => source.join(p.select(col(keyCol)), Seq(keyCol),
+      .map(p => source.join(p.select(keyCols.map(col): _*), keyCols,
         "left_anti"))
       .getOrElse(source)
     val inserts = if (insertUnmatched) inserts0 else source.limit(0)
@@ -2387,6 +2418,31 @@ class TxnLogOps(val store: LogStore) {
     if (candidates.isEmpty) return None
     deleteCore(spark, root, base, st, candidates, _ => expr(predSql),
       session, beforeCommit, maxAttempts)
+  }
+
+  /** Native SQL DELETE seam (r13 — plain `DELETE FROM catalog.ns.t
+    * WHERE ...` through the V2 table's `SupportsDelete`): the pushed
+    * filters both PRUNE candidates (the same log-metadata pruning the
+    * read path uses — [[TxnTableRelation.pruneForSt]]) and rebuild
+    * the EXACT row predicate ([[TxnTableRelation.filterColumn]]); the
+    * ladder is [[deletePredicate]]'s. A filter shape the exact
+    * rebuild cannot express throws — callers gate via
+    * `canDeleteWhere`, so this is the never-approximate backstop. */
+  def deleteFilters(spark: SparkSession, root: String,
+                    filters: Array[org.apache.spark.sql.sources.Filter],
+                    session: String, maxAttempts: Int = 5)
+  : Option[Int] = {
+    val cols = filters.map(f => TxnTableRelation.filterColumn(f)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"cannot rebuild filter $f as an exact row predicate")))
+    val base = latestVersion(root)
+    if (liveFiles(root, base).isEmpty) return None
+    val st = stateAt(root, base)
+    val candidates = TxnTableRelation.pruneForSt(st, filters)._1
+    if (candidates.isEmpty) return None
+    val pred = cols.reduceOption(_ && _).getOrElse(lit(true))
+    deleteCore(spark, root, base, st, candidates, _ => pred, session,
+      () => (), maxAttempts)
   }
 
   /** The shared copy-on-write DELETE body: census + cheapest-action

@@ -114,7 +114,29 @@ class TxnTableProvider extends TableProvider with DataSourceRegister {
 private[sources] class GraftTxnTable(root: String, version: Int,
                                      tableSchema: StructType,
                                      writable: Boolean = false)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** Native SQL `DELETE FROM catalog.ns.t WHERE ...` (r13 — the D10
+    * story now includes PLAIN Spark DML, not only the GRAFT verbs):
+    * Spark translates the condition to source filters and routes
+    * them here; [[TxnLogOps.deleteFilters]] prunes candidates with
+    * the same log-metadata pruning the read path uses and runs the
+    * copy-on-write ladder with the EXACT row predicate rebuilt from
+    * the filters. A condition with a shape the exact rebuild cannot
+    * express — or a time-traveled (read-only) load — refuses at
+    * `canDeleteWhere`, so Spark raises the named analysis error
+    * instead of deleting approximately. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    writable && filters.forall(f =>
+      TxnTableRelation.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(writable, s"graft-txn `$root` was loaded with time " +
+      "travel — historical versions are immutable")
+    TxnLog.deleteFilters(SparkSession.active, root, filters, "sqldel")
+    ()
+  }
 
   override def name(): String = s"graft-txn `$root` @v$version"
   override def schema(): StructType = tableSchema
@@ -403,5 +425,42 @@ object TxnTableRelation {
       .foldLeft(rangeScanned.toSet)(_ & _).toSeq.sorted
     val all = st.live.toSeq.sorted
     (scanned, all.filterNot(scanned.contains))
+  }
+
+  /** EXACT row-predicate Column for a pushed DataSource filter — the
+    * native SQL DELETE's row test (r13). None for shapes the rebuild
+    * cannot express verbatim (nested column references, exotic
+    * filters): `canDeleteWhere` gates on it, so Spark refuses loudly
+    * instead of this code deleting approximately. Null semantics
+    * follow SQL exactly — the caller's ladder only deletes rows where
+    * the conjunction is TRUE. */
+  private[sources] def filterColumn(f: Filter)
+  : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.{sources => sf}
+    import org.apache.spark.sql.functions.{col, lit}
+    def c(name: String): Option[org.apache.spark.sql.Column] =
+      if (name.contains(".")) None else Some(col(name))
+    f match {
+      case sf.EqualTo(a, v) => c(a).map(_ === lit(v))
+      case sf.EqualNullSafe(a, v) => c(a).map(_ <=> lit(v))
+      case sf.GreaterThan(a, v) => c(a).map(_ > lit(v))
+      case sf.GreaterThanOrEqual(a, v) => c(a).map(_ >= lit(v))
+      case sf.LessThan(a, v) => c(a).map(_ < lit(v))
+      case sf.LessThanOrEqual(a, v) => c(a).map(_ <= lit(v))
+      case sf.In(a, vs) => c(a).map(_.isin(vs.toSeq: _*))
+      case sf.IsNull(a) => c(a).map(_.isNull)
+      case sf.IsNotNull(a) => c(a).map(_.isNotNull)
+      case sf.And(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+      case sf.Or(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+      case sf.Not(x) => filterColumn(x).map(!_)
+      case sf.StringStartsWith(a, v) => c(a).map(_.startsWith(v))
+      case sf.StringEndsWith(a, v) => c(a).map(_.endsWith(v))
+      case sf.StringContains(a, v) => c(a).map(_.contains(v))
+      case sf.AlwaysTrue() => Some(lit(true))
+      case sf.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
   }
 }

@@ -335,4 +335,45 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
         .collect().map(_.getString(0)).toSet.contains("ns8"))
     }
   }
+
+  test("r13: native SQL DELETE FROM drives the copy-on-write ladder " +
+    "with exact predicates and log-metadata pruning") {
+    withWarehouse { wh =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns9")
+      spark.sql(s"CREATE TABLE $cat.ns9.d (k BIGINT, v DOUBLE)")
+      val root = s"$wh/ns9/d"
+      // two stats-carrying files: lo (1..50) and hi (51..100)
+      spark.sql(s"INSERT INTO $cat.ns9.d SELECT id, CAST(id AS DOUBLE) " +
+        "FROM range(1, 51)")
+      spark.sql(s"INSERT INTO $cat.ns9.d SELECT id, CAST(id AS DOUBLE) " +
+        "FROM range(51, 101)")
+      assert(TxnLog.latestVersion(root) == 3)
+      val hiFile = TxnLog.stateAt(root, 3).live
+        .find(f => TxnLog.stateAt(root, 3).stats(f)
+          .exists(s => s.col == "k" && s.min == "51")).get
+      // plain Spark SQL — no GRAFT prefix: OR of a range and an IN
+      spark.sql(s"DELETE FROM $cat.ns9.d WHERE k < 3 OR k IN (7, 9)")
+      assert(TxnLog.latestVersion(root) == 4)
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ns9.d")
+        .head().getLong(0) == 96)
+      // the hi file was PRUNED from the delete by its logged bounds —
+      // still live under its original name, never rewritten
+      assert(TxnLog.stateAt(root, 4).live.contains(hiFile),
+        "hi file should have been pruned, not rewritten")
+      // a no-match delete is a version no-op
+      spark.sql(s"DELETE FROM $cat.ns9.d WHERE k > 100000")
+      assert(TxnLog.latestVersion(root) == 4)
+      // NOT/null semantics: a NOT(=) predicate must not delete null
+      // keys (SQL: null is not TRUE)
+      spark.sql(s"INSERT INTO $cat.ns9.d VALUES (NULL, -1.0)")
+      spark.sql(s"DELETE FROM $cat.ns9.d WHERE NOT (k = 5)")
+      val left = spark.sql(s"SELECT * FROM $cat.ns9.d").collect()
+      assert(left.length == 2, left.mkString(","))
+      assert(left.exists(_.isNullAt(0)), "null-keyed row was destroyed")
+      // time-traveled loads refuse row-level DML at analysis
+      intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.ns9.d VERSION AS OF 3 WHERE k = 5")
+      }
+    }
+  }
 }

@@ -45,9 +45,18 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     * snapshot), independent of query hygiene — graft code never
     * creates that prefix directly, so a spark-* entry is
     * runtime-owned by construction and JVM-exit-cleaned. */
+  /** Per-process sink scratch embeds the owning appId
+    * ([[graft.core.Fixtures.appTag]]) — a dir created by a CONCURRENT
+    * graft process (another Verify/bench on this machine, cleaned in
+    * its own finally) is not ours to assert on (r13 flake: a parallel
+    * Verify's in-flight `graft_updsink_*` failed this suite). */
+  private val sinkScratch = "^graft_(txnsink|updsink)_(in|tbl|ck)_".r
+
   private def litter: Set[String] =
     (tmpChildren -- tmpBefore).filter { n =>
-      n.startsWith("graft_") && stagedFixture.findFirstIn(n).isEmpty
+      n.startsWith("graft_") && stagedFixture.findFirstIn(n).isEmpty &&
+        (sinkScratch.findFirstIn(n).isEmpty ||
+          n.contains(graft.core.Fixtures.appTag(spark)))
     }
 
   test("every oracle key has a query") {

@@ -266,6 +266,42 @@ class TxnLogR13Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("composite-key MERGE: rows match on the whole key tuple; the " +
+    "SQL face takes ON (k1, k2)") {
+    import spark.implicits._
+    withScratch { root =>
+      // (region, id) composite key: same id exists in two regions
+      val df = Seq(("eu", 1L, 10.0), ("eu", 2L, 20.0),
+        ("us", 1L, 30.0), ("us", 2L, 40.0)).toDF("region", "id", "v")
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      // update (eu,1), insert (ap,9) — (us,1) shares id but must stay
+      val src = Seq(("eu", 1L, 11.0), ("ap", 9L, 90.0))
+        .toDF("region", "id", "v")
+      assert(TxnLog.mergeClausesKeys(spark, root, src,
+        Seq("region", "id"), "m",
+        updateWhen = Some(lit(true)), deleteWhen = None).contains(2))
+      val r = TxnLog.read(spark, root).collect()
+        .map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2)).toMap
+      assert(r == Map(("eu", 1L) -> 11.0, ("eu", 2L) -> 20.0,
+        ("us", 1L) -> 30.0, ("us", 2L) -> 40.0, ("ap", 9L) -> 90.0), r)
+      // duplicate TUPLES refuse; duplicate single columns are fine
+      intercept[IllegalArgumentException] {
+        TxnLog.mergeClausesKeys(spark, root,
+          Seq(("eu", 1L, 1.0), ("eu", 1L, 2.0)).toDF("region", "id", "v"),
+          Seq("region", "id"), "m2",
+          updateWhen = Some(lit(true)), deleteWhen = None)
+      }
+      // SQL face: ON (region, id)
+      Seq(("us", 2L, 44.0)).toDF("region", "id", "v")
+        .createOrReplaceTempView("r13_mk_src")
+      assert(spark.sql(s"GRAFT MERGE INTO '$root' USING r13_mk_src " +
+        "ON (region, id)").head().getInt(0) == 3)
+      assert(TxnLog.read(spark, root)
+        .where(col("region") === "us" && col("id") === 2L)
+        .head().getDouble(2) == 44.0)
+    }
+  }
+
   test("zFormulaN(x, y) is bit-identical to the historic 2-D zFormula") {
     val qx = "CAST(173 AS BIGINT)"
     val qy = "CAST(41 AS BIGINT)"
