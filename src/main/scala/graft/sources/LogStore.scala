@@ -75,6 +75,29 @@ object LogStore {
     * Hadoop `file:` case). Commits are rare driver-side metadata
     * writes; a global lock costs nothing. */
   private[sources] val jvmCommitLock = new Object
+
+  /** Store binding by NAME — the deployment seam. `local` = POSIX
+    * hard-link arbiter, `hadoop` = HDFS no-overwrite rename,
+    * `objectstore` = the S3-shaped conditional-put binding (over the
+    * in-repo reference client; a production deployment constructs
+    * [[ObjectStoreLogStore]] with its own SDK adapter instead). */
+  def forName(kind: String): LogStore = kind match {
+    case "local" => LocalLogStore
+    case "hadoop" =>
+      new HadoopLogStore(new org.apache.hadoop.conf.Configuration())
+    case "objectstore" =>
+      new ObjectStoreLogStore(new LocalFakeObjectStore)
+    case other => throw new IllegalArgumentException(
+      s"unknown log store `$other` — local | hadoop | objectstore")
+  }
+
+  /** The FLAG (r13, the carried VERDICT item): `-Dgraft.logstore=...`
+    * selects the default [[TxnLog]] binding at JVM start; unset =
+    * `local`, byte-identical to the historic default. Call sites that
+    * want a DIFFERENT binding per table keep constructing
+    * `new TxnLogOps(store)` explicitly. */
+  private[sources] def configuredStore: LogStore =
+    forName(sys.props.getOrElse("graft.logstore", "local"))
 }
 
 /** POSIX-local implementation — the original TxnLog binding: the

@@ -3333,7 +3333,7 @@ class TxnLogOps(val store: LogStore) {
   * line codec, and protocol constants. `new TxnLogOps(store)` binds
   * the same protocol to any other [[LogStore]] (HDFS via
   * [[HadoopLogStore]]). */
-object TxnLog extends TxnLogOps(LocalLogStore) {
+object TxnLog extends TxnLogOps(LogStore.configuredStore) {
 
   /** One replayed log entry. */
   sealed trait Entry { def toJson: String }

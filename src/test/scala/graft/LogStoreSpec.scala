@@ -81,6 +81,26 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     fullProtocol(new TxnLogOps(new ConditionalPutLogStore))
   }
 
+  test("store-selection flag: forName binds each store by name and " +
+    "refuses unknowns; the unset default is local") {
+    assert(graft.sources.LogStore.forName("local") eq
+      graft.sources.LocalLogStore)
+    assert(graft.sources.LogStore.forName("hadoop")
+      .isInstanceOf[HadoopLogStore])
+    assert(graft.sources.LogStore.forName("objectstore")
+      .isInstanceOf[graft.sources.ObjectStoreLogStore])
+    intercept[IllegalArgumentException](
+      graft.sources.LogStore.forName("s3-direct"))
+    // a flag-named binding runs a real commit round-trip
+    val log = new TxnLogOps(graft.sources.LogStore.forName("objectstore"))
+    withScratch { root =>
+      assert(log.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      assert(log.liveFiles(root, 1) == Seq("f0"))
+    }
+    // the default TxnLog object came up on the unset flag = local
+    assert(sys.props.get("graft.logstore").isEmpty)
+  }
+
   test("object-store binding runs the full protocol over the S3-shaped " +
     "client (r13): commit, checkpoint, read, evo") {
     fullProtocol(new TxnLogOps(new graft.sources.ObjectStoreLogStore(
