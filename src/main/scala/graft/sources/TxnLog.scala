@@ -930,6 +930,102 @@ class TxnLogOps(val store: LogStore) {
     }
   }
 
+  /** REPLACE WHERE (r13 — Delta's `replaceWhere`, the V2
+    * `SupportsOverwrite` contract behind `df.writeTo(t)
+    * .overwrite(cond)`): in ONE atomic commit, delete every live row
+    * matching `filters` and append `df`. The three guarantees:
+    *
+    *  - the replacement rows must live INSIDE the replaced region —
+    *    a row outside it raises mid-stage (fail-fast guard on the
+    *    staging scan, one pass) and nothing commits; silently landing
+    *    out-of-region rows would turn "replace this slice" into
+    *    "corrupt the rest";
+    *  - the delete side is the cheapest-action ladder with exact
+    *    predicates: candidates prune from the log
+    *    ([[TxnTableRelation.pruneForSt]] — untouched files are
+    *    untouched), full-match files pure-remove (metadata only),
+    *    partial files rewrite keeping `!pred` survivors with their
+    *    pruning metadata recomputed;
+    *  - CHECK constraints and write-time stats ride the staged append
+    *    exactly like [[writeAppend]].
+    *
+    * Commit is conflict-aware ([[commitRewrite]]). Same isolation
+    * class as every optimistic writer here (WriteSerializable): an
+    * append interleaving between census and commit commutes — its
+    * rows are treated as arriving after the replace. Returns the
+    * committed version; None on conflict. An EMPTY `df` is a pure
+    * region delete. */
+  def writeReplaceWhere(spark: SparkSession, root: String,
+                        df: DataFrame,
+                        filters: Array[org.apache.spark.sql.sources.Filter],
+                        session: String, tag: String,
+                        maxAttempts: Int = 5): Option[Int] = {
+    val cols = filters.map(f => TxnTableRelation.filterColumn(f)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"cannot rebuild filter $f as an exact row predicate")))
+    val pred = cols.reduceOption(_ && _).getOrElse(lit(true))
+    val base = latestVersion(root)
+    val st = stateAt(root, base)
+    // fail-fast region guard fused into the staging scan (the
+    // checkGuard pattern): a replacement row outside the region
+    // aborts before any commit
+    val guarded = df.where(
+      when(!coalesce(pred, lit(false)),
+        raise_error(lit(s"${CheckViolationTag}replaceWhere: an input " +
+          s"row falls OUTSIDE the replaced region (${filters.mkString(" AND ")})"))
+          .cast("int")).otherwise(lit(1)) >= 1)
+    val staged =
+      try stageWrite(spark, root, guarded, tag, Seq.empty,
+        st.constraints, "replaceWhere")
+      catch { case t: Throwable =>
+        throw unwrapCheckViolation(t).getOrElse(t) }
+    try {
+      val candidates = TxnTableRelation.pruneForSt(st, filters)._1
+      val predSafe = coalesce(pred, lit(false))
+      val census =
+        if (candidates.isEmpty) Seq.empty
+        else scanWithDVs(spark, root, st, candidates,
+            fileCol = Some("__file"))
+          .select(col("__file"), predSafe.as("__hit"))
+          .groupBy(col("__file"))
+          .agg(count(when(col("__hit"), 1)).as("hits"),
+            count(lit(1)).as("total"))
+          .where(col("hits") > 0)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+      val touched = census.map(_._1)
+      val outBase = f"rw${base + 1}%08d" + s"_$session"
+      val rewrites: Seq[(String, Entry)] = inPool(
+        census.filter { case (_, hits, total) => hits < total }
+          .zipWithIndex.map { case ((f, _, _), i) =>
+            () => {
+              val out = f"${outBase}_k$i%04d"
+              store.deleteDataDir(root, out)
+              val raw = scanWithDVs(spark, root, st, Seq(f))
+              val fileDf = st.schemaDdl.map(StructType.fromDDL)
+                .map(projectTo(raw, _)).getOrElse(raw)
+              fileDf.where(!predSafe).coalesce(1)
+                .write.mode("overwrite").parquet(s"$root/$out")
+              val part = st.parts.getOrElse(f, Seq.empty)
+              val stats = statsForCols(spark, root, out,
+                st.stats.getOrElse(f, Seq.empty).map(_.col))
+              out -> (if (part.nonEmpty || stats.nonEmpty)
+                AddFile(out, part, stats)
+              else add(out))
+            }
+          })
+      if (touched.isEmpty && staged.isEmpty)
+        return Some(base) // nothing to delete, nothing to add: no-op
+      commitRewrite(root, base + 1, touched,
+        touched.map(remove) ++ rewrites.map(_._2) ++ staged.map(_._2),
+        rewrites.map(_._1) ++ staged.map(_._1), session, maxAttempts,
+        readDvs = st.dvs)
+    } catch { case t: Throwable =>
+      staged.foreach { case (n, _) => store.deleteDataDir(root, n) }
+      throw t
+    }
+  }
+
   /** Project `base` to schema `s`'s columns in order, null-padding
     * any column the scanned parquet union lacks: legal when every
     * live file carrying an evolved column has since been removed —

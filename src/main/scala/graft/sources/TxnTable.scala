@@ -151,7 +151,10 @@ private[sources] class GraftTxnTable(root: String, version: Int,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // r13: df.writeTo(t).overwrite(cond) — REPLACE WHERE through
+      // the SupportsOverwrite builder
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
   : ScanBuilder =
@@ -176,11 +179,32 @@ private[sources] class GraftTxnTable(root: String, version: Int,
 private[sources] class GraftTxnWriteBuilder(root: String,
     info: LogicalWriteInfo)
   extends WriteBuilder
-  with org.apache.spark.sql.connector.write.SupportsTruncate {
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var overwrite = false
+  private var replaceFilters: Option[Array[Filter]] = None
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** REPLACE WHERE (r13 — `df.writeTo(t).overwrite(cond)`): an
+    * AlwaysTrue condition is the whole-table overwrite (truncate
+    * semantics, the historic path); anything else routes to
+    * [[TxnLogOps.writeReplaceWhere]] — atomic delete-region + append
+    * with the region guard. `canOverwrite` refuses a condition the
+    * exact rebuild cannot express, so the overwrite is never
+    * approximate. */
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f =>
+      f.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue] ||
+        TxnTableRelation.filterColumn(f).isDefined)
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(
+        _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      overwrite = true
+    else replaceFilters = Some(filters)
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation
@@ -188,12 +212,19 @@ private[sources] class GraftTxnWriteBuilder(root: String,
       (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
         val tag = info.queryId().replaceAll("[^A-Za-z0-9]", "")
           .take(16)
-        if (overwrite)
-          TxnLog.writeOverwrite(data.sparkSession, root, data,
-            "sqlw", tag)
-        else
-          TxnLog.writeAppend(data.sparkSession, root, data,
-            "sqlw", tag)
+        replaceFilters match {
+          case Some(fs) =>
+            TxnLog.writeReplaceWhere(data.sparkSession, root, data,
+              fs, "sqlw", tag)
+          case None if overwrite =>
+            TxnLog.writeOverwrite(data.sparkSession, root, data,
+              "sqlw", tag)
+            ()
+          case None =>
+            TxnLog.writeAppend(data.sparkSession, root, data,
+              "sqlw", tag)
+            ()
+        }
         ()
       }
   }

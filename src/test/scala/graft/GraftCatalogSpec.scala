@@ -336,6 +336,52 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("r13: REPLACE WHERE (writeTo.overwrite(cond)) atomically swaps " +
+    "a region — outside rows untouched, out-of-region input refused") {
+    import spark.implicits._
+    withWarehouse { wh =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns10")
+      spark.sql(s"CREATE TABLE $cat.ns10.r (k BIGINT, v DOUBLE)")
+      val root = s"$wh/ns10/r"
+      spark.sql(s"INSERT INTO $cat.ns10.r SELECT id, CAST(id AS DOUBLE) " +
+        "FROM range(1, 51)")
+      spark.sql(s"INSERT INTO $cat.ns10.r SELECT id, CAST(id AS DOUBLE) " +
+        "FROM range(51, 101)")
+      assert(TxnLog.latestVersion(root) == 3)
+      val hiFile = TxnLog.stateAt(root, 3).live
+        .find(f => TxnLog.stateAt(root, 3).stats(f)
+          .exists(s => s.col == "k" && s.min == "51")).get
+      // replace the k<=20 region with 5 fresh rows — ONE commit
+      (1L to 5L).map(k => (k, k * 100.0)).toDF("k", "v")
+        .writeTo(s"$cat.ns10.r").overwrite(col("k") <= 20L)
+      assert(TxnLog.latestVersion(root) == 4,
+        "replaceWhere must be exactly one atomic commit")
+      val r = TxnLog.read(spark, root)
+      assert(r.count() == 85) // 100 - 20 replaced by 5
+      assert(r.where(col("k") === 3L).head().getDouble(1) == 300.0)
+      assert(r.where(col("k") === 21L).head().getDouble(1) == 21.0)
+      // the hi file was PRUNED from the delete side — never rewritten
+      assert(TxnLog.stateAt(root, 4).live.contains(hiFile),
+        "out-of-region file must survive unrewritten")
+      // an input row OUTSIDE the region refuses and commits nothing
+      val e = intercept[Exception] {
+        Seq((999L, 1.0)).toDF("k", "v")
+          .writeTo(s"$cat.ns10.r").overwrite(col("k") <= 20L)
+      }
+      assert((e.getMessage + Option(e.getCause).map(_.getMessage)
+        .getOrElse("")).contains("OUTSIDE"), e.getMessage)
+      assert(TxnLog.latestVersion(root) == 4,
+        "refused replaceWhere must not commit")
+      assert(TxnLog.read(spark, root).count() == 85)
+      // empty input = pure region delete, still one commit
+      spark.range(0).select(col("id").as("k"),
+          col("id").cast("double").as("v"))
+        .writeTo(s"$cat.ns10.r").overwrite(col("k") <= 10L)
+      assert(TxnLog.latestVersion(root) == 5)
+      assert(TxnLog.read(spark, root).count() == 80)
+    }
+  }
+
   test("r13: native SQL DELETE FROM drives the copy-on-write ladder " +
     "with exact predicates and log-metadata pruning") {
     withWarehouse { wh =>

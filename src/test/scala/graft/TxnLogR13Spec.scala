@@ -302,6 +302,38 @@ class TxnLogR13Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("update/deletePredicate abort cleanly on a true conflict: a " +
+    "concurrently-removed touched file returns None, no partial state") {
+    import spark.implicits._
+    withScratch { root =>
+      val df = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      val f0 = TxnLog.liveFiles(root, 1).head
+      // interleave a remove of the file the update is rewriting
+      val r = TxnLog.update(spark, root, Seq("v" -> "v + 1"),
+        Some("k <= 5"), "s",
+        beforeCommit = () =>
+          assert(TxnLog.commitNext(root,
+            Seq(TxnLog.remove(f0)), "c") == 2))
+      assert(r.isEmpty, "update must abort on a removed touched file")
+      val st = TxnLog.stateAt(root, TxnLog.latestVersion(root))
+      assert(TxnLog.latestVersion(root) == 2)
+      assert(!st.live.exists(_.startsWith("up")),
+        s"aborted update leaked an output into the live set: ${st.live}")
+      // same contract on the general-predicate delete
+      withScratch { root2 =>
+        assert(TxnLog.writeAppend(spark, root2, df, "s", "t0") == 1)
+        val g0 = TxnLog.liveFiles(root2, 1).head
+        val d = TxnLog.deletePredicate(spark, root2, "k <= 5 OR k = 9",
+          "s", beforeCommit = () =>
+            assert(TxnLog.commitNext(root2,
+              Seq(TxnLog.remove(g0)), "c") == 2))
+        assert(d.isEmpty, "delete must abort on a removed touched file")
+        assert(TxnLog.latestVersion(root2) == 2)
+      }
+    }
+  }
+
   test("zFormulaN(x, y) is bit-identical to the historic 2-D zFormula") {
     val qx = "CAST(173 AS BIGINT)"
     val qy = "CAST(41 AS BIGINT)"
