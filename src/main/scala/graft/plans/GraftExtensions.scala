@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // r13: GRAFT CHANGES resolves at ANALYSIS time (parse stays
     // side-effect-free — ADVICE r12), versions or TIMESTAMP specs
     ext.injectResolutionRule(spark => ResolveGraftChanges(spark))
+    // r13: NATIVE SQL UPDATE / MERGE INTO on graft tables — Spark's
+    // own v2 DML plans rewritten onto the engine's verbs
+    ext.injectResolutionRule(spark => ResolveGraftDml(spark))
   }
 }
 

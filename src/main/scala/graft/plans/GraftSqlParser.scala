@@ -517,6 +517,188 @@ case class ResolveGraftChanges(spark: SparkSession)
     }
 }
 
+/** NATIVE SQL row-level DML on graft tables (r13 — the D10 story's
+  * last native verbs): an analyzer rule that rewrites Spark's own v2
+  * DML plans onto the engine's verbs, so `UPDATE gcat.ns.t SET ...`
+  * and the common `MERGE INTO` shape work WITHOUT the GRAFT prefix.
+  * (Native `DELETE FROM` needs no rule — `SupportsDelete` covers it.)
+  *
+  *  - `UPDATE t SET c = e [, ...] [WHERE p]` → [[TxnLog.update]]: the
+  *    assignments/condition are rendered back to SQL (qualifiers
+  *    stripped — the verb re-resolves against the table schema) and
+  *    run the copy-on-write ladder;
+  *  - `MERGE INTO t USING s ON t.k = s.k [AND ...]` with the clause
+  *    shapes the engine's core expresses — `WHEN MATCHED [AND c] THEN
+  *    UPDATE SET *`, `WHEN MATCHED [AND c] THEN DELETE`, `WHEN NOT
+  *    MATCHED THEN INSERT *` — maps onto [[TxnLog.mergeClausesKeys]]
+  *    (clause conditions re-rendered with source references as the
+  *    core's `__src_` columns). Shapes outside that surface (column-
+  *    subset SET, not-matched-by-source clauses, conditional inserts)
+  *    are left for Spark to refuse loudly — never approximated.
+  *
+  * The rule fires only on WRITABLE graft tables (a time-traveled load
+  * stays immutable) and before Spark's own row-level rewrites would
+  * fail for lack of `SupportsRowLevelOperations`. */
+case class ResolveGraftDml(spark: SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+    DeleteAction, InsertAction, MergeIntoTable, SubqueryAlias,
+    UpdateAction, UpdateTable}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  private def graftRoot(plan: LogicalPlan): Option[String] = plan match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: graft.sources.GraftTxnTable if t.isWritable =>
+        Some(t.location)
+      case _ => None
+    }
+    case SubqueryAlias(_, child) => graftRoot(child)
+    case _ => None
+  }
+
+  /** Render back to SQL with qualifiers stripped — the engine verb
+    * re-resolves names against the table schema, and a residual
+    * `t`.`k` qualifier would fail that parse. */
+  private def sqlOf(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+      case ua: UnresolvedAttribute if ua.nameParts.length > 1 =>
+        UnresolvedAttribute(Seq(ua.nameParts.last))
+    }.sql
+
+  private def bare(e: Expression): String =
+    sqlOf(e).replaceAll("`", "")
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u: UpdateTable if graftRoot(u.table).isDefined =>
+        val root = graftRoot(u.table).get
+        val sets = u.assignments.flatMap {
+          case Assignment(k, v) => Seq(bare(k), sqlOf(v))
+        }
+        GraftDmlCommand("update", s"'$root'",
+          u.condition.map(sqlOf).getOrElse("") +: sets)
+      case m: MergeIntoTable if graftRoot(m.targetTable).isDefined &&
+          mergeShape(m).isDefined =>
+        val (keys, updWhen, delWhen, insert) = mergeShape(m).get
+        GraftMergeCommand(graftRoot(m.targetTable).get,
+          m.sourceTable, keys, updWhen, delWhen, insert)
+    }
+
+  /** The engine-expressible MERGE shape, or None (Spark then fails
+    * with its own unsupported-table error — loud, never approximate):
+    * ON = conjunction of same-name target/source column equalities;
+    * matched actions ⊆ {UPDATE SET * [AND c], DELETE [AND c]} (at most
+    * one each); not-matched ⊆ {INSERT * unconditional}; nothing
+    * not-matched-by-source. Returns (keys, updateWhen sql, deleteWhen
+    * sql, insertUnmatched) with clause conditions rendered over the
+    * core's `__src_` source columns. */
+  private def mergeShape(m: MergeIntoTable)
+  : Option[(Seq[String], Option[String], Option[String], Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+      EqualTo => CEq}
+    val tgtOut = m.targetTable.outputSet
+    val srcOut = m.sourceTable.outputSet
+    def split(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => split(l) ++ split(r)
+      case o => Seq(o)
+    }
+    def keyOf(e: Expression): Option[String] = e match {
+      case CEq(a: AttributeReference, b: AttributeReference)
+          if tgtOut.contains(a) && srcOut.contains(b) &&
+            a.name == b.name => Some(a.name)
+      case CEq(b: AttributeReference, a: AttributeReference)
+          if tgtOut.contains(a) && srcOut.contains(b) &&
+            a.name == b.name => Some(a.name)
+      case _ => None
+    }
+    if (m.withSchemaEvolution) return None // the core never evolves
+    val keys = split(m.mergeCondition).map(keyOf)
+    if (keys.exists(_.isEmpty) || keys.isEmpty) return None
+    // clause conditions: source refs become __src_<name> (keys keep
+    // their shared name), target refs stay bare
+    def clauseSql(e: Expression): Option[String] = {
+      var ok = true
+      val t = e.transform {
+        case a: AttributeReference if srcOut.contains(a) =>
+          if (keys.flatten.contains(a.name)) a.withQualifier(Seq.empty)
+          else AttributeReference(s"__src_${a.name}", a.dataType,
+            a.nullable)()
+        case a: AttributeReference if tgtOut.contains(a) =>
+          a.withQualifier(Seq.empty)
+        case a: AttributeReference => ok = false; a
+      }
+      if (ok) Some(t.sql) else None
+    }
+    // UPDATE SET * = every target column assigned its same-name
+    // source column
+    def isFullRow(as: Seq[Assignment]): Boolean =
+      as.forall {
+        case Assignment(k: AttributeReference, v: AttributeReference) =>
+          k.name == v.name && tgtOut.contains(k) && srcOut.contains(v)
+        case _ => false
+      }
+    var updWhen: Option[Option[String]] = None
+    var delWhen: Option[Option[String]] = None
+    m.matchedActions.foreach {
+      case UpdateAction(cond, as, _)
+          if updWhen.isEmpty && isFullRow(as.toSeq) =>
+        val c = cond.map(clauseSql)
+        if (c.exists(_.isEmpty)) return None
+        updWhen = Some(c.flatten.orElse(Some("true")))
+      // the engine's clause core fixes delete-over-update precedence;
+      // only a MERGE whose textual order AGREES (delete first, or no
+      // update clause at all) maps onto it — anything else falls to
+      // Spark's own refusal rather than silently reordering clauses
+      case DeleteAction(cond) if delWhen.isEmpty && updWhen.isEmpty =>
+        val c = cond.map(clauseSql)
+        if (c.exists(_.isEmpty)) return None
+        delWhen = Some(c.flatten.orElse(Some("true")))
+      case _ => return None
+    }
+    val insert = m.notMatchedActions.toList match {
+      case Nil => false
+      case InsertAction(None, as) :: Nil if isFullRow(as.toSeq) => true
+      case _ => return None
+    }
+    if (m.notMatchedBySourceActions.nonEmpty) return None
+    Some((keys.flatten, updWhen.flatten.map(s => s),
+      delWhen.flatten.map(s => s), insert))
+  }
+}
+
+/** The rewritten native MERGE: carries the source's RESOLVED plan
+  * (the rule only fires once every clause reference is resolved, so
+  * the subtree is complete); `run` re-wraps it as a DataFrame and
+  * drives [[TxnLog.mergeClausesKeys]] with the rendered clause
+  * conditions — the same core as the GRAFT verb and the streaming
+  * Update sink. */
+case class GraftMergeCommand(root: String, source: LogicalPlan,
+                             keys: Seq[String],
+                             updateWhen: Option[String],
+                             deleteWhen: Option[String],
+                             insertUnmatched: Boolean)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graft.StreamingShim.ofRows(spark,
+      source)
+    val v = TxnLog.mergeClausesKeys(spark, root, src, keys, "sqlmerge",
+      updateWhen =
+        updateWhen.map(org.apache.spark.sql.functions.expr),
+      deleteWhen =
+        deleteWhen.map(org.apache.spark.sql.functions.expr),
+      insertUnmatched = insertUnmatched).getOrElse(-1)
+    Seq(Row(v))
+  }
+}
+
 case class GraftHistoryCommand(table: String)
   extends LeafRunnableCommand {
 

@@ -111,7 +111,7 @@ class TxnTableProvider extends TableProvider with DataSourceRegister {
   }
 }
 
-private[sources] class GraftTxnTable(root: String, version: Int,
+private[graft] class GraftTxnTable(root: String, version: Int,
                                      tableSchema: StructType,
                                      writable: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
@@ -140,6 +140,10 @@ private[sources] class GraftTxnTable(root: String, version: Int,
 
   override def name(): String = s"graft-txn `$root` @v$version"
   override def schema(): StructType = tableSchema
+  /** The table root + writability — the native-DML rewrite rule's
+    * dispatch inputs ([[graft.plans.ResolveGraftDml]], r13). */
+  private[graft] def location: String = root
+  private[graft] def isWritable: Boolean = writable
   // declares BATCH_WRITE for the analyzers' capability gate but
   // EXECUTES through the V1Write/InsertableRelation seam (the
   // physical planner dispatches on the returned Write's type, not

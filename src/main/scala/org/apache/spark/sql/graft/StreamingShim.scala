@@ -36,4 +36,15 @@ object StreamingShim {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
+
+  /** DataFrame over an already-ANALYZED logical plan —
+    * `Dataset.ofRows` is `private[sql]`; the native-DML rewrite
+    * ([[graft.plans.ResolveGraftDml]], r13) needs it to hand a
+    * resolved MERGE source subtree to the engine verb at run time. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
 }

@@ -382,6 +382,62 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("r13: native SQL UPDATE and MERGE INTO rewrite onto the engine " +
+    "verbs — no GRAFT prefix") {
+    import spark.implicits._
+    withWarehouse { wh =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns11")
+      spark.sql(s"CREATE TABLE $cat.ns11.u (k BIGINT, v DOUBLE)")
+      val root = s"$wh/ns11/u"
+      spark.sql(s"INSERT INTO $cat.ns11.u SELECT id, CAST(id AS DOUBLE) " +
+        "FROM range(1, 11)")
+      // native UPDATE: expression assignment over the pre-update row,
+      // OR/IN WHERE
+      spark.sql(s"UPDATE $cat.ns11.u SET v = v * 10 " +
+        "WHERE k < 3 OR k IN (7)")
+      assert(TxnLog.latestVersion(root) == 3)
+      val r = spark.sql(s"SELECT * FROM $cat.ns11.u").collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(r(2L) == 20.0 && r(7L) == 70.0 && r(5L) == 5.0, r.toString)
+      // native MERGE: matched UPDATE SET *, not matched INSERT *
+      Seq((1L, 111.0), (99L, 99.0)).toDF("k", "v")
+        .createOrReplaceTempView("nat_merge_src")
+      spark.sql(s"MERGE INTO $cat.ns11.u t USING nat_merge_src s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      assert(TxnLog.latestVersion(root) == 4)
+      val m = spark.sql(s"SELECT * FROM $cat.ns11.u").collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(m(1L) == 111.0 && m(99L) == 99.0 && m.size == 11, m.toString)
+      // conditional matched clauses: DELETE first, then UPDATE —
+      // the engine's clause precedence in textual order
+      Seq((2L, 0.0), (3L, 333.0)).toDF("k", "v")
+        .createOrReplaceTempView("nat_merge_src2")
+      spark.sql(s"MERGE INTO $cat.ns11.u t USING nat_merge_src2 s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED AND s.v = 0.0 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val m2 = spark.sql(s"SELECT * FROM $cat.ns11.u").collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(!m2.contains(2L) && m2(3L) == 333.0 && m2.size == 10,
+        m2.toString)
+      // a shape the core cannot express (column-subset SET) is left
+      // for Spark to refuse loudly — nothing commits
+      val tip = TxnLog.latestVersion(root)
+      intercept[Exception] {
+        spark.sql(s"MERGE INTO $cat.ns11.u t USING nat_merge_src s " +
+          "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v + 1")
+      }
+      assert(TxnLog.latestVersion(root) == tip)
+      // UPDATE on a time-traveled load is refused (read-only history)
+      intercept[Exception] {
+        spark.sql(s"UPDATE $cat.ns11.u VERSION AS OF 2 SET v = 0.0")
+      }
+    }
+  }
+
   test("r13: native SQL DELETE FROM drives the copy-on-write ladder " +
     "with exact predicates and log-metadata pruning") {
     withWarehouse { wh =>
