@@ -236,6 +236,26 @@ object GraftSqlParser {
     s"""CHANGES\\s+$T\\s+FROM\\s+(\\d+|TIMESTAMP\\s*'[^']+')""" +
       """(?:\s+TO\s+(\d+|TIMESTAMP\s*'[^']+'))?""")
 
+  /** TIMESTAMP literal -> epoch ms through CATALYST under the SPARK
+    * SESSION timezone (ADVICE r13 low: `java.sql.Timestamp.valueOf`
+    * parsed in the JVM default zone with one fixed format, while the
+    * rest of the codebase renders/compares timestamps under the
+    * session timezone — a session TZ differing from the JVM TZ
+    * resolved the change-feed range to the wrong versions). Catalyst's
+    * Cast also accepts every literal format Spark itself does
+    * (date-only, offset-suffixed, fractional seconds). Unparseable
+    * literals fail loudly. */
+  private[plans] def timestampLiteralMs(ts: String): Long = {
+    val tz = org.apache.spark.sql.internal.SQLConf.get
+      .sessionLocalTimeZone
+    val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(ts),
+      org.apache.spark.sql.types.TimestampType, Some(tz)).eval(null)
+    require(micros != null,
+      s"cannot parse TIMESTAMP '$ts' (session timezone $tz)")
+    micros.asInstanceOf[Long] / 1000L
+  }
+
   /** Strip the trailing statement terminator a greedy body group may
     * have swallowed (the outer regex's `;?` never sees it). */
   private[plans] def stripStmt(s: String): String =
@@ -353,18 +373,21 @@ case class GraftDmlCommand(verb: String, table: String,
           where = Seq((args(0), args(1), args(2)))).getOrElse(-1)
       case "zorder" =>
         TxnLog.compactZorder(spark, path, args, session).getOrElse(-1)
+      // SQL-face DML is STRICT on conflicts (ADVICE r13 high): a
+      // lost write conflict throws ConcurrentModificationException
+      // instead of returning -1 as if nothing matched
       case "delete" =>
         TxnLog.deleteRange(spark, path, args(0), args(1), args(2),
-          session).getOrElse(-1)
+          session, strictConflict = true).getOrElse(-1)
       case "delete_dv" =>
         TxnLog.deleteRangeDV(spark, path, args(0), args(1), args(2),
-          session).getOrElse(-1)
+          session, strictConflict = true).getOrElse(-1)
       case "delete_predicate" =>
-        TxnLog.deletePredicate(spark, path, args(0), session)
-          .getOrElse(-1)
+        TxnLog.deletePredicate(spark, path, args(0), session,
+          strictConflict = true).getOrElse(-1)
       case "delete_predicate_dv" =>
-        TxnLog.deletePredicateDV(spark, path, args(0), session)
-          .getOrElse(-1)
+        TxnLog.deletePredicateDV(spark, path, args(0), session,
+          strictConflict = true).getOrElse(-1)
       case "optimize_predicate" =>
         TxnLog.compact(spark, path, session,
           whereSql = Some(args(0))).getOrElse(-1)
@@ -372,13 +395,13 @@ case class GraftDmlCommand(verb: String, table: String,
         val predSql = Some(args.head).filter(_.nonEmpty)
         val sets = args.tail.grouped(2)
           .map(p => (p(0), p(1))).toSeq
-        TxnLog.update(spark, path, sets, predSql, session)
-          .getOrElse(-1)
+        TxnLog.update(spark, path, sets, predSql, session,
+          strictConflict = true).getOrElse(-1)
       case "merge" =>
         TxnLog.mergeClausesKeys(spark, path, spark.table(args(0)),
           GraftSqlParser.splitTopLevel(args(1), ','), session,
           updateWhen = Some(org.apache.spark.sql.functions.lit(true)),
-          deleteWhen = None).getOrElse(-1)
+          deleteWhen = None, strictConflict = true).getOrElse(-1)
       case "restore" =>
         TxnLog.restore(path, args(0).toInt, session).getOrElse(-1)
       case "vacuum" =>
@@ -502,7 +525,7 @@ case class ResolveGraftChanges(spark: SparkSession)
   private def ver(root: String, spec: String, from: Boolean): Int =
     spec match {
       case TsRe(ts) =>
-        val ms = java.sql.Timestamp.valueOf(ts).getTime
+        val ms = GraftSqlParser.timestampLiteralMs(ts)
         TxnLog.versionAsOf(root, if (from) ms - 1 else ms)
       case v => v.trim.toInt
     }
@@ -694,7 +717,8 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
         updateWhen.map(org.apache.spark.sql.functions.expr),
       deleteWhen =
         deleteWhen.map(org.apache.spark.sql.functions.expr),
-      insertUnmatched = insertUnmatched).getOrElse(-1)
+      insertUnmatched = insertUnmatched,
+      strictConflict = true).getOrElse(-1)
     Seq(Row(v))
   }
 }

@@ -573,7 +573,18 @@ class TxnLogOps(val store: LogStore) {
     * CHECK semantics preserved: NULL passes ([[enforceConstraints]]'
     * coalesce), and an empty frame never evaluates a guard. The
     * filter cannot be optimized away: `raise_error` is non-foldable
-    * and the planner cannot prove the branch dead. */
+    * and the planner cannot prove the branch dead.
+    *
+    * r14 (ADVICE r13 medium): the guard predicate is wrapped in a
+    * [[graft.functions.WriteGuardBarrier]] so Catalyst's predicate
+    * pushdown cannot RELOCATE it below joins/filters inside the
+    * caller's plan — a deterministic filter referencing only
+    * constraint columns used to be pushable, evaluating `raise_error`
+    * on rows the plan would never write (a spurious abort of a valid
+    * INSERT whose own join/filter excludes the violating rows). The
+    * barrier evaluates verbatim and stays codegen'd; it only pins the
+    * Filter where the write path planted it: above the fully-filtered
+    * input. */
   private def checkGuard(df: DataFrame, cons: Map[String, String],
                          what: String): DataFrame = {
     if (cons.isEmpty) return df
@@ -583,8 +594,16 @@ class TxnLogOps(val store: LogStore) {
           s"constraints — $n (CHECK $e)")).cast("int"))
         .otherwise(lit(1))
     }
-    df.where(guards.reduce(_ + _) >= 0)
+    df.where(barrier(guards.reduce(_ + _) >= 0))
   }
+
+  /** Pin a write-side guard predicate in place — see
+    * [[graft.functions.WriteGuardBarrier]]. */
+  private def barrier(c: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.StreamingShim.column(
+      graft.functions.WriteGuardBarrier(
+        org.apache.spark.sql.graft.StreamingShim.expression(c)))
 
   /** The first [[checkGuard]] violation in `t`'s cause chain, rebuilt
     * as the write path's refusal exception (Spark wraps a task-side
@@ -959,21 +978,31 @@ class TxnLogOps(val store: LogStore) {
                         df: DataFrame,
                         filters: Array[org.apache.spark.sql.sources.Filter],
                         session: String, tag: String,
-                        maxAttempts: Int = 5): Option[Int] = {
+                        maxAttempts: Int = 5,
+                        strictConflict: Boolean = false,
+                        beforeCommit: () => Unit = () => ()): Option[Int] = {
     val cols = filters.map(f => TxnTableRelation.filterColumn(f)
       .getOrElse(throw new UnsupportedOperationException(
         s"cannot rebuild filter $f as an exact row predicate")))
     val pred = cols.reduceOption(_ && _).getOrElse(lit(true))
     val base = latestVersion(root)
     val st = stateAt(root, base)
+    // ADVICE r13 medium: the staged replacement resolves against the
+    // table's metaData like EVERY other writer (evolve = false — a
+    // REPLACE that wants new columns is a schema migration); a direct
+    // caller with a missing/retyped column is refused here instead of
+    // committing files that null-pad or break later mergeSchema scans.
+    // Some(..) only for a schema-less table publishing its first
+    // schema — carried into the commit.
+    val meta = resolveWriteSchema(root, base, df.schema, evolve = false)
     // fail-fast region guard fused into the staging scan (the
-    // checkGuard pattern): a replacement row outside the region
-    // aborts before any commit
-    val guarded = df.where(
+    // checkGuard pattern, pushdown-pinned by the r14 barrier): a
+    // replacement row outside the region aborts before any commit
+    val guarded = df.where(barrier(
       when(!coalesce(pred, lit(false)),
         raise_error(lit(s"${CheckViolationTag}replaceWhere: an input " +
           s"row falls OUTSIDE the replaced region (${filters.mkString(" AND ")})"))
-          .cast("int")).otherwise(lit(1)) >= 1)
+          .cast("int")).otherwise(lit(1)) >= 1))
     val staged =
       try stageWrite(spark, root, guarded, tag, Seq.empty,
         st.constraints, "replaceWhere")
@@ -1016,10 +1045,14 @@ class TxnLogOps(val store: LogStore) {
           })
       if (touched.isEmpty && staged.isEmpty)
         return Some(base) // nothing to delete, nothing to add: no-op
+      beforeCommit()
       commitRewrite(root, base + 1, touched,
         touched.map(remove) ++ rewrites.map(_._2) ++ staged.map(_._2),
         rewrites.map(_._1) ++ staged.map(_._1), session, maxAttempts,
-        readDvs = st.dvs)
+        readDvs = st.dvs,
+        enforcedCons = Some(st.constraints), schemaDdl = meta,
+        conflictWhat =
+          if (strictConflict) Some("REPLACE WHERE") else None)
     } catch { case t: Throwable =>
       staged.foreach { case (n, _) => store.deleteDataDir(root, n) }
       throw t
@@ -1776,15 +1809,38 @@ class TxnLogOps(val store: LogStore) {
                             maxAttempts: Int,
                             readDvs: Map[String, (String, Long)] =
                               Map.empty,
-                            txn: Option[(String, Long)] = None)
+                            txn: Option[(String, Long)] = None,
+                            enforcedCons: Option[Map[String, String]] =
+                              None,
+                            schemaDdl: Option[String] = None,
+                            conflictWhat: Option[String] = None)
   : Option[Int] = {
     // r13: a rewrite carrying a streaming watermark (the Update-mode
     // sink's keyed merge) commits SetTxn atomically with its actions,
     // and a duplicate writer that already landed this (app, batch)
-    // turns the retry into a clean no-op instead of a conflict
+    // turns the retry into a clean no-op instead of a conflict.
+    // r14 (ADVICE r13): `enforcedCons` closes the append-only gap in
+    // the constraint-drift guard — rewrite-path writers that LAND NEW
+    // ROWS (REPLACE WHERE's staged append, UPDATE's post-SET rows,
+    // MERGE's inserts/updates) re-check the constraint set at every
+    // attempted base, so a CHECK added concurrently between
+    // enforcement and the won slot aborts instead of landing
+    // unchecked rows; `conflictWhat` makes a lost conflict LOUD for
+    // the SQL faces (a native DELETE/UPDATE/MERGE must never return
+    // "success, zero rows" after a concurrent rewrite stole its
+    // files — the lenient Scala-API contract keeps returning None).
     val all = txn.map { case (a, b) => SetTxn(a, b) }.toSeq ++ actions
     def replayed(tip: Int): Boolean = txn.exists { case (a, b) =>
       stateAt(root, tip).txns.get(a).exists(_ >= b) }
+    def abort(): Option[Int] = {
+      outs.foreach(store.deleteDataDir(root, _))
+      conflictWhat.foreach(w => throw new
+          java.util.ConcurrentModificationException(
+        s"$w on $root lost a write conflict — a concurrent rewrite " +
+          "removed or re-vectored a file this statement read; " +
+          "nothing was changed, re-run the statement"))
+      None
+    }
     var v = firstSlot
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1792,20 +1848,29 @@ class TxnLogOps(val store: LogStore) {
         outs.foreach(store.deleteDataDir(root, _))
         return None
       }
-      if (tryCommit(root, v, all, session)) return Some(v)
+      enforcedCons.foreach { cons =>
+        try requireConstraintsStable(root, v - 1, cons)
+        catch { case e: Throwable =>
+          outs.foreach(store.deleteDataDir(root, _)); throw e }
+      }
+      // a carried schemaDdl means the caller resolved it against a
+      // SCHEMA-LESS base (publication, not evolution); a concurrent
+      // writer publishing first is a metadata conflict — abort rather
+      // than clobber its contract
+      if (schemaDdl.isDefined && v > firstSlot &&
+          stateAt(root, v - 1).schemaDdl.isDefined)
+        return abort()
+      if (tryCommit(root, v, all, session, schemaDdl = schemaDdl))
+        return Some(v)
       val tip = latestVersion(root)
       val nowSt = stateAt(root, tip)
       val ok = removed.forall(f => nowSt.live.contains(f) &&
         nowSt.dvs.get(f).map(_._1) == readDvs.get(f).map(_._1))
-      if (!ok) {
-        outs.foreach(store.deleteDataDir(root, _))
-        return None
-      }
+      if (!ok) return abort()
       v = tip + 1
       attempt += 1
     }
-    outs.foreach(store.deleteDataDir(root, _))
-    None
+    abort()
   }
 
   /** OPTIMIZE: bin-pack the tip's live FILES toward `targetBytes`
@@ -2185,10 +2250,11 @@ class TxnLogOps(val store: LogStore) {
                    insertUnmatched: Boolean = true,
                    beforeCommit: () => Unit = () => (),
                    maxAttempts: Int = 5,
-                   txn: Option[(String, Long)] = None): Option[Int] =
+                   txn: Option[(String, Long)] = None,
+                   strictConflict: Boolean = false): Option[Int] =
     mergeClausesKeys(spark, root, source0, Seq(keyCol), session,
       updateWhen, deleteWhen, insertUnmatched, beforeCommit,
-      maxAttempts, txn)
+      maxAttempts, txn, strictConflict)
 
   /** [[mergeClauses]] on a COMPOSITE match key (r13 — VERDICT r12 #2's
     * last bound: the merge surface stopped at single-key equality ON):
@@ -2206,7 +2272,8 @@ class TxnLogOps(val store: LogStore) {
                    insertUnmatched: Boolean = true,
                    beforeCommit: () => Unit = () => (),
                    maxAttempts: Int = 5,
-                   txn: Option[(String, Long)] = None): Option[Int] = {
+                   txn: Option[(String, Long)] = None,
+                   strictConflict: Boolean = false): Option[Int] = {
     require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
       s"merge needs distinct key columns (got $keyCols)")
     val base = latestVersion(root)
@@ -2218,7 +2285,7 @@ class TxnLogOps(val store: LogStore) {
     val source = source0.cache()
     try mergeClausesPinned(spark, root, source, keyCols, session,
       updateWhen, deleteWhen, insertUnmatched, beforeCommit,
-      maxAttempts, base, live, outBase, txn)
+      maxAttempts, base, live, outBase, txn, strictConflict)
     finally { source.unpersist(); () }
   }
 
@@ -2228,7 +2295,8 @@ class TxnLogOps(val store: LogStore) {
       deleteWhen: Option[org.apache.spark.sql.Column],
       insertUnmatched: Boolean, beforeCommit: () => Unit,
       maxAttempts: Int, base: Int, live: Seq[String], outBase: String,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      strictConflict: Boolean = false)
   : Option[Int] = {
     val aggsB = keyCols.flatMap(k => Seq(min(col(k)).cast("string"),
       max(col(k)).cast("string"))) ++ Seq(count(lit(1)),
@@ -2400,7 +2468,9 @@ class TxnLogOps(val store: LogStore) {
     beforeCommit()
     commitRewrite(root, base + 1, touched,
       touched.map(remove) ++ outs.map(_._2), outs.map(_._1), session,
-      maxAttempts, readDvs = st.dvs, txn = txn)
+      maxAttempts, readDvs = st.dvs, txn = txn,
+      enforcedCons = Some(cons),
+      conflictWhat = if (strictConflict) Some("MERGE") else None)
   }
 
   /** Partitioned APPEND — the writer-side half of the partition
@@ -2480,7 +2550,8 @@ class TxnLogOps(val store: LogStore) {
   def deleteRange(spark: SparkSession, root: String, colName: String,
                   lo: String, hi: String, session: String,
                   beforeCommit: () => Unit = () => (),
-                  maxAttempts: Int = 5): Option[Int] = {
+                  maxAttempts: Int = 5,
+                  strictConflict: Boolean = false): Option[Int] = {
     val base = latestVersion(root)
     if (liveFiles(root, base).isEmpty) return None
     val (candidates, _) =
@@ -2494,7 +2565,8 @@ class TxnLogOps(val store: LogStore) {
       col(colName).between(lit(lo).cast(dt), lit(hi).cast(dt))
     }
     deleteCore(spark, root, base, st, candidates, pred, session,
-      beforeCommit, maxAttempts)
+      beforeCommit, maxAttempts,
+      conflictWhat = if (strictConflict) Some("DELETE") else None)
   }
 
   /** Row-level DELETE with an ARBITRARY SQL predicate (r13 — VERDICT
@@ -2506,14 +2578,16 @@ class TxnLogOps(val store: LogStore) {
   def deletePredicate(spark: SparkSession, root: String,
                       predSql: String, session: String,
                       beforeCommit: () => Unit = () => (),
-                      maxAttempts: Int = 5): Option[Int] = {
+                      maxAttempts: Int = 5,
+                      strictConflict: Boolean = false): Option[Int] = {
     val base = latestVersion(root)
     if (liveFiles(root, base).isEmpty) return None
     val st = stateAt(root, base)
     val candidates = pruneForPredicateSt(spark, st, predSql)
     if (candidates.isEmpty) return None
     deleteCore(spark, root, base, st, candidates, _ => expr(predSql),
-      session, beforeCommit, maxAttempts)
+      session, beforeCommit, maxAttempts,
+      conflictWhat = if (strictConflict) Some("DELETE") else None)
   }
 
   /** Native SQL DELETE seam (r13 — plain `DELETE FROM catalog.ns.t
@@ -2537,8 +2611,12 @@ class TxnLogOps(val store: LogStore) {
     val candidates = TxnTableRelation.pruneForSt(st, filters)._1
     if (candidates.isEmpty) return None
     val pred = cols.reduceOption(_ && _).getOrElse(lit(true))
+    // ADVICE r13 high: the native SQL seam must distinguish "nothing
+    // matched" (clean no-op) from a LOST WRITE CONFLICT — deleteWhere
+    // returning Unit used to swallow the None and report success with
+    // zero rows deleted
     deleteCore(spark, root, base, st, candidates, _ => pred, session,
-      () => (), maxAttempts)
+      () => (), maxAttempts, conflictWhat = Some("DELETE"))
   }
 
   /** The shared copy-on-write DELETE body: census + cheapest-action
@@ -2549,7 +2627,9 @@ class TxnLogOps(val store: LogStore) {
                          st: State, candidates: Seq[String],
                          mkPred: DataFrame => org.apache.spark.sql.Column,
                          session: String, beforeCommit: () => Unit,
-                         maxAttempts: Int): Option[Int] = {
+                         maxAttempts: Int,
+                         conflictWhat: Option[String] = None)
+  : Option[Int] = {
     // mergeSchema: candidates may span schema generations — a file
     // predating the predicate column reads it as null (no hit), and
     // the scan must not depend on which file's footer gets sampled.
@@ -2604,7 +2684,8 @@ class TxnLogOps(val store: LogStore) {
     beforeCommit()
     commitRewrite(root, base + 1, touched,
       touched.map(remove) ++ rewrites.map(_._2), rewrites.map(_._1),
-      session, maxAttempts, readDvs = st.dvs)
+      session, maxAttempts, readDvs = st.dvs,
+      conflictWhat = conflictWhat)
   }
 
   /** Row-level DELETE, MERGE-ON-READ (r11 — deletion vectors,
@@ -2635,7 +2716,8 @@ class TxnLogOps(val store: LogStore) {
   def deleteRangeDV(spark: SparkSession, root: String, colName: String,
                     lo: String, hi: String, session: String,
                     beforeCommit: () => Unit = () => (),
-                    maxAttempts: Int = 5): Option[Int] = {
+                    maxAttempts: Int = 5,
+                    strictConflict: Boolean = false): Option[Int] = {
     val base = latestVersion(root)
     if (liveFiles(root, base).isEmpty) return None
     val (candidates, _) =
@@ -2647,7 +2729,8 @@ class TxnLogOps(val store: LogStore) {
       col(colName).between(lit(lo).cast(dt), lit(hi).cast(dt))
     }
     deleteCoreDV(spark, root, base, st, candidates, pred, session,
-      beforeCommit, maxAttempts)
+      beforeCommit, maxAttempts,
+      conflictWhat = if (strictConflict) Some("DELETE") else None)
   }
 
   /** [[deletePredicate]]'s MERGE-ON-READ twin (r13): an arbitrary
@@ -2657,14 +2740,16 @@ class TxnLogOps(val store: LogStore) {
   def deletePredicateDV(spark: SparkSession, root: String,
                         predSql: String, session: String,
                         beforeCommit: () => Unit = () => (),
-                        maxAttempts: Int = 5): Option[Int] = {
+                        maxAttempts: Int = 5,
+                        strictConflict: Boolean = false): Option[Int] = {
     val base = latestVersion(root)
     if (liveFiles(root, base).isEmpty) return None
     val st = stateAt(root, base)
     val candidates = pruneForPredicateSt(spark, st, predSql)
     if (candidates.isEmpty) return None
     deleteCoreDV(spark, root, base, st, candidates, _ => expr(predSql),
-      session, beforeCommit, maxAttempts)
+      session, beforeCommit, maxAttempts,
+      conflictWhat = if (strictConflict) Some("DELETE") else None)
   }
 
   /** The shared merge-on-read DELETE body — census, cheapest-action
@@ -2674,7 +2759,9 @@ class TxnLogOps(val store: LogStore) {
                            st: State, candidates: Seq[String],
                            mkPred: DataFrame => org.apache.spark.sql.Column,
                            session: String, beforeCommit: () => Unit,
-                           maxAttempts: Int): Option[Int] = {
+                           maxAttempts: Int,
+                           conflictWhat: Option[String] = None)
+  : Option[Int] = {
     val baseScan = applyColMap(spark.read.option("mergeSchema", "true")
       .parquet(dataPaths(root, st, candidates): _*), st)
     val pred = coalesce(mkPred(baseScan), lit(false))
@@ -2726,7 +2813,7 @@ class TxnLogOps(val store: LogStore) {
         }
       beforeCommit()
       commitRewrite(root, base + 1, touched, actions, outs, session,
-        maxAttempts, readDvs = st.dvs)
+        maxAttempts, readDvs = st.dvs, conflictWhat = conflictWhat)
     } finally { marked.unpersist(); () }
   }
 
@@ -2754,7 +2841,8 @@ class TxnLogOps(val store: LogStore) {
   def update(spark: SparkSession, root: String,
              sets: Seq[(String, String)], predSql: Option[String],
              session: String, beforeCommit: () => Unit = () => (),
-             maxAttempts: Int = 5): Option[Int] = {
+             maxAttempts: Int = 5,
+             strictConflict: Boolean = false): Option[Int] = {
     require(sets.nonEmpty, "UPDATE needs at least one assignment")
     require(sets.map(_._1).distinct.size == sets.size,
       s"duplicate assignment targets: ${sets.map(_._1).mkString(",")}")
@@ -2795,36 +2883,50 @@ class TxnLogOps(val store: LogStore) {
       .where(col("hits") > 0)
       .collect().map(_.getString(0)).sorted.toSeq
     if (touched.isEmpty) return None
-    if (st.constraints.nonEmpty)
-      enforceConstraints(
-        updated(scanWithDVs(spark, root, st, touched).where(pred)),
-        st.constraints, "update")
+    // r14 (VERDICT r13 #4): CHECK enforcement is FUSED into each
+    // rewrite's own projection ([[checkGuard]], the stageWrite
+    // pattern) instead of a separate pre-pass over the matched rows'
+    // post-SET image — a checked UPDATE reads each touched file
+    // exactly TWICE (census + rewrite), not three times. Kept rows
+    // satisfy by induction (they were validated when written /
+    // when the constraint was added), so guarding the whole output
+    // accepts and rejects exactly the same statements; a violation
+    // aborts ALL rewrites before any commit and cleans the staging.
     val outBase = f"up${base + 1}%08d" + s"_$session"
-    val rewrites: Seq[(String, Entry)] = inPool(
-      touched.zipWithIndex.map { case (f, i) =>
-        () => {
-          val out = f"${outBase}_r$i%04d"
-          store.deleteDataDir(root, out) // crashed earlier attempt
-          val fileDf = scanWithDVs(spark, root, st, Seq(f))
-          updated(fileDf).coalesce(1).write.mode("overwrite")
-            .parquet(s"$root/$out")
-          val part = st.parts.getOrElse(f, Seq.empty)
-          val statCols = st.stats.getOrElse(f, Seq.empty).map(_.col)
-          val all = statsForCols(spark, root, out,
-            (statCols ++ part.map(_._1)).distinct
-              .filter(dataCols.contains))
-          val keptPart = part.filter { case (k, v) =>
-            all.exists(s => s.col == k && s.min == v && s.max == v) }
-          val stats = all.filter(s => statCols.contains(s.col))
-          out -> (if (keptPart.nonEmpty || stats.nonEmpty)
-            AddFile(out, keptPart, stats)
-          else add(out))
-        }
-      })
+    val rewriteTasks = touched.zipWithIndex.map { case (f, i) =>
+      () => {
+        val out = f"${outBase}_r$i%04d"
+        store.deleteDataDir(root, out) // crashed earlier attempt
+        val fileDf = scanWithDVs(spark, root, st, Seq(f))
+        checkGuard(updated(fileDf), st.constraints, "update")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/$out")
+        val part = st.parts.getOrElse(f, Seq.empty)
+        val statCols = st.stats.getOrElse(f, Seq.empty).map(_.col)
+        val all = statsForCols(spark, root, out,
+          (statCols ++ part.map(_._1)).distinct
+            .filter(dataCols.contains))
+        val keptPart = part.filter { case (k, v) =>
+          all.exists(s => s.col == k && s.min == v && s.max == v) }
+        val stats = all.filter(s => statCols.contains(s.col))
+        out -> (if (keptPart.nonEmpty || stats.nonEmpty)
+          AddFile(out, keptPart, stats)
+        else add(out))
+      }
+    }
+    val rewrites: Seq[(String, Entry)] =
+      try inPool(rewriteTasks)
+      catch { case t: Throwable =>
+        touched.indices.foreach(i =>
+          store.deleteDataDir(root, f"${outBase}_r$i%04d"))
+        throw unwrapCheckViolation(t).getOrElse(t)
+      }
     beforeCommit()
     commitRewrite(root, base + 1, touched,
       touched.map(remove) ++ rewrites.map(_._2), rewrites.map(_._1),
-      session, maxAttempts, readDvs = st.dvs)
+      session, maxAttempts, readDvs = st.dvs,
+      enforcedCons = Some(st.constraints),
+      conflictWhat = if (strictConflict) Some("UPDATE") else None)
   }
 
   /** CHANGE DATA FEED (r11 — VERDICT r10 "missing" #1, the most

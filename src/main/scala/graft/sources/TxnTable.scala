@@ -218,8 +218,11 @@ private[sources] class GraftTxnWriteBuilder(root: String,
           .take(16)
         replaceFilters match {
           case Some(fs) =>
+            // ADVICE r13 high: a conflict-aborted REPLACE WHERE must
+            // surface as ConcurrentModificationException through the
+            // V1Write seam, never as a silent normal return
             TxnLog.writeReplaceWhere(data.sparkSession, root, data,
-              fs, "sqlw", tag)
+              fs, "sqlw", tag, strictConflict = true)
           case None if overwrite =>
             TxnLog.writeOverwrite(data.sparkSession, root, data,
               "sqlw", tag)

@@ -47,4 +47,16 @@ object StreamingShim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       plan)
+
+  /** Column ↔ Expression bridges (r14): `ExpressionUtils` is
+    * `private[sql]`; the write-side guard barrier
+    * ([[graft.functions.WriteGuardBarrier]]) needs to wrap a built
+    * Column's expression and re-wrap the result. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+  : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxnLog
+
+/** Round-14 txn-log surface (the ADVICE r13 closures): loud
+  * conflict-aborts on every SQL-face DML verb, constraint-drift
+  * re-checks inside rewrite commits, the pushdown-pinned CHECK guard,
+  * REPLACE WHERE's schema contract, session-timezone TIMESTAMP
+  * literals, and the one-pass checked UPDATE. */
+class TxnLogR14Spec extends AnyFunSuite with SparkSpec {
+
+  private def withScratch(body: String => Unit): Unit = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r14_").toString
+    try body(root)
+    finally graft.core.Fixtures.deleteRecursively(new java.io.File(root))
+  }
+
+  test("SQL-face DML throws ConcurrentModificationException on a " +
+    "lost write conflict instead of reporting no-op success " +
+    "(ADVICE r13 high)") {
+    import spark.implicits._
+    val df = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+    // strict UPDATE: a concurrently-removed touched file is LOUD
+    withScratch { root =>
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      val f0 = TxnLog.liveFiles(root, 1).head
+      val e = intercept[java.util.ConcurrentModificationException] {
+        TxnLog.update(spark, root, Seq("v" -> "v + 1"), Some("k <= 5"),
+          "s", strictConflict = true,
+          beforeCommit = () =>
+            assert(TxnLog.commitNext(root,
+              Seq(TxnLog.remove(f0)), "c") == 2))
+      }
+      assert(e.getMessage.contains("UPDATE") &&
+        e.getMessage.contains("conflict"), e.getMessage)
+      // nothing half-landed
+      val st = TxnLog.stateAt(root, TxnLog.latestVersion(root))
+      assert(TxnLog.latestVersion(root) == 2)
+      assert(!st.live.exists(_.startsWith("up")), st.live.toString)
+    }
+    // strict DELETE (the native SQL seam's posture)
+    withScratch { root =>
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      val f0 = TxnLog.liveFiles(root, 1).head
+      val e = intercept[java.util.ConcurrentModificationException] {
+        TxnLog.deletePredicate(spark, root, "k <= 5", "s",
+          strictConflict = true,
+          beforeCommit = () =>
+            assert(TxnLog.commitNext(root,
+              Seq(TxnLog.remove(f0)), "c") == 2))
+      }
+      assert(e.getMessage.contains("DELETE"), e.getMessage)
+    }
+    // strict REPLACE WHERE (the V1Write seam's posture)
+    withScratch { root =>
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      val f0 = TxnLog.liveFiles(root, 1).head
+      val repl = Seq((3L, 33.0)).toDF("k", "v")
+      val e = intercept[java.util.ConcurrentModificationException] {
+        TxnLog.writeReplaceWhere(spark, root, repl,
+          Array(org.apache.spark.sql.sources.EqualTo("k", 3L)),
+          "s", "rw0", strictConflict = true,
+          beforeCommit = () =>
+            assert(TxnLog.commitNext(root,
+              Seq(TxnLog.remove(f0)), "c") == 2))
+      }
+      assert(e.getMessage.contains("REPLACE WHERE"), e.getMessage)
+      // the LENIENT Scala-API contract is unchanged: same race,
+      // default flags, clean None
+      assert(TxnLog.deletePredicate(spark, root, "k = 999", "s").isEmpty)
+    }
+  }
+
+  test("concurrent constraint drift aborts rewrite-path writers that " +
+    "land new rows: UPDATE and MERGE re-check at the commit tip " +
+    "(ADVICE r13 medium)") {
+    import spark.implicits._
+    val df = (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+    withScratch { root =>
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      val e = intercept[IllegalArgumentException] {
+        TxnLog.update(spark, root, Seq("v" -> "v + 1"), Some("k <= 5"),
+          "s", beforeCommit = () =>
+            assert(TxnLog.addConstraint(spark, root, "vcap",
+              "v < 100", "c") == 2))
+      }
+      assert(e.getMessage.contains("constraints changed concurrently"),
+        e.getMessage)
+      // aborted cleanly: constraint commit stands, no update output
+      val st = TxnLog.stateAt(root, TxnLog.latestVersion(root))
+      assert(TxnLog.latestVersion(root) == 2)
+      assert(!st.live.exists(_.startsWith("up")), st.live.toString)
+    }
+    withScratch { root =>
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      val src = Seq((1L, 11.0), (99L, 99.0)).toDF("k", "v")
+      val e = intercept[IllegalArgumentException] {
+        TxnLog.mergeUpsert(spark, root, src, "k", "m",
+          beforeCommit = () =>
+            assert(TxnLog.addConstraint(spark, root, "vcap",
+              "v < 1000", "c") == 2))
+      }
+      assert(e.getMessage.contains("constraints changed concurrently"),
+        e.getMessage)
+      assert(TxnLog.latestVersion(root) == 2)
+      assert(TxnLog.read(spark, root).count() == 10, "merge half-landed")
+    }
+  }
+
+  test("the CHECK guard is pinned above the caller's plan: an INSERT " +
+    "whose own join excludes the violating rows is NOT aborted " +
+    "(ADVICE r13 medium)") {
+    import spark.implicits._
+    withScratch { root =>
+      val seed = (1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, seed, "s", "t0") == 1)
+      assert(TxnLog.addConstraint(spark, root, "pos", "v > 0", "s") == 2)
+      // raw holds a VIOLATING row (k=99, v=-1); the join with good
+      // keys excludes it. A pushable guard would relocate below the
+      // join (it references only constraint columns) and raise on the
+      // excluded row — the barrier pins it above the join.
+      val raw = ((6L to 10L).map(k => (k, k * 1.0)) :+ ((99L, -1.0)))
+        .toDF("k", "v")
+      val good = (6L to 10L).toDF("k")
+      val input = raw.join(good, "k")
+      assert(TxnLog.writeAppend(spark, root, input, "s", "t1") == 3)
+      assert(TxnLog.read(spark, root).count() == 10)
+      // and the violation path still refuses when the row WOULD land
+      val e = intercept[IllegalArgumentException](
+        TxnLog.writeAppend(spark, root, raw, "s", "t2"))
+      assert(e.getMessage.contains("pos"), e.getMessage)
+      assert(TxnLog.latestVersion(root) == 3)
+    }
+  }
+
+  test("REPLACE WHERE resolves the write schema like every other " +
+    "writer: a retyped column is refused before any commit " +
+    "(ADVICE r13 medium)") {
+    import spark.implicits._
+    withScratch { root =>
+      val seed = (1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, seed, "s", "t0") == 1)
+      val badType = Seq((3L, "not-a-double")).toDF("k", "v")
+      val e = intercept[IllegalArgumentException] {
+        TxnLog.writeReplaceWhere(spark, root, badType,
+          Array(org.apache.spark.sql.sources.EqualTo("k", 3L)),
+          "s", "rw1")
+      }
+      assert(e.getMessage.contains("incompatible"), e.getMessage)
+      // a NEW column is evolution — refused too (evolve is explicit)
+      val extra = Seq((3L, 3.0, "x")).toDF("k", "v", "w")
+      val e2 = intercept[IllegalArgumentException] {
+        TxnLog.writeReplaceWhere(spark, root, extra,
+          Array(org.apache.spark.sql.sources.EqualTo("k", 3L)),
+          "s", "rw2")
+      }
+      assert(e2.getMessage.contains("evolve"), e2.getMessage)
+      assert(TxnLog.latestVersion(root) == 1, "refused write committed")
+      assert(TxnLog.read(spark, root).count() == 5)
+    }
+  }
+
+  test("GRAFT CHANGES ... TIMESTAMP resolves the literal under the " +
+    "SPARK SESSION timezone, not the JVM default (ADVICE r13 low)") {
+    import spark.implicits._
+    withScratch { root =>
+      assert(TxnLog.writeAppend(spark, root,
+        Seq((1L, 1.0)).toDF("k", "v"), "s", "t0") == 1)
+      Thread.sleep(5)
+      assert(TxnLog.writeAppend(spark, root,
+        Seq((2L, 2.0)).toDF("k", "v"), "s", "t1") == 2)
+      val t2 = TxnLog.commitTs(root, 2)
+      // render t2 in a session TZ far from the JVM default (tests run
+      // with JVM/UTC): a JVM-default parse of this literal would be
+      // off by +05:30 and resolve the range to the wrong versions
+      val zone = "Asia/Kolkata"
+      val lit = java.time.Instant.ofEpochMilli(t2)
+        .atZone(java.time.ZoneId.of(zone))
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val prev = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", zone)
+      try {
+        val changes = spark.sql(
+          s"GRAFT CHANGES '$root' FROM TIMESTAMP '$lit'").collect()
+        // FROM ts = every change committed AT or after ts: exactly v2
+        assert(changes.length == 1, changes.mkString(";"))
+        assert(changes.head.getAs[Long]("k") == 2L)
+      } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    }
+  }
+
+  test("checked UPDATE computes the SET image exactly ONCE per row: " +
+    "CHECK rides the rewrite projection (VERDICT r13 #4)") {
+    import spark.implicits._
+    withScratch { root =>
+      val df = (1L to 500L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      assert(TxnLog.addConstraint(spark, root, "pos", "v > 0", "s") == 2)
+      val acc = spark.sparkContext.longAccumulator("graft_set_census")
+      spark.udf.register("graft_r14_tick",
+        udf { (k: Long) => acc.add(1); k }.asNondeterministic())
+      assert(TxnLog.update(spark, root,
+        Seq("v" -> "CAST(graft_r14_tick(k) AS DOUBLE)"), None,
+        "s").contains(3))
+      assert(acc.value == 500L,
+        s"SET image computed ${acc.value / 500.0} times per row — " +
+          "the CHECK pass must be fused into the rewrite")
+      assert(TxnLog.read(spark, root).agg(sum("v")).head().getDouble(0)
+        == (1L to 500L).sum.toDouble)
+      // the violation path refuses before commit and cleans staging
+      val e = intercept[IllegalArgumentException](
+        TxnLog.update(spark, root, Seq("v" -> "-v"), Some("k <= 3"), "s"))
+      assert(e.getMessage.contains("pos") &&
+        e.getMessage.contains("violates table constraints"),
+        e.getMessage)
+      assert(TxnLog.latestVersion(root) == 3, "refused update committed")
+      val st = TxnLog.stateAt(root, 3)
+      assert(!st.live.exists(_.startsWith("up4")), st.live.toString)
+    }
+  }
+}
