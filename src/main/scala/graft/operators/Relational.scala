@@ -2001,6 +2001,149 @@ object Relational {
       |  CAST(COUNT(CASE WHEN k % 3 = 0 THEN 1 END) AS BIGINT) AS n_ins
       |FROM merged""".stripMargin
 
+  /** SNAPSHOT-SYNC MERGE (r14 — VERDICT r13 #2: `WHEN NOT MATCHED BY
+    * SOURCE` is the standard idiom for mirroring a snapshot into a
+    * table, and the engine refused it): one
+    * [[graft.sources.TxnLog.mergeClausesKeys]] call exercising the
+    * WHOLE widened surface —
+    *
+    *  - COLUMN-SUBSET matched update: `SET o_totalprice =
+    *    __src_o_totalprice + 0.25` (the assignment references the
+    *    source row; other columns keep their target values);
+    *  - CONDITIONAL insert: unmatched source rows land only when
+    *    `o_orderkey % 2 = 0` fires;
+    *  - NOT MATCHED BY SOURCE DELETE (rows gone from the snapshot,
+    *    here the whole k≡2 (mod 3) family — file f2 PURE-REMOVES,
+    *    pinning the metadata-only rung on the nmbs side) and NOT
+    *    MATCHED BY SOURCE UPDATE (the k≡1 (mod 10) stragglers negate
+    *    their price), delete taking precedence.
+    *
+    * The source is the k≡1 (mod 3) slice minus the k≡1 (mod 10)
+    * stragglers at price+$3.00, plus the k≡0 (mod 15) family as
+    * insert candidates. The oracle re-derives the final table from
+    * the mod rules alone, so clause routing, precedence, conditional
+    * insert, and the in-place subset assignment are all inside the
+    * hash gate.
+    *
+    * Scale shape: nmbs clauses void the stats prune by design (any
+    * file can hold rows absent from the source — the honest
+    * snapshot-sync cost); the census is ONE left join against the
+    * broadcast source; per-file actions stay cheapest-correct
+    * (untouched / pure-remove / narrow in-place rewrite). */
+  def txnLogMergeSync(spark: SparkSession, dir: String): DataFrame = {
+    val root = txnLogFixture(spark, dir, "txnmsync", "sync_v1") {
+      target =>
+        val o = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val src = o.where(col("o_orderkey") % 3 === 1 &&
+            col("o_orderkey") % 10 =!= 1)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 3.0).as("o_totalprice"))
+          .unionByName(o.where(col("o_orderkey") % 15 === 0))
+        val v = TxnLog.mergeClausesKeys(spark, target, src,
+          Seq("o_orderkey"), "stage",
+          updateWhen = Some(lit(true)), deleteWhen = None,
+          updateSet = Some(Seq(
+            "o_totalprice" -> "__src_o_totalprice + 0.25")),
+          insertWhen = Some(col("o_orderkey") % 2 === 0),
+          nmbsDelete = Some(col("o_orderkey") % 3 === 2),
+          nmbsUpdate = Some((lit(true),
+            Seq("o_totalprice" -> "-o_totalprice"))))
+        assert(v.contains(3), s"sync merge did not commit v3: $v")
+        val removed = TxnLog.actionsAt(target, 3)
+          .collect { case TxnLog.Action("remove", f) => f }
+        assert(removed.sorted == Seq("f1", "f2"),
+          s"sync merge touched the wrong files: $removed")
+        // f2 (every row unmatched-by-source and deleting) must be a
+        // PURE REMOVE: exactly one rewrite + one insert file added
+        val added = TxnLog.actionsAt(target, 3)
+          .collect { case TxnLog.Action("add", f) => f }
+        assert(added.size == 2,
+          s"pure-remove rung lost on the nmbs side: $added")
+    }
+    val nf = TxnLog.liveFiles(root, TxnLog.latestVersion(root)).size
+    TxnLog.read(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("sum_cents"),
+        count(when(col("o_orderkey") % 3 === 1 &&
+          col("o_orderkey") % 10 =!= 1, 1)).as("n_upd"),
+        count(when(col("o_totalprice") < 0, 1)).as("n_neg"),
+        count(when(col("o_orderkey") % 15 === 0, 1)).as("n_ins"))
+      .select(lit(nf).cast("int").as("n_files"), col("n_rows"),
+        col("sum_cents"), col("n_upd"), col("n_neg"), col("n_ins"))
+  }
+
+  val txnLogMergeSyncSql: String =
+    """WITH final AS (
+      |  SELECT o_orderkey AS k, o_totalprice + 3.25 AS p
+      |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 10 <> 1
+      |  UNION ALL
+      |  SELECT o_orderkey, -o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 10 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 15 = 0 AND o_orderkey % 2 = 0)
+      |SELECT CAST(2 AS INT) AS n_files,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(CAST(p AS DECIMAL(27,10)), 2) * 100
+      |    AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(COUNT(CASE WHEN k % 3 = 1 AND k % 10 <> 1 THEN 1 END)
+      |    AS BIGINT) AS n_upd,
+      |  CAST(COUNT(CASE WHEN p < 0 THEN 1 END) AS BIGINT) AS n_neg,
+      |  CAST(COUNT(CASE WHEN k % 15 = 0 THEN 1 END) AS BIGINT)
+      |    AS n_ins
+      |FROM final""".stripMargin
+
+  /** SUBQUERY-predicate DELETE on the txn-log table (r14 — VERDICT
+    * r13 #3: `DELETE FROM t WHERE k IN (SELECT ...)` is the weekly
+    * snapshot-hygiene shape — "remove everything not in the
+    * manifest"): the statement runs through the GRAFT SQL face; the
+    * IN subquery (the k≡0 (mod 7) manifest) MATERIALIZES ONCE before
+    * the census, and the ladder probes membership via a broadcast
+    * join — never a per-file re-execution of the subquery. The oracle
+    * recomputes the surviving multiset from the mod rules, so the
+    * materialize-once rewrite's exactness (including files untouched
+    * by the manifest) is hash-gated.
+    *
+    * Scale shape: one subquery job + one census pass over candidates
+    * + narrow rewrites of only the files holding manifest keys. */
+  def txnLogDeleteSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val root = txnLogFixture(spark, dir, "txndsq", "dsq_v1") { target =>
+      Tables.orders(spark, dir)
+        .select((col("o_orderkey") * 7).as("kk"))
+        .where(col("kk") % 3 =!= 0)
+        .createOrReplaceTempView("graft_r14_manifest")
+      val v = spark.sql(s"GRAFT DELETE FROM '$target' WHERE " +
+        "o_orderkey IN (SELECT kk FROM graft_r14_manifest)")
+        .head().getInt(0)
+      assert(v == 3, s"subquery delete did not commit v3: $v")
+    }
+    val nf = TxnLog.liveFiles(root, TxnLog.latestVersion(root)).size
+    TxnLog.read(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("sum_cents"),
+        count(when(col("o_orderkey") % 7 === 0, 1)).as("n_mod7"))
+      .select(lit(nf).cast("int").as("n_files"), col("n_rows"),
+        col("sum_cents"), col("n_mod7"))
+  }
+
+  val txnLogDeleteSubquerySql: String =
+    """WITH manifest AS (
+      |  SELECT kk FROM (
+      |    SELECT o_orderkey * 7 AS kk FROM orders) t
+      |  WHERE kk % 3 <> 0),
+      |survivors AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      |  WHERE o_orderkey % 3 IN (1, 2)
+      |    AND o_orderkey NOT IN (SELECT kk FROM manifest))
+      |SELECT CAST(2 AS INT) AS n_files,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(CAST(p AS DECIMAL(27,10)), 2) * 100
+      |    AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(COUNT(CASE WHEN k % 7 = 0 THEN 1 END) AS BIGINT)
+      |    AS n_mod7
+      |FROM survivors""".stripMargin
+
   /** Row-level DELETE on the txn-log table (r10) — copy-on-write with
     * the CHEAPEST-action ladder: [[graft.sources.TxnLog.deleteRange]]
     * stats-prunes files that provably hold no matching row
@@ -3604,10 +3747,6 @@ object Relational {
   def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_quantity"))
-    val sk = li.groupBy(col("l_returnflag"))
-      .agg(
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
-        expr("approx_percentile(l_quantity, 0.95, 1000)").as("p95_approx"))
     // r13 tolerance verdict (VERDICT r12 #5): a value v is a valid
     // ε-approximate q-quantile iff frac(< v) ≤ q + ε AND
     // frac(≤ v) ≥ q − ε — the tie-safe rank test (l_quantity is
@@ -3615,18 +3754,48 @@ object Relational {
     // be distribution-dependent). accuracy=1000 guarantees rank error
     // ≤ 1/1000; ε = 0.01 declares a 10× margin. The oracle asserts
     // TRUE, turning the sketch's guarantee into a hash-gated fact.
+    //
+    // r14 one-pass verify (VERDICT r13 #8: the verify join re-read
+    // lineitem): GROUPING SETS computes the per-flag SKETCH row and
+    // the exact (flag, quantity) HISTOGRAM in the SAME aggregate —
+    // one scan, one Expand(×2) with map-side combine (the histogram
+    // side collapses to |flags|·|distinct quantities| partials). The
+    // sketch values then broadcast onto the histogram rows via a
+    // per-flag WINDOW over the aggregated frame itself (a self-join
+    // would re-plan — and re-scan — the aggregate twice: column
+    // pruning makes the two subplans non-identical, defeating
+    // exchange reuse), so lineitem is read exactly once and every
+    // post-scan operator runs over |flags|·|quantities| rows.
+    val g = li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_quantity")),
+          Seq(col("l_returnflag"))),
+        col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(l_quantity, 0.95, 1000)").as("p95_approx"),
+        grouping(col("l_quantity")).as("gq"))
+    val w = Window.partitionBy(col("l_returnflag"))
+    val withSk = g.select(col("l_returnflag"), col("l_quantity"),
+        col("cnt"), col("gq"),
+        max(when(col("gq") === 1, col("p50_approx"))).over(w).as("p50"),
+        max(when(col("gq") === 1, col("p95_approx"))).over(w).as("p95"),
+        max(when(col("gq") === 1, col("cnt"))).over(w).as("n"))
+      .where(col("gq") === 0)
     val eps = lit(0.01)
     def rankOk(lt: org.apache.spark.sql.Column,
                le: org.apache.spark.sql.Column, q: Double) =
       (lt.cast("double") <= (lit(q) + eps) * col("n").cast("double")) &&
         (le.cast("double") >= (lit(q) - eps) * col("n").cast("double"))
-    li.join(broadcast(sk), "l_returnflag")
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        count(when(col("l_quantity") < col("p50_approx"), 1)).as("lt50"),
-        count(when(col("l_quantity") <= col("p50_approx"), 1)).as("le50"),
-        count(when(col("l_quantity") < col("p95_approx"), 1)).as("lt95"),
-        count(when(col("l_quantity") <= col("p95_approx"), 1)).as("le95"))
+    withSk.groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("l_quantity") < col("p50"), col("cnt"))
+          .otherwise(lit(0L))).as("lt50"),
+        sum(when(col("l_quantity") <= col("p50"), col("cnt"))
+          .otherwise(lit(0L))).as("le50"),
+        sum(when(col("l_quantity") < col("p95"), col("cnt"))
+          .otherwise(lit(0L))).as("lt95"),
+        sum(when(col("l_quantity") <= col("p95"), col("cnt"))
+          .otherwise(lit(0L))).as("le95"))
       .select(col("l_returnflag"), col("n"),
         rankOk(col("lt50"), col("le50"), 0.5).as("p50_ok"),
         rankOk(col("lt95"), col("le95"), 0.95).as("p95_ok"))
@@ -4348,6 +4517,8 @@ object Relational {
     "txn_log_partition_prune" -> txnLogPartitionPrune,
     "txn_log_merge" -> txnLogMerge,
     "txn_log_merge_clauses" -> txnLogMergeClauses,
+    "txn_log_merge_sync" -> txnLogMergeSync,
+    "txn_log_delete_subquery" -> txnLogDeleteSubquery,
     "txn_log_zorder" -> txnLogZorder,
     "txn_log_cdf" -> txnLogCdf,
     "txn_log_delete_dv" -> txnLogDeleteDv,
@@ -4444,6 +4615,8 @@ object Relational {
     "txn_log_partition_prune" -> txnLogPartitionPruneSql,
     "txn_log_merge" -> txnLogMergeSql,
     "txn_log_merge_clauses" -> txnLogMergeClausesSql,
+    "txn_log_merge_sync" -> txnLogMergeSyncSql,
+    "txn_log_delete_subquery" -> txnLogDeleteSubquerySql,
     "txn_log_zorder" -> txnLogZorderSql,
     "txn_log_cdf" -> txnLogCdfSql,
     "txn_log_delete_dv" -> txnLogDeleteDvSql,

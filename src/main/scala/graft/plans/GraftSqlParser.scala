@@ -567,9 +567,10 @@ case class ResolveGraftDml(spark: SparkSession)
 
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
   import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-    DeleteAction, InsertAction, MergeIntoTable, SubqueryAlias,
-    UpdateAction, UpdateTable}
+    DeleteAction, DeleteFromTable, InsertAction, MergeIntoTable,
+    SubqueryAlias, UpdateAction, UpdateTable}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
   private def graftRoot(plan: LogicalPlan): Option[String] = plan match {
@@ -595,8 +596,36 @@ case class ResolveGraftDml(spark: SparkSession)
   private def bare(e: Expression): String =
     sqlOf(e).replaceAll("`", "")
 
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[SubqueryExpression])
+
+  /** Strip qualifiers in place, keeping the expression a PLAN (not
+    * text) — subquery conditions cannot round-trip through SQL, so
+    * the command carries the condition tree and resolves it at run
+    * time through [[TxnLog.resolveSubqueriesExpr]]. */
+  private def stripped(e: Expression): Expression =
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+      case ua: UnresolvedAttribute if ua.nameParts.length > 1 =>
+        UnresolvedAttribute(Seq(ua.nameParts.last))
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
+      // r14 (VERDICT r13 #3): native UPDATE/DELETE with an IN-subquery
+      // condition — the subquery materializes once at run time and
+      // the ladder probes membership via a broadcast join
+      case u: UpdateTable if graftRoot(u.table).isDefined &&
+          u.condition.exists(hasSubquery) =>
+        val sets = u.assignments.map {
+          case Assignment(k, v) => (bare(k), sqlOf(v))
+        }
+        GraftUpdateSubqueryCommand(graftRoot(u.table).get, sets,
+          new GraftExprBox(stripped(u.condition.get)))
+      case d: DeleteFromTable if graftRoot(d.table).isDefined &&
+          hasSubquery(d.condition) =>
+        GraftDeleteSubqueryCommand(graftRoot(d.table).get,
+          new GraftExprBox(stripped(d.condition)))
       case u: UpdateTable if graftRoot(u.table).isDefined =>
         val root = graftRoot(u.table).get
         val sets = u.assignments.flatMap {
@@ -606,21 +635,36 @@ case class ResolveGraftDml(spark: SparkSession)
           u.condition.map(sqlOf).getOrElse("") +: sets)
       case m: MergeIntoTable if graftRoot(m.targetTable).isDefined &&
           mergeShape(m).isDefined =>
-        val (keys, updWhen, delWhen, insert) = mergeShape(m).get
+        val s = mergeShape(m).get
         GraftMergeCommand(graftRoot(m.targetTable).get,
-          m.sourceTable, keys, updWhen, delWhen, insert)
+          m.sourceTable, s.keys, s.updWhen, s.delWhen, s.insert,
+          s.updSet, s.insWhen, s.nmbsDel, s.nmbsUpd)
     }
+
+  /** The engine-expressible MERGE surface (widened r14 — VERDICT r13
+    * #2): keys, matched update condition + optional COLUMN-SUBSET
+    * assignment list (None = full-row `SET *`), matched delete
+    * condition, insert flag + optional insert condition, and the
+    * not-matched-by-source delete/update clauses. Conditions render
+    * over the core's `__src_` source columns; insert conditions over
+    * the bare source columns; NMBS clauses over target columns only
+    * (Spark's analyzer already refuses source refs there). */
+  private case class MergeSurface(keys: Seq[String],
+      updWhen: Option[String], updSet: Option[Seq[(String, String)]],
+      delWhen: Option[String], insert: Boolean,
+      insWhen: Option[String], nmbsDel: Option[String],
+      nmbsUpd: Option[(String, Seq[(String, String)])])
 
   /** The engine-expressible MERGE shape, or None (Spark then fails
     * with its own unsupported-table error — loud, never approximate):
     * ON = conjunction of same-name target/source column equalities;
-    * matched actions ⊆ {UPDATE SET * [AND c], DELETE [AND c]} (at most
-    * one each); not-matched ⊆ {INSERT * unconditional}; nothing
-    * not-matched-by-source. Returns (keys, updateWhen sql, deleteWhen
-    * sql, insertUnmatched) with clause conditions rendered over the
-    * core's `__src_` source columns. */
-  private def mergeShape(m: MergeIntoTable)
-  : Option[(Seq[String], Option[String], Option[String], Boolean)] = {
+    * matched actions ⊆ {UPDATE [AND c] (SET * or column-subset SET),
+    * DELETE [AND c]} (at most one each, delete textually first or no
+    * update — the core fixes delete-over-update precedence);
+    * not-matched ⊆ {INSERT * [AND c]}; not-matched-by-source ⊆
+    * {DELETE [AND c], UPDATE SET subset [AND c]} (same precedence
+    * posture). */
+  private def mergeShape(m: MergeIntoTable): Option[MergeSurface] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
       EqualTo => CEq}
     val tgtOut = m.targetTable.outputSet
@@ -656,6 +700,17 @@ case class ResolveGraftDml(spark: SparkSession)
       }
       if (ok) Some(t.sql) else None
     }
+    // an insert condition references the SOURCE row only, and the
+    // core evaluates it over the bare source frame
+    def sourceSql(e: Expression): Option[String] = {
+      var ok = true
+      val t = e.transform {
+        case a: AttributeReference if srcOut.contains(a) =>
+          a.withQualifier(Seq.empty)
+        case a: AttributeReference => ok = false; a
+      }
+      if (ok) Some(t.sql) else None
+    }
     // UPDATE SET * = every target column assigned its same-name
     // source column
     def isFullRow(as: Seq[Assignment]): Boolean =
@@ -664,13 +719,30 @@ case class ResolveGraftDml(spark: SparkSession)
           k.name == v.name && tgtOut.contains(k) && srcOut.contains(v)
         case _ => false
       }
+    // column-subset SET: every target is a bare non-key target
+    // column; every value renders over target + __src_ columns
+    def subsetOf(as: Seq[Assignment])
+    : Option[Seq[(String, String)]] = {
+      val rendered = as.map {
+        case Assignment(k: AttributeReference, v)
+            if tgtOut.contains(k) && !keys.flatten.contains(k.name) =>
+          clauseSql(v).map(sql => (k.name, sql))
+        case _ => None
+      }
+      if (rendered.exists(_.isEmpty)) None else Some(rendered.flatten)
+    }
     var updWhen: Option[Option[String]] = None
+    var updSet: Option[Seq[(String, String)]] = None
     var delWhen: Option[Option[String]] = None
     m.matchedActions.foreach {
-      case UpdateAction(cond, as, _)
-          if updWhen.isEmpty && isFullRow(as.toSeq) =>
+      case UpdateAction(cond, as, _) if updWhen.isEmpty =>
         val c = cond.map(clauseSql)
         if (c.exists(_.isEmpty)) return None
+        if (isFullRow(as.toSeq)) updSet = None
+        else subsetOf(as.toSeq) match {
+          case Some(subset) => updSet = Some(subset)
+          case None => return None
+        }
         updWhen = Some(c.flatten.orElse(Some("true")))
       // the engine's clause core fixes delete-over-update precedence;
       // only a MERGE whose textual order AGREES (delete first, or no
@@ -682,14 +754,51 @@ case class ResolveGraftDml(spark: SparkSession)
         delWhen = Some(c.flatten.orElse(Some("true")))
       case _ => return None
     }
-    val insert = m.notMatchedActions.toList match {
-      case Nil => false
-      case InsertAction(None, as) :: Nil if isFullRow(as.toSeq) => true
+    val (insert, insWhen): (Boolean, Option[String]) =
+      m.notMatchedActions.toList match {
+        case Nil => (false, None)
+        case InsertAction(cond, as) :: Nil if isFullRow(as.toSeq) =>
+          cond.map(sourceSql) match {
+            case Some(None) => return None
+            case c => (true, c.flatten)
+          }
+        case _ => return None
+      }
+    // not-matched-by-source: conditions/assignments over target
+    // columns only — a source ref makes clauseSql emit __src_<c>,
+    // which the NMBS evaluation context lacks, so refuse it here
+    def targetOnly(e: Expression): Option[String] = {
+      var ok = true
+      e.foreach {
+        case a: AttributeReference if !tgtOut.contains(a) => ok = false
+        case _ =>
+      }
+      if (ok) clauseSql(e) else None
+    }
+    var nmbsDel: Option[Option[String]] = None
+    var nmbsUpd: Option[(String, Seq[(String, String)])] = None
+    m.notMatchedBySourceActions.foreach {
+      case DeleteAction(cond)
+          if nmbsDel.isEmpty && nmbsUpd.isEmpty =>
+        val c = cond.map(targetOnly)
+        if (c.exists(_.isEmpty)) return None
+        nmbsDel = Some(c.flatten.orElse(Some("true")))
+      case UpdateAction(cond, as, _) if nmbsUpd.isEmpty =>
+        val c = cond.map(targetOnly)
+        if (c.exists(_.isEmpty)) return None
+        val rendered = as.map {
+          case Assignment(k: AttributeReference, v)
+              if tgtOut.contains(k) &&
+                !keys.flatten.contains(k.name) =>
+            targetOnly(v).map(sql => (k.name, sql))
+          case _ => None
+        }
+        if (rendered.exists(_.isEmpty)) return None
+        nmbsUpd = Some((c.flatten.getOrElse("true"), rendered.flatten))
       case _ => return None
     }
-    if (m.notMatchedBySourceActions.nonEmpty) return None
-    Some((keys.flatten, updWhen.flatten.map(s => s),
-      delWhen.flatten.map(s => s), insert))
+    Some(MergeSurface(keys.flatten, updWhen.flatten, updSet,
+      delWhen.flatten, insert, insWhen, nmbsDel.flatten, nmbsUpd))
   }
 }
 
@@ -703,21 +812,78 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
                              keys: Seq[String],
                              updateWhen: Option[String],
                              deleteWhen: Option[String],
-                             insertUnmatched: Boolean)
+                             insertUnmatched: Boolean,
+                             updateSet: Option[Seq[(String, String)]] =
+                               None,
+                             insertWhen: Option[String] = None,
+                             nmbsDelete: Option[String] = None,
+                             nmbsUpdate: Option[(String,
+                               Seq[(String, String)])] = None)
   extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr => fexpr}
     val src = org.apache.spark.sql.graft.StreamingShim.ofRows(spark,
       source)
     val v = TxnLog.mergeClausesKeys(spark, root, src, keys, "sqlmerge",
-      updateWhen =
-        updateWhen.map(org.apache.spark.sql.functions.expr),
-      deleteWhen =
-        deleteWhen.map(org.apache.spark.sql.functions.expr),
+      updateWhen = updateWhen.map(fexpr),
+      deleteWhen = deleteWhen.map(fexpr),
       insertUnmatched = insertUnmatched,
+      strictConflict = true,
+      updateSet = updateSet,
+      insertWhen = insertWhen.map(fexpr),
+      nmbsDelete = nmbsDelete.map(fexpr),
+      nmbsUpdate = nmbsUpdate.map { case (c, as) => (fexpr(c), as) })
+      .getOrElse(-1)
+    Seq(Row(v))
+  }
+}
+
+/** Opaque expression holder: CheckAnalysis restricts WHERE a
+  * subquery expression may appear by operator type, and a custom
+  * command is not on the list — boxing the condition in a non-Product
+  * wrapper keeps it out of the tree traversal (the command resolves
+  * and executes it itself at run time). */
+final class GraftExprBox(val e: Expression) extends Serializable
+
+/** Native UPDATE whose WHERE carries an IN-subquery (r14): the
+  * condition rides as a plan; `run` materializes each subquery once
+  * ([[TxnLog.resolveSubqueriesExpr]]) and drives the same
+  * copy-on-write ladder with a membership-probe prep. */
+case class GraftUpdateSubqueryCommand(root: String,
+    sets: Seq[(String, String)],
+    cond: GraftExprBox)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val resolved = TxnLog.resolveSubqueriesExpr(spark, cond.e,
+      cond.e.sql)
+    val v = TxnLog.update(spark, root, sets, Some(resolved._1),
+      "sqldml", strictConflict = true,
+      resolvedPred = Some(resolved)).getOrElse(-1)
+    Seq(Row(v))
+  }
+}
+
+/** Native DELETE whose WHERE carries an IN-subquery (r14) — same
+  * plan-carried condition, same one-shot materialization; Spark's own
+  * V2 path would refuse ("Delete by condition with subquery"). */
+case class GraftDeleteSubqueryCommand(root: String, cond: GraftExprBox)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val resolved = TxnLog.resolveSubqueriesExpr(spark, cond.e,
+      cond.e.sql)
+    val v = TxnLog.deleteResolved(spark, root, resolved, "sqldml",
       strictConflict = true).getOrElse(-1)
     Seq(Row(v))
   }

@@ -280,6 +280,13 @@ trait ObjectStoreClient {
     * precondition failure (key already exists — the lost race). */
   def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean
   def get(key: String): Option[Array[Byte]]
+  /** `HeadObject` (r14 — VERDICT r13 #7): existence WITHOUT the body.
+    * Retention-floor probes (`logExists`) run once per version in a
+    * CDF range check; GETting whole commit bodies just to test
+    * existence is wasted egress on a real bucket. Default delegates
+    * to [[get]] so a minimal adapter stays correct; a real SDK shim
+    * overrides with the HEAD verb. */
+  def head(key: String): Boolean = get(key).isDefined
   def list(prefix: String): Seq[String]
   def delete(key: String): Unit
 }
@@ -309,7 +316,7 @@ final class ObjectStoreLogStore(client: ObjectStoreClient)
         key(root, name)))
 
   def logExists(root: String, name: String): Boolean =
-    client.get(key(root, name)).isDefined // HEAD in a production shim
+    client.head(key(root, name)) // the HEAD verb: zero body bytes
 
   def putIfAbsent(root: String, name: String, lines: Seq[String],
                   session: String): Boolean =
@@ -355,7 +362,18 @@ final class LocalFakeObjectStore extends ObjectStoreClient {
     objects.putIfAbsent(key, bytes) == null
   }
 
-  def get(key: String): Option[Array[Byte]] = Option(objects.get(key))
+  def get(key: String): Option[Array[Byte]] = {
+    bodyReads.incrementAndGet()
+    Option(objects.get(key))
+  }
+
+  /** HEAD never reads a body — [[bodyReads]] lets the spec assert
+    * existence checks cost zero GETs. */
+  override def head(key: String): Boolean = objects.containsKey(key)
+
+  /** Number of GETs served (HEADs excluded) — observability for the
+    * zero-body-read existence-check contract. */
+  val bodyReads = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def list(prefix: String): Seq[String] =
     objects.keySet.asScala.toSeq.filter(_.startsWith(prefix))

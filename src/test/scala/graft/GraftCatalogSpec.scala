@@ -423,18 +423,97 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
         .map(x => x.getLong(0) -> x.getDouble(1)).toMap
       assert(!m2.contains(2L) && m2(3L) == 333.0 && m2.size == 10,
         m2.toString)
-      // a shape the core cannot express (column-subset SET) is left
-      // for Spark to refuse loudly — nothing commits
-      val tip = TxnLog.latestVersion(root)
-      intercept[Exception] {
-        spark.sql(s"MERGE INTO $cat.ns11.u t USING nat_merge_src s " +
-          "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v + 1")
-      }
-      assert(TxnLog.latestVersion(root) == tip)
+      // r14 (VERDICT r13 #2): COLUMN-SUBSET SET maps onto the
+      // generalized core — assignments reference the source row,
+      // unassigned columns keep their target values
+      spark.sql(s"MERGE INTO $cat.ns11.u t USING nat_merge_src s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v + 1")
+      val m3 = spark.sql(s"SELECT * FROM $cat.ns11.u").collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(m3(1L) == 112.0 && m3(99L) == 100.0 && m3.size == 10,
+        m3.toString)
       // UPDATE on a time-traveled load is refused (read-only history)
       intercept[Exception] {
         spark.sql(s"UPDATE $cat.ns11.u VERSION AS OF 2 SET v = 0.0")
       }
+    }
+  }
+
+  test("r14: native DELETE/UPDATE with IN-subquery conditions " +
+    "(VERDICT r13 #3) — the snapshot-hygiene shape") {
+    import spark.implicits._
+    withWarehouse { wh =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns15")
+      spark.sql(s"CREATE TABLE $cat.ns15.s (k BIGINT, v DOUBLE)")
+      val root = s"$wh/ns15/s"
+      spark.sql(s"INSERT INTO $cat.ns15.s SELECT id, CAST(id AS DOUBLE) " +
+        "FROM range(1, 21)")
+      Seq(1L, 2L, 3L, 15L).toDF("kk")
+        .createOrReplaceTempView("keep_manifest")
+      // delete everything NOT in the manifest — but the null-free
+      // manifest makes NOT IN well-defined
+      spark.sql(s"DELETE FROM $cat.ns15.s " +
+        "WHERE k NOT IN (SELECT kk FROM keep_manifest)")
+      assert(TxnLog.latestVersion(root) == 3)
+      val kept = spark.sql(s"SELECT k FROM $cat.ns15.s ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(1L, 2L, 3L, 15L), kept.toString)
+      // native UPDATE with a subquery WHERE
+      spark.sql(s"UPDATE $cat.ns15.s SET v = v + 0.5 " +
+        "WHERE k IN (SELECT kk FROM keep_manifest WHERE kk < 3)")
+      val r = spark.sql(s"SELECT * FROM $cat.ns15.s").collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(r(1L) == 1.5 && r(2L) == 2.5 && r(3L) == 3.0, r.toString)
+    }
+  }
+
+  test("r14: native MERGE NOT MATCHED BY SOURCE + conditional INSERT " +
+    "— the snapshot-sync idiom (VERDICT r13 #2)") {
+    import spark.implicits._
+    withWarehouse { wh =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns14")
+      spark.sql(s"CREATE TABLE $cat.ns14.m (k BIGINT, v DOUBLE)")
+      val root = s"$wh/ns14/m"
+      spark.sql(s"INSERT INTO $cat.ns14.m SELECT id, CAST(id AS DOUBLE) " +
+        "FROM range(1, 11)")
+      // snapshot: keys 1..5 (values ×100) + new keys 21, 22
+      Seq((1L, 100.0), (2L, 200.0), (3L, 300.0), (4L, 400.0),
+        (5L, 500.0), (21L, 2100.0), (22L, 2200.0))
+        .toDF("k", "v").createOrReplaceTempView("sync_src")
+      spark.sql(s"MERGE INTO $cat.ns14.m t USING sync_src s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED AND s.k % 2 = 0 THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      val r = spark.sql(s"SELECT * FROM $cat.ns14.m").collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      // 1..5 updated; 6..10 deleted (gone from snapshot); 22 inserted
+      // (even), 21 NOT inserted (condition)
+      assert(r == Map(1L -> 100.0, 2L -> 200.0, 3L -> 300.0,
+        4L -> 400.0, 5L -> 500.0, 22L -> 2200.0), r.toString)
+      // NMBS UPDATE with subset assignments over the target row
+      Seq((1L, 0.0)).toDF("k", "v")
+        .createOrReplaceTempView("sync_src2")
+      spark.sql(s"MERGE INTO $cat.ns14.m t USING sync_src2 s " +
+        "ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN " +
+        "UPDATE SET v = -t.v")
+      val r2 = spark.sql(s"SELECT * FROM $cat.ns14.m").collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(r2(2L) == -200.0 && r2(3L) == -300.0 && r2(4L) == -400.0 &&
+        r2(1L) == 100.0 && r2(5L) == 500.0 && r2(22L) == 2200.0,
+        r2.toString)
+      // a still-unsupported shape (NMBS referencing a source column is
+      // impossible per SQL; here: multiple conditional UPDATE clauses)
+      // falls to Spark's own loud refusal — nothing commits
+      val tip = TxnLog.latestVersion(root)
+      intercept[Exception] {
+        spark.sql(s"MERGE INTO $cat.ns14.m t USING sync_src s " +
+          "ON t.k = s.k " +
+          "WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v " +
+          "WHEN MATCHED THEN UPDATE SET v = 0.0")
+      }
+      assert(TxnLog.latestVersion(root) == tip)
     }
   }
 

@@ -134,6 +134,23 @@ class LogStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("object-store existence checks ride the HEAD verb: zero body " +
+    "reads (r14, VERDICT r13 #7)") {
+    val client = new graft.sources.LocalFakeObjectStore
+    val log = new TxnLogOps(new graft.sources.ObjectStoreLogStore(client))
+    withScratch { root =>
+      assert(log.commitNext(root, Seq(TxnLog.add("f0")), "s") == 1)
+      assert(log.commitNext(root, Seq(TxnLog.add("f1")), "s") == 2)
+      val before = client.bodyReads.get()
+      assert(log.store.logExists(root, "v00000001.jsonl"))
+      assert(log.store.logExists(root, "v00000002.jsonl"))
+      assert(!log.store.logExists(root, "v00000009.jsonl"))
+      assert(client.bodyReads.get() == before,
+        s"existence checks GET'd ${client.bodyReads.get() - before} " +
+          "bodies — logExists must use HEAD")
+    }
+  }
+
   test("all stores replay one pinned commit sequence to the identical state") {
     allStores.map { case (name, log) =>
       val root = java.nio.file.Files

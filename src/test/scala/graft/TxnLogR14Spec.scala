@@ -194,6 +194,103 @@ class TxnLogR14Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("generalized merge (r14, VERDICT r13 #2): nmbs delete precedes " +
+    "nmbs update; empty-source snapshot sync deletes everything; " +
+    "subset SET casts to the declared type") {
+    import spark.implicits._
+    val df = (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+    // delete-over-update precedence on the not-matched-by-source side
+    withScratch { root =>
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      val src = Seq((1L, 11.0)).toDF("k", "v")
+      assert(TxnLog.mergeClausesKeys(spark, root, src, Seq("k"), "m",
+        updateWhen = Some(lit(true)), deleteWhen = None,
+        insertUnmatched = false,
+        nmbsDelete = Some(col("k") > 8),
+        nmbsUpdate = Some((lit(true),
+          Seq("v" -> "v + 100")))).contains(2))
+      val r = TxnLog.read(spark, root).collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      // 1 matched-updated (full row), 9..10 deleted (NOT +100'd),
+      // 2..8 nmbs-updated
+      assert(r == ((2L to 8L).map(k => k -> (k + 100.0)).toMap +
+        (1L -> 11.0)), r.toString)
+    }
+    // an EMPTY snapshot legitimately deletes everything — and every
+    // file is a PURE REMOVE (metadata only)
+    withScratch { root =>
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      val empty = df.limit(0)
+      assert(TxnLog.mergeClausesKeys(spark, root, empty, Seq("k"), "m",
+        updateWhen = Some(lit(true)), deleteWhen = None,
+        nmbsDelete = Some(lit(true))).contains(2))
+      assert(TxnLog.read(spark, root).count() == 0)
+      val added = TxnLog.actionsAt(root, 2)
+        .collect { case TxnLog.Action("add", f) => f }
+      assert(added.isEmpty, s"empty-source sync rewrote files: $added")
+    }
+    // subset SET casts to the column's declared type (UPDATE posture:
+    // MERGE is not schema evolution)
+    withScratch { root =>
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      val src = Seq((3L, 0.0)).toDF("k", "v")
+      assert(TxnLog.mergeClausesKeys(spark, root, src, Seq("k"), "m",
+        updateWhen = Some(lit(true)), deleteWhen = None,
+        updateSet = Some(Seq("v" -> "7"))).contains(2))
+      assert(TxnLog.read(spark, root).where(col("k") === 3)
+        .head().getDouble(1) == 7.0)
+    }
+  }
+
+  test("subquery predicates in DELETE/UPDATE (r14, VERDICT r13 #3): " +
+    "IN materializes once, three-valued semantics, correlated refused") {
+    import spark.implicits._
+    val df = ((1L to 20L).map(k => (Some(k), k * 1.0)) :+
+      ((Option.empty[Long], -1.0))).toDF("k", "v")
+    Seq(2L, 4L, 6L).toDF("kk").createOrReplaceTempView("r14_keys")
+    // DELETE ... WHERE k IN (SELECT ...) — exact, null row survives
+    withScratch { root =>
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      assert(TxnLog.deletePredicate(spark, root,
+        "k IN (SELECT kk FROM r14_keys)", "s").contains(2))
+      val r = TxnLog.read(spark, root)
+      assert(r.count() == 18 && r.where(col("k").isNull).count() == 1)
+      // composed with other conjuncts; residual bounds still exact
+      assert(TxnLog.deletePredicate(spark, root,
+        "k IN (SELECT kk + 6 FROM r14_keys) AND k >= 10", "s")
+        .contains(3))
+      assert(TxnLog.read(spark, root).count() == 16) // 10, 12 gone
+      // NOT IN over a null-bearing set never fires (SQL's trap)
+      spark.sql("SELECT CAST(NULL AS BIGINT) AS kk UNION ALL " +
+        "SELECT CAST(1 AS BIGINT)")
+        .createOrReplaceTempView("r14_nullkeys")
+      assert(TxnLog.deletePredicate(spark, root,
+        "k NOT IN (SELECT kk FROM r14_nullkeys)", "s").isEmpty)
+      assert(TxnLog.read(spark, root).count() == 16)
+    }
+    // UPDATE ... WHERE k IN (SELECT ...) through the GRAFT SQL face
+    withScratch { root =>
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      assert(spark.sql(s"GRAFT UPDATE '$root' SET v = v * 100 " +
+        "WHERE k IN (SELECT kk FROM r14_keys)").head().getInt(0) == 2)
+      val r = TxnLog.read(spark, root).collect()
+        .map(x => Option(x.get(0)).map(_.asInstanceOf[Long]) ->
+          x.getDouble(1)).toMap
+      assert(r(Some(2L)) == 200.0 && r(Some(4L)) == 400.0 &&
+        r(Some(6L)) == 600.0 && r(Some(3L)) == 3.0, r.toString)
+      // correlated / EXISTS / scalar refused loudly, nothing commits
+      intercept[UnsupportedOperationException] {
+        TxnLog.deletePredicate(spark, root,
+          "EXISTS (SELECT 1 FROM r14_keys)", "s")
+      }
+      intercept[UnsupportedOperationException] {
+        TxnLog.deletePredicate(spark, root,
+          "v > (SELECT MAX(kk) FROM r14_keys)", "s")
+      }
+      assert(TxnLog.latestVersion(root) == 2)
+    }
+  }
+
   test("checked UPDATE computes the SET image exactly ONCE per row: " +
     "CHECK rides the rewrite projection (VERDICT r13 #4)") {
     import spark.implicits._
