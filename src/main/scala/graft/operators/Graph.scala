@@ -208,6 +208,28 @@ object Graph {
     * pins top-20 equality against the uncapped run). */
   private[graft] val WedgeCapK = 64
 
+  /** SCALE-AWARE wedge cap (r14 — VERDICT r13 #5: link_predict/
+    * link_ra were the only super-linear pair at the x10 replica —
+    * 13.0×/10.1× for 10× data — because the cap was a CONSTANT while
+    * wedge volume grows with Σ min(deg,K)²): the per-center sample
+    * shrinks as the graph grows, `cap = clamp(16, K, B div ⌊√E⌋)`
+    * with B = [[WedgeCapRoot]], so the wedge stream is bounded by
+    * |V|·cap² ≈ |V|·B²/E — ~flat per node as density grows. B is
+    * calibrated so the cap is provably INERT (= K > max degree) at
+    * every gate scale (sf0.001/0.01/0.1 measure E ≤ 75 k → cap 64)
+    * and only starts sampling beyond that (the x10 replica's 748 k
+    * edges → cap 23). Integer-exact and engine-portable: ⌊√E⌋ of a
+    * BIGINT is the same correctly-rounded double in both engines, so
+    * the oracle re-derives the identical cap from COUNT(*) alone. */
+  private[graft] val WedgeCapRoot = 20000L
+
+  private[graft] def scaledWedgeCap(edgeCount: Long): Int = {
+    val root = math.floor(math.sqrt(edgeCount.toDouble)).toLong
+    if (root <= 0) WedgeCapK
+    else math.max(16L, math.min(WedgeCapK.toLong,
+      WedgeCapRoot / root)).toInt
+  }
+
   /** Per-center top-[[WedgeCapK]] neighbor sample of a symmetrized
     * (b, n) adjacency — deterministic hash order, engine-portable. */
   private[graft] def capNeighbors(sym: DataFrame, cap: Int): DataFrame = {
@@ -220,6 +242,20 @@ object Graph {
   /** SQL twin of [[capNeighbors]] over a CTE named `sym`. (No line may
     * START with `||`: this fragment is embedded in strings that call
     * stripMargin again, which would eat one pipe of the operator.) */
+  /** [[capSql]] with the cap RE-DERIVED from the edge count (the
+    * [[scaledWedgeCap]] rule) — over CTEs named `e` and `sym`. */
+  private def capSqlScaled: String =
+    s"""capq AS (
+       |  SELECT GREATEST(16, LEAST($WedgeCapK,
+       |    $WedgeCapRoot // CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+       |      AS BIGINT))) AS k FROM e),
+       |symc AS (
+       |  SELECT b, n FROM (
+       |    SELECT b, n, ROW_NUMBER() OVER (PARTITION BY b
+       |      ORDER BY md5('cap:' || CAST(b AS VARCHAR) || ':' ||
+       |        CAST(n AS VARCHAR)), n) AS rk
+       |    FROM sym) WHERE rk <= (SELECT k FROM capq))""".stripMargin
+
   private def capSql(cap: Int): String =
     s"""symc AS (
        |  SELECT b, n FROM (
@@ -238,11 +274,14 @@ object Graph {
     * (far smaller) edge list. TakeOrdered top-20; nothing global
     * sorts. */
   def linkPredict(spark: SparkSession, dir: String): DataFrame =
-    linkPredictCapped(spark, dir, WedgeCapK)
+    linkPredictCapped(spark, dir, -1)
 
+  /** cap < 0 = the [[scaledWedgeCap]] rule from the edge count (the
+    * registry binding); an explicit cap serves the spec pins. */
   private[graft] def linkPredictCapped(spark: SparkSession, dir: String,
-                                       cap: Int): DataFrame = {
+                                       cap0: Int): DataFrame = {
     val e = edges(spark, dir).cache()
+    val cap = if (cap0 > 0) cap0 else scaledWedgeCap(e.count())
     val sym = capNeighbors(
       e.select(col("src").as("b"), col("dst").as("n"))
         .union(e.select(col("dst").as("b"), col("src").as("n"))), cap)
@@ -261,7 +300,7 @@ object Graph {
     s"""WITH e AS ($edgesSql),
        |sym AS (SELECT src AS b, dst AS n FROM e
        |        UNION ALL SELECT dst, src FROM e),
-       |${capSql(WedgeCapK)},
+       |$capSqlScaled,
        |cn AS (
        |  SELECT s1.n AS part_a, s2.n AS part_b, count(*) AS n_common
        |  FROM symc s1 JOIN symc s2 ON s1.b = s2.b AND s1.n < s2.n
@@ -285,11 +324,12 @@ object Graph {
     * degree — the cap samples which wedges are enumerated, never what
     * a hub is worth — and rides the wedge row as a broadcast. */
   def linkRa(spark: SparkSession, dir: String): DataFrame =
-    linkRaCapped(spark, dir, WedgeCapK)
+    linkRaCapped(spark, dir, -1)
 
   private[graft] def linkRaCapped(spark: SparkSession, dir: String,
-                                  cap: Int): DataFrame = {
+                                  cap0: Int): DataFrame = {
     val e = edges(spark, dir).cache()
+    val cap = if (cap0 > 0) cap0 else scaledWedgeCap(e.count())
     val symRaw = e.select(col("src").as("b"), col("dst").as("n"))
       .union(e.select(col("dst").as("b"), col("src").as("n")))
     val deg = symRaw.groupBy(col("b")).agg(count(lit(1)).as("deg"))
@@ -319,7 +359,7 @@ object Graph {
        |sym AS (SELECT src AS b, dst AS n FROM e
        |        UNION ALL SELECT dst, src FROM e),
        |deg AS (SELECT b, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY b),
-       |${capSql(WedgeCapK)},
+       |$capSqlScaled,
        |wdeg AS (
        |  SELECT s.b, s.n, 1000000 // d.deg AS w
        |  FROM symc s JOIN deg d ON d.b = s.b),

@@ -114,8 +114,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           s"malformed UPDATE (SET assignments, then WHERE): $t")
         GraftDmlCommand("update", path,
           wherePart +: assigns.flatMap(p => Seq(p._1, p._2)))
-      case MergeRe(path, view, key) =>
-        GraftDmlCommand("merge", path, Seq(view, key))
+      case MergeRe(path, view, key, evolve) =>
+        GraftDmlCommand("merge", path,
+          Seq(view, key, (evolve != null).toString))
       case RestoreRe(path, v) =>
         GraftDmlCommand("restore", path, Seq(v))
       case VacuumRe(path, retain, grace, dry) =>
@@ -213,7 +214,7 @@ object GraftSqlParser {
   // ON takes one key or a (k1, k2, ...) tuple (r13: composite match
   // keys — rows match when EVERY key column is equal)
   private[plans] val MergeRe = re(
-    s"""MERGE\\s+INTO\\s+$T\\s+USING\\s+$I\\s+ON\\s+\\(?\\s*([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)\\s*\\)?""")
+    s"""MERGE\\s+INTO\\s+$T\\s+USING\\s+$I\\s+ON\\s+\\(?\\s*([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)\\s*\\)?(\\s+WITH\\s+SCHEMA\\s+EVOLUTION)?""")
   private[plans] val RestoreRe = re(
     s"""RESTORE\\s+$T\\s+TO\\s+VERSION\\s+(\\d+)""")
   private[plans] val VacuumRe = re(
@@ -401,7 +402,9 @@ case class GraftDmlCommand(verb: String, table: String,
         TxnLog.mergeClausesKeys(spark, path, spark.table(args(0)),
           GraftSqlParser.splitTopLevel(args(1), ','), session,
           updateWhen = Some(org.apache.spark.sql.functions.lit(true)),
-          deleteWhen = None, strictConflict = true).getOrElse(-1)
+          deleteWhen = None, strictConflict = true,
+          evolveSchema = args.lift(2).exists(_.toBoolean))
+          .getOrElse(-1)
       case "restore" =>
         TxnLog.restore(path, args(0).toInt, session).getOrElse(-1)
       case "vacuum" =>
@@ -638,7 +641,7 @@ case class ResolveGraftDml(spark: SparkSession)
         val s = mergeShape(m).get
         GraftMergeCommand(graftRoot(m.targetTable).get,
           m.sourceTable, s.keys, s.updWhen, s.delWhen, s.insert,
-          s.updSet, s.insWhen, s.nmbsDel, s.nmbsUpd)
+          s.updSet, s.insWhen, s.nmbsDel, s.nmbsUpd, s.evolve)
     }
 
   /** The engine-expressible MERGE surface (widened r14 — VERDICT r13
@@ -653,7 +656,8 @@ case class ResolveGraftDml(spark: SparkSession)
       updWhen: Option[String], updSet: Option[Seq[(String, String)]],
       delWhen: Option[String], insert: Boolean,
       insWhen: Option[String], nmbsDel: Option[String],
-      nmbsUpd: Option[(String, Seq[(String, String)])])
+      nmbsUpd: Option[(String, Seq[(String, String)])],
+      evolve: Boolean)
 
   /** The engine-expressible MERGE shape, or None (Spark then fails
     * with its own unsupported-table error — loud, never approximate):
@@ -682,7 +686,8 @@ case class ResolveGraftDml(spark: SparkSession)
             a.name == b.name => Some(a.name)
       case _ => None
     }
-    if (m.withSchemaEvolution) return None // the core never evolves
+    // r14: WITH SCHEMA EVOLUTION threads through (the ADD-COLUMN
+    // case widens via the engine's shared schema contract)
     val keys = split(m.mergeCondition).map(keyOf)
     if (keys.exists(_.isEmpty) || keys.isEmpty) return None
     // clause conditions: source refs become __src_<name> (keys keep
@@ -798,7 +803,8 @@ case class ResolveGraftDml(spark: SparkSession)
       case _ => return None
     }
     Some(MergeSurface(keys.flatten, updWhen.flatten, updSet,
-      delWhen.flatten, insert, insWhen, nmbsDel.flatten, nmbsUpd))
+      delWhen.flatten, insert, insWhen, nmbsDel.flatten, nmbsUpd,
+      m.withSchemaEvolution))
   }
 }
 
@@ -818,7 +824,8 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
                              insertWhen: Option[String] = None,
                              nmbsDelete: Option[String] = None,
                              nmbsUpdate: Option[(String,
-                               Seq[(String, String)])] = None)
+                               Seq[(String, String)])] = None,
+                             evolveSchema: Boolean = false)
   extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] =
@@ -836,7 +843,8 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
       updateSet = updateSet,
       insertWhen = insertWhen.map(fexpr),
       nmbsDelete = nmbsDelete.map(fexpr),
-      nmbsUpdate = nmbsUpdate.map { case (c, as) => (fexpr(c), as) })
+      nmbsUpdate = nmbsUpdate.map { case (c, as) => (fexpr(c), as) },
+      evolveSchema = evolveSchema)
       .getOrElse(-1)
     Seq(Row(v))
   }

@@ -1743,7 +1743,8 @@ class TxnLogOps(val store: LogStore) {
                         actions: Seq[Entry], session: String,
                         maxAttempts: Int = 10,
                         appendSchema: Option[StructType] = None,
-                        enforcedCons: Option[Map[String, String]] = None)
+                        enforcedCons: Option[Map[String, String]] = None,
+                        evolve: Boolean = false)
   : Option[Int] = {
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1752,7 +1753,7 @@ class TxnLogOps(val store: LogStore) {
         return None
       enforcedCons.foreach(requireConstraintsStable(root, base, _))
       val meta = appendSchema.flatMap(
-        resolveWriteSchema(root, base, _, evolve = false))
+        resolveWriteSchema(root, base, _, evolve = evolve))
       if (tryCommit(root, base + 1, SetTxn(appId, batchId) +: actions,
           session, schemaDdl = meta))
         return Some(base + 1)
@@ -1778,7 +1779,8 @@ class TxnLogOps(val store: LogStore) {
   def writeStreamBatch(spark: SparkSession, root: String,
                        df: DataFrame, appId: String, batchId: Long,
                        session: String,
-                       statsCols: Seq[String] = Seq.empty)
+                       statsCols: Seq[String] = Seq.empty,
+                       evolve: Boolean = false)
   : Option[Int] = {
     val base = latestVersion(root)
     if (stateAt(root, base).txns.get(appId).exists(_ >= batchId))
@@ -1797,7 +1799,8 @@ class TxnLogOps(val store: LogStore) {
     // genuine commit failure (throw) has no winner and cleans up.
     try commitStreamBatch(root, appId, batchId,
       staged.map(_._2).toSeq, session,
-      appendSchema = Some(df.schema), enforcedCons = Some(cons))
+      appendSchema = Some(df.schema), enforcedCons = Some(cons),
+      evolve = evolve)
     catch { case e: Throwable =>
       // clean up ONLY if no same-app duplicate landed meanwhile —
       // its live add points at this very (deterministically named)
@@ -2379,9 +2382,48 @@ class TxnLogOps(val store: LogStore) {
                    insertWhen: Option[org.apache.spark.sql.Column] = None,
                    nmbsDelete: Option[org.apache.spark.sql.Column] = None,
                    nmbsUpdate: Option[(org.apache.spark.sql.Column,
-                     Seq[(String, String)])] = None): Option[Int] = {
+                     Seq[(String, String)])] = None,
+                   evolveSchema: Boolean = false): Option[Int] = {
     require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
       s"merge needs distinct key columns (got $keyCols)")
+    // r14 (VERDICT r13 #6): MERGE WITH SCHEMA EVOLUTION — the
+    // ADD-COLUMN case widens the table schema in a LEADING metadata
+    // commit through the shared contract (resolveWriteSchema's evolve
+    // path: identical types enforced, tombstoned names refused,
+    // evolved columns always nullable), and the merge itself then
+    // runs under the widened schema: old files null-pad in rewrites,
+    // source rows land whole. Retyped columns still refuse — schema
+    // evolution never changes a type.
+    if (evolveSchema) {
+      var widened = false
+      var attempt = 0
+      while (!widened && attempt < 5) {
+        val b = latestVersion(root)
+        resolveWriteSchema(root, b, source0.schema, evolve = true) match {
+          case None => widened = true
+          case Some(ddl) =>
+            widened = tryCommit(root, b + 1, Seq.empty, session,
+              schemaDdl = Some(ddl))
+        }
+        attempt += 1
+      }
+      require(widened,
+        "could not widen the schema for MERGE WITH SCHEMA EVOLUTION " +
+          "(writer storm?)")
+    } else {
+      // without evolution, an extra source column must REFUSE — the
+      // rewrite projection would otherwise silently drop its values
+      // (the same contract every append-shaped writer enforces via
+      // resolveWriteSchema)
+      schemaAt(root, latestVersion(root)).foreach { table =>
+        val extra = source0.columns
+          .filterNot(c => table.fieldNames.contains(c))
+        require(extra.isEmpty,
+          s"merge source adds columns ${extra.mkString(",")} — pass " +
+            "evolveSchema=true (SQL: WITH SCHEMA EVOLUTION) to widen " +
+            "the table")
+      }
+    }
     val base = latestVersion(root)
     val live = liveFiles(root, base)
     val outBase = f"m${base + 1}%08d" + s"_$session"

@@ -116,7 +116,14 @@ class TxnLogSourceProvider extends StreamSourceProvider
         """txn-log sink needs option("appId", <stable writer id>) — """ +
           "the idempotency key the log dedupes restarted batches by")),
       complete = outputMode == OutputMode.Complete(),
-      mergeKey = parameters.get("mergeKey").filter(_ => update))
+      mergeKey = parameters.get("mergeKey").filter(_ => update),
+      // r14 (VERDICT r13 #6): option("evolve", "true") lets a
+      // restarted stream whose upstream WIDENED its schema keep
+      // writing — new columns nullable-widen the table through the
+      // shared contract; old batches' files null-pad on read.
+      // Append mode only: an evolving Complete/Update stream should
+      // migrate explicitly.
+      evolve = parameters.get("evolve").exists(_.toBoolean))
   }
 }
 
@@ -131,7 +138,8 @@ class TxnLogSourceProvider extends StreamSourceProvider
   * driver state lookup and zero I/O. */
 private[streaming] class TxnLogSink(root: String, appId: String,
                                     complete: Boolean,
-                                    mergeKey: Option[String] = None)
+                                    mergeKey: Option[String] = None,
+                                    evolve: Boolean = false)
   extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -150,7 +158,7 @@ private[streaming] class TxnLogSink(root: String, appId: String,
         txn = Some((appId, batchId)))
     else
       TxnLog.writeStreamBatch(batch.sparkSession, root, batch, appId,
-        batchId, "streamsink")
+        batchId, "streamsink", evolve = evolve)
     ()
   }
 

@@ -439,6 +439,34 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("r14: native MERGE WITH SCHEMA EVOLUTION widens the table " +
+    "for the ADD-COLUMN case (VERDICT r13 #6)") {
+    import spark.implicits._
+    withWarehouse { wh =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns16")
+      spark.sql(s"CREATE TABLE $cat.ns16.e (k BIGINT, v DOUBLE)")
+      val root = s"$wh/ns16/e"
+      spark.sql(s"INSERT INTO $cat.ns16.e SELECT id, CAST(id AS DOUBLE) " +
+        "FROM range(1, 6)")
+      Seq((1L, 100.0, "a"), (9L, 900.0, "z")).toDF("k", "v", "tag")
+        .createOrReplaceTempView("evo_merge_src")
+      spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO $cat.ns16.e t " +
+        "USING evo_merge_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val sch = org.apache.spark.sql.types.StructType.fromDDL(
+        TxnLog.stateAt(root, TxnLog.latestVersion(root)).schemaDdl.get)
+      assert(sch.fieldNames.contains("tag") && sch("tag").nullable,
+        sch.toDDL)
+      val r = spark.sql(s"SELECT * FROM $cat.ns16.e").collect()
+        .map(x => x.getLong(0) ->
+          (x.getDouble(1), Option(x.getString(2)))).toMap
+      assert(r(1L) == ((100.0, Some("a"))) &&
+        r(9L) == ((900.0, Some("z"))) && r(3L) == ((3.0, None)),
+        r.toString)
+    }
+  }
+
   test("r14: native DELETE/UPDATE with IN-subquery conditions " +
     "(VERDICT r13 #3) — the snapshot-hygiene shape") {
     import spark.implicits._

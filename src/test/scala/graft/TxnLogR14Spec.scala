@@ -291,6 +291,180 @@ class TxnLogR14Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("schema evolution through MERGE and the streaming sink " +
+    "(r14, VERDICT r13 #6)") {
+    import spark.implicits._
+    // MERGE WITH SCHEMA EVOLUTION: the ADD-COLUMN case widens in a
+    // leading commit; old rows null-pad, source rows land whole
+    withScratch { root =>
+      val df = (1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v")
+      assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
+      val src = Seq((1L, 11.0, "a"), (9L, 99.0, "z"))
+        .toDF("k", "v", "tag")
+      // without evolution: refused loudly
+      val e = intercept[Exception](TxnLog.mergeClausesKeys(spark, root,
+        src, Seq("k"), "m", updateWhen = Some(lit(true)),
+        deleteWhen = None))
+      assert(e.getMessage.contains("tag") ||
+        e.getMessage.contains("evolve"), e.getMessage)
+      // with evolution: widened nullable column, upsert lands
+      assert(TxnLog.mergeClausesKeys(spark, root, src, Seq("k"), "m",
+        updateWhen = Some(lit(true)), deleteWhen = None,
+        evolveSchema = true).isDefined)
+      val st = TxnLog.stateAt(root, TxnLog.latestVersion(root))
+      val sch = org.apache.spark.sql.types.StructType
+        .fromDDL(st.schemaDdl.get)
+      assert(sch.fieldNames.contains("tag") && sch("tag").nullable)
+      val r = TxnLog.read(spark, root).collect()
+        .map(x => x.getLong(0) -> (x.getDouble(1), Option(x.getString(2))))
+        .toMap
+      assert(r(1L) == ((11.0, Some("a"))) && r(9L) == ((99.0, Some("z"))))
+      assert(r(3L) == ((3.0, None)), "old rows must null-pad")
+      // GRAFT SQL face
+      Seq((2L, 22.0, "b", true)).toDF("k", "v", "tag", "fresh")
+        .createOrReplaceTempView("r14_evo_src")
+      assert(spark.sql(s"GRAFT MERGE INTO '$root' USING r14_evo_src " +
+        "ON k WITH SCHEMA EVOLUTION").head().getInt(0) > 0)
+      assert(TxnLog.read(spark, root).where(col("k") === 2L)
+        .head().getBoolean(3))
+    }
+    // streaming sink: a restarted stream with a WIDENED upstream
+    // schema keeps writing under option("evolve", "true")
+    withScratch { root =>
+      val in = s"$root/in"; val tbl = s"$root/tbl"; val ck = s"$root/ck"
+      def pass(ddl: String): Unit = {
+        val q = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .parquet(in)
+          .writeStream.format("graft-txnlog")
+          .option("path", tbl).option("appId", "evo_sink")
+          .option("evolve", "true")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      (1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(in)
+      pass("k BIGINT, v DOUBLE")
+      assert(TxnLog.read(spark, tbl).count() == 5)
+      // upstream widened: restart with the new schema
+      Seq((6L, 6.0, "x")).toDF("k", "v", "tag")
+        .coalesce(1).write.mode("append").parquet(s"$root/in2")
+      new java.io.File(s"$root/in2").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          new java.io.File(in, f.getName).toPath))
+      pass("k BIGINT, v DOUBLE, tag STRING")
+      val sch = org.apache.spark.sql.types.StructType.fromDDL(
+        TxnLog.stateAt(tbl, TxnLog.latestVersion(tbl)).schemaDdl.get)
+      assert(sch.fieldNames.contains("tag") && sch("tag").nullable,
+        sch.toDDL)
+      val r = TxnLog.read(spark, tbl)
+      assert(r.count() == 6)
+      assert(r.where(col("k") === 6L).head().getString(2) == "x")
+      assert(r.where(col("k") === 1L).head().get(2) == null,
+        "pre-evolution rows must null-pad")
+      // a RETYPED column still refuses even under evolve
+      val e = intercept[Exception](TxnLog.writeStreamBatch(spark, tbl,
+        Seq(("s", 1.0, "t")).toDF("k", "v", "tag"), "evo_sink", 999L,
+        "s", evolve = true))
+      assert(e.getMessage.contains("incompatible append"), e.getMessage)
+    }
+  }
+
+  test("artifact/codes logs (r14, VERDICT r13 #1): growth-policy " +
+    "retrain, CDF-incremental encode, delete fallback, zero-job no-ops") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    withScratch { root =>
+      val corpus = s"$root/corpus"
+      val art = s"$root/art"
+      val codes = s"$root/codes"
+      def vecs(lo: Long, hi: Long) =
+        (lo until hi).map(k => (k, k * 2.0)).toDF("vec_id", "x")
+      assert(TxnLog.writeAppend(spark, corpus, vecs(0, 100), "s",
+        "t0") == 1)
+      val trains = spark.sparkContext.longAccumulator("r14_trains")
+      def train(df: org.apache.spark.sql.DataFrame) = {
+        trains.add(1)
+        df.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"))
+      }
+      // backfill trains
+      val a1 = Similarity.advanceArtifactLog(spark, corpus, art,
+        "app", train)
+      assert(a1.retrained && a1.committed.contains(1) &&
+        trains.value == 1, a1)
+      // small growth (under 2x): watermark-only, ZERO training jobs
+      assert(TxnLog.writeAppend(spark, corpus, vecs(100, 150), "s",
+        "t1") == 2)
+      val a2 = Similarity.advanceArtifactLog(spark, corpus, art,
+        "app", train)
+      assert(!a2.retrained && a2.committed.isDefined &&
+        trains.value == 1, a2)
+      // crossing 2x the consumed count: retrains
+      assert(TxnLog.writeAppend(spark, corpus, vecs(150, 400), "s",
+        "t2") == 3)
+      val a3 = Similarity.advanceArtifactLog(spark, corpus, art,
+        "app", train)
+      assert(a3.retrained && trains.value == 2, a3)
+      assert(TxnLog.read(spark, art).head().getLong(0) == 400)
+      // up to date: zero-commit no-op
+      assert(Similarity.advanceArtifactLog(spark, corpus, art,
+        "app", train) ==
+        Similarity.ArtifactAdvance(None, retrained = false))
+
+      // CODES log: backfill, increment-encodes-only-itself, delete
+      // fallback, watermark on NoDataChange, no-op
+      val encodes = spark.sparkContext.longAccumulator("r14_encodes")
+      spark.udf.register("r14_enc",
+        udf { (k: Long) => encodes.add(1); k * 10 }.asNondeterministic())
+      def encode(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), expr("r14_enc(vec_id)").as("code"))
+      val c1 = Similarity.advanceCodesLog(spark, corpus, codes, "c",
+        encode)
+      assert(c1.mode == "backfill" && c1.encodedRows == 400 &&
+        encodes.value == 400, c1)
+      // increment: encode job touches ONLY the new rows
+      assert(TxnLog.writeAppend(spark, corpus, vecs(400, 420), "s",
+        "t3") == 4)
+      val c2 = Similarity.advanceCodesLog(spark, corpus, codes, "c",
+        encode)
+      assert(c2.mode == "increment" && c2.encodedRows == 20 &&
+        encodes.value == 420, c2)
+      assert(TxnLog.read(spark, codes).count() == 420)
+      // a NoDataChange re-layout advances watermark-only, zero encodes
+      assert(TxnLog.compact(spark, corpus, "s").contains(5))
+      val c3 = Similarity.advanceCodesLog(spark, corpus, codes, "c",
+        encode)
+      assert(c3.mode == "watermark" && encodes.value == 420, c3)
+      // a DELETE falls back to an honest full re-encode
+      assert(TxnLog.deletePredicate(spark, corpus, "vec_id >= 410",
+        "s").contains(6))
+      val c4 = Similarity.advanceCodesLog(spark, corpus, codes, "c",
+        encode)
+      assert(c4.mode == "reencode" && c4.encodedRows == 410, c4)
+      assert(TxnLog.read(spark, codes).count() == 410)
+      // up to date: no-op
+      assert(Similarity.advanceCodesLog(spark, corpus, codes, "c",
+        encode).mode == "noop")
+    }
+  }
+
+  test("scaledWedgeCap (r14, VERDICT r13 #5): inert at every gate " +
+    "scale, samples beyond it, floors at 16") {
+    import graft.operators.Graph
+    // measured gate-scale edge counts: sf0.01 = 7 249, sf0.1 = 74 829
+    assert(Graph.scaledWedgeCap(0) == 64)
+    assert(Graph.scaledWedgeCap(100) == 64)
+    assert(Graph.scaledWedgeCap(7249) == 64)
+    assert(Graph.scaledWedgeCap(74829) == 64, "cap must stay inert at sf0.1")
+    assert(Graph.scaledWedgeCap(748290) < 64, "x10 must start sampling")
+    assert(Graph.scaledWedgeCap(748290) >= 16)
+    assert(Graph.scaledWedgeCap(Long.MaxValue / 4) == 16, "floor")
+  }
+
   test("checked UPDATE computes the SET image exactly ONCE per row: " +
     "CHECK rides the rewrite projection (VERDICT r13 #4)") {
     import spark.implicits._
