@@ -1062,8 +1062,16 @@ object Similarity {
   : String =
     graft.core.Fixtures.memo(annFixtures,
       (spark.sparkContext.applicationId, dir)) {
+      // r15 (ADVICE r14 low): the codeTag carries every training
+      // constant the staged artifacts are a function of — changing a
+      // grid size, Lloyd round count, or PQ hyper-parameter restages
+      // automatically instead of silently reusing stale artifacts
+      // until a manual tag bump (the pin the per-artifact staged dirs
+      // used to carry)
       graft.core.Fixtures.staged(s"$dir/embeddings.parquet", "annlog",
-          codeTag = "ann_artifacts_v1") { target =>
+          codeTag = s"ann_artifacts_grid${CentGrid}_r${IvfLloydRounds}" +
+            s"_k${PqK}_m${PqM}_d${PqD}_it${PqTrainIters}_s${PqScale}" +
+            s"_c$PqCoordScale") { target =>
         import graft.sources.TxnLog
         graft.plans.GraftExtensions.ensureRegistered(spark)
         val e = Tables.embeddings(spark, dir)

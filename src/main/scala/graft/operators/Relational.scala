@@ -2144,6 +2144,135 @@ object Relational {
       |    AS n_mod7
       |FROM survivors""".stripMargin
 
+  /** EXISTS-predicate DML on the txn-log table (r15 — VERDICT r14 #5:
+    * EXISTS was refused with a rewrite hint; Delta hosts it): two
+    * statements through the GRAFT SQL face —
+    *
+    *  - `DELETE ... WHERE EXISTS (SELECT 1 FROM m WHERE m.kk =
+    *    o_orderkey AND m.flag = 1)`: the equality correlation
+    *    materializes ONCE as a distinct key set (inner-only conjuncts
+    *    stay inside the subquery), and EXISTS becomes a two-valued
+    *    membership probe — here the k≡0 (mod 5) family deletes;
+    *  - `UPDATE ... SET o_totalprice += 1 WHERE NOT EXISTS (...)`:
+    *    the same placeholder under the caller's NOT — a miss is FALSE
+    *    (never NULL), so NOT EXISTS fires exactly on the keys absent
+    *    from the second manifest (k≢0 mod 4).
+    *
+    * The oracle re-derives the final table from the mod rules alone,
+    * so the correlation decomposition, the two-valued algebra, and
+    * the statement composition are all inside the hash gate.
+    *
+    * Scale shape: each EXISTS runs its subquery once; the probe is a
+    * size-gated membership join ([[graft.sources.TxnLog
+    * .maybeBroadcast]]) over candidates — never a per-file or per-row
+    * re-execution. */
+  def txnLogDeleteExists(spark: SparkSession, dir: String): DataFrame = {
+    val root = txnLogFixture(spark, dir, "txndex", "dex_v1") { target =>
+      val o = Tables.orders(spark, dir)
+      o.select(col("o_orderkey").as("kk"),
+          when(col("o_orderkey") % 5 === 0, 1).otherwise(0).as("flag"))
+        .createOrReplaceTempView("graft_r15_manifest")
+      o.select(col("o_orderkey").as("kk"))
+        .where(col("o_orderkey") % 4 === 0)
+        .createOrReplaceTempView("graft_r15_manifest2")
+      val v = spark.sql(s"GRAFT DELETE FROM '$target' WHERE " +
+        "EXISTS (SELECT 1 FROM graft_r15_manifest WHERE " +
+        "graft_r15_manifest.kk = o_orderkey AND " +
+        "graft_r15_manifest.flag = 1)").head().getInt(0)
+      assert(v == 3, s"EXISTS delete did not commit v3: $v")
+      val u = spark.sql(s"GRAFT UPDATE '$target' SET " +
+        "o_totalprice = o_totalprice + 1 WHERE NOT EXISTS " +
+        "(SELECT 1 FROM graft_r15_manifest2 WHERE " +
+        "graft_r15_manifest2.kk = o_orderkey)").head().getInt(0)
+      assert(u == 4, s"NOT EXISTS update did not commit v4: $u")
+    }
+    val nf = TxnLog.liveFiles(root, TxnLog.latestVersion(root)).size
+    TxnLog.read(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("sum_cents"),
+        count(when(col("o_orderkey") % 5 === 0, 1)).as("n_mod5"),
+        count(when(col("o_orderkey") % 4 === 0, 1)).as("n_mod4"))
+      .select(lit(nf).cast("int").as("n_files"), col("n_rows"),
+        col("sum_cents"), col("n_mod5"), col("n_mod4"))
+  }
+
+  val txnLogDeleteExistsSql: String =
+    """WITH survivors AS (
+      |  SELECT o_orderkey AS k,
+      |    o_totalprice +
+      |      CASE WHEN o_orderkey % 4 <> 0 THEN 1.0 ELSE 0.0 END AS p
+      |  FROM orders
+      |  WHERE o_orderkey % 3 IN (1, 2) AND o_orderkey % 5 <> 0)
+      |SELECT CAST(2 AS INT) AS n_files,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(CAST(p AS DECIMAL(27,10)), 2) * 100
+      |    AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(COUNT(CASE WHEN k % 5 = 0 THEN 1 END) AS BIGINT)
+      |    AS n_mod5,
+      |  CAST(COUNT(CASE WHEN k % 4 = 0 THEN 1 END) AS BIGINT)
+      |    AS n_mod4
+      |FROM survivors""".stripMargin
+
+  /** Multi-column IN-subquery DELETE on the txn-log table (r15 —
+    * VERDICT r14 #5's second half: `(a, b) IN (SELECT x, y ...)` was
+    * refused): the probe tuple `(k % 10, k % 7)` and the manifest's
+    * column pair ride ONE struct key through the same
+    * materialize-once membership ladder — tuple-identity semantics
+    * (exact on the all-non-null integer tuples here, where it
+    * coincides with SQL row IN, which is what the DuckDB twin
+    * computes). The oracle re-derives the surviving multiset with its
+    * own row-IN, gating the struct-key join end to end.
+    *
+    * Scale shape: one subquery job, one distinct struct set, one
+    * size-gated equi-join over candidates. */
+  def txnLogDeleteMulticolIn(spark: SparkSession, dir: String)
+  : DataFrame = {
+    val root = txnLogFixture(spark, dir, "txnmcin", "mcin_v2") {
+      target =>
+        // the a < 5 cut keeps the manifest to half the tuple space —
+        // bare multiples of 13 would cover ALL 70 (mod 10, mod 7)
+        // combos (gcd(13, 70) = 1) and the delete would empty the
+        // table
+        Tables.orders(spark, dir)
+          .where(col("o_orderkey") % 13 === 0 &&
+            col("o_orderkey") % 10 < 5)
+          .select((col("o_orderkey") % 10).as("a"),
+            (col("o_orderkey") % 7).as("b"))
+          .distinct()
+          .createOrReplaceTempView("graft_r15_pairs")
+        val v = spark.sql(s"GRAFT DELETE FROM '$target' WHERE " +
+          "(o_orderkey % 10, o_orderkey % 7) IN " +
+          "(SELECT a, b FROM graft_r15_pairs)").head().getInt(0)
+        assert(v == 3, s"multi-column IN delete did not commit v3: $v")
+    }
+    val nf = TxnLog.liveFiles(root, TxnLog.latestVersion(root)).size
+    TxnLog.read(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.cents(col("o_totalprice"))).as("sum_cents"),
+        count(when(col("o_orderkey") % 13 === 0, 1)).as("n_mod13"))
+      .select(lit(nf).cast("int").as("n_files"), col("n_rows"),
+        col("sum_cents"), col("n_mod13"))
+  }
+
+  val txnLogDeleteMulticolInSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_orderkey % 10 AS a, o_orderkey % 7 AS b
+      |  FROM orders
+      |  WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 < 5),
+      |survivors AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders o
+      |  WHERE o_orderkey % 3 IN (1, 2)
+      |    AND NOT EXISTS (SELECT 1 FROM pairs
+      |      WHERE pairs.a = o.o_orderkey % 10
+      |        AND pairs.b = o.o_orderkey % 7))
+      |SELECT CAST(2 AS INT) AS n_files,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(CAST(p AS DECIMAL(27,10)), 2) * 100
+      |    AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(COUNT(CASE WHEN k % 13 = 0 THEN 1 END) AS BIGINT)
+      |    AS n_mod13
+      |FROM survivors""".stripMargin
+
   /** Row-level DELETE on the txn-log table (r10) — copy-on-write with
     * the CHEAPEST-action ladder: [[graft.sources.TxnLog.deleteRange]]
     * stats-prunes files that provably hold no matching row
@@ -4519,6 +4648,8 @@ object Relational {
     "txn_log_merge_clauses" -> txnLogMergeClauses,
     "txn_log_merge_sync" -> txnLogMergeSync,
     "txn_log_delete_subquery" -> txnLogDeleteSubquery,
+    "txn_log_delete_exists" -> txnLogDeleteExists,
+    "txn_log_delete_multicol_in" -> txnLogDeleteMulticolIn,
     "txn_log_zorder" -> txnLogZorder,
     "txn_log_cdf" -> txnLogCdf,
     "txn_log_delete_dv" -> txnLogDeleteDv,
@@ -4617,6 +4748,8 @@ object Relational {
     "txn_log_merge_clauses" -> txnLogMergeClausesSql,
     "txn_log_merge_sync" -> txnLogMergeSyncSql,
     "txn_log_delete_subquery" -> txnLogDeleteSubquerySql,
+    "txn_log_delete_exists" -> txnLogDeleteExistsSql,
+    "txn_log_delete_multicol_in" -> txnLogDeleteMulticolInSql,
     "txn_log_zorder" -> txnLogZorderSql,
     "txn_log_cdf" -> txnLogCdfSql,
     "txn_log_delete_dv" -> txnLogDeleteDvSql,

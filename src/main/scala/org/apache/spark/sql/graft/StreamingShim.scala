@@ -59,4 +59,26 @@ object StreamingShim {
   def expression(c: org.apache.spark.sql.Column)
   : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Bounded-cost streaming teardown (r15 — VERDICT r14 #4: each
+    * in-JVM invocation of the sink jobs starts fresh AvailableNow
+    * queries against a fresh checkpoint, and the JVM-global streaming
+    * machinery accumulates per run — the terminated-query list grows
+    * in the StreamingQueryManager, and every query's state-store
+    * PROVIDERS stay loaded (keyed by checkpoint dir, each holding its
+    * in-memory state maps) until the 60 s maintenance cycle learns
+    * the query died; measured 3.6 s → 8.0 s on the update sink as
+    * runs stacked). After a driven job's queries terminate, drop the
+    * terminated list and unload every provider — both rebuild on
+    * demand from their checkpoints (the crash-recovery path, so this
+    * is always safe), and an ACTIVE query merely re-loads its
+    * providers on its next batch, so the guard below is a cost
+    * optimization, not a correctness one. */
+  def drainStreamingState(spark: org.apache.spark.sql.SparkSession)
+  : Unit = {
+    spark.streams.resetTerminated()
+    if (spark.streams.active.isEmpty)
+      org.apache.spark.sql.execution.streaming.state.StateStore
+        .unloadAll()
+  }
 }

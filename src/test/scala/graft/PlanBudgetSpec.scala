@@ -151,6 +151,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "txn_log_merge_sync" -> 1,
     // r14: one final agg over the post-delete tip read
     "txn_log_delete_subquery" -> 1,
+    // r15: same shape — the EXISTS/struct-key membership joins run at
+    // fixture-staging time; the hashed plan is one agg over the tip
+    "txn_log_delete_exists" -> 1,
+    "txn_log_delete_multicol_in" -> 1,
     // pruned multi-path scan of surviving z cells + one scalar agg
     // (the z rewrite's one exchange happens at fixture staging)
     "txn_log_zorder" -> 1,
@@ -453,6 +457,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // passes and their txn commits run before the plan exists
     "stream_txn_sink" -> 1,
     "stream_update_sink" -> 1,
+    // r15: localized ≤7-bucket readback + output sort; the two
+    // offset-source passes run before the plan exists
+    "stream_rate_sink" -> 1,
     "stream_sliding" -> 2,
     "stream_tumbling" -> 2,
     "table_skew" -> 3,

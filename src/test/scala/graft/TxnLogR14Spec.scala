@@ -278,10 +278,12 @@ class TxnLogR14Spec extends AnyFunSuite with SparkSpec {
           x.getDouble(1)).toMap
       assert(r(Some(2L)) == 200.0 && r(Some(4L)) == 400.0 &&
         r(Some(6L)) == 600.0 && r(Some(3L)) == 3.0, r.toString)
-      // correlated / EXISTS / scalar refused loudly, nothing commits
+      // non-equality-correlated EXISTS / scalar refused loudly,
+      // nothing commits (r15 narrowed the refusal: uncorrelated and
+      // equality-correlated EXISTS are now supported — TxnLogR15Spec)
       intercept[UnsupportedOperationException] {
         TxnLog.deletePredicate(spark, root,
-          "EXISTS (SELECT 1 FROM r14_keys)", "s")
+          "EXISTS (SELECT 1 FROM r14_keys WHERE kk > v)", "s")
       }
       intercept[UnsupportedOperationException] {
         TxnLog.deletePredicate(spark, root,
@@ -294,8 +296,11 @@ class TxnLogR14Spec extends AnyFunSuite with SparkSpec {
   test("schema evolution through MERGE and the streaming sink " +
     "(r14, VERDICT r13 #6)") {
     import spark.implicits._
-    // MERGE WITH SCHEMA EVOLUTION: the ADD-COLUMN case widens in a
-    // leading commit; old rows null-pad, source rows land whole
+    // MERGE WITH SCHEMA EVOLUTION: the ADD-COLUMN case widens
+    // ATOMICALLY inside the merge's own commit (r15 — ADVICE r14
+    // medium; the widening used to pre-commit and could strand a
+    // failed statement's DDL); old rows null-pad, source rows land
+    // whole
     withScratch { root =>
       val df = (1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v")
       assert(TxnLog.writeAppend(spark, root, df, "s", "t0") == 1)
@@ -307,10 +312,11 @@ class TxnLogR14Spec extends AnyFunSuite with SparkSpec {
         deleteWhen = None))
       assert(e.getMessage.contains("tag") ||
         e.getMessage.contains("evolve"), e.getMessage)
-      // with evolution: widened nullable column, upsert lands
+      // with evolution: widened nullable column, upsert lands — in
+      // ONE commit (v2), no leading metadata version
       assert(TxnLog.mergeClausesKeys(spark, root, src, Seq("k"), "m",
         updateWhen = Some(lit(true)), deleteWhen = None,
-        evolveSchema = true).isDefined)
+        evolveSchema = true).contains(2))
       val st = TxnLog.stateAt(root, TxnLog.latestVersion(root))
       val sch = org.apache.spark.sql.types.StructType
         .fromDDL(st.schemaDdl.get)
