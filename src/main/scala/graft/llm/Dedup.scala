@@ -1407,6 +1407,17 @@ object Dedup {
     val sizes = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val ga = tg.select(col("doc_id").as("doc_a"), col("g"))
     val gb = tg.select(col("doc_id").as("doc_b"), col("g"))
+    // r15 (§2.4): truePairs feeds BOTH the n_true aggregate and the
+    // n_hit semi-join; uncached, each consumer re-ran the gram
+    // inverted-index join and the three joins above it (AQE's
+    // exchange reuse shares the shuffle files, but all post-exchange
+    // work — the pair aggregate, the size joins, the filter — re-ran
+    // per consumer). Caching the tiny surviving pair set runs that
+    // pipeline once (measured 2.35 s → 1.58 s at sf0.1, neutral at
+    // x10; drained with the query). Caching `cand`/`bnd` as well was
+    // MEASURED SLOWER at x10 (2.10 → 3.12 s): their exchanges are
+    // already runtime-shared, so those caches only added
+    // materialization cost — left uncached.
     val truePairs = ga.join(gb,
         Seq("g")).where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
@@ -1415,6 +1426,7 @@ object Dedup {
       // jaccard >= 0.5 in cross-multiplied integers
       .where(col("common") * 2 >= col("n_a") + col("n_b") - col("common"))
       .select(col("doc_a"), col("doc_b"))
+      .cache()
     val bnd = bandsNative(docs, "doc_id", "text")
     val cand = bnd.join(
         bnd.select(col("doc_id").as("doc_b2"), col("b").as("b2"),

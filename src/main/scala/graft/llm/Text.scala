@@ -1956,18 +1956,32 @@ object Text {
     * Cost tracks distinct (doc, gram) pairs — the inverted-index
     * build — never gram × gram. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // r15 (§2.3 shuffle fewer bytes / §2.4): the old shape joined the
+    // gram-keyed first-occurrence aggregate BACK onto the full gram
+    // stream — a second full shuffle of every (doc, gram) pair — just
+    // to test `first_doc = doc_id`. But (doc, gram) pairs are distinct,
+    // so each gram's novel row IS its min row: carrying the source
+    // through the min (`min(struct(doc_id, source))` — doc_id is
+    // unique, so the struct min is the min-doc row) lets n_novel come
+    // straight off the first-occurrence aggregate, one row per
+    // DISTINCT gram, no join back. The per-source size pass aggregates
+    // the gram stream by source (map-side partials). Two passes over
+    // the exploded grams, zero gram-stream joins; the final join is
+    // ≤|sources| rows on both sides.
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), toks.as("t"))
       .select(col("doc_id"), col("source"),
         explode(expr(s"array_distinct($trigramArrayExpr)")).as("g"))
-    val firstOcc = grams.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    grams.join(firstOcc, "g")
-      .groupBy(col("source"))
+    val novel = grams.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("f"))
+      .groupBy(col("f.source").as("source"))
+      .agg(count(lit(1)).as("n_novel"))
+    grams.groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+        count(lit(1)).as("n_grams"))
+      .join(novel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty_ppm", expr("(1000000L * n_novel) div n_grams"))
       .orderBy(col("source"))
   }

@@ -261,42 +261,65 @@ object Features {
     * projection pass is one d-keyed broadcast join + vec-keyed
     * aggregate. */
   def pca(spark: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("j", "x")))
-      .select(col("vec_id"), col("label"), col("j"),
-        expr(s"CAST(floor(CAST(x AS DOUBLE) * $PcaQuant + 0.5) AS BIGINT)")
-          .as("q"))
-    val means = ex.groupBy(col("j"))
-      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    // r15 optimization (guide §2.4 remove shuffles / §5 driver
+    // ceiling). The old shape exploded to (vec, j) rows, SELF-JOINED
+    // them on vec_id for the covariance (two n·d exchanges), eagerly
+    // localCheckpointed three intermediates, and ran the 5
+    // power-iteration rounds as distributed jobs over a d²-row frame
+    // (5 more jobs + checkpoints). Rewritten row-wise on the ARRAY:
+    //  - dim means: one posexplode + d-keyed partial agg (d = 64 rows
+    //    out), COLLECTED — d is a compile-time constant, so this is
+    //    the bounded metadata ceiling, not a data collect;
+    //  - centering: zip_with against the literal mean vector — no
+    //    broadcast join, no explode;
+    //  - covariance: each row emits its d² outer-product cells
+    //    map-side via a DOUBLE posexplode (Generate is codegen'd;
+    //    the nested transform/named_struct form measured 3× slower —
+    //    higher-order functions evaluate interpreted), folded by
+    //    partial aggregation to ≤ d² rows per task before the ONLY
+    //    exchange. The n·d self-join shuffle is gone entirely;
+    //  - power iteration: d² = 4,096 BIGINTs on the driver (constant,
+    //    bounded by construction), same integer algebra (`w div
+    //    greatest(max|w| div SCALE, 1)` — Long division truncates
+    //    toward zero exactly like Spark's `div`), so the direction is
+    //    bit-identical; RelationalSpec's driver recompute pins it;
+    //  - projection: per-row zip_with/aggregate dot product against
+    //    the literal direction — no join — feeding the ≤|label| agg.
+    // Plan: 10 jobs / 4 data shuffles → 3 jobs (means, cov, result) /
+    // 1 tiny exchange each. Everything recomputes from parquet per
+    // invocation — nothing is memoized across runs.
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), expr(
+        s"""transform(embedding,
+           |  x -> CAST(floor(CAST(x AS DOUBLE) * $PcaQuant + 0.5)
+           |       AS BIGINT))""".stripMargin).as("q"))
+    val m = Array.ofDim[Long](PcaDim)
+    q.select(posexplode(col("q")).as(Seq("j", "x")))
+      .groupBy(col("j")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
       .select(col("j"), expr("s div n").as("m"))
-    val c = ex.join(broadcast(means), "j")
-      .select(col("vec_id"), col("label"), col("j"),
-        (col("q") - col("m")).as("c"))
-      .localCheckpoint(true)
-    val cov = c.select(col("vec_id"), col("j"), col("c"))
-      .join(c.select(col("vec_id").as("v2"), col("j").as("k"),
-        col("c").as("c2")), col("vec_id") === col("v2"))
-      .groupBy(col("j"), col("k"))
-      .agg(sum(col("c") * col("c2")).as("cov"))
-      .localCheckpoint(true)
-    var v = spark.range(PcaDim).select(col("id").cast("int").as("k"),
-      lit(PcaScale).as("v")).localCheckpoint(true)
+      .collect().foreach(r => m(r.getInt(0)) = r.getLong(1))
+    val mArr = array(m.map(lit(_)): _*)
+    val c = q.select(col("vec_id"), col("label"),
+      zip_with(col("q"), mArr, (x, mm) => x - mm).as("c"))
+    val cov = Array.ofDim[Long](PcaDim, PcaDim)
+    c.select(col("c"), posexplode(col("c")).as(Seq("j", "cj")))
+      .select(col("j"), col("cj"), posexplode(col("c")).as(Seq("k", "ck")))
+      .groupBy(col("j"), col("k")).agg(sum(col("cj") * col("ck")).as("cov"))
+      .collect().foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var vdir = Array.fill(PcaDim)(PcaScale)
     for (_ <- 1 to PcaIters) {
-      val w = cov.join(v, "k")
-        .groupBy(col("j")).agg(sum(col("cov") * col("v")).as("w"))
-      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      val w = Array.tabulate(PcaDim)(j =>
+        (0 until PcaDim).map(k => cov(j)(k) * vdir(k)).sum)
+      val mx = w.map(math.abs).max
       // renormalize by DIVIDING down (w div (max|w| div SCALE)) — the
       // multiply-then-divide form overflows BIGINT at w ≈ 10¹⁷
-      v = w.crossJoin(broadcast(mx))
-        .select(col("j").as("k"),
-          expr(s"w div greatest(mx div ${PcaScale}L, 1L)").as("v"))
-        .localCheckpoint(true)
+      vdir = w.map(_ / math.max(mx / PcaScale, 1L))
     }
-    val proj = c.join(broadcast(v.select(col("k").as("j"), col("v"))), "j")
-      .groupBy(col("vec_id"), col("label"))
-      .agg(sum(col("c") * col("v")).as("p"))
-    proj.groupBy(col("label"))
+    val vArr = array(vdir.map(lit(_)): _*)
+    c.select(col("label"),
+        aggregate(zip_with(col("c"), vArr, (x, v) => x * v),
+          lit(0L), (acc, x) => acc + x).as("p"))
+      .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"),
         min(col("p")).as("min_p"), max(col("p")).as("max_p"))
       .select(col("label"), col("n"), expr("sum_p div n").as("mean_p"),

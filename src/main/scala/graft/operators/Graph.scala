@@ -79,12 +79,18 @@ object Graph {
     val e2 = e.select(col("src").as("s2"), col("dst").as("d2"))
     val wedges = e.join(e2, col("dst") === col("s2"))
       .select(col("src"), col("dst"), col("d2"))
-    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    // r15 (§2.4 / §1.2 don't compute twice): the wedge join used to
+    // run TWICE — once under the wedge count, once under the triangle
+    // count. The edge list is distinct, so the closing-edge probe
+    // matches each wedge at most once: a LEFT join preserves exactly
+    // one row per wedge, and one aggregate reads both counts
+    // (count(*) = wedges, count(matched key) = triangles) off a
+    // single wedge enumeration.
     val e3 = e.select(col("src").as("s3"), col("dst").as("d3"))
-    val nTris = wedges
-      .join(e3, col("src") === col("s3") && col("d2") === col("d3"))
-      .agg(count(lit(1)).as("n_triangles"))
-    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTris)
+    val wedgeCounts = wedges
+      .join(e3, col("src") === col("s3") && col("d2") === col("d3"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("s3")).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(wedgeCounts)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         (col("n_triangles") / col("n_wedges")).as("closure_rate"))

@@ -292,7 +292,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // sample-scoped gram inverted index + size joins + band self-join
     // + four 1-row count frames crossJoined (allowed bnl); the cached
     // gram subtree prints per consuming leg
-    "llm_dedup_band_recall" -> 24,
+    "llm_dedup_band_recall" -> 25, // r15: cached truePairs subtree prints per consumer
     // band candidates + two broadcast prefix joins + sort
     "llm_dedup_edit_distance" -> 4,
     "llm_curriculum" -> 2,
@@ -404,17 +404,19 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "feat_hash_bucket" -> 3,
     // type-keyed bounds agg (broadcast back) + output sort on event id
     "feat_minmax" -> 2,
-    // post-checkpoint surface: projection join + vec agg + label agg
-    // (the explode/cov/iteration rounds run behind localCheckpoints)
-    "feat_pca" -> 3,
+    // r15: row-wise centering/projection against literal mean and
+    // direction vectors — the live plan is scan + label agg + sort;
+    // means/cov are bounded (≤ d²-row) side collects
+    "feat_pca" -> 2,
     // d-keyed moment agg (broadcast back) + d-row final agg + sort
     "feat_standardize" -> 3,
     // encoding frame broadcast (1-row global crossJoin = allowed bnl)
     // + global rank window + 10-row decile agg with running windows
     "feat_decile_lift" -> 3,
-    // distinct-gram explode: gram-keyed first-occurrence agg + join
-    // back + source agg (count-distinct expand) + output sort
-    "llm_ngram_novelty" -> 4,
+    // r15 join-free shape: gram-keyed min agg -> tiny source agg,
+    // plus the per-source size agg (count-distinct expand) + output
+    // sort; the gram subtree prints per consuming aggregate
+    "llm_ngram_novelty" -> 5,
     // pure projection + source agg + output sort
     "llm_code_detect" -> 2,
     "llm_tfidf" -> 6,
