@@ -23,6 +23,29 @@ import graft.sources.TxnLog
   */
 object Streams {
 
+  /** State-partition pin for the STATEFUL streaming sink jobs (r15,
+    * guide §2.2 fewer-larger-partitions): a stateful query captures
+    * its state partition count from `spark.sql.shuffle.partitions` at
+    * first start, and these jobs' keyed state is tiny (≤ |event_type|
+    * keys / a bounded window set) — tying it to the session's
+    * cluster-width default only multiplies state-store providers,
+    * per-batch tasks, and checkpoint delta files (32 of each per
+    * query on the bench session, for 5 keys). Pinned per-stream to a
+    * small constant sized to the KEY SPACE, not the cluster — the
+    * decision a production job makes explicitly; the session conf is
+    * restored after the stream terminates, so batch queries keep the
+    * harness's scale-derived setting. Results are partition-count
+    * invariant (deterministic keyed aggregates). */
+  private val StreamStatePartitions = 8
+
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      StreamStatePartitions.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Per-event-type counts and value sums in 1-hour tumbling windows. */
   def streamTumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -346,7 +369,8 @@ object Streams {
     * starts sharing one checkpoint dir — the exactly-once property a
     * production sink actually rests on. */
   private[graft] def runFileSinkPass(spark: SparkSession, src: String,
-                                     out: String, ck: String): Unit = {
+                                     out: String, ck: String): Unit =
+    withStatePartitions(spark) {
     val q = spark.readStream
       .schema(spark.read.parquet(src).schema)
       .parquet(src)
@@ -366,7 +390,7 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start(out)
     q.awaitTermination()
-  }
+    }
 
   def streamFileSink(spark: SparkSession, dir: String): DataFrame = {
     val src = graft.core.Fixtures.memo(sinkFixtures,
@@ -577,7 +601,7 @@ object Streams {
         .filter(_.getName.endsWith(".parquet"))
         .foreach(f => java.nio.file.Files.copy(f.toPath,
           new java.io.File(inDir, f.getName).toPath))
-    def pass(): Unit = {
+    def pass(): Unit = withStatePartitions(spark) {
       val q = spark.readStream
         .schema(org.apache.spark.sql.types.StructType.fromDDL(
           "event_id BIGINT, event_type STRING, value DOUBLE"))
