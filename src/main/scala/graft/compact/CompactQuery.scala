@@ -15,11 +15,23 @@ import graft.core.{Det, DetSql, Tables}
 object CompactQuery {
 
   def compactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    // r15 (§1.2 don't redo fixture prep in the timed region): the
+    // fragmented SOURCE is fixture input, not the operation under
+    // test — staged once per source content (the shared
+    // Fixtures.staged discipline) instead of rewritten every
+    // invocation. The compactor itself still runs its full read →
+    // coalesce → validate → trash-then-rename protocol against a
+    // FRESH target per invocation (its source-unchanged checkpoint is
+    // an intra-run concurrency fence on a fresh target, never a
+    // cross-run result cache), so the measured path computes from
+    // parquet every time.
+    val src = graft.core.Fixtures.staged(s"$dir/lineitem.parquet",
+        "compactsrc", codeTag = "repart8_v1") { target =>
+      Tables.lineitem(spark, dir).repartition(8)
+        .write.mode("overwrite").parquet(target)
+    }
     val base = Files.createTempDirectory("graft_compact_rt").toString
-    val src = s"$base/src"
     val tgt = s"$base/tgt"
-    Tables.lineitem(spark, dir).repartition(8)
-      .write.mode("overwrite").parquet(src)
     val res = Compactor.run(spark, Compactor.Config(
       sourceFolder = src, targetFolder = tgt,
       fileCount = 2, tmpFolder = s"$base/tmp"))
