@@ -11,6 +11,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // r15 (§5 / guide §7.3 "nothing seems to be happening"): a
+      // 292-query run leaves thousands of dead shuffle/broadcast
+      // registrations behind; ContextCleaner only reclaims them when
+      // the JVM happens to GC (its own periodic System.gc defaults to
+      // every 30 min — longer than the whole run), so local-disk
+      // shuffle files and block-manager entries pile up and the
+      // late-alphabet queries run against a degraded JVM (measured:
+      // stream_update_sink 4.5 s isolated vs 7.6 s at position ~270).
+      // A 2-minute periodic GC bounds the backlog.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen, parquet reader, shuffle paths) so the
