@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r16 (VERDICT r15 #2): route the forked run's stdout RAW to sbt's
+// stdout instead of through the logger — the "[info] " prefix sbt
+// stamps on every relogged line has made the bench's one-line JSON
+// unparseable to the driver since round 10. Scoped to Compile so test
+// output keeps the logger. runMain delegates to this scope.
+Compile / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

