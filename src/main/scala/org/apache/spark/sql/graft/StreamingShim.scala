@@ -81,4 +81,55 @@ object StreamingShim {
       org.apache.spark.sql.execution.streaming.state.StateStore
         .unloadAll()
   }
+
+  /** Driver-side registration ids currently live in this JVM —
+    * shuffles from the MapOutputTracker, broadcasts from the block
+    * managers (one in-process query under local mode). The pair is a
+    * WINDOW MARK for [[releaseSince]] (r16 — VERDICT r15 #1). */
+  def resourceMark(spark: org.apache.spark.sql.SparkSession)
+  : (Set[Int], Set[Long]) = (shuffleIds, broadcastIds(spark))
+
+  private def shuffleIds: Set[Int] =
+    org.apache.spark.SparkEnv.get.mapOutputTracker
+      .asInstanceOf[org.apache.spark.MapOutputTrackerMaster]
+      .shuffleStatuses.keySet.toSet
+
+  private def broadcastIds(spark: org.apache.spark.sql.SparkSession)
+  : Set[Long] =
+    spark.sparkContext.env.blockManager.master.getMatchingBlockIds({
+        case _: org.apache.spark.storage.BroadcastBlockId => true
+        case _ => false
+      }, askStorageEndpoints = true)
+      .collect { case b: org.apache.spark.storage.BroadcastBlockId =>
+        b.broadcastId }.toSet
+
+  /** Deterministic teardown of a bounded work window (r16 — VERDICT
+    * r15 #1): unregister every shuffle and broadcast REGISTERED SINCE
+    * `mark` through the ContextCleaner's own cleanup path (map-output
+    * statuses, shuffle files on local disk, block-manager entries).
+    * The weak-reference ContextCleaner only reclaims these when the
+    * JVM happens to GC — its periodic System.gc defaults to 30 min —
+    * so a long-lived session that drives hundreds of short jobs (the
+    * bench, a query server) degrades as dead registrations pile up;
+    * the streaming sink jobs were measured at 4.5 s isolated vs 7.6 s
+    * at position ~270 of a 292-query run (r15).
+    *
+    * SAFETY CONTRACT: the caller asserts that nothing created inside
+    * the window outlives it (our sink jobs collect their bounded
+    * result to local rows before teardown). Ids from before the mark
+    * are untouched, so concurrent session state outside the window is
+    * safe; the guard skips the release entirely while any streaming
+    * query is active. Double-cleanup with the ContextCleaner's later
+    * weak-ref pass is harmless (unregister of a missing id is a
+    * no-op). */
+  def releaseSince(spark: org.apache.spark.sql.SparkSession,
+                   mark: (Set[Int], Set[Long])): Unit = {
+    if (spark.streams.active.nonEmpty) return
+    for (cleaner <- spark.sparkContext.cleaner) {
+      (shuffleIds -- mark._1)
+        .foreach(cleaner.doCleanupShuffle(_, blocking = false))
+      (broadcastIds(spark) -- mark._2)
+        .foreach(cleaner.doCleanupBroadcast(_, blocking = false))
+    }
+  }
 }
