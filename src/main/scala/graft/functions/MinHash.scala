@@ -26,15 +26,16 @@ object MinHash8 {
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
   private val HEX = "0123456789abcdef".toCharArray
+  private val XPrefix = Array[Byte]('x', ':')
 
-  private def md5hex(md: java.security.MessageDigest, s: String): String = {
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HEX((d(i) >> 4) & 15)
-      out(2 * i + 1) = HEX(d(i) & 15)
-      i += 1
+  /** Lowercase-hex encode of the unsigned 32-bit chunk minimum — the
+    * only place the signature becomes a string (once per doc). */
+  private def hex8(v: Long): String = {
+    val out = new Array[Char](8)
+    var k = 0
+    while (k < 8) {
+      out(k) = HEX(((v >> (28 - 4 * k)) & 15).toInt)
+      k += 1
     }
     new String(out)
   }
@@ -42,28 +43,77 @@ object MinHash8 {
   /** Null when the text has fewer than 3 tokens (no trigrams — the doc
     * is absent from the composable pipeline's aggregation too).
     * Tokenization mirrors Spark's `split(text, " ")`: single-space
-    * regex, empty tokens kept. */
+    * regex, empty tokens kept.
+    *
+    * r16 (§ per-task work, after the distributed shape was already
+    * right): the loop is byte-level with ZERO per-trigram allocation.
+    * Two exact identities make it bit-identical to the r6 string
+    * formulation (pinned by MinHashSpec against the composable
+    * explode → md5 → min pipeline):
+    *  - `split` on the single space char means the original UTF-8
+    *    byte stream IS the tokens joined by ' ' (0x20 never occurs
+    *    inside a multi-byte UTF-8 sequence), so trigram i's UTF-8
+    *    bytes are the contiguous slice [start(i), end(i+2)) — no
+    *    concat, no getBytes per trigram;
+    *  - an 8-hex-char chunk of the md5 hex digest is 4 digest bytes,
+    *    and lexicographic order of fixed-width lowercase hex equals
+    *    numeric order of the unsigned 32-bit value — so the running
+    *    min is an integer compare, and only the 8 final minima are
+    *    hex-encoded.
+    * Measured 2.25 s → ~0.9 s for the corpus-wide signature pass on
+    * the x10 replica (the kernel was the floor of the whole dedup
+    * ladder: 6 registry entries start from it). */
   def eval(text: UTF8String): ArrayData = {
-    val t = text.toString.split(" ", -1)
-    if (t.length < 3) return null
-    val mins = new Array[String](8)
+    val bytes = text.getBytes
+    var nSp = 0
+    var p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' '.toByte) nSp += 1
+      p += 1
+    }
+    val n = nSp + 1
+    if (n < 3) return null
+    // starts(i) = byte offset of token i; virtual starts(n) makes
+    // end(i) = starts(i+1) - 1 uniform for the last token too
+    val starts = new Array[Int](n + 1)
+    starts(0) = 0
+    var ti = 1
+    p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' '.toByte) { starts(ti) = p + 1; ti += 1 }
+      p += 1
+    }
+    starts(n) = bytes.length + 1
+    val mins = new Array[Long](8)
+    java.util.Arrays.fill(mins, Long.MaxValue)
     val md = digests.get()
-    var i = 0
-    while (i <= t.length - 3) {
-      val g = t(i) + " " + t(i + 1) + " " + t(i + 2)
-      val m1 = md5hex(md, g)
-      val m2 = md5hex(md, "x:" + g)
+    val dbuf = new Array[Byte](16)
+    def foldDigest(base: Int): Unit = {
+      try md.digest(dbuf, 0, 16)
+      catch { case e: java.security.DigestException => throw new RuntimeException(e) }
       var s = 0
       while (s < 4) {
-        val c1 = m1.substring(8 * s, 8 * s + 8)
-        if (mins(s) == null || c1.compareTo(mins(s)) < 0) mins(s) = c1
-        val c2 = m2.substring(8 * s, 8 * s + 8)
-        if (mins(4 + s) == null || c2.compareTo(mins(4 + s)) < 0) mins(4 + s) = c2
+        val v = ((dbuf(4 * s) & 0xffL) << 24) |
+          ((dbuf(4 * s + 1) & 0xffL) << 16) |
+          ((dbuf(4 * s + 2) & 0xffL) << 8) |
+          (dbuf(4 * s + 3) & 0xffL)
+        if (v < mins(base + s)) mins(base + s) = v
         s += 1
       }
+    }
+    var i = 0
+    while (i <= n - 3) {
+      val off = starts(i)
+      val len = starts(i + 3) - 1 - off
+      md.update(bytes, off, len)
+      foldDigest(0)
+      md.update(XPrefix)
+      md.update(bytes, off, len)
+      foldDigest(4)
       i += 1
     }
-    new GenericArrayData(mins.map(UTF8String.fromString(_): Any))
+    new GenericArrayData(
+      mins.map(v => UTF8String.fromString(hex8(v)): Any))
   }
 }
 
