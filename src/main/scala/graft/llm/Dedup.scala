@@ -36,16 +36,28 @@ object Dedup {
     * the mins agree by construction. */
   private[graft] def trigramsOf(docs: DataFrame, idCol: String, textCol: String,
                          dedupe: Boolean): DataFrame = {
-    val grams = docs
+    // try_element_at: out-of-range → NULL (matching DuckDB's t[i]);
+    // plain element_at throws under ANSI on sub-3-token docs
+    val gramsExpr =
+      """transform(sequence(0, greatest(size(t)-3, 0)),
+        |  i -> concat(try_element_at(t, i+1), ' ', try_element_at(t, i+2), ' ',
+        |              try_element_at(t, i+3)))""".stripMargin
+    val split0 = docs
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("t"))
-      // try_element_at: out-of-range → NULL (matching DuckDB's t[i]);
-      // plain element_at throws under ANSI on sub-3-token docs
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, greatest(size(t)-3, 0)),
-          |  i -> concat(try_element_at(t, i+1), ' ', try_element_at(t, i+2), ' ',
-          |              try_element_at(t, i+3)))""".stripMargin)).as("g"))
-      .where(col("g").isNotNull)
-    if (dedupe) grams.distinct() else grams
+    // r16 (§2.4 remove shuffles): dedupe=true used to be a distinct()
+    // — a full (doc_id, g) exchange of the gram stream. A trigram set
+    // is per-document by construction, so the dedupe is local to each
+    // row: array_distinct before the explode yields the identical set
+    // with NO shuffle (nulls from sub-3-token docs collapse to one
+    // entry and are filtered after the explode — the same rows the
+    // old filter-then-distinct kept).
+    if (dedupe)
+      split0.select(col("doc_id"),
+          explode(expr(s"array_distinct($gramsExpr)")).as("g"))
+        .where(col("g").isNotNull)
+    else
+      split0.select(col("doc_id"), explode(expr(gramsExpr)).as("g"))
+        .where(col("g").isNotNull)
   }
 
   private val trigramsSql: String =
@@ -571,8 +583,20 @@ object Dedup {
   private[graft] def exactJaccard(docs: DataFrame, cand: DataFrame): DataFrame = {
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // r16 (§2.3 shuffle keys, not payloads): the candidate-id set is
+    // bucket-cap-bounded (≪ corpus at any scale) but its size
+    // ESTIMATE — derived through a cached multi-join subplan — made
+    // the planner pick a SortMergeJoin that shuffled the FULL
+    // documents table (text payload included) by doc_id just to probe
+    // membership. Broadcasting the id list turns the semi-join into a
+    // map-side filter on the scan; the repartition then spreads ONLY
+    // the surviving candidate docs (≪ corpus) across the cluster for
+    // the shingling explode — without it the explode inherits the
+    // scan's split count (one task on a small-file table), with the
+    // old SMJ it was the full corpus that paid the exchange.
     val tg = trigramsOf(
-        docs.join(candIds, Seq("doc_id"), "left_semi"),
+        docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+          .repartition(col("doc_id")),
         "doc_id", "text", dedupe = true)
       .cache()
     val sizes = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
