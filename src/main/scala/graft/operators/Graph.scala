@@ -284,16 +284,45 @@ object Graph {
 
   /** cap < 0 = the [[scaledWedgeCap]] rule from the edge count (the
     * registry binding); an explicit cap serves the spec pins. */
+  /** Grouped capped adjacency (r16, §2.4): ONE per-center aggregate
+    * carries the md5-sampled top-`cap` neighbor ARRAY and the TRUE
+    * degree. Replaces the old [deg aggregate + cap window (whose sort
+    * ran once per self-join leg — the legs share the exchange but not
+    * the sort) + wedge self-join + broadcast deg join] with one
+    * object aggregate; wedge pairs are then emitted MAP-SIDE by a
+    * double explode of the array (the feat_pca double-posexplode
+    * idiom — Generate is codegen'd). sort_array on struct(k, n)
+    * orders (md5, n) exactly like [[capNeighbors]]'s window, so the
+    * sampled set — and the final frame — is bit-identical (verified
+    * by row-set equality and the unchanged oracle). */
+  private def cappedAdjacency(symRaw: DataFrame, cap: Int): DataFrame =
+    symRaw
+      .select(col("b"), struct(
+        md5(concat_ws(":", lit("cap"), col("b"), col("n"))).as("k"),
+        col("n")).as("kn"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("deg"),
+        expr(s"transform(slice(sort_array(collect_list(kn)), 1, $cap)," +
+          " x -> x.n)").as("capped"))
+
+  /** Map-side wedge pair stream (part_a, part_b, deg) off the grouped
+    * adjacency — Σ min(deg, cap)² rows, never all-pairs. */
+  private def wedgePairs(adj: DataFrame): DataFrame =
+    adj
+      .select(col("deg"), explode(col("capped")).as("part_a"),
+        col("capped"))
+      .select(col("deg"), col("part_a"),
+        explode(col("capped")).as("part_b"))
+      .where(col("part_a") < col("part_b"))
+
   private[graft] def linkPredictCapped(spark: SparkSession, dir: String,
                                        cap0: Int): DataFrame = {
     val e = edges(spark, dir).cache()
     val cap = if (cap0 > 0) cap0 else scaledWedgeCap(e.count())
-    val sym = capNeighbors(
+    val adj = cappedAdjacency(
       e.select(col("src").as("b"), col("dst").as("n"))
         .union(e.select(col("dst").as("b"), col("src").as("n"))), cap)
-    val s2 = sym.select(col("b").as("b2"), col("n").as("n2"))
-    val cn = sym.join(s2, col("b") === col("b2") && col("n") < col("n2"))
-      .select(col("n").as("part_a"), col("n2").as("part_b"))
+    val cn = wedgePairs(adj)
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_common"))
     cn.join(e, col("part_a") === col("src") && col("part_b") === col("dst"),
@@ -338,18 +367,12 @@ object Graph {
     val cap = if (cap0 > 0) cap0 else scaledWedgeCap(e.count())
     val symRaw = e.select(col("src").as("b"), col("dst").as("n"))
       .union(e.select(col("dst").as("b"), col("src").as("n")))
-    val deg = symRaw.groupBy(col("b")).agg(count(lit(1)).as("deg"))
-    val sym = capNeighbors(symRaw, cap)
-    val s2 = sym.select(col("b").as("b2"), col("n").as("n2"))
-    // the wedge join runs over the capped narrow adjacency (identical
-    // to [[linkPredict]]); the per-center weight joins in as a
-    // BROADCAST onto the wedge stream — weighting the adjacency before
-    // the self-join instead measured 4× slower (it re-sorts the widened
-    // frame per leg). A graph too large to broadcast its degree table
-    // would pre-bucket sym and deg on b.
-    val ra = sym.join(s2, col("b") === col("b2") && col("n") < col("n2"))
-      .select(col("b"), col("n").as("part_a"), col("n2").as("part_b"))
-      .join(broadcast(deg), "b")
+    // r16: the grouped adjacency carries the TRUE degree next to the
+    // capped sample, so the old separate degree aggregate and its
+    // broadcast join onto the wedge stream disappear — the per-z
+    // weight reads straight off the wedge row (the cap still samples
+    // which wedges are enumerated, never what a hub is worth).
+    val ra = wedgePairs(cappedAdjacency(symRaw, cap))
       .select(col("part_a"), col("part_b"),
         expr("1000000L div deg").as("w"))
       .groupBy(col("part_a"), col("part_b"))
