@@ -962,8 +962,13 @@ object Dedup {
     // cache inherits 1-2 partitions and the join map sides run
     // single-threaded. The shuffle moves only (id, fp) and is
     // partition-count-portable.
+    // r16: explicit width — a column-only repartition is still
+    // AQE-coalescable (REPARTITION_BY_COL origin), so the small-bytes
+    // fingerprint frame could fold back to one partition anyway
     val fp = simhashFingerprints(spark, dir)
-      .repartition(col("doc_id")).cache() // reused by all three legs
+      .repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id")).cache() // reused by all three legs
     val groups = fp.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("min_id"), count(lit(1)).as("m"))
       .cache()
@@ -1362,8 +1367,17 @@ object Dedup {
     * corpora exercise the cap/recall trade the fixture cannot). */
   private[graft] def dedupEmbedOn(e: DataFrame, cap: Int): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(e.sparkSession)
+    // r16 (§2.2): the probe leg streamed the raw scan — one split on a
+    // small-file corpus — so the within-cell cosine join ran
+    // single-threaded. An explicit-width repartition on label (conf
+    // value, AQE-coalesce-exempt) co-partitions it with the capped
+    // leg's window exchange, so the join adds no exchange and the
+    // cosine work spreads across the session width.
     val a = e.select(col("vec_id").as("va"), col("label"),
       col("embedding").as("ea"))
+      .repartition(
+        e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("label"))
     val wc = Window.partitionBy(col("label2")).orderBy(
       md5(concat_ws(":", lit("cap"), col("label2"), col("vb"))), col("vb"))
     val b = e.select(col("vec_id").as("vb"), col("label").as("label2"),

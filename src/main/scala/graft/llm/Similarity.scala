@@ -641,11 +641,22 @@ object Similarity {
     * ceiling. */
   private def nnWithinCells(e: DataFrame, cent: DataFrame, cap: Int)
   : DataFrame = {
+    // r16 (§2.2): the corpus side arrives as a near-unsplittable scan
+    // (one staged file ⇒ one split), so the |corpus| × nlist cosine
+    // cross-join — the assignment's whole cost — ran single-threaded.
+    // One explicit-width repartition on vec_id (conf value,
+    // AQE-coalesce-exempt) spreads it; hash(vec_id) then satisfies
+    // both the assignment groupBy and the cells join below, so
+    // neither needs an exchange of its own.
+    val eP = e.select(col("vec_id"), col("embedding"))
+      .repartition(
+        e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("vec_id"))
     // cached like the LSH bands: both sides of the within-cell join
     // derive from the assignment, and Catalyst has no common-subplan
     // reuse — uncached, the codebook cross-join would run twice
-    val cells = assignCells(e, cent).select(col("vec_id"), col("cell"))
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    val cells = assignCells(eP, cent).select(col("vec_id"), col("cell"))
+      .join(eP, "vec_id")
       .cache()
     val a = cells.select(col("vec_id").as("va"), col("cell"),
       col("embedding").as("ea"))
