@@ -297,15 +297,22 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "llm_dedup_edit_distance" -> 4,
     "llm_curriculum" -> 2,
     // label-cell join + candidate-side cap window + per-vector NN
-    // window + sort (cap adds one label-keyed exchange)
-    "llm_dedup_embed" -> 3,
-    // retrain adds the Lloyd rounds' (cell,dim) shuffles + assignment
-    "llm_dedup_embed_retrained" -> 7,
+    // window + sort (cap adds one label-keyed exchange); r16 +1: the
+    // probe leg's explicit-width repartition on label (the one-split
+    // scan serialized the within-cell cosine join — measured 7.2 s ->
+    // 2.1 s at x10)
+    "llm_dedup_embed" -> 4,
+    // retrain adds the Lloyd rounds' (cell,dim) shuffles + assignment;
+    // r16 +1: nnWithinCells' explicit-width repartition on vec_id
+    "llm_dedup_embed_retrained" -> 8,
     // the codebook is READ from its txn-log table (training ran at
     // staging and lives in the log): assignment agg + cells join +
     // cap window + NN window + output sort — one less than the
-    // in-query retrain twin
-    "llm_dedup_codebook_log" -> 6,
+    // in-query retrain twin; r16 +2: nnWithinCells' explicit-width
+    // repartition on vec_id (the one-split corpus scan serialized the
+    // corpus x nlist assignment) prints once per consuming leg in the
+    // initial plan; runtime reuses the one exchange
+    "llm_dedup_codebook_log" -> 8,
     "llm_dedup_exact" -> 2,
     "llm_dedup_fuzzy" -> 4,
     "llm_dedup_jaccard" -> 39,
